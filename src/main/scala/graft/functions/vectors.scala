@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Embedding-vector Column functions (embeddings.parquet: Array[Float]).
+ *
+ * All reductions fold element products through DECIMAL(38,20) instead of
+ * summing doubles: decimal addition is exact and therefore independent of
+ * fold/partition order, so the same cosine comes out of any engine at any
+ * parallelism — which is what makes these usable both for the DuckDB
+ * correctness oracle and for deterministic re-runs on a 1000-executor
+ * cluster. The per-element double products themselves are IEEE-identical
+ * everywhere. Everything is a higher-order Column function: codegen'd,
+ * zero shuffle, no UDF.
+ */
+object vectors {
+
+  private val Dec = "decimal(38,20)"
+
+  /** Exact dot product of two float/double array columns (as double). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(Dec)),
+      lit(0).cast(Dec),
+      (acc, p) => acc + p).cast("double")
+
+  /** Exact squared L2 norm (as double). */
+  def normSq(a: Column): Column =
+    aggregate(
+      transform(a, x => (x.cast("double") * x.cast("double")).cast(Dec)),
+      lit(0).cast(Dec),
+      (acc, p) => acc + p).cast("double")
+
+  /** Cosine similarity, 0.0 when either vector is all-zero. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val na = sqrt(normSq(a))
+    val nb = sqrt(normSq(b))
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(d / (na * nb))
+  }
+
+  /**
+   * Sign-bucket LSH key for cosine ANN: the sign pattern of the first
+   * `bits` dimensions ('1' if >= 0). Axis-aligned sign random projection —
+   * the corpus is bucketed by one shuffle (or by write-time partitioning at
+   * scale) and queries probe only their own bucket.
+   */
+  def signBucket(a: Column, bits: Int): Column =
+    concat_ws("",
+      (1 to bits).map(i =>
+        when(element_at(a, i) >= 0.0f, lit("1")).otherwise(lit("0"))): _*)
+}

@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Batch table readers over the driver-generated parquet directory layout
+ * (one parquet file/dir per table, see TESTDATA.md).
+ *
+ * Mirrors the reference's source layer (reference: services/source_extractor/
+ * db_storage.py — raw payload tables keyed by source) re-expressed as plain
+ * Spark parquet scans so Catalyst gets column pruning + predicate pushdown
+ * for free. At 100 TB these scans are the only contact with storage: every
+ * operator downstream declares filters/projections declaratively so they
+ * reach this scan.
+ */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  /**
+   * events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized reader
+   * rejects; read nanos as long (legacy flag) and floor-convert to the
+   * engine-native microsecond timestamp. Floor matches DuckDB's behavior
+   * for positive epochs, keeping oracle parity at second+ granularity.
+   */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(spark, dir, "events")
+    raw.withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /**
+   * Incremental read: only rows with `tsCol` strictly greater than the
+   * watermark (reference: dbt fact_jobs.sql `is_incremental()` block and
+   * normalizer fetch_raw_jobs `collected_at >` cursor). The predicate is a
+   * plain Column filter so it is pushed down to the parquet scan (and at
+   * real scale prunes date partitions entirely).
+   */
+  def incremental(df: DataFrame, tsCol: String, watermark: String): DataFrame =
+    df.filter(df(tsCol) > watermark)
+}
