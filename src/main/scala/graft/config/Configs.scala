@@ -22,7 +22,7 @@ final case class RankingWeights(
     priceBand: Double = 0.15,
     brandMatch: Double = 0.10,
     typeMatch: Double = 0.10,
-    sizeBand: Double = 0.20)
+    sizeBand: Double = 0.10)
 
 /**
  * Ranking profile over the `part` table (reference: config/ranking.yml

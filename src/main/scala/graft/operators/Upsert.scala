@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Idempotent upsert / CDC merge, re-expressing the reference's
+ * `INSERT ... ON CONFLICT (hash_key) DO UPDATE SET ... COALESCE(EXCLUDED.x,
+ * old.x)` staging upsert (reference: services/normalizer/db_operations.py:334)
+ * as a declarative batch merge:
+ *
+ *  1. collapse each side to one latest row per key (window row_number — a
+ *     single shuffle on the key);
+ *  2. full-outer join base-state with delta-state on the key;
+ *  3. delta wins (`EXCLUDED`-semantics) via coalesce(delta, base), and
+ *     first/last-seen are the min/max across both sides.
+ *
+ * At 100 TB the base side is the big one: bucketing the stored state by the
+ * merge key makes the daily merge a co-located join with no re-shuffle of
+ * the base (SURVEY.md §5).
+ */
+object Upsert {
+
+  /** One row per key: the latest by (tsCol desc, tiebreak desc), plus
+    * first/last-seen timestamps computed over the whole group. */
+  def latestState(df: DataFrame, key: String, tsCol: String, tiebreak: String,
+      payload: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(tsCol).desc, col(tiebreak).desc)
+    val ranked = df.withColumn("__rn", row_number().over(w))
+      .withColumn("__first_seen", min(tsCol).over(Window.partitionBy(key)))
+      .withColumn("__last_seen", max(tsCol).over(Window.partitionBy(key)))
+    ranked.filter(col("__rn") === 1)
+      .select((Seq(col(key), col("__first_seen").as("first_seen"),
+        col("__last_seen").as("last_seen")) ++ payload.map(col)): _*)
+  }
+
+  /** EXCLUDED-wins merge of two latestState outputs. */
+  def merge(base: DataFrame, delta: DataFrame, key: String,
+      payload: Seq[String]): DataFrame = {
+    val b = base.select(base.columns.map(c => col(c).as(s"b_$c")): _*)
+    val d = delta.select(delta.columns.map(c => col(c).as(s"d_$c")): _*)
+    val joined = b.join(d, col(s"b_$key") === col(s"d_$key"), "full_outer")
+    val mergedPayload = payload.map(c => coalesce(col(s"d_$c"), col(s"b_$c")).as(c))
+    val firstSeen = least(
+      coalesce(col("b_first_seen"), col("d_first_seen")),
+      coalesce(col("d_first_seen"), col("b_first_seen"))).as("first_seen")
+    val lastSeen = greatest(
+      coalesce(col("b_last_seen"), col("d_last_seen")),
+      coalesce(col("d_last_seen"), col("b_last_seen"))).as("last_seen")
+    joined.select((Seq(coalesce(col(s"d_$key"), col(s"b_$key")).as(key),
+      firstSeen, lastSeen) ++ mergedPayload): _*)
+  }
+}

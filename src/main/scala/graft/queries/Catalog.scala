@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.config.{Dictionaries, EnumDomains, RankingProfile, RankingWeights}
 import graft.functions.{text => T, vectors => V}
+import graft.operators.{Enrich, Marts, Ranker, Upsert}
 import graft.sources.Tables
 
 /** One catalog entry: a Spark query + (optionally) its DuckDB oracle SQL. */
@@ -250,8 +251,283 @@ object Catalog {
       FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents) t
       GROUP BY 1"""))
 
+  // ---------------------------------------------------------------- d2
+  private val d2 = {
+    val split = "2024-01-16 00:00:00"
+    val payload = Seq("event_type", "value")
+    Q(
+      "d2_upsert_merge",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val base = Upsert.latestState(
+          ev.filter(col("ts") < lit(split)), "user_id", "ts", "event_id", payload)
+        val delta = Upsert.latestState(
+          ev.filter(col("ts") >= lit(split)), "user_id", "ts", "event_id", payload)
+        Upsert.merge(base, delta, "user_id", payload)
+          .select(
+            col("user_id"),
+            date_format(col("first_seen"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_seen"),
+            date_format(col("last_seen"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_seen"),
+            col("event_type"), col("value"))
+      },
+      Some(s"""
+        WITH src AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, value FROM events),
+        bstate AS (
+          SELECT user_id, first_seen, last_seen, event_type, value FROM (
+            SELECT user_id, event_type, value,
+              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+              MIN(ts) OVER (PARTITION BY user_id) AS first_seen,
+              MAX(ts) OVER (PARTITION BY user_id) AS last_seen
+            FROM src WHERE ts < TIMESTAMP '$split') t WHERE rn = 1),
+        dstate AS (
+          SELECT user_id, first_seen, last_seen, event_type, value FROM (
+            SELECT user_id, event_type, value,
+              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+              MIN(ts) OVER (PARTITION BY user_id) AS first_seen,
+              MAX(ts) OVER (PARTITION BY user_id) AS last_seen
+            FROM src WHERE ts >= TIMESTAMP '$split') t WHERE rn = 1)
+        SELECT coalesce(d.user_id, b.user_id) AS user_id,
+          strftime(least(coalesce(b.first_seen, d.first_seen), coalesce(d.first_seen, b.first_seen)),
+                   '%Y-%m-%d %H:%M:%S.%f') AS first_seen,
+          strftime(greatest(coalesce(b.last_seen, d.last_seen), coalesce(d.last_seen, b.last_seen)),
+                   '%Y-%m-%d %H:%M:%S.%f') AS last_seen,
+          coalesce(d.event_type, b.event_type) AS event_type,
+          coalesce(d.value, b.value) AS value
+        FROM bstate b FULL OUTER JOIN dstate d ON b.user_id = d.user_id"""))
+  }
+
+  // ---------------------------------------------------------------- d3
+  private val d3 = {
+    val watermark = "1997-01-01 00:00:00"
+    Q(
+      "d3_incremental_fact",
+      (s, d) => {
+        Marts.incrementalFact(
+          Tables.orders(s, d), Tables.customer(s, d),
+          "o_custkey", "c_custkey", "c_name", "o_orderdate", watermark)
+          .select(
+            col("o_orderkey").as("fact_key"),
+            col("o_custkey"), col("c_name"), col("c_mktsegment"),
+            col("dim_uid"),
+            col("o_totalprice"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+            col("o_orderstatus"))
+      },
+      Some(s"""
+        SELECT o_orderkey AS fact_key, o_custkey, c_name, c_mktsegment,
+          md5(lower(regexp_replace(trim(coalesce(c_name, 'unknown')), '\\s+', ' ', 'g'))) AS dim_uid,
+          o_totalprice,
+          strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+          o_orderstatus
+        FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderdate > TIMESTAMP '$watermark'"""))
+  }
+
+  // ---------------------------------------------------------------- d4
+  private val d4 = Q(
+    "d4_scd1_dim",
+    (s, d) => {
+      Marts.scd1Dim(Tables.orders(s, d), "o_custkey", "o_orderdate", "o_orderkey")
+        .select(
+          col("o_custkey").as("cust_id"),
+          col("o_orderstatus").as("last_status"),
+          col("o_orderpriority").as("last_priority"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("last_order_date"))
+    },
+    Some("""
+      SELECT o_custkey AS cust_id, o_orderstatus AS last_status,
+        o_orderpriority AS last_priority,
+        strftime(o_orderdate, '%Y-%m-%d') AS last_order_date
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders) t
+      WHERE rn = 1"""))
+
+  // shared ranking config: the SAME instances feed the Spark plan and the
+  // oracle SQL below (SURVEY.md §6 no-drift rule).
+  private val RW = RankingWeights()
+  private val RP = RankingProfile()
+
+  // ---------------------------------------------------------------- r1
+  private def rankOracleSql: String = {
+    val titleHits = RP.titleKeywords
+      .map(k => s"(CASE WHEN contains(lower(p_name), '$k') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val mustAll = RP.mustHaveSkills
+      .map(m => s"list_contains(string_split(lower(p_name), ' '), '$m')")
+      .mkString(" AND ")
+    val niceHits = RP.niceToHaveSkills
+      .map(n => s"(CASE WHEN list_contains(string_split(lower(p_name), ' '), '$n') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val brands = RP.preferredBrands.map(b => s"'$b'").mkString(", ")
+    val types = RP.preferredTypes.map(t => s"'$t'").mkString(", ")
+    val range = RP.priceMax - RP.priceMin
+    s"""
+      WITH scored AS (
+        SELECT p_partkey,
+          CAST($titleHits AS DOUBLE) / ${RP.titleKeywords.size}.0 AS title_score,
+          CASE WHEN NOT ($mustAll) THEN 0.1
+               ELSE 0.5 + 0.5 * CAST($niceHits AS DOUBLE) / ${RP.niceToHaveSkills.size}.0
+          END AS skills_score,
+          CASE WHEN p_retailprice IS NULL THEN 0.5
+               WHEN p_retailprice >= ${RP.priceMin} AND p_retailprice <= ${RP.priceMax} THEN 1.0
+               WHEN p_retailprice < ${RP.priceMin} THEN
+                 greatest(0.1, 1.0 - least((${RP.priceMin} - p_retailprice) / $range, 1.0))
+               ELSE greatest(0.1, 1.0 - least((p_retailprice - ${RP.priceMax}) / $range, 1.0))
+          END AS price_score,
+          CASE WHEN p_brand IN ($brands) THEN 1.0 ELSE 0.3 END AS brand_score,
+          CASE WHEN p_type IN ($types) THEN 1.0 ELSE 0.3 END AS type_score,
+          CASE WHEN p_size >= ${RP.sizeMin} AND p_size <= ${RP.sizeMax} THEN 1.0 ELSE 0.7 END AS size_score
+        FROM part)
+      SELECT p_partkey, title_score, skills_score, price_score, brand_score,
+        type_score, size_score,
+        least(greatest(round(
+          (title_score * ${RW.titleKeywords} + skills_score * ${RW.skillsOverlap} +
+           price_score * ${RW.priceBand} + brand_score * ${RW.brandMatch} +
+           type_score * ${RW.typeMatch} + size_score * ${RW.sizeBand}) * 100, 2), 0.0), 100.0) AS rank_score
+      FROM scored"""
+  }
+
+  private val r1 = Q(
+    "r1_rank_score",
+    (s, d) => Ranker.rankParts(Tables.part(s, d), RW, RP),
+    Some(rankOracleSql))
+
+  // ---------------------------------------------------------------- r2
+  private val r2 = Q(
+    "r2_top_n",
+    (s, d) => Ranker.rankParts(Tables.part(s, d), RW, RP)
+      .orderBy(col("rank_score").desc, col("p_partkey"))
+      .limit(20)
+      .select("p_partkey", "rank_score"),
+    Some(s"""
+      SELECT p_partkey, rank_score FROM ($rankOracleSql) t
+      ORDER BY rank_score DESC, p_partkey LIMIT 20"""))
+
+  // ---------------------------------------------------------------- r3
+  private val r3 = Q(
+    "r3_stats_view",
+    (s, d) => {
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("total_docs"),
+          countDistinct(md5(col("text"))).as("uniq_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          count(when(col("n_chars") > 250, 1)).as("long_docs"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+    },
+    Some("""
+      SELECT source, COUNT(*) AS total_docs,
+        COUNT(DISTINCT md5(text)) AS uniq_docs,
+        MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+        COUNT(*) FILTER (WHERE n_chars > 250) AS long_docs,
+        CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+      FROM documents GROUP BY source"""))
+
+  // ---------------------------------------------------------------- e1
+  private val e1 = {
+    val dictValues = Dictionaries.skills
+      .map { case (a, c) => s"('$a', '$c')" }.mkString(", ")
+    Q(
+      "e1_skills_extract",
+      (s, d) => Enrich.extractSkills(
+        s, Tables.documents(s, d), "doc_id", "text", Dictionaries.skills),
+      Some(s"""
+        WITH dict(alias, canonical) AS (VALUES $dictValues),
+        base AS (
+          SELECT doc_id,
+            string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS w
+          FROM documents),
+        grams AS (
+          SELECT doc_id, unnest(list_concat(w,
+            list_transform(range(0, greatest(len(w) - 1, 0)),
+                           i -> w[i+1] || ' ' || w[i+2]))) AS gram
+          FROM base),
+        hits AS (
+          SELECT DISTINCT doc_id, canonical FROM grams JOIN dict ON gram = alias)
+        SELECT doc_id, string_agg(canonical, ',' ORDER BY canonical) AS skills_csv
+        FROM hits GROUP BY doc_id"""))
+  }
+
+  // ---------------------------------------------------------------- e2
+  private val e2 = {
+    // ordered keyword rules (seniority_extractor.py:120 analog)
+    val rules = Seq(
+      "\\bstream(ing)?\\b" -> "streaming",
+      "\\b(join|merge)\\b" -> "relational",
+      "\\b(scan|table)\\b" -> "scan")
+    Q(
+      "e2_keyword_classify",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        Enrich.classifyByRules(col("text"), rules, "unknown").as("doc_class")),
+      Some("""
+        SELECT doc_id,
+          CASE WHEN regexp_matches(lower(text), '\bstream(ing)?\b') THEN 'streaming'
+               WHEN regexp_matches(lower(text), '\b(join|merge)\b') THEN 'relational'
+               WHEN regexp_matches(lower(text), '\b(scan|table)\b') THEN 'scan'
+               ELSE 'unknown' END AS doc_class
+        FROM documents"""))
+  }
+
+  // ---------------------------------------------------------------- e3
+  private val e3 = Q(
+    "e3_company_normalize",
+    (s, d) => {
+      val suffix = element_at(
+        array(lit(" Inc"), lit(" LLC"), lit(" Ltd"), lit("")),
+        (col("c_custkey") % 4 + 1).cast("int"))
+      val raw = concat(col("c_name"), suffix)
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        raw.as("name_raw"),
+        T.stripCompanySuffixes(raw).as("name_clean"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT c_custkey,
+          c_name || CASE CAST(c_custkey % 4 AS INT)
+            WHEN 0 THEN ' Inc' WHEN 1 THEN ' LLC' WHEN 2 THEN ' Ltd' ELSE '' END AS name_raw
+        FROM customer)
+      SELECT c_custkey, name_raw,
+        regexp_replace(trim(regexp_replace(lower(name_raw),
+          '\b(inc|llc|ltd|corp|corporation|co|lp|llp|plc|gmbh|ag|sa)\.?\b', ' ', 'g')),
+          '\s+', ' ', 'g') AS name_clean
+      FROM t"""))
+
+  // ---------------------------------------------------------------- e4
+  private val e4 = Q(
+    "e4_fuzzy_match",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val left = c.select(col("c_custkey").as("id1"), col("c_name").as("name1"))
+      val right = c.select(col("c_custkey").as("id2"), col("c_name").as("name2"))
+      Enrich.fuzzyJoin(left, right,
+        col("name1"), col("name2"),
+        expr("right(name1, 2)"), expr("right(name2, 2)"), 1)
+        .filter(col("id1") < col("id2"))
+        .select("id1", "id2", "name1", "name2", "edit_dist")
+    },
+    Some("""
+      SELECT c1.c_custkey AS id1, c2.c_custkey AS id2,
+        c1.c_name AS name1, c2.c_name AS name2,
+        levenshtein(c1.c_name, c2.c_name) AS edit_dist
+      FROM customer c1 JOIN customer c2
+        ON right(c1.c_name, 2) = right(c2.c_name, 2)
+       AND c1.c_custkey < c2.c_custkey
+      WHERE levenshtein(c1.c_name, c2.c_name) <= 1"""))
+
   /** All registered queries, in SURVEY §2 order. */
-  val all: Seq[Q] = Seq(a1, a2, a3, a4, n1, n2, n3, n4, n5, n6, d1)
+  val all: Seq[Q] = Seq(
+    a1, a2, a3, a4,
+    n1, n2, n3, n4, n5, n6,
+    d1, d2, d3, d4,
+    e1, e2, e3, e4,
+    r1, r2, r3)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
