@@ -17,28 +17,38 @@ import org.apache.spark.sql.functions._
  */
 object vectors {
 
-  private val Dec = "decimal(38,20)"
+  // DECIMAL(30,20) leaves headroom below Spark's precision cap of 38: the
+  // (acc + p) result is DECIMAL(31,20) and the cast back to (30,20) only
+  // trims unused integer digits — scale stays 20, so the fold is EXACT.
+  // (At (38,20) Spark would trim the scale to 19 and round every step.)
+  private val Dec = "decimal(30,20)"
 
   /** Exact dot product of two float/double array columns (as double). */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(Dec)),
       lit(0).cast(Dec),
-      (acc, p) => acc + p).cast("double")
+      (acc, p) => (acc + p).cast(Dec)).cast("double")
 
   /** Exact squared L2 norm (as double). */
   def normSq(a: Column): Column =
     aggregate(
       transform(a, x => (x.cast("double") * x.cast("double")).cast(Dec)),
       lit(0).cast(Dec),
-      (acc, p) => acc + p).cast("double")
+      (acc, p) => (acc + p).cast(Dec)).cast("double")
 
-  /** Cosine similarity, 0.0 when either vector is all-zero. */
+  /**
+   * Cosine similarity, 0.0 when either vector is all-zero. Rounded to 9
+   * decimals: the decimal fold makes the dot products exact, but engines
+   * disagree by 1 ulp on the double→decimal cast of the element products;
+   * 9 dp absorbs that while keeping full ranking resolution. Downstream
+   * ordering must use this rounded value (plus an id tiebreak).
+   */
   def cosine(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val na = sqrt(normSq(a))
     val nb = sqrt(normSq(b))
-    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(d / (na * nb))
+    round(when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(d / (na * nb)), 9)
   }
 
   /**

@@ -521,13 +521,349 @@ object Catalog {
        AND c1.c_custkey < c2.c_custkey
       WHERE levenshtein(c1.c_name, c2.c_name) <= 1"""))
 
+  // ================================================================
+  // LLM-pipeline additions. The testdata has no planted duplicates, so the
+  // dedup demos union the corpus with a deterministically perturbed copy
+  // (ids offset by 1,000,000) — the collapse is then visible and oracle-
+  // checkable rather than vacuously empty.
+  // ================================================================
+
+  /** DuckDB text normalization mirroring graft.functions.text.normKey. */
+  private def normSql(c: String): String =
+    s"lower(regexp_replace(trim($c), '\\s+', ' ', 'g'))"
+
+  /** DuckDB cosine mirroring graft.functions.vectors.cosine (decimal-exact). */
+  private def cosSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"""CAST(list_aggregate(list_transform(list_zip($x, $y),
+           p -> CAST(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) AS DECIMAL(30,20))), 'sum') AS DOUBLE)"""
+    s"""round((CASE WHEN sqrt(${dot(a, a)}) = 0 OR sqrt(${dot(b, b)}) = 0 THEN 0.0
+         ELSE ${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})) END), 9)"""
+  }
+
+  /** Perturbed-union corpus SQL (id, t): base docs + docs with one word appended. */
+  private val corpusSql: String = s"""
+    SELECT doc_id AS id, ${normSql("text")} AS t FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS id, ${normSql("text")} || ' extraword' AS t FROM documents"""
+
+  private def perturbedCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), T.normKey(col("text")).as("t"))
+    docs.select(col("doc_id").as("id"), col("t"))
+      .unionAll(docs.select((col("doc_id") + 1000000L).as("id"),
+        concat(col("t"), lit(" extraword")).as("t")))
+  }
+
+  // ---------------------------------------------------------------- l1
+  private val l1 = Q(
+    "l1_dedup_minhash",
+    (s, d) => graft.operators.Dedup.minhashPairs(
+      perturbedCorpus(s, d), "id", "t", shingleN = 3, k = 8, bands = 4, threshold = 0.8),
+    Some(s"""
+      WITH corpus AS ($corpusSql),
+      sh AS (
+        SELECT id, list_transform(range(0, greatest(len(ws) - 2, 0)),
+                 i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS shingles
+        FROM (SELECT id, string_split(t, ' ') AS ws FROM corpus) x),
+      sig AS (
+        SELECT id, list_transform(range(0, 8),
+                 s -> list_aggregate(list_transform(shingles,
+                        x -> md5(CAST(s AS VARCHAR) || '|' || x)), 'min')) AS mh
+        FROM sh),
+      bands AS (
+        SELECT id, b, md5(mh[2*b+1] || '#' || mh[2*b+2]) AS bh
+        FROM sig, (SELECT unnest(range(0, 4)) AS b) bs),
+      cand AS (
+        SELECT DISTINCT a.id AS id1, b.id AS id2
+        FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.id < b.id),
+      j AS (
+        SELECT id1, id2,
+          CAST(len(list_filter(list_distinct(s1.shingles),
+                 x -> list_contains(list_distinct(s2.shingles), x))) AS DOUBLE) /
+          CAST(len(list_distinct(s1.shingles)) + len(list_distinct(s2.shingles)) -
+               len(list_filter(list_distinct(s1.shingles),
+                 x -> list_contains(list_distinct(s2.shingles), x))) AS DOUBLE) AS jaccard
+        FROM cand JOIN sh s1 ON cand.id1 = s1.id JOIN sh s2 ON cand.id2 = s2.id)
+      SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.8"""))
+
+  // ---------------------------------------------------------------- l2
+  private val l2 = {
+    val bitsSql = (1 to 16).map { j =>
+      s"""(CASE WHEN list_aggregate(list_transform(ws,
+            t -> CASE WHEN substring(md5(t), $j, 1) >= '8' THEN 1 ELSE -1 END),
+            'sum') > 0 THEN '1' ELSE '0' END)"""
+    }.mkString(" || ")
+    Q(
+      "l2_dedup_simhash",
+      (s, d) => graft.operators.Dedup.simhashGroups(perturbedCorpus(s, d), "id", "t"),
+      Some(s"""
+        WITH corpus AS ($corpusSql),
+        f AS (
+          SELECT id, $bitsSql AS simhash
+          FROM (SELECT id, string_split(t, ' ') AS ws FROM corpus) x)
+        SELECT simhash, min(id) AS survivor_id, COUNT(*) AS n_docs
+        FROM f GROUP BY simhash HAVING COUNT(*) > 1"""))
+  }
+
+  // ---------------------------------------------------------------- l3
+  private val l3 = {
+    def gramsSql(t: String) =
+      s"list_distinct(list_transform(range(1, greatest(len($t) - 3, 0) + 1), i -> substring($t, i, 4)))"
+    Q(
+      "l3_ngram_jaccard",
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 20)
+        val a = docs.select(col("doc_id").as("id1"), col("text").as("t1"))
+        val b = docs.select(col("doc_id").as("id2"), col("text").as("t2"))
+        graft.operators.Dedup.ngramJaccard(
+          a.join(b, col("id1") < col("id2")), col("t1"), col("t2"), 4)
+          .select("id1", "id2", "jaccard")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, ${normSql("text")} AS t FROM documents WHERE doc_id < 20),
+        pairs AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2,
+            ${gramsSql("a.t")} AS g1, ${gramsSql("b.t")} AS g2
+          FROM t a JOIN t b ON a.doc_id < b.doc_id)
+        SELECT id1, id2,
+          CASE WHEN len(g1) + len(g2) - len(list_filter(g1, x -> list_contains(g2, x))) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(g1, x -> list_contains(g2, x))) AS DOUBLE) /
+                    CAST(len(g1) + len(g2) - len(list_filter(g1, x -> list_contains(g2, x))) AS DOUBLE)
+          END AS jaccard
+        FROM pairs"""))
+  }
+
+  // ---------------------------------------------------------------- l4
+  private val l4 = Q(
+    "l4_embed_neardup",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val base = e.select(col("vec_id"), col("label"), col("embedding"))
+      // perturbed copy: first dimension zeroed → cosine just below 1
+      val mutated = e.select(
+        (col("vec_id") + 1000000L).as("vec_id"), col("label"),
+        concat(array(lit(0.0f)), slice(col("embedding"), 2, 63)).as("embedding"))
+      graft.operators.Dedup.embeddingNearDups(
+        base.unionAll(mutated), "vec_id", "embedding", "label", 0.95)
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, label, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, label,
+          list_concat([CAST(0.0 AS FLOAT)], embedding[2:64]) FROM embeddings),
+      scored AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2,
+          ${cosSql("a.embedding", "b.embedding")} AS cosine
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+      SELECT id1, id2, cosine FROM scored WHERE cosine >= 0.95"""))
+
+  // ---------------------------------------------------------------- l5
+  private val l5 = Q(
+    "l5_ann_bruteforce",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.operators.Ann.bruteForceTopK(e.filter(col("vec_id") < 5), e, 10)
+        .select("query_id", "cand_id", "cosine", "rnk")
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      scored AS (
+        SELECT query_id, e.vec_id AS cand_id,
+          ${cosSql("qv", "e.embedding")} AS cosine
+        FROM embeddings e, q WHERE e.vec_id <> query_id),
+      r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+        FROM scored)
+      SELECT query_id, cand_id, cosine, rnk FROM r WHERE rnk <= 10"""))
+
+  // ---------------------------------------------------------------- l6
+  private val l6 = {
+    def bucketSql(v: String) = (1 to 6)
+      .map(i => s"(CASE WHEN $v[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+    Q(
+      "l6_ann_lsh",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        graft.operators.Ann.lshTopK(e.filter(col("vec_id") < 50), e, bits = 6, k = 3)
+          .select("query_id", "cand_id", "cosine", "rnk")
+      },
+      Some(s"""
+        WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bkt FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS qv, bkt AS qb FROM b WHERE vec_id < 50),
+        scored AS (
+          SELECT query_id, b.vec_id AS cand_id,
+            ${cosSql("qv", "b.embedding")} AS cosine
+          FROM b JOIN q ON qb = bkt AND b.vec_id <> query_id),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+          FROM scored)
+        SELECT query_id, cand_id, cosine, rnk FROM r WHERE rnk <= 3"""))
+  }
+
+  // ---------------------------------------------------------------- t1
+  private val t1 = {
+    val langs = Dictionaries.langMarkers
+    Q(
+      "t1_lang_id",
+      (s, d) => {
+        val ws = T.words(col("text"))
+        val scoreCols = langs.map { case (lang, ms) =>
+          size(filter(ws, w => w.isin(ms.map(lit): _*))).as(s"s_$lang")
+        }
+        val scored = Tables.documents(s, d).select((col("doc_id") +: scoreCols): _*)
+        val mx = greatest(langs.map { case (l, _) => col(s"s_$l") }: _*)
+        val pick = langs.foldRight(lit("unknown"): org.apache.spark.sql.Column) {
+          case ((l, _), elseCol) => when(col(s"s_$l") === col("mx"), lit(l)).otherwise(elseCol)
+        }
+        scored.withColumn("mx", mx)
+          .withColumn("lang_pred", when(col("mx") === 0, "unknown").otherwise(pick))
+          .select("doc_id", "lang_pred")
+      },
+      Some {
+        val scoreDefs = langs.map { case (lang, ms) =>
+          val lst = ms.map(m => s"'$m'").mkString(", ")
+          s"len(list_filter(ws, w -> list_contains([$lst], w))) AS s_$lang"
+        }.mkString(",\n            ")
+        val mxExpr = langs.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+        val pick = langs.map { case (l, _) => s"WHEN s_$l = mx THEN '$l'" }.mkString(" ")
+        s"""
+        WITH w AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws FROM documents),
+        sc AS (SELECT doc_id,
+            $scoreDefs
+          FROM w),
+        m AS (SELECT *, $mxExpr AS mx FROM sc)
+        SELECT doc_id,
+          CASE WHEN mx = 0 THEN 'unknown' $pick ELSE 'unknown' END AS lang_pred
+        FROM m"""
+      })
+  }
+
+  // ---------------------------------------------------------------- t2
+  private val t2 = {
+    val stops = Dictionaries.stopwordsEn
+    val stopsSql = stops.map(s0 => s"'$s0'").mkString(", ")
+    Q(
+      "t2_quality_score",
+      (s, d) => {
+        val t = T.normKey(col("text"))
+        val ws = split(t, " ")
+        val lenScore = least(length(t).cast("double") / 500.0, lit(1.0))
+        val punctRatio = (length(t) - length(regexp_replace(t, "[a-z0-9 ]", "")))
+          .cast("double") / length(t).cast("double")
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          lenScore.as("len_score"),
+          T.distinctRatio(ws).as("distinct_ratio"),
+          T.stopwordRatio(ws, stops).as("stopword_ratio"),
+          punctRatio.as("punct_ratio"))
+          .withColumn("quality",
+            col("len_score") * 0.35 + col("distinct_ratio") * 0.25 +
+              (lit(1.0) - col("punct_ratio")) * 0.25 + col("stopword_ratio") * 0.15)
+      },
+      Some(s"""
+        WITH b AS (SELECT doc_id, ${normSql("text")} AS t FROM documents),
+        w AS (SELECT doc_id, t, string_split(t, ' ') AS ws FROM b),
+        sc AS (
+          SELECT doc_id,
+            least(CAST(len(t) AS DOUBLE) / 500.0, 1.0) AS len_score,
+            CASE WHEN len(ws) = 0 THEN 0.0
+                 ELSE CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) END AS distinct_ratio,
+            CASE WHEN len(ws) = 0 THEN 0.0
+                 ELSE CAST(len(list_filter(ws, w -> list_contains([$stopsSql], w))) AS DOUBLE) /
+                      CAST(len(ws) AS DOUBLE) END AS stopword_ratio,
+            CAST(len(t) - len(regexp_replace(t, '[a-z0-9 ]', '', 'g')) AS DOUBLE) /
+              CAST(len(t) AS DOUBLE) AS punct_ratio
+          FROM w)
+        SELECT doc_id, len_score, distinct_ratio, stopword_ratio, punct_ratio,
+          len_score * 0.35 + distinct_ratio * 0.25 + (1.0 - punct_ratio) * 0.25 +
+            stopword_ratio * 0.15 AS quality
+        FROM sc"""))
+  }
+
+  // ---------------------------------------------------------------- t3
+  private val t3 = Q(
+    "t3_token_count",
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      T.tokenCountWs(col("text")).as("n_tokens_ws"),
+      T.tokenCountBpe(col("text")).as("n_tokens_bpe"),
+      length(col("text")).cast("bigint").as("n_chars_calc")),
+    Some(s"""
+      SELECT doc_id,
+        CAST(len(string_split(${normSql("text")}, ' ')) AS BIGINT) AS n_tokens_ws,
+        CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens_bpe,
+        CAST(len(text) AS BIGINT) AS n_chars_calc
+      FROM documents"""))
+
+  // ---------------------------------------------------------------- t4
+  private val t4 = Q(
+    "t4_fingerprint",
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      array_join(
+        T.winnowFingerprint(T.wordShingles(T.words(col("text")), 3), 4),
+        ",").as("fp_csv")),
+    Some(s"""
+      WITH sh AS (
+        SELECT doc_id, list_transform(range(0, greatest(len(ws) - 2, 0)),
+                 i -> md5(ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS h
+        FROM (SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws FROM documents) x),
+      mins AS (
+        SELECT doc_id, list_transform(range(0, greatest(len(h) - 4, -1) + 1),
+                 i -> list_aggregate(h[i+1:i+4], 'min')) AS m
+        FROM sh)
+      SELECT doc_id, array_to_string(list_sort(list_distinct(m)), ',') AS fp_csv
+      FROM mins"""))
+
+  // ---------------------------------------------------------------- m1
+  private val m1 = Q(
+    "m1_multimodal_meta",
+    (s, d) => graft.operators.Multimodal.asMediaTable(Tables.documents(s, d))
+      .select(
+        col("doc_id"), col("kind"),
+        octet_length(col("payload")).cast("bigint").as("byte_len"),
+        md5(col("payload")).as("content_hash"),
+        col("meta_width"), col("meta_height")),
+    Some("""
+      SELECT doc_id,
+        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        md5(text) AS content_hash,
+        CAST(n_chars % 512 AS INT) AS meta_width,
+        CAST(n_chars % 256 AS INT) AS meta_height
+      FROM documents"""))
+
+  // ---------------------------------------------------------------- m2 (rows-only: mapPartitions stub decode)
+  private val m2 = Q(
+    "m2_multimodal_decode",
+    (s, d) => graft.operators.Multimodal.extractFeatures(
+      s, graft.operators.Multimodal.asMediaTable(Tables.documents(s, d))),
+    None)
+
+  // ---------------------------------------------------------------- s1
+  private val s1 = Q(
+    "s1_stream_window",
+    (s, d) => graft.streaming.EventStream.windowedCounts(Tables.events(s, d))
+      .withColumn("window_start", col("window_start").cast("string")),
+    Some("""
+      SELECT CAST(time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) AS VARCHAR) AS window_start,
+        event_type, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      FROM events
+      WHERE event_type IN ('click', 'view')
+      GROUP BY 1, 2"""))
+
   /** All registered queries, in SURVEY §2 order. */
   val all: Seq[Q] = Seq(
     a1, a2, a3, a4,
     n1, n2, n3, n4, n5, n6,
     d1, d2, d3, d4,
     e1, e2, e3, e4,
-    r1, r2, r3)
+    r1, r2, r3,
+    l1, l2, l3, l4, l5, l6,
+    t1, t2, t3, t4,
+    m1, m2, s1)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
