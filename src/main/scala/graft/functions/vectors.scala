@@ -52,6 +52,42 @@ object vectors {
   }
 
   /**
+   * Fast approximate dot: plain sequential double fold. ~100× cheaper than
+   * the decimal fold (primitive codegen math, no Decimal allocs). The fold
+   * order over an array literal is fixed left-to-right, so the value is
+   * deterministic, but it carries normal float accumulation error — use it
+   * ONLY as a prefilter with a margin, never as a reported value.
+   */
+  def dotFast(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, p) => acc + p)
+
+  /** Fast approximate squared L2 norm (double fold; prefilter-only). */
+  def normSqFast(a: Column): Column =
+    aggregate(
+      transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, p) => acc + p)
+
+  /**
+   * Unrolled fixed-dimension dot product: a flat 64-term (etc.) `+` chain
+   * of element_at products. Unlike the higher-order-function folds (which
+   * Spark evaluates interpreted, with per-row array allocations), a plain
+   * expression chain runs inside WholeStageCodegen as primitive double
+   * math — the right prefilter shape when the embedding dimension is known.
+   * Left-to-right association keeps the value deterministic.
+   */
+  def dotUnrolled(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map(i =>
+      element_at(a, i).cast("double") * element_at(b, i).cast("double")).reduce(_ + _)
+
+  /** Unrolled fixed-dimension squared L2 norm (codegen'd; prefilter-only). */
+  def normSqUnrolled(a: Column, dim: Int): Column =
+    (1 to dim).map { i =>
+      val x = element_at(a, i).cast("double"); x * x
+    }.reduce(_ + _)
+
+  /**
    * Sign-bucket LSH key for cosine ANN: the sign pattern of the first
    * `bits` dimensions ('1' if >= 0). Axis-aligned sign random projection —
    * the corpus is bucketed by one shuffle (or by write-time partitioning at

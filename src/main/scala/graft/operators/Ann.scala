@@ -24,7 +24,7 @@ object Ann {
   /** Exact top-k per query by cosine (ties broken on corpus id). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    val c = Par.ensure(corpus).select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"), V.cosine(col("qv"), col("cv")).as("cosine"))
@@ -36,7 +36,7 @@ object Ann {
   def lshTopK(queries: DataFrame, corpus: DataFrame, bits: Int, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
       V.signBucket(col("embedding"), bits).as("qb"))
-    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+    val c = Par.ensure(corpus).select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
       V.signBucket(col("embedding"), bits).as("cb"))
     val scored = c.join(broadcast(q), col("qb") === col("cb") && col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"), V.cosine(col("qv"), col("cv")).as("cosine"))

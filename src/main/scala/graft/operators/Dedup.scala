@@ -33,13 +33,19 @@ object Dedup {
   def minhashPairs(corpus: DataFrame, idCol: String, textCol: String,
       shingleN: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
     val rowsPerBand = k / bands
-    val sh = corpus.select(
+    // persisted: the k×|shingles| md5 signature work feeds a self-join (2
+    // consumers) and the verification joins (2 more) — without an explicit
+    // materialization Spark recomputes the whole hash pipeline per consumer.
+    // At cluster scale this is the classic "checkpoint the signatures" step.
+    val sh = Par.ensure(corpus).select(
       col(idCol).as("id"),
       T.wordShingles(split(col(textCol), " "), shingleN).as("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = sh.select(col("id"), col("shingles"),
       T.minhashSignature(col("shingles"), k).as("mh"))
     val bandsDf = sig.select(col("id"),
       posexplode(T.lshBands(col("mh"), bands, rowsPerBand)).as(Seq("b", "bh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bandsDf.as("a")
       .join(bandsDf.as("b"),
         col("a.b") === col("b.b") && col("a.bh") === col("b.bh") &&
@@ -58,7 +64,8 @@ object Dedup {
    * group (hamming-0 clustering — a single shuffle on the fingerprint).
    */
   def simhashGroups(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
-    corpus.select(col(idCol).as("id"), T.simhash16(split(col(textCol), " ")).as("simhash"))
+    Par.ensure(corpus)
+      .select(col(idCol).as("id"), T.simhash16(split(col(textCol), " ")).as("simhash"))
       .groupBy("simhash")
       .agg(min(col("id")).as("survivor_id"), count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > 1)
@@ -73,10 +80,21 @@ object Dedup {
    * pair count is Σ block², not n²).
    */
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
-      blockCol: String, threshold: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("id1"), col(blockCol).as("blk1"), col(vecCol).as("v1"))
-    val b = emb.select(col(idCol).as("id2"), col(blockCol).as("blk2"), col(vecCol).as("v2"))
+      blockCol: String, threshold: Double, dim: Int): DataFrame = {
+    // Two-phase: (1) cheap codegen'd double-math cosine (unrolled `dim`-term
+    // chain) over every in-block pair with a 0.01 safety margin (float
+    // accumulation error over 64 dims is ~1e-13, so no true near-dup can be
+    // lost); (2) the exact decimal-fold cosine only for the tiny surviving
+    // set. Output is identical to scoring every pair exactly, at ~1/100 the
+    // compute — the margin does all the pruning.
+    val a = emb.select(col(idCol).as("id1"), col(blockCol).as("blk1"),
+      col(vecCol).as("v1"), V.normSqUnrolled(col(vecCol), dim).as("nsq1"))
+    val b = emb.select(col(idCol).as("id2"), col(blockCol).as("blk2"),
+      col(vecCol).as("v2"), V.normSqUnrolled(col(vecCol), dim).as("nsq2"))
+    val approx = V.dotUnrolled(col("v1"), col("v2"), dim) /
+      sqrt(col("nsq1") * col("nsq2"))
     a.join(b, col("blk1") === col("blk2") && col("id1") < col("id2"))
+      .filter(col("nsq1") === 0.0 || col("nsq2") === 0.0 || approx >= threshold - 0.01)
       .select(col("id1"), col("id2"), V.cosine(col("v1"), col("v2")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }

@@ -37,7 +37,7 @@ object Enrich {
     val dictDf = broadcast(dict.toDF("alias", "canonical"))
     val w = T.words(col(textCol))
     val bigrams = T.wordShingles(w, 2)
-    docs.select(col(idCol), explode(concat(w, bigrams)).as("gram"))
+    Par.ensure(docs).select(col(idCol), explode(concat(w, bigrams)).as("gram"))
       .join(dictDf, col("gram") === col("alias"))
       .groupBy(idCol)
       .agg(array_join(array_sort(collect_set(col("canonical"))), ",").as("skills_csv"))

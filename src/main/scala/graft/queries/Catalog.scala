@@ -644,7 +644,7 @@ object Catalog {
         (col("vec_id") + 1000000L).as("vec_id"), col("label"),
         concat(array(lit(0.0f)), slice(col("embedding"), 2, 63)).as("embedding"))
       graft.operators.Dedup.embeddingNearDups(
-        base.unionAll(mutated), "vec_id", "embedding", "label", 0.95)
+        base.unionAll(mutated), "vec_id", "embedding", "label", 0.95, dim = 64)
     },
     Some(s"""
       WITH e AS (
