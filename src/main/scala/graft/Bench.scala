@@ -1,27 +1,73 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.util.Json.quote
+
+/**
+ * Benchmark main. Runs every catalog query against
+ * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line.
+ *
+ * Measurement protocol (a single-run wall clock cannot distinguish a 2×
+ * regression from JIT/session warm-up noise):
+ *  - one untimed warm-up pass over the whole suite (JIT, codegen cache,
+ *    file-listing caches);
+ *  - then `SPARK_GRAFT_REPS` (default 3) timed passes; per-query MEDIAN
+ *    is reported;
+ *  - `spark.catalog.clearCache()` between queries so no query inherits
+ *    another's cached/persisted state;
+ *  - a query that throws in any pass is reported as -1 with its error
+ *    message under "errors" — never as a normal-looking time.
+ */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      // local-mode knob: the sf0.1 parquet files are single small splits,
+      // which would serialize CPU-bound per-row operators (hashing,
+      // signatures) onto one core. Splitting at 128 KiB spreads them over
+      // the local cores; at real scale inputs arrive as thousands of
+      // splits and these two settings are left at their defaults.
+      .config("spark.sql.files.openCostInBytes", "131072")
+      .config("spark.sql.files.minPartitionNum", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // dev-only: SPARK_GRAFT_ONLY=q1,q2 restricts the run while iterating.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
-    val results = selected.map { case (name, fn) =>
+    val selected = graft.queries.Catalog.all
+      .filter(q => only.forall(_(q.name)))
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors.getOrElseUpdate(name, Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
+          -1.0
+      } finally {
+        spark.catalog.clearCache()
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    selected.foreach(q => runOnce(q.name, q.run)) // warm-up (untimed)
+    val timed: Seq[(String, Seq[Double])] =
+      selected.map(q => q.name -> (1 to reps).map(_ => runOnce(q.name, q.run)))
+    val medians = timed.map { case (name, ts) =>
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2))
+    }
+    val qs = medians.map { case (k, v) => s"${quote(k)}:$v" }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"${quote(k)}:${quote(v)}" }.mkString("{", ",", "}")
+    val total = medians.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"errors":$errJson}""")
     spark.stop()
   }
 }

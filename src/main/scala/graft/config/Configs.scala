@@ -15,19 +15,22 @@ object EnumDomains {
   val defaultEnum: String = "unknown"
 }
 
-/** Ranking weights (reference: config/ranking.yml `weights`). */
+/** Ranking weights — 8 features, summing to 1.0 (reference:
+  * config/ranking.yml `weights`; scoring.py scores 8 features). */
 final case class RankingWeights(
-    titleKeywords: Double = 0.25,
-    skillsOverlap: Double = 0.30,
-    priceBand: Double = 0.15,
-    brandMatch: Double = 0.10,
-    typeMatch: Double = 0.10,
-    sizeBand: Double = 0.10)
+    titleKeywords: Double = 0.20,
+    skillsOverlap: Double = 0.25,
+    priceBand: Double = 0.125,
+    brandMatch: Double = 0.075,
+    typeMatch: Double = 0.075,
+    sizeBand: Double = 0.075,
+    classMatch: Double = 0.10,
+    proximity: Double = 0.10)
 
 /**
  * Ranking profile over the `part` table (reference: config/ranking.yml
- * `profile` — title keywords, salary band, preferred enums — re-keyed to
- * the testdata's part attributes).
+ * `profile` — title keywords, salary band, preferred enums, seniority
+ * preference, location — re-keyed to the testdata's part attributes).
  */
 final case class RankingProfile(
     titleKeywords: Seq[String] = Seq("red", "blue", "small", "gear", "widget"),
@@ -38,7 +41,19 @@ final case class RankingProfile(
     preferredBrands: Seq[String] = Seq("Brand#1", "Brand#2", "Brand#3"),
     preferredTypes: Seq[String] = Seq("ECONOMY", "STANDARD"),
     sizeMin: Int = 5,
-    sizeMax: Int = 30)
+    sizeMax: Int = 30,
+    /** seniority-chain analog (scoring.py:238): ordered regex rules
+      * classify the name, and the CLASS is scored below. */
+    classRules: Seq[(String, String)] = Seq(
+      "\\bbolt\\b" -> "fastener",
+      "\\b(ring|gear)\\b" -> "mechanical",
+      "\\b(widget|gizmo)\\b" -> "gadget"),
+    classScores: Seq[(String, Double)] = Seq(
+      "fastener" -> 1.0, "mechanical" -> 0.6, "gadget" -> 0.4),
+    /** location-proximity analog (scoring.py:102): distance of the brand
+      * number from "home", mapped through tiers (city/country/region). */
+    homeBrand: Int = 5,
+    proximityTiers: Seq[(Int, Double)] = Seq(0 -> 1.0, 2 -> 0.8, 5 -> 0.6))
 
 object Dictionaries {
   /**
@@ -58,6 +73,8 @@ object Dictionaries {
     "batch" -> "batch",
     "scan" -> "scan",
     "table scan" -> "scan",
+    // 3-word alias: exercises the any-length PhraseMatcher path
+    "fast table scan" -> "fullscan",
     "sort" -> "sort",
     "order" -> "sort",
     "filter" -> "filter",

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{text => T, vectors => V}
@@ -14,9 +15,13 @@ import graft.functions.{text => T, vectors => V}
  * winnowing).
  *
  * Scale design (SURVEY.md §5): candidate generation is ALWAYS a shuffle on
- * a bucket key — (band, band-hash) for MinHash, the fingerprint itself for
- * SimHash, a label/partition for embeddings — never an O(n²) cross join.
- * Verification (true jaccard / cosine) runs only inside buckets.
+ * a bucket key — (band, band-hash) for MinHash, a 16-bit fingerprint block
+ * for SimHash, a sign-projection bucket for embeddings — never an O(n²)
+ * cross join, so cost is Σ bucket², not n². Buckets above `maxBucket` are
+ * dropped before pair generation (boilerplate-document skew guard): one
+ * viral template must not create a quadratic hot bucket. No stage persists
+ * anything: the self-joins are on identical subplans, which Spark collapses
+ * into a single shuffle via ReuseExchange, so there is no cache to leak.
  */
 object Dedup {
 
@@ -26,32 +31,50 @@ object Dedup {
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_dups"))
 
   /**
-   * MinHash + LSH near-duplicate pairs over (id, normalized-text) corpus.
-   * Pipeline: word shingles → k min-hashes → `bands` LSH bands → self-join
-   * on (band, band-hash) → verify candidates with true shingle Jaccard.
+   * LSH candidate pairs over (id, normalized-text): word shingles →
+   * 2 md5s per shingle → k 32-bit min-hash slices → `bands` band keys →
+   * skew-capped self-join on (band, band-hash). Returns distinct
+   * (id1, id2) with id1 < id2 — the shared candidate generator for the
+   * MinHash and n-gram-Jaccard verifiers.
    */
-  def minhashPairs(corpus: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+  def lshCandidates(corpus: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int, bands: Int, maxBucket: Int): DataFrame = {
     val rowsPerBand = k / bands
-    // persisted: the k×|shingles| md5 signature work feeds a self-join (2
-    // consumers) and the verification joins (2 more) — without an explicit
-    // materialization Spark recomputes the whole hash pipeline per consumer.
-    // At cluster scale this is the classic "checkpoint the signatures" step.
-    val sh = Par.ensure(corpus).select(
+    val sh = corpus.select(
       col(idCol).as("id"),
       T.wordShingles(split(col(textCol), " "), shingleN).as("shingles"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = sh.select(col("id"), col("shingles"),
-      T.minhashSignature(col("shingles"), k).as("mh"))
+      .filter(size(col("shingles")) > 0)
+    val sig = sh.select(col("id"),
+      T.minhashSignature(T.shingleHashes(col("shingles")), k).as("mh"))
     val bandsDf = sig.select(col("id"),
       posexplode(T.lshBands(col("mh"), bands, rowsPerBand)).as(Seq("b", "bh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = bandsDf.as("a")
-      .join(bandsDf.as("b"),
+    // Skew guard: drop over-popular buckets before the self-join. The
+    // window partitions exactly like the join keys, so the count and the
+    // join share one shuffle (and the two join sides share it again via
+    // ReuseExchange).
+    val capped = bandsDf
+      .withColumn("n_bucket", count(lit(1)).over(Window.partitionBy("b", "bh")))
+      .filter(col("n_bucket") <= maxBucket)
+      .select("id", "b", "bh")
+    capped.as("a")
+      .join(capped.as("b"),
         col("a.b") === col("b.b") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
+  }
+
+  /**
+   * MinHash + LSH near-duplicate pairs: [[lshCandidates]], then verify
+   * each candidate with the true shingle-set Jaccard.
+   */
+  def minhashPairs(corpus: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int, bands: Int, threshold: Double,
+      maxBucket: Int = 1000): DataFrame = {
+    val sh = corpus.select(
+      col(idCol).as("id"),
+      T.wordShingles(split(col(textCol), " "), shingleN).as("shingles"))
+    val cand = lshCandidates(corpus, idCol, textCol, shingleN, k, bands, maxBucket)
     cand
       .join(sh.select(col("id").as("id1"), col("shingles").as("s1")), "id1")
       .join(sh.select(col("id").as("id2"), col("shingles").as("s2")), "id2")
@@ -60,42 +83,98 @@ object Dedup {
   }
 
   /**
-   * SimHash dedup groups: identical 16-bit fingerprints collapse into one
-   * group (hamming-0 clustering — a single shuffle on the fingerprint).
+   * 64-bit SimHash fingerprint per document (Charikar 2002): one md5 per
+   * token, bit j of the fingerprint is the sign of the summed ±1 votes of
+   * hex-nibble bit j across tokens. Computed explode-side: the votes are
+   * 64 SUM aggregates over (id, token-hash) rows — fully codegen'd with
+   * map-side partial aggregation, one shuffle on the doc id.
    */
-  def simhashGroups(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
-    Par.ensure(corpus)
-      .select(col(idCol).as("id"), T.simhash16(split(col(textCol), " ")).as("simhash"))
-      .groupBy("simhash")
-      .agg(min(col("id")).as("survivor_id"), count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") > 1)
+  def simhashFingerprints(corpus: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = corpus
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
+      .select(col("id"), md5(col("tok")).as("h"))
+    // nibble value of hex char p (1-based): 0..15
+    def nib(p: Int): Column = conv(substring(col("h"), p, 1), 16, 10).cast("int")
+    val withNibs = toks.select(
+      (col("id") +: (1 to 16).map(p => nib(p).as(s"nib$p"))): _*)
+    val votes = (0 until 64).map { j =>
+      val p = j / 4 + 1
+      val mask = 8 >> (j % 4)
+      sum(when(col(s"nib$p").bitwiseAND(lit(mask)) =!= 0, 1).otherwise(-1)).as(s"v$j")
+    }
+    withNibs.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        concat((0 until 64).map(j =>
+          when(col(s"v$j") > 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
+  }
+
+  /** Hamming distance between two equal-length '0'/'1' bitstrings
+    * (flat codegen'd comparison chain). */
+  def hammingDist(f1: Column, f2: Column, bits: Int): Column =
+    (0 until bits).map(i =>
+      when(substring(f1, i + 1, 1) =!= substring(f2, i + 1, 1), 1).otherwise(0))
+      .reduce(_ + _)
+
+  /**
+   * SimHash near-duplicate pairs with hamming distance <= `maxHamming`
+   * (<= 3 by default) via the 4-block permutation scheme: split the 64-bit
+   * fingerprint into 4 16-bit blocks; by pigeonhole, any pair within
+   * hamming 3 agrees exactly on at least one block, so candidates are a
+   * shuffle on (block index, block value) — Σ bucket², never n².
+   */
+  def simhashPairs(corpus: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val fp = simhashFingerprints(corpus, idCol, textCol)
+    val blocks = fp.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        substring(col("simhash"), b * 16 + 1, 16)): _*)).as(Seq("blk", "bv")))
+    val capped = blocks
+      .withColumn("n_bucket", count(lit(1)).over(Window.partitionBy("blk", "bv")))
+      .filter(col("n_bucket") <= maxBucket)
+      .select("id", "simhash", "blk", "bv")
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.simhash").as("f1"), col("b.simhash").as("f2"))
+      .distinct()
+      .select(col("id1"), col("id2"), hammingDist(col("f1"), col("f2"), 64).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 
   /** Character n-gram Jaccard for candidate pairs (verification primitive). */
   def ngramJaccard(pairs: DataFrame, text1: Column, text2: Column, n: Int): DataFrame =
     pairs.withColumn("jaccard", T.jaccard(T.charNgrams(text1, n), T.charNgrams(text2, n)))
 
   /**
-   * Embedding-cosine near-dup pairs, blocked by `blockCol` (candidates only
-   * within a block — at 100 TB the block is a coarse quantization/label so
-   * pair count is Σ block², not n²).
+   * Embedding-cosine near-dup pairs, blocked by `blockKey` (a Column over
+   * the embedding, normally [[graft.functions.vectors.signBucket]]).
+   * Candidates exist only within a block; with a 2^bits sign bucket the
+   * block count GROWS with the corpus (unlike any fixed attribute key), so
+   * in-block pair counts stay bounded at 100-TB scale.
    */
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
-      blockCol: String, threshold: Double, dim: Int): DataFrame = {
+      blockKey: Column, threshold: Double, dim: Int): DataFrame = {
     // Two-phase: (1) cheap codegen'd double-math cosine (unrolled `dim`-term
     // chain) over every in-block pair with a 0.01 safety margin (float
     // accumulation error over 64 dims is ~1e-13, so no true near-dup can be
-    // lost); (2) the exact decimal-fold cosine only for the tiny surviving
-    // set. Output is identical to scoring every pair exactly, at ~1/100 the
-    // compute — the margin does all the pruning.
-    val a = emb.select(col(idCol).as("id1"), col(blockCol).as("blk1"),
-      col(vecCol).as("v1"), V.normSqUnrolled(col(vecCol), dim).as("nsq1"))
-    val b = emb.select(col(idCol).as("id2"), col(blockCol).as("blk2"),
-      col(vecCol).as("v2"), V.normSqUnrolled(col(vecCol), dim).as("nsq2"))
+    // lost); (2) the exact decimal-chain cosine only for the tiny surviving
+    // set, with the exact norms computed per-row before the join. Output is
+    // identical to scoring every pair exactly, at ~1/100 the compute.
+    val a = emb.select(col(idCol).as("id1"), blockKey.as("blk1"),
+      col(vecCol).as("v1"), V.normSqUnrolled(col(vecCol), dim).as("nsq1"),
+      V.normSqExactUnrolled(col(vecCol), dim).as("xnsq1"))
+    val b = emb.select(col(idCol).as("id2"), blockKey.as("blk2"),
+      col(vecCol).as("v2"), V.normSqUnrolled(col(vecCol), dim).as("nsq2"),
+      V.normSqExactUnrolled(col(vecCol), dim).as("xnsq2"))
     val approx = V.dotUnrolled(col("v1"), col("v2"), dim) /
       sqrt(col("nsq1") * col("nsq2"))
     a.join(b, col("blk1") === col("blk2") && col("id1") < col("id2"))
       .filter(col("nsq1") === 0.0 || col("nsq2") === 0.0 || approx >= threshold - 0.01)
-      .select(col("id1"), col("id2"), V.cosine(col("v1"), col("v2")).as("cosine"))
+      .select(col("id1"), col("id2"),
+        V.cosineFromParts(V.dotExactUnrolled(col("v1"), col("v2"), dim),
+          col("xnsq1"), col("xnsq2")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

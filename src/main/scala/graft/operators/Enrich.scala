@@ -9,35 +9,45 @@ import graft.functions.{text => T}
  * Enrichment operators, re-expressing the reference's enricher service:
  *
  *  - [[extractSkills]]: services/enricher/skills_extractor.py — dictionary
- *    alias→canonical extraction over free text, including multi-word
- *    phrase aliases (the spaCy PhraseMatcher path) via token bigrams.
+ *    alias→canonical extraction over free text. The spaCy PhraseMatcher
+ *    path matches phrases of ANY length, so token n-grams are generated up
+ *    to the longest alias in the dictionary (not just bigrams).
  *  - [[classifyByRules]]: services/common/seniority_extractor.py — ordered
  *    word-boundary regex keyword rules, first hit wins.
  *  - [[fuzzyJoin]]: services/enricher/company_matcher.py — fuzzy name
- *    matching, done scalably as a *blocked* similarity join (never a cross
- *    join): equality on a cheap blocking key, edit-distance only inside
- *    blocks.
+ *    matching accepted by NORMALIZED similarity ratio (fuzz.ratio >= 80,
+ *    company_matcher.py:139), done scalably as a *blocked* similarity join
+ *    (never a cross join): equality on a blocking key, edit distance only
+ *    inside blocks.
+ *  - [[editBlockKeys]]: deletion-neighborhood blocking for edit distance
+ *    <= 1 — a string and all its 1-character-deletion variants. Any two
+ *    strings within levenshtein 1 share at least one key, so the blocking
+ *    is EXACT (100% recall), and key cardinality grows with the data
+ *    (unlike a fixed suffix/prefix key, which goes quadratic at scale).
  *
  * Scale notes: extractSkills is explode + broadcast-join + one groupBy on
  * the doc id (a single shuffle, map-side combinable); classifyByRules is a
- * pure row-level expression; fuzzyJoin's cost is Σ block² — the blocking
- * key caps it at any corpus size (SURVEY.md §5).
+ * pure row-level expression; fuzzyJoin's cost is Σ block².
  */
 object Enrich {
 
   /**
    * Dictionary skills extraction. `dict` maps alias → canonical; aliases
-   * of 1 or 2 words are matched against text tokens and token bigrams.
-   * Returns (idCol, skills_csv): the sorted distinct canonical skills,
-   * comma-joined (portable across engines and hash-stable).
+   * are matched against token n-grams of every length up to the longest
+   * alias (skills_extractor.py:215 PhraseMatcher semantics). Returns
+   * (idCol, skills_csv): sorted distinct canonical skills, comma-joined
+   * (portable across engines and hash-stable).
    */
   def extractSkills(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, dict: Seq[(String, String)]): DataFrame = {
     import spark.implicits._
+    val maxN = dict.map(_._1.split(" ").length).max
     val dictDf = broadcast(dict.toDF("alias", "canonical"))
     val w = T.words(col(textCol))
-    val bigrams = T.wordShingles(w, 2)
-    Par.ensure(docs).select(col(idCol), explode(concat(w, bigrams)).as("gram"))
+    val grams = (1 to maxN)
+      .map(n => if (n == 1) w else T.wordShingles(w, n))
+      .reduce(concat(_, _))
+    docs.select(col(idCol), explode(grams).as("gram"))
       .join(dictDf, col("gram") === col("alias"))
       .groupBy(idCol)
       .agg(array_join(array_sort(collect_set(col("canonical"))), ",").as("skills_csv"))
@@ -50,15 +60,59 @@ object Enrich {
       when(lower(textCol).rlike(pattern), lit(label)).otherwise(elseCol)
     }
 
+  /** Length-normalized similarity ratio in [0,100], 2dp — the engine-side
+    * analog of fuzz.ratio (company_matcher.py:19 threshold 80): a 1-edit
+    * difference means much more for a 5-char name than a 50-char one. */
+  def similarityRatio(a: Column, b: Column): Column =
+    round(lit(100.0) * (lit(1.0) -
+      levenshtein(a, b).cast("double") /
+        greatest(length(a), length(b)).cast("double")), 2)
+
   /**
-   * Blocked fuzzy self/cross join: candidates share `blockKey` (equality →
-   * plain shuffle join), then `levenshtein(leftName, rightName) <= maxDist`
-   * is evaluated only inside blocks.
+   * Deletion-neighborhood blocking keys: the string itself plus every
+   * 1-character-deletion variant. For any pair with levenshtein <= 1
+   * (substitution, insertion, or deletion) the key sets intersect, so a
+   * join on the exploded keys finds EVERY such pair — no recall loss —
+   * while block sizes stay tiny and block cardinality grows with n.
+   */
+  def editBlockKeys(name: Column): Column =
+    when(length(name) === 0, array(name)).otherwise(
+      array_union(
+        array(name),
+        transform(sequence(lit(1), length(name)), i =>
+          concat(name.substr(lit(1), i - 1), name.substr(i + 1, length(name) - i)))))
+
+  /**
+   * Blocked fuzzy join: candidates share `blockKey` (equality → plain
+   * shuffle join); `edit_dist` and `sim_ratio` are evaluated only inside
+   * blocks, and matches are accepted by normalized ratio (reference
+   * semantics) AND edit distance.
    */
   def fuzzyJoin(left: DataFrame, right: DataFrame, leftName: Column,
       rightName: Column, blockLeft: Column, blockRight: Column,
-      maxDist: Int): DataFrame =
+      maxDist: Int, minRatio: Double): DataFrame =
     left.join(right, blockLeft === blockRight)
       .withColumn("edit_dist", levenshtein(leftName, rightName))
-      .filter(col("edit_dist") <= maxDist)
+      .withColumn("sim_ratio", similarityRatio(leftName, rightName))
+      .filter(col("edit_dist") <= maxDist && col("sim_ratio") >= minRatio)
+
+  /**
+   * Fuzzy self-match with exact-recall deletion-neighborhood blocking
+   * (maxDist fixed at 1 — the neighborhood scheme's guarantee). Emits each
+   * qualifying (id1 < id2) pair once with edit_dist and sim_ratio.
+   */
+  def fuzzySelfMatch(names: DataFrame, idCol: String, nameCol: String,
+      minRatio: Double): DataFrame = {
+    val a = names.select(col(idCol).as("id1"), col(nameCol).as("name1"),
+      explode(editBlockKeys(col(nameCol))).as("bk"))
+    val b = names.select(col(idCol).as("id2"), col(nameCol).as("name2"),
+      explode(editBlockKeys(col(nameCol))).as("bk"))
+    a.join(b, Seq("bk"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2", "name1", "name2")
+      .distinct()
+      .withColumn("edit_dist", levenshtein(col("name1"), col("name2")))
+      .withColumn("sim_ratio", similarityRatio(col("name1"), col("name2")))
+      .filter(col("edit_dist") <= 1 && col("sim_ratio") >= minRatio)
+  }
 }

@@ -66,11 +66,42 @@ object Ranker {
     when(value >= lo && value <= hi, 1.0).otherwise(lit(0.7))
 
   /**
-   * Rank the `part` table against a profile. Returns the input keys plus
-   * explain columns and `rank_score` (scoring.py:353 weighted sum → 0-100).
+   * Classifier-chain score (scoring.py:238 calculate_seniority_score): the
+   * enrichment classifier (Enrich.classifyByRules — the e2 operator) is
+   * applied to the text and its CLASS, not the raw text, is scored against
+   * a per-class preference map — ranking consumes the enriched attribute
+   * exactly as the reference ranks the extracted seniority.
+   */
+  def classScore(textCol: Column, rules: Seq[(String, String)],
+      classScores: Seq[(String, Double)], default: Double): Column = {
+    val cls = Enrich.classifyByRules(textCol, rules, "unknown")
+    classScores.foldRight(lit(default): Column) { case ((label, s), elseCol) =>
+      when(cls === label, lit(s)).otherwise(elseCol)
+    }
+  }
+
+  /**
+   * Tiered proximity score (scoring.py:102 calculate_location_score: same
+   * city 1.0 / same country 0.7 / remote-ok 0.5 / far 0.2): distance from
+   * a "home" value mapped through ordered (maxDistance → score) tiers.
+   */
+  def proximityScore(value: Column, home: Int, tiers: Seq[(Int, Double)],
+      far: Double): Column = {
+    val d = abs(value - lit(home))
+    tiers.foldRight(lit(far): Column) { case ((maxD, s), elseCol) =>
+      when(d <= maxD, lit(s)).otherwise(elseCol)
+    }
+  }
+
+  /**
+   * Rank the `part` table against a profile: 8 per-feature scores in [0,1]
+   * kept as explain columns, weighted sum scaled to 0-100, clamped, 2dp
+   * (scoring.py:290 calculate_rank / :353 weighted sum).
    */
   def rankParts(parts: DataFrame, w: RankingWeights, p: RankingProfile): DataFrame = {
     val tokens = split(lower(col("p_name")), " ")
+    // 'Brand#NN' → NN: the numeric "distance" axis for the proximity tier
+    val brandNum = substring(col("p_brand"), 7, 10).cast("int")
     val scored = parts.select(
       col("p_partkey"),
       keywordScore(col("p_name"), p.titleKeywords).as("title_score"),
@@ -78,14 +109,18 @@ object Ranker {
       bandScore(col("p_retailprice"), p.priceMin, p.priceMax).as("price_score"),
       preferenceScore(col("p_brand"), p.preferredBrands, 0.3).as("brand_score"),
       preferenceScore(col("p_type"), p.preferredTypes, 0.3).as("type_score"),
-      rangePreference(col("p_size"), p.sizeMin, p.sizeMax).as("size_score"))
+      rangePreference(col("p_size"), p.sizeMin, p.sizeMax).as("size_score"),
+      classScore(col("p_name"), p.classRules, p.classScores, 0.3).as("class_score"),
+      proximityScore(brandNum, p.homeBrand, p.proximityTiers, 0.2).as("proximity_score"))
     val weighted =
       col("title_score") * w.titleKeywords +
       col("skills_score") * w.skillsOverlap +
       col("price_score") * w.priceBand +
       col("brand_score") * w.brandMatch +
       col("type_score") * w.typeMatch +
-      col("size_score") * w.sizeBand
+      col("size_score") * w.sizeBand +
+      col("class_score") * w.classMatch +
+      col("proximity_score") * w.proximity
     scored.withColumn("rank_score",
       least(greatest(round(weighted * 100, 2), lit(0.0)), lit(100.0)))
   }

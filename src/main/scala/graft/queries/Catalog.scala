@@ -236,6 +236,39 @@ object Catalog {
         CAST(epoch(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S')) AS BIGINT) AS epoch_s
       FROM events"""))
 
+  // ---------------------------------------------------------------- n7
+  // Schema-based raw-payload parsing (normalize.py:47 normalize_job_posting
+  // field mapping over the raw JSONB): from_json with a typed schema and a
+  // corrupt-record column. ~10% of payloads are deterministically broken
+  // so the corrupt path is exercised and oracle-checked.
+  private val n7 = Q(
+    "n7_payload_parse",
+    (s, d) => {
+      // corruption is PREPENDED: Spark's Jackson parser ignores trailing
+      // garbage after a complete root object, but a leading 'x' fails in
+      // both engines.
+      val raw = when(col("event_id") % 10 === 0, concat(lit("x"), col("props")))
+        .otherwise(col("props"))
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          from_json(raw, "k BIGINT, _corrupt STRING",
+            Map("columnNameOfCorruptRecord" -> "_corrupt")).as("j"))
+        .select(
+          col("event_id"),
+          col("j.k").as("k_val"),
+          col("j._corrupt").isNotNull.as("is_corrupt"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT event_id,
+          CASE WHEN event_id % 10 = 0 THEN 'x' || props ELSE props END AS p
+        FROM events)
+      SELECT event_id,
+        CASE WHEN json_valid(p) THEN CAST(json_extract_string(p, '$.k') AS BIGINT) END AS k_val,
+        NOT json_valid(p) AS is_corrupt
+      FROM r"""))
+
   // ---------------------------------------------------------------- d1
   private val d1 = Q(
     "d1_dedup_exact",
@@ -364,6 +397,16 @@ object Catalog {
     val brands = RP.preferredBrands.map(b => s"'$b'").mkString(", ")
     val types = RP.preferredTypes.map(t => s"'$t'").mkString(", ")
     val range = RP.priceMax - RP.priceMin
+    // classifier-chain + proximity (Ranker.classScore / proximityScore),
+    // generated from the SAME profile constants as the Spark plan.
+    val classScoreMap = RP.classScores.toMap
+    val classCases = RP.classRules.map { case (pat, label) =>
+      s"WHEN regexp_matches(lower(p_name), '$pat') THEN ${classScoreMap.getOrElse(label, 0.3)}"
+    }.mkString(" ")
+    val proxDist = s"abs(CAST(substring(p_brand, 7) AS INT) - ${RP.homeBrand})"
+    val proxCases = RP.proximityTiers.map { case (maxD, score) =>
+      s"WHEN $proxDist <= $maxD THEN $score"
+    }.mkString(" ")
     s"""
       WITH scored AS (
         SELECT p_partkey,
@@ -379,14 +422,17 @@ object Catalog {
           END AS price_score,
           CASE WHEN p_brand IN ($brands) THEN 1.0 ELSE 0.3 END AS brand_score,
           CASE WHEN p_type IN ($types) THEN 1.0 ELSE 0.3 END AS type_score,
-          CASE WHEN p_size >= ${RP.sizeMin} AND p_size <= ${RP.sizeMax} THEN 1.0 ELSE 0.7 END AS size_score
+          CASE WHEN p_size >= ${RP.sizeMin} AND p_size <= ${RP.sizeMax} THEN 1.0 ELSE 0.7 END AS size_score,
+          CASE $classCases ELSE 0.3 END AS class_score,
+          CASE $proxCases ELSE 0.2 END AS proximity_score
         FROM part)
       SELECT p_partkey, title_score, skills_score, price_score, brand_score,
-        type_score, size_score,
+        type_score, size_score, class_score, proximity_score,
         least(greatest(round(
           (title_score * ${RW.titleKeywords} + skills_score * ${RW.skillsOverlap} +
            price_score * ${RW.priceBand} + brand_score * ${RW.brandMatch} +
-           type_score * ${RW.typeMatch} + size_score * ${RW.sizeBand}) * 100, 2), 0.0), 100.0) AS rank_score
+           type_score * ${RW.typeMatch} + size_score * ${RW.sizeBand} +
+           class_score * ${RW.classMatch} + proximity_score * ${RW.proximity}) * 100, 2), 0.0), 100.0) AS rank_score
       FROM scored"""
   }
 
@@ -432,6 +478,16 @@ object Catalog {
   private val e1 = {
     val dictValues = Dictionaries.skills
       .map { case (a, c) => s"('$a', '$c')" }.mkString(", ")
+    // n-grams up to the longest alias in the dictionary — same derivation
+    // as Enrich.extractSkills (no-drift rule).
+    val maxN = Dictionaries.skills.map(_._1.split(" ").length).max
+    def gramListSql(n: Int): String =
+      if (n == 1) "w"
+      else s"list_transform(range(0, greatest(len(w) - ${n - 1}, 0)), " +
+        s"i -> ${(1 to n).map(k => s"w[i+$k]").mkString(" || ' ' || ")})"
+    // DuckDB list_concat is binary — fold the n-gram lists pairwise
+    val gramLists = (1 to maxN).map(gramListSql)
+      .reduce((a, b) => s"list_concat($a, $b)")
     Q(
       "e1_skills_extract",
       (s, d) => Enrich.extractSkills(
@@ -443,9 +499,7 @@ object Catalog {
             string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS w
           FROM documents),
         grams AS (
-          SELECT doc_id, unnest(list_concat(w,
-            list_transform(range(0, greatest(len(w) - 1, 0)),
-                           i -> w[i+1] || ' ' || w[i+2]))) AS gram
+          SELECT doc_id, unnest($gramLists) AS gram
           FROM base),
         hits AS (
           SELECT DISTINCT doc_id, canonical FROM grams JOIN dict ON gram = alias)
@@ -500,26 +554,28 @@ object Catalog {
       FROM t"""))
 
   // ---------------------------------------------------------------- e4
-  private val e4 = Q(
-    "e4_fuzzy_match",
-    (s, d) => {
-      val c = Tables.customer(s, d)
-      val left = c.select(col("c_custkey").as("id1"), col("c_name").as("name1"))
-      val right = c.select(col("c_custkey").as("id2"), col("c_name").as("name2"))
-      Enrich.fuzzyJoin(left, right,
-        col("name1"), col("name2"),
-        expr("right(name1, 2)"), expr("right(name2, 2)"), 1)
-        .filter(col("id1") < col("id2"))
-        .select("id1", "id2", "name1", "name2", "edit_dist")
-    },
-    Some("""
-      SELECT c1.c_custkey AS id1, c2.c_custkey AS id2,
-        c1.c_name AS name1, c2.c_name AS name2,
-        levenshtein(c1.c_name, c2.c_name) AS edit_dist
-      FROM customer c1 JOIN customer c2
-        ON right(c1.c_name, 2) = right(c2.c_name, 2)
-       AND c1.c_custkey < c2.c_custkey
-      WHERE levenshtein(c1.c_name, c2.c_name) <= 1"""))
+  // Deletion-neighborhood blocking has 100% recall for levenshtein <= 1,
+  // so the oracle is the PLAIN quadratic ground truth — matching it proves
+  // the blocking loses nothing.
+  private val e4 = {
+    val ratioSql =
+      """round(100.0 * (1.0 - CAST(levenshtein(c1.c_name, c2.c_name) AS DOUBLE) /
+        greatest(len(c1.c_name), len(c2.c_name))), 2)"""
+    Q(
+      "e4_fuzzy_match",
+      (s, d) => Enrich.fuzzySelfMatch(
+        Tables.customer(s, d).select(col("c_custkey"), col("c_name")),
+        "c_custkey", "c_name", minRatio = 80.0)
+        .select("id1", "id2", "name1", "name2", "edit_dist", "sim_ratio"),
+      Some(s"""
+        SELECT c1.c_custkey AS id1, c2.c_custkey AS id2,
+          c1.c_name AS name1, c2.c_name AS name2,
+          levenshtein(c1.c_name, c2.c_name) AS edit_dist,
+          $ratioSql AS sim_ratio
+        FROM customer c1 JOIN customer c2 ON c1.c_custkey < c2.c_custkey
+        WHERE levenshtein(c1.c_name, c2.c_name) <= 1
+          AND $ratioSql >= 80.0"""))
+  }
 
   // ================================================================
   // LLM-pipeline additions. The testdata has no planted duplicates, so the
@@ -554,28 +610,48 @@ object Catalog {
         concat(col("t"), lit(" extraword")).as("t")))
   }
 
+  /**
+   * Shared DuckDB CTE chain mirroring Dedup.lshCandidates over `corpus`
+   * (id, t): shingles → 2-md5 64-hex shingle hash → k 8-hex min-hash
+   * slices → band keys → skew-capped self-join → distinct (id1, id2).
+   * Ends with the `cand` CTE (plus `sh` available for verification joins).
+   */
+  private def lshCandSql(shingleN: Int, k: Int, bands: Int, maxBucket: Int): String = {
+    val rowsPerBand = k / bands
+    val shingleExpr = (1 to shingleN).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+    val bandConcat = (1 to rowsPerBand).map(r => s"mh[$rowsPerBand*b+$r]")
+      .mkString(" || '#' || ")
+    s"""
+      sh AS (
+        SELECT id, list_transform(range(0, greatest(len(ws) - ${shingleN - 1}, 0)),
+                 i -> $shingleExpr) AS shingles
+        FROM (SELECT id, string_split(t, ' ') AS ws FROM corpus) x),
+      shf AS (SELECT id, shingles FROM sh WHERE len(shingles) > 0),
+      sig AS (
+        SELECT id, list_transform(range(0, $k),
+                 j -> list_aggregate(list_transform(hs, h -> substring(h, j*8+1, 8)), 'min')) AS mh
+        FROM (SELECT id, list_transform(shingles, x -> md5(x) || md5(x || '#')) AS hs FROM shf) y),
+      bands AS (
+        SELECT id, b, md5($bandConcat) AS bh
+        FROM sig, (SELECT unnest(range(0, $bands)) AS b) bs),
+      capped AS (
+        SELECT id, b, bh FROM (
+          SELECT id, b, bh, COUNT(*) OVER (PARTITION BY b, bh) AS n_bucket FROM bands) z
+        WHERE n_bucket <= $maxBucket),
+      cand AS (
+        SELECT DISTINCT a.id AS id1, b.id AS id2
+        FROM capped a JOIN capped b ON a.b = b.b AND a.bh = b.bh AND a.id < b.id)"""
+  }
+
   // ---------------------------------------------------------------- l1
   private val l1 = Q(
     "l1_dedup_minhash",
     (s, d) => graft.operators.Dedup.minhashPairs(
-      perturbedCorpus(s, d), "id", "t", shingleN = 3, k = 8, bands = 4, threshold = 0.8),
+      perturbedCorpus(s, d), "id", "t",
+      shingleN = 3, k = 8, bands = 4, threshold = 0.8, maxBucket = 1000),
     Some(s"""
       WITH corpus AS ($corpusSql),
-      sh AS (
-        SELECT id, list_transform(range(0, greatest(len(ws) - 2, 0)),
-                 i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS shingles
-        FROM (SELECT id, string_split(t, ' ') AS ws FROM corpus) x),
-      sig AS (
-        SELECT id, list_transform(range(0, 8),
-                 s -> list_aggregate(list_transform(shingles,
-                        x -> md5(CAST(s AS VARCHAR) || '|' || x)), 'min')) AS mh
-        FROM sh),
-      bands AS (
-        SELECT id, b, md5(mh[2*b+1] || '#' || mh[2*b+2]) AS bh
-        FROM sig, (SELECT unnest(range(0, 4)) AS b) bs),
-      cand AS (
-        SELECT DISTINCT a.id AS id1, b.id AS id2
-        FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.id < b.id),
+      ${lshCandSql(shingleN = 3, k = 8, bands = 4, maxBucket = 1000)},
       j AS (
         SELECT id1, id2,
           CAST(len(list_filter(list_distinct(s1.shingles),
@@ -588,75 +664,115 @@ object Catalog {
 
   // ---------------------------------------------------------------- l2
   private val l2 = {
-    val bitsSql = (1 to 16).map { j =>
-      s"""(CASE WHEN list_aggregate(list_transform(ws,
-            t -> CASE WHEN substring(md5(t), $j, 1) >= '8' THEN 1 ELSE -1 END),
-            'sum') > 0 THEN '1' ELSE '0' END)"""
-    }.mkString(" || ")
+    // 64 vote sums: bit j votes +1 iff bit (8 >> (j%4)) of the nibble at
+    // hex position j/4+1 of md5(token) is set — same derivation as
+    // Dedup.simhashFingerprints.
+    val votesSql = (0 until 64).map { j =>
+      val p = j / 4 + 1
+      val m = 8 >> (j % 4)
+      s"SUM(CASE WHEN ((strpos('0123456789abcdef', substring(h, $p, 1)) - 1) & $m) != 0 THEN 1 ELSE -1 END) AS v$j"
+    }.mkString(", ")
+    val fpSql = (0 until 64).map(j => s"(CASE WHEN v$j > 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
     Q(
       "l2_dedup_simhash",
-      (s, d) => graft.operators.Dedup.simhashGroups(perturbedCorpus(s, d), "id", "t"),
+      (s, d) => graft.operators.Dedup.simhashPairs(
+        perturbedCorpus(s, d), "id", "t", maxHamming = 3, maxBucket = 1000),
       Some(s"""
         WITH corpus AS ($corpusSql),
-        f AS (
-          SELECT id, $bitsSql AS simhash
-          FROM (SELECT id, string_split(t, ' ') AS ws FROM corpus) x)
-        SELECT simhash, min(id) AS survivor_id, COUNT(*) AS n_docs
-        FROM f GROUP BY simhash HAVING COUNT(*) > 1"""))
+        tok AS (SELECT id, md5(unnest(string_split(t, ' '))) AS h FROM corpus),
+        votes AS (SELECT id, $votesSql FROM tok GROUP BY id),
+        fp AS (SELECT id, $fpSql AS simhash FROM votes),
+        blocks AS (
+          SELECT id, simhash, blk, substring(simhash, blk*16+1, 16) AS bv
+          FROM fp, (SELECT unnest(range(0, 4)) AS blk) bs),
+        capped AS (
+          SELECT id, simhash, blk, bv FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY blk, bv) AS n_bucket FROM blocks) z
+          WHERE n_bucket <= 1000),
+        cand AS (
+          SELECT DISTINCT a.id AS id1, b.id AS id2,
+            a.simhash AS f1, b.simhash AS f2
+          FROM capped a JOIN capped b
+            ON a.blk = b.blk AND a.bv = b.bv AND a.id < b.id),
+        ham AS (
+          SELECT id1, id2,
+            CAST(len(list_filter(range(1, 65),
+              i -> substring(f1, CAST(i AS INT), 1) != substring(f2, CAST(i AS INT), 1))) AS INT) AS hamming
+          FROM cand)
+        SELECT id1, id2, hamming FROM ham WHERE hamming <= 3"""))
   }
 
   // ---------------------------------------------------------------- l3
+  // ngramJaccard demonstrated in its intended position: verifying
+  // LSH-generated candidate pairs (never an all-pairs join).
   private val l3 = {
     def gramsSql(t: String) =
       s"list_distinct(list_transform(range(1, greatest(len($t) - 3, 0) + 1), i -> substring($t, i, 4)))"
     Q(
       "l3_ngram_jaccard",
       (s, d) => {
-        val docs = Tables.documents(s, d).filter(col("doc_id") < 20)
-        val a = docs.select(col("doc_id").as("id1"), col("text").as("t1"))
-        val b = docs.select(col("doc_id").as("id2"), col("text").as("t2"))
-        graft.operators.Dedup.ngramJaccard(
-          a.join(b, col("id1") < col("id2")), col("t1"), col("t2"), 4)
+        val corpus = perturbedCorpus(s, d)
+        val cand = graft.operators.Dedup.lshCandidates(
+          corpus, "id", "t", shingleN = 3, k = 8, bands = 4, maxBucket = 1000)
+        val pairs = cand
+          .join(corpus.select(col("id").as("id1"), col("t").as("t1")), "id1")
+          .join(corpus.select(col("id").as("id2"), col("t").as("t2")), "id2")
+        graft.operators.Dedup.ngramJaccard(pairs, col("t1"), col("t2"), 4)
+          .filter(col("jaccard") >= 0.8)
           .select("id1", "id2", "jaccard")
       },
       Some(s"""
-        WITH t AS (SELECT doc_id, ${normSql("text")} AS t FROM documents WHERE doc_id < 20),
-        pairs AS (
-          SELECT a.doc_id AS id1, b.doc_id AS id2,
-            ${gramsSql("a.t")} AS g1, ${gramsSql("b.t")} AS g2
-          FROM t a JOIN t b ON a.doc_id < b.doc_id)
-        SELECT id1, id2,
-          CASE WHEN len(g1) + len(g2) - len(list_filter(g1, x -> list_contains(g2, x))) = 0 THEN 0.0
-               ELSE CAST(len(list_filter(g1, x -> list_contains(g2, x))) AS DOUBLE) /
-                    CAST(len(g1) + len(g2) - len(list_filter(g1, x -> list_contains(g2, x))) AS DOUBLE)
-          END AS jaccard
-        FROM pairs"""))
+        WITH corpus AS ($corpusSql),
+        ${lshCandSql(shingleN = 3, k = 8, bands = 4, maxBucket = 1000)},
+        j AS (
+          SELECT id1, id2, ${gramsSql("c1.t")} AS g1, ${gramsSql("c2.t")} AS g2
+          FROM cand JOIN corpus c1 ON cand.id1 = c1.id
+                    JOIN corpus c2 ON cand.id2 = c2.id),
+        scored AS (
+          SELECT id1, id2,
+            CASE WHEN len(g1) + len(g2) - len(list_filter(g1, x -> list_contains(g2, x))) = 0 THEN 0.0
+                 ELSE CAST(len(list_filter(g1, x -> list_contains(g2, x))) AS DOUBLE) /
+                      CAST(len(g1) + len(g2) - len(list_filter(g1, x -> list_contains(g2, x))) AS DOUBLE)
+            END AS jaccard
+          FROM j)
+        SELECT id1, id2, jaccard FROM scored WHERE jaccard >= 0.8"""))
   }
 
   // ---------------------------------------------------------------- l4
-  private val l4 = Q(
-    "l4_embed_neardup",
-    (s, d) => {
-      val e = Tables.embeddings(s, d)
-      val base = e.select(col("vec_id"), col("label"), col("embedding"))
-      // perturbed copy: first dimension zeroed → cosine just below 1
-      val mutated = e.select(
-        (col("vec_id") + 1000000L).as("vec_id"), col("label"),
-        concat(array(lit(0.0f)), slice(col("embedding"), 2, 63)).as("embedding"))
-      graft.operators.Dedup.embeddingNearDups(
-        base.unionAll(mutated), "vec_id", "embedding", "label", 0.95, dim = 64)
-    },
-    Some(s"""
-      WITH e AS (
-        SELECT vec_id, label, embedding FROM embeddings
-        UNION ALL
-        SELECT vec_id + 1000000, label,
-          list_concat([CAST(0.0 AS FLOAT)], embedding[2:64]) FROM embeddings),
-      scored AS (
-        SELECT a.vec_id AS id1, b.vec_id AS id2,
-          ${cosSql("a.embedding", "b.embedding")} AS cosine
-        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-      SELECT id1, id2, cosine FROM scored WHERE cosine >= 0.95"""))
+  // Blocking key = 8-bit sign bucket over the embedding (256 buckets whose
+  // count scales with `bits`, not a fixed attribute). The perturbed copy
+  // zeroes the LAST dimension, so each original/mutant pair keeps its
+  // first-8-dims sign bucket and a cosine ≈ sqrt(1 - x64²/|v|²) ≥ 0.95.
+  private val l4 = {
+    val buckets = 8
+    def bucketSql(v: String) = (1 to buckets)
+      .map(i => s"(CASE WHEN $v[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+    Q(
+      "l4_embed_neardup",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val base = e.select(col("vec_id"), col("embedding"))
+        val mutated = e.select(
+          (col("vec_id") + 1000000L).as("vec_id"),
+          concat(slice(col("embedding"), 1, 63), array(lit(0.0f))).as("embedding"))
+        graft.operators.Dedup.embeddingNearDups(
+          base.unionAll(mutated), "vec_id", "embedding",
+          V.signBucket(col("embedding"), buckets), 0.95, dim = 64)
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000, list_concat(embedding[1:63], [CAST(0.0 AS FLOAT)])
+          FROM embeddings),
+        bkt AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS blk FROM e),
+        scored AS (
+          SELECT a.vec_id AS id1, b.vec_id AS id2,
+            ${cosSql("a.embedding", "b.embedding")} AS cosine
+          FROM bkt a JOIN bkt b ON a.blk = b.blk AND a.vec_id < b.vec_id)
+        SELECT id1, id2, cosine FROM scored WHERE cosine >= 0.95"""))
+  }
 
   // ---------------------------------------------------------------- l5
   private val l5 = Q(
@@ -834,12 +950,22 @@ object Catalog {
         CAST(n_chars % 256 AS INT) AS meta_height
       FROM documents"""))
 
-  // ---------------------------------------------------------------- m2 (rows-only: mapPartitions stub decode)
+  // ---------------------------------------------------------------- m2
+  // The stub decode is deterministic (md5 + byte stats of the payload), so
+  // it gets a full oracle: documents are ASCII, so the byte mean equals the
+  // mean of the character code points.
   private val m2 = Q(
     "m2_multimodal_decode",
     (s, d) => graft.operators.Multimodal.extractFeatures(
       s, graft.operators.Multimodal.asMediaTable(Tables.documents(s, d))),
-    None)
+    Some("""
+      SELECT doc_id,
+        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        md5(text) AS content_hash,
+        CAST(list_aggregate(list_transform(range(1, len(text) + 1),
+          i -> ord(substring(text, CAST(i AS INT), 1))), 'sum') AS DOUBLE) / len(text) AS feat_mean
+      FROM documents"""))
 
   // ---------------------------------------------------------------- s1
   private val s1 = Q(
@@ -857,7 +983,7 @@ object Catalog {
   /** All registered queries, in SURVEY §2 order. */
   val all: Seq[Q] = Seq(
     a1, a2, a3, a4,
-    n1, n2, n3, n4, n5, n6,
+    n1, n2, n3, n4, n5, n6, n7,
     d1, d2, d3, d4,
     e1, e2, e3, e4,
     r1, r2, r3,

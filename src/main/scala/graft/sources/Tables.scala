@@ -29,10 +29,21 @@ object Tables {
    * rejects; read nanos as long (legacy flag) and floor-convert to the
    * engine-native microsecond timestamp. Floor matches DuckDB's behavior
    * for positive epochs, keeping oracle parity at second+ granularity.
+   *
+   * The legacy flag only matters while `spark.read.parquet` resolves the
+   * schema (it is baked into the relation), so it is set just for this
+   * call and restored — no session-global mutation leaks out.
    */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(spark, dir, "events")
+    val flag = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(flag)
+    spark.conf.set(flag, "true")
+    val raw =
+      try table(spark, dir, "events")
+      finally prev match {
+        case Some(v) => spark.conf.set(flag, v)
+        case None => spark.conf.unset(flag)
+      }
     raw.withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
