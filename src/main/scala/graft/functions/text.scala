@@ -22,8 +22,10 @@ import org.apache.spark.sql.types.LongType
  */
 object text {
 
-  /** Collapse runs of whitespace to one space + trim (hash_generator.py:22). */
-  def normalizeWs(c: Column): Column = regexp_replace(trim(c), "\\s+", " ")
+  /** Collapse runs of whitespace to one space + trim (hash_generator.py:22).
+    * Collapse FIRST: SQL `trim` strips only spaces, so edge tabs/newlines
+    * must be folded into spaces before trimming. */
+  def normalizeWs(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
 
   /** Case-folded normalized key component (hash_generator.py:89). */
   def normKey(c: Column): Column = lower(normalizeWs(c))
@@ -52,9 +54,11 @@ object text {
   private def try_cast(c: Column, t: String): Column = c.try_cast(t)
   private def nullif(a: Column, b: Column): Column = when(a === b, lit(null)).otherwise(a)
 
-  /** Strip legal-entity suffixes from a company-ish name (company_matcher.py:23). */
+  /** Strip legal-entity suffixes from a company-ish name
+    * (company_matcher.py:23). The optional trailing dot sits OUTSIDE the
+    * word boundary ("Acme Co." must not leave a dangling "."). */
   def stripCompanySuffixes(c: Column): Column = {
-    val suffixRe = "\\b(inc|llc|ltd|corp|corporation|co|lp|llp|plc|gmbh|ag|sa)\\.?\\b"
+    val suffixRe = "\\b(inc|llc|ltd|corp|corporation|co|lp|llp|plc|gmbh|ag|sa)\\b\\.?"
     normalizeWs(regexp_replace(lower(c), suffixRe, " "))
   }
 

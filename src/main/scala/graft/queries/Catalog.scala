@@ -150,7 +150,7 @@ object Catalog {
     },
     Some("""
       SELECT c_custkey,
-        lower(regexp_replace(trim(concat('  ', c_name, '   ', c_mktsegment, ' ')), '\s+', ' ', 'g')) AS name_norm
+        lower(trim(regexp_replace(concat('  ', c_name, '   ', c_mktsegment, ' '), '\s+', ' ', 'g'))) AS name_norm
       FROM customer"""))
 
   // ---------------------------------------------------------------- n2
@@ -166,9 +166,9 @@ object Catalog {
     Some("""
       SELECT c_custkey,
         md5(concat_ws('|',
-          lower(regexp_replace(trim(c_name), '\s+', ' ', 'g')),
-          lower(regexp_replace(trim(c_mktsegment), '\s+', ' ', 'g')),
-          lower(regexp_replace(trim(CAST(c_nationkey AS VARCHAR)), '\s+', ' ', 'g')))) AS hash_key
+          lower(trim(regexp_replace(c_name, '\s+', ' ', 'g'))),
+          lower(trim(regexp_replace(c_mktsegment, '\s+', ' ', 'g'))),
+          lower(trim(regexp_replace(CAST(c_nationkey AS VARCHAR), '\s+', ' ', 'g'))))) AS hash_key
       FROM customer"""))
 
   // ---------------------------------------------------------------- n3
@@ -349,7 +349,7 @@ object Catalog {
       },
       Some(s"""
         SELECT o_orderkey AS fact_key, o_custkey, c_name, c_mktsegment,
-          md5(lower(regexp_replace(trim(coalesce(c_name, 'unknown')), '\\s+', ' ', 'g'))) AS dim_uid,
+          md5(lower(trim(regexp_replace(coalesce(c_name, 'unknown'), '\\s+', ' ', 'g')))) AS dim_uid,
           o_totalprice,
           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
           o_orderstatus
@@ -496,7 +496,7 @@ object Catalog {
         WITH dict(alias, canonical) AS (VALUES $dictValues),
         base AS (
           SELECT doc_id,
-            string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS w
+            string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
           FROM documents),
         grams AS (
           SELECT doc_id, unnest($gramLists) AS gram
@@ -548,9 +548,9 @@ object Catalog {
             WHEN 0 THEN ' Inc' WHEN 1 THEN ' LLC' WHEN 2 THEN ' Ltd' ELSE '' END AS name_raw
         FROM customer)
       SELECT c_custkey, name_raw,
-        regexp_replace(trim(regexp_replace(lower(name_raw),
-          '\b(inc|llc|ltd|corp|corporation|co|lp|llp|plc|gmbh|ag|sa)\.?\b', ' ', 'g')),
-          '\s+', ' ', 'g') AS name_clean
+        trim(regexp_replace(regexp_replace(lower(name_raw),
+          '\b(inc|llc|ltd|corp|corporation|co|lp|llp|plc|gmbh|ag|sa)\b\.?', ' ', 'g'),
+          '\s+', ' ', 'g')) AS name_clean
       FROM t"""))
 
   // ---------------------------------------------------------------- e4
@@ -586,7 +586,7 @@ object Catalog {
 
   /** DuckDB text normalization mirroring graft.functions.text.normKey. */
   private def normSql(c: String): String =
-    s"lower(regexp_replace(trim($c), '\\s+', ' ', 'g'))"
+    s"lower(trim(regexp_replace($c, '\\s+', ' ', 'g')))"
 
   /** DuckDB cosine mirroring graft.functions.vectors.cosine (decimal-exact). */
   private def cosSql(a: String, b: String): String = {

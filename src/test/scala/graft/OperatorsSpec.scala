@@ -1,0 +1,199 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.{RankingProfile, RankingWeights}
+import graft.functions.{vectors => V}
+import graft.operators.{Ann, Dedup, Enrich, Ranker, Upsert}
+
+class OperatorsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("Dedup.exact groups by content hash with min-id survivor") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "content")
+    val got = Dedup.exact(df, "id", "content")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((md5hex("x"), 1L, 2L), (md5hex("y"), 3L, 1L)))
+  }
+
+  test("minhashPairs finds identical docs and not dissimilar ones") {
+    val doc = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely different words about spark query engines at scale"
+    val corpus = Seq((1L, doc), (2L, doc), (3L, other)).toDF("id", "t")
+    val got = Dedup.minhashPairs(corpus, "id", "t",
+      shingleN = 3, k = 8, bands = 4, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("lshCandidates: bucket cap drops over-popular buckets") {
+    val doc = "aa bb cc dd ee ff gg"
+    val corpus = (1L to 6L).map(i => (i, doc)).toDF("id", "t")
+    val uncapped = Dedup.lshCandidates(corpus, "id", "t", 3, 8, 4, maxBucket = 1000)
+    assert(uncapped.count() == 15) // all 6-choose-2 pairs of identical docs
+    val capped = Dedup.lshCandidates(corpus, "id", "t", 3, 8, 4, maxBucket = 5)
+    assert(capped.count() == 0) // every bucket holds all 6 docs > cap
+  }
+
+  test("simhashFingerprints match the reference bit derivation") {
+    val docs = Seq((1L, "spark table scan"), (2L, "fast stream join merge"), (3L, "x"))
+    val got = Dedup.simhashFingerprints(docs.toDF("id", "t"), "id", "t")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.foreach { case (id, t) =>
+      val hashes = t.split(" ").toSeq.map(md5hex)
+      val expect = (0 until 64).map { j =>
+        val p = j / 4
+        val mask = 8 >> (j % 4)
+        val votes = hashes.map { h =>
+          val nib = Integer.parseInt(h.substring(p, p + 1), 16)
+          if ((nib & mask) != 0) 1 else -1
+        }.sum
+        if (votes > 0) '1' else '0'
+      }.mkString
+      assert(got(id) == expect, s"fingerprint of '$t'")
+      assert(got(id).length == 64)
+    }
+  }
+
+  test("hammingDist and simhashPairs (identical docs collapse at hamming 0)") {
+    val hd = Seq(("0011", "0110")).toDF("a", "b")
+      .select(Dedup.hammingDist(col("a"), col("b"), 4)).collect().head.getInt(0)
+    assert(hd == 2)
+    val corpus = Seq((1L, "one two three four five six"), (2L, "one two three four five six"),
+      (3L, "totally unrelated content here now ok")).toDF("id", "t")
+    val pairs = Dedup.simhashPairs(corpus, "id", "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.contains((1L, 2L, 0)))
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
+  test("embeddingNearDups: sign-bucket blocking finds the planted near-dup") {
+    val base = Seq.tabulate(8)(i => (i.toLong, Seq.tabulate(8)(j => (math.sin(i * 8 + j) * 2).toFloat)))
+    val mutated = base.map { case (id, v) => (id + 100L, v.init :+ 0.0f) }
+    val emb = (base ++ mutated).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+      V.signBucket(col("embedding"), 4), threshold = 0.9, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    base.foreach { case (id, v) =>
+      val exp = refCosine(v, v.init :+ 0.0f)
+      if (exp >= 0.9) assert(got.contains((id, id + 100L)), s"pair $id missing (cos=$exp)")
+    }
+  }
+
+  test("ngramJaccard on provided pairs") {
+    val pairs = Seq(("abcdef", "abcdef"), ("abcdef", "uvwxyz")).toDF("t1", "t2")
+    val got = Dedup.ngramJaccard(pairs, col("t1"), col("t2"), 3)
+      .select("jaccard").collect().map(_.getDouble(0))
+    assert(got.toSeq == Seq(1.0, 0.0))
+  }
+
+  test("classifyByRules: ordered rules, first match wins") {
+    val rules = Seq("\\bsenior\\b" -> "senior", "\\b(jr|junior)\\b" -> "junior")
+    val got = Seq("Senior junior dev", "JR engineer", "dev").toDF("s")
+      .select(Enrich.classifyByRules(col("s"), rules, "unknown"))
+      .collect().map(_.getString(0))
+    assert(got.toSeq == Seq("senior", "junior", "unknown"))
+  }
+
+  test("similarityRatio is length-normalized") {
+    val got = Seq(("abcd", "abcx"), ("ab", "ax"), ("same", "same")).toDF("a", "b")
+      .select(Enrich.similarityRatio(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(got.toSeq == Seq(75.0, 50.0, 100.0))
+  }
+
+  test("editBlockKeys: the string plus each 1-deletion variant") {
+    val got = Seq("abc").toDF("s").select(Enrich.editBlockKeys(col("s")))
+      .collect().head.getSeq[String](0).toSet
+    assert(got == Set("abc", "bc", "ac", "ab"))
+  }
+
+  test("fuzzySelfMatch: deletion-neighborhood blocking has exact lev<=1 recall") {
+    val rnd = new scala.util.Random(3)
+    val names = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.fill(2 + rnd.nextInt(4))("ab"(rnd.nextInt(2))).mkString))
+    val got = Enrich.fuzzySelfMatch(names.toDF("id", "name"), "id", "name", minRatio = 0.0)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = (for {
+      (i1, n1) <- names; (i2, n2) <- names
+      if i1 < i2 && levenshtein(n1, n2) <= 1
+    } yield (i1, i2)).toSet
+    assert(got == expect)
+  }
+
+  test("extractSkills matches aliases of every length up to the longest") {
+    val dict = Seq("scan" -> "scan", "table scan" -> "scan", "fast table scan" -> "fullscan")
+    val docs = Seq((1L, "a fast table scan here"), (2L, "just a scan"), (3L, "nothing"))
+      .toDF("doc_id", "text")
+    val got = Enrich.extractSkills(spark, docs, "doc_id", "text", dict)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "fullscan,scan", 2L -> "scan"))
+  }
+
+  test("Upsert: latestState + merge (delta wins, seen-range spans both)") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val base = Seq((1L, ts("2024-01-01 10:00:00"), 1L, "a"), (1L, ts("2024-01-01 11:00:00"), 2L, "b"))
+      .toDF("k", "ts", "seq", "v")
+    val delta = Seq((1L, ts("2024-01-02 09:00:00"), 3L, "c"), (2L, ts("2024-01-02 10:00:00"), 4L, "d"))
+      .toDF("k", "ts", "seq", "v")
+    val merged = Upsert.merge(
+      Upsert.latestState(base, "k", "ts", "seq", Seq("v")),
+      Upsert.latestState(delta, "k", "ts", "seq", Seq("v")),
+      "k", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getString(3))).toSet
+    assert(merged == Set(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-02 09:00:00"), "c"),
+      (2L, ts("2024-01-02 10:00:00"), ts("2024-01-02 10:00:00"), "d")))
+  }
+
+  test("rankParts: 8 explain features, score in [0,100]") {
+    val parts = Seq(
+      (1L, "blue bolt", "Brand#5", "ECONOMY", 10, 1000.0),
+      (2L, "odd thing", "Brand#44", "PROMO", 50, 99999.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+    val got = Ranker.rankParts(parts, RankingWeights(), RankingProfile())
+    val cols = got.columns.toSeq
+    Seq("title_score", "skills_score", "price_score", "brand_score", "type_score",
+      "size_score", "class_score", "proximity_score", "rank_score").foreach(c =>
+      assert(cols.contains(c), s"missing $c"))
+    val rows = got.collect().map(r => r.getAs[Long]("p_partkey") -> r.getAs[Double]("rank_score")).toMap
+    assert(rows.values.forall(s => s >= 0.0 && s <= 100.0))
+    assert(rows(1L) > rows(2L), "the profile-matching part must outrank the mismatch")
+    val r1 = got.filter(col("p_partkey") === 1L).collect().head
+    assert(r1.getAs[Double]("class_score") == 1.0) // 'bolt' -> fastener
+    assert(r1.getAs[Double]("proximity_score") == 1.0) // Brand#5 == home 5
+  }
+
+  test("bruteForceTopK matches a naive reference ranking") {
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.tabulate(30)(i => (i.toLong, Seq.fill(8)((rnd.nextFloat() - 0.5f) * 2)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val k = 5
+    val got = Ann.bruteForceTopK(emb.filter(col("vec_id") < 3), emb, k, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val byId = vecs.toMap
+    for (q <- 0L until 3L) {
+      val expect = vecs.filter(_._1 != q)
+        .map { case (id, v) => (id, refCosine(byId(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1)
+      val gotIds = (1 to k).map(r => got((q, r)))
+      assert(gotIds == expect, s"top-$k for query $q")
+    }
+  }
+
+  test("lshTopK only returns candidates from the query's sign bucket") {
+    val rnd = new scala.util.Random(13)
+    val vecs = Seq.tabulate(40)(i => (i.toLong, Seq.fill(8)((rnd.nextFloat() - 0.5f) * 2)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val got = Ann.lshTopK(emb.filter(col("vec_id") < 5), emb, bits = 2, k = 3, dim = 8)
+      .collect()
+    def bucket(v: Seq[Float]) = v.take(2).map(x => if (x >= 0) '1' else '0').mkString
+    val byId = vecs.toMap
+    got.foreach { r =>
+      assert(bucket(byId(r.getLong(0))) == bucket(byId(r.getLong(1))))
+      assert(r.getInt(3) <= 3)
+    }
+    assert(got.nonEmpty)
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Sink
+
+class SinkSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("writePartitioned lays out hive-style partition dirs and round-trips") {
+    val dir = Files.createTempDirectory("sink-part").toString + "/out"
+    val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0)).toDF("id", "part_key", "v")
+    Sink.writePartitioned(df, dir, Seq("part_key"))
+    val dirs = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("part_key="))
+    assert(dirs.toSet == Set("part_key=a", "part_key=b"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 3)
+    // partition filter prunes at the source: only one partition dir is read
+    val pruned = back.filter(col("part_key") === "a")
+    assert(pruned.count() == 2)
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(part_key"))
+  }
+
+  test("tables bucketed on the join key plan a shuffle-free join") {
+    val left = (1L to 100L).map(i => (i, s"l$i")).toDF("k", "lv")
+    val right = (1L to 100L).map(i => (i, s"r$i")).toDF("k", "rv")
+    Sink.writeBucketed(left, "bkt_left", "k", 4)
+    Sink.writeBucketed(right, "bkt_right", "k", 4)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == 100)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.sql("DROP TABLE IF EXISTS bkt_left")
+      spark.sql("DROP TABLE IF EXISTS bkt_right")
+    }
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStream
+
+case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** Drives the streaming twins through MemoryStream and asserts the
+  * streaming output equals the batch run of the SAME plan builder —
+  * the unified-API guarantee SURVEY §2 s1 relies on. */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val events = Seq(
+    Ev(ts("2024-01-15 10:01:00"), 1, "click", 1.0),
+    Ev(ts("2024-01-15 10:07:00"), 2, "view", 2.0),
+    Ev(ts("2024-01-15 10:16:00"), 1, "click", 3.0),
+    Ev(ts("2024-01-15 10:31:00"), 3, "click", 4.0),
+    Ev(ts("2024-01-15 10:44:00"), 2, "view", 5.0),
+    Ev(ts("2024-01-15 10:46:00"), 2, "purchase", 99.0), // filtered out
+    Ev(ts("2024-01-15 11:05:00"), 1, "view", 6.0))
+
+  test("windowedCounts: streaming (append + watermark) equals the batch twin") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = EventStream.windowedCounts(input.toDF())
+      .writeStream.format("memory").queryName("win_out").outputMode("append").start()
+    try {
+      input.addData(events)
+      query.processAllAvailable()
+      // two far-future sentinels push the watermark past every real window
+      // (watermark advances at batch end, emission happens a batch later)
+      input.addData(Ev(ts("2024-01-16 00:00:00"), 9, "click", 0.0))
+      query.processAllAvailable()
+      input.addData(Ev(ts("2024-01-17 00:00:00"), 9, "click", 0.0))
+      query.processAllAvailable()
+
+      val got = spark.table("win_out")
+        .filter(col("window_start") < ts("2024-01-16 00:00:00"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val expect = EventStream.windowedCounts(events.toDF())
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got == expect)
+      assert(expect.contains((ts("2024-01-15 10:00:00"), "click", 1L, 1.0)))
+      assert(expect.contains((ts("2024-01-15 10:30:00"), "view", 1L, 5.0)))
+      assert(!expect.exists(_._2 == "purchase"))
+    } finally query.stop()
+  }
+
+  test("dedupWithinWatermark drops later duplicates of (user, type, hour)") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = EventStream.dedupWithinWatermark(input.toDF())
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      input.addData(
+        Ev(ts("2024-01-15 10:01:00"), 1, "click", 1.0),
+        Ev(ts("2024-01-15 10:09:00"), 1, "click", 2.0), // dup: same user/type/hour
+        Ev(ts("2024-01-15 10:03:00"), 2, "view", 3.0))
+      query.processAllAvailable()
+      input.addData(
+        Ev(ts("2024-01-15 10:20:00"), 1, "click", 4.0), // still a dup
+        Ev(ts("2024-01-15 11:02:00"), 1, "click", 5.0)) // new hour bucket
+      query.processAllAvailable()
+
+      val got = spark.table("dedup_out")
+        .select("user_id", "event_type", "hour_bucket").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+      assert(got.length == 3)
+      assert(got.toSet == Set(
+        (1L, "click", ts("2024-01-15 10:00:00")),
+        (2L, "view", ts("2024-01-15 10:00:00")),
+        (1L, "click", ts("2024-01-15 11:00:00"))))
+    } finally query.stop()
+  }
+}

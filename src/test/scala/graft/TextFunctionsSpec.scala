@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{text => T}
+
+/** Property-style checks of graft.functions.text against plain-Scala
+  * reference implementations (mirrors the reference repo's pytest coverage
+  * of its normalizer/hash helpers). */
+class TextFunctionsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+  private val alphabet = "ab c\t X\n y1.z  "
+  private def randString(): String =
+    (0 until rnd.nextInt(30)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+  private val samples = Seq.fill(60)(randString()) ++
+    Seq("", "   ", "a", "  a  b  ", "A\t\nB", "x y z")
+
+  test("normalizeWs / normKey match the reference implementation") {
+    val got = samples.toDF("s")
+      .select(T.normalizeWs(col("s")), T.normKey(col("s")))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    got.zip(samples).foreach { case ((ws, nk), s) =>
+      assert(ws == normWs(s), s"normalizeWs(${s.inspect})")
+      assert(nk == normKey(s), s"normKey(${s.inspect})")
+    }
+  }
+
+  implicit class Inspect(s: String) { def inspect: String = s.replace("\n", "\\n").replace("\t", "\\t") }
+
+  test("hashKey is md5 of '|'-joined normalized components, order-sensitive") {
+    val pairs = Seq(("Acme  Corp", " data ENGINEER"), ("a", "b"), ("b", "a"), (" ", ""))
+    val got = pairs.toDF("a", "b")
+      .select(T.hashKey(col("a"), col("b"))).collect().map(_.getString(0))
+    got.zip(pairs).foreach { case (h, (a, b)) =>
+      assert(h == md5hex(normKey(a) + "|" + normKey(b)))
+    }
+    assert(got(1) != got(2), "component order must change the key")
+  }
+
+  test("wordShingles: sliding n-grams with correct count and content") {
+    val wordSets = Seq.fill(30)(Seq.fill(rnd.nextInt(8))("w" + rnd.nextInt(5)))
+    for (n <- Seq(2, 3)) {
+      val got = wordSets.toDF("ws")
+        .select(T.wordShingles(col("ws"), n)).collect().map(_.getSeq[String](0))
+      got.zip(wordSets).foreach { case (g, ws) =>
+        val expect = if (ws.length < n) Seq.empty else ws.sliding(n).map(_.mkString(" ")).toSeq
+        assert(g == expect, s"shingles($ws, $n)")
+      }
+    }
+  }
+
+  test("charNgrams of the normalized text") {
+    val got = samples.toDF("s").select(T.charNgrams(col("s"), 4))
+      .collect().map(_.getSeq[String](0))
+    got.zip(samples).foreach { case (g, s) =>
+      val t = normKey(s)
+      val expect = if (t.length < 4) Seq.empty else t.sliding(4).toSeq
+      assert(g == expect, s"charNgrams(${s.inspect})")
+    }
+  }
+
+  test("jaccard: matches set computation, symmetric, bounded, self=1") {
+    val arrs = Seq.fill(40)(Seq.fill(rnd.nextInt(10))("t" + rnd.nextInt(6)))
+    val pairs = arrs.zip(arrs.reverse)
+    val got = pairs.toDF("a", "b")
+      .select(T.jaccard(col("a"), col("b")), T.jaccard(col("b"), col("a")))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    got.zip(pairs).foreach { case ((j, jSym), (a, b)) =>
+      val (sa, sb) = (a.toSet, b.toSet)
+      val expect =
+        if (sa.union(sb).isEmpty) 0.0
+        else sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+      assert(j == expect, s"jaccard($a, $b)")
+      assert(j == jSym, "symmetry")
+      assert(j >= 0.0 && j <= 1.0)
+    }
+    val self = arrs.filter(_.nonEmpty).toDF("a")
+      .select(T.jaccard(col("a"), col("a"))).collect().map(_.getDouble(0))
+    assert(self.forall(_ == 1.0))
+  }
+
+  test("minhashSignature: k running minima over the 2-md5 hash slices") {
+    val shingleSets = Seq.fill(20)(Seq.fill(rnd.nextInt(12))("s" + rnd.nextInt(20)))
+    val k = 8
+    val got = shingleSets.toDF("sh")
+      .select(T.minhashSignature(T.shingleHashes(col("sh")), k))
+      .collect().map(_.getSeq[String](0))
+    got.zip(shingleSets).foreach { case (sig, shingles) =>
+      val hashes = shingles.map(s => md5hex(s) + md5hex(s + "#"))
+      val expect = (0 until k).map { j =>
+        if (hashes.isEmpty) "g" else hashes.map(_.substring(j * 8, j * 8 + 8)).min
+      }
+      assert(sig == expect, s"signature of $shingles")
+    }
+  }
+
+  test("lshBands: md5 of '#'-joined adjacent signature positions") {
+    val sig = Seq("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val got = Seq(Tuple1(sig)).toDF("sig")
+      .select(T.lshBands(col("sig"), 4, 2)).collect().head.getSeq[String](0)
+    val expect = (0 until 4).map(b => md5hex(sig(2 * b) + "#" + sig(2 * b + 1)))
+    assert(got == expect)
+  }
+
+  test("winnowFingerprint: sorted distinct window-minima of shingle hashes") {
+    val shingleSets = Seq.fill(20)(Seq.fill(rnd.nextInt(10))("s" + rnd.nextInt(8)))
+    val w = 4
+    val got = shingleSets.toDF("sh")
+      .select(T.winnowFingerprint(col("sh"), w)).collect().map(_.getSeq[String](0))
+    got.zip(shingleSets).foreach { case (fp, shingles) =>
+      val hashes = shingles.map(md5hex)
+      val expect =
+        if (hashes.length < w) Seq.empty
+        else hashes.sliding(w).map(_.min).toSeq.distinct.sorted
+      assert(fp == expect, s"winnow($shingles)")
+    }
+  }
+
+  test("token counts") {
+    val got = Seq("Hello, world! 42x", "a b  c").toDF("s")
+      .select(T.tokenCountWs(col("s")), T.tokenCountBpe(col("s")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // ws: ["hello,", "world!", "42x"] / bpe: hello , world ! 42 x
+    assert(got(0) == ((3L, 6L)))
+    assert(got(1) == ((3L, 3L)))
+  }
+
+  test("stopword and distinct ratios") {
+    val got = Seq(Seq("the", "cat", "the", "dog"), Seq.empty[String]).toDF("ws")
+      .select(T.stopwordRatio(col("ws"), Seq("the", "a")), T.distinctRatio(col("ws")))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(got(0) == ((0.5, 0.75)))
+    assert(got(1) == ((0.0, 0.0)))
+  }
+
+  test("normalizeEnum / safe casts / suffix stripping") {
+    val enums = Seq(" Click ", "VIEW", "bogus").toDF("s")
+      .select(T.normalizeEnum(col("s"), Seq("click", "view"), "unknown"))
+      .collect().map(_.getString(0))
+    assert(enums.toSeq == Seq("click", "view", "unknown"))
+    val casts = Seq(("12", "x")).toDF("a", "b")
+      .select(T.safeLong(col("a")), T.safeLong(col("b")))
+      .collect().head
+    assert(casts.getLong(0) == 12L && casts.isNullAt(1))
+    val names = Seq("Acme Corp", "Foo  LLC.", "Plain Name").toDF("s")
+      .select(T.stripCompanySuffixes(col("s"))).collect().map(_.getString(0))
+    assert(names.toSeq == Seq("acme", "foo", "plain name"))
+  }
+}
