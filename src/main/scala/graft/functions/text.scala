@@ -76,32 +76,39 @@ object text {
         i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*)))
 
   /** Character n-grams of the normalized text. */
-  def charNgrams(c: Column, n: Int): Column = {
-    val s = normKey(c)
+  def charNgrams(c: Column, n: Int): Column = charNgramsRaw(normKey(c), n)
+
+  /** Character n-grams of an ALREADY-normalized string column. Interpreted
+    * lambdas re-evaluate their free expressions per element, so callers
+    * with a pre-normalized attribute must use this variant to avoid
+    * re-running the normalization regex once per character position. */
+  def charNgramsRaw(s: Column, n: Int): Column =
     when(length(s) < n, array().cast("array<string>")).otherwise(
       transform(
         sequence(lit(1), length(s) - (n - 1)),
         i => s.substr(i, lit(n))))
-  }
 
   /**
-   * Per-shingle 64-hex-char hash: md5(s) ++ md5(s ++ "#"). ONE evaluation
-   * per shingle; [[minhashSignature]] then derives up to 8 independent
-   * 32-bit (8-hex-char) hash slices from it — 2 md5 calls per shingle
-   * total instead of k. md5 hex is identical across engines, so the
-   * signatures (and therefore the LSH buckets) are portable.
+   * Per-shingle hash string: md5(s) ++ md5(s ++ "#1") ++ … (`nHashes`
+   * md5s, 32 hex chars each). ONE evaluation per shingle;
+   * [[minhashSignature]] then derives up to 4·nHashes independent 32-bit
+   * (8-hex-char) hash slices from it — ceil(k/4) md5 calls per shingle
+   * instead of k. md5 hex is identical across engines, so the signatures
+   * (and therefore the LSH buckets) are portable. The same derivation is
+   * used row-wise by Dedup.shingleTable (the scale path).
    */
-  def shingleHashes(shingles: Column): Column =
-    transform(shingles, s => concat(md5(s), md5(concat(s, lit("#")))))
+  def shingleHashes(shingles: Column, nHashes: Int = 2): Column =
+    transform(shingles, s => concat(
+      (0 until nHashes).map(g =>
+        if (g == 0) md5(s) else md5(concat(s, lit("#" + g)))): _*))
 
   /**
-   * MinHash signature from pre-computed [[shingleHashes]]: position j
-   * (j < k <= 8) is the min over shingles of hex slice [j*8+1, j*8+8].
-   * A single fold over the hash array maintains all k running minima, so
-   * the expensive hashing is never repeated per position.
+   * MinHash signature from pre-computed [[shingleHashes]]: position j is
+   * the min over shingles of hex slice [j*8+1, j*8+8]. A single fold over
+   * the hash array maintains all k running minima, so the expensive
+   * hashing is never repeated per position.
    */
   def minhashSignature(hashes: Column, k: Int): Column = {
-    require(k <= 8, s"k=$k needs more than 2 md5s per shingle; raise shingleHashes width")
     // "g" sorts after every lowercase-hex character, so it is a safe +inf
     // sentinel for the running minima (empty input => all-"g" signature;
     // callers filter empty-shingle docs out before candidate generation).

@@ -1,10 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, StructField, StructType}
 
 import graft.functions.{vectors => V}
 
@@ -22,78 +22,94 @@ import graft.functions.{vectors => V}
  * (graft.sources.Sink.writePartitioned) so probes touch one partition
  * (IVF-style; see PAPERS.md similarity-search entry).
  *
- * Top-k selection is two-level: a per-partition bounded heap (mapPartitions
- * — the one place imperative per-partition logic is warranted, since Spark
- * has no partial-aggregating top-k) emits at most |queries|·k rows per
- * partition, then a final window ranks the survivors. A single window over
- * query_id would shuffle ALL n·q scored rows onto q reducers — a q-way
- * parallelism choke on a big corpus.
+ * Two-phase scoring: every scanned pair is scored with the CHEAP unrolled
+ * double cosine (plain primitive math inside WholeStageCodegen; a 64-term
+ * DECIMAL chain would blow the generated-method size and fall back to
+ * interpreted evaluation — measured 4× slower). Ranking happens on the
+ * approximate score with a +8 candidate buffer (float accumulation error
+ * is ~1e-13, vastly below any realistic cosine gap); the survivors — at
+ * most |queries|·(k+8) rows per partition — then get the EXACT decimal
+ * cosine, which is what is reported and what the final rank uses.
+ *
+ * Top-k selection is two-level: a per-partition bounded heap
+ * (mapPartitions — the one place imperative per-partition logic is
+ * warranted, since Spark has no partial-aggregating top-k), then a final
+ * window. A single window over query_id would shuffle ALL n·q scored rows
+ * onto q reducers — a q-way parallelism choke on a big corpus.
  */
 object Ann {
 
-  private val scoredSchema = StructType(Seq(
+  private val keptSchema = StructType(Seq(
     StructField("query_id", LongType),
     StructField("cand_id", LongType),
-    StructField("cosine", DoubleType)))
+    StructField("qv", ArrayType(FloatType)),
+    StructField("cv", ArrayType(FloatType)),
+    StructField("approx", DoubleType)))
 
-  /** Per-partition top-k per query via a bounded heap, then a global
-    * window over the ≤ partitions·|queries|·k survivors. Ordering is
-    * (cosine desc, cand_id asc) on the 9-dp-rounded cosine, so the result
-    * is deterministic and identical to a single global window. */
-  private def topK(scored: DataFrame, k: Int): DataFrame = {
-    val local = scored.mapPartitions { rows =>
-      // "better" = (cosine desc, cand_id asc); under this Tuple2 ordering
-      // the MAX element is the worst of the kept set, so the PriorityQueue
-      // head is exactly the element to evict in O(log k).
-      val worstFirst: Ordering[(Double, Long)] =
-        Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long)
+  /** Per-partition top-(k+8) per query by approximate cosine via a bounded
+    * heap, then the exact decimal cosine and a global window over the
+    * ≤ partitions·|queries|·(k+8) survivors. Ordering is (cosine desc,
+    * cand_id asc) on the 9-dp-rounded exact cosine. */
+  private def topK(pairs: DataFrame, k: Int, dim: Int): DataFrame = {
+    val buffered = k + 8
+    val local = pairs.mapPartitions { rows =>
+      // "better" = (approx desc, cand_id asc); the MAX under this ordering
+      // is the worst of the kept set -> O(log k) eviction at the heap head.
+      val worstFirst: Ordering[(Double, Long, Seq[Float], Seq[Float])] =
+        Ordering.by[(Double, Long, Seq[Float], Seq[Float]), (Double, Long)](t => (t._1, t._2))(
+          Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long))
       val heaps = scala.collection.mutable.HashMap
-        .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+        .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long, Seq[Float], Seq[Float])]]
       rows.foreach { r =>
         val heap = heaps.getOrElseUpdate(r.getLong(0),
-          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
-        heap.enqueue((r.getDouble(2), r.getLong(1)))
-        if (heap.size > k) heap.dequeue()
+          scala.collection.mutable.PriorityQueue.empty(worstFirst))
+        heap.enqueue((r.getDouble(4), r.getLong(1), r.getSeq[Float](2), r.getSeq[Float](3)))
+        if (heap.size > buffered) heap.dequeue()
       }
       heaps.iterator.flatMap { case (q, heap) =>
-        heap.iterator.map { case (cos, cand) => Row(q, cand, cos) }
+        heap.iterator.map { case (approx, cand, qv, cv) => Row(q, cand, qv, cv, approx) }
       }
-    }(RowEncoder.encoderFor(scoredSchema))
+    }(RowEncoder.encoderFor(keptSchema))
+    val exact = local.select(col("query_id"), col("cand_id"),
+      V.cosineFromParts(
+        V.dotExactUnrolled(col("qv"), col("cv"), dim),
+        V.normSqExactUnrolled(col("qv"), dim),
+        V.normSqExactUnrolled(col("cv"), dim)).as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))
-    local.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    exact.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
-  /** Exact top-k per query by cosine (ties broken on corpus id). The exact
-    * norms are per-row (computed once per query / corpus vector before the
-    * join), so each pair costs one codegen'd decimal dot chain. */
+  /** (query_id, cand_id, qv, cv, approx) with the cheap codegen'd score;
+    * zero-norm vectors sort last (their exact cosine is 0). */
+  private def approxPairs(joined: DataFrame, dim: Int): DataFrame =
+    joined.select(col("query_id"), col("cand_id"), col("qv"), col("cv"),
+      when(col("qn") === 0.0 || col("cn") === 0.0, lit(-2.0))
+        .otherwise(V.dotUnrolled(col("qv"), col("cv"), dim) /
+          sqrt(col("qn") * col("cn"))).as("approx"))
+
+  private def querySide(queries: DataFrame, dim: Int, extra: Column*): DataFrame =
+    queries.select(Seq(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      V.normSqUnrolled(col("embedding"), dim).as("qn")) ++ extra: _*)
+
+  private def corpusSide(corpus: DataFrame, dim: Int, extra: Column*): DataFrame =
+    corpus.select(Seq(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+      V.normSqUnrolled(col("embedding"), dim).as("cn")) ++ extra: _*)
+
+  /** Exact top-k per query by cosine (ties broken on corpus id). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       dim: Int = 64): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-      V.normSqExactUnrolled(col("embedding"), dim).as("qn"))
-    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
-      V.normSqExactUnrolled(col("embedding"), dim).as("cn"))
-    val scored = c.crossJoin(broadcast(q))
+    val joined = corpusSide(corpus, dim).crossJoin(broadcast(querySide(queries, dim)))
       .filter(col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"),
-        V.cosineFromParts(V.dotExactUnrolled(col("qv"), col("cv"), dim),
-          col("qn"), col("cn")).as("cosine"))
-    topK(scored, k)
+    topK(approxPairs(joined, dim), k, dim)
   }
 
   /** LSH-bucketed top-k: probe only the query's sign bucket. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, bits: Int, k: Int,
       dim: Int = 64): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-      V.normSqExactUnrolled(col("embedding"), dim).as("qn"),
-      V.signBucket(col("embedding"), bits).as("qb"))
-    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
-      V.normSqExactUnrolled(col("embedding"), dim).as("cn"),
-      V.signBucket(col("embedding"), bits).as("cb"))
-    val scored = c.join(broadcast(q),
-        col("qb") === col("cb") && col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"),
-        V.cosineFromParts(V.dotExactUnrolled(col("qv"), col("cv"), dim),
-          col("qn"), col("cn")).as("cosine"))
-    topK(scored, k)
+    val q = querySide(queries, dim, V.signBucket(col("embedding"), bits).as("qb"))
+    val c = corpusSide(corpus, dim, V.signBucket(col("embedding"), bits).as("cb"))
+    val joined = c.join(broadcast(q),
+      col("qb") === col("cb") && col("query_id") =!= col("cand_id"))
+    topK(approxPairs(joined, dim), k, dim)
   }
 }

@@ -31,23 +31,46 @@ object Dedup {
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_dups"))
 
   /**
-   * LSH candidate pairs over (id, normalized-text): word shingles →
-   * 2 md5s per shingle → k 32-bit min-hash slices → `bands` band keys →
-   * skew-capped self-join on (band, band-hash). Returns distinct
-   * (id1, id2) with id1 < id2 — the shared candidate generator for the
-   * MinHash and n-gram-Jaccard verifiers.
+   * One row per (doc id, shingle): tokens via a single posexplode (the
+   * split is evaluated ONCE per document — n-gram lambdas over an inline
+   * split would re-evaluate it per element, a quadratic trap), shingles
+   * via window `lead`s over the token position, and `hs` = the shingle's
+   * `ceil(k/4)` concatenated md5s (32-bit min-hash slices are cut from it
+   * downstream). Everything is plain codegen'd expressions + one shuffle
+   * on the doc id, which every downstream aggregation reuses.
+   */
+  private def shingleTable(corpus: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, nHashes: Int): DataFrame = {
+    val toks = corpus.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val parts = col("tok") +: (1 until shingleN).map(j => lead("tok", j).over(w))
+    val sh = toks
+      .select(col("id"), when(parts.last.isNotNull, concat_ws(" ", parts: _*)).as("s"))
+      .filter(col("s").isNotNull)
+    val hashes = (0 until nHashes).map(g =>
+      if (g == 0) md5(col("s")) else md5(concat(col("s"), lit("#" + g))))
+    sh.select(col("id"), concat(hashes: _*).as("hs"))
+  }
+
+  /**
+   * LSH candidate pairs over (id, normalized-text): [[shingleTable]] →
+   * k 32-bit min-hash slices as k MIN aggregates (map-side partial agg,
+   * no extra shuffle — the group key is the window's partition key) →
+   * `bands` band keys → skew-capped self-join on (band, band-hash).
+   * Returns distinct (id1, id2) with id1 < id2 — the shared candidate
+   * generator for the MinHash and n-gram-Jaccard verifiers.
    */
   def lshCandidates(corpus: DataFrame, idCol: String, textCol: String,
       shingleN: Int, k: Int, bands: Int, maxBucket: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into $bands bands")
     val rowsPerBand = k / bands
-    val sh = corpus.select(
-      col(idCol).as("id"),
-      T.wordShingles(split(col(textCol), " "), shingleN).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-    val sig = sh.select(col("id"),
-      T.minhashSignature(T.shingleHashes(col("shingles")), k).as("mh"))
-    val bandsDf = sig.select(col("id"),
-      posexplode(T.lshBands(col("mh"), bands, rowsPerBand)).as(Seq("b", "bh")))
+    val sh = shingleTable(corpus, idCol, textCol, shingleN, nHashes = (k + 3) / 4)
+    val mins = (0 until k).map(j => min(substring(col("hs"), j * 8 + 1, 8)).as(s"m$j"))
+    val sig = sh.groupBy("id").agg(mins.head, mins.tail: _*)
+    val bandKeys = (0 until bands).map(b =>
+      md5(concat_ws("#", (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)))
+    val bandsDf = sig.select(col("id"), posexplode(array(bandKeys: _*)).as(Seq("b", "bh")))
     // Skew guard: drop over-popular buckets before the self-join. The
     // window partitions exactly like the join keys, so the count and the
     // join share one shuffle (and the two join sides share it again via
@@ -66,30 +89,29 @@ object Dedup {
 
   /**
    * MinHash + LSH near-duplicate pairs: [[lshCandidates]], then verify
-   * each candidate with the true shingle-set Jaccard.
+   * each candidate with the true shingle-set Jaccard, computed over the
+   * per-document DISTINCT shingle-hash sets (md5 is injective here for
+   * all practical purposes, so hash-set Jaccard equals shingle-set
+   * Jaccard) — one `collect_set` per doc instead of re-shingling per pair.
    */
   def minhashPairs(corpus: DataFrame, idCol: String, textCol: String,
       shingleN: Int, k: Int, bands: Int, threshold: Double,
       maxBucket: Int = 1000): DataFrame = {
-    val sh = corpus.select(
-      col(idCol).as("id"),
-      T.wordShingles(split(col(textCol), " "), shingleN).as("shingles"))
+    val hsets = shingleTable(corpus, idCol, textCol, shingleN, nHashes = (k + 3) / 4)
+      .groupBy("id").agg(collect_set(col("hs")).as("hset"))
     val cand = lshCandidates(corpus, idCol, textCol, shingleN, k, bands, maxBucket)
     cand
-      .join(sh.select(col("id").as("id1"), col("shingles").as("s1")), "id1")
-      .join(sh.select(col("id").as("id2"), col("shingles").as("s2")), "id2")
-      .select(col("id1"), col("id2"), T.jaccard(col("s1"), col("s2")).as("jaccard"))
+      .join(hsets.select(col("id").as("id1"), col("hset").as("h1")), "id1")
+      .join(hsets.select(col("id").as("id2"), col("hset").as("h2")), "id2")
+      .select(col("id1"), col("id2"), T.jaccard(col("h1"), col("h2")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
-  /**
-   * 64-bit SimHash fingerprint per document (Charikar 2002): one md5 per
-   * token, bit j of the fingerprint is the sign of the summed ±1 votes of
-   * hex-nibble bit j across tokens. Computed explode-side: the votes are
-   * 64 SUM aggregates over (id, token-hash) rows — fully codegen'd with
-   * map-side partial aggregation, one shuffle on the doc id.
-   */
-  def simhashFingerprints(corpus: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** 64 per-bit vote sums (id, v0..v63): one md5 per token, bit j votes +1
+    * iff bit (8 >> (j%4)) of hex nibble j/4 of md5(token) is set — fully
+    * codegen'd SUM aggregates with map-side partial aggregation, one
+    * shuffle on the doc id (Charikar 2002). */
+  private def simhashVotes(corpus: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = corpus
       .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
       .select(col("id"), md5(col("tok")).as("h"))
@@ -103,10 +125,15 @@ object Dedup {
       sum(when(col(s"nib$p").bitwiseAND(lit(mask)) =!= 0, 1).otherwise(-1)).as(s"v$j")
     }
     withNibs.groupBy("id").agg(votes.head, votes.tail: _*)
+  }
+
+  /** 64-bit SimHash fingerprint per document as a '0'/'1' bitstring
+    * (readable form; the pair generator uses the int-block form). */
+  def simhashFingerprints(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashVotes(corpus, idCol, textCol)
       .select(col("id"),
         concat((0 until 64).map(j =>
           when(col(s"v$j") > 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
-  }
 
   /** Hamming distance between two equal-length '0'/'1' bitstrings
     * (flat codegen'd comparison chain). */
@@ -121,25 +148,34 @@ object Dedup {
    * fingerprint into 4 16-bit blocks; by pigeonhole, any pair within
    * hamming 3 agrees exactly on at least one block, so candidates are a
    * shuffle on (block index, block value) — Σ bucket², never n².
+   *
+   * The fingerprint travels as 4 SMALL INTS (bit i of block b = bit 16b+i
+   * set iff vote > 0), so bucket keys are int comparisons and the hamming
+   * of a pair is four codegen'd `bit_count(xor)`s — no 64-char strings
+   * shuffle through the candidate join on a skewed corpus.
    */
   def simhashPairs(corpus: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val fp = simhashFingerprints(corpus, idCol, textCol)
-    val blocks = fp.select(col("id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        substring(col("simhash"), b * 16 + 1, 16)): _*)).as(Seq("blk", "bv")))
+    val blockCols = (0 until 4).map { b =>
+      (0 until 16).map(i =>
+        when(col(s"v${16 * b + i}") > 0, lit(1 << i)).otherwise(lit(0)))
+        .reduce(_ + _).as(s"b$b")
+    }
+    val fp = simhashVotes(corpus, idCol, textCol).select(col("id") +: blockCols: _*)
+    val blocks = fp.select(col("id"), col("b0"), col("b1"), col("b2"), col("b3"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("blk", "bv")))
     val capped = blocks
       .withColumn("n_bucket", count(lit(1)).over(Window.partitionBy("blk", "bv")))
       .filter(col("n_bucket") <= maxBucket)
-      .select("id", "simhash", "blk", "bv")
+      .drop("n_bucket")
+    val hamming = (0 until 4).map(b =>
+      bit_count(col(s"a.b$b").bitwiseXOR(col(s"b.b$b")))).reduce(_ + _).cast("int")
     capped.as("a")
       .join(capped.as("b"),
         col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        col("a.simhash").as("f1"), col("b.simhash").as("f2"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"), hamming.as("hamming"))
       .distinct()
-      .select(col("id1"), col("id2"), hammingDist(col("f1"), col("f2"), 64).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 

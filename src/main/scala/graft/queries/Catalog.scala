@@ -612,13 +612,16 @@ object Catalog {
 
   /**
    * Shared DuckDB CTE chain mirroring Dedup.lshCandidates over `corpus`
-   * (id, t): shingles → 2-md5 64-hex shingle hash → k 8-hex min-hash
+   * (id, t): shingles → ceil(k/4)-md5 shingle hash → k 8-hex min-hash
    * slices → band keys → skew-capped self-join → distinct (id1, id2).
    * Ends with the `cand` CTE (plus `sh` available for verification joins).
    */
   private def lshCandSql(shingleN: Int, k: Int, bands: Int, maxBucket: Int): String = {
     val rowsPerBand = k / bands
+    val nHashes = (k + 3) / 4
     val shingleExpr = (1 to shingleN).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+    val hashConcat = (0 until nHashes)
+      .map(g => if (g == 0) "md5(x)" else s"md5(x || '#$g')").mkString(" || ")
     val bandConcat = (1 to rowsPerBand).map(r => s"mh[$rowsPerBand*b+$r]")
       .mkString(" || '#' || ")
     s"""
@@ -630,7 +633,7 @@ object Catalog {
       sig AS (
         SELECT id, list_transform(range(0, $k),
                  j -> list_aggregate(list_transform(hs, h -> substring(h, j*8+1, 8)), 'min')) AS mh
-        FROM (SELECT id, list_transform(shingles, x -> md5(x) || md5(x || '#')) AS hs FROM shf) y),
+        FROM (SELECT id, list_transform(shingles, x -> $hashConcat) AS hs FROM shf) y),
       bands AS (
         SELECT id, b, md5($bandConcat) AS bh
         FROM sig, (SELECT unnest(range(0, $bands)) AS b) bs),
@@ -644,14 +647,17 @@ object Catalog {
   }
 
   // ---------------------------------------------------------------- l1
+  // k=16 / 4 bands of 4 rows: P(candidate | jaccard 0.3) ≈ 0.03 vs 0.31
+  // at 4 bands of 2 — on a shared-vocabulary corpus the band width is what
+  // keeps the candidate count near-linear.
   private val l1 = Q(
     "l1_dedup_minhash",
     (s, d) => graft.operators.Dedup.minhashPairs(
       perturbedCorpus(s, d), "id", "t",
-      shingleN = 3, k = 8, bands = 4, threshold = 0.8, maxBucket = 1000),
+      shingleN = 3, k = 16, bands = 4, threshold = 0.8, maxBucket = 1000),
     Some(s"""
       WITH corpus AS ($corpusSql),
-      ${lshCandSql(shingleN = 3, k = 8, bands = 4, maxBucket = 1000)},
+      ${lshCandSql(shingleN = 3, k = 16, bands = 4, maxBucket = 1000)},
       j AS (
         SELECT id1, id2,
           CAST(len(list_filter(list_distinct(s1.shingles),
@@ -672,8 +678,13 @@ object Catalog {
       val m = 8 >> (j % 4)
       s"SUM(CASE WHEN ((strpos('0123456789abcdef', substring(h, $p, 1)) - 1) & $m) != 0 THEN 1 ELSE -1 END) AS v$j"
     }.mkString(", ")
-    val fpSql = (0 until 64).map(j => s"(CASE WHEN v$j > 0 THEN '1' ELSE '0' END)")
-      .mkString(" || ")
+    // fingerprint as 4 x 16-bit block ints (bit i of block b <=> vote
+    // v[16b+i] > 0) — mirrors Dedup.simhashPairs' int-block form.
+    val blockSqls = (0 until 4).map { b =>
+      (0 until 16).map(i => s"(CASE WHEN v${16 * b + i} > 0 THEN ${1 << i} ELSE 0 END)")
+        .mkString(" + ") + s" AS b$b"
+    }.mkString(", ")
+    val hammingSql = (0 until 4).map(b => s"bit_count(xor(a.b$b, b.b$b))").mkString(" + ")
     Q(
       "l2_dedup_simhash",
       (s, d) => graft.operators.Dedup.simhashPairs(
@@ -682,25 +693,20 @@ object Catalog {
         WITH corpus AS ($corpusSql),
         tok AS (SELECT id, md5(unnest(string_split(t, ' '))) AS h FROM corpus),
         votes AS (SELECT id, $votesSql FROM tok GROUP BY id),
-        fp AS (SELECT id, $fpSql AS simhash FROM votes),
+        fp AS (SELECT id, $blockSqls FROM votes),
         blocks AS (
-          SELECT id, simhash, blk, substring(simhash, blk*16+1, 16) AS bv
+          SELECT id, b0, b1, b2, b3, blk, [b0, b1, b2, b3][blk + 1] AS bv
           FROM fp, (SELECT unnest(range(0, 4)) AS blk) bs),
         capped AS (
-          SELECT id, simhash, blk, bv FROM (
+          SELECT * FROM (
             SELECT *, COUNT(*) OVER (PARTITION BY blk, bv) AS n_bucket FROM blocks) z
           WHERE n_bucket <= 1000),
         cand AS (
           SELECT DISTINCT a.id AS id1, b.id AS id2,
-            a.simhash AS f1, b.simhash AS f2
+            CAST($hammingSql AS INT) AS hamming
           FROM capped a JOIN capped b
-            ON a.blk = b.blk AND a.bv = b.bv AND a.id < b.id),
-        ham AS (
-          SELECT id1, id2,
-            CAST(len(list_filter(range(1, 65),
-              i -> substring(f1, CAST(i AS INT), 1) != substring(f2, CAST(i AS INT), 1))) AS INT) AS hamming
-          FROM cand)
-        SELECT id1, id2, hamming FROM ham WHERE hamming <= 3"""))
+            ON a.blk = b.blk AND a.bv = b.bv AND a.id < b.id)
+        SELECT id1, id2, hamming FROM cand WHERE hamming <= 3"""))
   }
 
   // ---------------------------------------------------------------- l3
@@ -714,17 +720,19 @@ object Catalog {
       (s, d) => {
         val corpus = perturbedCorpus(s, d)
         val cand = graft.operators.Dedup.lshCandidates(
-          corpus, "id", "t", shingleN = 3, k = 8, bands = 4, maxBucket = 1000)
-        val pairs = cand
-          .join(corpus.select(col("id").as("id1"), col("t").as("t1")), "id1")
-          .join(corpus.select(col("id").as("id2"), col("t").as("t2")), "id2")
-        graft.operators.Dedup.ngramJaccard(pairs, col("t1"), col("t2"), 4)
+          corpus, "id", "t", shingleN = 3, k = 16, bands = 4, maxBucket = 1000)
+        // gram arrays are computed once per DOC side (t is pre-normalized,
+        // so the raw variant applies), never per pair
+        val grams = corpus.select(col("id"), T.charNgramsRaw(col("t"), 4).as("g"))
+        cand
+          .join(grams.select(col("id").as("id1"), col("g").as("g1")), "id1")
+          .join(grams.select(col("id").as("id2"), col("g").as("g2")), "id2")
+          .select(col("id1"), col("id2"), T.jaccard(col("g1"), col("g2")).as("jaccard"))
           .filter(col("jaccard") >= 0.8)
-          .select("id1", "id2", "jaccard")
       },
       Some(s"""
         WITH corpus AS ($corpusSql),
-        ${lshCandSql(shingleN = 3, k = 8, bands = 4, maxBucket = 1000)},
+        ${lshCandSql(shingleN = 3, k = 16, bands = 4, maxBucket = 1000)},
         j AS (
           SELECT id1, id2, ${gramsSql("c1.t")} AS g1, ${gramsSql("c2.t")} AS g2
           FROM cand JOIN corpus c1 ON cand.id1 = c1.id

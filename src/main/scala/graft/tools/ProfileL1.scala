@@ -32,7 +32,8 @@ object ProfileL1 {
     time("corpus-rep")(rep)
     val sh = rep.select(col("id"), T.wordShingles(split(col("t"), " "), 3).as("shingles"))
     time("shingles")(sh)
-    val sig = sh.select(col("id"), T.minhashSignature(col("shingles"), 8).as("mh"))
+    val sig = sh.select(col("id"),
+      T.minhashSignature(T.shingleHashes(col("shingles")), 8).as("mh"))
     time("signature")(sig)
     val bandsDf = sig.select(col("id"), posexplode(T.lshBands(col("mh"), 4, 2)).as(Seq("b", "bh")))
     time("bands")(bandsDf)

@@ -83,14 +83,15 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(self.forall(_ == 1.0))
   }
 
-  test("minhashSignature: k running minima over the 2-md5 hash slices") {
+  test("minhashSignature: k running minima over the multi-md5 hash slices") {
     val shingleSets = Seq.fill(20)(Seq.fill(rnd.nextInt(12))("s" + rnd.nextInt(20)))
-    val k = 8
+    val k = 16
     val got = shingleSets.toDF("sh")
-      .select(T.minhashSignature(T.shingleHashes(col("sh")), k))
+      .select(T.minhashSignature(T.shingleHashes(col("sh"), nHashes = 4), k))
       .collect().map(_.getSeq[String](0))
     got.zip(shingleSets).foreach { case (sig, shingles) =>
-      val hashes = shingles.map(s => md5hex(s) + md5hex(s + "#"))
+      val hashes = shingles.map(s =>
+        md5hex(s) + md5hex(s + "#1") + md5hex(s + "#2") + md5hex(s + "#3"))
       val expect = (0 until k).map { j =>
         if (hashes.isEmpty) "g" else hashes.map(_.substring(j * 8, j * 8 + 8)).min
       }
