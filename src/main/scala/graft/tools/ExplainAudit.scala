@@ -1,0 +1,43 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Dev-only plan auditor (not part of the engine): prints a physical-plan
+ * summary per catalog query and flags the anti-patterns the scale design
+ * forbids — BroadcastNestedLoopJoin / CartesianProduct anywhere except the
+ * one justified broadcast cross join in ANN brute force, and missing
+ * pushed filters on filtered scans.
+ */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // l5 intentionally broadcast-cross-joins the tiny query set against the
+    // corpus scan (non-equi self-exclusion makes it a BroadcastNestedLoop).
+    val crossJoinOk = Set("l5_ann_bruteforce")
+    graft.queries.Catalog.all.foreach { q =>
+      try {
+        // NOTE: with AQE on this is the INITIAL plan — exchange-reuse and
+        // codegen stages are not yet collapsed; read exch as an upper bound.
+        val plan = q.run(spark, d).queryExecution.executedPlan.toString
+        def n(p: String) = p.r.findAllIn(plan).size
+        val flags = Seq(
+          (n("BroadcastNestedLoopJoin") > 0 && !crossJoinOk(q.name)) -> "NESTED-LOOP-JOIN",
+          (n("CartesianProduct") > 0) -> "CARTESIAN",
+        ).collect { case (true, f) => f }
+        val stats = f"exch=${n("ShuffleExchange|Exchange hashpartitioning")}%d " +
+          f"bhj=${n("BroadcastHashJoin")}%d smj=${n("SortMergeJoin")}%d " +
+          f"pushed=${n("PushedFilters: \\[[^\\]]")}%d"
+        val flagStr = if (flags.isEmpty) "" else flags.mkString("  !! ", " ", "")
+        println(f"${q.name}%-22s $stats$flagStr")
+      } catch { case e: Throwable => println(f"${q.name}%-22s ERROR ${e.getMessage.take(80)}") }
+    }
+    spark.stop()
+  }
+}
