@@ -124,8 +124,11 @@ object Enrich {
       explode(editBlockKeys(col(nameCol))).as("bk"))
     a.join(b, Seq("bk"))
       .filter(col("id1") < col("id2"))
-      .select("id1", "id2", "name1", "name2")
-      .distinct()
+      // dedup pairs that share several keys: group on the two int ids
+      // (map-side combinable) instead of a distinct over name strings;
+      // the names are functionally dependent on the ids.
+      .groupBy("id1", "id2")
+      .agg(first(col("name1")).as("name1"), first(col("name2")).as("name2"))
       .withColumn("edit_dist", levenshtein(col("name1"), col("name2")))
       .withColumn("sim_ratio", similarityRatio(col("name1"), col("name2")))
       .filter(col("edit_dist") <= 1 && col("sim_ratio") >= minRatio)

@@ -988,6 +988,32 @@ object Catalog {
       WHERE event_type IN ('click', 'view')
       GROUP BY 1, 2"""))
 
+  // ---------------------------------------------------------------- s2
+  // Batch twin of the STATEFUL streaming upsert (mapGroupsWithState):
+  // Spark runs the identical state function once per key on a batch input,
+  // so the oracle-checked result here covers the same code path the
+  // streaming run exercises trigger-by-trigger (StreamingSpec).
+  private val s2 = Q(
+    "s2_stream_upsert",
+    (s, d) => graft.streaming.EventStream.runningUpsert(Tables.events(s, d))
+      .select(
+        col("user_id"),
+        date_format(col("first_seen"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_seen"),
+        date_format(col("last_seen"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_seen"),
+        col("event_type"), col("value")),
+    Some("""
+      SELECT user_id,
+        strftime(first_seen, '%Y-%m-%d %H:%M:%S.%f') AS first_seen,
+        strftime(last_seen, '%Y-%m-%d %H:%M:%S.%f') AS last_seen,
+        event_type, value
+      FROM (
+        SELECT user_id, event_type, value,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+          MIN(ts) OVER (PARTITION BY user_id) AS first_seen,
+          MAX(ts) OVER (PARTITION BY user_id) AS last_seen
+        FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, value FROM events) s) t
+      WHERE rn = 1"""))
+
   /** All registered queries, in SURVEY §2 order. */
   val all: Seq[Q] = Seq(
     a1, a2, a3, a4,
@@ -997,7 +1023,7 @@ object Catalog {
     r1, r2, r3,
     l1, l2, l3, l4, l5, l6,
     t1, t2, t3, t4,
-    m1, m2, s1)
+    m1, m2, s1, s2)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,7 +1,17 @@
 package graft.streaming
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+
+/** Per-key upsert state carried across triggers by [[EventStream.runningUpsert]]:
+  * seen-range plus the payload of the latest event (by ts, then event_id). */
+case class UpsertState(
+    first_seen: Timestamp, last_seen: Timestamp,
+    latest_ts: Timestamp, latest_event_id: Long,
+    event_type: String, value: Double)
 
 /**
  * Structured Streaming twin of the reference's incremental daily batch
@@ -45,4 +55,47 @@ object EventStream {
       .withWatermark("ts", "30 minutes")
       .withColumn("hour_bucket", date_trunc("hour", col("ts")))
       .dropDuplicatesWithinWatermark("user_id", "event_type", "hour_bucket")
+
+  /**
+   * Stateful running upsert: the streaming form of Upsert.latestState /
+   * merge (db_operations.py:334 ON CONFLICT DO UPDATE) via
+   * mapGroupsWithState — per key, the state tracks first/last-seen and the
+   * payload of the latest event (ordered by ts, then event_id), and every
+   * trigger emits the key's refreshed state (run in `update` output mode).
+   *
+   * On a BATCH input Spark runs the same function once per key with empty
+   * initial state, so the batch twin (catalog s2_stream_upsert) and the
+   * streaming run share one code path — no twin drift possible.
+   */
+  def runningUpsert(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("ts"), col("event_id").cast("long"),
+        col("event_type"), col("value").cast("double"))
+      .as[(Long, Timestamp, Long, String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UpsertState, (Long, Timestamp, Timestamp, String, Double)](
+        GroupStateTimeout.NoTimeout) { case (key, rows, state) =>
+        val init = state.getOption
+        val merged = rows.foldLeft(init) { case (acc, (_, ts, eid, tpe, v)) =>
+          Some(acc match {
+            case None => UpsertState(ts, ts, ts, eid, tpe, v)
+            case Some(s0) =>
+              val newer = ts.getTime > s0.latest_ts.getTime ||
+                (ts.getTime == s0.latest_ts.getTime && eid > s0.latest_event_id)
+              UpsertState(
+                if (ts.before(s0.first_seen)) ts else s0.first_seen,
+                if (ts.after(s0.last_seen)) ts else s0.last_seen,
+                if (newer) ts else s0.latest_ts,
+                if (newer) eid else s0.latest_event_id,
+                if (newer) tpe else s0.event_type,
+                if (newer) v else s0.value)
+          })
+        }.get
+        state.update(merged)
+        (key, merged.first_seen, merged.last_seen, merged.event_type, merged.value)
+      }
+      .toDF("user_id", "first_seen", "last_seen", "event_type", "value")
+  }
 }

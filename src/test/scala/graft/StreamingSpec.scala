@@ -9,6 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.EventStream
 
 case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+case class UpEv(ts: Timestamp, user_id: Long, event_id: Long, event_type: String, value: Double)
 
 /** Drives the streaming twins through MemoryStream and asserts the
   * streaming output equals the batch run of the SAME plan builder —
@@ -83,6 +84,43 @@ class StreamingSpec extends AnyFunSuite {
         (1L, "click", ts("2024-01-15 10:00:00")),
         (2L, "view", ts("2024-01-15 10:00:00")),
         (1L, "click", ts("2024-01-15 11:00:00"))))
+    } finally query.stop()
+  }
+
+  test("runningUpsert: state merges across triggers and equals the batch twin") {
+    implicit val ctx = spark.sqlContext
+    val batch1 = Seq(
+      UpEv(ts("2024-01-15 10:00:00"), 1, 100, "click", 1.0),
+      UpEv(ts("2024-01-15 11:00:00"), 1, 101, "view", 2.0),
+      UpEv(ts("2024-01-15 10:30:00"), 2, 102, "click", 3.0))
+    val batch2 = Seq(
+      UpEv(ts("2024-01-15 09:00:00"), 1, 103, "signup", 9.0), // late: extends first_seen, NOT latest
+      UpEv(ts("2024-01-15 12:00:00"), 2, 104, "purchase", 4.0))
+    val input = MemoryStream[UpEv]
+    val query = EventStream.runningUpsert(input.toDF())
+      .writeStream.format("memory").queryName("upsert_out").outputMode("update").start()
+    try {
+      input.addData(batch1)
+      query.processAllAvailable()
+      input.addData(batch2)
+      query.processAllAvailable()
+      val rows = spark.table("upsert_out").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getString(3), r.getDouble(4)))
+      // trigger 1: both keys emitted; trigger 2: both keys updated
+      assert(rows.sorted.toSeq == Seq(
+        (1L, ts("2024-01-15 09:00:00"), ts("2024-01-15 11:00:00"), "view", 2.0),
+        (1L, ts("2024-01-15 10:00:00"), ts("2024-01-15 11:00:00"), "view", 2.0),
+        (2L, ts("2024-01-15 10:30:00"), ts("2024-01-15 10:30:00"), "click", 3.0),
+        (2L, ts("2024-01-15 10:30:00"), ts("2024-01-15 12:00:00"), "purchase", 4.0)).sorted)
+      // final streaming state == batch twin over the union of all events
+      // (the most-merged row per key: widest seen-range)
+      val finalState = rows.groupBy(_._1).map { case (_, rs) =>
+        rs.maxBy(r => (r._3.getTime, -r._2.getTime))
+      }.toSet
+      val batchTwin = EventStream.runningUpsert((batch1 ++ batch2).toDF()).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getString(3), r.getDouble(4)))
+        .toSet
+      assert(finalState == batchTwin)
     } finally query.stop()
   }
 }
