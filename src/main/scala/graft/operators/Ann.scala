@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, StructField, StructType}
 
 import graft.functions.{vectors => V}
+import graft.plans.VectorExpressions
 
 /**
  * Approximate-nearest-neighbor search over an embedding column.
@@ -22,14 +23,16 @@ import graft.functions.{vectors => V}
  * (graft.sources.Sink.writePartitioned) so probes touch one partition
  * (IVF-style; see PAPERS.md similarity-search entry).
  *
- * Two-phase scoring: every scanned pair is scored with the CHEAP unrolled
- * double cosine (plain primitive math inside WholeStageCodegen; a 64-term
- * DECIMAL chain would blow the generated-method size and fall back to
- * interpreted evaluation — measured 4× slower). Ranking happens on the
- * approximate score with a +8 candidate buffer (float accumulation error
- * is ~1e-13, vastly below any realistic cosine gap); the survivors — at
- * most |queries|·(k+8) rows per partition — then get the EXACT decimal
- * cosine, which is what is reported and what the final rank uses.
+ * Two-phase scoring: every scanned pair is scored with the CHEAP native
+ * double-dot expression (graft.plans.FloatVecDot — one codegen'd loop
+ * over the float arrays; a 64-term DECIMAL chain would blow the
+ * generated-method size and fall back to interpreted evaluation —
+ * measured 4× slower). Ranking happens on the approximate score with a
+ * +8 candidate buffer (float accumulation error is ~1e-13, vastly below
+ * any realistic cosine gap); the survivors — at most |queries|·(k+8)
+ * rows per partition — then get the EXACT decimal cosine
+ * (FloatVecDotExact), which is what is reported and what the final rank
+ * uses.
  *
  * Top-k selection is two-level: a per-partition bounded heap
  * (mapPartitions — the one place imperative per-partition logic is
@@ -50,7 +53,7 @@ object Ann {
     * heap, then the exact decimal cosine and a global window over the
     * ≤ partitions·|queries|·(k+8) survivors. Ordering is (cosine desc,
     * cand_id asc) on the 9-dp-rounded exact cosine. */
-  private def topK(pairs: DataFrame, k: Int, dim: Int): DataFrame = {
+  private def topK(pairs: DataFrame, k: Int): DataFrame = {
     val buffered = k + 8
     val local = pairs.mapPartitions { rows =>
       // "better" = (approx desc, cand_id asc); the MAX under this ordering
@@ -72,44 +75,44 @@ object Ann {
     }(RowEncoder.encoderFor(keptSchema))
     val exact = local.select(col("query_id"), col("cand_id"),
       V.cosineFromParts(
-        V.dotExactUnrolled(col("qv"), col("cv"), dim),
-        V.normSqExactUnrolled(col("qv"), dim),
-        V.normSqExactUnrolled(col("cv"), dim)).as("cosine"))
+        call_function("graft_dot_exact", col("qv"), col("cv")),
+        call_function("graft_dot_exact", col("qv"), col("qv")),
+        call_function("graft_dot_exact", col("cv"), col("cv"))).as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))
     exact.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
   /** (query_id, cand_id, qv, cv, approx) with the cheap codegen'd score;
     * zero-norm vectors sort last (their exact cosine is 0). */
-  private def approxPairs(joined: DataFrame, dim: Int): DataFrame =
+  private def approxPairs(joined: DataFrame): DataFrame =
     joined.select(col("query_id"), col("cand_id"), col("qv"), col("cv"),
       when(col("qn") === 0.0 || col("cn") === 0.0, lit(-2.0))
-        .otherwise(V.dotUnrolled(col("qv"), col("cv"), dim) /
+        .otherwise(call_function("graft_dot", col("qv"), col("cv")) /
           sqrt(col("qn") * col("cn"))).as("approx"))
 
-  private def querySide(queries: DataFrame, dim: Int, extra: Column*): DataFrame =
+  private def querySide(queries: DataFrame, extra: Column*): DataFrame =
     queries.select(Seq(col("vec_id").as("query_id"), col("embedding").as("qv"),
-      V.normSqUnrolled(col("embedding"), dim).as("qn")) ++ extra: _*)
+      call_function("graft_dot", col("embedding"), col("embedding")).as("qn")) ++ extra: _*)
 
-  private def corpusSide(corpus: DataFrame, dim: Int, extra: Column*): DataFrame =
+  private def corpusSide(corpus: DataFrame, extra: Column*): DataFrame =
     corpus.select(Seq(col("vec_id").as("cand_id"), col("embedding").as("cv"),
-      V.normSqUnrolled(col("embedding"), dim).as("cn")) ++ extra: _*)
+      call_function("graft_dot", col("embedding"), col("embedding")).as("cn")) ++ extra: _*)
 
   /** Exact top-k per query by cosine (ties broken on corpus id). */
-  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      dim: Int = 64): DataFrame = {
-    val joined = corpusSide(corpus, dim).crossJoin(broadcast(querySide(queries, dim)))
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    VectorExpressions.ensureRegistered(corpus.sparkSession)
+    val joined = corpusSide(corpus).crossJoin(broadcast(querySide(queries)))
       .filter(col("query_id") =!= col("cand_id"))
-    topK(approxPairs(joined, dim), k, dim)
+    topK(approxPairs(joined), k)
   }
 
   /** LSH-bucketed top-k: probe only the query's sign bucket. */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, bits: Int, k: Int,
-      dim: Int = 64): DataFrame = {
-    val q = querySide(queries, dim, V.signBucket(col("embedding"), bits).as("qb"))
-    val c = corpusSide(corpus, dim, V.signBucket(col("embedding"), bits).as("cb"))
+  def lshTopK(queries: DataFrame, corpus: DataFrame, bits: Int, k: Int): DataFrame = {
+    VectorExpressions.ensureRegistered(corpus.sparkSession)
+    val q = querySide(queries, V.signBucket(col("embedding"), bits).as("qb"))
+    val c = corpusSide(corpus, V.signBucket(col("embedding"), bits).as("cb"))
     val joined = c.join(broadcast(q),
       col("qb") === col("cb") && col("query_id") =!= col("cand_id"))
-    topK(approxPairs(joined, dim), k, dim)
+    topK(approxPairs(joined), k)
   }
 }

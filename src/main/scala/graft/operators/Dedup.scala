@@ -191,25 +191,28 @@ object Dedup {
    * in-block pair counts stay bounded at 100-TB scale.
    */
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
-      blockKey: Column, threshold: Double, dim: Int): DataFrame = {
-    // Two-phase: (1) cheap codegen'd double-math cosine (unrolled `dim`-term
-    // chain) over every in-block pair with a 0.01 safety margin (float
-    // accumulation error over 64 dims is ~1e-13, so no true near-dup can be
-    // lost); (2) the exact decimal-chain cosine only for the tiny surviving
-    // set, with the exact norms computed per-row before the join. Output is
-    // identical to scoring every pair exactly, at ~1/100 the compute.
+      blockKey: Column, threshold: Double): DataFrame = {
+    // Two-phase: (1) the cheap native double cosine (graft.plans.FloatVecDot,
+    // one codegen'd loop) over every in-block pair with a 0.01 safety margin
+    // (float accumulation error over 64 dims is ~1e-13, so no true near-dup
+    // can be lost); (2) the exact decimal cosine (FloatVecDotExact) only for
+    // the tiny surviving set, with the exact norms computed per-row before
+    // the join. Output is identical to scoring every pair exactly, at ~1/100
+    // the compute.
+    graft.plans.VectorExpressions.ensureRegistered(emb.sparkSession)
+    def dot(x: Column, y: Column) = call_function("graft_dot", x, y)
+    def dotX(x: Column, y: Column) = call_function("graft_dot_exact", x, y)
     val a = emb.select(col(idCol).as("id1"), blockKey.as("blk1"),
-      col(vecCol).as("v1"), V.normSqUnrolled(col(vecCol), dim).as("nsq1"),
-      V.normSqExactUnrolled(col(vecCol), dim).as("xnsq1"))
+      col(vecCol).as("v1"), dot(col(vecCol), col(vecCol)).as("nsq1"),
+      dotX(col(vecCol), col(vecCol)).as("xnsq1"))
     val b = emb.select(col(idCol).as("id2"), blockKey.as("blk2"),
-      col(vecCol).as("v2"), V.normSqUnrolled(col(vecCol), dim).as("nsq2"),
-      V.normSqExactUnrolled(col(vecCol), dim).as("xnsq2"))
-    val approx = V.dotUnrolled(col("v1"), col("v2"), dim) /
-      sqrt(col("nsq1") * col("nsq2"))
+      col(vecCol).as("v2"), dot(col(vecCol), col(vecCol)).as("nsq2"),
+      dotX(col(vecCol), col(vecCol)).as("xnsq2"))
+    val approx = dot(col("v1"), col("v2")) / sqrt(col("nsq1") * col("nsq2"))
     a.join(b, col("blk1") === col("blk2") && col("id1") < col("id2"))
       .filter(col("nsq1") === 0.0 || col("nsq2") === 0.0 || approx >= threshold - 0.01)
       .select(col("id1"), col("id2"),
-        V.cosineFromParts(V.dotExactUnrolled(col("v1"), col("v2"), dim),
+        V.cosineFromParts(dotX(col("v1"), col("v2")),
           col("xnsq1"), col("xnsq2")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }

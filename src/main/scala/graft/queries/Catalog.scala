@@ -766,7 +766,7 @@ object Catalog {
           concat(slice(col("embedding"), 1, 63), array(lit(0.0f))).as("embedding"))
         graft.operators.Dedup.embeddingNearDups(
           base.unionAll(mutated), "vec_id", "embedding",
-          V.signBucket(col("embedding"), buckets), 0.95, dim = 64)
+          V.signBucket(col("embedding"), buckets), 0.95)
       },
       Some(s"""
         WITH e AS (

@@ -74,7 +74,7 @@ class OperatorsSpec extends AnyFunSuite {
     val mutated = base.map { case (id, v) => (id + 100L, v.init :+ 0.0f) }
     val emb = (base ++ mutated).toDF("vec_id", "embedding")
     val got = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
-      V.signBucket(col("embedding"), 4), threshold = 0.9, dim = 8)
+      V.signBucket(col("embedding"), 4), threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     base.foreach { case (id, v) =>
       val exp = refCosine(v, v.init :+ 0.0f)
@@ -170,7 +170,7 @@ class OperatorsSpec extends AnyFunSuite {
     val vecs = Seq.tabulate(30)(i => (i.toLong, Seq.fill(8)((rnd.nextFloat() - 0.5f) * 2)))
     val emb = vecs.toDF("vec_id", "embedding")
     val k = 5
-    val got = Ann.bruteForceTopK(emb.filter(col("vec_id") < 3), emb, k, dim = 8)
+    val got = Ann.bruteForceTopK(emb.filter(col("vec_id") < 3), emb, k)
       .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
     val byId = vecs.toMap
     for (q <- 0L until 3L) {
@@ -186,7 +186,7 @@ class OperatorsSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(13)
     val vecs = Seq.tabulate(40)(i => (i.toLong, Seq.fill(8)((rnd.nextFloat() - 0.5f) * 2)))
     val emb = vecs.toDF("vec_id", "embedding")
-    val got = Ann.lshTopK(emb.filter(col("vec_id") < 5), emb, bits = 2, k = 3, dim = 8)
+    val got = Ann.lshTopK(emb.filter(col("vec_id") < 5), emb, bits = 2, k = 3)
       .collect()
     def bucket(v: Seq[Float]) = v.take(2).map(x => if (x >= 0) '1' else '0').mkString
     val byId = vecs.toMap

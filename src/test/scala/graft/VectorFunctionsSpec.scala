@@ -68,6 +68,20 @@ class VectorFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("native graft_dot / graft_dot_exact match the Column variants bit-for-bit") {
+    graft.plans.VectorExpressions.ensureRegistered(spark)
+    val got = pairs.toDF("a", "b")
+      .select(
+        call_function("graft_dot", col("a"), col("b")),
+        V.dotUnrolled(col("a"), col("b"), dim),
+        call_function("graft_dot_exact", col("a"), col("b")))
+      .collect()
+    got.zip(pairs).foreach { case (r, (a, b)) =>
+      assert(r.getDouble(0) == r.getDouble(1), "native approx == unrolled chain")
+      assert(r.getDouble(2) == refDot(a, b), "native exact == BigDecimal reference")
+    }
+  }
+
   test("signBucket is the sign pattern of the leading dims") {
     val vs = Seq(Seq(0.5f, -1f, 0f, 2f), Seq(-0.1f, -0.2f, 3f, -4f))
     val got = vs.toDF("v").select(V.signBucket(col("v"), 4))
