@@ -61,13 +61,11 @@ object Dedup {
    * Returns distinct (id1, id2) with id1 < id2 — the shared candidate
    * generator for the MinHash and n-gram-Jaccard verifiers.
    */
-  def lshCandidates(corpus: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, k: Int, bands: Int, maxBucket: Int): DataFrame = {
-    require(k % bands == 0, s"k=$k must divide into $bands bands")
+  /** Skew-capped self-join of per-doc band keys → distinct (id1, id2)
+    * candidate pairs. `sig` must carry columns m0..m{k-1}. */
+  private def candidatesFromSig(sig: DataFrame, k: Int, bands: Int,
+      maxBucket: Int): DataFrame = {
     val rowsPerBand = k / bands
-    val sh = shingleTable(corpus, idCol, textCol, shingleN, nHashes = (k + 3) / 4)
-    val mins = (0 until k).map(j => min(substring(col("hs"), j * 8 + 1, 8)).as(s"m$j"))
-    val sig = sh.groupBy("id").agg(mins.head, mins.tail: _*)
     val bandKeys = (0 until bands).map(b =>
       md5(concat_ws("#", (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)))
     val bandsDf = sig.select(col("id"), posexplode(array(bandKeys: _*)).as(Seq("b", "bh")))
@@ -87,22 +85,43 @@ object Dedup {
       .distinct()
   }
 
+  private def minSlices(k: Int): Seq[Column] =
+    (0 until k).map(j => min(substring(col("hs"), j * 8 + 1, 8)).as(s"m$j"))
+
   /**
-   * MinHash + LSH near-duplicate pairs: [[lshCandidates]], then verify
-   * each candidate with the true shingle-set Jaccard, computed over the
-   * per-document DISTINCT shingle-hash sets (md5 is injective here for
+   * LSH candidate pairs over (id, normalized-text): [[shingleTable]] →
+   * k 32-bit min-hash slices as k MIN aggregates (map-side partial agg,
+   * no extra shuffle — the group key is the window's partition key) →
+   * [[candidatesFromSig]].
+   */
+  def lshCandidates(corpus: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int, bands: Int, maxBucket: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into $bands bands")
+    val sh = shingleTable(corpus, idCol, textCol, shingleN, nHashes = (k + 3) / 4)
+    val mins = minSlices(k)
+    candidatesFromSig(sh.groupBy("id").agg(mins.head, mins.tail: _*), k, bands, maxBucket)
+  }
+
+  /**
+   * MinHash + LSH near-duplicate pairs: candidates as in [[lshCandidates]],
+   * then verify each pair with the true shingle-set Jaccard, computed over
+   * the per-document DISTINCT shingle-hash sets (md5 is injective here for
    * all practical purposes, so hash-set Jaccard equals shingle-set
-   * Jaccard) — one `collect_set` per doc instead of re-shingling per pair.
+   * Jaccard). The signature minima AND the verification hash set come out
+   * of ONE aggregation over one shingle pipeline — the candidate join and
+   * both verification joins reuse that single computation's exchange.
    */
   def minhashPairs(corpus: DataFrame, idCol: String, textCol: String,
       shingleN: Int, k: Int, bands: Int, threshold: Double,
       maxBucket: Int = 1000): DataFrame = {
-    val hsets = shingleTable(corpus, idCol, textCol, shingleN, nHashes = (k + 3) / 4)
-      .groupBy("id").agg(collect_set(col("hs")).as("hset"))
-    val cand = lshCandidates(corpus, idCol, textCol, shingleN, k, bands, maxBucket)
+    require(k % bands == 0, s"k=$k must divide into $bands bands")
+    val sh = shingleTable(corpus, idCol, textCol, shingleN, nHashes = (k + 3) / 4)
+    val aggs = minSlices(k) :+ collect_set(col("hs")).as("hset")
+    val sigWithSets = sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    val cand = candidatesFromSig(sigWithSets, k, bands, maxBucket)
     cand
-      .join(hsets.select(col("id").as("id1"), col("hset").as("h1")), "id1")
-      .join(hsets.select(col("id").as("id2"), col("hset").as("h2")), "id2")
+      .join(sigWithSets.select(col("id").as("id1"), col("hset").as("h1")), "id1")
+      .join(sigWithSets.select(col("id").as("id2"), col("hset").as("h2")), "id2")
       .select(col("id1"), col("id2"), T.jaccard(col("h1"), col("h2")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
