@@ -25,6 +25,26 @@ class SinkSpec extends AnyFunSuite {
     assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(part_key"))
   }
 
+  test("ANN scale path: corpus written partitioned by sign bucket prunes probes") {
+    import graft.functions.{vectors => V}
+    val rnd = new scala.util.Random(21)
+    val vecs = Seq.tabulate(64)(i => (i.toLong, Seq.fill(8)((rnd.nextFloat() - 0.5f) * 2)))
+    val dir = Files.createTempDirectory("sink-ann").toString + "/corpus"
+    val withBucket = vecs.toDF("vec_id", "embedding")
+      .withColumn("bucket", V.signBucket(col("embedding"), 3))
+    Sink.writePartitioned(withBucket, dir, Seq("bucket"))
+    val corpus = spark.read.parquet(dir)
+    // a probe filtered on the bucket key reads ONE partition directory
+    val probe = corpus.filter(col("bucket") === "101")
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(bucket"),
+      s"bucket filter must prune partitions:\n$plan")
+    val expected = vecs.count { case (_, v) =>
+      v.take(3).map(x => if (x >= 0) '1' else '0').mkString == "101"
+    }
+    assert(probe.count() == expected)
+  }
+
   test("tables bucketed on the join key plan a shuffle-free join") {
     val left = (1L to 100L).map(i => (i, s"l$i")).toDF("k", "lv")
     val right = (1L to 100L).map(i => (i, s"r$i")).toDF("k", "rv")
