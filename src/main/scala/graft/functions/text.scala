@@ -175,4 +175,28 @@ object text {
   def distinctRatio(ws: Column): Column =
     when(size(ws) === 0, lit(0.0))
       .otherwise(size(array_distinct(ws)).cast("double") / size(ws).cast("double"))
+
+  /** PII patterns shared by [[redactPii]] and the oracle SQL (no-drift).
+    * Kept to the regex subset with identical semantics in Java regex and
+    * RE2-style engines (no backrefs/lookaround). */
+  object PiiPatterns {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    /** 9+ contiguous digits: account/SSN-ish ids. Applied BEFORE the phone
+      * pattern so separated digit runs read as phones, contiguous as ids. */
+    val longDigits = "[0-9]{9,}"
+    val phone = "\\+?[0-9][0-9 ()-]{7,}[0-9]"
+  }
+
+  /**
+   * PII redaction for training corpora: emails, then long contiguous
+   * digit runs, then phone-like separated digit runs are replaced with
+   * stable placeholder tokens. Order matters: emails contain digits, and
+   * the phone pattern would otherwise swallow contiguous id runs.
+   */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, PiiPatterns.email, "<EMAIL>"),
+        PiiPatterns.longDigits, "<ID>"),
+      PiiPatterns.phone, "<PHONE>")
 }

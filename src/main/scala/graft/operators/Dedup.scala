@@ -203,6 +203,40 @@ object Dedup {
     pairs.withColumn("jaccard", T.jaccard(T.charNgrams(text1, n), T.charNgrams(text2, n)))
 
   /**
+   * Global boilerplate-unit removal (the C4/RefinedWeb line-dedup step):
+   * split every document into ordered units — here fixed `chunkWords`-word
+   * chunks, since the corpus has no newlines; swap the chunker for a line
+   * split on real text — count each unit's EXACT occurrences across the
+   * whole corpus, drop units occurring more than `maxFreq` times
+   * (navigation headers, license banners, templates), and reassemble the
+   * surviving units in document order. Documents losing every unit drop
+   * out entirely.
+   *
+   * Scale shape: one narrow explode, a frequency count that is a single
+   * shuffle on the unit text (map-side combinable via the window's
+   * partitioning), and one groupBy on the doc id. No joins.
+   */
+  def dropBoilerplateChunks(corpus: DataFrame, idCol: String, textCol: String,
+      chunkWords: Int, maxFreq: Long): DataFrame = {
+    val ws = corpus
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) > 0)
+    val nChunks = ((size(col("ws")) + chunkWords - 1) / chunkWords).cast("int")
+    val chunked = ws.select(col("id"),
+      posexplode(transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(col("ws"), i * chunkWords + 1, lit(chunkWords)), " ")))
+        .as(Seq("cidx", "chunk")))
+    val kept = chunked
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("chunk")))
+      .filter(col("n") <= maxFreq)
+    kept.groupBy("id")
+      .agg(sort_array(collect_list(struct(col("cidx"), col("chunk")))).as("cs"))
+      .select(col("id"),
+        array_join(transform(col("cs"), s => s.getField("chunk")), " ").as("text_clean"),
+        size(col("cs")).cast("bigint").as("n_chunks_kept"))
+  }
+
+  /**
    * Embedding-cosine near-dup pairs, blocked by `blockKey` (a Column over
    * the embedding, normally [[graft.functions.vectors.signBucket]]).
    * Candidates exist only within a block; with a 2^bits sign bucket the

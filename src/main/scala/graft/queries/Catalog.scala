@@ -138,6 +138,21 @@ object Catalog {
       FROM events
       GROUP BY 1, 2"""))
 
+  // ---------------------------------------------------------------- a5
+  private val a5 = Q(
+    "a5_rollup",
+    (s, d) => Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast(DecM)).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows")),
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
+        COUNT(*) AS n_rows
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
+
   // ---------------------------------------------------------------- n1
   private val n1 = Q(
     "n1_normalize_ws",
@@ -940,6 +955,63 @@ object Catalog {
       SELECT doc_id, array_to_string(list_sort(list_distinct(m)), ',') AS fp_csv
       FROM mins"""))
 
+  // ---------------------------------------------------------------- t5
+  // The corpus has no planted PII, so each doc gets a deterministic
+  // decorated suffix exercising all three patterns; the SAME pattern
+  // constants build the Spark expression and the oracle regexes.
+  private val t5 = {
+    import graft.functions.text.PiiPatterns
+    Q(
+      "t5_pii_redact",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        T.redactPii(concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or +1 (555) 010-1234 acct 9001234567")))
+          .as("text_redacted")),
+      Some(s"""
+        SELECT doc_id,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                  '@mail.example.com or +1 (555) 010-1234 acct 9001234567',
+                '${PiiPatterns.email}', '<EMAIL>', 'g'),
+              '${PiiPatterns.longDigits}', '<ID>', 'g'),
+            '${PiiPatterns.phone}', '<PHONE>', 'g') AS text_redacted
+        FROM documents"""))
+  }
+
+  // ---------------------------------------------------------------- t6
+  // C4-style global boilerplate removal: 2-word chunks over the shared
+  // 31-word vocabulary collide heavily across documents, so a global
+  // frequency cap genuinely drops "boilerplate" units while rare chunks
+  // survive — the mechanism is exactly the production line-dedup.
+  private val t6 = Q(
+    "t6_boilerplate_lines",
+    (s, d) => graft.operators.Dedup.dropBoilerplateChunks(
+      Tables.documents(s, d).select(col("doc_id"), T.normKey(col("text")).as("t")),
+      "doc_id", "t", chunkWords = 2, maxFreq = 20)
+      .select(col("id").as("doc_id"), col("text_clean"), col("n_chunks_kept")),
+    Some(s"""
+      WITH ws AS (
+        SELECT doc_id AS id, string_split(${normSql("text")}, ' ') AS ws FROM documents
+        WHERE len(string_split(${normSql("text")}, ' ')) > 0),
+      chunks AS (
+        SELECT id, u.cidx AS cidx, u.chunk AS chunk FROM (
+          SELECT id, unnest(list_transform(range(0, CAST((len(ws) + 1) // 2 AS INT)),
+            i -> struct_pack(cidx := i,
+                   chunk := array_to_string(ws[CAST(i*2+1 AS INT):CAST(i*2+2 AS INT)], ' ')))) AS u
+          FROM ws) z),
+      kept AS (
+        SELECT * FROM (
+          SELECT *, COUNT(*) OVER (PARTITION BY chunk) AS n FROM chunks) f
+        WHERE n <= 20)
+      SELECT id AS doc_id,
+        string_agg(chunk, ' ' ORDER BY cidx) AS text_clean,
+        COUNT(*) AS n_chunks_kept
+      FROM kept GROUP BY id"""))
+
   // ---------------------------------------------------------------- m1
   private val m1 = Q(
     "m1_multimodal_meta",
@@ -1016,13 +1088,13 @@ object Catalog {
 
   /** All registered queries, in SURVEY §2 order. */
   val all: Seq[Q] = Seq(
-    a1, a2, a3, a4,
+    a1, a2, a3, a4, a5,
     n1, n2, n3, n4, n5, n6, n7,
     d1, d2, d3, d4,
     e1, e2, e3, e4,
     r1, r2, r3,
     l1, l2, l3, l4, l5, l6,
-    t1, t2, t3, t4,
+    t1, t2, t3, t4, t5, t6,
     m1, m2, s1, s2)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -82,6 +82,31 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("redactPii: emails, contiguous ids, separated phones") {
+    val got = Seq(
+      "mail bob.smith+x@corp.example.org now",
+      "call +1 (555) 010-1234 ok",
+      "acct 9001234567 end",
+      "clean text 42").toDF("s")
+      .select(graft.functions.text.redactPii(col("s"))).collect().map(_.getString(0))
+    assert(got.toSeq == Seq(
+      "mail <EMAIL> now",
+      "call <PHONE> ok",
+      "acct <ID> end",
+      "clean text 42"))
+  }
+
+  test("dropBoilerplateChunks removes over-frequent units, keeps order") {
+    val docs = (1L to 30L).map(i => (i, s"common header unique$i tail")) :+
+      (99L, "totally fresh words")
+    val got = Dedup.dropBoilerplateChunks(docs.toDF("id", "t"), "id", "t",
+      chunkWords = 2, maxFreq = 10)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // "common header" occurs 30x -> dropped; "uniqueN tail" occurs once -> kept
+    (1L to 30L).foreach(i => assert(got(i) == ((s"unique$i tail", 1L)), s"doc $i"))
+    assert(got(99L) == (("totally fresh words", 2L)))
+  }
+
   test("ngramJaccard on provided pairs") {
     val pairs = Seq(("abcdef", "abcdef"), ("abcdef", "uvwxyz")).toDF("t1", "t2")
     val got = Dedup.ngramJaccard(pairs, col("t1"), col("t2"), 3)
