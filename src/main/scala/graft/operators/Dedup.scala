@@ -116,7 +116,10 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into $bands bands")
     val sh = shingleTable(corpus, idCol, textCol, shingleN, nHashes = (k + 3) / 4)
-    val aggs = minSlices(k) :+ collect_set(col("hs")).as("hset")
+    // the first md5 (32 hex) alone identifies the shingle — carrying all
+    // ceil(k/4) concatenated hashes through collect_set would 4x the
+    // verification sets' memory and compare width for no extra information
+    val aggs = minSlices(k) :+ collect_set(substring(col("hs"), 1, 32)).as("hset")
     val sigWithSets = sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
     val cand = candidatesFromSig(sigWithSets, k, bands, maxBucket)
     cand
