@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic corpus curation/sampling — the data-mixing step of a
+ * training pipeline. Everything derives from an md5-based uniform
+ * fraction, so the SAME rows are selected on any engine, any cluster, any
+ * partitioning, any day (unlike rand()/TABLESAMPLE): reproducible splits
+ * and mixtures are what make 100-TB training runs auditable.
+ *
+ * All operators are pure row-level expressions — zero shuffle,
+ * embarrassingly parallel.
+ */
+object Curate {
+
+  /** Deterministic uniform [0,1) from the md5 of a key: the first 8 hex
+    * chars as a 32-bit integer, divided by 2^32. Exact in double (both
+    * operands < 2^53), identical in any engine with md5. */
+  def hashFraction(key: Column): Column = {
+    val h = md5(key)
+    val int32 = conv(substring(h, 1, 8), 16, 10).cast("double")
+    int32 / 4294967296.0
+  }
+
+  /**
+   * Train/val/test split assignment: ordered (upperBound, label) cuts over
+   * the hash fraction of (key | salt). The salt decouples this split from
+   * any other hash use of the same key. E.g. cuts = (0.8,"train"),
+   * (0.9,"val"), default "test".
+   */
+  def assignSplit(df: DataFrame, keyCol: String, salt: String,
+      cuts: Seq[(Double, String)], default: String): DataFrame = {
+    val frac = hashFraction(concat(col(keyCol).cast("string"), lit("|" + salt)))
+    val split = cuts.foldRight(lit(default): Column) { case ((ub, label), elseCol) =>
+      when(frac < ub, lit(label)).otherwise(elseCol)
+    }
+    df.withColumn("split", split)
+  }
+
+  /**
+   * Weighted mixture sampling: keep a row iff its hash fraction is below
+   * its source's sampling rate (`rates`, else `defaultRate`) — the
+   * per-source up/down-weighting of a training-data mixture, deterministic
+   * per (key, source).
+   */
+  def mixtureSample(df: DataFrame, keyCol: String, sourceCol: String,
+      rates: Seq[(String, Double)], defaultRate: Double): DataFrame = {
+    val rate = rates.foldRight(lit(defaultRate): Column) { case ((src, r), elseCol) =>
+      when(col(sourceCol) === src, lit(r)).otherwise(elseCol)
+    }
+    val frac = hashFraction(concat(col(keyCol).cast("string"), lit("|"), col(sourceCol)))
+    df.filter(frac < rate)
+  }
+}

@@ -1012,6 +1012,48 @@ object Catalog {
         COUNT(*) AS n_chunks_kept
       FROM kept GROUP BY id"""))
 
+  /** DuckDB mirror of Curate.hashFraction: first 8 md5 hex chars as a
+    * 32-bit int (base-16 positional sum) over 2^32 — exact in double. */
+  private def hashFracSql(keyExpr: String): String = {
+    val terms = (1 to 8).map { p =>
+      val w = math.pow(16, 8 - p).toLong
+      s"(strpos('0123456789abcdef', substring(md5($keyExpr), $p, 1)) - 1) * $w"
+    }.mkString(" + ")
+    s"(CAST($terms AS DOUBLE) / 4294967296.0)"
+  }
+
+  // ---------------------------------------------------------------- c1
+  private val c1 = {
+    val key = "CAST(doc_id AS VARCHAR) || '|split0'"
+    Q(
+      "c1_split_assign",
+      (s, d) => graft.operators.Curate.assignSplit(
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        "doc_id", "split0", Seq(0.8 -> "train", 0.9 -> "val"), "test"),
+      Some(s"""
+        SELECT doc_id, source,
+          CASE WHEN ${hashFracSql(key)} < 0.8 THEN 'train'
+               WHEN ${hashFracSql(key)} < 0.9 THEN 'val'
+               ELSE 'test' END AS split
+        FROM documents"""))
+  }
+
+  // ---------------------------------------------------------------- c2
+  private val c2 = {
+    val rates = Seq("src0" -> 0.9, "src1" -> 0.5, "src2" -> 0.25)
+    val defaultRate = 0.1
+    val rateSql = rates.map { case (s0, r) => s"WHEN '$s0' THEN $r" }.mkString(" ")
+    Q(
+      "c2_mixture_sample",
+      (s, d) => graft.operators.Curate.mixtureSample(
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        "doc_id", "source", rates, defaultRate),
+      Some(s"""
+        SELECT doc_id, source FROM documents
+        WHERE ${hashFracSql("CAST(doc_id AS VARCHAR) || '|' || source")} <
+              CASE source $rateSql ELSE $defaultRate END"""))
+  }
+
   // ---------------------------------------------------------------- m1
   private val m1 = Q(
     "m1_multimodal_meta",
@@ -1095,6 +1137,7 @@ object Catalog {
     r1, r2, r3,
     l1, l2, l3, l4, l5, l6,
     t1, t2, t3, t4, t5, t6,
+    c1, c2,
     m1, m2, s1, s2)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -82,6 +82,29 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("Curate: hash fraction matches reference; split and mixture are deterministic") {
+    import graft.operators.Curate
+    def refFrac(key: String): Double =
+      java.lang.Long.parseLong(md5hex(key).take(8), 16).toDouble / 4294967296.0
+    val docs = (0L until 200L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val got = Curate.assignSplit(docs, "doc_id", "split0",
+      Seq(0.8 -> "train", 0.9 -> "val"), "test")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    (0L until 200L).foreach { i =>
+      val f = refFrac(s"$i|split0")
+      val expect = if (f < 0.8) "train" else if (f < 0.9) "val" else "test"
+      assert(got(i) == expect, s"split of $i (frac=$f)")
+    }
+    val sampled = Curate.mixtureSample(docs, "doc_id", "source",
+      Seq("src0" -> 1.0, "src1" -> 0.0), 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(sampled.count(_._2 == "src0") == 50, "rate 1.0 keeps every src0 row")
+    assert(!sampled.exists(_._2 == "src1"), "rate 0.0 keeps nothing")
+    sampled.filter(s => s._2 != "src0").foreach { case (id, src) =>
+      assert(refFrac(s"$id|$src") < 0.5)
+    }
+  }
+
   test("redactPii: emails, contiguous ids, separated phones") {
     val got = Seq(
       "mail bob.smith+x@corp.example.org now",
