@@ -106,10 +106,34 @@ object Ann {
     topK(approxPairs(joined), k)
   }
 
-  /** LSH-bucketed top-k: probe only the query's sign bucket. */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, bits: Int, k: Int): DataFrame = {
+  /**
+   * LSH-bucketed top-k with multi-probe: each query probes its own sign
+   * bucket plus (at `probeRadius = 1`, the default) every hamming-1
+   * neighbor bucket. Single-probe loses true neighbors that straddle a
+   * hyperplane boundary (a near-zero component flips one bucket bit
+   * between two near-identical vectors); probing the `bits` one-bit-flip
+   * buckets recovers them for the cost of broadcasting a (bits+1)×
+   * larger — still tiny — query side. The corpus side is untouched: each
+   * corpus vector still lives in exactly ONE bucket (so probes never
+   * produce duplicate (query, cand) pairs), and a corpus written
+   * partitioned by bucket (Sink.writePartitioned) still prunes to
+   * bits+1 partitions per query.
+   */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, bits: Int, k: Int,
+      probeRadius: Int = 1): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= 1, "probeRadius must be 0 or 1")
     VectorExpressions.ensureRegistered(corpus.sparkSession)
-    val q = querySide(queries, V.signBucket(col("embedding"), bits).as("qb"))
+    val bucket = V.signBucket(col("embedding"), bits)
+    val probes =
+      if (probeRadius == 0) array(bucket)
+      else {
+        val flips = (0 until bits).map { i =>
+          val flipped = when(substring(bucket, i + 1, 1) === "1", lit("0")).otherwise(lit("1"))
+          concat(substring(bucket, 1, i), flipped, substring(bucket, i + 2, bits - i - 1))
+        }
+        array(bucket +: flips: _*)
+      }
+    val q = querySide(queries, explode(probes).as("qb"))
     val c = corpusSide(corpus, V.signBucket(col("embedding"), bits).as("cb"))
     val joined = c.join(broadcast(q),
       col("qb") === col("cb") && col("query_id") =!= col("cand_id"))

@@ -215,9 +215,13 @@ object Dedup {
    * surviving units in document order. Documents losing every unit drop
    * out entirely.
    *
-   * Scale shape: one narrow explode, a frequency count that is a single
-   * shuffle on the unit text (map-side combinable via the window's
-   * partitioning), and one groupBy on the doc id. No joins.
+   * Scale shape: the frequency count shuffles ONLY `md5(chunk)` — a fixed
+   * 32-byte key with map-side partial aggregation, never the raw unit text
+   * — and is then filtered to the units OVER the cap. That hot set is small
+   * by construction (only units repeated > maxFreq times survive the
+   * filter), so the removal step is a broadcast anti-join: the corpus-side
+   * chunk table never shuffles at all. One groupBy on the doc id
+   * reassembles survivors.
    */
   def dropBoilerplateChunks(corpus: DataFrame, idCol: String, textCol: String,
       chunkWords: Int, maxFreq: Long): DataFrame = {
@@ -229,9 +233,12 @@ object Dedup {
       posexplode(transform(sequence(lit(0), nChunks - 1),
         i => array_join(slice(col("ws"), i * chunkWords + 1, lit(chunkWords)), " ")))
         .as(Seq("cidx", "chunk")))
-    val kept = chunked
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("chunk")))
-      .filter(col("n") <= maxFreq)
+    val hot = chunked
+      .groupBy(md5(col("chunk")).as("ch"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxFreq)
+      .select("ch")
+    val kept = chunked.join(broadcast(hot), md5(col("chunk")) === col("ch"), "left_anti")
     kept.groupBy("id")
       .agg(sort_array(collect_list(struct(col("cidx"), col("chunk")))).as("cs"))
       .select(col("id"),

@@ -84,18 +84,51 @@ object Enrich {
         greatest(length(a), length(b)).cast("double")), 2)
 
   /**
-   * Deletion-neighborhood blocking keys: the string itself plus every
-   * 1-character-deletion variant. For any pair with levenshtein <= 1
-   * (substitution, insertion, or deletion) the key sets intersect, so a
-   * join on the exploded keys finds EVERY such pair — no recall loss —
-   * while block sizes stay tiny and block cardinality grows with n.
+   * Deletion-neighborhood blocking keys up to `depth` deletions (FastSS,
+   * Bocek et al. 2007): the string itself plus every variant reachable by
+   * deleting at most `depth` characters. Two strings within levenshtein
+   * `depth` ALWAYS share at least one key, so a join on the exploded keys
+   * has exact recall for lev <= depth, while key cardinality grows with
+   * the data (unlike a fixed prefix/suffix key, which goes quadratic at
+   * scale). Key count is O(len^depth / depth!) per string — fine for the
+   * short name strings fuzzy matching targets; depth is chosen from the
+   * accept threshold via [[maxEditsForRatio]].
+   *
+   * Backed by the native graft.plans.DeletionNeighborhood expression: the
+   * iterative build ("delete one char from each previous-level variant,
+   * dedup, repeat") composed from array built-ins re-embeds each level's
+   * expression tree in the next, multiplying evaluation ~7× per depth
+   * level; the native BFS does the work once per row inside whole-stage
+   * codegen.
    */
-  def editBlockKeys(name: Column): Column =
-    when(length(name) === 0, array(name)).otherwise(
-      array_union(
-        array(name),
-        transform(sequence(lit(1), length(name)), i =>
-          concat(name.substr(lit(1), i - 1), name.substr(i + 1, length(name) - i)))))
+  def deletionNeighborhood(name: Column, depth: Int): Column = {
+    graft.plans.VectorExpressions.ensureRegistered(SparkSession.active)
+    call_function("graft_del_neighborhood", name, lit(depth))
+  }
+
+  /** Depth-1 neighborhood: the string plus each 1-deletion variant. */
+  def editBlockKeys(name: Column): Column = deletionNeighborhood(name, 1)
+
+  /** [[deletionNeighborhood]] as 64-bit key hashes (`array<long>`) — the
+    * form [[fuzzySelfMatch]] blocks on: an 8-byte join key, and no
+    * per-variant strings allocated in the ~len^d×-amplified explode. A
+    * hash collision can only MERGE two blocks (the ratio filter drops the
+    * extra pairs), never lose a true one. */
+  def deletionNeighborhoodHashes(name: Column, depth: Int): Column = {
+    graft.plans.VectorExpressions.ensureRegistered(SparkSession.active)
+    call_function("graft_del_neighborhood_hash", name, lit(depth))
+  }
+
+  /**
+   * Smallest neighborhood depth that makes a `ratio >= minRatio` accept
+   * rule EXACT under deletion-neighborhood blocking, given the longest
+   * name in the data: a qualifying pair (a, b) has
+   * lev <= (1 - minRatio/100) * max(|a|,|b|), and |b| <= |a| + lev, so
+   * depth = floor(maxLen * (100 - minRatio) / 100) covers every pair
+   * whose longer side is at most maxLen.
+   */
+  def maxEditsForRatio(maxLen: Int, minRatio: Double): Int =
+    math.floor(maxLen * (100.0 - minRatio) / 100.0).toInt
 
   /**
    * Blocked fuzzy join: candidates share `blockKey` (equality → plain
@@ -112,25 +145,69 @@ object Enrich {
       .filter(col("edit_dist") <= maxDist && col("sim_ratio") >= minRatio)
 
   /**
-   * Fuzzy self-match with exact-recall deletion-neighborhood blocking
-   * (maxDist fixed at 1 — the neighborhood scheme's guarantee). Emits each
-   * qualifying (id1 < id2) pair once with edit_dist and sim_ratio.
+   * Fuzzy self-match with exact-recall deletion-neighborhood blocking:
+   * finds every (id1 < id2) pair with `lev <= maxEdits` and
+   * `sim_ratio >= minRatio`, once, with both measures in the output.
+   * Picking `maxEdits = maxEditsForRatio(maxNameLen, minRatio)` makes the
+   * lev bound vacuous — the accept rule is then the reference's plain
+   * normalized-ratio threshold (company_matcher.py:139 `fuzz.ratio >= 80`)
+   * with no recall loss.
+   *
+   * Scale guards, in deliberate order (each one measured against its
+   * naive alternative at sf0.1):
+   *  - the key table carries (id, hash64(variant)) ONLY — an 8-byte join
+   *    key, no variant strings allocated in the amplified stage or moved
+   *    through the exchange;
+   *  - the WHOLE blocking pipeline — skew-cap count, cap filter, and both
+   *    self-join sides — hangs off ONE exchange on the key hash: the
+   *    windowed `count(*) over (partition by kh)` partitions exactly like
+   *    the join, and the two join sides are identical subplans, so
+   *    ReuseExchange leaves a single map pass over the exploded keys
+   *    (separate count/anti-join pipelines re-ran the explode and
+   *    tripled the stage's allocation pressure);
+   *  - the skew cap drops over-popular keys BEFORE pair generation (one
+   *    over-popular normalized name — "unknown", "n/a" — must not create
+   *    a quadratic hot block);
+   *  - the shuffle_hash hint is load-bearing: Catalyst sizes join inputs
+   *    from the SCAN, cannot see the ~len^d× Generate amplification, and
+   *    would broadcast the entire multi-million-row key table (measured
+   *    88 s vs ~2 s at sf0.1);
+   *  - pairs sharing several keys collapse in a distinct() over the two
+   *    long ids (partial-agg'd map-side, so the multiplicity never
+   *    reaches the shuffle in full);
+   *  - names re-attach AFTER the dedup, via joins against the (small)
+   *    input table on the long id.
    */
   def fuzzySelfMatch(names: DataFrame, idCol: String, nameCol: String,
-      minRatio: Double): DataFrame = {
-    val a = names.select(col(idCol).as("id1"), col(nameCol).as("name1"),
-      explode(editBlockKeys(col(nameCol))).as("bk"))
-    val b = names.select(col(idCol).as("id2"), col(nameCol).as("name2"),
-      explode(editBlockKeys(col(nameCol))).as("bk"))
-    a.join(b, Seq("bk"))
-      .filter(col("id1") < col("id2"))
-      // dedup pairs that share several keys: group on the two int ids
-      // (map-side combinable) instead of a distinct over name strings;
-      // the names are functionally dependent on the ids.
-      .groupBy("id1", "id2")
-      .agg(first(col("name1")).as("name1"), first(col("name2")).as("name2"))
+      minRatio: Double, maxEdits: Int = 1, maxBucket: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = names.select(col(idCol).as("id"), col(nameCol).as("name"))
+    // The explode amplifies each row ~len^maxEdits/maxEdits!× — by far the
+    // heaviest map stage — so spread the (small) name table across the
+    // cluster FIRST: a name dim often arrives as a handful of splits, and
+    // without this the amplification runs at the scan's parallelism. The
+    // EXPLICIT partition count matters: a bare repartition(col) is
+    // AQE-coalesced right back to one partition (the pre-explode bytes
+    // are tiny; AQE cannot see the Generate amplification) — measured 93 s
+    // single-task vs ~3 s spread.
+    val keys = base
+      .repartition(base.sparkSession.sessionState.conf.numShufflePartitions, col("id"))
+      .select(col("id"), explode(deletionNeighborhoodHashes(col("name"), maxEdits)).as("kh"))
+    val capped = keys
+      .withColumn("n_bucket", count(lit(1)).over(Window.partitionBy("kh")))
+      .filter(col("n_bucket") <= maxBucket)
+      .select("id", "kh")
+      .hint("shuffle_hash")
+    val cand = capped.as("a")
+      .join(capped.as("b"), col("a.kh") === col("b.kh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    cand
+      .join(base.select(col("id").as("id1"), col("name").as("name1")), "id1")
+      .join(base.select(col("id").as("id2"), col("name").as("name2")), "id2")
       .withColumn("edit_dist", levenshtein(col("name1"), col("name2")))
       .withColumn("sim_ratio", similarityRatio(col("name1"), col("name2")))
-      .filter(col("edit_dist") <= 1 && col("sim_ratio") >= minRatio)
+      .filter(col("edit_dist") <= maxEdits && col("sim_ratio") >= minRatio)
+      .select("id1", "id2", "name1", "name2", "edit_dist", "sim_ratio")
   }
 }

@@ -1,0 +1,149 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native deletion-neighborhood expression (FastSS blocking keys for
+ * graft.operators.Enrich.fuzzySelfMatch).
+ *
+ * Why native: the depth-d neighborhood is inherently iterative — "apply
+ * 1-character deletions to the previous level, dedup, repeat". Composed
+ * from built-ins (`array_union(nb, flatten(transform(nb, deletions)))`
+ * folded d times) each level's expression TREE embeds the previous level
+ * several times, so Catalyst evaluates the level-1 set O(7^d) times per
+ * row — measured 42 s for the e4 catalog query at sf0.1 where this
+ * expression runs it in well under a second. One BFS with a hash-set
+ * dedup per row is the honest cost: ~len²·depth short substring builds.
+ *
+ * Evaluation is a static-helper call from generated code (same pattern as
+ * [[FloatVecDotExact]]), so the surrounding projection stays inside
+ * whole-stage codegen.
+ *
+ * Deletions operate on UTF-16 units (Java string positions); for
+ * supplementary-plane characters a single user-perceived edit spans two
+ * units — acceptable for the normalized name strings this blocks on.
+ */
+object TextOps {
+  /** The string plus every variant reachable by deleting up to `depth`
+    * characters, distinct, in BFS order (the original is element 0). */
+  def deletionNeighborhood(s: UTF8String, depth: Int): ArrayData = {
+    val str = s.toString
+    val seen = new java.util.LinkedHashSet[String]()
+    seen.add(str)
+    var frontier: Array[String] = Array(str)
+    var d = 0
+    while (d < depth && frontier.nonEmpty) {
+      val next = Array.newBuilder[String]
+      var i = 0
+      while (i < frontier.length) {
+        val v = frontier(i)
+        var j = 0
+        while (j < v.length) {
+          val w = v.substring(0, j) + v.substring(j + 1)
+          if (seen.add(w)) next += w
+          j += 1
+        }
+        i += 1
+      }
+      frontier = next.result()
+      d += 1
+    }
+    val out = new Array[AnyRef](seen.size())
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** 64-bit FNV-1a over the string's chars — the internal key form of the
+    * deletion neighborhood. The hashes are ONLY join keys (never compared
+    * to an external system), so any deterministic 64-bit hash works; a
+    * collision can only merge two candidate buckets (adds a pair the
+    * ratio filter removes), never lose one.
+    */
+  private def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** [[deletionNeighborhood]] emitting the variants' 64-bit hashes as a
+    * primitive long array: the explode amplifies each name ~len^d/d!×, so
+    * keeping per-variant Strings/UTF8Strings out of the generated rows is
+    * what keeps the blocking stage allocation-light. */
+  def deletionNeighborhoodHashes(s: UTF8String, depth: Int): ArrayData = {
+    val str = s.toString
+    val seen = new java.util.HashSet[String]()
+    val hashes = new java.util.ArrayList[java.lang.Long]()
+    seen.add(str); hashes.add(fnv64(str))
+    var frontier: Array[String] = Array(str)
+    var d = 0
+    while (d < depth && frontier.nonEmpty) {
+      val next = Array.newBuilder[String]
+      var i = 0
+      while (i < frontier.length) {
+        val v = frontier(i)
+        var j = 0
+        while (j < v.length) {
+          val w = v.substring(0, j) + v.substring(j + 1)
+          if (seen.add(w)) { next += w; hashes.add(fnv64(w)) }
+          j += 1
+        }
+        i += 1
+      }
+      frontier = next.result()
+      d += 1
+    }
+    val out = new Array[Long](hashes.size())
+    var i = 0
+    while (i < out.length) { out(i) = hashes.get(i); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_del_neighborhood_hash(name, depth)` — hashed-key form, see
+  * [[TextOps.deletionNeighborhoodHashes]]. */
+case class DeletionNeighborhoodHashes(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "graft_del_neighborhood_hash"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, int) arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override protected def nullSafeEval(s: Any, d: Any): Any =
+    TextOps.deletionNeighborhoodHashes(s.asInstanceOf[UTF8String], d.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, d) =>
+      s"${ev.value} = graft.plans.TextOps.deletionNeighborhoodHashes($s, $d);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `graft_del_neighborhood(name, depth)` — see [[TextOps]]. */
+case class DeletionNeighborhood(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "graft_del_neighborhood"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, int) arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override protected def nullSafeEval(s: Any, d: Any): Any =
+    TextOps.deletionNeighborhood(s.asInstanceOf[UTF8String], d.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, d) =>
+      s"${ev.value} = graft.plans.TextOps.deletionNeighborhood($s, $d);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -104,11 +104,13 @@ case class FloatVecDotExact(left: Expression, right: Expression) extends FloatVe
 object VectorExpressions {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (args => FloatVecDot(args(0), args(1))),
-    "graft_dot_exact" -> (args => FloatVecDotExact(args(0), args(1))))
+    "graft_dot_exact" -> (args => FloatVecDotExact(args(0), args(1))),
+    "graft_del_neighborhood" -> (args => DeletionNeighborhood(args(0), args(1))),
+    "graft_del_neighborhood_hash" -> (args => DeletionNeighborhoodHashes(args(0), args(1))))
 
   private def info(name: String) =
     new ExpressionInfo(classOf[FloatVecDot].getName, null, name,
-      s"$name(a, b) - graft native float-vector dot product.", "")
+      s"$name - graft native expression.", "")
 
   /** Idempotently register the native functions in ANY session (the
     * operators call this, so driver-owned sessions work too). */
@@ -128,7 +130,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     VectorExpressions.functions.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[FloatVecDot].getName, null, name,
-          s"$name(a, b) - graft native float-vector dot product.", ""),
+          s"$name - graft native expression.", ""),
         builder))
     }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.config.{Dictionaries, EnumDomains, RankingProfile, RankingWeights}
@@ -489,6 +489,55 @@ object Catalog {
         CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
       FROM documents GROUP BY source"""))
 
+  // ---------------------------------------------------------------- q1
+  // dbt-schema-test analog (reference: dbt/job_dbt/models/marts/
+  // schema.yml:10-25 — unique/not_null on job_uid, accepted_values on
+  // enums): declared constraints → violation-count summary. Nulls are
+  // planted deterministically so both not_null checks fire; the raw
+  // event_type column carries natural accepted_values violations ('error'
+  // is outside the domain n3 normalizes into); event_id is genuinely
+  // unique (a passing check, n_violations = 0) while user_id repeats.
+  private val q1 = {
+    val accepted = EnumDomains.validEventTypes
+    val acceptedSql = accepted.map(v => s"'$v'").mkString(", ")
+    Q(
+      "q1_quality_checks",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(
+          col("event_id"), col("user_id"),
+          when(col("event_id") % 97 === 0, lit(null).cast("string"))
+            .otherwise(col("event_type")).as("event_type"),
+          when(col("event_id") % 101 === 0, lit(null).cast("double"))
+            .otherwise(col("value")).as("value"))
+        graft.operators.Checks.violations(ev,
+          unique = Seq("event_id", "user_id"),
+          notNull = Seq("event_type", "value"),
+          acceptedValues = Seq("event_type" -> accepted))
+      },
+      Some(s"""
+        WITH ev AS (
+          SELECT event_id, user_id,
+            CASE WHEN event_id % 97 = 0 THEN NULL ELSE event_type END AS event_type,
+            CASE WHEN event_id % 101 = 0 THEN NULL ELSE value END AS value
+          FROM events)
+        SELECT 'not_null' AS check_name, 'event_type' AS column_name,
+          (SELECT COUNT(*) FROM ev WHERE event_type IS NULL) AS n_violations
+        UNION ALL
+        SELECT 'not_null', 'value', (SELECT COUNT(*) FROM ev WHERE value IS NULL)
+        UNION ALL
+        SELECT 'accepted_values', 'event_type',
+          (SELECT COUNT(*) FROM ev
+           WHERE event_type IS NOT NULL AND event_type NOT IN ($acceptedSql))
+        UNION ALL
+        SELECT 'unique', 'event_id', (SELECT COUNT(*) FROM (
+          SELECT event_id FROM ev WHERE event_id IS NOT NULL
+          GROUP BY event_id HAVING COUNT(*) > 1) t)
+        UNION ALL
+        SELECT 'unique', 'user_id', (SELECT COUNT(*) FROM (
+          SELECT user_id FROM ev WHERE user_id IS NOT NULL
+          GROUP BY user_id HAVING COUNT(*) > 1) t)"""))
+  }
+
   // ---------------------------------------------------------------- e1
   private val e1 = {
     val dictValues = Dictionaries.skills
@@ -569,27 +618,70 @@ object Catalog {
       FROM t"""))
 
   // ---------------------------------------------------------------- e4
-  // Deletion-neighborhood blocking has 100% recall for levenshtein <= 1,
-  // so the oracle is the PLAIN quadratic ground truth — matching it proves
-  // the blocking loses nothing.
+  // Reference accept rule: PLAIN normalized ratio >= 80
+  // (company_matcher.py:139 fuzz.ratio), no edit-distance clause — the
+  // oracle below is the quadratic ground truth under exactly that rule.
+  // Blocking depth maxEditsForRatio(12, 80) = 2 makes the engine-side
+  // deletion-neighborhood blocking EXACT for every qualifying pair
+  // (ratio >= 80 at max length 12 admits lev <= 2), so hash-matching the
+  // oracle proves zero recall loss.
+  //
+  // Name corpus: c_name itself ("Customer#000000001"...) is so low-entropy
+  // that ratio >= 80 accepts ~3/4 of ALL pairs — quadratic output and
+  // nothing like company-name matching. Instead each customer gets a
+  // diverse 12-hex-char name (md5 prefix) and a mutated twin at
+  // k = c_custkey % 3 substitutions (positions/chars shared with the
+  // oracle; 'z','y' are outside the hex alphabet so each is a real edit).
+  // Ratios land at 100 / 91.67 / 83.33 — all >= 80 at lev 0/1/2,
+  // exercising the multi-edit recall the old lev<=1 scheme missed.
   private val e4 = {
+    val nameLen = 12
+    val mutations = Seq(2 -> "z", 7 -> "y")
+    val minRatio = 80.0
+    def mutSpark(nm: Column, k: Int): Column =
+      mutations.take(k).foldLeft(nm) { case (acc, (p, c)) =>
+        concat(substring(acc, 1, p - 1), lit(c), substring(acc, p + 1, nameLen - p))
+      }
+    def mutSql(k: Int): String =
+      mutations.take(k).foldLeft("nm") { case (acc, (p, c)) =>
+        s"substring($acc, 1, ${p - 1}) || '$c' || substring($acc, ${p + 1}, ${nameLen - p})"
+      }
     val ratioSql =
-      """round(100.0 * (1.0 - CAST(levenshtein(c1.c_name, c2.c_name) AS DOUBLE) /
-        greatest(len(c1.c_name), len(c2.c_name))), 2)"""
+      """round(100.0 * (1.0 - CAST(levenshtein(n1.name, n2.name) AS DOUBLE) /
+        greatest(len(n1.name), len(n2.name))), 2)"""
     Q(
       "e4_fuzzy_match",
-      (s, d) => Enrich.fuzzySelfMatch(
-        Tables.customer(s, d).select(col("c_custkey"), col("c_name")),
-        "c_custkey", "c_name", minRatio = 80.0)
-        .select("id1", "id2", "name1", "name2", "edit_dist", "sim_ratio"),
+      (s, d) => {
+        val base = Tables.customer(s, d).select(col("c_custkey"),
+          substring(md5(col("c_custkey").cast("string")), 1, nameLen).as("nm"))
+        val k = (col("c_custkey") % 3).cast("int")
+        val mutated = when(k === 0, col("nm"))
+          .when(k === 1, mutSpark(col("nm"), 1))
+          .otherwise(mutSpark(col("nm"), 2))
+        val names = base.select(col("c_custkey").as("id"), col("nm").as("name"))
+          .unionAll(base.select((col("c_custkey") + 1000000L).as("id"), mutated.as("name")))
+        Enrich.fuzzySelfMatch(names, "id", "name", minRatio,
+          maxEdits = Enrich.maxEditsForRatio(nameLen, minRatio))
+          .select("id1", "id2", "name1", "name2", "edit_dist", "sim_ratio")
+      },
       Some(s"""
-        SELECT c1.c_custkey AS id1, c2.c_custkey AS id2,
-          c1.c_name AS name1, c2.c_name AS name2,
-          levenshtein(c1.c_name, c2.c_name) AS edit_dist,
+        WITH base AS (
+          SELECT c_custkey, substring(md5(CAST(c_custkey AS VARCHAR)), 1, $nameLen) AS nm
+          FROM customer),
+        names AS (
+          SELECT c_custkey AS id, nm AS name FROM base
+          UNION ALL
+          SELECT c_custkey + 1000000 AS id,
+            CASE CAST(c_custkey % 3 AS INT)
+              WHEN 0 THEN nm
+              WHEN 1 THEN ${mutSql(1)}
+              ELSE ${mutSql(2)} END AS name
+          FROM base)
+        SELECT n1.id AS id1, n2.id AS id2, n1.name AS name1, n2.name AS name2,
+          levenshtein(n1.name, n2.name) AS edit_dist,
           $ratioSql AS sim_ratio
-        FROM customer c1 JOIN customer c2 ON c1.c_custkey < c2.c_custkey
-        WHERE levenshtein(c1.c_name, c2.c_name) <= 1
-          AND $ratioSql >= 80.0"""))
+        FROM names n1 JOIN names n2 ON n1.id < n2.id
+        WHERE $ratioSql >= $minRatio"""))
   }
 
   // ================================================================
@@ -817,14 +909,21 @@ object Catalog {
       SELECT query_id, cand_id, cosine, rnk FROM r WHERE rnk <= 10"""))
 
   // ---------------------------------------------------------------- l6
+  // Multi-probe (Ann.lshTopK probeRadius=1): candidates come from the
+  // query's bucket plus every hamming-1 neighbor bucket, so the oracle's
+  // candidate rule is hamming(query bucket, corpus bucket) <= 1.
   private val l6 = {
-    def bucketSql(v: String) = (1 to 6)
+    val bits = 6
+    def bucketSql(v: String) = (1 to bits)
       .map(i => s"(CASE WHEN $v[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+    val hammingSql = (1 to bits)
+      .map(i => s"(CASE WHEN substring(qb, $i, 1) <> substring(bkt, $i, 1) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
     Q(
       "l6_ann_lsh",
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        graft.operators.Ann.lshTopK(e.filter(col("vec_id") < 50), e, bits = 6, k = 3)
+        graft.operators.Ann.lshTopK(e.filter(col("vec_id") < 50), e, bits = bits, k = 3)
           .select("query_id", "cand_id", "cosine", "rnk")
       },
       Some(s"""
@@ -833,7 +932,7 @@ object Catalog {
         scored AS (
           SELECT query_id, b.vec_id AS cand_id,
             ${cosSql("qv", "b.embedding")} AS cosine
-          FROM b JOIN q ON qb = bkt AND b.vec_id <> query_id),
+          FROM b JOIN q ON ($hammingSql) <= 1 AND b.vec_id <> query_id),
         r AS (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
           FROM scored)
@@ -1134,7 +1233,7 @@ object Catalog {
     n1, n2, n3, n4, n5, n6, n7,
     d1, d2, d3, d4,
     e1, e2, e3, e4,
-    r1, r2, r3,
+    r1, r2, r3, q1,
     l1, l2, l3, l4, l5, l6,
     t1, t2, t3, t4, t5, t6,
     c1, c2,

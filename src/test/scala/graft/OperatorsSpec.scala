@@ -157,6 +157,58 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Set("abc", "bc", "ac", "ab"))
   }
 
+  test("deletionNeighborhood: depth-d variants match a plain-Scala reference") {
+    def ref(s: String, d: Int): Set[String] = {
+      var acc = Set(s)
+      for (_ <- 1 to d)
+        acc = acc ++ acc.flatMap(v => v.indices.map(i => v.take(i) + v.drop(i + 1)))
+      acc
+    }
+    val got = Seq("abcde").toDF("s")
+      .select(Enrich.deletionNeighborhood(col("s"), 2)).collect().head.getSeq[String](0)
+    assert(got.toSet == ref("abcde", 2))
+    assert(got.size == got.toSet.size, "keys must be distinct (no join blow-up)")
+    assert(Enrich.maxEditsForRatio(16, 80.0) == 3)
+    assert(Enrich.maxEditsForRatio(20, 80.0) == 4)
+  }
+
+  test("fuzzySelfMatch at maxEdits=3: exact recall under the plain ratio>=80 rule") {
+    val rnd = new scala.util.Random(7)
+    def randName = Seq.fill(15 + rnd.nextInt(4))(('a' + rnd.nextInt(26)).toChar).mkString
+    val base = Seq.tabulate(25)(i => (i.toLong, randName))
+    // mutated twins at 0..3 substitutions (digits never occur in the base
+    // names, so lev is exactly k)
+    val mutants = base.map { case (id, n) =>
+      val k = (id % 4).toInt
+      val chars = n.toCharArray
+      (0 until k).foreach(j => chars(j * 3) = ('0' + j).toChar)
+      (id + 100L, new String(chars))
+    }
+    val names = base ++ mutants
+    val got = Enrich.fuzzySelfMatch(names.toDF("id", "name"), "id", "name",
+      minRatio = 80.0, maxEdits = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth = the reference's accept rule alone, NO lev clause
+    val expect = (for {
+      (i1, n1) <- names; (i2, n2) <- names
+      if i1 < i2
+      ratio = BigDecimal(100.0 * (1.0 -
+        levenshtein(n1, n2).toDouble / math.max(n1.length, n2.length)))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if ratio >= 80.0
+    } yield (i1, i2)).toSet
+    assert(got == expect)
+    assert(expect.size >= 25, "every planted twin (lev 0-3) must be found")
+  }
+
+  test("fuzzySelfMatch: maxBucket caps over-popular blocks before the join") {
+    val names = (1L to 20L).map(i => (i, "unknown")).toDF("id", "name")
+    val capped = Enrich.fuzzySelfMatch(names, "id", "name", 0.0, maxEdits = 2, maxBucket = 10)
+    assert(capped.count() == 0, "a 20-name block over cap 10 must emit no pairs")
+    val uncapped = Enrich.fuzzySelfMatch(names, "id", "name", 0.0, maxEdits = 2, maxBucket = 1000)
+    assert(uncapped.count() == 190) // all 20-choose-2 identical pairs
+  }
+
   test("fuzzySelfMatch: deletion-neighborhood blocking has exact lev<=1 recall") {
     val rnd = new scala.util.Random(3)
     val names = Seq.tabulate(40)(i =>
@@ -168,6 +220,25 @@ class OperatorsSpec extends AnyFunSuite {
       if i1 < i2 && levenshtein(n1, n2) <= 1
     } yield (i1, i2)).toSet
     assert(got == expect)
+  }
+
+  test("Checks.violations counts planted unique/not_null/accepted violations") {
+    import graft.operators.Checks
+    val df = Seq(
+      (Some("x"), Some("a"), "ok"),
+      (Some("x"), None: Option[String], "ok"),
+      (None: Option[String], Some("b"), "bad"),
+      (None: Option[String], Some("c"), "worse"),
+      (Some("y"), Some("d"), "ok")).toDF("k", "v", "e")
+    val got = Checks.violations(df,
+      unique = Seq("k"), notNull = Seq("v"), acceptedValues = Seq("e" -> Seq("ok")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // "x" repeats (1 duplicated key); the two null keys are not_null's job,
+    // not unique's; one null v; "bad"/"worse" fall outside the domain.
+    assert(got == Map(
+      ("unique", "k") -> 1L,
+      ("not_null", "v") -> 1L,
+      ("accepted_values", "e") -> 2L))
   }
 
   test("extractSkills matches aliases of every length up to the longest") {
@@ -230,18 +301,47 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
-  test("lshTopK only returns candidates from the query's sign bucket") {
+  test("lshTopK candidates come from buckets within the probe radius") {
     val rnd = new scala.util.Random(13)
     val vecs = Seq.tabulate(40)(i => (i.toLong, Seq.fill(8)((rnd.nextFloat() - 0.5f) * 2)))
     val emb = vecs.toDF("vec_id", "embedding")
-    val got = Ann.lshTopK(emb.filter(col("vec_id") < 5), emb, bits = 2, k = 3)
-      .collect()
     def bucket(v: Seq[Float]) = v.take(2).map(x => if (x >= 0) '1' else '0').mkString
+    def hamming(a: String, b: String) = a.zip(b).count(p => p._1 != p._2)
     val byId = vecs.toMap
-    got.foreach { r =>
+    val single = Ann.lshTopK(emb.filter(col("vec_id") < 5), emb, bits = 2, k = 3,
+      probeRadius = 0).collect()
+    single.foreach { r =>
       assert(bucket(byId(r.getLong(0))) == bucket(byId(r.getLong(1))))
       assert(r.getInt(3) <= 3)
     }
-    assert(got.nonEmpty)
+    assert(single.nonEmpty)
+    val multi = Ann.lshTopK(emb.filter(col("vec_id") < 5), emb, bits = 2, k = 3).collect()
+    multi.foreach { r =>
+      assert(hamming(bucket(byId(r.getLong(0))), bucket(byId(r.getLong(1)))) <= 1)
+      assert(r.getInt(3) <= 3)
+    }
+    assert(multi.nonEmpty)
+  }
+
+  test("lshTopK multi-probe recovers boundary-straddling neighbors") {
+    val rnd = new scala.util.Random(17)
+    // each query's TRUE nearest neighbor is a twin whose first component
+    // sits just across the sign hyperplane -> different bucket at bit 1
+    val queries = Seq.tabulate(5)(i =>
+      (i.toLong, 0.001f +: Seq.fill(7)((rnd.nextFloat() - 0.5f) * 2)))
+    val twins = queries.map { case (id, v) => (id + 1000L, -0.001f +: v.tail) }
+    val noise = Seq.tabulate(40)(i => (100L + i, Seq.fill(8)((rnd.nextFloat() - 0.5f) * 2)))
+    val corpus = (queries ++ twins ++ noise).toDF("vec_id", "embedding")
+    val qdf = corpus.filter(col("vec_id") < 5)
+    def top1(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.filter(col("rnk") === 1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = top1(Ann.bruteForceTopK(qdf, corpus, 1))
+    queries.foreach { case (id, _) => assert(exact(id) == id + 1000L, s"twin of $id") }
+    val multi = top1(Ann.lshTopK(qdf, corpus, bits = 3, k = 1, probeRadius = 1))
+    val single = top1(Ann.lshTopK(qdf, corpus, bits = 3, k = 1, probeRadius = 0))
+    val multiRecall = queries.count { case (id, _) => multi.get(id).contains(exact(id)) }
+    val singleRecall = queries.count { case (id, _) => single.get(id).contains(exact(id)) }
+    assert(multiRecall == queries.size, "multi-probe must find every boundary twin")
+    assert(singleRecall == 0, "single-probe cannot see across the hyperplane")
   }
 }

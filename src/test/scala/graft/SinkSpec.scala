@@ -45,6 +45,39 @@ class SinkSpec extends AnyFunSuite {
     assert(probe.count() == expected)
   }
 
+  test("Upsert.merge over key-bucketed state tables plans zero Exchange") {
+    import graft.operators.Upsert
+    // SURVEY §5: daily merges against state bucketed on the merge key must
+    // not re-shuffle the (big) base side — here proven for the actual
+    // Upsert.merge path, aliases and full-outer join included.
+    val base = (1L to 80L).map(i => (i, 10L, 20L, s"b$i"))
+      .toDF("k", "first_seen", "last_seen", "v")
+    val delta = (41L to 120L).map(i => (i, 15L, 30L, s"d$i"))
+      .toDF("k", "first_seen", "last_seen", "v")
+    Sink.writeBucketed(base, "upsert_base", "k", 4)
+    Sink.writeBucketed(delta, "upsert_delta", "k", 4)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val merged = Upsert.merge(
+        spark.table("upsert_base"), spark.table("upsert_delta"), "k", Seq("v"))
+      val plan = merged.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed merge must not shuffle:\n$plan")
+      val rows = merged.collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+      assert(rows.size == 120)
+      assert(rows(10L) == "b10", "base-only key keeps the base payload")
+      assert(rows(50L) == "d50", "overlapping key: delta (EXCLUDED) wins")
+      assert(rows(110L) == "d110", "delta-only key inserts")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.sql("DROP TABLE IF EXISTS upsert_base")
+      spark.sql("DROP TABLE IF EXISTS upsert_delta")
+    }
+  }
+
   test("tables bucketed on the join key plan a shuffle-free join") {
     val left = (1L to 100L).map(i => (i, s"l$i")).toDF("k", "lv")
     val right = (1L to 100L).map(i => (i, s"r$i")).toDF("k", "rv")
