@@ -940,6 +940,11 @@ object Catalog {
   }
 
   // ---------------------------------------------------------------- t1
+  // Language ID scores each language by its marker HIT RATIO (hits /
+  // total tokens — how real langid models normalize, so short and long
+  // documents are comparable), picks the max, and reports the winning
+  // ratio as lang_score. The single int/int double division is
+  // IEEE-identical in both engines, so no rounding is needed.
   private val t1 = {
     val langs = Dictionaries.langMarkers
     Q(
@@ -949,14 +954,18 @@ object Catalog {
         val scoreCols = langs.map { case (lang, ms) =>
           size(filter(ws, w => w.isin(ms.map(lit): _*))).as(s"s_$lang")
         }
-        val scored = Tables.documents(s, d).select((col("doc_id") +: scoreCols): _*)
+        val scored = Tables.documents(s, d)
+          .select((col("doc_id") +: size(ws).as("n_toks") +: scoreCols): _*)
         val mx = greatest(langs.map { case (l, _) => col(s"s_$l") }: _*)
         val pick = langs.foldRight(lit("unknown"): org.apache.spark.sql.Column) {
           case ((l, _), elseCol) => when(col(s"s_$l") === col("mx"), lit(l)).otherwise(elseCol)
         }
         scored.withColumn("mx", mx)
           .withColumn("lang_pred", when(col("mx") === 0, "unknown").otherwise(pick))
-          .select("doc_id", "lang_pred")
+          .withColumn("lang_score",
+            when(col("n_toks") === 0, lit(0.0))
+              .otherwise(col("mx").cast("double") / col("n_toks").cast("double")))
+          .select("doc_id", "lang_pred", "lang_score")
       },
       Some {
         val scoreDefs = langs.map { case (lang, ms) =>
@@ -967,12 +976,14 @@ object Catalog {
         val pick = langs.map { case (l, _) => s"WHEN s_$l = mx THEN '$l'" }.mkString(" ")
         s"""
         WITH w AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws FROM documents),
-        sc AS (SELECT doc_id,
+        sc AS (SELECT doc_id, len(ws) AS n_toks,
             $scoreDefs
           FROM w),
         m AS (SELECT *, $mxExpr AS mx FROM sc)
         SELECT doc_id,
-          CASE WHEN mx = 0 THEN 'unknown' $pick ELSE 'unknown' END AS lang_pred
+          CASE WHEN mx = 0 THEN 'unknown' $pick ELSE 'unknown' END AS lang_pred,
+          CASE WHEN n_toks = 0 THEN 0.0
+               ELSE CAST(mx AS DOUBLE) / CAST(n_toks AS DOUBLE) END AS lang_score
         FROM m"""
       })
   }
