@@ -247,6 +247,70 @@ object Dedup {
   }
 
   /**
+   * Connected components over near-duplicate pairs — the step that turns
+   * the pair outputs (minhashPairs, simhashPairs, embeddingNearDups,
+   * Enrich.fuzzySelfMatch) into dedup DECISIONS: every node gets its
+   * component's minimum id as `component_id` (the canonical survivor),
+   * including singletons (component_id = own id).
+   *
+   * Each round updates
+   *   comp(v) <- min(comp(v), min over neighbors comp(u), comp(comp(v)))
+   * — a neighbor-min hop plus a pointer jump (hash-to-min family), so
+   * accumulated reach roughly doubles per round and convergence takes
+   * O(log diameter) rounds. Min-label updates are monotone and only ever
+   * follow real edges, so labels can never cross components; the result
+   * is deterministic at any parallelism.
+   *
+   * This is the engine's ONE iterative operator, and it uses the two
+   * tools iteration genuinely requires (as GraphX/Pregel does):
+   *  - an EAGER localCheckpoint per round — without lineage truncation
+   *    the logical plan re-embeds the previous round's tree several
+   *    times per round, growing ~3^rounds (analysis alone hangs);
+   *  - a driver-side convergence loop — bounded at O(log diameter)
+   *    ROUNDS of fully distributed jobs (never per-row work): the
+   *    fixpoint test is "sum of labels unchanged", valid because labels
+   *    only ever decrease.
+   *
+   * Scale shape per round: one shuffle join of the (id, comp) long-pair
+   * table with the symmetrized edge list + a map-side-combined groupBy
+   * min, and one self-join for the pointer jump — the standard cost of
+   * distributed CC (large-star/small-star family), linear per round.
+   */
+  def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
+      id1: String = "id1", id2: String = "id2", maxRounds: Int = 16): DataFrame = {
+    require(maxRounds >= 1, "at least one propagation round")
+    // checkpoint the (possibly expensive) pair generation once: every
+    // round re-reads the edge list
+    val edges = pairs.select(col(id1).as("src"), col(id2).as("dst"))
+      .unionAll(pairs.select(col(id2).as("src"), col(id1).as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp")).localCheckpoint()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).collect().head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("dst_comp")), "dst")
+        .groupBy(col("src").as("id")).agg(min("dst_comp").as("nbr_comp"))
+      val jumped = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+      labels = jumped
+        .join(jumped.select(col("id").as("comp"), col("comp").as("comp2")), Seq("comp"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      val s = labelSum(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      round += 1
+    }
+    labels.select(col("id"), col("comp").as("component_id"))
+  }
+
+  /**
    * Embedding-cosine near-dup pairs, blocked by `blockKey` (a Column over
    * the embedding, normally [[graft.functions.vectors.signBucket]]).
    * Candidates exist only within a block; with a 2^bits sign bucket the

@@ -939,6 +939,71 @@ object Catalog {
         SELECT query_id, cand_id, cosine, rnk FROM r WHERE rnk <= 3"""))
   }
 
+  // ---------------------------------------------------------------- l7
+  // Component resolution over near-dup pairs — the step that turns pair
+  // lists into dedup decisions (component_id = canonical survivor).
+  // Chain corpus: m1 = 1 substitution from base, m2 = 1 MORE from m1. At
+  // name length 8, ratio >= 80 <=> lev <= 1, so the edges are exactly
+  // (b, m1) and (m1, m2) — (b, m2) is lev 2 = ratio 75, NOT an edge — a
+  // genuine diameter-2 chain whose transitive closure the operator must
+  // find (one propagation round would NOT suffice). Oracle = recursive-CTE
+  // closure over the same quadratic ratio ground truth.
+  private val l7 = {
+    val nameLen = 8
+    val mutations = Seq(2 -> "z", 5 -> "y")
+    val minRatio = 80.0
+    def mutSpark(nm: Column, k: Int): Column =
+      mutations.take(k).foldLeft(nm) { case (acc, (p, c)) =>
+        concat(substring(acc, 1, p - 1), lit(c), substring(acc, p + 1, nameLen - p))
+      }
+    def mutSql(k: Int): String =
+      mutations.take(k).foldLeft("nm") { case (acc, (p, c)) =>
+        s"substring($acc, 1, ${p - 1}) || '$c' || substring($acc, ${p + 1}, ${nameLen - p})"
+      }
+    val ratioSql =
+      """round(100.0 * (1.0 - CAST(levenshtein(n1.name, n2.name) AS DOUBLE) /
+        greatest(len(n1.name), len(n2.name))), 2)"""
+    Q(
+      "l7_dedup_components",
+      (s, d) => {
+        val base = Tables.customer(s, d).select(col("c_custkey"),
+          substring(md5(col("c_custkey").cast("string")), 1, nameLen).as("nm"))
+        val names = base.select(col("c_custkey").as("id"), col("nm").as("name"))
+          .unionAll(base.select((col("c_custkey") + 1000000L).as("id"),
+            mutSpark(col("nm"), 1).as("name")))
+          .unionAll(base.select((col("c_custkey") + 2000000L).as("id"),
+            mutSpark(col("nm"), 2).as("name")))
+        val pairs = Enrich.fuzzySelfMatch(names, "id", "name", minRatio,
+          maxEdits = Enrich.maxEditsForRatio(nameLen, minRatio))
+        graft.operators.Dedup.connectedComponents(names, "id", pairs)
+      },
+      Some(s"""
+        WITH RECURSIVE base AS (
+          SELECT c_custkey, substring(md5(CAST(c_custkey AS VARCHAR)), 1, $nameLen) AS nm
+          FROM customer),
+        names AS (
+          SELECT c_custkey AS id, nm AS name FROM base
+          UNION ALL
+          SELECT c_custkey + 1000000 AS id, ${mutSql(1)} AS name FROM base
+          UNION ALL
+          SELECT c_custkey + 2000000 AS id, ${mutSql(2)} AS name FROM base),
+        pairs AS (
+          SELECT n1.id AS id1, n2.id AS id2
+          FROM names n1 JOIN names n2 ON n1.id < n2.id
+          WHERE $ratioSql >= $minRatio),
+        edges AS (
+          SELECT id1 AS a, id2 AS b FROM pairs
+          UNION
+          SELECT id2 AS a, id1 AS b FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a AND e.b <> r.a)
+        SELECT n.id, least(n.id, coalesce(min(r.b), n.id)) AS component_id
+        FROM names n LEFT JOIN reach r ON n.id = r.a
+        GROUP BY n.id"""))
+  }
+
   // ---------------------------------------------------------------- t1
   // Language ID scores each language by its marker HIT RATIO (hits /
   // total tokens — how real langid models normalize, so short and long
@@ -1245,7 +1310,7 @@ object Catalog {
     d1, d2, d3, d4,
     e1, e2, e3, e4,
     r1, r2, r3, q1,
-    l1, l2, l3, l4, l5, l6,
+    l1, l2, l3, l4, l5, l6, l7,
     t1, t2, t3, t4, t5, t6,
     c1, c2,
     m1, m2, s1, s2)

@@ -130,6 +130,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(99L) == (("totally fresh words", 2L)))
   }
 
+  test("connectedComponents matches union-find on chains, cliques and singletons") {
+    def refComponents(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    val rnd = new scala.util.Random(23)
+    // a long path (stresses multi-round propagation: diameter 39), two
+    // cliques, random extra edges, and isolated nodes 70..79
+    val pathIds = rnd.shuffle((0L until 40L).toVector)
+    val edges = pathIds.sliding(2).map(p => (p(0), p(1))).toSeq ++
+      (40L until 50L).flatMap(a => (a + 1 until 50L).map(b => (a, b))) ++
+      Seq((50L, 51L), (51L, 52L), (60L, 61L)) ++
+      Seq.fill(10)((rnd.nextInt(70).toLong, rnd.nextInt(70).toLong)).filter(p => p._1 != p._2)
+    val nodes = (0L until 80L).map(Tuple1(_)).toDF("id")
+    val pairs = edges.toDF("id1", "id2")
+    val got = Dedup.connectedComponents(nodes, "id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = refComponents(80, edges)
+    assert(got == expect)
+    (70L until 80L).foreach(i => assert(got(i) == i, s"isolated node $i"))
+  }
+
   test("ngramJaccard on provided pairs") {
     val pairs = Seq(("abcdef", "abcdef"), ("abcdef", "uvwxyz")).toDF("t1", "t2")
     val got = Dedup.ngramJaccard(pairs, col("t1"), col("t2"), 3)
