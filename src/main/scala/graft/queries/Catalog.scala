@@ -1229,6 +1229,92 @@ object Catalog {
               CASE source $rateSql ELSE $defaultRate END"""))
   }
 
+  // ---------------------------------------------------------------- c3
+  // End-to-end curation pipeline — the composition a training-data run
+  // actually executes, as ONE declarative plan: language filter (doc is
+  // 'en' iff the en marker-hit count is positive and maximal — t1's pick
+  // rule) → quality filter (t2's exact weighted formula, threshold 0.3 ≈
+  // the corpus' 35th percentile) → exact-dedup survivors (min doc_id per
+  // normalized-text md5, Dedup.exact shape) → deterministic hash split
+  // (c1's salted md5 fraction). Everything narrow except one groupBy +
+  // one semi-join for dedup; filters run BEFORE the shuffle so only
+  // surviving docs move. All constants shared with the oracle.
+  private val c3 = {
+    val langs = Dictionaries.langMarkers
+    val stops = Dictionaries.stopwordsEn
+    val qualityMin = 0.3
+    val salt = "curate0"
+    Q(
+      "c3_curation_pipeline",
+      (s, d) => {
+        val t = T.normKey(col("text"))
+        val ws0 = split(t, " ")
+        val hitCols = langs.map { case (l, ms) =>
+          size(filter(ws0, w => w.isin(ms.map(lit): _*))).as(s"s_$l")
+        }
+        val lenScore = least(length(t).cast("double") / 500.0, lit(1.0))
+        val punctRatio = (length(t) - length(regexp_replace(t, "[a-z0-9 ]", "")))
+          .cast("double") / length(t).cast("double")
+        val scored = Tables.documents(s, d).select(
+          (Seq(col("doc_id"), t.as("t"),
+            lenScore.as("len_score"),
+            T.distinctRatio(ws0).as("distinct_ratio"),
+            T.stopwordRatio(ws0, stops).as("stopword_ratio"),
+            punctRatio.as("punct_ratio")) ++ hitCols): _*)
+        val isEn = col("s_en") > 0 &&
+          col("s_en") === greatest(langs.map { case (l, _) => col(s"s_$l") }: _*)
+        val quality = col("len_score") * 0.35 + col("distinct_ratio") * 0.25 +
+          (lit(1.0) - col("punct_ratio")) * 0.25 + col("stopword_ratio") * 0.15
+        val filtered = scored.filter(isEn)
+          .withColumn("quality", quality)
+          .filter(col("quality") >= qualityMin)
+          .select("doc_id", "t", "quality")
+        val survivors = filtered
+          .groupBy(md5(col("t")).as("h")).agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        val deduped = filtered.join(survivors, Seq("doc_id"), "left_semi")
+        graft.operators.Curate.assignSplit(
+          deduped.select(col("doc_id"), col("quality")),
+          "doc_id", salt, Seq(0.8 -> "train", 0.9 -> "val"), "test")
+      },
+      Some {
+        val scoreDefs = langs.map { case (lang, ms) =>
+          val lst = ms.map(m => s"'$m'").mkString(", ")
+          s"len(list_filter(ws, w -> list_contains([$lst], w))) AS s_$lang"
+        }.mkString(",\n            ")
+        val mxExpr = langs.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+        val stopsSql = stops.map(s0 => s"'$s0'").mkString(", ")
+        val frac = hashFracSql(s"CAST(doc_id AS VARCHAR) || '|$salt'")
+        s"""
+        WITH b AS (SELECT doc_id, ${normSql("text")} AS t FROM documents),
+        w AS (SELECT doc_id, t, string_split(t, ' ') AS ws FROM b),
+        sc AS (
+          SELECT doc_id, t,
+            least(CAST(len(t) AS DOUBLE) / 500.0, 1.0) AS len_score,
+            CASE WHEN len(ws) = 0 THEN 0.0
+                 ELSE CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) END AS distinct_ratio,
+            CASE WHEN len(ws) = 0 THEN 0.0
+                 ELSE CAST(len(list_filter(ws, w -> list_contains([$stopsSql], w))) AS DOUBLE) /
+                      CAST(len(ws) AS DOUBLE) END AS stopword_ratio,
+            CAST(len(t) - len(regexp_replace(t, '[a-z0-9 ]', '', 'g')) AS DOUBLE) /
+              CAST(len(t) AS DOUBLE) AS punct_ratio,
+            $scoreDefs
+          FROM w),
+        q AS (
+          SELECT doc_id, t,
+            len_score * 0.35 + distinct_ratio * 0.25 + (1.0 - punct_ratio) * 0.25 +
+              stopword_ratio * 0.15 AS quality
+          FROM sc WHERE s_en > 0 AND s_en = $mxExpr),
+        f AS (SELECT doc_id, t, quality FROM q WHERE quality >= $qualityMin),
+        surv AS (SELECT min(doc_id) AS sdoc_id FROM f GROUP BY md5(t))
+        SELECT f.doc_id, f.quality,
+          CASE WHEN $frac < 0.8 THEN 'train'
+               WHEN $frac < 0.9 THEN 'val'
+               ELSE 'test' END AS split
+        FROM f JOIN surv ON f.doc_id = surv.sdoc_id"""
+      })
+  }
+
   // ---------------------------------------------------------------- m1
   private val m1 = Q(
     "m1_multimodal_meta",
@@ -1312,7 +1398,7 @@ object Catalog {
     r1, r2, r3, q1,
     l1, l2, l3, l4, l5, l6, l7,
     t1, t2, t3, t4, t5, t6,
-    c1, c2,
+    c1, c2, c3,
     m1, m2, s1, s2)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
