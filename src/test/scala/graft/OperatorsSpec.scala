@@ -199,6 +199,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Enrich.maxEditsForRatio(20, 80.0) == 4)
   }
 
+  test("deletionNeighborhoodHashes mirrors the string neighborhood exactly") {
+    // small alphabet forces heavy variant collisions -> the hash-side
+    // dedup must agree with the string-side dedup (no spurious merges)
+    val rnd = new scala.util.Random(31)
+    val strs = Seq.tabulate(25)(_ =>
+      Seq.fill(3 + rnd.nextInt(10))(('a' + rnd.nextInt(4)).toChar).mkString)
+    val counts = strs.map(Tuple1(_)).toDF("s").select(
+      size(Enrich.deletionNeighborhood(col("s"), 2)).as("ns"),
+      size(Enrich.deletionNeighborhoodHashes(col("s"), 2)).as("nh")).collect()
+    counts.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
   test("fuzzySelfMatch at maxEdits=3: exact recall under the plain ratio>=80 rule") {
     val rnd = new scala.util.Random(7)
     def randName = Seq.fill(15 + rnd.nextInt(4))(('a' + rnd.nextInt(26)).toChar).mkString
