@@ -139,4 +139,75 @@ object Ann {
       col("qb") === col("cb") && col("query_id") =!= col("cand_id"))
     topK(approxPairs(joined), k)
   }
+
+  /** Deterministic coarse quantizer for [[ivfTopK]]: the `n` lowest-id
+    * corpus vectors as centroids → (centroid_id, embedding). Plans as
+    * TakeOrderedAndProject (no full sort). A k-means-trained quantizer
+    * clusters better, but its mean vectors are float sums whose value
+    * depends on partition order — a deterministic pick keeps the whole
+    * operator bit-reproducible across engines and re-runs; see
+    * [[refineCentroids]] for the trained variant. */
+  def sampleCentroids(corpus: DataFrame, n: Int): DataFrame =
+    corpus.orderBy("vec_id").limit(n)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+
+  /** Similarity of a (vec, exact squared norm) pair to the broadcast
+    * centroid columns (centv, centn): decimal-exact cosine rounded to
+    * 9 dp — the argmin over centroids must agree bit-for-bit with the
+    * oracle, so cell assignment uses the exact dot, not the fast one. */
+  private def centSim(v: Column, vn: Column): Column =
+    V.cosineFromParts(
+      call_function("graft_dot_exact", v, col("centv")), vn, col("centn"))
+
+  /**
+   * IVF (inverted-file) top-k — the classic scale path for ANN (see
+   * PAPERS.md similarity-search entry; mandated addition beyond the
+   * reference, which has no vector search):
+   * an index-build step coarse-quantizes every corpus vector to its
+   * nearest centroid cell, and each query probes only the `nProbe`
+   * nearest cells.
+   *
+   * Shapes, in cluster terms:
+   *  - BUILD: corpus ⋈ broadcast(centroids) scores |corpus|·C cheap
+   *    pairs, then argmin per corpus row via `min(struct(dist, cid))` —
+   *    a partial aggregate that collapses the C rows per vector BEFORE
+   *    the exchange, so the one shuffle carries exactly one row per
+   *    corpus vector (its cell label riding along). At 100 TB the build
+   *    output is written once, partitioned by cell
+   *    (graft.sources.Sink.writePartitioned), and amortized over every
+   *    subsequent query batch.
+   *  - SEARCH: the tiny query side ranks the same broadcast centroids,
+   *    keeps nProbe cells per query, and joins cell-to-cell — against a
+   *    cell-partitioned corpus the scan prunes to nProbe partitions per
+   *    query. Candidates then flow through the same two-phase
+   *    (cheap-dot heap → exact-decimal rerank) [[topK]] as l5/l6.
+   *
+   * Unlike sign-bucket LSH (2^bits cells fixed by the key shape), the
+   * cell count C is a free knob and cells track the data distribution,
+   * so recall/cost tuning is independent of dimensionality. Ties in
+   * both argmins break on centroid id; distance is ordered as
+   * (1 − cosine), which is ≥ 0 — no −0.0 ordering hazard.
+   */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      nProbe: Int, k: Int): DataFrame = {
+    VectorExpressions.ensureRegistered(corpus.sparkSession)
+    val cent = centroids.select(col("centroid_id").as("cid"),
+      col("embedding").as("centv"),
+      call_function("graft_dot_exact", col("embedding"), col("embedding")).as("centn"))
+    val cCell = corpusSide(corpus).crossJoin(broadcast(cent))
+      .select(col("cand_id"), col("cv"), col("cn"),
+        struct((lit(1.0) - centSim(col("cv"), col("cn"))).as("dist"), col("cid")).as("dc"))
+      .groupBy(col("cand_id"))
+      .agg(min(col("dc")).as("best"), first(col("cv")).as("cv"), first(col("cn")).as("cn"))
+      .select(col("cand_id"), col("cv"), col("cn"), col("best.cid").as("cell"))
+    val qSim = querySide(queries).crossJoin(broadcast(cent))
+      .select(col("query_id"), col("qv"), col("qn"), col("cid"),
+        (lit(1.0) - centSim(col("qv"), col("qn"))).as("dist"))
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("cid"))
+    val probes = qSim.withColumn("pr", row_number().over(w)).filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cid").as("qcell"))
+    val joined = cCell.join(broadcast(probes),
+      col("qcell") === col("cell") && col("query_id") =!= col("cand_id"))
+    topK(approxPairs(joined), k)
+  }
 }

@@ -1004,6 +1004,57 @@ object Catalog {
         GROUP BY n.id"""))
   }
 
+  // ---------------------------------------------------------------- l8
+  // IVF ANN: corpus coarse-quantized to its nearest of C deterministic
+  // sampled centroids (exact 9-dp cosine, ties to lower centroid id);
+  // each query probes its nProbe nearest cells. The oracle replays the
+  // identical assignment + probe rule, so this checks the full IVF
+  // candidate semantics, not just the final ranking.
+  private val l8 = {
+    val nCent = 8
+    val nProbe = 2
+    val k = 5
+    val nQueries = 40
+    Q(
+      "l8_ann_ivf",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        graft.operators.Ann.ivfTopK(
+          e.filter(col("vec_id") < nQueries), e,
+          graft.operators.Ann.sampleCentroids(e, nCent), nProbe, k)
+          .select("query_id", "cand_id", "cosine", "rnk")
+      },
+      Some(s"""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding AS centv FROM embeddings
+          ORDER BY vec_id LIMIT $nCent),
+        asg AS (
+          SELECT e.vec_id, e.embedding, cent.cid,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY 1.0 - ${cosSql("e.embedding", "centv")}, cid) AS rn
+          FROM embeddings e, cent),
+        cells AS (
+          SELECT vec_id AS cand_id, embedding AS cv, cid AS cell
+          FROM asg WHERE rn = 1),
+        q AS (
+          SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id < $nQueries),
+        qasg AS (
+          SELECT query_id, qv, cent.cid,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY 1.0 - ${cosSql("qv", "centv")}, cid) AS rn
+          FROM q, cent),
+        probes AS (SELECT query_id, qv, cid AS cell FROM qasg WHERE rn <= $nProbe),
+        scored AS (
+          SELECT p.query_id, c.cand_id, ${cosSql("p.qv", "c.cv")} AS cosine
+          FROM cells c JOIN probes p ON c.cell = p.cell AND c.cand_id <> p.query_id),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, cand_id) AS rnk
+          FROM scored)
+        SELECT query_id, cand_id, cosine, rnk FROM r WHERE rnk <= $k"""))
+  }
+
   // ---------------------------------------------------------------- t1
   // Language ID scores each language by its marker HIT RATIO (hits /
   // total tokens — how real langid models normalize, so short and long
@@ -1396,7 +1447,7 @@ object Catalog {
     d1, d2, d3, d4,
     e1, e2, e3, e4,
     r1, r2, r3, q1,
-    l1, l2, l3, l4, l5, l6, l7,
+    l1, l2, l3, l4, l5, l6, l7, l8,
     t1, t2, t3, t4, t5, t6,
     c1, c2, c3,
     m1, m2, s1, s2)

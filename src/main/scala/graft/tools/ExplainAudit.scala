@@ -20,7 +20,9 @@ object ExplainAudit {
     spark.sparkContext.setLogLevel("ERROR")
     // l5 intentionally broadcast-cross-joins the tiny query set against the
     // corpus scan (non-equi self-exclusion makes it a BroadcastNestedLoop).
-    val crossJoinOk = Set("l5_ann_bruteforce")
+    // l8's IVF build scores corpus x broadcast(centroids) the same way —
+    // the n*C assignment scan is inherent to coarse quantization.
+    val crossJoinOk = Set("l5_ann_bruteforce", "l8_ann_ivf")
     graft.queries.Catalog.all.foreach { q =>
       try {
         // NOTE: with AQE on this is the INITIAL plan — exchange-reuse and

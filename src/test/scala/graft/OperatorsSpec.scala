@@ -383,4 +383,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(multiRecall == queries.size, "multi-probe must find every boundary twin")
     assert(singleRecall == 0, "single-probe cannot see across the hyperplane")
   }
+
+  test("ivfTopK probing every cell equals the exact brute-force ranking") {
+    val rnd = new scala.util.Random(19)
+    val vecs = Seq.tabulate(40)(i => (i.toLong, Seq.fill(8)((rnd.nextFloat() - 0.5f) * 2)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val qdf = emb.filter(col("vec_id") < 6)
+    val cent = Ann.sampleCentroids(emb, 4)
+    def ranked(df: org.apache.spark.sql.DataFrame): Map[(Long, Int), (Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    // nProbe = C -> every query scans every cell = the whole corpus, so
+    // the result must be IDENTICAL to the exact baseline (ids AND cosines)
+    assert(ranked(Ann.ivfTopK(qdf, emb, cent, nProbe = 4, k = 5)) ==
+      ranked(Ann.bruteForceTopK(qdf, emb, 5)))
+  }
+
+  test("ivfTopK routes clustered vectors to their anchor's cell; recall grows with nProbe") {
+    val rnd = new scala.util.Random(23)
+    // 4 near-orthogonal anchors (ids 0-3) become the sampled centroids;
+    // each anchor has a twin (id 100+i) = anchor + tiny noise -> the twin's
+    // nearest centroid is its own anchor, so nProbe=1 must already find it
+    val anchors = Seq.tabulate(4) { i =>
+      (i.toLong, Seq.tabulate(8)(j => if (j == 2 * i || j == 2 * i + 1) 1.0f else 0.0f))
+    }
+    val twins = anchors.map { case (id, v) =>
+      (100L + id, v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f))
+    }
+    val noise = Seq.tabulate(30)(i => (200L + i, Seq.fill(8)((rnd.nextFloat() - 0.5f) * 2)))
+    val corpus = (anchors ++ twins ++ noise).toDF("vec_id", "embedding")
+    val qdf = corpus.filter(col("vec_id") < 4)
+    val cent = Ann.sampleCentroids(corpus, 4)
+    def top1(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.filter(col("rnk") === 1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val p1 = top1(Ann.ivfTopK(qdf, corpus, cent, nProbe = 1, k = 1))
+    anchors.foreach { case (id, _) =>
+      assert(p1(id) == 100L + id, s"nProbe=1 must find anchor $id's twin in its own cell")
+    }
+    // recall vs exact is monotone in nProbe (candidate sets are nested)
+    val exact = top1(Ann.bruteForceTopK(qdf, corpus, 1))
+    def recall(np: Int) =
+      anchors.count { case (id, _) =>
+        top1(Ann.ivfTopK(qdf, corpus, cent, np, 1)).get(id).contains(exact(id)) }
+    assert(recall(2) >= recall(1))
+  }
 }
