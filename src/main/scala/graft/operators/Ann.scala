@@ -151,6 +151,56 @@ object Ann {
     corpus.orderBy("vec_id").limit(n)
       .select(col("vec_id").as("centroid_id"), col("embedding"))
 
+  /**
+   * Lloyd (k-means) refinement of an initial coarse quantizer for
+   * [[ivfTopK]]: `iters` rounds of assign-to-nearest-centroid (the same
+   * broadcast argmin as the IVF build, on the CHEAP codegen'd dot — this
+   * is training, no oracle parity needed) then recompute every cell's
+   * mean vector. Each round is fully declarative: per-dimension means
+   * come from one posexplode + groupBy(cell, dim) partial-aggregating
+   * AVG — the shuffle carries C·dim partial sums, not vectors — and a
+   * cell that loses all members keeps its previous centroid. Lineage is
+   * truncated per round (eager localCheckpoint on the C-row centroid
+   * frame, same reasoning as Dedup.connectedComponents: a statically
+   * unrolled iterative DAG grows exponentially under analysis).
+   *
+   * Mean vectors are double sums whose last bits depend on partition
+   * order, so a trained quantizer trades bit-reproducibility for tighter
+   * cells: use [[sampleCentroids]] where cross-engine determinism
+   * matters (the l8 oracle), refineCentroids where recall/cost does.
+   */
+  def refineCentroids(corpus: DataFrame, init: DataFrame, iters: Int): DataFrame = {
+    VectorExpressions.ensureRegistered(corpus.sparkSession)
+    val vecs = corpus.select(col("vec_id"), col("embedding"),
+      call_function("graft_dot", col("embedding"), col("embedding")).as("vn"))
+    var cent = init.select(col("centroid_id"), col("embedding")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val c = cent.select(col("centroid_id").as("cid"), col("embedding").as("centv"),
+        call_function("graft_dot", col("embedding"), col("embedding")).as("centn"))
+      val sim = V.cosineFromParts(
+        call_function("graft_dot", col("embedding"), col("centv")), col("vn"), col("centn"))
+      val assigned = vecs.crossJoin(broadcast(c))
+        .select(col("vec_id"), col("embedding"),
+          struct((lit(1.0) - sim).as("dist"), col("cid")).as("dc"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("dc")).as("best"), first(col("embedding")).as("embedding"))
+        .select(col("best.cid").as("cell"), col("embedding"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cell").as("centroid_id"),
+          transform(col("dm"), s => s.getField("m").cast("float")).as("mean"))
+      cent = cent.join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("mean"), col("embedding")).as("embedding"))
+        .localCheckpoint(true)
+    }
+    cent
+  }
+
   /** Similarity of a (vec, exact squared norm) pair to the broadcast
     * centroid columns (centv, centn): decimal-exact cosine rounded to
     * 9 dp — the argmin over centroids must agree bit-for-bit with the

@@ -426,4 +426,30 @@ class OperatorsSpec extends AnyFunSuite {
         top1(Ann.ivfTopK(qdf, corpus, cent, np, 1)).get(id).contains(exact(id)) }
     assert(recall(2) >= recall(1))
   }
+
+  test("refineCentroids drives quantization error down toward the cluster structure") {
+    val rnd = new scala.util.Random(29)
+    // 3 tight clusters around orthogonal anchors in ID BLOCKS of 20, so
+    // the sampled init (ids 0-2) is the classic bad start: all three
+    // centroids inside cluster 0, clusters 1 and 2 uncovered
+    val anchorOf = (i: Int) => Seq.tabulate(6)(j =>
+      if (j == 2 * (i / 20) || j == 2 * (i / 20) + 1) 1.0f else 0.0f)
+    val corpus = Seq.tabulate(60) { i =>
+      (i.toLong, anchorOf(i).map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f))
+    }
+    val emb = corpus.toDF("vec_id", "embedding")
+    val init = Ann.sampleCentroids(emb, 3)
+    def centVecs(df: org.apache.spark.sql.DataFrame): Seq[Seq[Float]] =
+      df.collect().map(_.getSeq[Float](1)).toSeq
+    def cosErr(cents: Seq[Seq[Float]]): Double =
+      corpus.map { case (_, v) => cents.map(c => 1.0 - refCosine(v, c)).min }
+        .sum / corpus.size
+    val e0 = cosErr(centVecs(init))
+    val e1 = cosErr(centVecs(Ann.refineCentroids(emb, init, iters = 1)))
+    val e4 = cosErr(centVecs(Ann.refineCentroids(emb, init, iters = 4)))
+    // uncovered clusters make e0 ~ 2/3; Lloyd must recover most of it
+    assert(e1 < e0, s"one round ($e1) must beat the bad init ($e0)")
+    assert(e4 <= e1 + 1e-9, s"more rounds must not regress ($e4 vs $e1)")
+    assert(e4 < 0.5 * e0, s"refined error $e4 should recover the uncovered clusters (init $e0)")
+  }
 }
