@@ -18,14 +18,21 @@ import org.apache.spark.sql.functions._
  *  - `not_null`: number of rows where the column is null;
  *  - `accepted_values`: number of rows whose NON-NULL value is outside the
  *    allowed domain (as in dbt, nulls pass — they are flagged by
- *    `not_null` when both tests are declared).
+ *    `not_null` when both tests are declared);
+ *  - `relationships`: number of rows whose NON-NULL foreign-key value has
+ *    no match in the parent table (dbt's referential-integrity test,
+ *    schema.yml:81 — fct_jobs.company_id → dim_companies).
  *
  * Scale shape: all `not_null` + `accepted_values` checks fold into ONE
  * full-scan aggregation (conditional counts — map-side combinable, zero
  * extra shuffle beyond the single-row reduce); each `unique` check is one
  * groupBy on its key (partial-agg'd count per key, then a single-row
- * reduce of the >1 groups). Nothing is collected to the driver; the result
- * is a tiny DataFrame of (check_name, column_name, n_violations).
+ * reduce of the >1 groups); each `relationships` check is one left-anti
+ * join of the fact against the parent's DISTINCT keys — Catalyst
+ * broadcasts the (deduplicated, single-column) key set when the parent is
+ * a dim, and falls back to a shuffled hash join keyed on the FK when it
+ * is not. Nothing is collected to the driver; the result is a tiny
+ * DataFrame of (check_name, column_name, n_violations).
  */
 object Checks {
 
@@ -35,9 +42,10 @@ object Checks {
    * means the table passes.
    */
   def violations(df: DataFrame, unique: Seq[String], notNull: Seq[String],
-      acceptedValues: Seq[(String, Seq[String])]): DataFrame = {
-    require(unique.nonEmpty || notNull.nonEmpty || acceptedValues.nonEmpty,
-      "at least one constraint must be declared")
+      acceptedValues: Seq[(String, Seq[String])],
+      relationships: Seq[(String, DataFrame, String)] = Seq.empty): DataFrame = {
+    require(unique.nonEmpty || notNull.nonEmpty || acceptedValues.nonEmpty ||
+      relationships.nonEmpty, "at least one constraint must be declared")
     val rowLevel: Seq[DataFrame] =
       if (notNull.isEmpty && acceptedValues.isEmpty) Seq.empty
       else {
@@ -64,6 +72,14 @@ object Checks {
         .select(lit("unique").as("check_name"), lit(c).as("column_name"),
           col("n_violations"))
     }
-    (rowLevel ++ uniques).reduce(_.unionAll(_))
+    val rels = relationships.map { case (c, parent, pc) =>
+      df.filter(col(c).isNotNull)
+        .join(parent.select(col(pc).as("__parent_key")).distinct(),
+          col(c) === col("__parent_key"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("relationships").as("check_name"), lit(c).as("column_name"),
+          col("n_violations"))
+    }
+    (rowLevel ++ uniques ++ rels).reduce(_.unionAll(_))
   }
 }

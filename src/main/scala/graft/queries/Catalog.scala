@@ -508,17 +508,23 @@ object Catalog {
           when(col("event_id") % 97 === 0, lit(null).cast("string"))
             .otherwise(col("event_type")).as("event_type"),
           when(col("event_id") % 101 === 0, lit(null).cast("double"))
-            .otherwise(col("value")).as("value"))
+            .otherwise(col("value")).as("value"),
+          // planted FK orphans: every 103rd event points outside the
+          // customer key space (dbt relationships-test analog)
+          when(col("event_id") % 103 === 0, col("user_id") + 100000000L)
+            .otherwise(col("user_id")).as("user_fk"))
         graft.operators.Checks.violations(ev,
           unique = Seq("event_id", "user_id"),
           notNull = Seq("event_type", "value"),
-          acceptedValues = Seq("event_type" -> accepted))
+          acceptedValues = Seq("event_type" -> accepted),
+          relationships = Seq(("user_fk", Tables.customer(s, d), "c_custkey")))
       },
       Some(s"""
         WITH ev AS (
           SELECT event_id, user_id,
             CASE WHEN event_id % 97 = 0 THEN NULL ELSE event_type END AS event_type,
-            CASE WHEN event_id % 101 = 0 THEN NULL ELSE value END AS value
+            CASE WHEN event_id % 101 = 0 THEN NULL ELSE value END AS value,
+            CASE WHEN event_id % 103 = 0 THEN user_id + 100000000 ELSE user_id END AS user_fk
           FROM events)
         SELECT 'not_null' AS check_name, 'event_type' AS column_name,
           (SELECT COUNT(*) FROM ev WHERE event_type IS NULL) AS n_violations
@@ -535,7 +541,11 @@ object Catalog {
         UNION ALL
         SELECT 'unique', 'user_id', (SELECT COUNT(*) FROM (
           SELECT user_id FROM ev WHERE user_id IS NOT NULL
-          GROUP BY user_id HAVING COUNT(*) > 1) t)"""))
+          GROUP BY user_id HAVING COUNT(*) > 1) t)
+        UNION ALL
+        SELECT 'relationships', 'user_fk', (SELECT COUNT(*) FROM ev
+          WHERE user_fk IS NOT NULL
+            AND user_fk NOT IN (SELECT c_custkey FROM customer))"""))
   }
 
   // ---------------------------------------------------------------- e1

@@ -280,6 +280,18 @@ class OperatorsSpec extends AnyFunSuite {
       ("accepted_values", "e") -> 2L))
   }
 
+  test("Checks.violations counts FK orphans (dbt relationships test)") {
+    import graft.operators.Checks
+    val child = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, Some(99L)),
+      (4L, None: Option[Long]), (5L, Some(98L))).toDF("id", "fk")
+    val parent = Seq(10L, 20L, 30L).toDF("pk")
+    val got = Checks.violations(child, unique = Seq.empty, notNull = Seq.empty,
+      acceptedValues = Seq.empty, relationships = Seq(("fk", parent, "pk")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // 99 and 98 are orphans; the null fk passes (not_null's job, as in dbt)
+    assert(got == Map(("relationships", "fk") -> 2L))
+  }
+
   test("extractSkills matches aliases of every length up to the longest") {
     val dict = Seq("scan" -> "scan", "table scan" -> "scan", "fast table scan" -> "fullscan")
     val docs = Seq((1L, "a fast table scan here"), (2L, "just a scan"), (3L, "nothing"))
