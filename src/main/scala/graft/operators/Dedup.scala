@@ -31,23 +31,30 @@ object Dedup {
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_dups"))
 
   /**
-   * One row per (doc id, shingle): tokens via a single posexplode (the
-   * split is evaluated ONCE per document — n-gram lambdas over an inline
-   * split would re-evaluate it per element, a quadratic trap), shingles
-   * via window `lead`s over the token position, and `hs` = the shingle's
-   * `ceil(k/4)` concatenated md5s (32-bit min-hash slices are cut from it
-   * downstream). Everything is plain codegen'd expressions + one shuffle
-   * on the doc id, which every downstream aggregation reuses.
+   * One row per (doc id, shingle), built NARROW: the split token array is
+   * projected once per document, then the size-n+1 shingles come from a
+   * `transform(sequence(...), i -> array_join(slice(ws, i, n)))` over that
+   * projected column — all map-side expressions, ZERO shuffle. (The
+   * quadratic re-evaluation trap only applies to lambdas over an INLINE
+   * split; a projected array column is materialized once per row.) `hs` =
+   * the shingle's `ceil(k/4)` concatenated md5s (32-bit min-hash slices
+   * are cut from it downstream).
+   *
+   * Scale shape: because no Exchange precedes it, the downstream
+   * signature groupBy partial-aggregates map-side — the shuffle carries
+   * ~k·8B of minima per document instead of the whole tokenized corpus.
+   * (The previous window-`lead` build forced a full shuffle+sort of every
+   * token BEFORE any aggregation — at 100 TB that is the difference
+   * between shuffling >100 TB and shuffling ~1 TB.)
    */
   private def shingleTable(corpus: DataFrame, idCol: String, textCol: String,
       shingleN: Int, nHashes: Int): DataFrame = {
-    val toks = corpus.select(col(idCol).as("id"),
-      posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
-    val w = Window.partitionBy("id").orderBy("pos")
-    val parts = col("tok") +: (1 until shingleN).map(j => lead("tok", j).over(w))
-    val sh = toks
-      .select(col("id"), when(parts.last.isNotNull, concat_ws(" ", parts: _*)).as("s"))
-      .filter(col("s").isNotNull)
+    val ws = corpus
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= shingleN) // sequence(1, n<=0) would step DOWN
+    val sh = ws.select(col("id"),
+      explode(transform(sequence(lit(1), size(col("ws")) - (shingleN - 1)),
+        i => array_join(slice(col("ws"), i, lit(shingleN)), " "))).as("s"))
     val hashes = (0 until nHashes).map(g =>
       if (g == 0) md5(col("s")) else md5(concat(col("s"), lit("#" + g))))
     sh.select(col("id"), concat(hashes: _*).as("hs"))
@@ -55,8 +62,9 @@ object Dedup {
 
   /**
    * LSH candidate pairs over (id, normalized-text): [[shingleTable]] →
-   * k 32-bit min-hash slices as k MIN aggregates (map-side partial agg,
-   * no extra shuffle — the group key is the window's partition key) →
+   * k 32-bit min-hash slices as k MIN aggregates (partial-aggregated
+   * map-side over the shuffle-free shingle build, so the one exchange
+   * carries only per-doc minima) →
    * `bands` band keys → skew-capped self-join on (band, band-hash).
    * Returns distinct (id1, id2) with id1 < id2 — the shared candidate
    * generator for the MinHash and n-gram-Jaccard verifiers.
@@ -90,8 +98,9 @@ object Dedup {
 
   /**
    * LSH candidate pairs over (id, normalized-text): [[shingleTable]] →
-   * k 32-bit min-hash slices as k MIN aggregates (map-side partial agg,
-   * no extra shuffle — the group key is the window's partition key) →
+   * k 32-bit min-hash slices as k MIN aggregates (partial-aggregated
+   * map-side over the shuffle-free shingle build, so the one exchange
+   * carries only per-doc minima) →
    * [[candidatesFromSig]].
    */
   def lshCandidates(corpus: DataFrame, idCol: String, textCol: String,

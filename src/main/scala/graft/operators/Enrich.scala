@@ -40,30 +40,28 @@ object Enrich {
    */
   def extractSkills(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, dict: Seq[(String, String)]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val maxN = dict.map(_._1.split(" ").length).max
     val dictDf = broadcast(dict.toDF("alias", "canonical"))
-    // One posexplode (tokenization runs once per doc), n-grams as window
-    // `lead`s over the token position — plain codegen'd expressions, one
-    // shuffle on the doc id which the final groupBy reuses. (Building
-    // n-gram arrays with higher-order lambdas over an inline split would
-    // re-evaluate the split per element — a quadratic trap.)
-    val toks = docs.select(col(idCol), posexplode(T.words(col(textCol))).as(Seq("pos", "tok")))
-    val w = Window.partitionBy(idCol).orderBy("pos")
-    val gramCols = (1 to maxN).map { n =>
-      val c =
-        if (n == 1) col("tok")
-        else {
-          val parts = col("tok") +: (1 until n).map(j => lead("tok", j).over(w))
-          when(parts.last.isNotNull, concat_ws(" ", parts: _*)) // null = no n-gram here
-        }
-      c.as(s"g$n")
+    // NARROW gram build: the token array is projected once per document,
+    // and each n's grams come from a transform/slice over that projected
+    // column — all map-side, zero shuffle, so the only exchange in the
+    // whole operator is the final groupBy's, carrying dictionary MATCHES
+    // rather than the tokenized corpus. (The quadratic re-evaluation trap
+    // only applies to lambdas over an INLINE split; a projected array
+    // column is materialized once per row.)
+    val ws = docs.select(col(idCol), T.words(col(textCol)).as("ws"))
+    val gramArrays = (1 to maxN).map { n =>
+      if (n == 1) col("ws")
+      else
+        // guard: sequence(1, x) steps DOWNWARD for x <= 0
+        when(size(col("ws")) >= n,
+          transform(sequence(lit(1), size(col("ws")) - (n - 1)),
+            i => array_join(slice(col("ws"), i, lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))
     }
-    // window expressions need their own projection before the explode
-    toks.select(col(idCol) +: gramCols: _*)
-      .select(col(idCol), explode(array((1 to maxN).map(n => col(s"g$n")): _*)).as("gram"))
-      .join(dictDf, col("gram") === col("alias")) // null grams never match
+    ws.select(col(idCol), explode(flatten(array(gramArrays: _*))).as("gram"))
+      .join(dictDf, col("gram") === col("alias"))
       .groupBy(idCol)
       .agg(array_join(array_sort(collect_set(col("canonical"))), ",").as("skills_csv"))
   }

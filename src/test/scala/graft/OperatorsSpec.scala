@@ -37,6 +37,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(capped.count() == 0) // every bucket holds all 6 docs > cap
   }
 
+  test("narrow gram builds: no Exchange below the first partial aggregation") {
+    // The shingle/gram build must be map-side only (projected split array +
+    // transform/slice), so the signature minima / dictionary matches
+    // partial-aggregate BEFORE the one shuffle. A window-`lead` build would
+    // plant an Exchange under the first aggregate — at 100 TB that is the
+    // difference between shuffling the tokenized corpus and shuffling
+    // per-doc signatures.
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def firstAggIsMapSide(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.collect { case a: BaseAggregateExec => a }.exists { agg =>
+        agg.children.exists { c =>
+          c.collectFirst { case g: GenerateExec => g }.isDefined &&
+            c.collectFirst { case e: ShuffleExchangeLike => e }.isEmpty
+        }
+      }
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val corpus = Seq((1L, "aa bb cc dd ee"), (2L, "aa bb cc dd ee ff")).toDF("id", "t")
+      assert(firstAggIsMapSide(
+        Dedup.minhashPairs(corpus, "id", "t", shingleN = 3, k = 8, bands = 4, threshold = 0.5)),
+        "minhash signature minima must partial-aggregate over a shuffle-free shingle build")
+      val docs = Seq((1L, "knows spark sql well"), (2L, "plain text")).toDF("doc_id", "text")
+      assert(firstAggIsMapSide(
+        Enrich.extractSkills(spark, docs, "doc_id", "text",
+          Seq("spark sql" -> "spark", "etl" -> "etl"))),
+        "skills extraction must aggregate matches over a shuffle-free gram build")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("simhashFingerprints match the reference bit derivation") {
     val docs = Seq((1L, "spark table scan"), (2L, "fast stream join merge"), (3L, "x"))
     val got = Dedup.simhashFingerprints(docs.toDF("id", "t"), "id", "t")
