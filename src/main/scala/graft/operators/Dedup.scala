@@ -226,11 +226,13 @@ object Dedup {
    *
    * Scale shape: the frequency count shuffles ONLY `md5(chunk)` — a fixed
    * 32-byte key with map-side partial aggregation, never the raw unit text
-   * — and is then filtered to the units OVER the cap. That hot set is small
-   * by construction (only units repeated > maxFreq times survive the
-   * filter), so the removal step is a broadcast anti-join: the corpus-side
-   * chunk table never shuffles at all. One groupBy on the doc id
-   * reassembles survivors.
+   * — and is then filtered to the units OVER the cap. That hot set is
+   * usually tiny (only units repeated > maxFreq times survive), so the
+   * anti-join is left to Catalyst/AQE, which broadcasts it at runtime when
+   * it fits and the corpus-side chunk table never shuffles; a pathological
+   * corpus (low maxFreq + highly repetitive text) degrades gracefully to a
+   * shuffle join instead of OOMing the driver on a forced broadcast. One
+   * groupBy on the doc id reassembles survivors.
    */
   def dropBoilerplateChunks(corpus: DataFrame, idCol: String, textCol: String,
       chunkWords: Int, maxFreq: Long): DataFrame = {
@@ -247,7 +249,7 @@ object Dedup {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > maxFreq)
       .select("ch")
-    val kept = chunked.join(broadcast(hot), md5(col("chunk")) === col("ch"), "left_anti")
+    val kept = chunked.join(hot, md5(col("chunk")) === col("ch"), "left_anti")
     kept.groupBy("id")
       .agg(sort_array(collect_list(struct(col("cidx"), col("chunk")))).as("cs"))
       .select(col("id"),
@@ -272,7 +274,7 @@ object Dedup {
    *
    * This is the engine's ONE iterative operator, and it uses the two
    * tools iteration genuinely requires (as GraphX/Pregel does):
-   *  - an EAGER localCheckpoint per round — without lineage truncation
+   *  - an EAGER checkpoint per round — without lineage truncation
    *    the logical plan re-embeds the previous round's tree several
    *    times per round, growing ~3^rounds (analysis alone hangs);
    *  - a driver-side convergence loop — bounded at O(log diameter)
@@ -280,20 +282,37 @@ object Dedup {
    *    fixpoint test is "sum of labels unchanged", valid because labels
    *    only ever decrease.
    *
+   * Checkpoint durability is the caller's failure-domain choice:
+   * `checkpointDir = None` (default) uses localCheckpoint — executor
+   * block storage, the right call for single-node/local runs — while a
+   * set `checkpointDir` uses RELIABLE `checkpoint()` into that
+   * (cluster-visible, e.g. HDFS/S3) directory. On a 1000-executor run
+   * local checkpoints are a liability: truncated lineage lives only in
+   * executor storage, so ONE lost executor mid-loop kills the job with
+   * no recomputation path; reliable checkpoints survive executor loss.
+   *
+   * If the loop exhausts `maxRounds` without reaching the fixpoint the
+   * labels are PARTIAL (some nodes still carry a non-minimal component
+   * id), so this throws rather than returning silently wrong decisions —
+   * raise `maxRounds` (rounds needed ≈ log2(component diameter)).
+   *
    * Scale shape per round: one shuffle join of the (id, comp) long-pair
    * table with the symmetrized edge list + a map-side-combined groupBy
    * min, and one self-join for the pointer jump — the standard cost of
    * distributed CC (large-star/small-star family), linear per round.
    */
   def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
-      id1: String = "id1", id2: String = "id2", maxRounds: Int = 16): DataFrame = {
+      id1: String = "id1", id2: String = "id2", maxRounds: Int = 16,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(maxRounds >= 1, "at least one propagation round")
+    checkpointDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
+    def save(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // checkpoint the (possibly expensive) pair generation once: every
     // round re-reads the edge list
-    val edges = pairs.select(col(id1).as("src"), col(id2).as("dst"))
-      .unionAll(pairs.select(col(id2).as("src"), col(id1).as("dst")))
-      .localCheckpoint()
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp")).localCheckpoint()
+    val edges = save(pairs.select(col(id1).as("src"), col(id2).as("dst"))
+      .unionAll(pairs.select(col(id2).as("src"), col(id1).as("dst"))))
+    var labels = save(nodes.select(col(idCol).as("id"), col(idCol).as("comp")))
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("comp").cast("decimal(38,0)"))).collect().head.getDecimal(0)
     var prevSum = labelSum(labels)
@@ -307,15 +326,19 @@ object Dedup {
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-      labels = jumped
+      labels = save(jumped
         .join(jumped.select(col("id").as("comp"), col("comp").as("comp2")), Seq("comp"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"))
-        .localCheckpoint()
+        .select(col("id"), least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp")))
       val s = labelSum(labels)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       round += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within maxRounds=$maxRounds " +
+          "(labels would be silently partial); raise maxRounds — rounds needed " +
+          "grows with log2(component diameter)")
     labels.select(col("id"), col("comp").as("component_id"))
   }
 

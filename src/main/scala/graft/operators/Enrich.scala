@@ -151,6 +151,16 @@ object Enrich {
    * normalized-ratio threshold (company_matcher.py:139 `fuzz.ratio >= 80`)
    * with no recall loss.
    *
+   * RECALL CAVEAT — the exactness claim is conditional on the skew cap:
+   * any blocking key whose bucket exceeds `maxBucket` is dropped with ALL
+   * its pairs (e.g. > maxBucket literally identical names), by design —
+   * one over-popular normalized name must not create a quadratic hot
+   * block. On real name data such keys are placeholder junk ("unknown",
+   * "n/a"), but when auditing recall, measure what the cap removed:
+   * count the explode output grouped by key hash, filtered to
+   * `> maxBucket` — the same first exchange this method plans, so the
+   * audit costs one aggregation over it.
+   *
    * Scale guards, in deliberate order (each one measured against its
    * naive alternative at sf0.1):
    *  - the key table carries (id, hash64(variant)) ONLY — an 8-byte join

@@ -189,6 +189,25 @@ class OperatorsSpec extends AnyFunSuite {
     (70L until 80L).foreach(i => assert(got(i) == i, s"isolated node $i"))
   }
 
+  test("connectedComponents: reliable-checkpoint path matches, non-convergence throws") {
+    val nodes = (0L until 12L).map(Tuple1(_)).toDF("id")
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val got = Dedup.connectedComponents(nodes, "id", chain,
+      checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L until 12L).map(_ -> 0L).toMap)
+    // reliable checkpoints actually landed in the requested dir
+    assert(new java.io.File(dir).listFiles() != null &&
+      new java.io.File(dir).listFiles().nonEmpty, "checkpoint dir must be used")
+    // a diameter-11 chain cannot converge in one round: partial labels
+    // must fail loudly, never return silently wrong component ids
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponents(nodes, "id", chain, maxRounds = 1)
+    }
+    assert(ex.getMessage.contains("maxRounds"))
+  }
+
   test("ngramJaccard on provided pairs") {
     val pairs = Seq(("abcdef", "abcdef"), ("abcdef", "uvwxyz")).toDF("t1", "t2")
     val got = Dedup.ngramJaccard(pairs, col("t1"), col("t2"), 3)
