@@ -154,31 +154,37 @@ object Ann {
   /**
    * Lloyd (k-means) refinement of an initial coarse quantizer for
    * [[ivfTopK]]: `iters` rounds of assign-to-nearest-centroid (the same
-   * broadcast argmin as the IVF build, on the CHEAP codegen'd dot — this
-   * is training, no oracle parity needed) then recompute every cell's
-   * mean vector. Each round is fully declarative: per-dimension means
-   * come from one posexplode + groupBy(cell, dim) partial-aggregating
-   * AVG — the shuffle carries C·dim partial sums, not vectors — and a
-   * cell that loses all members keeps its previous centroid. Lineage is
-   * truncated per round (eager localCheckpoint on the C-row centroid
-   * frame, same reasoning as Dedup.connectedComponents: a statically
-   * unrolled iterative DAG grows exponentially under analysis).
+   * broadcast argmin as the IVF build) then recompute every cell's mean
+   * vector. Each round is fully declarative: per-dimension means come
+   * from one posexplode + groupBy(cell, dim) partial-aggregating
+   * SUM/COUNT — the shuffle carries C·dim partial sums, not vectors —
+   * and a cell that loses all members keeps its previous centroid.
+   * Lineage is truncated per round (eager localCheckpoint on the C-row
+   * centroid frame, same reasoning as Dedup.connectedComponents: a
+   * statically unrolled iterative DAG grows exponentially under
+   * analysis).
    *
-   * Mean vectors are double sums whose last bits depend on partition
-   * order, so a trained quantizer trades bit-reproducibility for tighter
-   * cells: use [[sampleCentroids]] where cross-engine determinism
-   * matters (the l8 oracle), refineCentroids where recall/cost does.
+   * BIT-DETERMINISTIC by construction, so a SQL oracle can replay it
+   * (the l9 gate does) and re-runs at any parallelism agree:
+   *  - assignment uses the exact decimal cosine rounded to 9 dp, ties
+   *    on centroid id — identical to the [[ivfTopK]] argmin;
+   *  - each cell mean folds its elements through exact DECIMAL(30,20)
+   *    addition (order-independent), divides the decimal-exact sum by
+   *    the member count as one double division, and ROUNDS TO 6 DP
+   *    before casting to float — partition order never reaches the
+   *    result. (A plain double AVG's last bits depend on fold order —
+   *    the reason this used to be property-tested only.)
    */
   def refineCentroids(corpus: DataFrame, init: DataFrame, iters: Int): DataFrame = {
     VectorExpressions.ensureRegistered(corpus.sparkSession)
     val vecs = corpus.select(col("vec_id"), col("embedding"),
-      call_function("graft_dot", col("embedding"), col("embedding")).as("vn"))
+      call_function("graft_dot_exact", col("embedding"), col("embedding")).as("vn"))
     var cent = init.select(col("centroid_id"), col("embedding")).localCheckpoint(true)
     for (_ <- 1 to iters) {
       val c = cent.select(col("centroid_id").as("cid"), col("embedding").as("centv"),
-        call_function("graft_dot", col("embedding"), col("embedding")).as("centn"))
+        call_function("graft_dot_exact", col("embedding"), col("embedding")).as("centn"))
       val sim = V.cosineFromParts(
-        call_function("graft_dot", col("embedding"), col("centv")), col("vn"), col("centn"))
+        call_function("graft_dot_exact", col("embedding"), col("centv")), col("vn"), col("centn"))
       val assigned = vecs.crossJoin(broadcast(c))
         .select(col("vec_id"), col("embedding"),
           struct((lit(1.0) - sim).as("dist"), col("cid")).as("dc"))
@@ -188,11 +194,14 @@ object Ann {
       val means = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim"))
-        .agg(avg(col("x")).as("m"))
+        .agg(sum(col("x").cast("double").cast("decimal(30,20)")).as("sd"),
+          count(lit(1)).as("n"))
+        .select(col("cell"), col("dim"),
+          round(col("sd").cast("double") / col("n"), 6).cast("float").as("m"))
         .groupBy(col("cell"))
         .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("cell").as("centroid_id"),
-          transform(col("dm"), s => s.getField("m").cast("float")).as("mean"))
+          transform(col("dm"), s => s.getField("m")).as("mean"))
       cent = cent.join(means, Seq("centroid_id"), "left")
         .select(col("centroid_id"),
           coalesce(col("mean"), col("embedding")).as("embedding"))
@@ -201,13 +210,16 @@ object Ann {
     cent
   }
 
-  /** Similarity of a (vec, exact squared norm) pair to the broadcast
+  /** Similarity of a (vec, EXACT squared norm) pair to the broadcast
     * centroid columns (centv, centn): decimal-exact cosine rounded to
     * 9 dp — the argmin over centroids must agree bit-for-bit with the
-    * oracle, so cell assignment uses the exact dot, not the fast one. */
-  private def centSim(v: Column, vn: Column): Column =
+    * oracle, so ALL THREE dots (pair, self, centroid) must be the exact
+    * decimal fold; feeding a cheap float-accumulated self-norm here
+    * could round differently across engines at a 9-dp boundary and flip
+    * the argmin cell. */
+  private def centSim(v: Column, vnExact: Column): Column =
     V.cosineFromParts(
-      call_function("graft_dot_exact", v, col("centv")), vn, col("centn"))
+      call_function("graft_dot_exact", v, col("centv")), vnExact, col("centn"))
 
   /**
    * IVF (inverted-file) top-k — the classic scale path for ANN (see
@@ -244,15 +256,22 @@ object Ann {
     val cent = centroids.select(col("centroid_id").as("cid"),
       col("embedding").as("centv"),
       call_function("graft_dot_exact", col("embedding"), col("embedding")).as("centn"))
-    val cCell = corpusSide(corpus).crossJoin(broadcast(cent))
+    // the cheap cn/qn norms feed only the topK prefilter; the cell-argmin
+    // uses per-row EXACT self-norms (|corpus|+|queries| extra exact dots,
+    // computed once before the broadcast join — never per centroid pair)
+    val cCell = corpusSide(corpus,
+        call_function("graft_dot_exact", col("embedding"), col("embedding")).as("cnx"))
+      .crossJoin(broadcast(cent))
       .select(col("cand_id"), col("cv"), col("cn"),
-        struct((lit(1.0) - centSim(col("cv"), col("cn"))).as("dist"), col("cid")).as("dc"))
+        struct((lit(1.0) - centSim(col("cv"), col("cnx"))).as("dist"), col("cid")).as("dc"))
       .groupBy(col("cand_id"))
       .agg(min(col("dc")).as("best"), first(col("cv")).as("cv"), first(col("cn")).as("cn"))
       .select(col("cand_id"), col("cv"), col("cn"), col("best.cid").as("cell"))
-    val qSim = querySide(queries).crossJoin(broadcast(cent))
+    val qSim = querySide(queries,
+        call_function("graft_dot_exact", col("embedding"), col("embedding")).as("qnx"))
+      .crossJoin(broadcast(cent))
       .select(col("query_id"), col("qv"), col("qn"), col("cid"),
-        (lit(1.0) - centSim(col("qv"), col("qn"))).as("dist"))
+        (lit(1.0) - centSim(col("qv"), col("qnx"))).as("dist"))
     val w = Window.partitionBy("query_id").orderBy(col("dist"), col("cid"))
     val probes = qSim.withColumn("pr", row_number().over(w)).filter(col("pr") <= nProbe)
       .select(col("query_id"), col("qv"), col("qn"), col("cid").as("qcell"))

@@ -1065,6 +1065,82 @@ object Catalog {
         SELECT query_id, cand_id, cosine, rnk FROM r WHERE rnk <= $k"""))
   }
 
+  // ---------------------------------------------------------------- l9
+  // IVF with a TRAINED (Lloyd-refined) coarse quantizer under the full
+  // oracle: refineCentroids is bit-deterministic by construction —
+  // exact-decimal 9-dp argmin (ties on centroid id) and cell means that
+  // fold through exact DECIMAL(30,20) sums, divide by the member count
+  // once, and round to 6 dp before the float cast — so DuckDB can replay
+  // the COMPLETE training loop plus the IVF probe semantics in SQL. This
+  // gates the scale path we'd actually run (trained quantizer), not just
+  // the deterministic-sample reference path (l8).
+  private val l9 = {
+    val nCent = 8
+    val nProbe = 2
+    val k = 5
+    val nQueries = 40
+    val iters = 2
+    val dim = 64
+    def lloydIter(i: Int): String = {
+      val prev = s"cent${i - 1}"
+      s"""
+        asg$i AS (
+          SELECT e.vec_id, e.embedding, c.cid,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY 1.0 - ${cosSql("e.embedding", "c.centv")}, c.cid) AS rn
+          FROM embeddings e, $prev c),
+        mem$i AS (SELECT vec_id, embedding, cid AS cell FROM asg$i WHERE rn = 1),
+        mean$i AS (
+          SELECT cell, ds.d,
+            CAST(round(CAST(sum(CAST(CAST(embedding[ds.d] AS DOUBLE) AS DECIMAL(30,20))) AS DOUBLE)
+              / COUNT(*), 6) AS FLOAT) AS m
+          FROM mem$i, (SELECT unnest(range(1, ${dim + 1})) AS d) ds
+          GROUP BY cell, ds.d),
+        newc$i AS (SELECT cell AS cid, list(m ORDER BY d) AS centv FROM mean$i GROUP BY cell),
+        cent$i AS (
+          SELECT c.cid, coalesce(n.centv, c.centv) AS centv
+          FROM $prev c LEFT JOIN newc$i n ON c.cid = n.cid)"""
+    }
+    Q(
+      "l9_ann_ivf_trained",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val trained = graft.operators.Ann.refineCentroids(
+          e, graft.operators.Ann.sampleCentroids(e, nCent), iters)
+        graft.operators.Ann.ivfTopK(
+          e.filter(col("vec_id") < nQueries), e, trained, nProbe, k)
+          .select("query_id", "cand_id", "cosine", "rnk")
+      },
+      Some(s"""
+        WITH cent0 AS (
+          SELECT vec_id AS cid, embedding AS centv FROM embeddings
+          ORDER BY vec_id LIMIT $nCent),
+        ${(1 to iters).map(lloydIter).mkString(",")},
+        asg AS (
+          SELECT e.vec_id, e.embedding, c.cid,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY 1.0 - ${cosSql("e.embedding", "c.centv")}, c.cid) AS rn
+          FROM embeddings e, cent$iters c),
+        cells AS (SELECT vec_id AS cand_id, embedding AS cv, cid AS cell FROM asg WHERE rn = 1),
+        q AS (
+          SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id < $nQueries),
+        qasg AS (
+          SELECT query_id, qv, c.cid,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY 1.0 - ${cosSql("qv", "c.centv")}, c.cid) AS rn
+          FROM q, cent$iters c),
+        probes AS (SELECT query_id, qv, cid AS cell FROM qasg WHERE rn <= $nProbe),
+        scored AS (
+          SELECT p.query_id, c.cand_id, ${cosSql("p.qv", "c.cv")} AS cosine
+          FROM cells c JOIN probes p ON c.cell = p.cell AND c.cand_id <> p.query_id),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, cand_id) AS rnk
+          FROM scored)
+        SELECT query_id, cand_id, cosine, rnk FROM r WHERE rnk <= $k"""))
+  }
+
   // ---------------------------------------------------------------- t1
   // Language ID scores each language by its marker HIT RATIO (hits /
   // total tokens — how real langid models normalize, so short and long
@@ -1457,7 +1533,7 @@ object Catalog {
     d1, d2, d3, d4,
     e1, e2, e3, e4,
     r1, r2, r3, q1,
-    l1, l2, l3, l4, l5, l6, l7, l8,
+    l1, l2, l3, l4, l5, l6, l7, l8, l9,
     t1, t2, t3, t4, t5, t6,
     c1, c2, c3,
     m1, m2, s1, s2)
