@@ -108,31 +108,36 @@ object Ann {
 
   /**
    * LSH-bucketed top-k with multi-probe: each query probes its own sign
-   * bucket plus (at `probeRadius = 1`, the default) every hamming-1
-   * neighbor bucket. Single-probe loses true neighbors that straddle a
+   * bucket plus every bucket within hamming distance `probeRadius` (1 by
+   * default, up to 2). Single-probe loses true neighbors that straddle a
    * hyperplane boundary (a near-zero component flips one bucket bit
-   * between two near-identical vectors); probing the `bits` one-bit-flip
-   * buckets recovers them for the cost of broadcasting a (bits+1)×
-   * larger — still tiny — query side. The corpus side is untouched: each
-   * corpus vector still lives in exactly ONE bucket (so probes never
-   * produce duplicate (query, cand) pairs), and a corpus written
-   * partitioned by bucket (Sink.writePartitioned) still prunes to
-   * bits+1 partitions per query.
+   * between two near-identical vectors); radius 1 probes the `bits`
+   * one-bit flips, radius 2 additionally the C(bits,2) two-bit flips —
+   * the recall knob for vectors straddling TWO boundaries — for the cost
+   * of broadcasting a (1+bits+C(bits,2))× larger, still tiny, query
+   * side. The corpus side is untouched: each corpus vector still lives
+   * in exactly ONE bucket (so probes never produce duplicate
+   * (query, cand) pairs), and a corpus written partitioned by bucket
+   * (Sink.writePartitioned) still prunes to the probed partitions per
+   * query. Beyond radius 2 the standard move is L independent tables,
+   * not a wider radius (probe count grows combinatorially).
    */
   def lshTopK(queries: DataFrame, corpus: DataFrame, bits: Int, k: Int,
       probeRadius: Int = 1): DataFrame = {
-    require(probeRadius >= 0 && probeRadius <= 1, "probeRadius must be 0 or 1")
+    require(probeRadius >= 0 && probeRadius <= 2, "probeRadius must be 0, 1, or 2")
     VectorExpressions.ensureRegistered(corpus.sparkSession)
     val bucket = V.signBucket(col("embedding"), bits)
-    val probes =
-      if (probeRadius == 0) array(bucket)
-      else {
-        val flips = (0 until bits).map { i =>
-          val flipped = when(substring(bucket, i + 1, 1) === "1", lit("0")).otherwise(lit("1"))
-          concat(substring(bucket, 1, i), flipped, substring(bucket, i + 2, bits - i - 1))
-        }
-        array(bucket +: flips: _*)
-      }
+    def flipBit(b: Column, i: Int): Column =
+      concat(substring(b, 1, i),
+        when(substring(b, i + 1, 1) === "1", lit("0")).otherwise(lit("1")),
+        substring(b, i + 2, bits - i - 1))
+    val probeCols = (0 to probeRadius).flatMap {
+      case 0 => Seq(bucket)
+      case 1 => (0 until bits).map(i => flipBit(bucket, i))
+      case _ => for (i <- 0 until bits; j <- (i + 1) until bits)
+        yield flipBit(flipBit(bucket, i), j)
+    }
+    val probes = array(probeCols: _*)
     val q = querySide(queries, explode(probes).as("qb"))
     val c = corpusSide(corpus, V.signBucket(col("embedding"), bits).as("cb"))
     val joined = c.join(broadcast(q),

@@ -919,11 +919,14 @@ object Catalog {
       SELECT query_id, cand_id, cosine, rnk FROM r WHERE rnk <= 10"""))
 
   // ---------------------------------------------------------------- l6
-  // Multi-probe (Ann.lshTopK probeRadius=1): candidates come from the
-  // query's bucket plus every hamming-1 neighbor bucket, so the oracle's
-  // candidate rule is hamming(query bucket, corpus bucket) <= 1.
+  // Multi-probe (Ann.lshTopK probeRadius=2): candidates come from the
+  // query's bucket plus every bucket within hamming 2 (one- AND two-bit
+  // flips — the recall knob for vectors straddling two hyperplane
+  // boundaries), so the oracle's candidate rule is
+  // hamming(query bucket, corpus bucket) <= 2.
   private val l6 = {
     val bits = 6
+    val radius = 2
     def bucketSql(v: String) = (1 to bits)
       .map(i => s"(CASE WHEN $v[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
     val hammingSql = (1 to bits)
@@ -933,7 +936,8 @@ object Catalog {
       "l6_ann_lsh",
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        graft.operators.Ann.lshTopK(e.filter(col("vec_id") < 50), e, bits = bits, k = 3)
+        graft.operators.Ann.lshTopK(e.filter(col("vec_id") < 50), e, bits = bits, k = 3,
+          probeRadius = radius)
           .select("query_id", "cand_id", "cosine", "rnk")
       },
       Some(s"""
@@ -942,7 +946,7 @@ object Catalog {
         scored AS (
           SELECT query_id, b.vec_id AS cand_id,
             ${cosSql("qv", "b.embedding")} AS cosine
-          FROM b JOIN q ON ($hammingSql) <= 1 AND b.vec_id <> query_id),
+          FROM b JOIN q ON ($hammingSql) <= $radius AND b.vec_id <> query_id),
         r AS (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
           FROM scored)

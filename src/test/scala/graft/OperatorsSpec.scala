@@ -447,6 +447,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(singleRecall == 0, "single-probe cannot see across the hyperplane")
   }
 
+  test("lshTopK radius 2 recovers two-boundary twins; recall monotone in radius") {
+    val rnd = new scala.util.Random(29)
+    // each query's true nearest neighbor straddles TWO sign hyperplanes
+    // (bits 1 and 2 both flip) -> invisible at radius <= 1
+    val queries = Seq.tabulate(5)(i =>
+      (i.toLong, 0.001f +: 0.001f +: Seq.fill(6)((rnd.nextFloat() - 0.5f) * 2)))
+    val twins = queries.map { case (id, v) => (id + 1000L, -0.001f +: -0.001f +: v.drop(2)) }
+    val noise = Seq.tabulate(40)(i => (100L + i, Seq.fill(8)((rnd.nextFloat() - 0.5f) * 2)))
+    val corpus = (queries ++ twins ++ noise).toDF("vec_id", "embedding")
+    val qdf = corpus.filter(col("vec_id") < 5)
+    def top1(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.filter(col("rnk") === 1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = top1(Ann.bruteForceTopK(qdf, corpus, 1))
+    queries.foreach { case (id, _) => assert(exact(id) == id + 1000L, s"twin of $id") }
+    val recalls = (0 to 2).map { r =>
+      val got = top1(Ann.lshTopK(qdf, corpus, bits = 3, k = 1, probeRadius = r))
+      queries.count { case (id, _) => got.get(id).contains(exact(id)) }
+    }
+    assert(recalls(2) == queries.size, "radius 2 must find every two-boundary twin")
+    assert(recalls(0) <= recalls(1) && recalls(1) <= recalls(2), "recall monotone in radius")
+    assert(recalls(1) == 0, "a two-bit-away twin is invisible at radius 1")
+  }
+
   test("ivfTopK probing every cell equals the exact brute-force ranking") {
     val rnd = new scala.util.Random(19)
     val vecs = Seq.tabulate(40)(i => (i.toLong, Seq.fill(8)((rnd.nextFloat() - 0.5f) * 2)))
