@@ -1530,6 +1530,175 @@ object Catalog {
         FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, value FROM events) s) t
       WHERE rn = 1"""))
 
+  // ---------------------------------------------------------------- p1
+  // The reference's core identity — the orchestrated daily job-ETL chain
+  // (airflow/dags/jobs_etl_daily.py task ordering, ~lines 200-400:
+  // extract → normalize → upsert → enrich → rank → marts) — as ONE
+  // declarative plan, so Catalyst sees every stage at once: the
+  // incremental watermark is pushed into the events scan, dims broadcast,
+  // and no stage boundary materializes anything. Stage mapping onto the
+  // testdata: `events` is the raw posting feed (n7 payload parse with the
+  // corrupt quarantine + n3 enum normalize, d3-style watermark at the
+  // scan), d2 latestState collapses it to one row per user, enrichment
+  // joins attach e1 skills + e2 class from the user's posting text
+  // (`documents`) and the e3-normalized company dim (`customer`),
+  // an r1-style weighted score ranks each user, and the mart projection
+  // emits the d3/d4 surrogate-key fact with an a3-style per-segment rank.
+  //
+  // Scale shape: ONE shuffle for the state window (keyed on user), one
+  // aggregation shuffle for the skills extraction (keyed on doc), the
+  // customer dim broadcast, and a final window over the (small) fact —
+  // the corpus-side tables are each read exactly once.
+  private val p1 = {
+    val watermark = "2024-01-03 00:00:00"
+    // same rule list as e2 (the no-drift rule: one constant, two engines)
+    val classRules = Seq(
+      "\\bstream(ing)?\\b" -> "streaming",
+      "\\b(join|merge)\\b" -> "relational",
+      "\\b(scan|table)\\b" -> "scan")
+    val classScores = Seq("streaming" -> 1.0, "relational" -> 0.7, "scan" -> 0.5)
+    val classDefault = 0.2
+    val (wSkills, wClass, wValue, wBal) = (0.35, 0.25, 0.25, 0.15)
+    val validSql = EnumDomains.validEventTypes.map(v => s"'$v'").mkString(", ")
+    // e1's DuckDB gram replay, regenerated from the same dictionary
+    val dictValues = Dictionaries.skills.map { case (a, c) => s"('$a', '$c')" }.mkString(", ")
+    val maxN = Dictionaries.skills.map(_._1.split(" ").length).max
+    def gramListSql(n: Int): String =
+      if (n == 1) "w"
+      else s"list_transform(range(0, greatest(len(w) - ${n - 1}, 0)), " +
+        s"i -> ${(1 to n).map(k => s"w[i+$k]").mkString(" || ' ' || ")})"
+    val gramLists = (1 to maxN).map(gramListSql).reduce((a, b) => s"list_concat($a, $b)")
+    val classCaseSql = classScores.map { case (lbl, sc) => s"WHEN '$lbl' THEN $sc" }.mkString(" ")
+    val classRuleSql = classRules.map { case (pat, lbl) =>
+      s"WHEN regexp_matches(lower(text), '$pat') THEN '$lbl'"
+    }.mkString(" ")
+    Q(
+      "p1_job_etl",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        // 1) extract + normalize: payload parse w/ corrupt quarantine
+        //    (n7), enum normalize (n3), incremental watermark at the scan
+        val raw = when(col("event_id") % 10 === 0, concat(lit("x"), col("props")))
+          .otherwise(col("props"))
+        val parsed = Tables.events(s, d)
+          .filter(col("ts") > lit(watermark))
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+            from_json(raw, "k BIGINT, _corrupt STRING",
+              Map("columnNameOfCorruptRecord" -> "_corrupt")).as("j"),
+            T.normalizeEnum(col("event_type"), EnumDomains.validEventTypes,
+              EnumDomains.defaultEnum).as("event_type_norm"))
+          .filter(col("j._corrupt").isNull)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+            col("j.k").as("k_val"), col("event_type_norm"))
+        // 2) upsert: latest state per user (d2)
+        val state = Upsert.latestState(parsed, "user_id", "ts", "event_id",
+          Seq("event_type_norm", "k_val", "value"))
+        // 3) enrich: skills + class from the posting text, company dim
+        val docs = Tables.documents(s, d)
+        val docClass = docs.select(col("doc_id").as("dc_id"),
+          Enrich.classifyByRules(col("text"), classRules, "unknown").as("doc_class"))
+        val skills = Enrich.extractSkills(s, docs, "doc_id", "text", Dictionaries.skills)
+          .withColumnRenamed("doc_id", "sk_id")
+        val suffix = element_at(
+          array(lit(" Inc"), lit(" LLC"), lit(" Ltd"), lit("")),
+          (col("c_custkey") % 4 + 1).cast("int"))
+        val cust = Tables.customer(s, d).select(
+          col("c_custkey"), col("c_mktsegment").as("mktsegment"), col("c_acctbal"),
+          T.stripCompanySuffixes(concat(col("c_name"), suffix)).as("company_clean"))
+        val enriched = state
+          .join(docClass, col("user_id") === col("dc_id"))
+          .join(skills, col("user_id") === col("sk_id"), "left")
+          .join(broadcast(cust), col("user_id") === col("c_custkey"))
+          .select(col("user_id"), col("event_type_norm"), col("k_val"), col("value"),
+            col("last_seen"), col("doc_class"),
+            coalesce(col("skills_csv"), lit("")).as("skills_csv"),
+            col("mktsegment"), col("c_acctbal"), col("company_clean"))
+        // 4) rank: r1-style weighted score from the shared constants
+        val nSkills = when(col("skills_csv") === "", lit(0))
+          .otherwise(size(split(col("skills_csv"), ",")))
+        val skillsScore = least(nSkills.cast("double") / lit(4.0), lit(1.0))
+        val classScore = classScores.foldRight(lit(classDefault): Column) {
+          case ((lbl, sc), e) => when(col("doc_class") === lbl, lit(sc)).otherwise(e)
+        }
+        val valueScore = least(greatest(col("value") / lit(500.0), lit(0.0)), lit(1.0))
+        val balScore = least(greatest(col("c_acctbal") / lit(10000.0), lit(0.0)), lit(1.0))
+        val rankScore = least(greatest(round(
+          (skillsScore * wSkills + classScore * wClass +
+            valueScore * wValue + balScore * wBal) * 100, 2), lit(0.0)), lit(100.0))
+        // 5) mart: surrogate dim key + latest state + per-segment rank
+        val w = Window.partitionBy("mktsegment").orderBy(col("rank_score").desc, col("user_id"))
+        enriched
+          .withColumn("rank_score", rankScore)
+          .select(col("user_id"), col("company_clean"),
+            md5(col("company_clean")).as("dim_uid"),
+            col("mktsegment"), col("doc_class"), col("skills_csv"),
+            col("event_type_norm"), col("k_val"),
+            date_format(col("last_seen"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_seen"),
+            col("rank_score"))
+          .withColumn("segment_rank", row_number().over(w))
+      },
+      Some(s"""
+        WITH raw AS (
+          SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+            CASE WHEN event_id % 10 = 0 THEN 'x' || props ELSE props END AS p,
+            CASE WHEN lower(trim(event_type)) IN ($validSql)
+                 THEN lower(trim(event_type)) ELSE '${EnumDomains.defaultEnum}' END AS event_type_norm
+          FROM events
+          WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '$watermark'),
+        parsed AS (
+          SELECT event_id, user_id, ts, value, event_type_norm,
+            CAST(json_extract_string(p, '$$.k') AS BIGINT) AS k_val
+          FROM raw WHERE json_valid(p)),
+        state AS (
+          SELECT user_id, last_seen, event_type_norm, k_val, value FROM (
+            SELECT user_id, event_type_norm, k_val, value,
+              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+              MAX(ts) OVER (PARTITION BY user_id) AS last_seen
+            FROM parsed) t WHERE rn = 1),
+        skdict(alias, canonical) AS (VALUES $dictValues),
+        skbase AS (
+          SELECT doc_id, string_split(${normSql("text")}, ' ') AS w FROM documents),
+        grams AS (SELECT doc_id, unnest($gramLists) AS gram FROM skbase),
+        hits AS (SELECT DISTINCT doc_id, canonical FROM grams JOIN skdict ON gram = alias),
+        skills AS (
+          SELECT doc_id, string_agg(canonical, ',' ORDER BY canonical) AS skills_csv
+          FROM hits GROUP BY doc_id),
+        docclass AS (
+          SELECT doc_id,
+            CASE $classRuleSql ELSE 'unknown' END AS doc_class
+          FROM documents),
+        cust AS (
+          SELECT c_custkey, c_mktsegment AS mktsegment, c_acctbal,
+            trim(regexp_replace(regexp_replace(lower(c_name || CASE CAST(c_custkey % 4 AS INT)
+                WHEN 0 THEN ' Inc' WHEN 1 THEN ' LLC' WHEN 2 THEN ' Ltd' ELSE '' END),
+              '\\b(inc|llc|ltd|corp|corporation|co|lp|llp|plc|gmbh|ag|sa)\\b\\.?', ' ', 'g'),
+              '\\s+', ' ', 'g')) AS company_clean
+          FROM customer),
+        enriched AS (
+          SELECT s.user_id, s.event_type_norm, s.k_val, s.value, s.last_seen,
+            dc.doc_class, coalesce(sk.skills_csv, '') AS skills_csv,
+            c.mktsegment, c.c_acctbal, c.company_clean
+          FROM state s
+          JOIN docclass dc ON s.user_id = dc.doc_id
+          LEFT JOIN skills sk ON s.user_id = sk.doc_id
+          JOIN cust c ON s.user_id = c.c_custkey),
+        ranked AS (
+          SELECT *, least(greatest(round((
+              least(CAST((CASE WHEN skills_csv = '' THEN 0
+                ELSE len(string_split(skills_csv, ',')) END) AS DOUBLE) / 4.0, 1.0) * $wSkills +
+              (CASE doc_class $classCaseSql ELSE $classDefault END) * $wClass +
+              least(greatest(value / 500.0, 0.0), 1.0) * $wValue +
+              least(greatest(c_acctbal / 10000.0, 0.0), 1.0) * $wBal
+            ) * 100, 2), 0.0), 100.0) AS rank_score
+          FROM enriched)
+        SELECT user_id, company_clean, md5(company_clean) AS dim_uid, mktsegment,
+          doc_class, skills_csv, event_type_norm, k_val,
+          strftime(last_seen, '%Y-%m-%d %H:%M:%S.%f') AS last_seen,
+          rank_score,
+          ROW_NUMBER() OVER (PARTITION BY mktsegment ORDER BY rank_score DESC, user_id) AS segment_rank
+        FROM ranked"""))
+  }
+
   /** All registered queries, in SURVEY §2 order. */
   val all: Seq[Q] = Seq(
     a1, a2, a3, a4, a5,
@@ -1540,7 +1709,7 @@ object Catalog {
     l1, l2, l3, l4, l5, l6, l7, l8, l9,
     t1, t2, t3, t4, t5, t6,
     c1, c2, c3,
-    m1, m2, s1, s2)
+    m1, m2, s1, s2, p1)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

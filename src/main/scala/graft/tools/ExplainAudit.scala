@@ -21,8 +21,9 @@ object ExplainAudit {
     // l5 intentionally broadcast-cross-joins the tiny query set against the
     // corpus scan (non-equi self-exclusion makes it a BroadcastNestedLoop).
     // l8's IVF build scores corpus x broadcast(centroids) the same way —
-    // the n*C assignment scan is inherent to coarse quantization.
-    val crossJoinOk = Set("l5_ann_bruteforce", "l8_ann_ivf")
+    // the n*C assignment scan is inherent to coarse quantization; l9 runs
+    // the identical assignment inside each Lloyd training round too.
+    val crossJoinOk = Set("l5_ann_bruteforce", "l8_ann_ivf", "l9_ann_ivf_trained")
     graft.queries.Catalog.all.foreach { q =>
       try {
         // NOTE: with AQE on this is the INITIAL plan — exchange-reuse and
