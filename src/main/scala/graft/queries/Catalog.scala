@@ -1699,6 +1699,39 @@ object Catalog {
         FROM ranked"""))
   }
 
+  // ---------------------------------------------------------------- w1
+  // The publish path under the oracle (services/publisher parity): the d4
+  // customer dim is WRITTEN hive-partitioned on its status column
+  // (Sink.writePartitioned), read back, pruned to one partition (the
+  // filter reaches PartitionFilters — directory-level pruning, asserted
+  // in SinkSpec), and aggregated. The oracle computes the same numbers
+  // straight from the source table, so the gate proves the write→read
+  // cycle is lossless — the one surface no other catalog entry touches.
+  private val w1 = Q(
+    "w1_publish_roundtrip",
+    (s, d) => {
+      val mart = Marts.scd1Dim(Tables.orders(s, d), "o_custkey", "o_orderdate", "o_orderkey")
+        .select(
+          col("o_custkey").as("cust_id"),
+          col("o_orderstatus").as("last_status"),
+          col("o_orderpriority").as("last_priority"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("last_order_date"))
+      val path = s"/tmp/graft_publish/${new java.io.File(d).getName}/dim_customer"
+      graft.sources.Sink.publishRoundtrip(s, mart, path, "last_status", "F")
+        .groupBy("last_priority")
+        .agg(count(lit(1)).as("n_customers"),
+          max(col("last_order_date")).as("latest_order_date"))
+    },
+    Some("""
+      SELECT o_orderpriority AS last_priority, COUNT(*) AS n_customers,
+        max(strftime(o_orderdate, '%Y-%m-%d')) AS latest_order_date
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders) t
+      WHERE rn = 1 AND o_orderstatus = 'F'
+      GROUP BY 1"""))
+
   /** All registered queries, in SURVEY §2 order. */
   val all: Seq[Q] = Seq(
     a1, a2, a3, a4, a5,
@@ -1709,7 +1742,7 @@ object Catalog {
     l1, l2, l3, l4, l5, l6, l7, l8, l9,
     t1, t2, t3, t4, t5, t6,
     c1, c2, c3,
-    m1, m2, s1, s2, p1)
+    m1, m2, s1, s2, p1, w1)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

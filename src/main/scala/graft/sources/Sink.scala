@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /**
  * Write/publish path (reference: services/publisher_hyper/exporter.py —
@@ -25,6 +26,17 @@ object Sink {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
       mode: String = "overwrite"): Unit =
     df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Publish/consume roundtrip: write `df` hive-partitioned at `path`,
+    * read it back, and return the frame filtered to ONE partition value —
+    * the shape every downstream incremental consumer runs. The filter
+    * lands in the scan's PartitionFilters (directory-level pruning, no
+    * data files of other partitions touched — asserted in SinkSpec). */
+  def publishRoundtrip(spark: SparkSession, df: DataFrame, path: String,
+      partitionCol: String, value: String): DataFrame = {
+    writePartitioned(df, path, Seq(partitionCol))
+    spark.read.parquet(path).filter(col(partitionCol) === value)
+  }
 
   /** Bucketed + sorted managed table (bucketBy requires saveAsTable).
     * A join between two tables bucketed on the same key with the same

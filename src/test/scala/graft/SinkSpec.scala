@@ -25,6 +25,18 @@ class SinkSpec extends AnyFunSuite {
     assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(part_key"))
   }
 
+  test("publishRoundtrip returns one pruned partition, losslessly") {
+    val dir = Files.createTempDirectory("sink-pub").toString + "/mart"
+    val df = Seq((1L, "F", 10.5), (2L, "O", 20.25), (3L, "F", 30.125))
+      .toDF("id", "status", "v")
+    val back = Sink.publishRoundtrip(spark, df, dir, "status", "F")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(status"),
+      s"partition filter must prune at the directory level:\n$plan")
+    assert(back.select("id", "v").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((1L, 10.5), (3L, 30.125)), "roundtrip must be lossless")
+  }
+
   test("ANN scale path: corpus written partitioned by sign bucket prunes probes") {
     import graft.functions.{vectors => V}
     val rnd = new scala.util.Random(21)
