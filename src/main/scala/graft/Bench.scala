@@ -17,23 +17,39 @@ import graft.util.Json.quote
  *  - `spark.catalog.clearCache()` between queries so no query inherits
  *    another's cached/persisted state;
  *  - a query that throws in any pass is reported as -1 with its error
- *    message under "errors" — never as a normal-looking time.
+ *    message under "errors" — never as a normal-looking time;
+ *  - LOAD GUARD: /proc/loadavg is sampled before the warm-up and after
+ *    the timed passes; if the machine was already busy when the bench
+ *    started (another sbt/JVM job), "contended" is true and the run
+ *    must not be treated as an official number (the r4/r5 official
+ *    benches were both contaminated exactly this way — 2-4x uniform
+ *    swings on unchanged code).
  */
 object Bench {
+  private def load1m: Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // ambient load BEFORE the bench contributes anything: anything past a
+    // couple of cores means another job is on the host.
+    val loadBefore = load1m
+    val loadLimit = math.max(2.0, cpus.toInt / 8.0)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // local-mode knob: the sf0.1 parquet files are single small splits,
       // which would serialize CPU-bound per-row operators (hashing,
-      // signatures) onto one core. Splitting at 128 KiB spreads them over
-      // the local cores; at real scale inputs arrive as thousands of
-      // splits and these two settings are left at their defaults.
-      .config("spark.sql.files.openCostInBytes", "131072")
+      // signatures) onto one core. Splitting at 16 KiB spreads even the
+      // ~600 KB documents file over all local cores (the tokenize/shingle
+      // explodes amplify each split's work far beyond its bytes); at real
+      // scale inputs arrive as thousands of splits and these two settings
+      // are left at their defaults.
+      .config("spark.sql.files.openCostInBytes", "16384")
       .config("spark.sql.files.minPartitionNum", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -67,7 +83,12 @@ object Bench {
     val qs = medians.map { case (k, v) => s"${quote(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${quote(k)}:${quote(v)}" }.mkString("{", ",", "}")
     val total = medians.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"errors":$errJson}""")
+    val loadAfter = load1m
+    val contended = loadBefore > loadLimit
+    if (contended)
+      System.err.println(f"[bench] WARNING: ambient load $loadBefore%.2f > $loadLimit%.1f " +
+        "before the run — another job is on this host; timings are unreliable, re-run quiet")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"errors":$errJson,"load_before":$loadBefore,"load_after":$loadAfter,"contended":$contended}""")
     spark.stop()
   }
 }

@@ -16,7 +16,7 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // see Bench.scala: split the small local parquet files across cores.
-      .config("spark.sql.files.openCostInBytes", "131072")
+      .config("spark.sql.files.openCostInBytes", "16384")
       .config("spark.sql.files.minPartitionNum", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -116,24 +116,52 @@ object Dedup {
    * then verify each pair with the true shingle-set Jaccard, computed over
    * the per-document DISTINCT shingle-hash sets (md5 is injective here for
    * all practical purposes, so hash-set Jaccard equals shingle-set
-   * Jaccard). The signature minima AND the verification hash set come out
-   * of ONE aggregation over one shingle pipeline — the candidate join and
-   * both verification joins reuse that single computation's exchange.
+   * Jaccard).
+   *
+   * Verification shape — sized to CANDIDATES, never to the corpus:
+   *  - the shingle-hash sets are aggregated only for documents that appear
+   *    in some candidate pair (a semi-join cuts the corpus first); at real
+   *    dup rates that is a small fraction of the corpus, so the one
+   *    exchange that carries the (heavy, ~|doc| sized) hash sets moves
+   *    candidate-doc bytes only;
+   *  - the set table is referenced ONCE: candidate pairs explode to
+   *    (pair, member-id) rows and a single shuffled join attaches each
+   *    member's set, then a groupBy(pair) re-assembles the two sides.
+   *    (The obvious alternative — joining the set table once per pair
+   *    side — plans each reference as its own subtree after column
+   *    pruning, so the whole scan+aggregation runs once per side, as
+   *    concurrent duplicate jobs; measured 5 s → 10-140 s swings at
+   *    sf0.1.) shuffle_hash keeps AQE from broadcasting the set side
+   *    whose Generate-amplified size the planner cannot estimate.
    */
   def minhashPairs(corpus: DataFrame, idCol: String, textCol: String,
       shingleN: Int, k: Int, bands: Int, threshold: Double,
       maxBucket: Int = 1000): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into $bands bands")
     val sh = shingleTable(corpus, idCol, textCol, shingleN, nHashes = (k + 3) / 4)
+    val mins = minSlices(k)
+    val cand = candidatesFromSig(sh.groupBy("id").agg(mins.head, mins.tail: _*),
+      k, bands, maxBucket)
+    val candIds = cand.select(explode(array(col("id1"), col("id2"))).as("cid")).distinct()
+    // EXPLICIT partition count: the semi-join's output bytes are small, so
+    // AQE coalesces it to one partition — and the CPU-heavy shingle
+    // re-build + set aggregation behind it would run single-threaded
+    // (the measured e4 trap; explicit counts are exempt from coalescing).
+    val candCorpus = corpus.select(col(idCol).as("id"), col(textCol).as("t"))
+      .join(candIds, col("id") === col("cid"), "left_semi")
+      .repartition(corpus.sparkSession.sessionState.conf.numShufflePartitions, col("id"))
     // the first md5 (32 hex) alone identifies the shingle — carrying all
     // ceil(k/4) concatenated hashes through collect_set would 4x the
     // verification sets' memory and compare width for no extra information
-    val aggs = minSlices(k) :+ collect_set(substring(col("hs"), 1, 32)).as("hset")
-    val sigWithSets = sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
-    val cand = candidatesFromSig(sigWithSets, k, bands, maxBucket)
-    cand
-      .join(sigWithSets.select(col("id").as("id1"), col("hset").as("h1")), "id1")
-      .join(sigWithSets.select(col("id").as("id2"), col("hset").as("h2")), "id2")
+    val hsets = shingleTable(candCorpus, "id", "t", shingleN, nHashes = 1)
+      .groupBy("id").agg(collect_set(substring(col("hs"), 1, 32)).as("hset"))
+    val members = cand.select(col("id1"), col("id2"),
+      explode(array(col("id1"), col("id2"))).as("id"))
+    members.join(hsets.hint("shuffle_hash"), "id")
+      .groupBy("id1", "id2")
+      .agg(
+        first(when(col("id") === col("id1"), col("hset")), ignoreNulls = true).as("h1"),
+        first(when(col("id") === col("id2"), col("hset")), ignoreNulls = true).as("h2"))
       .select(col("id1"), col("id2"), T.jaccard(col("h1"), col("h2")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
