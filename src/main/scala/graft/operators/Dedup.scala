@@ -36,9 +36,7 @@ object Dedup {
    * `transform(sequence(...), i -> array_join(slice(ws, i, n)))` over that
    * projected column — all map-side expressions, ZERO shuffle. (The
    * quadratic re-evaluation trap only applies to lambdas over an INLINE
-   * split; a projected array column is materialized once per row.) `hs` =
-   * the shingle's `ceil(k/4)` concatenated md5s (32-bit min-hash slices
-   * are cut from it downstream).
+   * split; a projected array column is materialized once per row.)
    *
    * Scale shape: because no Exchange precedes it, the downstream
    * signature groupBy partial-aggregates map-side — the shuffle carries
@@ -48,16 +46,32 @@ object Dedup {
    * between shuffling >100 TB and shuffling ~1 TB.)
    */
   private def shingleTable(corpus: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, nHashes: Int): DataFrame = {
+      shingleN: Int): DataFrame = {
     val ws = corpus
       .select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
       .filter(size(col("ws")) >= shingleN) // sequence(1, n<=0) would step DOWN
-    val sh = ws.select(col("id"),
+    ws.select(col("id"),
       explode(transform(sequence(lit(1), size(col("ws")) - (shingleN - 1)),
         i => array_join(slice(col("ws"), i, lit(shingleN)), " "))).as("s"))
-    val hashes = (0 until nHashes).map(g =>
-      if (g == 0) md5(col("s")) else md5(concat(col("s"), lit("#" + g))))
-    sh.select(col("id"), concat(hashes: _*).as("hs"))
+  }
+
+  /** Per-document min-hash signature (m0..m{k-1}, long 32-bit slices):
+    * [[shingleTable]] → the native `graft_minhash_slices` expression
+    * (all ceil(k/4) md5 digests of a shingle in one pass — one reused
+    * MessageDigest, no hex-string round-trips; bit-identical to
+    * `conv(substring(concat(md5(s), md5(s||'#1'), ..), 8j+1, 8), 16, 10)`,
+    * which is what the DuckDB oracle computes) → k long MIN aggregates.
+    * Long mins use a map-side HashAggregate; min over the hex STRINGS
+    * planned a SortAggregate — a full sort of the exploded shingle table
+    * before the partial agg, measured as the stage's dominant cost. */
+  private def minhashSig(corpus: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int): DataFrame = {
+    graft.plans.VectorExpressions.ensureRegistered(corpus.sparkSession)
+    val sl = shingleTable(corpus, idCol, textCol, shingleN)
+      .select(col("id"),
+        call_function("graft_minhash_slices", col("s"), lit((k + 3) / 4)).as("sl"))
+    val mins = (0 until k).map(j => min(col("sl")(j)).as(s"m$j"))
+    sl.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
   /**
@@ -75,13 +89,20 @@ object Dedup {
       maxBucket: Int): DataFrame = {
     val rowsPerBand = k / bands
     val bandKeys = (0 until bands).map(b =>
-      md5(concat_ws("#", (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)))
+      md5(concat_ws("#",
+        (0 until rowsPerBand).map(r => sliceHex(col(s"m${b * rowsPerBand + r}"))): _*)))
     val bandsDf = sig.select(col("id"), posexplode(array(bandKeys: _*)).as(Seq("b", "bh")))
     // Skew guard: drop over-popular buckets before the self-join. The
     // window partitions exactly like the join keys, so the count and the
     // join share one shuffle (and the two join sides share it again via
-    // ReuseExchange).
+    // ReuseExchange). EXPLICIT partition count on that shuffle: the band
+    // table's bytes are small, so AQE would coalesce it to one partition —
+    // and the O(sum bucket^2) pair generation sitting ABOVE the exchange
+    // would run single-threaded (measured: a 1.5-2 s one-task stage at
+    // sf0.1; explicit counts are exempt from coalescing).
     val capped = bandsDf
+      .repartition(sig.sparkSession.sessionState.conf.numShufflePartitions,
+        col("b"), col("bh"))
       .withColumn("n_bucket", count(lit(1)).over(Window.partitionBy("b", "bh")))
       .filter(col("n_bucket") <= maxBucket)
       .select("id", "b", "bh")
@@ -93,76 +114,104 @@ object Dedup {
       .distinct()
   }
 
-  private def minSlices(k: Int): Seq[Column] =
-    (0 until k).map(j => min(substring(col("hs"), j * 8 + 1, 8)).as(s"m$j"))
+  /** The long slice back to the exact 8-hex lowercase form the md5-hex
+    * concatenation (and the DuckDB oracle's band keys) use. */
+  private def sliceHex(c: Column): Column = lower(lpad(hex(c), 8, "0"))
 
   /**
-   * LSH candidate pairs over (id, normalized-text): [[shingleTable]] →
-   * k 32-bit min-hash slices as k MIN aggregates (partial-aggregated
-   * map-side over the shuffle-free shingle build, so the one exchange
-   * carries only per-doc minima) →
-   * [[candidatesFromSig]].
+   * LSH candidate pairs over (id, normalized-text): [[minhashSig]]
+   * (partial-aggregated map-side over the shuffle-free shingle build, so
+   * the one exchange carries only per-doc minima) → [[candidatesFromSig]].
    */
   def lshCandidates(corpus: DataFrame, idCol: String, textCol: String,
       shingleN: Int, k: Int, bands: Int, maxBucket: Int): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into $bands bands")
-    val sh = shingleTable(corpus, idCol, textCol, shingleN, nHashes = (k + 3) / 4)
-    val mins = minSlices(k)
-    candidatesFromSig(sh.groupBy("id").agg(mins.head, mins.tail: _*), k, bands, maxBucket)
+    candidatesFromSig(minhashSig(corpus, idCol, textCol, shingleN, k),
+      k, bands, maxBucket)
   }
+
+  /**
+   * Attach a per-document feature (a shingle/gram set, typically) to BOTH
+   * sides of a candidate pair list — the verification join every near-dup
+   * pipeline ends with, shaped so its cost is sized to CANDIDATES, never
+   * to the corpus:
+   *  - features are computed only for documents that appear in some
+   *    candidate pair: the candidate-id set is BROADCAST into a semi-join
+   *    that cuts the corpus first. (Broadcast explicitly: Catalyst can't
+   *    size the id set statically — it sits above aggregates — and plans
+   *    a sort-merge semi-join, which exchanges the WHOLE corpus by id
+   *    before AQE can flip the join; at 100 TB that is a full corpus
+   *    shuffle for nothing. The id set is 8 bytes per candidate doc; if a
+   *    dup rate ever makes that too big to broadcast, the scale path is a
+   *    broadcast BLOOM of the ids filtering the corpus map-side, then a
+   *    shuffle of survivors only.)
+   *  - the feature table is referenced ONCE: pairs explode to (pair,
+   *    member-id) rows and one shuffled join attaches each member's
+   *    feature, then a groupBy(pair) re-assembles the two sides. (The
+   *    obvious alternative — joining the feature table once per pair
+   *    side — plans each reference as its own subtree after column
+   *    pruning, so the whole feature computation runs once per side as
+   *    concurrent duplicate jobs; measured 5 s → 10-140 s swings at
+   *    sf0.1.) shuffle_hash keeps AQE from broadcasting the feature side
+   *    whose Generate-amplified size the planner cannot estimate.
+   *  - both post-semi-join exchanges carry EXPLICIT partition counts:
+   *    their BYTES are small, so AQE's byte-based coalescing would run
+   *    the CPU-heavy feature build and the per-pair set intersection
+   *    above them in one task (measured 1.3-2 s single-task stages;
+   *    explicit counts are exempt from coalescing).
+   *
+   * `features` maps the (id, t) candidate-doc subset to (id, one feature
+   * column); returns (id1, id2, f1, f2).
+   */
+  private def pairSides(cand: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String)(features: DataFrame => DataFrame): DataFrame = {
+    val parts = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val candIds = cand.select(explode(array(col("id1"), col("id2"))).as("cid")).distinct()
+    val candCorpus = corpus.select(col(idCol).as("id"), col(textCol).as("t"))
+      .join(broadcast(candIds), col("id") === col("cid"), "left_semi")
+      .repartition(parts, col("id"))
+    val feats = features(candCorpus)
+    val fCol = feats.columns.filter(_ != "id") match {
+      case Array(f) => f
+      case other => throw new IllegalArgumentException(
+        s"features must return (id, <one feature column>), got ${other.mkString(",")}")
+    }
+    val members = cand.select(col("id1"), col("id2"),
+      explode(array(col("id1"), col("id2"))).as("id"))
+    members.join(feats.hint("shuffle_hash"), "id")
+      .repartition(parts, col("id1"), col("id2"))
+      .groupBy("id1", "id2")
+      .agg(
+        first(when(col("id") === col("id1"), col(fCol)), ignoreNulls = true).as("f1"),
+        first(when(col("id") === col("id2"), col(fCol)), ignoreNulls = true).as("f2"))
+  }
+
+  /** [[pairSides]] for callers outside the operator (the catalog's l3
+    * composes it with char-n-gram features). */
+  def verifyPairSides(cand: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String)(features: DataFrame => DataFrame): DataFrame =
+    pairSides(cand, corpus, idCol, textCol)(features)
 
   /**
    * MinHash + LSH near-duplicate pairs: candidates as in [[lshCandidates]],
    * then verify each pair with the true shingle-set Jaccard, computed over
    * the per-document DISTINCT shingle-hash sets (md5 is injective here for
    * all practical purposes, so hash-set Jaccard equals shingle-set
-   * Jaccard).
-   *
-   * Verification shape — sized to CANDIDATES, never to the corpus:
-   *  - the shingle-hash sets are aggregated only for documents that appear
-   *    in some candidate pair (a semi-join cuts the corpus first); at real
-   *    dup rates that is a small fraction of the corpus, so the one
-   *    exchange that carries the (heavy, ~|doc| sized) hash sets moves
-   *    candidate-doc bytes only;
-   *  - the set table is referenced ONCE: candidate pairs explode to
-   *    (pair, member-id) rows and a single shuffled join attaches each
-   *    member's set, then a groupBy(pair) re-assembles the two sides.
-   *    (The obvious alternative — joining the set table once per pair
-   *    side — plans each reference as its own subtree after column
-   *    pruning, so the whole scan+aggregation runs once per side, as
-   *    concurrent duplicate jobs; measured 5 s → 10-140 s swings at
-   *    sf0.1.) shuffle_hash keeps AQE from broadcasting the set side
-   *    whose Generate-amplified size the planner cannot estimate.
+   * Jaccard), attached candidate-sized via [[pairSides]].
    */
   def minhashPairs(corpus: DataFrame, idCol: String, textCol: String,
       shingleN: Int, k: Int, bands: Int, threshold: Double,
       maxBucket: Int = 1000): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into $bands bands")
-    val sh = shingleTable(corpus, idCol, textCol, shingleN, nHashes = (k + 3) / 4)
-    val mins = minSlices(k)
-    val cand = candidatesFromSig(sh.groupBy("id").agg(mins.head, mins.tail: _*),
+    val cand = candidatesFromSig(minhashSig(corpus, idCol, textCol, shingleN, k),
       k, bands, maxBucket)
-    val candIds = cand.select(explode(array(col("id1"), col("id2"))).as("cid")).distinct()
-    // EXPLICIT partition count: the semi-join's output bytes are small, so
-    // AQE coalesces it to one partition — and the CPU-heavy shingle
-    // re-build + set aggregation behind it would run single-threaded
-    // (the measured e4 trap; explicit counts are exempt from coalescing).
-    val candCorpus = corpus.select(col(idCol).as("id"), col(textCol).as("t"))
-      .join(candIds, col("id") === col("cid"), "left_semi")
-      .repartition(corpus.sparkSession.sessionState.conf.numShufflePartitions, col("id"))
-    // the first md5 (32 hex) alone identifies the shingle — carrying all
-    // ceil(k/4) concatenated hashes through collect_set would 4x the
-    // verification sets' memory and compare width for no extra information
-    val hsets = shingleTable(candCorpus, "id", "t", shingleN, nHashes = 1)
-      .groupBy("id").agg(collect_set(substring(col("hs"), 1, 32)).as("hset"))
-    val members = cand.select(col("id1"), col("id2"),
-      explode(array(col("id1"), col("id2"))).as("id"))
-    members.join(hsets.hint("shuffle_hash"), "id")
-      .groupBy("id1", "id2")
-      .agg(
-        first(when(col("id") === col("id1"), col("hset")), ignoreNulls = true).as("h1"),
-        first(when(col("id") === col("id2"), col("hset")), ignoreNulls = true).as("h2"))
-      .select(col("id1"), col("id2"), T.jaccard(col("h1"), col("h2")).as("jaccard"))
+    // one md5 (32 hex) alone identifies the shingle — the verification
+    // sets need only an injective shingle id, not the k-slice signature
+    pairSides(cand, corpus, idCol, textCol) { cc =>
+      shingleTable(cc, "id", "t", shingleN)
+        .groupBy("id").agg(collect_set(md5(col("s"))).as("hset"))
+    }
+      .select(col("id1"), col("id2"), T.jaccard(col("f1"), col("f2")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -147,3 +147,66 @@ case class DeletionNeighborhood(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** Helper object for [[MinhashSlices]] — static so generated code can
+  * call it without capturing the expression instance. */
+object MinhashOps {
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 4·nHashes unsigned-32-bit min-hash slices of `s`, bit-identical to
+    * `conv(substring(concat(md5(s), md5(s||'#1'), ..), j*8+1, 8), 16, 10)`
+    * over the md5-hex concatenation: digest g is md5 of the raw UTF-8
+    * bytes (g == 0) or of the bytes of `s || "#g"`, and slice 4g+c is
+    * bytes [4c, 4c+4) of digest g read big-endian unsigned. One digest
+    * instance per thread, no hex strings, no substring/conv re-parsing —
+    * the builtin composition allocates a MessageDigest and materializes a
+    * 32-char hex string per md5 call, 4 calls per shingle.
+    */
+  def slices(s: UTF8String, nHashes: Int): ArrayData = {
+    val md = md5.get()
+    val base = s.getBytes
+    val out = new Array[Long](4 * nHashes)
+    var g = 0
+    while (g < nHashes) {
+      md.reset()
+      md.update(base)
+      if (g > 0) md.update(("#" + g).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val d = md.digest()
+      var c = 0
+      while (c < 4) {
+        val o = 4 * c
+        out(4 * g + c) =
+          ((d(o) & 0xffL) << 24) | ((d(o + 1) & 0xffL) << 16) |
+            ((d(o + 2) & 0xffL) << 8) | (d(o + 3) & 0xffL)
+        c += 1
+      }
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_minhash_slices(shingle, nHashes)` — see [[MinhashOps.slices]].
+  * Feeds graft.operators.Dedup's signature aggregation: the per-document
+  * minimum of slice j over all shingles is min-hash row j. */
+case class MinhashSlices(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "graft_minhash_slices"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, int) arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override protected def nullSafeEval(s: Any, n: Any): Any =
+    MinhashOps.slices(s.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, n) =>
+      s"${ev.value} = graft.plans.MinhashOps.slices($s, $n);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -838,13 +838,13 @@ object Catalog {
         val corpus = perturbedCorpus(s, d)
         val cand = graft.operators.Dedup.lshCandidates(
           corpus, "id", "t", shingleN = 3, k = 16, bands = 4, maxBucket = 1000)
-        // gram arrays are computed once per DOC side (t is pre-normalized,
-        // so the raw variant applies), never per pair
-        val grams = corpus.select(col("id"), T.charNgramsRaw(col("t"), 4).as("g"))
-        cand
-          .join(grams.select(col("id").as("id1"), col("g").as("g1")), "id1")
-          .join(grams.select(col("id").as("id2"), col("g").as("g2")), "id2")
-          .select(col("id1"), col("id2"), T.jaccard(col("g1"), col("g2")).as("jaccard"))
+        // gram arrays are computed once per candidate DOC (t is
+        // pre-normalized, so the raw variant applies), never per pair;
+        // verifyPairSides keeps the build candidate-sized and spread
+        graft.operators.Dedup.verifyPairSides(cand, corpus, "id", "t") { cc =>
+          cc.select(col("id"), T.charNgramsRaw(col("t"), 4).as("g"))
+        }
+          .select(col("id1"), col("id2"), T.jaccard(col("f1"), col("f2")).as("jaccard"))
           .filter(col("jaccard") >= 0.8)
       },
       Some(s"""

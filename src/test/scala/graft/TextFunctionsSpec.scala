@@ -151,4 +151,20 @@ class TextFunctionsSpec extends AnyFunSuite {
       .select(T.stripCompanySuffixes(col("s"))).collect().map(_.getString(0))
     assert(names.toSeq == Seq("acme", "foo", "plain name"))
   }
+
+  test("native graft_minhash_slices matches the md5-hex substring/conv composition") {
+    graft.plans.VectorExpressions.ensureRegistered(spark)
+    val shingles = (samples.filter(_.nonEmpty) ++ Seq("one two three", "#", "a#1")).toDF("s")
+    val nHashes = 4
+    val hexConcat = concat((0 until nHashes).map(g =>
+      if (g == 0) md5(col("s")) else md5(concat(col("s"), lit("#" + g)))): _*)
+    val builtin = (0 until 4 * nHashes).map(j =>
+      conv(substring(hexConcat, j * 8 + 1, 8), 16, 10).cast("long"))
+    val rows = shingles.select(
+      call_function("graft_minhash_slices", col("s"), lit(nHashes)).as("sl"),
+      array(builtin: _*).as("ref")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"mismatch for ${r}")
+    }
+  }
 }
