@@ -188,14 +188,9 @@ object Ann {
     for (_ <- 1 to iters) {
       val c = cent.select(col("centroid_id").as("cid"), col("embedding").as("centv"),
         call_function("graft_dot_exact", col("embedding"), col("embedding")).as("centn"))
-      val sim = V.cosineFromParts(
-        call_function("graft_dot_exact", col("embedding"), col("centv")), col("vn"), col("centn"))
-      val assigned = vecs.crossJoin(broadcast(c))
-        .select(col("vec_id"), col("embedding"),
-          struct((lit(1.0) - sim).as("dist"), col("cid")).as("dc"))
-        .groupBy(col("vec_id"))
-        .agg(min(col("dc")).as("best"), first(col("embedding")).as("embedding"))
-        .select(col("best.cid").as("cell"), col("embedding"))
+      val assigned = vecs.crossJoin(broadcast(centArray(c)))
+        .select(argminCell(col("embedding"), col("vn")).getField("cid").as("cell"),
+          col("embedding"))
       val means = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim"))
@@ -225,6 +220,30 @@ object Ann {
   private def centSim(v: Column, vnExact: Column): Column =
     V.cosineFromParts(
       call_function("graft_dot_exact", v, col("centv")), vnExact, col("centn"))
+
+  /** All centroids folded into ONE row holding an array of (cid, centv,
+    * centn) structs — the broadcast side of the map-side argmin fold. */
+  private def centArray(cent: DataFrame): DataFrame =
+    cent.agg(collect_list(struct(col("cid"), col("centv"), col("centn"))).as("cents"))
+
+  /** Nearest-cell assignment as a `least`-fold over the broadcast
+    * centroid array: per row, struct(dist, cid) for each centroid,
+    * lexicographic minimum — EXACTLY the semantics of the previous
+    * `crossJoin(cent) → groupBy(min(struct(dist, cid)))`, but with no
+    * ×C row materialization and no aggregate: min over a STRUCT has no
+    * fixed-width agg buffer, so Spark planned a SortAggregate that
+    * sorted the C-amplified table (measured as the dominant per-
+    * iteration cost of Lloyd refinement). Distances stay exact-decimal
+    * 9-dp cosines, so the argmin still agrees bit-for-bit with the
+    * DuckDB oracle's replay. */
+  private def argminCell(v: Column, vnExact: Column): Column =
+    aggregate(col("cents"),
+      struct(lit(Double.MaxValue).as("dist"), lit(Long.MaxValue).as("cid")),
+      (acc, c) => least(acc, struct(
+        (lit(1.0) - V.cosineFromParts(
+          call_function("graft_dot_exact", v, c.getField("centv")),
+          vnExact, c.getField("centn"))).as("dist"),
+        c.getField("cid").as("cid"))))
 
   /**
    * IVF (inverted-file) top-k — the classic scale path for ANN (see
@@ -266,12 +285,9 @@ object Ann {
     // computed once before the broadcast join — never per centroid pair)
     val cCell = corpusSide(corpus,
         call_function("graft_dot_exact", col("embedding"), col("embedding")).as("cnx"))
-      .crossJoin(broadcast(cent))
+      .crossJoin(broadcast(centArray(cent)))
       .select(col("cand_id"), col("cv"), col("cn"),
-        struct((lit(1.0) - centSim(col("cv"), col("cnx"))).as("dist"), col("cid")).as("dc"))
-      .groupBy(col("cand_id"))
-      .agg(min(col("dc")).as("best"), first(col("cv")).as("cv"), first(col("cn")).as("cn"))
-      .select(col("cand_id"), col("cv"), col("cn"), col("best.cid").as("cell"))
+        argminCell(col("cv"), col("cnx")).getField("cid").as("cell"))
     val qSim = querySide(queries,
         call_function("graft_dot_exact", col("embedding"), col("embedding")).as("qnx"))
       .crossJoin(broadcast(cent))

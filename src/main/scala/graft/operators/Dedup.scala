@@ -220,19 +220,20 @@ object Dedup {
     * codegen'd SUM aggregates with map-side partial aggregation, one
     * shuffle on the doc id (Charikar 2002). */
   private def simhashVotes(corpus: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.plans.VectorExpressions.ensureRegistered(corpus.sparkSession)
+    // the native prefix-long carries the 64 vote bits of md5(tok) in one
+    // value: bit j (0 = MSB) == the oracle's nibble test `(hex nibble
+    // j/4+1) & (8 >> j%4)`. The previous form parsed 16 conv(substring)
+    // nibbles out of the 32-char hex per TOKEN — the map stage's
+    // dominant cost at sf0.1.
     val toks = corpus
       .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
-      .select(col("id"), md5(col("tok")).as("h"))
-    // nibble value of hex char p (1-based): 0..15
-    def nib(p: Int): Column = conv(substring(col("h"), p, 1), 16, 10).cast("int")
-    val withNibs = toks.select(
-      (col("id") +: (1 to 16).map(p => nib(p).as(s"nib$p"))): _*)
+      .select(col("id"), call_function("graft_md5_prefix64", col("tok")).as("h"))
     val votes = (0 until 64).map { j =>
-      val p = j / 4 + 1
-      val mask = 8 >> (j % 4)
-      sum(when(col(s"nib$p").bitwiseAND(lit(mask)) =!= 0, 1).otherwise(-1)).as(s"v$j")
+      sum(when(shiftright(col("h"), 63 - j).bitwiseAND(lit(1L)) =!= 0, 1)
+        .otherwise(-1)).as(s"v$j")
     }
-    withNibs.groupBy("id").agg(votes.head, votes.tail: _*)
+    toks.groupBy("id").agg(votes.head, votes.tail: _*)
   }
 
   /** 64-bit SimHash fingerprint per document as a '0'/'1' bitstring

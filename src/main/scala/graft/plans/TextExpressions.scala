@@ -165,6 +165,21 @@ object MinhashOps {
     * the builtin composition allocates a MessageDigest and materializes a
     * 32-char hex string per md5 call, 4 calls per shingle.
     */
+
+  /** First 8 bytes of md5(s) as a big-endian long: bit j (0 = MSB) is
+    * exactly the bit the hex-nibble formula `(nibble at hex position
+    * j/4+1) & (8 >> j%4)` tests — the SimHash vote bits, without the
+    * 32-char hex string or 16 conv(substring) nibble parses per token. */
+  def md5Prefix64(s: UTF8String): Long = {
+    val md = md5.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+
   def slices(s: UTF8String, nHashes: Int): ArrayData = {
     val md = md5.get()
     val base = s.getBytes
@@ -209,4 +224,22 @@ case class MinhashSlices(left: Expression, right: Expression)
       s"${ev.value} = graft.plans.MinhashOps.slices($s, $n);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** `graft_md5_prefix64(token)` — see [[MinhashOps.md5Prefix64]]. */
+case class Md5Prefix64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "graft_md5_prefix64"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+  override protected def nullSafeEval(s: Any): Any =
+    MinhashOps.md5Prefix64(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.plans.MinhashOps.md5Prefix64($s);")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }

@@ -167,4 +167,20 @@ class TextFunctionsSpec extends AnyFunSuite {
       assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"mismatch for ${r}")
     }
   }
+
+  test("native graft_md5_prefix64 bit j == the md5 hex-nibble vote test") {
+    graft.plans.VectorExpressions.ensureRegistered(spark)
+    val toks = (samples.filter(_.nonEmpty) ++ Seq("token", "x", "#1")).toDF("s")
+    // old formula: nibble at hex position j/4+1 (1-based), mask 8 >> j%4
+    val nibbleBits = (0 until 64).map { j =>
+      val nib = conv(substring(md5(col("s")), j / 4 + 1, 1), 16, 10).cast("int")
+      when(nib.bitwiseAND(lit(8 >> (j % 4))) =!= 0, "1").otherwise("0")
+    }
+    val longBits = (0 until 64).map { j =>
+      when(shiftright(call_function("graft_md5_prefix64", col("s")), 63 - j)
+        .bitwiseAND(lit(1L)) =!= 0, "1").otherwise("0")
+    }
+    val rows = toks.select(concat(nibbleBits: _*), concat(longBits: _*)).collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
 }
