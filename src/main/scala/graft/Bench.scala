@@ -71,6 +71,14 @@ object Bench {
           -1.0
       } finally {
         spark.catalog.clearCache()
+        // Leftover persisted blocks (e.g. an operator's final eager
+        // checkpoint, which has no recompute path and so must stay alive
+        // for its caller) and GC-driven broadcast/shuffle cleanup both
+        // otherwise land INSIDE a later query's timer — measured as 2-4x
+        // swings on whichever heavy query happened to absorb the cleanup.
+        // Reap them here, outside all timers.
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        System.gc()
       }
     }
 

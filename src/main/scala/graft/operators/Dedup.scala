@@ -383,14 +383,28 @@ object Dedup {
       id1: String = "id1", id2: String = "id2", maxRounds: Int = 16,
       checkpointDir: Option[String] = None): DataFrame = {
     require(maxRounds >= 1, "at least one propagation round")
-    checkpointDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
-    def save(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val sc = nodes.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    // Each eager localCheckpoint PERSISTS its blocks for the life of the
+    // session; without explicit cleanup every round of every call pins
+    // another label table in the block manager (and its delayed GC-driven
+    // cleanup lands inside whatever runs next — measured as multi-second
+    // noise on later queries in a bench pass). Track the RDD ids each
+    // save() persists (id-set diff; this operator is single-threaded) and
+    // drop a round's blocks as soon as the NEXT eager checkpoint exists.
+    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    def save(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = persistedIds
+      val out = if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      (out, persistedIds -- before)
+    }
+    def drop(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     // checkpoint the (possibly expensive) pair generation once: every
     // round re-reads the edge list
-    val edges = save(pairs.select(col(id1).as("src"), col(id2).as("dst"))
+    val (edges, edgeIds) = save(pairs.select(col(id1).as("src"), col(id2).as("dst"))
       .unionAll(pairs.select(col(id2).as("src"), col(id1).as("dst"))))
-    var labels = save(nodes.select(col(idCol).as("id"), col(idCol).as("comp")))
+    var (labels, labelIds) = save(nodes.select(col(idCol).as("id"), col(idCol).as("comp")))
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("comp").cast("decimal(38,0)"))).collect().head.getDecimal(0)
     var prevSum = labelSum(labels)
@@ -404,9 +418,12 @@ object Dedup {
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-      labels = save(jumped
+      val (nextLabels, nextIds) = save(jumped
         .join(jumped.select(col("id").as("comp"), col("comp").as("comp2")), Seq("comp"), "left")
         .select(col("id"), least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp")))
+      drop(labelIds) // superseded round — next checkpoint is already eager/materialized
+      labels = nextLabels
+      labelIds = nextIds
       val s = labelSum(labels)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
@@ -417,6 +434,9 @@ object Dedup {
         s"connectedComponents did not converge within maxRounds=$maxRounds " +
           "(labels would be silently partial); raise maxRounds — rounds needed " +
           "grows with log2(component diameter)")
+    drop(edgeIds) // final labels are materialized; the edge list is dead
+    // the FINAL label checkpoint stays persisted — the returned DataFrame
+    // reads from it (truncated lineage has no recompute path)
     labels.select(col("id"), col("comp").as("component_id"))
   }
 

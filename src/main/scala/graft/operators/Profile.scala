@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
+
+/**
+ * Dataset profiling: the discovery step a pipeline runs before writing
+ * dbt-style contracts (the reference hand-maintains its expectations in
+ * dbt/job_dbt/models/marts/schema.yml; a 100-TB corpus needs them
+ * MEASURED first) and the vocabulary build a tokenizer-training run
+ * starts from.
+ */
+object Profile {
+
+  /**
+   * One-pass per-column profile: row count, non-null count, exact
+   * distinct count, and numeric min/max (null for non-numeric columns) —
+   * one output row per profiled column.
+   *
+   * Plan shape: a single global aggregate. The n exact `count(distinct)`s
+   * plan as ONE Expand (×(n+1) row amplification) feeding a partial
+   * aggregate, so the exchange carries per-partition partials only —
+   * there is no per-column scan and no driver loop. Exact distinct at
+   * 100 TB is a real (Expand + wide hash table) cost; when a contract
+   * only needs cardinality ESTIMATES, swap `approx_count_distinct`
+   * in (HLL sketch, no Expand) — kept exact here because the catalog
+   * gate hash-compares against DuckDB.
+   */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile at least one column")
+    val numeric = df.schema.fields
+      .filter(f => f.dataType.isInstanceOf[NumericType]).map(_.name).toSet
+    def minMax(c: String, f: String => org.apache.spark.sql.Column) =
+      if (numeric(c)) f(c).cast("double") else lit(null).cast("double")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        minMax(c, x => min(col(x))).as(s"__mn_$c"),
+        minMax(c, x => max(col(x))).as(s"__mx_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    one.select(explode(array(cols.map(c => struct(
+        lit(c).as("column_name"),
+        col("__n").as("n_rows"),
+        col(s"__nn_$c").as("n_nonnull"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_num"),
+        col(s"__mx_$c").as("max_num"))): _*)).as("p"))
+      .select(col("p.*"))
+  }
+
+  /**
+   * Corpus vocabulary: whitespace tokens of the normalized text, ranked
+   * by total term frequency (ties broken by token), with exact document
+   * frequency — the counting pass a BPE/WordPiece trainer, a stopword
+   * list, or an IDF table is built from.
+   *
+   * Plan shape: narrow tokenize/explode (no pre-shuffle), then the
+   * (token, doc) distinct + count aggregates partial-aggregate map-side —
+   * the exchange carries per-split partial counts, not the token stream.
+   * The global top-n is a TakeOrderedAndProject (per-partition heaps →
+   * driver merge of n·partitions rows), never a full sort.
+   */
+  def vocabTopK(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val toks = docs.select(
+        col(idCol).as("id"),
+        explode(graft.functions.text.words(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    toks.groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("id")).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(n)
+  }
+}

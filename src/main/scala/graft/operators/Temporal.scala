@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Event-time operators: point-in-time (as-of) join and gap-based
+ * sessionization — the two temporal primitives the reference's daily
+ * incremental model implies but its Postgres layer computes row-at-a-time
+ * (services/normalizer/db_operations.py:334 keeps only latest state;
+ * a feature/training pipeline needs "state AS OF each event").
+ *
+ * Both are single-shuffle declarative plans — no inequality join, no
+ * driver-side iteration — so they hold their shape at 100 TB.
+ */
+object Temporal {
+
+  /**
+   * As-of join: for every left row, attach the single right row with the
+   * greatest `rightTs <= leftTs` (the latest state at or before the
+   * event) for the same key — nulls where no state precedes the event.
+   *
+   * Spark has no ASOF JOIN operator; the naive encodings both fail at
+   * scale: an inequality join `l.key = r.key AND r.ts <= l.ts` explodes
+   * to every (event, earlier-state) pairing before a per-event argmax
+   * prunes it (quadratic per key), and a per-event scalar subquery is not
+   * plannable at all. This is instead the union-merge form: tag states
+   * prio=0 and events prio=1, union by name, and run ONE window
+   * `last(_state, ignoreNulls) over (partition by key order by ts, prio
+   * rows unbounded preceding)` — a single Exchange on the key plus one
+   * sort, the same cost as a sort-merge join of the two tables, linear
+   * in |events| + |states|. At equal timestamps states sort BEFORE
+   * events (prio 0 < 1), giving the inclusive `<=` the contract states.
+   *
+   * Requirements: `right` must be unique per (keys, rightTs) — otherwise
+   * "the" state at a timestamp is ill-defined; pre-aggregate duplicates.
+   * Left column names must not collide with the temporaries.
+   *
+   * Returned columns: every left column, then each `stateCols` column as
+   * `asof_<name>`.
+   */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, stateCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "asofJoin needs at least one equi-key")
+    val tmp = Seq("_ts", "_prio", "_state", "_asof")
+    require(!left.columns.exists(tmp.contains),
+      s"left columns may not use reserved names ${tmp.mkString(", ")}")
+
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as("_ts"),
+        struct(stateCols.map(col): _*).as("_state"),
+        lit(0).as("_prio")): _*)
+    val l = left
+      .withColumn("_ts", col(leftTs))
+      .withColumn("_prio", lit(1))
+    // unionByName fills the side-specific columns (left payload on the
+    // state side, _state on the event side) with nulls.
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_ts"), col("_prio"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("_asof", last(col("_state"), ignoreNulls = true).over(w))
+      .filter(col("_prio") === 1)
+      .select(left.columns.map(col).toSeq ++
+        stateCols.map(c => col("_asof").getField(c).as(s"asof_$c")): _*)
+  }
+
+  /**
+   * Gap-based sessionization via the built-in `session_window`: events of
+   * one key belong to one session while each is within `gap` of the
+   * previous — merge when `ts - prev <= gap` (an event landing EXACTLY on
+   * the previous window's end still extends the session; windows
+   * `[start, last+gap]` merge on touch, asserted in TemporalSpec), new
+   * session strictly past the gap. Returns one row per session: key,
+   * session bounds (`session_end` = last event + gap), event count, and
+   * the decimal-exact sum of `valueCol`.
+   *
+   * `session_window` is the Spark-native form: ONE shuffle on the key
+   * (the sort and the merge run inside the aggregate), and the identical
+   * expression runs under Structured Streaming with a watermark — the
+   * streaming twin is asserted equal to this batch plan in
+   * StreamingSpec. A lag/cumsum window encoding would cost the same
+   * shuffle but two extra window passes and has no streaming form.
+   */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+      gap: String, valueCol: String): DataFrame =
+    events
+      .groupBy(col(keyCol), session_window(col(tsCol), gap).as("sw"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,6)")).cast("double").as("total_value"))
+      .select(
+        col(keyCol),
+        col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"),
+        col("n_events"),
+        col("total_value"))
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.config.{Dictionaries, EnumDomains, RankingProfile, RankingWeights}
 import graft.functions.{text => T, vectors => V}
-import graft.operators.{Enrich, Marts, Ranker, Upsert}
+import graft.operators.{Enrich, Marts, Profile, Ranker, Temporal, Upsert}
 import graft.sources.Tables
 
 /** One catalog entry: a Spark query + (optionally) its DuckDB oracle SQL. */
@@ -1732,15 +1732,122 @@ object Catalog {
       WHERE rn = 1 AND o_orderstatus = 'F'
       GROUP BY 1"""))
 
+  // ---------------------------------------------------------------- j1
+  // As-of (point-in-time) join: every non-purchase event picks up the
+  // value of its user's latest purchase at or before the event — the
+  // feature-pipeline primitive ("state AS OF each training example")
+  // Spark has no operator for. Implemented as Temporal.asofJoin's
+  // union-merge window (ONE shuffle+sort, no inequality-join explosion);
+  // the oracle is DuckDB's native ASOF LEFT JOIN, so the gate proves the
+  // union-merge form IS as-of-join semantics, ties included.
+  private val j1 = Q(
+    "j1_asof_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val states = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts") // unique per (key, ts): "the" state is well-defined
+        .agg(max(col("value")).as("purchase_value"))
+      val left = ev.filter(col("event_type") =!= "purchase")
+        .select("event_id", "user_id", "ts", "event_type")
+      Temporal.asofJoin(left, states, Seq("user_id"), "ts", "ts",
+          Seq("purchase_value"))
+        .select(
+          col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("event_type"), col("asof_purchase_value"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        FROM events WHERE event_type <> 'purchase'),
+      st AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      SELECT e.event_id, e.user_id,
+        strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, e.event_type,
+        st.purchase_value AS asof_purchase_value
+      FROM e ASOF LEFT JOIN st ON e.user_id = st.user_id AND e.ts >= st.ts"""))
+
+  // ---------------------------------------------------------------- a6
+  // Gap-based sessionization via the built-in session_window (one shuffle;
+  // the same expression runs under Structured Streaming — twin asserted in
+  // StreamingSpec). The oracle replays the islands encoding (lag + gap
+  // flag + running sum), proving session_window's merge rule (merge iff
+  // gap <= 30 min — the EXACT-gap event still merges, asserted in
+  // TemporalSpec) against an independent formulation.
+  private val a6 = Q(
+    "a6_sessionize",
+    (s, d) => Temporal.sessionize(
+        Tables.events(s, d), "user_id", "ts", "30 minutes", "value")
+      .withColumn("session_start",
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      .withColumn("session_end",
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS")),
+    Some(s"""
+      WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      f AS (
+        SELECT *, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            <= INTERVAL '30 minutes'
+                       THEN 0 ELSE 1 END AS is_new
+        FROM e),
+      g AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+        FROM f)
+      SELECT user_id,
+        strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        strftime(MAX(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      FROM g GROUP BY user_id, sess"""))
+
+  // ---------------------------------------------------------------- t7
+  // Corpus vocabulary build (term + document frequency, deterministic
+  // top-n) — the counting pass a tokenizer training / stopword / IDF
+  // table starts from. Narrow tokenize, map-side partial counts,
+  // TakeOrderedAndProject top-n.
+  private val t7 = Q(
+    "t7_vocab_topk",
+    (s, d) => Profile.vocabTopK(Tables.documents(s, d), "doc_id", "text", 100),
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, unnest(string_split(${normSql("text")}, ' ')) AS token
+        FROM documents)
+      SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+      FROM t WHERE token <> ''
+      GROUP BY token
+      ORDER BY tf DESC, token
+      LIMIT 100"""))
+
+  // ---------------------------------------------------------------- q2
+  // One-pass column profiling (dbt contracts are written FROM numbers
+  // like these): row/non-null/exact-distinct counts + numeric min/max,
+  // one global aggregate (Expand + map-side partials), no per-column scan.
+  private val q2 = {
+    val profiled = Seq( // (column, numeric?) — drives BOTH sides
+      "o_orderkey" -> true, "o_custkey" -> true, "o_orderstatus" -> false,
+      "o_totalprice" -> true, "o_orderpriority" -> false)
+    def side(c: String, num: Boolean) = {
+      val mn = if (num) s"CAST(MIN($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+      val mx = if (num) s"CAST(MAX($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+      s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows, COUNT($c) AS n_nonnull,
+        COUNT(DISTINCT $c) AS n_distinct, $mn AS min_num, $mx AS max_num FROM orders"""
+    }
+    Q(
+      "q2_column_profile",
+      (s, d) => Profile.columnProfile(Tables.orders(s, d), profiled.map(_._1)),
+      Some(profiled.map { case (c, num) => side(c, num) }.mkString("\nUNION ALL\n")))
+  }
+
   /** All registered queries, in SURVEY §2 order. */
   val all: Seq[Q] = Seq(
-    a1, a2, a3, a4, a5,
+    a1, a2, a3, a4, a5, a6,
     n1, n2, n3, n4, n5, n6, n7,
     d1, d2, d3, d4,
-    e1, e2, e3, e4,
-    r1, r2, r3, q1,
+    e1, e2, e3, e4, j1,
+    r1, r2, r3, q1, q2,
     l1, l2, l3, l4, l5, l6, l7, l8, l9,
-    t1, t2, t3, t4, t5, t6,
+    t1, t2, t3, t4, t5, t6, t7,
     c1, c2, c3,
     m1, m2, s1, s2, p1, w1)
 

@@ -87,6 +87,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("sessionize: streaming session_window (append + watermark) equals the batch twin") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = graft.operators.Temporal.sessionize(
+        input.toDF().withWatermark("ts", "1 hour"),
+        "user_id", "ts", "30 minutes", "value")
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      input.addData(events)
+      query.processAllAvailable()
+      // sentinels push the watermark past every real session (advance at
+      // batch end, emission a batch later)
+      input.addData(Ev(ts("2024-01-16 00:00:00"), 9, "click", 0.0))
+      query.processAllAvailable()
+      input.addData(Ev(ts("2024-01-17 00:00:00"), 9, "click", 0.0))
+      query.processAllAvailable()
+
+      def tup(rows: Array[org.apache.spark.sql.Row]) = rows
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      val got = tup(spark.table("sess_out")
+        .filter(col("session_start") < ts("2024-01-16 00:00:00")).collect())
+      val expect = tup(graft.operators.Temporal.sessionize(
+        events.toDF(), "user_id", "ts", "30 minutes", "value").collect())
+      assert(got == expect)
+      // user 1's 10:01 and 10:16 merge (15 min), 11:05 is a new session (49 min)
+      assert(expect.contains((1L, ts("2024-01-15 10:01:00"), ts("2024-01-15 10:46:00"), 2L, 4.0)))
+      assert(expect.contains((1L, ts("2024-01-15 11:05:00"), ts("2024-01-15 11:35:00"), 1L, 6.0)))
+    } finally query.stop()
+  }
+
   test("runningUpsert: state merges across triggers and equals the batch twin") {
     implicit val ctx = spark.sqlContext
     val batch1 = Seq(

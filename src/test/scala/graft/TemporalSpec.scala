@@ -1,0 +1,111 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Profile, Temporal}
+
+class TemporalSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // -------------------------------------------------------- asofJoin
+  private val states = Seq(
+    (1L, ts("2024-01-15 10:00:00"), 10.0),
+    (1L, ts("2024-01-15 10:30:00"), 20.0),
+    (2L, ts("2024-01-15 11:00:00"), 99.0))
+    .toDF("user_id", "ts", "v")
+
+  test("asofJoin picks the latest state at or before each event, null before any") {
+    val evts = Seq(
+      (100L, 1L, ts("2024-01-15 09:59:59")), // before any state -> null
+      (101L, 1L, ts("2024-01-15 10:00:00")), // tie: state AT event ts counts (<=)
+      (102L, 1L, ts("2024-01-15 10:29:59")), // between states -> first
+      (103L, 1L, ts("2024-01-15 12:00:00")), // after all -> latest
+      (104L, 2L, ts("2024-01-15 11:30:00")), // other key
+      (105L, 3L, ts("2024-01-15 11:30:00"))) // key with no states
+      .toDF("event_id", "user_id", "ts")
+    val got = Temporal.asofJoin(evts, states, Seq("user_id"), "ts", "ts", Seq("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(got == Map(
+      100L -> None, 101L -> Some(10.0), 102L -> Some(10.0),
+      103L -> Some(20.0), 104L -> Some(99.0), 105L -> None))
+  }
+
+  test("asofJoin matches a naive per-event argmax reference on random data") {
+    val rnd = new scala.util.Random(7)
+    val st = (1 to 60).map(_ =>
+      (rnd.nextInt(5).toLong, new Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L), rnd.nextDouble()))
+      .distinct.groupBy(t => (t._1, t._2)).map(_._2.head).toSeq // unique per (key, ts)
+    val ev = (1 to 200).map(i =>
+      (i.toLong, rnd.nextInt(6).toLong, new Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L)))
+    val got = Temporal.asofJoin(
+        ev.toDF("event_id", "user_id", "ts"),
+        st.toDF("user_id", "ts", "v"), Seq("user_id"), "ts", "ts", Seq("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    val expect = ev.map { case (id, u, t) =>
+      val cand = st.filter(s => s._1 == u && !s._2.after(t))
+      id -> (if (cand.isEmpty) None else Some(cand.maxBy(_._2.getTime)._3))
+    }.toMap
+    assert(got == expect)
+  }
+
+  // ------------------------------------------------------- sessionize
+  test("sessionize merges events up to AND INCLUDING the gap, splits past it") {
+    // session_window's merge rule is diff <= gap (an event landing exactly
+    // on the previous window's end extends the session) — asserted here
+    // because the a6 oracle encodes the same <= and a strict < would pass
+    // every gate until real data hit the boundary.
+    val evts = Seq(
+      (1L, ts("2024-01-15 10:00:00"), 1.0),
+      (1L, ts("2024-01-15 10:20:00"), 2.0), // 20 min -> same session
+      (1L, ts("2024-01-15 10:50:00"), 3.0), // EXACTLY 30 min -> still same session
+      (1L, ts("2024-01-15 11:20:01"), 4.0), // 30 min 1 s -> NEW session
+      (2L, ts("2024-01-15 10:00:00"), 5.0))
+      .toDF("user_id", "ts", "value")
+    val got = Temporal.sessionize(evts, "user_id", "ts", "30 minutes", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(got == Set(
+      (1L, ts("2024-01-15 10:00:00"), ts("2024-01-15 11:20:00"), 3L, 6.0),
+      (1L, ts("2024-01-15 11:20:01"), ts("2024-01-15 11:50:01"), 1L, 4.0),
+      (2L, ts("2024-01-15 10:00:00"), ts("2024-01-15 10:30:00"), 1L, 5.0)))
+  }
+
+  // ---------------------------------------------------- columnProfile
+  test("columnProfile: counts, exact distinct, numeric-only min/max") {
+    val df = Seq(
+      (Some(1L), Some("a"), Some(2.5)),
+      (Some(2L), None, Some(-1.0)),
+      (Some(2L), Some("b"), None))
+      .toDF("k", "s", "x")
+    val got = Profile.columnProfile(df, Seq("k", "s", "x"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), Option(r.get(4)), Option(r.get(5))))
+      .toMap
+    assert(got("k") == ((3L, 3L, 2L, Some(1.0), Some(2.0))))
+    assert(got("s") == ((3L, 2L, 2L, None, None))) // string: no numeric min/max
+    assert(got("x") == ((3L, 2L, 2L, Some(-1.0), Some(2.5))))
+  }
+
+  // -------------------------------------------------------- vocabTopK
+  test("vocabTopK: tf/df counts, (tf desc, token) order, top-n cut") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat"),
+      (3L, "a cat and a dog"))
+      .toDF("doc_id", "text")
+    val got = Profile.vocabTopK(docs, "doc_id", "text", 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // tf: the=3, a=2, cat=2, dog=2, sat=2, ... -> top-4 by (tf desc, token asc)
+    assert(got.toSeq == Seq(
+      ("the", 3L, 2L), ("a", 2L, 1L), ("cat", 2L, 2L), ("dog", 2L, 2L)))
+  }
+}
