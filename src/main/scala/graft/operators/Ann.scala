@@ -160,14 +160,20 @@ object Ann {
    * Lloyd (k-means) refinement of an initial coarse quantizer for
    * [[ivfTopK]]: `iters` rounds of assign-to-nearest-centroid (the same
    * broadcast argmin as the IVF build) then recompute every cell's mean
-   * vector. Each round is fully declarative: per-dimension means come
-   * from one posexplode + groupBy(cell, dim) partial-aggregating
-   * SUM/COUNT — the shuffle carries C·dim partial sums, not vectors —
-   * and a cell that loses all members keeps its previous centroid.
-   * Lineage is truncated per round (eager localCheckpoint on the C-row
-   * centroid frame, same reasoning as Dedup.connectedComponents: a
-   * statically unrolled iterative DAG grows exponentially under
-   * analysis).
+   * vector. The heavy half of each round is fully declarative: the
+   * corpus scan + broadcast argmin + posexplode feed a groupBy(cell,
+   * dim) whose SUM/COUNT partial-aggregate map-side, so the shuffle
+   * carries C·dim partial sums — never vectors.
+   *
+   * The centroids themselves live on the DRIVER between rounds (the
+   * per-round agg result — C·dim floats, the SAME payload the next
+   * round ships back out inside its broadcast — is collected and turned
+   * into a fresh local relation). Centroids are genuine coordinator
+   * state: if they fit in a broadcast they fit on the driver, every
+   * round's plan starts from a LocalRelation (no lineage growth, no
+   * checkpoints, no per-round join), and one aggregate job per round is
+   * the entire driver-side traffic. A cell that loses all members keeps
+   * its previous centroid.
    *
    * BIT-DETERMINISTIC by construction, so a SQL oracle can replay it
    * (the l9 gate does) and re-runs at any parallelism agree:
@@ -181,13 +187,17 @@ object Ann {
    *    the reason this used to be property-tested only.)
    */
   def refineCentroids(corpus: DataFrame, init: DataFrame, iters: Int): DataFrame = {
-    VectorExpressions.ensureRegistered(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    VectorExpressions.ensureRegistered(spark)
     val vecs = corpus.select(col("vec_id"), col("embedding"),
       call_function("graft_dot_exact", col("embedding"), col("embedding")).as("vn"))
-    var cent = init.select(col("centroid_id"), col("embedding")).localCheckpoint(true)
+    var cent: Seq[(Long, Seq[Float])] = init
+      .select(col("centroid_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq.sortBy(_._1)
     for (_ <- 1 to iters) {
-      val c = cent.select(col("centroid_id").as("cid"), col("embedding").as("centv"),
-        call_function("graft_dot_exact", col("embedding"), col("embedding")).as("centn"))
+      val c = cent.toDF("cid", "centv").select(col("cid"), col("centv"),
+        call_function("graft_dot_exact", col("centv"), col("centv")).as("centn"))
       val assigned = vecs.crossJoin(broadcast(centArray(c)))
         .select(argminCell(col("embedding"), col("vn")).getField("cid").as("cell"),
           col("embedding"))
@@ -198,16 +208,13 @@ object Ann {
           count(lit(1)).as("n"))
         .select(col("cell"), col("dim"),
           round(col("sd").cast("double") / col("n"), 6).cast("float").as("m"))
-        .groupBy(col("cell"))
-        .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
-        .select(col("cell").as("centroid_id"),
-          transform(col("dm"), s => s.getField("m")).as("mean"))
-      cent = cent.join(means, Seq("centroid_id"), "left")
-        .select(col("centroid_id"),
-          coalesce(col("mean"), col("embedding")).as("embedding"))
-        .localCheckpoint(true)
+        .collect() // C·dim rows: coordinator-sized by definition of a COARSE quantizer
+      val byCell = means.groupBy(_.getLong(0)).map { case (cell, rows) =>
+        cell -> rows.sortBy(_.getInt(1)).map(_.getFloat(2)).toSeq
+      }
+      cent = cent.map { case (cid, v) => cid -> byCell.getOrElse(cid, v) }
     }
-    cent
+    cent.toDF("centroid_id", "embedding")
   }
 
   /** Similarity of a (vec, EXACT squared norm) pair to the broadcast
