@@ -68,6 +68,49 @@ object Temporal {
   }
 
   /**
+   * Range (interval-containment) join: pair every left row with every
+   * right interval `[start, end)` of the same key containing the left
+   * timestamp (`start <= ts < end`).
+   *
+   * A naive `l.key = r.key AND l.ts >= r.start AND l.ts < r.end` plans
+   * as a sort-merge join on the key alone with the range as a residual
+   * filter — every (event, interval) pairing of a key materializes
+   * before filtering, quadratic in the per-key row counts. This is
+   * instead the time-bin bucketing form: both sides get a `_bin` =
+   * floor(time / binSeconds) column — the point side its single bin,
+   * the interval side one row per bin it OVERLAPS (a `sequence`
+   * explode, ceil(len/bin)+1 rows per interval) — and the join becomes
+   * a plain equi-join on (key, _bin) plus the exact containment filter.
+   * Each qualifying pair meets in EXACTLY one bin (the event's), so no
+   * dedup pass is needed. ONE shuffle on (key, _bin); candidate volume
+   * is events-per-bin × intervals-overlapping-that-bin, controlled by
+   * `binSeconds` (set it near the median interval length: shorter bins
+   * amplify the interval side, longer bins widen the candidate window).
+   *
+   * Column names must be disjoint across the two sides apart from
+   * `keys` (standard join hygiene); intervals with `end <= start` are
+   * empty half-open ranges and match nothing.
+   */
+  def rangeJoin(left: DataFrame, leftTs: String,
+      right: DataFrame, rightStart: String, rightEnd: String,
+      keys: Seq[String], binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, "binSeconds must be positive")
+    require(!left.columns.contains("_bin") && !right.columns.contains("_bin"),
+      "column _bin is reserved")
+    val binUs = binSeconds * 1000000L
+    val l = left.withColumn("_bin", floor(unix_micros(col(leftTs)) / binUs))
+    val r = right
+      .filter(col(rightEnd) > col(rightStart))
+      .withColumn("_bin", explode(sequence(
+        floor(unix_micros(col(rightStart)) / binUs),
+        // end is EXCLUSIVE: the last instant inside is end - 1us
+        floor((unix_micros(col(rightEnd)) - 1) / binUs))))
+    l.join(r, keys :+ "_bin")
+      .filter(col(leftTs) >= col(rightStart) && col(leftTs) < col(rightEnd))
+      .drop("_bin")
+  }
+
+  /**
    * Gap-based sessionization via the built-in `session_window`: events of
    * one key belong to one session while each is within `gap` of the
    * previous — merge when `ts - prev <= gap` (an event landing EXACTLY on

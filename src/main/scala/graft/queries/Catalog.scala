@@ -1768,6 +1768,45 @@ object Catalog {
         st.purchase_value AS asof_purchase_value
       FROM e ASOF LEFT JOIN st ON e.user_id = st.user_id AND e.ts >= st.ts"""))
 
+  // ---------------------------------------------------------------- j2
+  // Range (interval) join: every non-purchase event paired with each
+  // 2-hour post-purchase window of the same user it falls into — the
+  // attribution-join shape. Implemented as Temporal.rangeJoin's time-bin
+  // bucketing (equi-join on (user, bin) + exact containment filter, ONE
+  // shuffle, amplification <= 2 rows/interval at bin = interval length);
+  // the oracle is DuckDB's native inequality join, so the gate proves the
+  // bucketed rewrite loses/duplicates no pair, half-open bounds included.
+  private val j2 = Q(
+    "j2_range_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val windows = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("win_start"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("win_end"))
+      val left = ev.filter(col("event_type") =!= "purchase")
+        .select("event_id", "user_id", "ts", "event_type")
+      Temporal.rangeJoin(left, "ts", windows, "win_start", "win_end",
+          Seq("user_id"), binSeconds = 7200L)
+        .select(
+          col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("event_type"),
+          date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("win_start"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS win_start,
+               CAST(ts AS TIMESTAMP) + INTERVAL 2 HOUR AS win_end
+        FROM events WHERE event_type = 'purchase'),
+      e AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        FROM events WHERE event_type <> 'purchase')
+      SELECT e.event_id, e.user_id,
+        strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, e.event_type,
+        strftime(p.win_start, '%Y-%m-%d %H:%M:%S.%f') AS win_start
+      FROM e JOIN p ON e.user_id = p.user_id
+        AND e.ts >= p.win_start AND e.ts < p.win_end"""))
+
   // ---------------------------------------------------------------- a6
   // Gap-based sessionization via the built-in session_window (one shuffle;
   // the same expression runs under Structured Streaming — twin asserted in
@@ -1844,7 +1883,7 @@ object Catalog {
     a1, a2, a3, a4, a5, a6,
     n1, n2, n3, n4, n5, n6, n7,
     d1, d2, d3, d4,
-    e1, e2, e3, e4, j1,
+    e1, e2, e3, e4, j1, j2,
     r1, r2, r3, q1, q2,
     l1, l2, l3, l4, l5, l6, l7, l8, l9,
     t1, t2, t3, t4, t5, t6, t7,

@@ -55,6 +55,54 @@ class TemporalSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  // -------------------------------------------------------- rangeJoin
+  test("rangeJoin: half-open bounds, bin-straddling intervals, empty intervals") {
+    val evts = Seq(
+      (1L, 10L, ts("2024-01-15 10:00:00")), // == start -> in
+      (2L, 10L, ts("2024-01-15 11:59:59")), // just inside
+      (3L, 10L, ts("2024-01-15 12:00:00")), // == end -> OUT (half-open)
+      (4L, 10L, ts("2024-01-15 09:59:59")), // before -> out
+      (5L, 20L, ts("2024-01-15 10:30:00"))) // other key, interval straddles bins
+      .toDF("event_id", "user_id", "ts")
+    val ivs = Seq(
+      (10L, ts("2024-01-15 10:00:00"), ts("2024-01-15 12:00:00")),
+      (20L, ts("2024-01-15 09:30:00"), ts("2024-01-15 11:30:00")), // straddles 2h bins
+      (20L, ts("2024-01-15 08:00:00"), ts("2024-01-15 08:00:00"))) // empty: end == start
+      .toDF("user_id", "win_start", "win_end")
+    val got = Temporal.rangeJoin(evts, "ts", ivs, "win_start", "win_end",
+        Seq("user_id"), binSeconds = 7200L)
+      .select("event_id", "win_start").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    assert(got == Set(
+      (1L, ts("2024-01-15 10:00:00")),
+      (2L, ts("2024-01-15 10:00:00")),
+      (5L, ts("2024-01-15 09:30:00"))))
+  }
+
+  test("rangeJoin matches the naive inequality join on random data across bin sizes") {
+    val rnd = new scala.util.Random(13)
+    val ev = (1 to 300).map(i =>
+      (i.toLong, rnd.nextInt(4).toLong, new Timestamp(1700000000000L + rnd.nextInt(200000) * 1000L)))
+    val iv = (1 to 50).map { i =>
+      val s = 1700000000000L + rnd.nextInt(200000) * 1000L
+      (rnd.nextInt(5).toLong, new Timestamp(s), new Timestamp(s + (rnd.nextInt(30000) + 1) * 1000L), i.toLong)
+    }
+    val expect = (for {
+      (eid, u, t) <- ev
+      (ku, s, e, wid) <- iv
+      if ku == u && !t.before(s) && t.before(e)
+    } yield (eid, wid)).toSet
+    for (bin <- Seq(1000L, 7200L, 100000L)) {
+      val got = Temporal.rangeJoin(
+          ev.toDF("event_id", "user_id", "ts"),
+          "ts", iv.toDF("user_id", "win_start", "win_end", "win_id"),
+          "win_start", "win_end", Seq("user_id"), binSeconds = bin)
+        .select("event_id", "win_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expect, s"bin=$bin")
+    }
+  }
+
   // ------------------------------------------------------- sessionize
   test("sessionize merges events up to AND INCLUDING the gap, splits past it") {
     // session_window's merge rule is diff <= gap (an event landing exactly
