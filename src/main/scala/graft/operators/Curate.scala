@@ -53,4 +53,36 @@ object Curate {
     val frac = hashFraction(concat(col(keyCol).cast("string"), lit("|"), col(sourceCol)))
     df.filter(frac < rate)
   }
+
+  /**
+   * Per-key ordered sequences — the autoregressive-training corpus shape
+   * (one example per key: its events in time order), and the only
+   * HOLISTIC aggregate in the engine (order can't partially reduce).
+   *
+   * One shuffle on the key; collect_list runs as an ObjectHashAggregate
+   * with map-side partial collection, the sort is per-group
+   * O(n log n) AFTER the exchange. `maxLen` caps each sequence (every
+   * training pipeline caps context length) — the cap bounds the OUTPUT,
+   * not the aggregation state, so a pathologically hot key still
+   * collects before slicing; keys like user/session ids are
+   * activity-bounded by nature, which is what makes collect_list the
+   * right tool here and NOT for open-domain keys like tokens.
+   *
+   * Ordering ties break on `payloadCol` after `orderCols` (total order
+   * when (orderCols, payload) is unique per key → deterministic output
+   * at any parallelism).
+   */
+  def sequences(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      payloadCol: String, maxLen: Int): DataFrame = {
+    require(maxLen >= 1, "maxLen must be at least 1")
+    val ordered = sort_array(collect_list(
+      struct((orderCols :+ payloadCol).map(col): _*)))
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"), ordered.as("o"))
+      .select(col(keyCol), col("n_events"),
+        array_join(
+          transform(slice(col("o"), 1, maxLen),
+            x => x.getField(payloadCol).cast("string")),
+          ",").as("seq"))
+  }
 }

@@ -1878,6 +1878,61 @@ object Catalog {
       Some(profiled.map { case (c, num) => side(c, num) }.mkString("\nUNION ALL\n")))
   }
 
+  // ---------------------------------------------------------------- c4
+  // Per-user ordered event sequences capped at 50 — the autoregressive
+  // training-corpus shape (Curate.sequences: the engine's one holistic
+  // aggregate; one shuffle, per-group sort after the exchange, cap on
+  // the OUTPUT). Ties break on event_id, so the sequence is total-ordered
+  // and the hash gate can compare it as a CSV string.
+  private val c4 = Q(
+    "c4_event_sequence",
+    (s, d) => graft.operators.Curate.sequences(
+      Tables.events(s, d), "user_id", Seq("ts"), "event_id", maxLen = 50),
+    Some("""
+      SELECT user_id, COUNT(*) AS n_events,
+        array_to_string(list_slice(
+          list(CAST(event_id AS VARCHAR) ORDER BY CAST(ts AS TIMESTAMP), event_id),
+          1, 50), ',') AS seq
+      FROM events GROUP BY user_id"""))
+
+  // ---------------------------------------------------------------- w2
+  // Format-adapter roundtrip (reference: the source adapters land raw
+  // JSON, services/source_extractor): events serialized to JSONL
+  // (timestamps as explicit ISO strings — format decisions belong to the
+  // adapter, not the codec), read back with an EXPLICIT schema (schema
+  // inference is a full extra scan at 100 TB), and aggregated. The oracle
+  // computes the same aggregates from the original parquet, so the gate
+  // proves the text roundtrip lossless — md5(props) distinct-count pins
+  // string payloads byte-for-byte through JSON escaping, the decimal sum
+  // pins every double bit-for-bit (shortest-repr JSON numbers re-parse
+  // exactly), max(ts_iso) pins the timestamp formatting.
+  private val w2 = Q(
+    "w2_jsonl_roundtrip",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_iso"),
+        col("event_type"), col("value"), col("props"))
+      val path = s"/tmp/graft_publish/${new java.io.File(d).getName}/events_jsonl"
+      ev.write.mode("overwrite").json(path)
+      s.read
+        .schema("event_id BIGINT, user_id BIGINT, ts_iso STRING, " +
+          "event_type STRING, value DOUBLE, props STRING")
+        .json(path)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(md5(col("props"))).as("n_props"),
+          sum(col("value").cast(DecV)).cast("double").as("total_value"),
+          max(col("ts_iso")).as("max_ts"))
+    },
+    Some("""
+      SELECT event_type, COUNT(*) AS n,
+        COUNT(DISTINCT md5(props)) AS n_props,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+        max(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f')) AS max_ts
+      FROM events GROUP BY 1"""))
+
   /** All registered queries, in SURVEY §2 order. */
   val all: Seq[Q] = Seq(
     a1, a2, a3, a4, a5, a6,
@@ -1887,8 +1942,8 @@ object Catalog {
     r1, r2, r3, q1, q2,
     l1, l2, l3, l4, l5, l6, l7, l8, l9,
     t1, t2, t3, t4, t5, t6, t7,
-    c1, c2, c3,
-    m1, m2, s1, s2, p1, w1)
+    c1, c2, c3, c4,
+    m1, m2, s1, s2, p1, w1, w2)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

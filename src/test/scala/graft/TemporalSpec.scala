@@ -143,6 +143,20 @@ class TemporalSpec extends AnyFunSuite {
     assert(got("x") == ((3L, 2L, 2L, Some(-1.0), Some(2.5))))
   }
 
+  // -------------------------------------------------------- sequences
+  test("Curate.sequences: time order, event-id tie-break, output cap") {
+    val evts = Seq(
+      (1L, ts("2024-01-15 10:02:00"), 12L),
+      (1L, ts("2024-01-15 10:01:00"), 11L),
+      (1L, ts("2024-01-15 10:02:00"), 10L), // same ts as 12 -> id breaks the tie
+      (1L, ts("2024-01-15 10:03:00"), 13L), // beyond maxLen=3 -> cut from seq
+      (2L, ts("2024-01-15 10:00:00"), 20L))
+      .toDF("user_id", "ts", "event_id")
+    val got = graft.operators.Curate.sequences(evts, "user_id", Seq("ts"), "event_id", maxLen = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set((1L, 4L, "11,10,12"), (2L, 1L, "20")))
+  }
+
   // -------------------------------------------------------- vocabTopK
   test("vocabTopK: tf/df counts, (tf desc, token) order, top-n cut") {
     val docs = Seq(
