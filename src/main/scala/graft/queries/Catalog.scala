@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.config.{Dictionaries, EnumDomains, RankingProfile, RankingWeights}
 import graft.functions.{text => T, vectors => V}
-import graft.operators.{Enrich, Marts, Profile, Ranker, Temporal, Upsert}
+import graft.operators.{Enrich, Joins, Marts, Profile, Ranker, Temporal, Upsert}
 import graft.sources.Tables
 
 /** One catalog entry: a Spark query + (optionally) its DuckDB oracle SQL. */
@@ -1807,6 +1807,25 @@ object Catalog {
       FROM e JOIN p ON e.user_id = p.user_id
         AND e.ts >= p.win_start AND e.ts < p.win_end"""))
 
+  // ---------------------------------------------------------------- j3
+  // Salted join under the oracle: events ⋈ customer on user_id with the
+  // big side split across 8 salts and the dim replicated ×8 — the static
+  // hot-key rebalance for when the dim can't broadcast and a key owns a
+  // straggler-sized row set. The DuckDB oracle runs the PLAIN join, so
+  // the gate proves salting changes nothing row-for-row.
+  private val j3 = Q(
+    "j3_salted_join",
+    (s, d) => Joins.saltedJoin(
+        Tables.events(s, d).select(
+          col("event_id"), col("user_id"), col("event_type"), col("value")),
+        Tables.customer(s, d).select(
+          col("c_custkey").as("user_id"), col("c_mktsegment"), col("c_acctbal")),
+        Seq("user_id"), saltBy = "event_id", nSalts = 8, joinType = "left")
+      .select("event_id", "user_id", "event_type", "value", "c_mktsegment", "c_acctbal"),
+    Some("""
+      SELECT event_id, e.user_id, event_type, value, c_mktsegment, c_acctbal
+      FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey"""))
+
   // ---------------------------------------------------------------- a6
   // Gap-based sessionization via the built-in session_window (one shuffle;
   // the same expression runs under Structured Streaming — twin asserted in
@@ -1938,7 +1957,7 @@ object Catalog {
     a1, a2, a3, a4, a5, a6,
     n1, n2, n3, n4, n5, n6, n7,
     d1, d2, d3, d4,
-    e1, e2, e3, e4, j1, j2,
+    e1, e2, e3, e4, j1, j2, j3,
     r1, r2, r3, q1, q2,
     l1, l2, l3, l4, l5, l6, l7, l8, l9,
     t1, t2, t3, t4, t5, t6, t7,

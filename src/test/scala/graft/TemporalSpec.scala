@@ -143,6 +143,31 @@ class TemporalSpec extends AnyFunSuite {
     assert(got("x") == ((3L, 2L, 2L, Some(-1.0), Some(2.5))))
   }
 
+  // ------------------------------------------------------- saltedJoin
+  test("saltedJoin equals the plain join on skewed data; right joins rejected") {
+    val rnd = new scala.util.Random(3)
+    // hot key: half the fact rows land on key 1
+    val fact = (1 to 400).map(i =>
+      (i.toLong, if (rnd.nextBoolean()) 1L else rnd.nextInt(20).toLong, rnd.nextDouble()))
+      .toDF("row_id", "k", "v")
+    // dim with duplicate keys (each fact row must meet BOTH dim rows once)
+    val dim = ((0 to 15).map(k => (k.toLong, s"a$k")) ++ Seq((1L, "b1")))
+      .toDF("k", "attr")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("row_id", "k", "v", "attr").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), Option(r.getString(3))))
+        .sortBy(t => (t._1, t._4)).toSeq
+    for (jt <- Seq("inner", "left")) {
+      val salted = canon(graft.operators.Joins.saltedJoin(
+        fact, dim, Seq("k"), saltBy = "row_id", nSalts = 7, joinType = jt))
+      val plain = canon(fact.join(dim, Seq("k"), jt))
+      assert(salted == plain, jt)
+    }
+    assertThrows[IllegalArgumentException] {
+      graft.operators.Joins.saltedJoin(fact, dim, Seq("k"), "row_id", 7, "right")
+    }
+  }
+
   // -------------------------------------------------------- sequences
   test("Curate.sequences: time order, event-id tie-break, output cap") {
     val evts = Seq(
