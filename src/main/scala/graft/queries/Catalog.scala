@@ -1732,6 +1732,39 @@ object Catalog {
       WHERE rn = 1 AND o_orderstatus = 'F'
       GROUP BY 1"""))
 
+  // ---------------------------------------------------------------- r4
+  // Exact distribution stats (quartiles of account balance per segment) —
+  // the reporting analog of r3 for ORDER statistics. Exact percentile is
+  // a per-group sort, deliberately kept to dim-sized tables (the 100-TB
+  // path is approx_percentile's sketch — error-bound-tested in
+  // TemporalSpec, not oracle-gateable). Cross-engine bit-parity is
+  // engineered, not hoped for: values become exact integer CENTS via a
+  // decimal cast (never round(x*100) — a double product can land on a
+  // .5 both engines round differently), and quartile fractions 0.25/0.5/
+  // 0.75 are exact binary, so lower + (upper-lower)*frac is the same
+  // double in both engines (integer operands, exact product).
+  private val r4 = Q(
+    "r4_quartiles",
+    (s, d) => Tables.customer(s, d)
+      .withColumn("cents",
+        (col("c_acctbal").cast("decimal(12,2)") * 100).cast("bigint"))
+      .groupBy("c_mktsegment")
+      .agg(
+        expr("percentile(cents, array(0.25D, 0.5D, 0.75D))").as("q"),
+        count(lit(1)).as("n"))
+      .select(col("c_mktsegment"),
+        col("q")(0).as("q1"), col("q")(1).as("q2"), col("q")(2).as("q3"), col("n")),
+    Some("""
+      SELECT c_mktsegment,
+        quantile_cont(cents, 0.25) AS q1,
+        quantile_cont(cents, 0.5)  AS q2,
+        quantile_cont(cents, 0.75) AS q3,
+        COUNT(*) AS n
+      FROM (SELECT c_mktsegment,
+              CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+            FROM customer)
+      GROUP BY 1"""))
+
   // ---------------------------------------------------------------- j1
   // As-of (point-in-time) join: every non-purchase event picks up the
   // value of its user's latest purchase at or before the event — the
@@ -1958,7 +1991,7 @@ object Catalog {
     n1, n2, n3, n4, n5, n6, n7,
     d1, d2, d3, d4,
     e1, e2, e3, e4, j1, j2, j3,
-    r1, r2, r3, q1, q2,
+    r1, r2, r3, r4, q1, q2,
     l1, l2, l3, l4, l5, l6, l7, l8, l9,
     t1, t2, t3, t4, t5, t6, t7,
     c1, c2, c3, c4,

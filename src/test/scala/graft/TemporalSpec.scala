@@ -182,6 +182,29 @@ class TemporalSpec extends AnyFunSuite {
     assert(got == Set((1L, 4L, "11,10,12"), (2L, 1L, "20")))
   }
 
+  // ---------------------------------------- approx sketches (scale path)
+  test("approx_count_distinct and approx_percentile stay inside their error bounds") {
+    // The oracle-gated q2/r4 use EXACT distinct/percentile; at 100 TB the
+    // real path is the sketch version (HLL++ / KLL — no Expand, bounded
+    // state). Not hash-gateable across engines, so the contract tested
+    // here is the one that matters: relative error within the configured
+    // bound against the exact answer.
+    val n = 20000
+    val df = spark.range(n).selectExpr(
+      "cast(id % 7919 as string) as s", // 7919 distinct values
+      "cast(id as double) as x")
+    val row = df.agg(
+      expr("approx_count_distinct(s, 0.02)").as("ad"),
+      expr("approx_percentile(x, array(0.25, 0.5, 0.75), 10000)").as("ap")).head()
+    val ad = row.getLong(0)
+    assert(math.abs(ad - 7919.0) / 7919.0 < 0.05, s"approx distinct $ad vs 7919")
+    val ap = row.getSeq[Double](1)
+    val exact = Seq(0.25, 0.5, 0.75).map(p => p * (n - 1))
+    ap.zip(exact).foreach { case (got, want) =>
+      assert(math.abs(got - want) <= n / 1000.0 + 1, s"approx percentile $got vs $want")
+    }
+  }
+
   // -------------------------------------------------------- vocabTopK
   test("vocabTopK: tf/df counts, (tf desc, token) order, top-n cut") {
     val docs = Seq(
