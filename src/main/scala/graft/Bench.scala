@@ -79,6 +79,10 @@ object Bench {
         // Reap them here, outside all timers.
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         System.gc()
+        // ContextCleaner drains its reference queue ASYNCHRONOUSLY after
+        // the gc — give it a beat so broadcast/shuffle removals don't
+        // spill into the next query's timer.
+        Thread.sleep(150)
       }
     }
 

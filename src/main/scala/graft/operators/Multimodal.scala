@@ -52,6 +52,33 @@ object Multimodal {
   }
 
   /**
+   * Frame sampling: every `everyK`-th fixed-size frame of each payload,
+   * one output row per sampled frame with its index and content hash —
+   * the "don't decode the whole video" step that runs BEFORE feature
+   * extraction, so the expensive per-frame codec (the [[extractFeatures]]
+   * stage) touches 1/everyK of the bytes.
+   *
+   * Pure narrow plan: an `explode(sequence(0, nFrames-1, everyK))` per
+   * document plus a substring slice — no shuffle, parallelism = input
+   * splits, output rows = frames/everyK. With the stub media table the
+   * payload is the document TEXT and frames are `frameChars`-character
+   * slices (a real implementation slices the binary at codec-defined
+   * byte offsets — same plan shape, different slice function).
+   */
+  def sampleFrames(docs: DataFrame, frameChars: Int, everyK: Int): DataFrame = {
+    require(frameChars >= 1 && everyK >= 1, "frameChars and everyK must be positive")
+    val nFrames = ceil(length(col("text")).cast("double") / frameChars).cast("bigint")
+    docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), nFrames - 1, lit(everyK.toLong))).as("frame_idx"),
+        col("text"))
+      .select(col("doc_id"), col("frame_idx"),
+        md5(expr(s"substring(text, frame_idx * $frameChars + 1, $frameChars)")).as("frame_md5"),
+        length(expr(s"substring(text, frame_idx * $frameChars + 1, $frameChars)"))
+          .cast("bigint").as("frame_chars"))
+  }
+
+  /**
    * Per-partition batch "decode": the exact shape a real extractor needs —
    * iterate a partition's rows, run the (expensive) codec per batch, emit
    * a typed feature row. No shuffle; parallelism = input partitions.

@@ -1491,6 +1491,27 @@ object Catalog {
           i -> ord(substring(text, CAST(i AS INT), 1))), 'sum') AS DOUBLE) / len(text) AS feat_mean
       FROM documents"""))
 
+  // ---------------------------------------------------------------- m3
+  // Frame sampling (every 4th 64-char frame of each payload): the
+  // "don't decode the whole video" step ahead of m2's batch extractor —
+  // a pure narrow explode+slice, no shuffle, output = frames/4. The stub
+  // media payload is the document text; a real codec slices the binary
+  // at byte offsets with the SAME plan shape.
+  private val m3 = Q(
+    "m3_frame_sample",
+    (s, d) => graft.operators.Multimodal.sampleFrames(
+      Tables.documents(s, d), frameChars = 64, everyK = 4),
+    Some("""
+      WITH d AS (
+        SELECT doc_id, text,
+          CAST(ceil(len(text) / 64.0) AS BIGINT) AS nf
+        FROM documents WHERE len(text) > 0),
+      f AS (SELECT doc_id, unnest(range(0, nf, 4)) AS frame_idx, text FROM d)
+      SELECT doc_id, frame_idx,
+        md5(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_md5,
+        CAST(len(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS BIGINT) AS frame_chars
+      FROM f"""))
+
   // ---------------------------------------------------------------- s1
   private val s1 = Q(
     "s1_stream_window",
@@ -1995,7 +2016,7 @@ object Catalog {
     l1, l2, l3, l4, l5, l6, l7, l8, l9,
     t1, t2, t3, t4, t5, t6, t7,
     c1, c2, c3, c4,
-    m1, m2, s1, s2, p1, w1, w2)
+    m1, m2, m3, s1, s2, p1, w1, w2)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
