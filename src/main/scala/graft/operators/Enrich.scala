@@ -186,6 +186,24 @@ object Enrich {
    *  - names re-attach AFTER the dedup, via joins against the (small)
    *    input table on the long id.
    */
+  /**
+   * The recall audit [[fuzzySelfMatch]]'s scaladoc prescribes, as a
+   * runnable query: the blocking keys whose buckets exceed `maxBucket` —
+   * every pair inside them is DROPPED by the cap — with their sizes and
+   * the distinct input rows affected. Empty result = the exact-recall
+   * guarantee is unconditional on this input. Same key build as the
+   * match itself (one aggregation over one exchange); run it alongside
+   * any production match whose recall matters.
+   */
+  def fuzzyCappedKeys(names: DataFrame, idCol: String, nameCol: String,
+      maxEdits: Int = 1, maxBucket: Int = 1000): DataFrame = {
+    val keys = names.select(col(idCol).as("id"),
+        explode(deletionNeighborhoodHashes(col(nameCol), maxEdits)).as("kh"))
+    keys.groupBy("kh")
+      .agg(count(lit(1)).as("n_bucket"), countDistinct(col("id")).as("n_ids"))
+      .filter(col("n_bucket") > maxBucket)
+  }
+
   def fuzzySelfMatch(names: DataFrame, idCol: String, nameCol: String,
       minRatio: Double, maxEdits: Int = 1, maxBucket: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -57,6 +57,34 @@ object EventStream {
       .dropDuplicatesWithinWatermark("user_id", "event_type", "hour_bucket")
 
   /**
+   * Stream-stream interval (attribution) join: each non-purchase event
+   * joins the purchases of the same user in the 2 hours BEFORE it —
+   * the streaming form of Temporal.rangeJoin/j2. Spark plans this as a
+   * watermarked stream-stream join: the time-range predicate bounds how
+   * long each side's rows stay in state (purchase state is droppable
+   * once the watermark passes its ts + 2 h), so state is bounded by
+   * watermark + interval, not by the stream's history. Both inputs must
+   * carry their own watermark.
+   *
+   * On batch inputs the same builder is a plain inequality join —
+   * StreamingSpec asserts the streaming run equals the batch
+   * Temporal.rangeJoin of identical data.
+   */
+  def attributionJoin(events: DataFrame, purchases: DataFrame): DataFrame = {
+    val e = events.withWatermark("ts", "30 minutes")
+    val p = purchases
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "30 minutes")
+    e.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("ts") >= col("purchase_ts") &&
+        col("ts") < col("purchase_ts") + expr("INTERVAL 2 HOURS"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("purchase_ts"), col("purchase_value"))
+  }
+
+  /**
    * Stateful running upsert: the streaming form of Upsert.latestState /
    * merge (db_operations.py:334 ON CONFLICT DO UPDATE) via
    * mapGroupsWithState — per key, the state tracks first/last-seen and the

@@ -297,6 +297,12 @@ class OperatorsSpec extends AnyFunSuite {
     assert(capped.count() == 0, "a 20-name block over cap 10 must emit no pairs")
     val uncapped = Enrich.fuzzySelfMatch(names, "id", "name", 0.0, maxEdits = 2, maxBucket = 1000)
     assert(uncapped.count() == 190) // all 20-choose-2 identical pairs
+    // the audit query surfaces exactly what the cap silenced: every
+    // over-cap key carries all 20 ids
+    val audit = Enrich.fuzzyCappedKeys(names, "id", "name", maxEdits = 2, maxBucket = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(audit.nonEmpty && audit.forall(_ == ((20L, 20L))))
+    assert(Enrich.fuzzyCappedKeys(names, "id", "name", 2, 1000).count() == 0)
   }
 
   test("fuzzySelfMatch: deletion-neighborhood blocking has exact lev<=1 recall") {

@@ -118,6 +118,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("attributionJoin: stream-stream interval join equals batch rangeJoin") {
+    implicit val ctx = spark.sqlContext
+    val evs = Seq(
+      UpEv(ts("2024-01-15 10:30:00"), 1, 200, "click", 1.0), // 30 min after p1 -> match
+      UpEv(ts("2024-01-15 11:59:00"), 1, 201, "view", 2.0), // 1h59 after p1 -> match
+      UpEv(ts("2024-01-15 12:00:00"), 1, 202, "view", 3.0), // exactly 2h -> OUT (half-open)
+      UpEv(ts("2024-01-15 09:59:00"), 1, 203, "click", 4.0), // before p1 -> out
+      UpEv(ts("2024-01-15 10:30:00"), 2, 204, "click", 5.0)) // user 2: within p2's window
+    val purch = Seq(
+      Ev(ts("2024-01-15 10:00:00"), 1, "purchase", 42.0), // p1
+      Ev(ts("2024-01-15 10:15:00"), 2, "purchase", 7.0)) // p2
+    val evIn = MemoryStream[UpEv]
+    val pIn = MemoryStream[Ev]
+    val query = EventStream.attributionJoin(evIn.toDF(), pIn.toDF())
+      .writeStream.format("memory").queryName("attr_out").outputMode("append").start()
+    try {
+      pIn.addData(purch)
+      evIn.addData(evs)
+      query.processAllAvailable()
+      def tup(rows: Array[org.apache.spark.sql.Row]) = rows
+        .map(r => (r.getLong(0), r.getTimestamp(4), r.getDouble(5))).toSet
+      val got = tup(spark.table("attr_out").collect())
+      // batch twin 1: the same builder on batch inputs (plain inequality join)
+      val batch = tup(EventStream.attributionJoin(evs.toDF(), purch.toDF()).collect())
+      // batch twin 2: the bucketed rangeJoin (j2's engine form)
+      val viaRange = graft.operators.Temporal.rangeJoin(
+          evs.toDF(), "ts",
+          purch.toDF().select(col("user_id"), col("ts").as("purchase_ts"),
+            (col("ts") + expr("INTERVAL 2 HOURS")).as("win_end"), col("value").as("purchase_value")),
+          "purchase_ts", "win_end", Seq("user_id"), binSeconds = 3600L)
+        .select("event_id", "purchase_ts", "purchase_value").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2))).toSet
+      assert(got == batch)
+      assert(got == viaRange)
+      assert(got == Set(
+        (200L, ts("2024-01-15 10:00:00"), 42.0),
+        (201L, ts("2024-01-15 10:00:00"), 42.0),
+        (204L, ts("2024-01-15 10:15:00"), 7.0)))
+    } finally query.stop()
+  }
+
   test("runningUpsert: state merges across triggers and equals the batch twin") {
     implicit val ctx = spark.sqlContext
     val batch1 = Seq(
