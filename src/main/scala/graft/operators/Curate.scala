@@ -55,6 +55,41 @@ object Curate {
   }
 
   /**
+   * Sequence packing — the concat-then-chunk construction of fixed
+   * token-budget training examples: documents are dealt to `nShards`
+   * deterministic shards (hash fraction, like [[assignSplit]]: same
+   * shards on any engine/cluster/day), CONCATENATED per shard in id
+   * order into one token stream, and each `budget`-sized window of that
+   * stream is a pack. A document belongs to the pack containing its
+   * first token (a long doc can span several packs — that is concat
+   * packing's semantics, not a defect). Returns per-(shard, pack) doc
+   * counts and token sums.
+   *
+   * One shuffle on the shard; the running offset is a window cumsum,
+   * pack assignment an integer division — all engine-exact, so the
+   * oracle replays it bit-for-bit. Shard count bounds window-partition
+   * size at scale (choose nShards so a shard's docs fit a task).
+   */
+  def packSequences(docs: DataFrame, idCol: String, tokenCountCol: Column,
+      nShards: Int, budget: Long): DataFrame = {
+    require(nShards >= 1 && budget >= 1, "nShards and budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs
+      .select(col(idCol), tokenCountCol.cast("bigint").as("n_tokens"),
+        // frac * nShards is exact: int32 * nShards < 2^53, /2^32 is a
+        // power-of-two scale — both engines floor the same double
+        floor(hashFraction(concat(col(idCol).cast("string"), lit("|pack")))
+          * nShards).cast("bigint").as("shard"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id", expr(s"(cum - n_tokens) div ${budget}L"))
+      .groupBy("shard", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+  }
+
+  /**
    * Per-key ordered sequences — the autoregressive-training corpus shape
    * (one example per key: its events in time order), and the only
    * HOLISTIC aggregate in the engine (order can't partially reduce).

@@ -1491,6 +1491,31 @@ object Catalog {
           i -> ord(substring(text, CAST(i AS INT), 1))), 'sum') AS DOUBLE) / len(text) AS feat_mean
       FROM documents"""))
 
+  // ---------------------------------------------------------------- c5
+  // Sequence packing (concat-then-chunk): docs dealt to 8 deterministic
+  // hash shards, concatenated per shard in id order, packs = 2048-token
+  // windows of the stream; a doc belongs to the pack holding its first
+  // token. Window cumsum + integer division — engine-exact, so the
+  // oracle replays the whole construction.
+  private val c5 = Q(
+    "c5_sequence_pack",
+    (s, d) => graft.operators.Curate.packSequences(
+      Tables.documents(s, d), "doc_id", T.tokenCountWs(col("text")),
+      nShards = 8, budget = 2048L),
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+          CAST(len(string_split(${normSql("text")}, ' ')) AS BIGINT) AS n_tokens,
+          CAST(floor(${hashFracSql("CAST(doc_id AS VARCHAR) || '|pack'")} * 8) AS BIGINT) AS shard
+        FROM documents),
+      c AS (
+        SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t)
+      SELECT shard, CAST(cum - n_tokens AS BIGINT) // 2048 AS pack_id,
+        COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      FROM c GROUP BY 1, 2"""))
+
   // ---------------------------------------------------------------- m3
   // Frame sampling (every 4th 64-char frame of each payload): the
   // "don't decode the whole video" step ahead of m2's batch extractor —
@@ -1550,6 +1575,39 @@ object Catalog {
           MAX(ts) OVER (PARTITION BY user_id) AS last_seen
         FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, value FROM events) s) t
       WHERE rn = 1"""))
+
+  // ---------------------------------------------------------------- s3
+  // Batch twin of the stream-stream interval join (EventStream
+  // .attributionJoin — watermarks bound both sides' state in streaming;
+  // on batch they are no-ops and the SAME builder is a plain interval
+  // join). StreamingSpec asserts streaming == batch == Temporal.rangeJoin;
+  // this entry puts the builder itself under the DuckDB oracle.
+  private val s3 = Q(
+    "s3_stream_interval_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      graft.streaming.EventStream.attributionJoin(
+          ev.filter(col("event_type") =!= "purchase"),
+          ev.filter(col("event_type") === "purchase"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("event_type"),
+          date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+          col("purchase_value"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS purchase_ts, value AS purchase_value
+        FROM events WHERE event_type = 'purchase'),
+      e AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        FROM events WHERE event_type <> 'purchase')
+      SELECT e.event_id, e.user_id,
+        strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, e.event_type,
+        strftime(p.purchase_ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+        p.purchase_value
+      FROM e JOIN p ON e.user_id = p.user_id
+        AND e.ts >= p.purchase_ts AND e.ts < p.purchase_ts + INTERVAL 2 HOUR"""))
 
   // ---------------------------------------------------------------- p1
   // The reference's core identity — the orchestrated daily job-ETL chain
@@ -2015,8 +2073,8 @@ object Catalog {
     r1, r2, r3, r4, q1, q2,
     l1, l2, l3, l4, l5, l6, l7, l8, l9,
     t1, t2, t3, t4, t5, t6, t7,
-    c1, c2, c3, c4,
-    m1, m2, m3, s1, s2, p1, w1, w2)
+    c1, c2, c3, c4, c5,
+    m1, m2, m3, s1, s2, s3, p1, w1, w2)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

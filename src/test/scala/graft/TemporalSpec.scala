@@ -182,6 +182,21 @@ class TemporalSpec extends AnyFunSuite {
     assert(got == Set((1L, 4L, "11,10,12"), (2L, 1L, "20")))
   }
 
+  // ---------------------------------------------------- packSequences
+  test("packSequences: concat-then-chunk pack assignment, doc spanning packs") {
+    // single shard (nShards=1) so offsets are fully predictable:
+    // id order 1..4, tokens 3,4,5,2 -> starts 0,3,7,12; budget 5 ->
+    // packs 0,0,1,2 (doc 3 STARTS in pack 1 though it spans into 2)
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c d"), (3L, "a b c d e"), (4L, "a b"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Curate.packSequences(
+        docs, "doc_id", graft.functions.text.tokenCountWs(col("text")),
+        nShards = 1, budget = 5L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((0L, 2L, 7L), (1L, 1L, 5L), (2L, 1L, 2L)))
+  }
+
   // ---------------------------------------- approx sketches (scale path)
   test("approx_count_distinct and approx_percentile stay inside their error bounds") {
     // The oracle-gated q2/r4 use EXACT distinct/percentile; at 100 TB the
