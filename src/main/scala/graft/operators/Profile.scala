@@ -52,6 +52,38 @@ object Profile {
   }
 
   /**
+   * Overlapping token-window chunking — the retrieval/RAG prep step
+   * (documents cut into up-to-`chunkTokens`-token windows every
+   * `stride` tokens, so consecutive chunks overlap by
+   * `chunkTokens - stride`). One output row per window whose start lies
+   * within the document; trailing windows may be short.
+   *
+   * Pure narrow plan: the split token array is projected once per
+   * document, windows come from an `explode(sequence(...))` + `slice` —
+   * zero shuffle, the same build discipline as the shingle/boilerplate
+   * operators (never a window-`lead` over an exploded token table).
+   */
+  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens >= 1 && stride >= 1, "chunkTokens and stride must be positive")
+    // split("") is [""], not [] — filter on the normalized TEXT, or a
+    // whitespace-only doc would emit one empty window
+    val ws = docs
+      .filter(graft.functions.text.normKey(col(textCol)) =!= "")
+      .select(col(idCol), graft.functions.text.words(col(textCol)).as("ws"))
+    // windows start at 0, stride, 2*stride, ... while start < n_tokens
+    val nWin = ((size(col("ws")) + stride - 1) / stride).cast("bigint")
+    ws.select(col(idCol),
+        explode(sequence(lit(0L), nWin - 1)).as("chunk_idx"),
+        col("ws"))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("ws"),
+          (col("chunk_idx") * stride + 1).cast("int"), lit(chunkTokens)), " ").as("chunk_text"),
+        least(size(col("ws")) - col("chunk_idx") * stride, lit(chunkTokens))
+          .cast("bigint").as("n_tokens"))
+  }
+
+  /**
    * Corpus vocabulary: whitespace tokens of the normalized text, ranked
    * by total term frequency (ties broken by token), with exact document
    * frequency — the counting pass a BPE/WordPiece trainer, a stopword

@@ -1338,6 +1338,30 @@ object Catalog {
     s"(CAST($terms AS DOUBLE) / 4294967296.0)"
   }
 
+  // ---------------------------------------------------------------- t8
+  // Overlapping token-window chunking (32-token windows every 24 tokens,
+  // 25% overlap) — the retrieval-prep step between curation and
+  // embedding. Narrow explode+slice over the projected split array, zero
+  // shuffle; oracle replays window starts, slices and short tails.
+  private val t8 = Q(
+    "t8_chunk_windows",
+    (s, d) => Profile.chunkWindows(
+      Tables.documents(s, d), "doc_id", "text", chunkTokens = 32, stride = 24),
+    Some(s"""
+      WITH w AS (
+        SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws FROM documents
+        WHERE ${normSql("text")} <> ''),
+      nz AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+      win AS (
+        SELECT doc_id, ws, n,
+          unnest(range(0, CAST((n + 23) // 24 AS BIGINT))) AS chunk_idx
+        FROM nz)
+      SELECT doc_id, chunk_idx,
+        array_to_string(list_slice(ws, CAST(chunk_idx * 24 + 1 AS BIGINT),
+                                   CAST(chunk_idx * 24 + 32 AS BIGINT)), ' ') AS chunk_text,
+        CAST(least(n - chunk_idx * 24, 32) AS BIGINT) AS n_tokens
+      FROM win"""))
+
   // ---------------------------------------------------------------- c1
   private val c1 = {
     val key = "CAST(doc_id AS VARCHAR) || '|split0'"
@@ -2072,7 +2096,7 @@ object Catalog {
     e1, e2, e3, e4, j1, j2, j3,
     r1, r2, r3, r4, q1, q2,
     l1, l2, l3, l4, l5, l6, l7, l8, l9,
-    t1, t2, t3, t4, t5, t6, t7,
+    t1, t2, t3, t4, t5, t6, t7, t8,
     c1, c2, c3, c4, c5,
     m1, m2, m3, s1, s2, s3, p1, w1, w2)
 

@@ -220,6 +220,22 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  // ----------------------------------------------------- chunkWindows
+  test("chunkWindows: overlap, short tail, single-window doc") {
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6"), // 7 tokens: chunk 4 stride 3 -> starts 0,3,6
+      (2L, "a b"), // 2 tokens -> one short window
+      (3L, " ")) // empty after normalize -> no windows
+      .toDF("doc_id", "text")
+    val got = graft.operators.Profile.chunkWindows(docs, "doc_id", "text", 4, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, 0L, "t0 t1 t2 t3", 4L),
+      (1L, 1L, "t3 t4 t5 t6", 4L),
+      (1L, 2L, "t6", 1L), // tail: start 6 < 7, one token left
+      (2L, 0L, "a b", 2L)))
+  }
+
   // -------------------------------------------------------- vocabTopK
   test("vocabTopK: tf/df counts, (tf desc, token) order, top-n cut") {
     val docs = Seq(
