@@ -177,8 +177,11 @@ object Ann {
    *
    * BIT-DETERMINISTIC by construction, so a SQL oracle can replay it
    * (the l9 gate does) and re-runs at any parallelism agree:
-   *  - assignment uses the exact decimal cosine rounded to 9 dp, ties
-   *    on centroid id — identical to the [[ivfTopK]] argmin;
+   *  - assignment is SEMANTICALLY the exact decimal cosine rounded to
+   *    9 dp, ties on centroid id — identical to the [[ivfTopK]] argmin —
+   *    computed two-phase ([[cheapTop2]] + [[resolveCell]]): cheap float
+   *    argmin when the top-2 gap clears [[CellMargin]] (provably the
+   *    same answer), exact-decimal fold only for margin-straddlers;
    *  - each cell mean folds its elements through exact DECIMAL(30,20)
    *    addition (order-independent), divides the decimal-exact sum by
    *    the member count as one double division, and ROUNDS TO 6 DP
@@ -191,7 +194,7 @@ object Ann {
     import spark.implicits._
     VectorExpressions.ensureRegistered(spark)
     val vecs = corpus.select(col("vec_id"), col("embedding"),
-      call_function("graft_dot_exact", col("embedding"), col("embedding")).as("vn"))
+      call_function("graft_dot", col("embedding"), col("embedding")).as("vnf"))
     var cent: Seq[(Long, Seq[Float])] = init
       .select(col("centroid_id"), col("embedding"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq.sortBy(_._1)
@@ -199,7 +202,9 @@ object Ann {
       val c = cent.toDF("cid", "centv").select(col("cid"), col("centv"),
         call_function("graft_dot_exact", col("centv"), col("centv")).as("centn"))
       val assigned = vecs.crossJoin(broadcast(centArray(c)))
-        .select(argminCell(col("embedding"), col("vn")).getField("cid").as("cell"),
+        .select(col("embedding"), col("cents"),
+          cheapTop2(col("embedding"), col("vnf")).as("t2"))
+        .select(resolveCell(col("embedding"), col("t2")).as("cell"),
           col("embedding"))
       val means = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
@@ -229,21 +234,60 @@ object Ann {
       call_function("graft_dot_exact", v, col("centv")), vnExact, col("centn"))
 
   /** All centroids folded into ONE row holding an array of (cid, centv,
-    * centn) structs — the broadcast side of the map-side argmin fold. */
+    * centn, centnf) structs — the broadcast side of the map-side argmin
+    * fold. `centn` is the exact decimal self-norm (fallback path),
+    * `centnf` the cheap float one (prefilter path); both are computed
+    * once per centroid here, never per (row, centroid) pair. */
   private def centArray(cent: DataFrame): DataFrame =
-    cent.agg(collect_list(struct(col("cid"), col("centv"), col("centn"))).as("cents"))
+    cent.agg(collect_list(struct(col("cid"), col("centv"), col("centn"),
+      call_function("graft_dot", col("centv"), col("centv")).as("centnf"))).as("cents"))
 
-  /** Nearest-cell assignment as a `least`-fold over the broadcast
-    * centroid array: per row, struct(dist, cid) for each centroid,
-    * lexicographic minimum — EXACTLY the semantics of the previous
-    * `crossJoin(cent) → groupBy(min(struct(dist, cid)))`, but with no
-    * ×C row materialization and no aggregate: min over a STRUCT has no
-    * fixed-width agg buffer, so Spark planned a SortAggregate that
-    * sorted the C-amplified table (measured as the dominant per-
-    * iteration cost of Lloyd refinement). Distances stay exact-decimal
-    * 9-dp cosines, so the argmin still agrees bit-for-bit with the
-    * DuckDB oracle's replay. */
-  private def argminCell(v: Column, vnExact: Column): Column =
+  /** Cheap-argmin trust margin. The exact distance is 1 − round(cos, 9),
+    * i.e. values live on a 1e-9 grid; the cheap float cosine differs from
+    * the unrounded exact cosine by ≤ ~1e-13 (64-dim left-to-right double
+    * fold — see graft.functions.vectors doc), bounded here at 1e-10 with
+    * 1000× headroom. If the CHEAP gap between the best and second cell
+    * exceeds 1e-8, the unrounded exact gap exceeds 1e-8 − 2·1e-10 >
+    * 1e-9, so the two cells' ROUNDED distances must differ — the cheap
+    * winner is the unique exact argmin and no cid tie-break is in play.
+    * Anything closer falls back to the full exact-decimal fold. */
+  private val CellMargin = 1e-8
+
+  /** Cheap float cosine distance from `v` (float self-norm `vnF`) to the
+    * broadcast centroid struct `c` — prefilter only, never reported.
+    * Zero-norm handling mirrors vectors.cosineFromParts (dist 1.0); a
+    * float sum of squares is 0 iff every element is 0 (no double
+    * underflow from float inputs), so the zero test agrees with the
+    * exact path bit-for-bit. */
+  private def cheapCentDist(v: Column, vnF: Column, c: Column): Column =
+    when(vnF === 0.0 || c.getField("centnf") === 0.0, lit(1.0))
+      .otherwise(lit(1.0) - call_function("graft_dot", v, c.getField("centv")) /
+        (sqrt(vnF) * sqrt(c.getField("centnf"))))
+
+  /** Top-2 cells by CHEAP float distance as struct(best, second), each
+    * struct(dist, cid) — one fold over the broadcast centroid array, no
+    * decimal math, no ×C row materialization. */
+  private def cheapTop2(v: Column, vnF: Column): Column = {
+    val far = struct(lit(Double.MaxValue).as("dist"), lit(Long.MaxValue).as("cid"))
+    aggregate(col("cents"),
+      struct(far.as("best"), far.as("second")),
+      (acc, c) => {
+        val cand = struct(cheapCentDist(v, vnF, c).as("dist"), c.getField("cid").as("cid"))
+        struct(
+          least(acc.getField("best"), cand).as("best"),
+          least(greatest(acc.getField("best"), cand), acc.getField("second")).as("second"))
+      })
+  }
+
+  /** Exact-decimal nearest-cell fold — the FALLBACK for rows whose cheap
+    * top-2 gap is inside [[CellMargin]] (and the reference semantics the
+    * two-phase path must reproduce): per centroid struct(dist, cid) with
+    * dist = 1 − exact 9-dp cosine, lexicographic minimum, ties on cid.
+    * A `least`-fold rather than `crossJoin → groupBy(min(struct))`: min
+    * over a STRUCT has no fixed-width agg buffer, so Spark planned a
+    * SortAggregate that sorted the C-amplified table (measured as the
+    * dominant per-iteration cost of Lloyd refinement). */
+  private def exactArgminCell(v: Column, vnExact: Column): Column =
     aggregate(col("cents"),
       struct(lit(Double.MaxValue).as("dist"), lit(Long.MaxValue).as("cid")),
       (acc, c) => least(acc, struct(
@@ -251,6 +295,45 @@ object Ann {
           call_function("graft_dot_exact", v, c.getField("centv")),
           vnExact, c.getField("centn"))).as("dist"),
         c.getField("cid").as("cid"))))
+
+  /** Two-phase nearest-cell resolution over a precomputed [[cheapTop2]]
+    * column (`top2` must be a materialized column, not an inline
+    * expression — keep the fold in its own projection so it is evaluated
+    * once): trust the cheap winner when the top-2 gap clears
+    * [[CellMargin]] — the margin argument above makes that bit-identical
+    * to the exact fold — and only for margin-straddling rows (ties,
+    * near-ties, zero-norm rows) pay the exact-decimal re-evaluation,
+    * including its per-row exact self-norm, lazily inside the CaseWhen
+    * branch. Same two-phase cheap-then-exact discipline as topK
+    * (Ann.scala) and embeddingNearDups (Dedup.scala). */
+  private def resolveCell(v: Column, top2: Column): Column = {
+    val best = top2.getField("best")
+    val gap = top2.getField("second").getField("dist") - best.getField("dist")
+    when(gap > lit(CellMargin), best.getField("cid"))
+      .otherwise(exactArgminCell(v,
+        call_function("graft_dot_exact", v, v)).getField("cid"))
+  }
+
+  /** (vec_id, embedding, cell): nearest-centroid cell per corpus vector —
+    * the IVF BUILD step standalone, for the boundary-fixture tests and
+    * for materializing a cell-partitioned corpus
+    * (graft.sources.Sink.writePartitioned) whose probes prune to nProbe
+    * partitions per query at 100 TB. Two-phase argmin; identical
+    * semantics to the assignment inside [[ivfTopK]] and
+    * [[refineCentroids]]. */
+  def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    VectorExpressions.ensureRegistered(corpus.sparkSession)
+    val cent = centroids.select(col("centroid_id").as("cid"),
+      col("embedding").as("centv"),
+      call_function("graft_dot_exact", col("embedding"), col("embedding")).as("centn"))
+    corpus.select(col("vec_id"), col("embedding"),
+        call_function("graft_dot", col("embedding"), col("embedding")).as("vnf"))
+      .crossJoin(broadcast(centArray(cent)))
+      .select(col("vec_id"), col("embedding"), col("cents"),
+        cheapTop2(col("embedding"), col("vnf")).as("t2"))
+      .select(col("vec_id"), col("embedding"),
+        resolveCell(col("embedding"), col("t2")).as("cell"))
+  }
 
   /**
    * IVF (inverted-file) top-k — the classic scale path for ANN (see
@@ -287,14 +370,15 @@ object Ann {
     val cent = centroids.select(col("centroid_id").as("cid"),
       col("embedding").as("centv"),
       call_function("graft_dot_exact", col("embedding"), col("embedding")).as("centn"))
-    // the cheap cn/qn norms feed only the topK prefilter; the cell-argmin
-    // uses per-row EXACT self-norms (|corpus|+|queries| extra exact dots,
-    // computed once before the broadcast join — never per centroid pair)
-    val cCell = corpusSide(corpus,
-        call_function("graft_dot_exact", col("embedding"), col("embedding")).as("cnx"))
+    // the cheap cn float norm does double duty: topK prefilter AND the
+    // cheap cell-argmin; exact self-norms appear only inside resolveCell's
+    // fallback branch, for the rare margin-straddling rows
+    val cCell = corpusSide(corpus)
       .crossJoin(broadcast(centArray(cent)))
+      .select(col("cand_id"), col("cv"), col("cn"), col("cents"),
+        cheapTop2(col("cv"), col("cn")).as("t2"))
       .select(col("cand_id"), col("cv"), col("cn"),
-        argminCell(col("cv"), col("cnx")).getField("cid").as("cell"))
+        resolveCell(col("cv"), col("t2")).as("cell"))
     val qSim = querySide(queries,
         call_function("graft_dot_exact", col("embedding"), col("embedding")).as("qnx"))
       .crossJoin(broadcast(cent))

@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only: bit-compare two Verify output dirs (args: dirA dirB name...).
+  * Canonicalizes exactly like the driver's gate: columns sorted by name,
+  * rows sorted by every column, values via toString (distinct per double
+  * bit pattern) — so "identical" here means hash-identical at the gate. */
+object CompareDumps {
+  def main(args: Array[String]): Unit = {
+    val Array(dirA, dirB, names @ _*) = args
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def canon(path: String): Seq[String] = {
+      val df = spark.read.parquet(path)
+      val cols = df.columns.sorted.toSeq
+      df.select(cols.map(col): _*).collect()
+        .map(r => (0 until r.length).map(i => String.valueOf(r.get(i))).mkString(""))
+        .toSeq.sorted
+    }
+    var bad = 0
+    names.foreach { n =>
+      val (a, b) = (canon(s"$dirA/$n"), canon(s"$dirB/$n"))
+      val same = a == b
+      if (!same) {
+        bad += 1
+        println(s"[$n] MISMATCH rowsA=${a.size} rowsB=${b.size}")
+        a.diff(b).take(3).foreach(r => println(s"  onlyA: $r"))
+        b.diff(a).take(3).foreach(r => println(s"  onlyB: $r"))
+      } else println(s"[$n] identical (${a.size} rows)")
+    }
+    spark.stop()
+    if (bad > 0) sys.exit(1)
+  }
+}

@@ -519,6 +519,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall(2) >= recall(1))
   }
 
+  test("assignCells: two-phase argmin is bit-identical to the exact reference at boundaries") {
+    // fixture engineered to hit every branch of the two-phase resolve:
+    // an exact tie (cheap gap 0 -> exact fallback -> cid tiebreak), a
+    // zero-norm vector (every dist 1.0), a near-tie straddling the
+    // margin, a clear winner (cheap fast path), plus 200 random vectors
+    val cents = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 1f, 0f, 0f)),
+      (2L, Seq(0f, 0f, 1f, 0f)))
+    val rnd = new scala.util.Random(31)
+    val fixed = Seq(
+      (0L, Seq(1f, 1f, 0f, 0f)), // equidistant from c0/c1 -> lower cid wins
+      (1L, Seq(0f, 0f, 0f, 0f)), // zero norm -> all dists 1.0 -> cell 0
+      (2L, Seq(1f, 1.0000001f, 0f, 0f)), // near-tie inside/near the margin
+      (3L, Seq(0.1f, 0f, 5f, 0f))) // clear winner c2, fast path
+    val randoms = Seq.tabulate(200)(i =>
+      (10L + i, Seq.fill(4)((rnd.nextFloat() - 0.5f) * 2)))
+    val corpus = (fixed ++ randoms).toDF("vec_id", "embedding")
+    val got = Ann.assignCells(corpus, cents.toDF("centroid_id", "embedding"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def refCell(v: Seq[Float]): Long =
+      cents.map { case (cid, c) => (1.0 - refCosine(v, c), cid) }.min._2
+    (fixed ++ randoms).foreach { case (id, v) =>
+      assert(got(id) == refCell(v), s"vec $id: ${v.mkString(",")}")
+    }
+    assert(got(0L) == 0L && got(1L) == 0L && got(3L) == 2L)
+  }
+
   test("refineCentroids drives quantization error down toward the cluster structure") {
     val rnd = new scala.util.Random(29)
     // 3 tight clusters around orthogonal anchors in ID BLOCKS of 20, so
