@@ -244,8 +244,12 @@ object Dedup {
         concat((0 until 64).map(j =>
           when(col(s"v$j") > 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
 
-  /** Hamming distance between two equal-length '0'/'1' bitstrings
-    * (flat codegen'd comparison chain). */
+  /** Hamming distance between two equal-length '0'/'1' bitstrings — the
+    * READABLE REFERENCE FORM, kept only for spec-level checks against
+    * [[simhashFingerprints]]. NOT a hot-path primitive: it expands to a
+    * `bits`-term substring chain; the pair generator ([[simhashPairs]])
+    * instead carries the fingerprint as 4 small ints and computes hamming
+    * as four codegen'd `bit_count(xor)`s. Use that form at scale. */
   def hammingDist(f1: Column, f2: Column, bits: Int): Column =
     (0 until bits).map(i =>
       when(substring(f1, i + 1, 1) =!= substring(f2, i + 1, 1), 1).otherwise(0))

@@ -41,9 +41,20 @@ object Multimodal {
       (col("n_chars") % 512).cast("int").as("meta_width"),
       (col("n_chars") % 256).cast("int").as("meta_height"))
 
+  // one digest instance per executor thread, not per row — this stub is
+  // the template a real decoder gets swapped into, so its resource
+  // handling has to be the shape users copy (same pattern as
+  // graft.plans.TextExpressions' MinhashOps)
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** STUB decode: deterministic pseudo-features from payload bytes. */
   private def fakeDecode(docId: Long, kind: String, payload: Array[Byte]): Row = {
-    val digest = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    val md = md5Digest.get()
+    md.reset()
+    val digest = md.digest(payload)
     val hex = digest.map("%02x".format(_)).mkString
     // "mean pixel value": mean of the raw bytes — a stand-in for a real
     // decoded-frame statistic; replace with actual codec output.
