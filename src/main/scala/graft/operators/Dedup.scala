@@ -408,40 +408,53 @@ object Dedup {
     // round re-reads the edge list
     val (edges, edgeIds) = save(pairs.select(col(id1).as("src"), col(id2).as("dst"))
       .unionAll(pairs.select(col(id2).as("src"), col(id1).as("dst"))))
-    var (labels, labelIds) = save(nodes.select(col(idCol).as("id"), col(idCol).as("comp")))
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).collect().head.getDecimal(0)
-    var prevSum = labelSum(labels)
-    var converged = false
-    var round = 0
-    while (!converged && round < maxRounds) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("comp").as("dst_comp")), "dst")
-        .groupBy(col("src").as("id")).agg(min("dst_comp").as("nbr_comp"))
-      val jumped = labels
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-      val (nextLabels, nextIds) = save(jumped
-        .join(jumped.select(col("id").as("comp"), col("comp").as("comp2")), Seq("comp"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp")))
-      drop(labelIds) // superseded round — next checkpoint is already eager/materialized
-      labels = nextLabels
-      labelIds = nextIds
-      val s = labelSum(labels)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
-      round += 1
+    var labelIds = Set.empty[Int]
+    // any failure path (a round's job dying, the non-convergence throw)
+    // returns no DataFrame that could need the tracked blocks — drop
+    // them on the way out or they pin block-manager memory for the life
+    // of the session
+    try {
+      var labels = { val s = save(nodes.select(col(idCol).as("id"), col(idCol).as("comp")))
+        labelIds = s._2; s._1 }
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("comp").cast("decimal(38,0)"))).collect().head.getDecimal(0)
+      var prevSum = labelSum(labels)
+      var converged = false
+      var round = 0
+      while (!converged && round < maxRounds) {
+        val nbrMin = edges
+          .join(labels.select(col("id").as("dst"), col("comp").as("dst_comp")), "dst")
+          .groupBy(col("src").as("id")).agg(min("dst_comp").as("nbr_comp"))
+        val jumped = labels
+          .join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        val (nextLabels, nextIds) = save(jumped
+          .join(jumped.select(col("id").as("comp"), col("comp").as("comp2")), Seq("comp"), "left")
+          .select(col("id"), least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp")))
+        drop(labelIds) // superseded round — next checkpoint is already eager/materialized
+        labels = nextLabels
+        labelIds = nextIds
+        val s = labelSum(labels)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+        round += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge within maxRounds=$maxRounds " +
+            "(labels would be silently partial); raise maxRounds — rounds needed " +
+            "grows with log2(component diameter)")
+      drop(edgeIds) // final labels are materialized; the edge list is dead
+      // the FINAL label checkpoint stays persisted — the returned DataFrame
+      // reads from it (truncated lineage has no recompute path)
+      labels.select(col("id"), col("comp").as("component_id"))
+    } catch {
+      case e: Throwable =>
+        drop(edgeIds)
+        drop(labelIds)
+        throw e
     }
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge within maxRounds=$maxRounds " +
-          "(labels would be silently partial); raise maxRounds — rounds needed " +
-          "grows with log2(component diameter)")
-    drop(edgeIds) // final labels are materialized; the edge list is dead
-    // the FINAL label checkpoint stays persisted — the returned DataFrame
-    // reads from it (truncated lineage has no recompute path)
-    labels.select(col("id"), col("comp").as("component_id"))
   }
 
   /**

@@ -27,8 +27,23 @@ object Profile {
    * in (HLL sketch, no Expand) — kept exact here because the catalog
    * gate hash-compares against DuckDB.
    */
-  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    require(cols.nonEmpty, "profile at least one column")
+  def columnProfile(df: DataFrame, colNames: Seq[String]): DataFrame = {
+    require(colNames.nonEmpty, "profile at least one column")
+    // resolve against the schema with the SESSION'S resolver (case-
+    // insensitive by default, matching Spark column resolution): a
+    // differently-cased numeric column must profile as numeric, not
+    // silently fall to the null min/max branch, and duplicates after
+    // resolution would alias-collide in the aggregate
+    val resolver = df.sparkSession.sessionState.analyzer.resolver
+    val cols = colNames.map { c =>
+      val matches = df.schema.fields.filter(f => resolver(f.name, c))
+      require(matches.length == 1,
+        s"column '$c' resolves to ${matches.length} schema fields " +
+          s"(${df.schema.fieldNames.mkString(", ")})")
+      matches.head.name
+    }
+    require(cols.distinct.length == cols.length,
+      s"profiled columns must be distinct after resolution, got ${cols.mkString(", ")}")
     val numeric = df.schema.fields
       .filter(f => f.dataType.isInstanceOf[NumericType]).map(_.name).toSet
     def minMax(c: String, f: String => org.apache.spark.sql.Column) =

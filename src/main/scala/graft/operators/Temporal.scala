@@ -35,7 +35,11 @@ object Temporal {
    *
    * Requirements: `right` must be unique per (keys, rightTs) — otherwise
    * "the" state at a timestamp is ill-defined; pre-aggregate duplicates.
-   * Left column names must not collide with the temporaries.
+   * The window ordering still includes `_state` as a final key, so a
+   * contract-violating input degrades to a DETERMINISTIC pick (the
+   * largest state struct at the duplicated timestamp) rather than
+   * whichever duplicate happened to sort last. Left column names must
+   * not collide with the temporaries.
    *
    * Returned columns: every left column, then each `stateCols` column as
    * `asof_<name>`.
@@ -59,7 +63,7 @@ object Temporal {
     // state side, _state on the event side) with nulls.
     val u = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_ts"), col("_prio"))
+      .orderBy(col("_ts"), col("_prio"), col("_state"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     u.withColumn("_asof", last(col("_state"), ignoreNulls = true).over(w))
       .filter(col("_prio") === 1)
@@ -90,21 +94,38 @@ object Temporal {
    * Column names must be disjoint across the two sides apart from
    * `keys` (standard join hygiene); intervals with `end <= start` are
    * empty half-open ranges and match nothing.
+   *
+   * OPEN-INTERVAL HAZARD: the interval-side explode emits
+   * ceil(len/bin)+1 rows per interval, so a sentinel end like
+   * '9999-12-31' (SCD convention) with a small `binSeconds` would emit
+   * millions of rows per interval — past Spark's sequence element limit
+   * or an executor's memory. `maxBinsPerInterval` fails fast (a
+   * per-interval `raise_error`, evaluated before any explode output is
+   * buffered) instead of letting the job die mid-shuffle; raise the cap
+   * deliberately, or cap sentinel ends to the data's real horizon first.
    */
   def rangeJoin(left: DataFrame, leftTs: String,
       right: DataFrame, rightStart: String, rightEnd: String,
-      keys: Seq[String], binSeconds: Long): DataFrame = {
+      keys: Seq[String], binSeconds: Long,
+      maxBinsPerInterval: Long = 100000L): DataFrame = {
     require(binSeconds > 0, "binSeconds must be positive")
+    require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
     require(!left.columns.contains("_bin") && !right.columns.contains("_bin"),
       "column _bin is reserved")
     val binUs = binSeconds * 1000000L
     val l = left.withColumn("_bin", floor(unix_micros(col(leftTs)) / binUs))
+    val startBin = floor(unix_micros(col(rightStart)) / binUs)
+    // end is EXCLUSIVE: the last instant inside is end - 1us
+    val endBin = floor((unix_micros(col(rightEnd)) - 1) / binUs)
     val r = right
       .filter(col(rightEnd) > col(rightStart))
-      .withColumn("_bin", explode(sequence(
-        floor(unix_micros(col(rightStart)) / binUs),
-        // end is EXCLUSIVE: the last instant inside is end - 1us
-        floor((unix_micros(col(rightEnd)) - 1) / binUs))))
+      .withColumn("_bin", explode(
+        when(endBin - startBin + 1 > maxBinsPerInterval, raise_error(concat(
+          lit(s"rangeJoin: interval spans more than $maxBinsPerInterval bins of "),
+          lit(s"$binSeconds s (start="), col(rightStart).cast("string"),
+          lit(", end="), col(rightEnd).cast("string"),
+          lit(s"); widen binSeconds, raise maxBinsPerInterval, or cap sentinel ends"))))
+          .otherwise(sequence(startBin, endBin))))
     l.join(r, keys :+ "_bin")
       .filter(col(leftTs) >= col(rightStart) && col(leftTs) < col(rightEnd))
       .drop("_bin")

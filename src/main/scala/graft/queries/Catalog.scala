@@ -32,6 +32,15 @@ object Catalog {
   private val DecM = "decimal(12,4)" // money/qty columns (< 1e8, 2dp)
   private val DecV = "decimal(18,6)" // event values
 
+  /** Per-JVM scratch root for the write-then-read-back entries (w1/w2):
+    * two concurrent runs against the same dataset (the driver's gate plus
+    * a dev bench) must never interleave one overwrite with the other's
+    * read-back on a shared fixed path. Within one JVM repeated passes
+    * still reuse (overwrite) the same dir, so a bench run doesn't grow
+    * /tmp per rep. */
+  private val scratchRoot =
+    s"/tmp/graft_publish/run-${java.util.UUID.randomUUID.toString.take(8)}"
+
   // ---------------------------------------------------------------- a1
   private val a1 = Q(
     "a1_agg_pushdown",
@@ -1819,7 +1828,7 @@ object Catalog {
           col("o_orderstatus").as("last_status"),
           col("o_orderpriority").as("last_priority"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("last_order_date"))
-      val path = s"/tmp/graft_publish/${new java.io.File(d).getName}/dim_customer"
+      val path = s"$scratchRoot/${new java.io.File(d).getName}/dim_customer"
       graft.sources.Sink.publishRoundtrip(s, mart, path, "last_status", "F")
         .groupBy("last_priority")
         .agg(count(lit(1)).as("n_customers"),
@@ -2068,7 +2077,7 @@ object Catalog {
         col("event_id"), col("user_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_iso"),
         col("event_type"), col("value"), col("props"))
-      val path = s"/tmp/graft_publish/${new java.io.File(d).getName}/events_jsonl"
+      val path = s"$scratchRoot/${new java.io.File(d).getName}/events_jsonl"
       ev.write.mode("overwrite").json(path)
       s.read
         .schema("event_id BIGINT, user_id BIGINT, ts_iso STRING, " +

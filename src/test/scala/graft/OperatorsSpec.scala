@@ -202,10 +202,15 @@ class OperatorsSpec extends AnyFunSuite {
       new java.io.File(dir).listFiles().nonEmpty, "checkpoint dir must be used")
     // a diameter-11 chain cannot converge in one round: partial labels
     // must fail loudly, never return silently wrong component ids
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val ex = intercept[IllegalStateException] {
       Dedup.connectedComponents(nodes, "id", chain, maxRounds = 1)
     }
     assert(ex.getMessage.contains("maxRounds"))
+    // the failure path returns no DataFrame that could need the tracked
+    // blocks — edge and label checkpoints must not leak
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before,
+      "non-convergence must not leak persisted checkpoint blocks")
   }
 
   test("ngramJaccard on provided pairs") {

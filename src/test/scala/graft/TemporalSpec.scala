@@ -55,6 +55,21 @@ class TemporalSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("asofJoin degrades deterministically on duplicate (key, ts) states") {
+    // contract violation (right not unique per key+ts): the window orders
+    // on _state last, so the pick is the LARGEST state struct — pinned
+    // here so a violating input never flips between runs/partitionings
+    val events = Seq((10L, ts("2024-01-15 10:00:00"), 1L)).toDF("user_id", "ts", "event_id")
+    val states = Seq(
+      (10L, ts("2024-01-15 09:00:00"), "a"),
+      (10L, ts("2024-01-15 09:00:00"), "b")).toDF("user_id", "sts", "v")
+    (1 to 3).foreach { _ =>
+      val got = Temporal.asofJoin(events, states, Seq("user_id"), "ts", "sts", Seq("v"))
+        .select("asof_v").collect().map(_.getString(0)).toSeq
+      assert(got == Seq("b"))
+    }
+  }
+
   // -------------------------------------------------------- rangeJoin
   test("rangeJoin: half-open bounds, bin-straddling intervals, empty intervals") {
     val evts = Seq(
@@ -103,6 +118,24 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("rangeJoin fails fast on an interval exceeding maxBinsPerInterval") {
+    // the SCD sentinel-end trap: an open-ended interval with small bins
+    // would explode to millions of rows per interval — the guard must
+    // raise before the explode, not OOM mid-shuffle
+    val evts = Seq((1L, 10L, ts("2024-01-15 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val openEnded = Seq((10L, ts("2024-01-15 10:00:00"), ts("9999-12-31 00:00:00")))
+      .toDF("user_id", "win_start", "win_end")
+    val e = intercept[Exception] {
+      Temporal.rangeJoin(evts, "ts", openEnded, "win_start", "win_end",
+        Seq("user_id"), binSeconds = 60L, maxBinsPerInterval = 1000L).count()
+    }
+    assert(e.getMessage.contains("rangeJoin: interval spans more than 1000 bins"))
+    // wider bins bring the same interval under the cap (the documented fix)
+    val n = Temporal.rangeJoin(evts, "ts", openEnded, "win_start", "win_end",
+      Seq("user_id"), binSeconds = 400L * 365 * 86400, maxBinsPerInterval = 1000L).count()
+    assert(n == 1L)
+  }
+
   // ------------------------------------------------------- sessionize
   test("sessionize merges events up to AND INCLUDING the gap, splits past it") {
     // session_window's merge rule is diff <= gap (an event landing exactly
@@ -141,6 +174,15 @@ class TemporalSpec extends AnyFunSuite {
     assert(got("k") == ((3L, 3L, 2L, Some(1.0), Some(2.0))))
     assert(got("s") == ((3L, 2L, 2L, None, None))) // string: no numeric min/max
     assert(got("x") == ((3L, 2L, 2L, Some(-1.0), Some(2.5))))
+  }
+
+  test("columnProfile resolves names like Spark does (case-insensitive) and rejects dups") {
+    val df = Seq((1L, 2.5)).toDF("k", "x")
+    // a differently-cased numeric column must still profile as numeric
+    val got = Profile.columnProfile(df, Seq("X")).collect().head
+    assert(got.getString(0) == "x" && got.getDouble(4) == 2.5 && got.getDouble(5) == 2.5)
+    intercept[IllegalArgumentException] { Profile.columnProfile(df, Seq("k", "K")) }
+    intercept[IllegalArgumentException] { Profile.columnProfile(df, Seq("nope")) }
   }
 
   // ------------------------------------------------------- saltedJoin
