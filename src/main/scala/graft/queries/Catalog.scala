@@ -506,29 +506,10 @@ object Catalog {
   // event_type column carries natural accepted_values violations ('error'
   // is outside the domain n3 normalizes into); event_id is genuinely
   // unique (a passing check, n_violations = 0) while user_id repeats.
-  private val q1 = {
-    val accepted = EnumDomains.validEventTypes
-    val acceptedSql = accepted.map(v => s"'$v'").mkString(", ")
-    Q(
-      "q1_quality_checks",
-      (s, d) => {
-        val ev = Tables.events(s, d).select(
-          col("event_id"), col("user_id"),
-          when(col("event_id") % 97 === 0, lit(null).cast("string"))
-            .otherwise(col("event_type")).as("event_type"),
-          when(col("event_id") % 101 === 0, lit(null).cast("double"))
-            .otherwise(col("value")).as("value"),
-          // planted FK orphans: every 103rd event points outside the
-          // customer key space (dbt relationships-test analog)
-          when(col("event_id") % 103 === 0, col("user_id") + 100000000L)
-            .otherwise(col("user_id")).as("user_fk"))
-        graft.operators.Checks.violations(ev,
-          unique = Seq("event_id", "user_id"),
-          notNull = Seq("event_type", "value"),
-          acceptedValues = Seq("event_type" -> accepted),
-          relationships = Seq(("user_fk", Tables.customer(s, d), "c_custkey")))
-      },
-      Some(s"""
+  /** q1's oracle, lifted so p2's run report can replay the same checks. */
+  private val q1OracleSql: String = {
+    val acceptedSql = EnumDomains.validEventTypes.map(v => s"'$v'").mkString(", ")
+    s"""
         WITH ev AS (
           SELECT event_id, user_id,
             CASE WHEN event_id % 97 = 0 THEN NULL ELSE event_type END AS event_type,
@@ -554,7 +535,31 @@ object Catalog {
         UNION ALL
         SELECT 'relationships', 'user_fk', (SELECT COUNT(*) FROM ev
           WHERE user_fk IS NOT NULL
-            AND user_fk NOT IN (SELECT c_custkey FROM customer))"""))
+            AND user_fk NOT IN (SELECT c_custkey FROM customer))"""
+  }
+
+  private val q1 = {
+    val accepted = EnumDomains.validEventTypes
+    Q(
+      "q1_quality_checks",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(
+          col("event_id"), col("user_id"),
+          when(col("event_id") % 97 === 0, lit(null).cast("string"))
+            .otherwise(col("event_type")).as("event_type"),
+          when(col("event_id") % 101 === 0, lit(null).cast("double"))
+            .otherwise(col("value")).as("value"),
+          // planted FK orphans: every 103rd event points outside the
+          // customer key space (dbt relationships-test analog)
+          when(col("event_id") % 103 === 0, col("user_id") + 100000000L)
+            .otherwise(col("user_id")).as("user_fk"))
+        graft.operators.Checks.violations(ev,
+          unique = Seq("event_id", "user_id"),
+          notNull = Seq("event_type", "value"),
+          acceptedValues = Seq("event_type" -> accepted),
+          relationships = Seq(("user_fk", Tables.customer(s, d), "c_custkey")))
+      },
+      Some(q1OracleSql))
   }
 
   // ---------------------------------------------------------------- e1
@@ -1661,7 +1666,7 @@ object Catalog {
   // aggregation shuffle for the skills extraction (keyed on doc), the
   // customer dim broadcast, and a final window over the (small) fact —
   // the corpus-side tables are each read exactly once.
-  private val p1 = {
+  private object P1 {
     val watermark = "2024-01-03 00:00:00"
     // same rule list as e2 (the no-drift rule: one constant, two engines)
     val classRules = Seq(
@@ -1684,26 +1689,29 @@ object Catalog {
     val classRuleSql = classRules.map { case (pat, lbl) =>
       s"WHEN regexp_matches(lower(text), '$pat') THEN '$lbl'"
     }.mkString(" ")
-    Q(
-      "p1_job_etl",
-      (s, d) => {
+    /** Stage 1 (extract + normalize): payload parse w/ corrupt quarantine
+      * (n7), enum normalize (n3), incremental watermark at the scan —
+      * factored out so p2's run report counts the same staged relation. */
+    def parsed(s: SparkSession, d: String): DataFrame = {
+      val raw = when(col("event_id") % 10 === 0, concat(lit("x"), col("props")))
+        .otherwise(col("props"))
+      Tables.events(s, d)
+        .filter(col("ts") > lit(watermark))
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          from_json(raw, "k BIGINT, _corrupt STRING",
+            Map("columnNameOfCorruptRecord" -> "_corrupt")).as("j"),
+          T.normalizeEnum(col("event_type"), EnumDomains.validEventTypes,
+            EnumDomains.defaultEnum).as("event_type_norm"))
+        .filter(col("j._corrupt").isNull)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("j.k").as("k_val"), col("event_type_norm"))
+    }
+
+    /** Stages 2-5 as ONE plan (see the p1 comment above). */
+    def mart(s: SparkSession, d: String): DataFrame = {
         import org.apache.spark.sql.expressions.Window
-        // 1) extract + normalize: payload parse w/ corrupt quarantine
-        //    (n7), enum normalize (n3), incremental watermark at the scan
-        val raw = when(col("event_id") % 10 === 0, concat(lit("x"), col("props")))
-          .otherwise(col("props"))
-        val parsed = Tables.events(s, d)
-          .filter(col("ts") > lit(watermark))
-          .select(col("event_id"), col("user_id"), col("ts"), col("value"),
-            from_json(raw, "k BIGINT, _corrupt STRING",
-              Map("columnNameOfCorruptRecord" -> "_corrupt")).as("j"),
-            T.normalizeEnum(col("event_type"), EnumDomains.validEventTypes,
-              EnumDomains.defaultEnum).as("event_type_norm"))
-          .filter(col("j._corrupt").isNull)
-          .select(col("event_id"), col("user_id"), col("ts"), col("value"),
-            col("j.k").as("k_val"), col("event_type_norm"))
         // 2) upsert: latest state per user (d2)
-        val state = Upsert.latestState(parsed, "user_id", "ts", "event_id",
+        val state = Upsert.latestState(parsed(s, d), "user_id", "ts", "event_id",
           Seq("event_type_norm", "k_val", "value"))
         // 3) enrich: skills + class from the posting text, company dim
         val docs = Tables.documents(s, d)
@@ -1748,9 +1756,11 @@ object Catalog {
             date_format(col("last_seen"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_seen"),
             col("rank_score"))
           .withColumn("segment_rank", row_number().over(w))
-      },
-      Some(s"""
-        WITH raw AS (
+    }
+
+    /** raw+parsed oracle CTEs — shared between the p1 oracle and p2's
+      * staged/deduped stage counts (no-drift rule: one string). */
+    val parsedCtes: String = s"""raw AS (
           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
             CASE WHEN event_id % 10 = 0 THEN 'x' || props ELSE props END AS p,
             CASE WHEN lower(trim(event_type)) IN ($validSql)
@@ -1760,7 +1770,10 @@ object Catalog {
         parsed AS (
           SELECT event_id, user_id, ts, value, event_type_norm,
             CAST(json_extract_string(p, '$$.k') AS BIGINT) AS k_val
-          FROM raw WHERE json_valid(p)),
+          FROM raw WHERE json_valid(p))"""
+
+    val oracleSql: String = s"""
+        WITH $parsedCtes,
         state AS (
           SELECT user_id, last_seen, event_type_norm, k_val, value FROM (
             SELECT user_id, event_type_norm, k_val, value,
@@ -1808,8 +1821,65 @@ object Catalog {
           strftime(last_seen, '%Y-%m-%d %H:%M:%S.%f') AS last_seen,
           rank_score,
           ROW_NUMBER() OVER (PARTITION BY mktsegment ORDER BY rank_score DESC, user_id) AS segment_rank
-        FROM ranked"""))
+        FROM ranked"""
   }
+
+  private val p1 = Q("p1_job_etl", (s, d) => P1.mart(s, d), Some(P1.oracleSql))
+
+  // ---------------------------------------------------------------- p2
+  // The last reference DAG step with no catalog counterpart until now —
+  // the run-summary/notification table (DAG step 9, notifier payload at
+  // jobs_etl_daily.py:1389: per-stage counts + failures; email.py:100
+  // send). Composes the p1 chain's per-stage row counts, q1's quality-
+  // check violations (the "Failed tasks" analog — q1 plants violations,
+  // so the failure path is exercised, checks_failed = 4), and r3-style
+  // per-source volumes into the one (section, item, value) table a
+  // scheduler gates on and mails. The checks relation is consumed once
+  // (rollup inside Report.runSummary); each stage count is one COUNT —
+  // in production over the stage output the run just wrote.
+  private val p2 = Q(
+    "p2_run_report",
+    (s, d) => {
+      val extracted = Tables.events(s, d).filter(col("ts") > lit(P1.watermark))
+      val staged = P1.parsed(s, d)
+      val deduped = staged.select("user_id").distinct()
+      val mart = P1.mart(s, d)
+      graft.operators.Report.runSummary(
+        Seq(
+          "extracted" -> extracted,
+          "staged" -> staged,
+          "deduped_unique" -> deduped,
+          "ranked" -> mart,
+          "top_matches" -> mart.filter(col("segment_rank") <= 10)),
+        q1.run(s, d),
+        Tables.documents(s, d).groupBy("source")
+          .agg(count(lit(1)).as("value"))
+          .select(col("source").as("item"), col("value")))
+    },
+    Some(s"""
+      SELECT 'run' AS section, 'checks_failed' AS item,
+        (SELECT COUNT(*) FROM ($q1OracleSql) v WHERE n_violations > 0) AS value
+      UNION ALL
+      SELECT 'failed_checks', check_name || ':' || column_name, n_violations
+      FROM ($q1OracleSql) v WHERE n_violations > 0
+      UNION ALL
+      SELECT 'counts', 'extracted',
+        (SELECT COUNT(*) FROM events
+         WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '${P1.watermark}')
+      UNION ALL
+      SELECT 'counts', 'staged',
+        (SELECT COUNT(*) FROM (WITH ${P1.parsedCtes} SELECT * FROM parsed) t)
+      UNION ALL
+      SELECT 'counts', 'deduped_unique',
+        (SELECT COUNT(DISTINCT user_id)
+         FROM (WITH ${P1.parsedCtes} SELECT * FROM parsed) t)
+      UNION ALL
+      SELECT 'counts', 'ranked', (SELECT COUNT(*) FROM (${P1.oracleSql}) t)
+      UNION ALL
+      SELECT 'counts', 'top_matches',
+        (SELECT COUNT(*) FROM (${P1.oracleSql}) t WHERE segment_rank <= 10)
+      UNION ALL
+      SELECT 'source_volume', source, COUNT(*) FROM documents GROUP BY source"""))
 
   // ---------------------------------------------------------------- w1
   // The publish path under the oracle (services/publisher parity): the d4
@@ -2107,7 +2177,7 @@ object Catalog {
     l1, l2, l3, l4, l5, l6, l7, l8, l9,
     t1, t2, t3, t4, t5, t6, t7, t8,
     c1, c2, c3, c4, c5,
-    m1, m2, m3, s1, s2, s3, p1, w1, w2)
+    m1, m2, m3, s1, s2, s3, p1, p2, w1, w2)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

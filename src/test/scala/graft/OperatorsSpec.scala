@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.config.{RankingProfile, RankingWeights}
 import graft.functions.{vectors => V}
-import graft.operators.{Ann, Dedup, Enrich, Ranker, Upsert}
+import graft.operators.{Ann, Dedup, Enrich, Ranker, Report, Upsert}
 
 class OperatorsSpec extends AnyFunSuite {
   import TestSpark._
@@ -211,6 +211,27 @@ class OperatorsSpec extends AnyFunSuite {
     // blocks — edge and label checkpoints must not leak
     assert(spark.sparkContext.getPersistentRDDs.keySet == before,
       "non-convergence must not leak persisted checkpoint blocks")
+  }
+
+  test("Report.runSummary: stage counts, failed checks; a passing run still emits its 0 row") {
+    val stages = Seq("a" -> Seq(1, 2, 3).toDF("x"), "b" -> Seq(1).toDF("x"))
+    val sources = Seq(("s1", 5L)).toDF("item", "value")
+    val failing = Seq(("not_null", "c1", 2L), ("unique", "c2", 0L))
+      .toDF("check_name", "column_name", "n_violations")
+    val got = Report.runSummary(stages, failing, sources)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("run", "checks_failed", 1L),
+      ("failed_checks", "not_null:c1", 2L),
+      ("counts", "a", 3L), ("counts", "b", 1L),
+      ("source_volume", "s1", 5L)))
+    // all checks pass: the () grouping set must still aggregate the empty
+    // failed subset into the scheduler's status row
+    val passing = Seq(("unique", "c2", 0L)).toDF("check_name", "column_name", "n_violations")
+    val got2 = Report.runSummary(stages, passing, sources)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got2.contains(("run", "checks_failed", 0L)))
+    assert(!got2.exists(_._1 == "failed_checks"))
   }
 
   test("ngramJaccard on provided pairs") {
