@@ -708,6 +708,64 @@ object Catalog {
         WHERE $ratioSql >= $minRatio"""))
   }
 
+  // ---------------------------------------------------------------- e5
+  // External-enrichment join — the glassdoor-shaped third-party lookup
+  // (services/enricher/glassdoor_client.py:55 search_company; ratings
+  // upserted into staging.companies_stg with enriched_at timestamps,
+  // db_operations.py:389). The HTTP client is out of engine scope; the
+  // DATA pattern it lands is not: a fetch log (one row per lookup, fetch
+  // timestamp riding along) collapsed to latest-rating-per-company
+  // (Upsert.latestState — d2's operator), a STALENESS rule (a rating
+  // fetched before the cutoff must not decorate today's dim — it reads
+  // 'stale', its value withheld), and a broadcast join into the company
+  // dim. Events play the fetch log (user_id = company key, ts =
+  // fetched_at, value = rating); customer is the dim. Scale shape: the
+  // latest-state side is one row per company (dim-sized) — broadcast —
+  // while the dim scan stays shuffle-free; the fetch log pays d2's one
+  // window shuffle.
+  private val e5 = {
+    val staleCutoff = "2024-01-30 00:00:00"
+    Q(
+      "e5_external_enrich",
+      (s, d) => {
+        val fetches = Tables.events(s, d).select(
+          col("user_id").as("company_key"), col("ts"),
+          col("event_id"), col("value").as("rating"))
+        val latest = Upsert.latestState(fetches, "company_key", "ts", "event_id",
+          Seq("rating"))
+        val fresh = col("last_seen") >= lit(staleCutoff).cast("timestamp")
+        Tables.customer(s, d)
+          .join(broadcast(latest), col("c_custkey") === col("company_key"), "left")
+          .select(
+            col("c_custkey").as("company_key"),
+            col("c_name").as("company_name"),
+            col("c_mktsegment").as("mktsegment"),
+            when(fresh, col("rating")).as("rating"),
+            when(col("company_key").isNotNull,
+              date_format(col("last_seen"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+              .as("rating_fetched_at"),
+            when(col("company_key").isNull, lit("missing"))
+              .when(fresh, lit("fresh")).otherwise(lit("stale")).as("rating_status"))
+      },
+      Some(s"""
+        WITH latest AS (
+          SELECT user_id AS company_key, rating, last_seen FROM (
+            SELECT user_id, value AS rating,
+              ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn,
+              MAX(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id) AS last_seen
+            FROM events) t WHERE rn = 1)
+        SELECT c.c_custkey AS company_key, c.c_name AS company_name,
+          c.c_mktsegment AS mktsegment,
+          CASE WHEN l.last_seen >= TIMESTAMP '$staleCutoff' THEN l.rating END AS rating,
+          CASE WHEN l.company_key IS NOT NULL
+               THEN strftime(l.last_seen, '%Y-%m-%d %H:%M:%S.%f') END AS rating_fetched_at,
+          CASE WHEN l.company_key IS NULL THEN 'missing'
+               WHEN l.last_seen >= TIMESTAMP '$staleCutoff' THEN 'fresh'
+               ELSE 'stale' END AS rating_status
+        FROM customer c LEFT JOIN latest l ON c.c_custkey = l.company_key"""))
+  }
+
   // ================================================================
   // LLM-pipeline additions. The testdata has no planted duplicates, so the
   // dedup demos union the corpus with a deterministically perturbed copy
@@ -2172,7 +2230,7 @@ object Catalog {
     a1, a2, a3, a4, a5, a6,
     n1, n2, n3, n4, n5, n6, n7,
     d1, d2, d3, d4,
-    e1, e2, e3, e4, j1, j2, j3,
+    e1, e2, e3, e4, e5, j1, j2, j3,
     r1, r2, r3, r4, q1, q2,
     l1, l2, l3, l4, l5, l6, l7, l8, l9,
     t1, t2, t3, t4, t5, t6, t7, t8,
