@@ -23,21 +23,23 @@ import graft.util.Json.quote
  *    started (another sbt/JVM job), "contended" is true and the run
  *    must not be treated as an official number (the r4/r5 official
  *    benches were both contaminated exactly this way — 2-4x uniform
- *    swings on unchanged code).
+ *    swings on unchanged code);
+ *  - DUAL CONFIG: the round-over-round series historically mixed two
+ *    configs (officials at cpus=32, the BENCH_NOTES reference series at
+ *    local[4] — e4 measures 2.9 s vs 5.4 s between them purely from
+ *    fixed per-stage overhead at 32 shuffle partitions on tiny data).
+ *    After the primary run the bench now re-runs the suite on a fresh
+ *    local[ALT] session in the same JVM (same protocol) and reports it
+ *    under "alt" in the SAME JSON line, so both series continue every
+ *    round. SPARK_GRAFT_ALT=0 skips; SPARK_GRAFT_ALT_CPUS overrides the
+ *    default (4 when the primary is not 4, else 32).
  */
 object Bench {
   private def load1m: Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    // ambient load BEFORE the bench contributes anything: anything past a
-    // couple of cores means another job is on the host.
-    val loadBefore = load1m
-    val loadLimit = math.max(2.0, cpus.toInt / 8.0)
+  private def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -54,13 +56,28 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val altEnabled = sys.env.getOrElse("SPARK_GRAFT_ALT", "1") != "0"
+    val altCpus = sys.env.getOrElse("SPARK_GRAFT_ALT_CPUS",
+      if (cpus == "4") "32" else "4")
+    // ambient load BEFORE the bench contributes anything: anything past a
+    // couple of cores means another job is on the host.
+    val loadBefore = load1m
+    val loadLimit = math.max(2.0, cpus.toInt / 8.0)
     // dev-only: SPARK_GRAFT_ONLY=q1,q2 restricts the run while iterating.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = graft.queries.Catalog.all
       .filter(q => only.forall(_(q.name)))
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
-    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def runOnce(spark: SparkSession,
+        name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
@@ -86,21 +103,33 @@ object Bench {
       }
     }
 
-    selected.foreach(q => runOnce(q.name, q.run)) // warm-up (untimed)
-    val timed: Seq[(String, Seq[Double])] =
-      selected.map(q => q.name -> (1 to reps).map(_ => runOnce(q.name, q.run)))
-    val medians = timed.map { case (name, ts) =>
-      name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2))
+    /** warm-up pass + reps timed passes on a fresh session → per-query medians */
+    def series(nCpus: String): Seq[(String, Double)] = {
+      val spark = buildSession(nCpus)
+      try {
+        selected.foreach(q => runOnce(spark, q.name, q.run)) // warm-up (untimed)
+        val timed = selected.map(q => q.name -> (1 to reps).map(_ => runOnce(spark, q.name, q.run)))
+        timed.map { case (name, ts) =>
+          name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2))
+        }
+      } finally spark.stop()
     }
-    val qs = medians.map { case (k, v) => s"${quote(k)}:$v" }.mkString("{", ",", "}")
+    def toJson(medians: Seq[(String, Double)]): (Double, String) = {
+      val total = medians.collect { case (_, v) if v >= 0 => v }.sum
+      (total, medians.map { case (k, v) => s"${quote(k)}:$v" }.mkString("{", ",", "}"))
+    }
+
+    val (total, qs) = toJson(series(cpus))
+    val altJson = if (!altEnabled) "null" else {
+      val (altTotal, altQs) = toJson(series(altCpus))
+      s"""{"cpus":$altCpus,"total":$altTotal,"queries":$altQs}"""
+    }
     val errJson = errors.map { case (k, v) => s"${quote(k)}:${quote(v)}" }.mkString("{", ",", "}")
-    val total = medians.collect { case (_, v) if v >= 0 => v }.sum
     val loadAfter = load1m
     val contended = loadBefore > loadLimit
     if (contended)
       System.err.println(f"[bench] WARNING: ambient load $loadBefore%.2f > $loadLimit%.1f " +
         "before the run — another job is on this host; timings are unreliable, re-run quiet")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"errors":$errJson,"load_before":$loadBefore,"load_after":$loadAfter,"contended":$contended}""")
-    spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":$cpus,"alt":$altJson,"errors":$errJson,"load_before":$loadBefore,"load_after":$loadAfter,"contended":$contended}""")
   }
 }

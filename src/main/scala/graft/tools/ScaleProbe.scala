@@ -1,0 +1,78 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/**
+ * Dev-only synthetic scale probe for the dedup/fuzzy family (the VERDICT
+ * r6 ask): no sf1 testdata exists, so extend the measured decade by
+ * self-unioning the corpus ×`SPARK_GRAFT_SCALE_MULT` (default 8) with
+ * RE-SALTED ids but UNCHANGED text — the adversarial duplicate-heavy
+ * growth case, where every LSH/fuzzy bucket inflates by the multiple and
+ * candidate pairs within a bucket grow QUADRATICALLY unless the bucket
+ * caps and skew guards hold. A sub-multiple runtime ratio here means the
+ * caps work; a super-multiple ratio is the scale bug this tool exists to
+ * catch.
+ *
+ * Protocol matches Bench (same session knobs, untimed warm-up, median of
+ * SPARK_GRAFT_REPS=3); baseline and ×N runs share one JVM so JIT state is
+ * comparable. Results are hand-recorded in BENCH_NOTES.md.
+ */
+object ScaleProbe {
+  private val Probes = Seq("l1_dedup_minhash", "l2_dedup_simhash",
+    "l3_ngram_jaccard", "e4_fuzzy_match")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "8").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.files.openCostInBytes", "16384")
+      .config("spark.sql.files.minPartitionNum", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ×mult corpus: ids re-salted into disjoint ranges, text/names as-is
+    val out = s"/tmp/graft_scale_probe/${java.util.UUID.randomUUID.toString.take(8)}"
+    def salt(df: DataFrame, idCol: String): DataFrame =
+      (0 until mult).map(i =>
+        df.withColumn(idCol, col(idCol) + lit(i * 100000000L)))
+        .reduce(_.unionAll(_))
+    salt(Tables.documents(spark, sfDir), "doc_id")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    salt(Tables.customer(spark, sfDir), "c_custkey")
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+
+    def medianTime(name: String, dir: String): Double = {
+      val q = graft.queries.Catalog.byName(name)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        q.run(spark, dir).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        System.gc(); Thread.sleep(150)
+        t
+      }
+      once() // warm-up, untimed
+      val ts = (1 to reps).map(_ => once()).sorted
+      ts(ts.size / 2)
+    }
+
+    println(f"| query | $sfDir | x$mult (salted dup) | ratio |")
+    println("|---|---|---|---|")
+    Probes.foreach { name =>
+      val base = medianTime(name, sfDir)
+      val big = medianTime(name, out)
+      println(f"| $name | $base%.2f s | $big%.2f s | ${big / base}%.1fx |")
+    }
+    spark.stop()
+  }
+}
