@@ -120,4 +120,50 @@ object Curate {
             x => x.getField(payloadCol).cast("string")),
           ",").as("seq"))
   }
+
+  /** One md5'd word-n-gram row per (optional id, gram), built NARROW:
+    * normalize → split once per row, grams via transform/slice over the
+    * projected token array (the l1 shingle discipline — zero shuffle,
+    * no window-lead over an exploded token table). */
+  private def gramTable(df: DataFrame, idCol: Option[String], textCol: String,
+      n: Int): DataFrame = {
+    val ws = df
+      .select((idCol.map(col).toSeq :+
+        graft.functions.text.words(col(textCol)).as("ws")): _*)
+      .filter(size(col("ws")) >= n)
+    ws.select((idCol.map(col).toSeq :+
+      explode(transform(sequence(lit(1), size(col("ws")) - (n - 1)),
+        i => md5(array_join(slice(col("ws"), i, lit(n)), " ")))).as("gh")): _*)
+  }
+
+  /**
+   * Benchmark decontamination — flag every training document that shares
+   * at least one word `n`-gram with an evaluation/benchmark set. Eval
+   * questions leaking into training data silently inflate benchmark
+   * scores; every serious training pipeline runs this gate and drops (or
+   * audits) the flagged docs. The reference has no analog — this is one
+   * of the mandated LLM-pipeline additions.
+   *
+   * Scale shape: the benchmark side is TINY by nature (eval sets are
+   * KBs–MBs against a 100-TB corpus), so its distinct gram hashes
+   * BROADCAST; the corpus-side gram build stays narrow, and the single
+   * exchange carries only (doc id, matched gram) pairs — rows exist only
+   * for actual overlaps, not for the corpus. Grams travel as md5 hex
+   * (engine-identical, oracle-friendly); at extreme scale swap the join
+   * key to the 8-byte `graft_md5_prefix64` form — same plan, 1/4 the
+   * bytes.
+   *
+   * Returns one row per CONTAMINATED doc: (idCol, n_shared_grams), the
+   * distinct shared-gram count an auditor ranks by. Anti-join the corpus
+   * against it to drop them.
+   */
+  def flagContaminated(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int): DataFrame = {
+    require(n >= 1, "n-gram size must be positive")
+    val bench = gramTable(benchmark, None, benchTextCol, n).distinct()
+    gramTable(corpus, Some(idCol), textCol, n)
+      .join(broadcast(bench), "gh")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("gh")).as("n_shared_grams"))
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.config.{Dictionaries, EnumDomains, RankingProfile, RankingWeights}
 import graft.functions.{text => T, vectors => V}
-import graft.operators.{Enrich, Joins, Marts, Profile, Ranker, Temporal, Upsert}
+import graft.operators.{Curate, Enrich, Joins, Marts, Profile, Ranker, Temporal, Upsert}
 import graft.sources.Tables
 
 /** One catalog entry: a Spark query + (optionally) its DuckDB oracle SQL. */
@@ -1434,6 +1434,53 @@ object Catalog {
         CAST(least(n - chunk_idx * 24, 32) AS BIGINT) AS n_tokens
       FROM win"""))
 
+  // ---------------------------------------------------------------- t9
+  // Benchmark decontamination (Curate.flagContaminated) — flag training
+  // docs sharing any word 5-gram with the eval set. The fixture plants
+  // contamination the way it happens in the wild: docs with id % 20 == 0
+  // play the benchmark, and the training corpus is the remaining docs
+  // PLUS a perturbed copy of each benchmark doc (id + 2,000,000, a
+  // suffix appended) — leaked eval text inside an otherwise-different
+  // row. Every leaked copy must flag (its interior 5-grams survive the
+  // suffix edit); natural cross-doc overlap may flag more, and the
+  // oracle computes the same set. Benchmark gram hashes broadcast; the
+  // one exchange carries only matched (doc, gram) pairs.
+  private val t9 = {
+    val n = 5
+    val gramSql = s"list_transform(range(0, greatest(len(w) - ${n - 1}, 0)), " +
+      s"i -> ${(1 to n).map(k => s"w[i+$k]").mkString(" || ' ' || ")})"
+    Q(
+      "t9_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bench = docs.filter(col("doc_id") % 20 === 0).select(col("text"))
+        val train = docs.filter(col("doc_id") % 20 =!= 0)
+          .select(col("doc_id"), col("text"))
+          .unionAll(docs.filter(col("doc_id") % 20 === 0).select(
+            (col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" leaked copy")).as("text")))
+        Curate.flagContaminated(train, "doc_id", "text", bench, "text", n)
+      },
+      Some(s"""
+        WITH bws AS (
+          SELECT string_split(${normSql("text")}, ' ') AS w
+          FROM documents WHERE doc_id % 20 = 0),
+        bg AS (SELECT DISTINCT md5(g) AS gh
+               FROM (SELECT unnest($gramSql) AS g FROM bws) t),
+        tws AS (
+          SELECT doc_id, string_split(${normSql("text")}, ' ') AS w
+          FROM documents WHERE doc_id % 20 <> 0
+          UNION ALL
+          SELECT doc_id + 2000000,
+            string_split(${normSql("text || ' leaked copy'")}, ' ') AS w
+          FROM documents WHERE doc_id % 20 = 0),
+        tg AS (SELECT doc_id, md5(g) AS gh
+               FROM (SELECT doc_id, unnest($gramSql) AS g FROM tws) t)
+        SELECT tg.doc_id, COUNT(DISTINCT tg.gh) AS n_shared_grams
+        FROM tg JOIN bg ON tg.gh = bg.gh
+        GROUP BY tg.doc_id"""))
+  }
+
   // ---------------------------------------------------------------- c1
   private val c1 = {
     val key = "CAST(doc_id AS VARCHAR) || '|split0'"
@@ -2305,7 +2352,7 @@ object Catalog {
     e1, e2, e3, e4, e5, j1, j2, j3,
     r1, r2, r3, r4, q1, q2,
     l1, l2, l3, l4, l5, l6, l7, l8, l9,
-    t1, t2, t3, t4, t5, t6, t7, t8,
+    t1, t2, t3, t4, t5, t6, t7, t8, t9,
     c1, c2, c3, c4, c5,
     m1, m2, m3, s1, s2, s3, p1, p2, w1, w2, w3)
 

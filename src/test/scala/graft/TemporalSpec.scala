@@ -224,6 +224,22 @@ class TemporalSpec extends AnyFunSuite {
     assert(got == Set((1L, 4L, "11,10,12"), (2L, 1L, "20")))
   }
 
+  // ------------------------------------------------ flagContaminated
+  test("flagContaminated: leaked benchmark spans flag, clean docs don't") {
+    // bench doc has 6 words -> exactly two 5-grams
+    val bench = Seq(Tuple1("alpha beta gamma delta epsilon zeta")).toDF("text")
+    val corpus = Seq(
+      (1L, "prefix words then alpha beta GAMMA  delta epsilon end"), // one shared gram (case/ws normalized)
+      (2L, "completely unrelated sentence about spark engines only"),
+      (3L, "alpha beta gamma delta epsilon zeta verbatim leak here"), // both grams
+      (4L, "short doc")) // under n words -> no grams at all
+      .toDF("doc_id", "text")
+    val got = graft.operators.Curate
+      .flagContaminated(corpus, "doc_id", "text", bench, "text", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 3L -> 2L))
+  }
+
   // ---------------------------------------------------- packSequences
   test("packSequences: concat-then-chunk pack assignment, doc spanning packs") {
     // single shard (nShards=1) so offsets are fully predictable:
