@@ -76,7 +76,7 @@ object Bench {
       .filter(q => only.forall(_(q.name)))
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
-    def runOnce(spark: SparkSession,
+    def runOnce(spark: SparkSession, errKey: String,
         name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try {
@@ -84,7 +84,10 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>
-          errors.getOrElseUpdate(name, Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
+          // alt-series failures are keyed "alt:<query>" so an official-run
+          // failure is never confused with a local[4]-only one
+          errors.getOrElseUpdate(errKey,
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
           -1.0
       } finally {
         spark.catalog.clearCache()
@@ -104,11 +107,12 @@ object Bench {
     }
 
     /** warm-up pass + reps timed passes on a fresh session → per-query medians */
-    def series(nCpus: String): Seq[(String, Double)] = {
+    def series(nCpus: String, errPrefix: String): Seq[(String, Double)] = {
       val spark = buildSession(nCpus)
       try {
-        selected.foreach(q => runOnce(spark, q.name, q.run)) // warm-up (untimed)
-        val timed = selected.map(q => q.name -> (1 to reps).map(_ => runOnce(spark, q.name, q.run)))
+        selected.foreach(q => runOnce(spark, errPrefix + q.name, q.name, q.run)) // warm-up
+        val timed = selected.map(q =>
+          q.name -> (1 to reps).map(_ => runOnce(spark, errPrefix + q.name, q.name, q.run)))
         timed.map { case (name, ts) =>
           name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2))
         }
@@ -119,10 +123,23 @@ object Bench {
       (total, medians.map { case (k, v) => s"${quote(k)}:$v" }.mkString("{", ",", "}"))
     }
 
-    val (total, qs) = toJson(series(cpus))
+    val (total, qs) = toJson(series(cpus, ""))
+    // the alt series must NEVER cost the primary result its JSON line —
+    // a bad SPARK_GRAFT_ALT_CPUS or a session that fails to start is
+    // reported inside "alt", not thrown past the println
+    // altCpus comes from an env var: quote it unless it's a plain number,
+    // or a value like "*" would corrupt the JSON line
+    val altCpusJson = if (altCpus.nonEmpty && altCpus.forall(_.isDigit)) altCpus
+      else quote(altCpus)
     val altJson = if (!altEnabled) "null" else {
-      val (altTotal, altQs) = toJson(series(altCpus))
-      s"""{"cpus":$altCpus,"total":$altTotal,"queries":$altQs}"""
+      try {
+        val (altTotal, altQs) = toJson(series(altCpus, "alt:"))
+        s"""{"cpus":$altCpusJson,"total":$altTotal,"queries":$altQs}"""
+      } catch {
+        case e: Throwable =>
+          s"""{"cpus":$altCpusJson,"error":${quote(
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(300))}}"""
+      }
     }
     val errJson = errors.map { case (k, v) => s"${quote(k)}:${quote(v)}" }.mkString("{", ",", "}")
     val loadAfter = load1m

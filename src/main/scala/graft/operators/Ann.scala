@@ -344,11 +344,12 @@ object Ann {
    * nearest cells.
    *
    * Shapes, in cluster terms:
-   *  - BUILD: corpus ⋈ broadcast(centroids) scores |corpus|·C cheap
-   *    pairs, then argmin per corpus row via `min(struct(dist, cid))` —
-   *    a partial aggregate that collapses the C rows per vector BEFORE
-   *    the exchange, so the one shuffle carries exactly one row per
-   *    corpus vector (its cell label riding along). At 100 TB the build
+   *  - BUILD: corpus ⋈ broadcast(centroid ARRAY — one row) scores
+   *    |corpus|·C cheap float pairs inside a projection-level fold
+   *    ([[cheapTop2]] + [[resolveCell]]): no ×C row materialization, no
+   *    aggregate, exact-decimal math only for margin-straddling rows —
+   *    so the one shuffle carries exactly one row per corpus vector
+   *    (its cell label riding along). At 100 TB the build
    *    output is written once, partitioned by cell
    *    (graft.sources.Sink.writePartitioned), and amortized over every
    *    subsequent query batch.

@@ -121,20 +121,17 @@ object Curate {
           ",").as("seq"))
   }
 
-  /** One md5'd word-n-gram row per (optional id, gram), built NARROW:
-    * normalize → split once per row, grams via transform/slice over the
-    * projected token array (the l1 shingle discipline — zero shuffle,
-    * no window-lead over an exploded token table). */
+  /** One md5'd word-n-gram row per (optional id, gram), built NARROW via
+    * the shared [[graft.functions.text.wordShingles]] (normalize → split
+    * once per row, shingles over the projected token array — the l1
+    * discipline, zero shuffle; under-n-word docs yield no rows). */
   private def gramTable(df: DataFrame, idCol: Option[String], textCol: String,
-      n: Int): DataFrame = {
-    val ws = df
-      .select((idCol.map(col).toSeq :+
+      n: Int): DataFrame =
+    df.select((idCol.map(col).toSeq :+
         graft.functions.text.words(col(textCol)).as("ws")): _*)
-      .filter(size(col("ws")) >= n)
-    ws.select((idCol.map(col).toSeq :+
-      explode(transform(sequence(lit(1), size(col("ws")) - (n - 1)),
-        i => md5(array_join(slice(col("ws"), i, lit(n)), " ")))).as("gh")): _*)
-  }
+      .select((idCol.map(col).toSeq :+
+        explode(graft.functions.text.wordShingles(col("ws"), n)).as("g")): _*)
+      .select((idCol.map(col).toSeq :+ md5(col("g")).as("gh")): _*)
 
   /**
    * Benchmark decontamination — flag every training document that shares

@@ -397,23 +397,29 @@ object Dedup {
     // save() persists (id-set diff; this operator is single-threaded) and
     // drop a round's blocks as soon as the NEXT eager checkpoint exists.
     def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
-    def save(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = persistedIds
-      val out = if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-      (out, persistedIds -- before)
-    }
     def drop(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-    // checkpoint the (possibly expensive) pair generation once: every
-    // round re-reads the edge list
-    val (edges, edgeIds) = save(pairs.select(col(id1).as("src"), col(id2).as("dst"))
-      .unionAll(pairs.select(col(id2).as("src"), col(id1).as("dst"))))
+    def save(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = persistedIds
+      try {
+        val out = if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+        (out, persistedIds -- before)
+      } catch {
+        // an eager checkpoint PERSISTS before its job runs — a failing
+        // save can leave blocks behind with no caller to track them
+        case e: Throwable => drop(persistedIds -- before); throw e
+      }
+    }
+    var edgeIds = Set.empty[Int]
     var labelIds = Set.empty[Int]
-    // any failure path (a round's job dying, the non-convergence throw)
-    // returns no DataFrame that could need the tracked blocks — drop
-    // them on the way out or they pin block-manager memory for the life
-    // of the session
+    // any failure path (a save, a round's job dying, the non-convergence
+    // throw) returns no DataFrame that could need the tracked blocks —
+    // drop them on the way out or they pin block-manager memory for the
+    // life of the session
     try {
+      val edges = { val s = save(pairs.select(col(id1).as("src"), col(id2).as("dst"))
+          .unionAll(pairs.select(col(id2).as("src"), col(id1).as("dst"))))
+        edgeIds = s._2; s._1 }
       var labels = { val s = save(nodes.select(col(idCol).as("id"), col(idCol).as("comp")))
         labelIds = s._2; s._1 }
       def labelSum(df: DataFrame): java.math.BigDecimal =

@@ -35,11 +35,14 @@ object Temporal {
    *
    * Requirements: `right` must be unique per (keys, rightTs) — otherwise
    * "the" state at a timestamp is ill-defined; pre-aggregate duplicates.
-   * The window ordering still includes `_state` as a final key, so a
+   * When the state struct is ORDERABLE (no map-typed state columns) the
+   * window ordering includes `_state` as a final key, so a
    * contract-violating input degrades to a DETERMINISTIC pick (the
    * largest state struct at the duplicated timestamp) rather than
-   * whichever duplicate happened to sort last. Left column names must
-   * not collide with the temporaries.
+   * whichever duplicate happened to sort last; with a non-orderable
+   * state column the extra key is skipped (Spark cannot sort maps) and
+   * only the documented uniqueness contract protects determinism. Left
+   * column names must not collide with the temporaries.
    *
    * Returned columns: every left column, then each `stateCols` column as
    * `asof_<name>`.
@@ -62,8 +65,14 @@ object Temporal {
     // unionByName fills the side-specific columns (left payload on the
     // state side, _state on the event side) with nulls.
     val u = l.unionByName(r, allowMissingColumns = true)
+    val stateType = org.apache.spark.sql.types.StructType(
+      stateCols.map(c => right.schema(right.schema.fieldIndex(c))))
+    val stateOrderable =
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(stateType)
+    val orderKeys = Seq(col("_ts"), col("_prio")) ++
+      (if (stateOrderable) Seq(col("_state")) else Nil)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_ts"), col("_prio"), col("_state"))
+      .orderBy(orderKeys: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     u.withColumn("_asof", last(col("_state"), ignoreNulls = true).over(w))
       .filter(col("_prio") === 1)

@@ -32,14 +32,14 @@ object Catalog {
   private val DecM = "decimal(12,4)" // money/qty columns (< 1e8, 2dp)
   private val DecV = "decimal(18,6)" // event values
 
-  /** Per-JVM scratch root for the write-then-read-back entries (w1/w2):
+  /** Per-JVM scratch root for the write-then-read-back entries (w1/w2/w3):
     * two concurrent runs against the same dataset (the driver's gate plus
     * a dev bench) must never interleave one overwrite with the other's
     * read-back on a shared fixed path. Within one JVM repeated passes
-    * still reuse (overwrite) the same dir, so a bench run doesn't grow
-    * /tmp per rep. */
-  private val scratchRoot =
-    s"/tmp/graft_publish/run-${java.util.UUID.randomUUID.toString.take(8)}"
+    * still reuse (overwrite) the same dir, and the whole root deletes at
+    * JVM exit so repeated runs don't grow /tmp. */
+  private val scratchRoot = graft.util.Scratch.deleteOnExit(
+    s"/tmp/graft_publish/run-${java.util.UUID.randomUUID.toString.take(8)}")
 
   // ---------------------------------------------------------------- a1
   private val a1 = Q(

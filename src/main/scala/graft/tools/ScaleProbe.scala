@@ -40,7 +40,8 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     // ×mult corpus: ids re-salted into disjoint ranges, text/names as-is
-    val out = s"/tmp/graft_scale_probe/${java.util.UUID.randomUUID.toString.take(8)}"
+    val out = graft.util.Scratch.deleteOnExit(
+      s"/tmp/graft_scale_probe/${java.util.UUID.randomUUID.toString.take(8)}")
     def salt(df: DataFrame, idCol: String): DataFrame =
       (0 until mult).map(i =>
         df.withColumn(idCol, col(idCol) + lit(i * 100000000L)))

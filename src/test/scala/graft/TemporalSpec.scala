@@ -70,6 +70,17 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoin accepts non-orderable (map-typed) state columns") {
+    // the deterministic tie-break orders on _state only when the struct
+    // is orderable; a map-typed state must not break the analyzer
+    val events = Seq((1L, ts("2024-01-15 10:00:00"))).toDF("user_id", "ts")
+    val states = Seq((1L, ts("2024-01-15 09:00:00"), Map("a" -> 1)))
+      .toDF("user_id", "sts", "props")
+    val got = Temporal.asofJoin(events, states, Seq("user_id"), "ts", "sts", Seq("props"))
+      .select("asof_props").collect().head.getMap[String, Int](0)
+    assert(got == Map("a" -> 1))
+  }
+
   // -------------------------------------------------------- rangeJoin
   test("rangeJoin: half-open bounds, bin-straddling intervals, empty intervals") {
     val evts = Seq(
