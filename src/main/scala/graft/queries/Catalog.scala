@@ -1752,6 +1752,26 @@ object Catalog {
       FROM e JOIN p ON e.user_id = p.user_id
         AND e.ts >= p.purchase_ts AND e.ts < p.purchase_ts + INTERVAL 2 HOUR"""))
 
+  // ---------------------------------------------------------------- s4
+  // Streaming ingestion dedup (EventStream.dedupWithinWatermark — the
+  // streaming form of the staging hash-key upsert's duplicate drop,
+  // db_operations.py:334): dropDuplicatesWithinWatermark keeps the first
+  // event per (user, type, hour) and bounds its state by the watermark.
+  // Spark rejects that builder on batch inputs and batch dropDuplicates
+  // keeps a partition-order-dependent survivor row, so the gate checks
+  // the DETERMINISTIC projection both sides share — the distinct key set
+  // (EventStream.dedupKeySet); StreamingSpec asserts the streaming run
+  // emits exactly this set trigger-by-trigger.
+  private val s4 = Q(
+    "s4_stream_dedup",
+    (s, d) => graft.streaming.EventStream.dedupKeySet(Tables.events(s, d))
+      .select(col("user_id"), col("event_type"),
+        date_format(col("hour_bucket"), "yyyy-MM-dd HH:mm:ss").as("hour_bucket")),
+    Some("""
+      SELECT DISTINCT user_id, event_type,
+        strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour_bucket
+      FROM events"""))
+
   // ---------------------------------------------------------------- p1
   // The reference's core identity — the orchestrated daily job-ETL chain
   // (airflow/dags/jobs_etl_daily.py task ordering, ~lines 200-400:
@@ -2354,7 +2374,7 @@ object Catalog {
     l1, l2, l3, l4, l5, l6, l7, l8, l9,
     t1, t2, t3, t4, t5, t6, t7, t8, t9,
     c1, c2, c3, c4, c5,
-    m1, m2, m3, s1, s2, s3, p1, p2, w1, w2, w3)
+    m1, m2, m3, s1, s2, s3, s4, p1, p2, w1, w2, w3)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

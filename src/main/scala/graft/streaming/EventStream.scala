@@ -57,6 +57,22 @@ object EventStream {
       .dropDuplicatesWithinWatermark("user_id", "event_type", "hour_bucket")
 
   /**
+   * Batch twin of [[dedupWithinWatermark]]'s DETERMINISTIC projection —
+   * the distinct key set. Unlike s1/s2, the identical builder cannot run
+   * on batch (Spark rejects `dropDuplicatesWithinWatermark` on batch
+   * DataFrames), and batch `dropDuplicates` keeps a partition-order-
+   * dependent survivor ROW; the key set is the part of the dedup output
+   * that is well-defined on both sides, so it is what the oracle gate
+   * (catalog s4_stream_dedup) checks and what StreamingSpec asserts the
+   * streaming run equals.
+   */
+  def dedupKeySet(events: DataFrame): DataFrame =
+    events
+      .withColumn("hour_bucket", date_trunc("hour", col("ts")))
+      .select(col("user_id"), col("event_type"), col("hour_bucket"))
+      .distinct()
+
+  /**
    * Stream-stream interval (attribution) join: each non-purchase event
    * joins the purchases of the same user in the 2 hours BEFORE it —
    * the streaming form of Temporal.rangeJoin/j2. Spark plans this as a

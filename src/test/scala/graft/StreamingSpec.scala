@@ -84,6 +84,18 @@ class StreamingSpec extends AnyFunSuite {
         (1L, "click", ts("2024-01-15 10:00:00")),
         (2L, "view", ts("2024-01-15 10:00:00")),
         (1L, "click", ts("2024-01-15 11:00:00"))))
+      // streaming == batch twin on the deterministic projection (the key
+      // set — what the s4 gate entry checks; the identical builder cannot
+      // run on batch, so the twin is asserted here instead)
+      val allRows = Seq(
+        Ev(ts("2024-01-15 10:01:00"), 1, "click", 1.0),
+        Ev(ts("2024-01-15 10:09:00"), 1, "click", 2.0),
+        Ev(ts("2024-01-15 10:03:00"), 2, "view", 3.0),
+        Ev(ts("2024-01-15 10:20:00"), 1, "click", 4.0),
+        Ev(ts("2024-01-15 11:02:00"), 1, "click", 5.0))
+      val batchKeys = EventStream.dedupKeySet(allRows.toDF())
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2))).toSet
+      assert(batchKeys == got.toSet, "streaming dedup keys must equal the batch twin")
     } finally query.stop()
   }
 
