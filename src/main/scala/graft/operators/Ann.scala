@@ -368,9 +368,7 @@ object Ann {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
       nProbe: Int, k: Int): DataFrame = {
     VectorExpressions.ensureRegistered(corpus.sparkSession)
-    val cent = centroids.select(col("centroid_id").as("cid"),
-      col("embedding").as("centv"),
-      call_function("graft_dot_exact", col("embedding"), col("embedding")).as("centn"))
+    val cent = centAliased(centroids)
     // the cheap cn float norm does double duty: topK prefilter AND the
     // cheap cell-argmin; exact self-norms appear only inside resolveCell's
     // fallback branch, for the rare margin-straddling rows
@@ -380,6 +378,41 @@ object Ann {
         cheapTop2(col("cv"), col("cn")).as("t2"))
       .select(col("cand_id"), col("cv"), col("cn"),
         resolveCell(col("cv"), col("t2")).as("cell"))
+    searchCells(queries, cCell, cent, nProbe, k)
+  }
+
+  /**
+   * IVF search over a PRE-ASSIGNED corpus (vec_id, embedding, cell) —
+   * the read side of the build-once pattern: [[assignCells]] output is
+   * written partitioned by cell (graft.sources.Sink.writePartitioned)
+   * and amortized over every query batch; the probe join's equality on
+   * the partition column then lets DYNAMIC PARTITION PRUNING drop every
+   * unprobed cell's files at the scan — "search 100 TB" becomes "read
+   * nProbe partitions per query batch". The w4 catalog entry asserts
+   * the pruning expression is in the plan, at the gate.
+   */
+  def ivfTopKAssigned(queries: DataFrame, assigned: DataFrame,
+      centroids: DataFrame, nProbe: Int, k: Int): DataFrame = {
+    VectorExpressions.ensureRegistered(assigned.sparkSession)
+    val cCell = assigned.select(col("vec_id").as("cand_id"),
+      col("embedding").as("cv"),
+      call_function("graft_dot", col("embedding"), col("embedding")).as("cn"),
+      col("cell"))
+    searchCells(queries, cCell, centAliased(centroids), nProbe, k)
+  }
+
+  private def centAliased(centroids: DataFrame): DataFrame =
+    centroids.select(col("centroid_id").as("cid"),
+      col("embedding").as("centv"),
+      call_function("graft_dot_exact", col("embedding"), col("embedding")).as("centn"))
+
+  /** The SEARCH half shared by [[ivfTopK]] and [[ivfTopKAssigned]]:
+    * queries rank the broadcast centroids (exact 9-dp cosine — the probe
+    * choice must replay in the oracle), keep nProbe cells each, join
+    * cell-to-cell against the assigned corpus, and flow through the
+    * two-phase [[topK]]. */
+  private def searchCells(queries: DataFrame, cCell: DataFrame, cent: DataFrame,
+      nProbe: Int, k: Int): DataFrame = {
     val qSim = querySide(queries,
         call_function("graft_dot_exact", col("embedding"), col("embedding")).as("qnx"))
       .crossJoin(broadcast(cent))

@@ -1096,21 +1096,15 @@ object Catalog {
   // each query probes its nProbe nearest cells. The oracle replays the
   // identical assignment + probe rule, so this checks the full IVF
   // candidate semantics, not just the final ranking.
-  private val l8 = {
+  /** Shared IVF gate parameters + oracle (l8 AND w4 — w4 runs the same
+    * semantics through the partitioned-store read path, so one oracle
+    * gates both). */
+  private object Ivf {
     val nCent = 8
     val nProbe = 2
     val k = 5
     val nQueries = 40
-    Q(
-      "l8_ann_ivf",
-      (s, d) => {
-        val e = Tables.embeddings(s, d)
-        graft.operators.Ann.ivfTopK(
-          e.filter(col("vec_id") < nQueries), e,
-          graft.operators.Ann.sampleCentroids(e, nCent), nProbe, k)
-          .select("query_id", "cand_id", "cosine", "rnk")
-      },
-      Some(s"""
+    val oracleSql: String = s"""
         WITH cent AS (
           SELECT vec_id AS cid, embedding AS centv FROM embeddings
           ORDER BY vec_id LIMIT $nCent),
@@ -1138,8 +1132,53 @@ object Catalog {
           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
             ORDER BY cosine DESC, cand_id) AS rnk
           FROM scored)
-        SELECT query_id, cand_id, cosine, rnk FROM r WHERE rnk <= $k"""))
+        SELECT query_id, cand_id, cosine, rnk FROM r WHERE rnk <= $k"""
   }
+
+  private val l8 = Q(
+    "l8_ann_ivf",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.operators.Ann.ivfTopK(
+        e.filter(col("vec_id") < Ivf.nQueries), e,
+        graft.operators.Ann.sampleCentroids(e, Ivf.nCent), Ivf.nProbe, Ivf.k)
+        .select("query_id", "cand_id", "cosine", "rnk")
+    },
+    Some(Ivf.oracleSql))
+
+  // ---------------------------------------------------------------- w4
+  // The IVF BUILD-ONCE story under the gate: cell assignments
+  // (Ann.assignCells) written PARTITIONED BY cell (Sink.writePartitioned
+  // — the amortized index a 100-TB corpus pays for once), read back with
+  // an explicit schema (partition-type inference would turn the long
+  // cell into an int and the cast would defeat pruning), and searched
+  // via Ann.ivfTopKAssigned. The probe side broadcasts, so the equality
+  // on the partition column plans DYNAMIC PARTITION PRUNING — the scan
+  // reads only probed cells' files — and the query THROWS if the pruning
+  // expression is missing from the plan, making the scale claim a
+  // correctness-gate invariant like w3's. Same parameters and oracle as
+  // l8: the layout changes the cost, not the answer.
+  private val w4 = Q(
+    "w4_ann_partitioned",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cent = graft.operators.Ann.sampleCentroids(e, Ivf.nCent)
+      val path = s"$scratchRoot/${new java.io.File(d).getName}/ivf_cells"
+      graft.sources.Sink.writePartitioned(
+        graft.operators.Ann.assignCells(e, cent), path, Seq("cell"))
+      val assigned = s.read
+        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, cell BIGINT")
+        .parquet(path)
+      val result = graft.operators.Ann.ivfTopKAssigned(
+        e.filter(col("vec_id") < Ivf.nQueries), assigned, cent, Ivf.nProbe, Ivf.k)
+        .select("query_id", "cand_id", "cosine", "rnk")
+      val planStr = result.queryExecution.executedPlan.toString
+      if (!planStr.toLowerCase.contains("dynamicpruning"))
+        throw new IllegalStateException(
+          s"cell-partitioned IVF search must plan dynamic partition pruning:\n$planStr")
+      result
+    },
+    Some(Ivf.oracleSql))
 
   // ---------------------------------------------------------------- l9
   // IVF with a TRAINED (Lloyd-refined) coarse quantizer under the full
@@ -2374,7 +2413,7 @@ object Catalog {
     l1, l2, l3, l4, l5, l6, l7, l8, l9,
     t1, t2, t3, t4, t5, t6, t7, t8, t9,
     c1, c2, c3, c4, c5,
-    m1, m2, m3, s1, s2, s3, s4, p1, p2, w1, w2, w3)
+    m1, m2, m3, s1, s2, s3, s4, p1, p2, w1, w2, w3, w4)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
