@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -66,5 +66,23 @@ object Report {
     val sources = sourceVolumes.select(lit("source_volume").as("section"),
       col("item").cast("string").as("item"), col("value").cast("bigint").as("value"))
     checks.unionAll(counts).unionAll(sources)
+  }
+
+  /** Labeled conditional counts over ONE relation in ONE aggregate, as
+    * `counts` rows unionable onto [[runSummary]]'s output. For stages
+    * that are filters of the same producing plan (a mart and its top-N
+    * cut), separate `stageCounts` entries would RE-EXECUTE that plan
+    * once per label — the same anti-pattern the engine two-phases
+    * everywhere else. One pass, one row per label. */
+  def countsOf(df: DataFrame, labels: Seq[(String, Column)]): DataFrame = {
+    require(labels.nonEmpty, "count at least one label")
+    val aggs = labels.map { case (lbl, pred) =>
+      count(when(pred, lit(1))).as(s"__c_$lbl")
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(labels.map { case (lbl, _) => struct(
+        lit("counts").as("section"), lit(lbl).as("item"),
+        col(s"__c_$lbl").cast("bigint").as("value")) }: _*)).as("r"))
+      .select(col("r.*"))
   }
 }

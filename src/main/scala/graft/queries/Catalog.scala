@@ -2012,13 +2012,16 @@ object Catalog {
         Seq(
           "extracted" -> extracted,
           "staged" -> staged,
-          "deduped_unique" -> deduped,
-          "ranked" -> mart,
-          "top_matches" -> mart.filter(col("segment_rank") <= 10)),
+          "deduped_unique" -> deduped),
         q1.run(s, d),
         Tables.documents(s, d).groupBy("source")
           .agg(count(lit(1)).as("value"))
           .select(col("source").as("item"), col("value")))
+        // ranked + top_matches are filters of the SAME mart plan: one
+        // conditional-count pass instead of two chain executions
+        .unionAll(graft.operators.Report.countsOf(mart, Seq(
+          "ranked" -> lit(true),
+          "top_matches" -> (col("segment_rank") <= 10))))
     },
     Some(s"""
       SELECT 'run' AS section, 'checks_failed' AS item,

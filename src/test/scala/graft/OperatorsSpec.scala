@@ -232,6 +232,11 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(got2.contains(("run", "checks_failed", 0L)))
     assert(!got2.exists(_._1 == "failed_checks"))
+    // countsOf: several labeled counts from ONE pass over one frame
+    val multi = Report.countsOf(Seq(1, 2, 3, 4).toDF("x"),
+      Seq("all" -> lit(true), "big" -> (col("x") > 2)))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(multi == Set(("counts", "all", 4L), ("counts", "big", 2L)))
   }
 
   test("ngramJaccard on provided pairs") {
@@ -514,6 +519,20 @@ class OperatorsSpec extends AnyFunSuite {
     // the result must be IDENTICAL to the exact baseline (ids AND cosines)
     assert(ranked(Ann.ivfTopK(qdf, emb, cent, nProbe = 4, k = 5)) ==
       ranked(Ann.bruteForceTopK(qdf, emb, 5)))
+  }
+
+  test("ivfTopKAssigned over the assignCells output equals the inline ivfTopK") {
+    val rnd = new scala.util.Random(37)
+    val vecs = Seq.tabulate(40)(i => (i.toLong, Seq.fill(8)((rnd.nextFloat() - 0.5f) * 2)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val qdf = emb.filter(col("vec_id") < 6)
+    val cent = Ann.sampleCentroids(emb, 4)
+    def ranked(df: org.apache.spark.sql.DataFrame): Map[(Long, Int), (Long, Double)] =
+      df.select("query_id", "cand_id", "cosine", "rnk").collect()
+        .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    val assigned = Ann.assignCells(emb, cent)
+    assert(ranked(Ann.ivfTopKAssigned(qdf, assigned, cent, nProbe = 2, k = 5)) ==
+      ranked(Ann.ivfTopK(qdf, emb, cent, nProbe = 2, k = 5)))
   }
 
   test("ivfTopK routes clustered vectors to their anchor's cell; recall grows with nProbe") {
