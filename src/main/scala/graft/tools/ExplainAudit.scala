@@ -23,7 +23,10 @@ object ExplainAudit {
     // l8's IVF build scores corpus x broadcast(centroids) the same way —
     // the n*C assignment scan is inherent to coarse quantization; l9 runs
     // the identical assignment inside each Lloyd training round too.
-    val crossJoinOk = Set("l5_ann_bruteforce", "l8_ann_ivf", "l9_ann_ivf_trained")
+    // w4 runs l8's SEARCH half over the partitioned store — the same
+    // query-side x broadcast(centroids) probe ranking (tiny x tiny).
+    val crossJoinOk = Set("l5_ann_bruteforce", "l8_ann_ivf", "l9_ann_ivf_trained",
+      "w4_ann_partitioned")
     graft.queries.Catalog.all.foreach { q =>
       try {
         // NOTE: with AQE on this is the INITIAL plan — exchange-reuse and
