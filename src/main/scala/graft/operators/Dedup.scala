@@ -215,6 +215,52 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /**
+   * Cross-corpus near-dedup — the dataset-MIXING gate: drop from
+   * `incoming` every document whose true shingle-set Jaccard with ANY
+   * `reference` document reaches `threshold` (dedup a crawl batch against
+   * the curated store before mixing it in; dedup a new source against
+   * what training already contains). Within-batch duplicates are
+   * d1/[[minhashPairs]]'s job and are deliberately NOT touched here. Ids
+   * across the two inputs must be disjoint.
+   *
+   * Scale shape: ONE LSH candidate pass over the union (the same
+   * band-bucket machinery as [[minhashPairs]] — Σ bucket², never n·m),
+   * then candidate pairs with BOTH sides in the same corpus are filtered
+   * out BEFORE the exact verification join, so the verify cost is sized
+   * to CROSS candidates only; survivors return via one anti-join on the
+   * incoming id. The membership tags join on the id (equi-shuffle of the
+   * candidate-sized pair list) — nothing assumes the incoming id set is
+   * broadcastable.
+   *
+   * Returns the SURVIVING `incoming` rows, schema unchanged.
+   */
+  def crossDedup(incoming: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, k: Int, bands: Int, threshold: Double,
+      maxBucket: Int = 1000): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into $bands bands")
+    val union = incoming.select(col(idCol), col(textCol))
+      .unionAll(reference.select(col(idCol), col(textCol)))
+    val cand = candidatesFromSig(minhashSig(union, idCol, textCol, shingleN, k),
+      k, bands, maxBucket)
+    val incTag = incoming.select(col(idCol).as("_iid"), lit(true).as("_inc"))
+    val cross = cand
+      .join(incTag.select(col("_iid").as("id1"), col("_inc").as("_in1")), Seq("id1"), "left")
+      .join(incTag.select(col("_iid").as("id2"), col("_inc").as("_in2")), Seq("id2"), "left")
+      .filter(coalesce(col("_in1"), lit(false)) =!= coalesce(col("_in2"), lit(false)))
+      .select(col("id1"), col("id2"))
+    val verified = pairSides(cross, union, idCol, textCol) { cc =>
+      shingleTable(cc, "id", "t", shingleN)
+        .groupBy("id").agg(collect_set(md5(col("s"))).as("hset"))
+    }
+      .filter(T.jaccard(col("f1"), col("f2")) >= threshold)
+    val dropIds = verified.select(col("id1").as("_did"))
+      .unionAll(verified.select(col("id2").as("_did")))
+      .join(incTag.select(col("_iid").as("_did")), Seq("_did"), "left_semi")
+      .distinct()
+    incoming.join(dropIds, col(idCol) === col("_did"), "left_anti")
+  }
+
   /** 64 per-bit vote sums (id, v0..v63): one md5 per token, bit j votes +1
     * iff bit (8 >> (j%4)) of hex nibble j/4 of md5(token) is set — fully
     * codegen'd SUM aggregates with map-side partial aggregation, one

@@ -1256,6 +1256,52 @@ object Catalog {
         SELECT query_id, cand_id, cosine, rnk FROM r WHERE rnk <= $k"""))
   }
 
+  // --------------------------------------------------------------- l10
+  // Cross-corpus near-dedup (Dedup.crossDedup) — the dataset-MIXING gate:
+  // an incoming batch is deduped AGAINST the curated store before it
+  // joins the mix. Fixture: the store is every 10th doc; the batch is
+  // every doc re-keyed +1e6 with one word appended (a crawl contaminated
+  // with near-copies of curated text). Batch docs whose base doc is IN
+  // the store near-dup it (3-shingle jaccard ≈ (w-3)/w) and drop; the
+  // rest survive even though they near-dup docs OUTSIDE the store —
+  // within-batch dedup is deliberately not this operator's job. The
+  // md5-derived minhash is deterministic, so both engines compute the
+  // IDENTICAL candidate set (band misses included) — gate-stable.
+  private val l10 = Q(
+    "l10_cross_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), T.normKey(col("text")).as("t"))
+      val incoming = docs.select((col("doc_id") + 1000000L).as("id"),
+        concat(col("t"), lit(" extraword")).as("t"))
+      val store = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("id"), col("t"))
+      graft.operators.Dedup.crossDedup(incoming, store, "id", "t",
+        shingleN = 3, k = 16, bands = 4, threshold = 0.8, maxBucket = 1000)
+        .select(col("id"))
+    },
+    Some(s"""
+      WITH corpus AS (
+        SELECT doc_id + 1000000 AS id, ${normSql("text")} || ' extraword' AS t FROM documents
+        UNION ALL
+        SELECT doc_id AS id, ${normSql("text")} AS t FROM documents WHERE doc_id % 10 = 0),
+      ${lshCandSql(shingleN = 3, k = 16, bands = 4, maxBucket = 1000)},
+      crossc AS (
+        SELECT id1, id2 FROM cand WHERE (id1 >= 1000000) <> (id2 >= 1000000)),
+      j AS (
+        SELECT id1, id2,
+          CAST(len(list_filter(list_distinct(s1.shingles),
+                 x -> list_contains(list_distinct(s2.shingles), x))) AS DOUBLE) /
+          CAST(len(list_distinct(s1.shingles)) + len(list_distinct(s2.shingles)) -
+               len(list_filter(list_distinct(s1.shingles),
+                 x -> list_contains(list_distinct(s2.shingles), x))) AS DOUBLE) AS jaccard
+        FROM crossc JOIN sh s1 ON crossc.id1 = s1.id JOIN sh s2 ON crossc.id2 = s2.id),
+      dropped AS (
+        SELECT DISTINCT CASE WHEN id1 >= 1000000 THEN id1 ELSE id2 END AS id
+        FROM j WHERE jaccard >= 0.8)
+      SELECT c.id FROM corpus c
+      WHERE c.id >= 1000000 AND c.id NOT IN (SELECT id FROM dropped)"""))
+
   // ---------------------------------------------------------------- t1
   // Language ID scores each language by its marker HIT RATIO (hits /
   // total tokens — how real langid models normalize, so short and long
@@ -2413,7 +2459,7 @@ object Catalog {
     d1, d2, d3, d4,
     e1, e2, e3, e4, e5, j1, j2, j3,
     r1, r2, r3, r4, q1, q2,
-    l1, l2, l3, l4, l5, l6, l7, l8, l9,
+    l1, l2, l3, l4, l5, l6, l7, l8, l9, l10,
     t1, t2, t3, t4, t5, t6, t7, t8, t9,
     c1, c2, c3, c4, c5,
     m1, m2, m3, s1, s2, s3, s4, p1, p2, w1, w2, w3, w4)

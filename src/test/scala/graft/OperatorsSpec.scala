@@ -28,6 +28,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("crossDedup drops incoming near-dups of the store; within-batch dups survive") {
+    val store = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("id", "t")
+    val incoming = Seq(
+      // near-dup of store doc 1 (one word appended) -> dropped
+      (100L, "the quick brown fox jumps over the lazy dog again and again today"),
+      // unrelated -> survives
+      (101L, "completely different words about spark query engines at scale"),
+      // identical to 101: a WITHIN-BATCH dup, deliberately not this
+      // operator's job -> survives
+      (102L, "completely different words about spark query engines at scale"))
+      .toDF("id", "t")
+    val got = Dedup.crossDedup(incoming, store, "id", "t",
+      shingleN = 3, k = 8, bands = 4, threshold = 0.8)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(101L, 102L))
+  }
+
   test("lshCandidates: bucket cap drops over-popular buckets") {
     val doc = "aa bb cc dd ee ff gg"
     val corpus = (1L to 6L).map(i => (i, doc)).toDF("id", "t")
