@@ -231,7 +231,12 @@ object Dedup {
    * to CROSS candidates only; survivors return via one anti-join on the
    * incoming id. The membership tags join on the id (equi-shuffle of the
    * candidate-sized pair list) — nothing assumes the incoming id set is
-   * broadcastable.
+   * broadcastable. Within-side candidate PAIRS are generated then
+   * discarded (the skew cap counts the union's bucket population, which
+   * is what keeps the oracle replay exact) — the same Σ bucket² class as
+   * running [[minhashPairs]] on the union; for a pathologically
+   * self-duplicated batch, run d1/l1 on the batch first, which mixing
+   * pipelines do anyway.
    *
    * Returns the SURVIVING `incoming` rows, schema unchanged.
    */
