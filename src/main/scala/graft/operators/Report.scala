@@ -76,6 +76,8 @@ object Report {
     * everywhere else. One pass, one row per label. */
   def countsOf(df: DataFrame, labels: Seq[(String, Column)]): DataFrame = {
     require(labels.nonEmpty, "count at least one label")
+    require(labels.map(_._1).distinct.size == labels.size,
+      s"labels must be distinct, got ${labels.map(_._1).mkString(", ")}")
     val aggs = labels.map { case (lbl, pred) =>
       count(when(pred, lit(1))).as(s"__c_$lbl")
     }
