@@ -239,11 +239,24 @@ object Dedup {
    * pipelines do anyway.
    *
    * Returns the SURVIVING `incoming` rows, schema unchanged.
+   *
+   * `checkDisjoint = true` runs an eager assertion that no id appears in
+   * BOTH inputs before doing any work — an overlapping id silently
+   * merges the two texts' shingles and inverts the cross/within
+   * classification for its pairs, so when ids come from sources that
+   * might collide, pay the one small semi-join job for the guarantee.
    */
   def crossDedup(incoming: DataFrame, reference: DataFrame, idCol: String,
       textCol: String, shingleN: Int, k: Int, bands: Int, threshold: Double,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000, checkDisjoint: Boolean = false): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into $bands bands")
+    if (checkDisjoint) {
+      val shared = incoming.select(col(idCol))
+        .join(reference.select(col(idCol)), Seq(idCol), "left_semi").limit(5)
+        .collect().map(_.get(0))
+      require(shared.isEmpty,
+        s"crossDedup requires disjoint ids; found in both inputs: ${shared.mkString(", ")}")
+    }
     val union = incoming.select(col(idCol), col(textCol))
       .unionAll(reference.select(col(idCol), col(textCol)))
     val cand = candidatesFromSig(minhashSig(union, idCol, textCol, shingleN, k),

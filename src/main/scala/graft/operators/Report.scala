@@ -78,13 +78,16 @@ object Report {
     require(labels.nonEmpty, "count at least one label")
     require(labels.map(_._1).distinct.size == labels.size,
       s"labels must be distinct, got ${labels.map(_._1).mkString(", ")}")
-    val aggs = labels.map { case (lbl, pred) =>
-      count(when(pred, lit(1))).as(s"__c_$lbl")
+    // agg columns are keyed by INDEX, not label: round-tripping a label
+    // through a column name and back via col() would parse dots in the
+    // label as struct-field access
+    val aggs = labels.zipWithIndex.map { case ((_, pred), i) =>
+      count(when(pred, lit(1))).as(s"__c_$i")
     }
     df.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(labels.map { case (lbl, _) => struct(
+      .select(explode(array(labels.zipWithIndex.map { case ((lbl, _), i) => struct(
         lit("counts").as("section"), lit(lbl).as("item"),
-        col(s"__c_$lbl").cast("bigint").as("value")) }: _*)).as("r"))
+        col(s"__c_$i").cast("bigint").as("value")) }: _*)).as("r"))
       .select(col("r.*"))
   }
 }

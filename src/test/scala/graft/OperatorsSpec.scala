@@ -45,6 +45,14 @@ class OperatorsSpec extends AnyFunSuite {
       shingleN = 3, k = 8, bands = 4, threshold = 0.8)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(got == Set(101L, 102L))
+    // colliding ids silently corrupt the cross/within classification —
+    // the opt-in guard must fail fast and name the offenders
+    val colliding = incoming.withColumn("id", lit(1L))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.crossDedup(colliding, store, "id", "t",
+        shingleN = 3, k = 8, bands = 4, threshold = 0.8, checkDisjoint = true)
+    }
+    assert(e.getMessage.contains("disjoint") && e.getMessage.contains("1"))
   }
 
   test("lshCandidates: bucket cap drops over-popular buckets") {

@@ -65,15 +65,17 @@ class StreamingSpec extends AnyFunSuite {
     val input = MemoryStream[Ev]
     val query = EventStream.dedupWithinWatermark(input.toDF())
       .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    val batch1 = Seq(
+      Ev(ts("2024-01-15 10:01:00"), 1, "click", 1.0),
+      Ev(ts("2024-01-15 10:09:00"), 1, "click", 2.0), // dup: same user/type/hour
+      Ev(ts("2024-01-15 10:03:00"), 2, "view", 3.0))
+    val batch2 = Seq(
+      Ev(ts("2024-01-15 10:20:00"), 1, "click", 4.0), // still a dup
+      Ev(ts("2024-01-15 11:02:00"), 1, "click", 5.0)) // new hour bucket
     try {
-      input.addData(
-        Ev(ts("2024-01-15 10:01:00"), 1, "click", 1.0),
-        Ev(ts("2024-01-15 10:09:00"), 1, "click", 2.0), // dup: same user/type/hour
-        Ev(ts("2024-01-15 10:03:00"), 2, "view", 3.0))
+      input.addData(batch1: _*)
       query.processAllAvailable()
-      input.addData(
-        Ev(ts("2024-01-15 10:20:00"), 1, "click", 4.0), // still a dup
-        Ev(ts("2024-01-15 11:02:00"), 1, "click", 5.0)) // new hour bucket
+      input.addData(batch2: _*)
       query.processAllAvailable()
 
       val got = spark.table("dedup_out")
@@ -86,14 +88,9 @@ class StreamingSpec extends AnyFunSuite {
         (1L, "click", ts("2024-01-15 11:00:00"))))
       // streaming == batch twin on the deterministic projection (the key
       // set — what the s4 gate entry checks; the identical builder cannot
-      // run on batch, so the twin is asserted here instead)
-      val allRows = Seq(
-        Ev(ts("2024-01-15 10:01:00"), 1, "click", 1.0),
-        Ev(ts("2024-01-15 10:09:00"), 1, "click", 2.0),
-        Ev(ts("2024-01-15 10:03:00"), 2, "view", 3.0),
-        Ev(ts("2024-01-15 10:20:00"), 1, "click", 4.0),
-        Ev(ts("2024-01-15 11:02:00"), 1, "click", 5.0))
-      val batchKeys = EventStream.dedupKeySet(allRows.toDF())
+      // run on batch, so the twin is asserted here instead) — the twin
+      // reads the SAME batches the stream was fed, by construction
+      val batchKeys = EventStream.dedupKeySet((batch1 ++ batch2).toDF())
         .collect().map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2))).toSet
       assert(batchKeys == got.toSet, "streaming dedup keys must equal the batch twin")
     } finally query.stop()
