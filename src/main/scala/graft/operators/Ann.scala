@@ -242,16 +242,28 @@ object Ann {
     cent.agg(collect_list(struct(col("cid"), col("centv"), col("centn"),
       call_function("graft_dot", col("centv"), col("centv")).as("centnf"))).as("cents"))
 
-  /** Cheap-argmin trust margin. The exact distance is 1 − round(cos, 9),
-    * i.e. values live on a 1e-9 grid; the cheap float cosine differs from
-    * the unrounded exact cosine by ≤ ~1e-13 (64-dim left-to-right double
-    * fold — see graft.functions.vectors doc), bounded here at 1e-10 with
-    * 1000× headroom. If the CHEAP gap between the best and second cell
-    * exceeds 1e-8, the unrounded exact gap exceeds 1e-8 − 2·1e-10 >
-    * 1e-9, so the two cells' ROUNDED distances must differ — the cheap
-    * winner is the unique exact argmin and no cid tie-break is in play.
-    * Anything closer falls back to the full exact-decimal fold. */
-  private val CellMargin = 1e-8
+  /** Cheap-argmin trust margin, SCALED WITH VECTOR DIMENSION. The exact
+    * distance is 1 − round(cos, 9), i.e. values live on a 1e-9 grid; the
+    * cheap cosine is a left-to-right double fold of n float products
+    * divided by cheap self-norms, whose ABSOLUTE error vs the unrounded
+    * exact cosine is bounded by ~3n·eps (each of the three dots carries
+    * ≤ n·eps RELATIVE error, |Σ x_i y_i| ≤ |x||y|, and the division
+    * normalizes the magnitudes away — so vector MAGNITUDE never enters
+    * the bound, only the dimension n; float inputs also can't overflow
+    * the double accumulator: n·max_float² ≤ 2³¹·1.2e77 ≪ 1.8e308). With
+    * eps = 2⁻⁵² that is ≤ n·6.7e-16, allowed here as n·1e-14 (15×
+    * headroom). If the CHEAP gap between the best and second cell
+    * exceeds the margin 1e-8 + n·1e-13, the unrounded exact gap exceeds
+    * (1e-8 + n·1e-13) − 2·n·1e-14 > 1e-9, so the two cells' ROUNDED
+    * distances must differ — the cheap winner is the unique exact argmin
+    * and no cid tie-break is in play, at ANY dimension (up to n where
+    * n·1e-14 itself nears the 1e-9 grid: ~10⁵ dims, far past any
+    * embedding; beyond that every row falls back, which is slow but
+    * still exact). Anything closer falls back to the full exact-decimal
+    * fold. At 64 dims this is 1.0000064e-8 — behaviorally the previous
+    * fixed 1e-8. */
+  private def cellMargin(v: Column): Column =
+    lit(1e-8) + size(v).cast("double") * lit(1e-13)
 
   /** Cheap float cosine distance from `v` (float self-norm `vnF`) to the
     * broadcast centroid struct `c` — prefilter only, never reported.
@@ -300,16 +312,16 @@ object Ann {
     * column (`top2` must be a materialized column, not an inline
     * expression — keep the fold in its own projection so it is evaluated
     * once): trust the cheap winner when the top-2 gap clears
-    * [[CellMargin]] — the margin argument above makes that bit-identical
-    * to the exact fold — and only for margin-straddling rows (ties,
-    * near-ties, zero-norm rows) pay the exact-decimal re-evaluation,
-    * including its per-row exact self-norm, lazily inside the CaseWhen
-    * branch. Same two-phase cheap-then-exact discipline as topK
-    * (Ann.scala) and embeddingNearDups (Dedup.scala). */
+    * [[cellMargin]] — the dimension-scaled margin argument above makes
+    * that bit-identical to the exact fold — and only for
+    * margin-straddling rows (ties, near-ties, zero-norm rows) pay the
+    * exact-decimal re-evaluation, including its per-row exact self-norm,
+    * lazily inside the CaseWhen branch. Same two-phase cheap-then-exact
+    * discipline as topK (Ann.scala) and embeddingNearDups (Dedup.scala). */
   private def resolveCell(v: Column, top2: Column): Column = {
     val best = top2.getField("best")
     val gap = top2.getField("second").getField("dist") - best.getField("dist")
-    when(gap > lit(CellMargin), best.getField("cid"))
+    when(gap > cellMargin(v), best.getField("cid"))
       .otherwise(exactArgminCell(v,
         call_function("graft_dot_exact", v, v)).getField("cid"))
   }

@@ -46,13 +46,13 @@ object Dedup {
    * between shuffling >100 TB and shuffling ~1 TB.)
    */
   private def shingleTable(corpus: DataFrame, idCol: String, textCol: String,
-      shingleN: Int): DataFrame = {
+      shingleN: Int, carry: Seq[String] = Nil): DataFrame = {
     val ws = corpus
-      .select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
+      .select(col(idCol).as("id") +: carry.map(col) :+ split(col(textCol), " ").as("ws"): _*)
       .filter(size(col("ws")) >= shingleN) // sequence(1, n<=0) would step DOWN
-    ws.select(col("id"),
+    ws.select(col("id") +: carry.map(col) :+
       explode(transform(sequence(lit(1), size(col("ws")) - (shingleN - 1)),
-        i => array_join(slice(col("ws"), i, lit(shingleN)), " "))).as("s"))
+        i => array_join(slice(col("ws"), i, lit(shingleN)), " "))).as("s"): _*)
   }
 
   /** Per-document min-hash signature (m0..m{k-1}, long 32-bit slices):
@@ -65,13 +65,15 @@ object Dedup {
     * planned a SortAggregate — a full sort of the exploded shingle table
     * before the partial agg, measured as the stage's dominant cost. */
   private def minhashSig(corpus: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, k: Int): DataFrame = {
+      shingleN: Int, k: Int, carry: Seq[String] = Nil): DataFrame = {
     graft.plans.VectorExpressions.ensureRegistered(corpus.sparkSession)
-    val sl = shingleTable(corpus, idCol, textCol, shingleN)
-      .select(col("id"),
-        call_function("graft_minhash_slices", col("s"), lit((k + 3) / 4)).as("sl"))
+    val sl = shingleTable(corpus, idCol, textCol, shingleN, carry)
+      .select(col("id") +: carry.map(col) :+
+        call_function("graft_minhash_slices", col("s"), lit((k + 3) / 4)).as("sl"): _*)
     val mins = (0 until k).map(j => min(col("sl")(j)).as(s"m$j"))
-    sl.groupBy("id").agg(mins.head, mins.tail: _*)
+    // carry columns must be FUNCTIONS of the id (e.g. the corpus tag a
+    // union row was born with) — then grouping by them changes no group
+    sl.groupBy("id", carry: _*).agg(mins.head, mins.tail: _*)
   }
 
   /**
@@ -83,15 +85,17 @@ object Dedup {
    * Returns distinct (id1, id2) with id1 < id2 — the shared candidate
    * generator for the MinHash and n-gram-Jaccard verifiers.
    */
-  /** Skew-capped self-join of per-doc band keys → distinct (id1, id2)
-    * candidate pairs. `sig` must carry columns m0..m{k-1}. */
-  private def candidatesFromSig(sig: DataFrame, k: Int, bands: Int,
-      maxBucket: Int): DataFrame = {
+  /** Per-doc band-key table with its bucket population: (id, extra...,
+    * b, bh, n_bucket). Shared by the capped candidate join and the
+    * dropped-bucket audit so the two always agree on the population. */
+  private def bandBuckets(sig: DataFrame, k: Int, bands: Int,
+      extra: Seq[String]): DataFrame = {
     val rowsPerBand = k / bands
     val bandKeys = (0 until bands).map(b =>
       md5(concat_ws("#",
         (0 until rowsPerBand).map(r => sliceHex(col(s"m${b * rowsPerBand + r}"))): _*)))
-    val bandsDf = sig.select(col("id"), posexplode(array(bandKeys: _*)).as(Seq("b", "bh")))
+    val bandsDf = sig.select(col("id") +: extra.map(col) :+
+      posexplode(array(bandKeys: _*)).as(Seq("b", "bh")): _*)
     // Skew guard: drop over-popular buckets before the self-join. The
     // window partitions exactly like the join keys, so the count and the
     // join share one shuffle (and the two join sides share it again via
@@ -100,17 +104,36 @@ object Dedup {
     // and the O(sum bucket^2) pair generation sitting ABOVE the exchange
     // would run single-threaded (measured: a 1.5-2 s one-task stage at
     // sf0.1; explicit counts are exempt from coalescing).
-    val capped = bandsDf
+    bandsDf
       .repartition(sig.sparkSession.sessionState.conf.numShufflePartitions,
         col("b"), col("bh"))
       .withColumn("n_bucket", count(lit(1)).over(Window.partitionBy("b", "bh")))
+  }
+
+  /** Skew-capped self-join of per-doc band keys → distinct (id1, id2)
+    * candidate pairs. `sig` must carry columns m0..m{k-1}. With `tagCol`
+    * set (a BOOLEAN column riding on `sig`), the tag becomes part of the
+    * join condition — `a.tag =!= b.tag` — so SAME-TAG pairs are rejected
+    * inside the join and never materialize as output rows; the output
+    * then also carries (tag1, tag2). The bucket population (and so the
+    * skew cap) is always counted over ALL of `sig`, tags included —
+    * that is what keeps a tagged run's candidate set the exact cross
+    * subset of the untagged run's. */
+  private def candidatesFromSig(sig: DataFrame, k: Int, bands: Int,
+      maxBucket: Int, tagCol: Option[String] = None): DataFrame = {
+    val tags = tagCol.toSeq
+    val capped = bandBuckets(sig, k, bands, tags)
       .filter(col("n_bucket") <= maxBucket)
-      .select("id", "b", "bh")
+      .select("id", tags ++ Seq("b", "bh"): _*)
+    val baseCond = col("a.b") === col("b.b") && col("a.bh") === col("b.bh") &&
+      col("a.id") < col("b.id")
+    val cond = tagCol.map(t => baseCond && col(s"a.$t") =!= col(s"b.$t"))
+      .getOrElse(baseCond)
     capped.as("a")
-      .join(capped.as("b"),
-        col("a.b") === col("b.b") && col("a.bh") === col("b.bh") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .join(capped.as("b"), cond)
+      .select(Seq(col("a.id").as("id1"), col("b.id").as("id2")) ++
+        tagCol.toSeq.flatMap(t =>
+          Seq(col(s"a.$t").as("tag1"), col(s"b.$t").as("tag2"))): _*)
       .distinct()
   }
 
@@ -161,10 +184,15 @@ object Dedup {
    *    explicit counts are exempt from coalescing).
    *
    * `features` maps the (id, t) candidate-doc subset to (id, one feature
-   * column); returns (id1, id2, f1, f2).
+   * column); returns (id1, id2, carryPair..., f1, f2). `carryPair`
+   * columns are pair-level payload on `cand` (must be functions of
+   * (id1, id2) — e.g. which side of a cross pair is the incoming doc)
+   * that ride through to the output so callers need no re-join to
+   * recover them.
    */
   private def pairSides(cand: DataFrame, corpus: DataFrame, idCol: String,
-      textCol: String)(features: DataFrame => DataFrame): DataFrame = {
+      textCol: String, carryPair: Seq[String] = Nil)(
+      features: DataFrame => DataFrame): DataFrame = {
     val parts = corpus.sparkSession.sessionState.conf.numShufflePartitions
     val candIds = cand.select(explode(array(col("id1"), col("id2"))).as("cid")).distinct()
     val candCorpus = corpus.select(col(idCol).as("id"), col(textCol).as("t"))
@@ -176,11 +204,11 @@ object Dedup {
       case other => throw new IllegalArgumentException(
         s"features must return (id, <one feature column>), got ${other.mkString(",")}")
     }
-    val members = cand.select(col("id1"), col("id2"),
-      explode(array(col("id1"), col("id2"))).as("id"))
+    val members = cand.select(Seq(col("id1"), col("id2")) ++ carryPair.map(col) :+
+      explode(array(col("id1"), col("id2"))).as("id"): _*)
     members.join(feats.hint("shuffle_hash"), "id")
       .repartition(parts, col("id1"), col("id2"))
-      .groupBy("id1", "id2")
+      .groupBy((Seq("id1", "id2") ++ carryPair).map(col): _*)
       .agg(
         first(when(col("id") === col("id1"), col(fCol)), ignoreNulls = true).as("f1"),
         first(when(col("id") === col("id2"), col(fCol)), ignoreNulls = true).as("f2"))
@@ -226,17 +254,21 @@ object Dedup {
    *
    * Scale shape: ONE LSH candidate pass over the union (the same
    * band-bucket machinery as [[minhashPairs]] — Σ bucket², never n·m),
-   * then candidate pairs with BOTH sides in the same corpus are filtered
-   * out BEFORE the exact verification join, so the verify cost is sized
-   * to CROSS candidates only; survivors return via one anti-join on the
-   * incoming id. The membership tags join on the id (equi-shuffle of the
-   * candidate-sized pair list) — nothing assumes the incoming id set is
-   * broadcastable. Within-side candidate PAIRS are generated then
-   * discarded (the skew cap counts the union's bucket population, which
-   * is what keeps the oracle replay exact) — the same Σ bucket² class as
-   * running [[minhashPairs]] on the union; for a pathologically
-   * self-duplicated batch, run d1/l1 on the batch first, which mixing
-   * pipelines do anyway.
+   * with a 1-bit corpus tag riding the signature build INTO the band
+   * self-join condition (`a._inc =!= b._inc`), so same-corpus pairs are
+   * rejected inside the join and NEVER materialize as candidate rows —
+   * on the operator's primary mixing workload that halves generated
+   * pairs, and the verify join is sized to CROSS candidates only. The
+   * tag also rides through verification, so the surviving incoming ids
+   * fall straight out of the verified pairs: one anti-join, zero
+   * membership-tag joins, and nothing assumes the incoming id set is
+   * broadcastable. The skew cap still counts the UNION's bucket
+   * population (tags carried, not grouped away) — which is what keeps
+   * the oracle replay exact, and means a pathologically self-duplicated
+   * batch can push a bucket past the cap and take real cross pairs down
+   * with it; that blind spot is observable via [[droppedLshBuckets]]
+   * over the union (run d1/l1 on the batch first, which mixing
+   * pipelines do anyway).
    *
    * Returns the SURVIVING `incoming` rows, schema unchanged.
    *
@@ -257,26 +289,59 @@ object Dedup {
       require(shared.isEmpty,
         s"crossDedup requires disjoint ids; found in both inputs: ${shared.mkString(", ")}")
     }
-    val union = incoming.select(col(idCol), col(textCol))
-      .unionAll(reference.select(col(idCol), col(textCol)))
-    val cand = candidatesFromSig(minhashSig(union, idCol, textCol, shingleN, k),
-      k, bands, maxBucket)
-    val incTag = incoming.select(col(idCol).as("_iid"), lit(true).as("_inc"))
-    val cross = cand
-      .join(incTag.select(col("_iid").as("id1"), col("_inc").as("_in1")), Seq("id1"), "left")
-      .join(incTag.select(col("_iid").as("id2"), col("_inc").as("_in2")), Seq("id2"), "left")
-      .filter(coalesce(col("_in1"), lit(false)) =!= coalesce(col("_in2"), lit(false)))
-      .select(col("id1"), col("id2"))
-    val verified = pairSides(cross, union, idCol, textCol) { cc =>
+    val union = taggedUnion(incoming, reference, idCol, textCol)
+    // exactly one side of each cross pair is incoming: that id, as a
+    // pair-level column, rides through verification (carryPair) so the
+    // drop set needs no membership join afterwards
+    val cross = crossCandidates(union, idCol, textCol, shingleN, k, bands, maxBucket)
+      .select(col("id1"), col("id2"),
+        when(col("tag1"), col("id1")).otherwise(col("id2")).as("_incid"))
+    val verified = pairSides(cross, union, idCol, textCol, carryPair = Seq("_incid")) { cc =>
       shingleTable(cc, "id", "t", shingleN)
         .groupBy("id").agg(collect_set(md5(col("s"))).as("hset"))
     }
       .filter(T.jaccard(col("f1"), col("f2")) >= threshold)
-    val dropIds = verified.select(col("id1").as("_did"))
-      .unionAll(verified.select(col("id2").as("_did")))
-      .join(incTag.select(col("_iid").as("_did")), Seq("_did"), "left_semi")
-      .distinct()
+    val dropIds = verified.select(col("_incid").as("_did")).distinct()
     incoming.join(dropIds, col(idCol) === col("_did"), "left_anti")
+  }
+
+  /** The tagged (id, text, _inc) union both [[crossDedup]] stages read. */
+  private def taggedUnion(incoming: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    incoming.select(col(idCol), col(textCol), lit(true).as("_inc"))
+      .unionAll(reference.select(col(idCol), col(textCol), lit(false).as("_inc")))
+
+  /** [[crossDedup]]'s candidate stage, exposed for tests: cross-corpus
+    * candidate pairs (id1, id2, tag1, tag2) over a `_inc`-tagged union —
+    * the tag is IN the self-join condition, so every returned pair has
+    * tag1 =!= tag2 and same-corpus pairs never materialize. */
+  private[graft] def crossCandidates(taggedUnion: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, k: Int, bands: Int,
+      maxBucket: Int): DataFrame =
+    candidatesFromSig(
+      minhashSig(taggedUnion, idCol, textCol, shingleN, k, carry = Seq("_inc")),
+      k, bands, maxBucket, tagCol = Some("_inc"))
+
+  /**
+   * Audit side-output for the LSH skew cap: the band buckets that
+   * [[minhashPairs]]/[[crossDedup]] (same parameters, same population)
+   * would DROP, as (b, bh, n_bucket) rows. The cap is a silent guard —
+   * an over-popular bucket vanishes before pair generation, taking any
+   * real near-dup pairs in it along — so pipelines that care (a
+   * cross-dedup gate fed by a possibly self-duplicated batch, above all)
+   * run this against the same input and alert/log when it is non-empty:
+   * a handful of dropped buckets is boilerplate skew working as
+   * designed; thousands means the cap is eating the dedup guarantee and
+   * the batch needs a d1/l1 pass first. Cost: the shingle→signature→band
+   * build plus one window — no self-join, so it is always cheaper than
+   * the dedup pass it audits.
+   */
+  def droppedLshBuckets(corpus: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int, bands: Int, maxBucket: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into $bands bands")
+    bandBuckets(minhashSig(corpus, idCol, textCol, shingleN, k), k, bands, Nil)
+      .filter(col("n_bucket") > maxBucket)
+      .groupBy("b", "bh").agg(max(col("n_bucket")).as("n_bucket"))
   }
 
   /** 64 per-bit vote sums (id, v0..v63): one md5 per token, bit j votes +1

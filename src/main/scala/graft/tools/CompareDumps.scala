@@ -17,8 +17,13 @@ object CompareDumps {
     def canon(path: String): Seq[String] = {
       val df = spark.read.parquet(path)
       val cols = df.columns.sorted.toSeq
+      // length-prefixed value encoding: no separator choice can be
+      // ambushed by a value containing it — ("ab","c") and ("a","bc")
+      // canonicalize to "2:ab|1:c" vs "1:a|2:bc", never one string
       df.select(cols.map(col): _*).collect()
-        .map(r => (0 until r.length).map(i => String.valueOf(r.get(i))).mkString(""))
+        .map(r => (0 until r.length).map { i =>
+          val v = String.valueOf(r.get(i)); s"${v.length}:$v"
+        }.mkString("|"))
         .toSeq.sorted
     }
     var bad = 0

@@ -55,6 +55,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("disjoint") && e.getMessage.contains("1"))
   }
 
+  test("crossCandidates: within-side pairs never materialize; cross set matches the union run") {
+    val doc1 = "the quick brown fox jumps over the lazy dog again and again"
+    val doc2 = "completely different words about spark query engines at scale"
+    // both sides carry internal dup pairs (1,2) and (100,101); the tagged
+    // join must emit ONLY the cross pairs, not emit-then-discard
+    val store = Seq((1L, doc1), (2L, doc1), (3L, doc2)).toDF("id", "t")
+    val incoming = Seq((100L, doc1), (101L, doc1), (102L, doc2)).toDF("id", "t")
+    val union = incoming.select(col("id"), col("t"), lit(true).as("_inc"))
+      .unionAll(store.select(col("id"), col("t"), lit(false).as("_inc")))
+    val tagged = Dedup.crossCandidates(union, "id", "t",
+      shingleN = 3, k = 8, bands = 4, maxBucket = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+    assert(tagged.nonEmpty)
+    assert(tagged.forall { case (_, _, t1, t2) => t1 != t2 },
+      s"same-corpus pair materialized: ${tagged.mkString(", ")}")
+    // the cross candidate SET equals the untagged union run's cross subset
+    // (the oracle's formulation) — the cap population is the union's
+    val untaggedCross = Dedup.lshCandidates(
+      incoming.unionAll(store), "id", "t", 3, 8, 4, maxBucket = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a >= 100L) != (b >= 100L) }.toSet
+    assert(tagged.map(t => (t._1, t._2)).toSet == untaggedCross)
+  }
+
+  test("droppedLshBuckets surfaces what the skew cap eats; empty when nothing is dropped") {
+    val doc = "aa bb cc dd ee ff gg"
+    val corpus = (1L to 6L).map(i => (i, doc)).toDF("id", "t")
+    // cap 5 < 6 identical docs: every band bucket is dropped (4 bands)
+    val dropped = Dedup.droppedLshBuckets(corpus, "id", "t", 3, 8, 4, maxBucket = 5)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(dropped.length == 4 && dropped.forall(_._2 == 6L))
+    assert(Dedup.droppedLshBuckets(corpus, "id", "t", 3, 8, 4, maxBucket = 1000).count() == 0)
+  }
+
   test("lshCandidates: bucket cap drops over-popular buckets") {
     val doc = "aa bb cc dd ee ff gg"
     val corpus = (1L to 6L).map(i => (i, doc)).toDF("id", "t")
