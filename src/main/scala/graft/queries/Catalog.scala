@@ -1902,11 +1902,18 @@ object Catalog {
     /** Stage 1 (extract + normalize): payload parse w/ corrupt quarantine
       * (n7), enum normalize (n3), incremental watermark at the scan —
       * factored out so p2's run report counts the same staged relation. */
-    def parsed(s: SparkSession, d: String): DataFrame = {
+    def parsed(s: SparkSession, d: String): DataFrame =
+      parsedFrom(s, d, Some(watermark))
+
+    /** [[parsed]] with the watermark a parameter: `None` lifts the
+      * incremental filter entirely — the FULL-REFRESH/backfill read
+      * (reference: scripts/backfill_rankings.py:125 "ignoring date
+      * filters for backfill"). */
+    def parsedFrom(s: SparkSession, d: String, wm: Option[String]): DataFrame = {
       val raw = when(col("event_id") % 10 === 0, concat(lit("x"), col("props")))
         .otherwise(col("props"))
-      Tables.events(s, d)
-        .filter(col("ts") > lit(watermark))
+      val ev = Tables.events(s, d)
+      wm.fold(ev)(w => ev.filter(col("ts") > lit(w)))
         .select(col("event_id"), col("user_id"), col("ts"), col("value"),
           from_json(raw, "k BIGINT, _corrupt STRING",
             Map("columnNameOfCorruptRecord" -> "_corrupt")).as("j"),
@@ -1918,11 +1925,25 @@ object Catalog {
     }
 
     /** Stages 2-5 as ONE plan (see the p1 comment above). */
-    def mart(s: SparkSession, d: String): DataFrame = {
+    def mart(s: SparkSession, d: String): DataFrame =
+      martFrom(s, d, parsed(s, d))
+
+    /** Stages 2-5 over an EXPLICIT stage-1 relation — p1 passes the live
+      * [[parsed]] chain (one fused plan); p2 passes the staged table the
+      * run just WROTE, so its counts/mart scan materialized outputs the
+      * way the reference reads its counts back from Postgres; p3 passes
+      * the watermark-free read plus `excludeUsers`, the backfill's
+      * "only unranked" cut (an anti-join at the STATE level, before
+      * enrichment — the per-segment window then ranks within the
+      * backfilled population, never mixing it into existing ranks). */
+    def martFrom(s: SparkSession, d: String, parsedDf: DataFrame,
+        excludeUsers: Option[DataFrame] = None): DataFrame = {
         import org.apache.spark.sql.expressions.Window
         // 2) upsert: latest state per user (d2)
-        val state = Upsert.latestState(parsed(s, d), "user_id", "ts", "event_id",
+        val state0 = Upsert.latestState(parsedDf, "user_id", "ts", "event_id",
           Seq("event_type_norm", "k_val", "value"))
+        val state = excludeUsers.fold(state0)(x =>
+          state0.join(x, col("user_id") === col("_ranked_uid"), "left_anti"))
         // 3) enrich: skills + class from the posting text, company dim
         val docs = Tables.documents(s, d)
         val docClass = docs.select(col("doc_id").as("dc_id"),
@@ -1969,27 +1990,33 @@ object Catalog {
     }
 
     /** raw+parsed oracle CTEs — shared between the p1 oracle and p2's
-      * staged/deduped stage counts (no-drift rule: one string). */
-    val parsedCtes: String = s"""raw AS (
+      * staged/deduped stage counts (no-drift rule: one string).
+      * `wm = None` lifts the watermark (the p3 backfill read). */
+    def parsedCtesFor(wm: Option[String]): String = s"""raw AS (
           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
             CASE WHEN event_id % 10 = 0 THEN 'x' || props ELSE props END AS p,
             CASE WHEN lower(trim(event_type)) IN ($validSql)
                  THEN lower(trim(event_type)) ELSE '${EnumDomains.defaultEnum}' END AS event_type_norm
-          FROM events
-          WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '$watermark'),
+          FROM events${wm.fold("")(w =>
+            s"\n          WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '$w'")}),
         parsed AS (
           SELECT event_id, user_id, ts, value, event_type_norm,
             CAST(json_extract_string(p, '$$.k') AS BIGINT) AS k_val
           FROM raw WHERE json_valid(p))"""
 
-    val oracleSql: String = s"""
-        WITH $parsedCtes,
+    val parsedCtes: String = parsedCtesFor(Some(watermark))
+
+    /** The full p1 oracle, parameterized like [[martFrom]]: watermark
+      * (None = full history) and an extra predicate on the state CTE
+      * (the backfill's NOT-IN-existing-mart cut). */
+    def oracleSqlFor(wm: Option[String], stateExtraWhere: String = ""): String = s"""
+        WITH ${parsedCtesFor(wm)},
         state AS (
           SELECT user_id, last_seen, event_type_norm, k_val, value FROM (
             SELECT user_id, event_type_norm, k_val, value,
               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
               MAX(ts) OVER (PARTITION BY user_id) AS last_seen
-            FROM parsed) t WHERE rn = 1),
+            FROM parsed) t WHERE rn = 1$stateExtraWhere),
         skdict(alias, canonical) AS (VALUES $dictValues),
         skbase AS (
           SELECT doc_id, string_split(${normSql("text")}, ' ') AS w FROM documents),
@@ -2032,9 +2059,43 @@ object Catalog {
           rank_score,
           ROW_NUMBER() OVER (PARTITION BY mktsegment ORDER BY rank_score DESC, user_id) AS segment_rank
         FROM ranked"""
+
+    val oracleSql: String = oracleSqlFor(Some(watermark))
   }
 
   private val p1 = Q("p1_job_etl", (s, d) => P1.mart(s, d), Some(P1.oracleSql))
+
+  // ---------------------------------------------------------------- p3
+  // Backfill / full-refresh — the reference's OTHER processing mode
+  // (scripts/backfill_rankings.py:125 "Fetching all unranked jobs
+  // (ignoring date filters for backfill)"): after a logic change or a
+  // gap, re-run the ranking chain over ALL history, but ONLY for users
+  // the incremental mart has not ranked yet. Composes the parameterized
+  // p1 pieces: watermark-free stage-1 read + an anti-join of the state
+  // against the existing mart's user set ("only unranked") BEFORE
+  // enrichment — so none of the enrich/rank work is spent on rows that
+  // would be thrown away, and the per-segment window ranks within the
+  // backfilled population. The hole is detected from the MART'S OWN
+  // CONTENT (whatever users it lacks), never by re-deriving why they
+  // were missed — exactly the reference's "unranked" query. Fixture: the
+  // incremental mart is built as if one extraction batch (user_id % 7 =
+  // 0 — a failed upstream partition) never landed, the event every
+  // backfill exists to recover from; p3 refills precisely those users
+  // from full history. At production scale the exclusion side is a scan
+  // of the WRITTEN mart (here the p1 chain stands in for it — this
+  // fixture-side shortcut executes it once); both sides of the
+  // anti-join are potentially large, so nothing assumes it broadcasts.
+  private val p3 = Q(
+    "p3_backfill",
+    (s, d) => {
+      val existing = P1.martFrom(s, d,
+          P1.parsed(s, d).filter(col("user_id") % 7 =!= 0))
+        .select(col("user_id").as("_ranked_uid"))
+      P1.martFrom(s, d, P1.parsedFrom(s, d, None), excludeUsers = Some(existing))
+    },
+    Some(P1.oracleSqlFor(None,
+      s""" AND user_id NOT IN (SELECT user_id FROM (${P1.oracleSqlFor(
+        Some(P1.watermark), " AND user_id % 7 <> 0")}) x)""")))
 
   // ---------------------------------------------------------------- p2
   // The last reference DAG step with no catalog counterpart until now —
@@ -2045,26 +2106,44 @@ object Catalog {
   // so the failure path is exercised, checks_failed = 4), and r3-style
   // per-source volumes into the one (section, item, value) table a
   // scheduler gates on and mails. The checks relation is consumed once
-  // (rollup inside Report.runSummary); each stage count is one COUNT —
-  // in production over the stage output the run just wrote.
+  // (rollup inside Report.runSummary). PRODUCTION SHAPE, enforced by
+  // construction: the run WRITES its stage outputs (staged table, mart)
+  // and every count/downstream consumer scans the WRITTEN table — the
+  // staged chain and the mart chain each execute exactly ONCE (to
+  // write), the way the reference reads its counts back from Postgres,
+  // never once per count. `extracted` is the one exception by design:
+  // extraction's own row count is a pushed-watermark scan of the SOURCE
+  // (counting what came in needs no materialization).
   private val p2 = Q(
     "p2_run_report",
     (s, d) => {
+      val dsName = new java.io.File(d).getName
+      val stagedPath = s"$scratchRoot/$dsName/p2_staged"
+      P1.parsed(s, d).write.mode("overwrite").parquet(stagedPath)
+      val staged = s.read.schema( // explicit: inference is an extra scan
+        "event_id BIGINT, user_id BIGINT, ts TIMESTAMP, value DOUBLE, " +
+          "k_val BIGINT, event_type_norm STRING")
+        .parquet(stagedPath)
+      val martPath = s"$scratchRoot/$dsName/p2_mart"
+      P1.martFrom(s, d, staged).write.mode("overwrite").parquet(martPath)
+      val mart = s.read.schema(
+        "user_id BIGINT, company_clean STRING, dim_uid STRING, " +
+          "mktsegment STRING, doc_class STRING, skills_csv STRING, " +
+          "event_type_norm STRING, k_val BIGINT, last_seen STRING, " +
+          "rank_score DOUBLE, segment_rank INT")
+        .parquet(martPath)
       val extracted = Tables.events(s, d).filter(col("ts") > lit(P1.watermark))
-      val staged = P1.parsed(s, d)
-      val deduped = staged.select("user_id").distinct()
-      val mart = P1.mart(s, d)
       graft.operators.Report.runSummary(
         Seq(
           "extracted" -> extracted,
           "staged" -> staged,
-          "deduped_unique" -> deduped),
+          "deduped_unique" -> staged.select("user_id").distinct()),
         q1.run(s, d),
         Tables.documents(s, d).groupBy("source")
           .agg(count(lit(1)).as("value"))
           .select(col("source").as("item"), col("value")))
-        // ranked + top_matches are filters of the SAME mart plan: one
-        // conditional-count pass instead of two chain executions
+        // ranked + top_matches are filters of the SAME written mart: one
+        // conditional-count pass over one pruned scan
         .unionAll(graft.operators.Report.countsOf(mart, Seq(
           "ranked" -> lit(true),
           "top_matches" -> (col("segment_rank") <= 10))))
@@ -2452,6 +2531,69 @@ object Catalog {
         FROM bstate b FULL OUTER JOIN dstate d ON b.user_id = d.user_id"""))
   }
 
+  // ---------------------------------------------------------------- w5
+  // Schema evolution on the published mart — the reference's migration
+  // lifecycle (scripts/migrate_add_seniority_level.sql: ADD COLUMN +
+  // derive + backfill + constraint swap) as it plays out on a
+  // partitioned parquet mart: v=1 partitions were written BEFORE the
+  // column existed, v=2 partitions carry it, and the post-migration
+  // reader must (a) read the mixed layout under ONE EXPLICIT schema —
+  // no mergeSchema full-scan re-inference; missing column in old files
+  // resolves to NULL by parquet's add-column contract — and (b) apply
+  // the migration's backfill expression to pre-migration rows. The
+  // n_backfilled output column PROVES at the gate that v1 rows really
+  // surfaced as nulls and took the backfill path (the oracle pins it to
+  // the v1 row count), and the totals prove no row was lost or doubled
+  // across the mixed read. The derivation rule is ONE Scala constant
+  // rendered into both engines — the no-drift rule every entry follows.
+  private val w5 = {
+    // the migration's derivation: seniority tier from the account balance
+    def seniorOf(bal: Column): Column =
+      when(bal >= 5000, "senior").when(bal >= 0, "mid").otherwise("junior")
+    val seniorSql =
+      "CASE WHEN acctbal >= 5000 THEN 'senior' WHEN acctbal >= 0 THEN 'mid' ELSE 'junior' END"
+    Q(
+      "w5_schema_evolution",
+      (s, d) => {
+        val path = s"$scratchRoot/${new java.io.File(d).getName}/cust_dim_evo"
+        val base = Tables.customer(s, d).select(
+          col("c_custkey").as("cust_id"),
+          col("c_mktsegment").as("mktsegment"),
+          col("c_acctbal").as("acctbal"))
+        // v1: pre-migration files, no seniority_level column on disk
+        base.filter(col("cust_id") % 2 === 0)
+          .write.mode("overwrite").parquet(s"$path/v=1")
+        // v2: post-migration files derive the column at write time
+        base.filter(col("cust_id") % 2 === 1)
+          .withColumn("seniority_level", seniorOf(col("acctbal")))
+          .write.mode("overwrite").parquet(s"$path/v=2")
+        val mixed = s.read
+          .schema("cust_id BIGINT, mktsegment STRING, acctbal DOUBLE, " +
+            "seniority_level STRING, v INT")
+          .parquet(path)
+        mixed
+          .groupBy(col("v"),
+            coalesce(col("seniority_level"), seniorOf(col("acctbal")))
+              .as("seniority_level"))
+          .agg(
+            count(lit(1)).as("n"),
+            count(when(col("seniority_level").isNull, 1)).as("n_backfilled"),
+            sum(col("acctbal").cast(DecM)).cast("double").as("total_acctbal"))
+      },
+      Some(s"""
+        WITH src AS (
+          SELECT c_custkey AS cust_id, c_acctbal AS acctbal,
+            CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 2 END AS v,
+            CASE WHEN c_custkey % 2 = 0 THEN NULL
+                 ELSE $seniorSql END AS seniority_level
+          FROM customer)
+        SELECT v, coalesce(seniority_level, $seniorSql) AS seniority_level,
+          COUNT(*) AS n,
+          COUNT(CASE WHEN seniority_level IS NULL THEN 1 END) AS n_backfilled,
+          CAST(SUM(CAST(acctbal AS DECIMAL(12,4))) AS DOUBLE) AS total_acctbal
+        FROM src GROUP BY 1, 2"""))
+  }
+
   /** All registered queries, in SURVEY §2 order. */
   val all: Seq[Q] = Seq(
     a1, a2, a3, a4, a5, a6,
@@ -2462,7 +2604,7 @@ object Catalog {
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10,
     t1, t2, t3, t4, t5, t6, t7, t8, t9,
     c1, c2, c3, c4, c5,
-    m1, m2, m3, s1, s2, s3, s4, p1, p2, w1, w2, w3, w4)
+    m1, m2, m3, s1, s2, s3, s4, p1, p2, p3, w1, w2, w3, w4, w5)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
