@@ -344,6 +344,67 @@ object Dedup {
       .groupBy("b", "bh").agg(max(col("n_bucket")).as("n_bucket"))
   }
 
+  /**
+   * Substring-SPAN dedup — the missing modality between document-level
+   * near-dup (MinHash/SimHash/embedding: "these two DOCS are alike") and
+   * boilerplate-unit removal ([[dropBoilerplateChunks]]: "this exact
+   * UNIT is everywhere"): find long word spans SHARED between two
+   * otherwise-distinct documents (the Lee et al. 2022 "Deduplicating
+   * Training Data Makes Language Models Better" pattern — repeated
+   * spans memorize; serious pipelines cut or collapse them). Two docs
+   * share a span of `r + gramN − 1` consecutive words iff they share a
+   * RUN of `r` consecutive word `gramN`-grams, so:
+   *
+   *  1. per-doc positional gram table (id, pos, md5(gram)) — built
+   *     NARROW (projected split array + transform/slice + posexplode,
+   *     the l1 discipline, zero shuffle);
+   *  2. gram-frequency guard: grams present in more than `maxDocFreq`
+   *     DISTINCT docs are dropped before pair generation (the t6/l1
+   *     skew discipline — one viral template must not create a
+   *     quadratic gram bucket; the hot set is tiny by construction, so
+   *     the anti-join is left to AQE to broadcast);
+   *  3. ONE equi-shuffle keyed on the gram hash self-joins positions:
+   *     (id1, id2, p1, p2) matches, cost Σ bucket² with buckets capped
+   *     by the guard — never corpus²;
+   *  4. runs via the islands encoding on the DIAGONAL p1 − p2 (a shared
+   *     span advances both positions in lockstep): grp = p1 − rank
+   *     within (pair, diag), one shuffle that the following run-length
+   *     aggregation reuses (its keys extend the window's partitioning).
+   *
+   * Returns (id1, id2, span_words) for pairs whose longest run reaches
+   * `minRunGrams` — span_words = run + gramN − 1 is the length of the
+   * longest shared word span. Deterministic (md5 grams, integer
+   * positions), so a SQL oracle replays it exactly (the l11 gate).
+   */
+  def sharedSpans(corpus: DataFrame, idCol: String, textCol: String,
+      gramN: Int, minRunGrams: Int, maxDocFreq: Long): DataFrame = {
+    require(gramN >= 1 && minRunGrams >= 1, "gramN and minRunGrams must be positive")
+    val parts = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val ws = corpus.select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= gramN)
+    val g = ws.select(col("id"),
+      posexplode(transform(sequence(lit(1), size(col("ws")) - (gramN - 1)),
+        i => md5(array_join(slice(col("ws"), i, lit(gramN)), " ")))).as(Seq("pos", "gh")))
+    val hot = g.groupBy("gh").agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") > maxDocFreq).select("gh")
+    // explicit partition count on the pair join's exchange: the gram
+    // table's BYTES are small at fixture scale, so AQE would coalesce
+    // the O(sum bucket^2) pair stage onto one task (the l1 lesson)
+    val kept = g.join(hot, Seq("gh"), "left_anti")
+      .repartition(parts, col("gh"))
+    val m = kept.as("a").join(kept.as("b"),
+        col("a.gh") === col("b.gh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.pos").as("p1"), col("b.pos").as("p2"))
+    val wIsl = Window.partitionBy("id1", "id2", "diag").orderBy("p1")
+    val runs = m.withColumn("diag", col("p1") - col("p2"))
+      .withColumn("grp", col("p1") - row_number().over(wIsl))
+      .groupBy("id1", "id2", "diag", "grp").agg(count(lit(1)).as("run"))
+    runs.groupBy("id1", "id2").agg(max(col("run")).as("mr"))
+      .filter(col("mr") >= minRunGrams)
+      .select(col("id1"), col("id2"), (col("mr") + (gramN - 1)).as("span_words"))
+  }
+
   /** 64 per-bit vote sums (id, v0..v63): one md5 per token, bit j votes +1
     * iff bit (8 >> (j%4)) of hex nibble j/4 of md5(token) is set — fully
     * codegen'd SUM aggregates with map-side partial aggregation, one
@@ -600,21 +661,29 @@ object Dedup {
    * in-block pair counts stay bounded at 100-TB scale.
    */
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
-      blockKey: Column, threshold: Double): DataFrame = {
-    // Two-phase: (1) the cheap native double cosine (graft.plans.FloatVecDot,
-    // one codegen'd loop) over every in-block pair with a 0.01 safety margin
-    // (float accumulation error over 64 dims is ~1e-13, so no true near-dup
-    // can be lost); (2) the exact decimal cosine (FloatVecDotExact) only for
-    // the tiny surviving set, with the exact norms computed per-row before
-    // the join. Output is identical to scoring every pair exactly, at ~1/100
-    // the compute.
+      blockKey: Column, threshold: Double): DataFrame =
+    nearDupPairsInBlocks(emb.withColumn("_blk", blockKey), idCol, vecCol,
+      "_blk", threshold)
+
+  /** [[embeddingNearDups]] over a PRECOMPUTED block column — for block
+    * keys that are not pure functions of the vector (above all an IVF
+    * cell assignment, [[semanticDedup]]'s blocking). Same two-phase
+    * scoring: (1) the cheap native double cosine (graft.plans
+    * .FloatVecDot, one codegen'd loop) over every in-block pair with a
+    * 0.01 safety margin (float accumulation error over 64 dims is
+    * ~1e-13, so no true near-dup can be lost); (2) the exact decimal
+    * cosine (FloatVecDotExact) only for the tiny surviving set, with
+    * the exact norms computed per-row before the join. Output is
+    * identical to scoring every pair exactly, at ~1/100 the compute. */
+  def nearDupPairsInBlocks(emb: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
     graft.plans.VectorExpressions.ensureRegistered(emb.sparkSession)
     def dot(x: Column, y: Column) = call_function("graft_dot", x, y)
     def dotX(x: Column, y: Column) = call_function("graft_dot_exact", x, y)
-    val a = emb.select(col(idCol).as("id1"), blockKey.as("blk1"),
+    val a = emb.select(col(idCol).as("id1"), col(blockCol).as("blk1"),
       col(vecCol).as("v1"), dot(col(vecCol), col(vecCol)).as("nsq1"),
       dotX(col(vecCol), col(vecCol)).as("xnsq1"))
-    val b = emb.select(col(idCol).as("id2"), blockKey.as("blk2"),
+    val b = emb.select(col(idCol).as("id2"), col(blockCol).as("blk2"),
       col(vecCol).as("v2"), dot(col(vecCol), col(vecCol)).as("nsq2"),
       dotX(col(vecCol), col(vecCol)).as("xnsq2"))
     val approx = dot(col("v1"), col("v2")) / sqrt(col("nsq1") * col("nsq2"))
@@ -624,5 +693,41 @@ object Dedup {
         V.cosineFromParts(dotX(col("v1"), col("v2")),
           col("xnsq1"), col("xnsq2")).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /**
+   * SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, "SemDeDup: Data-
+   * efficient learning at web-scale through semantic deduplication"):
+   * cluster the embedding space with a coarse quantizer, then within
+   * each cluster keep ONE representative of every tight cosine
+   * neighborhood — the curation step that removes semantically
+   * redundant documents (same content, different words), which no
+   * lexical dedup (MinHash/SimHash/spans) can see.
+   *
+   * Decision rule, deterministic by construction: a document is DROPPED
+   * iff some SMALLER-id document in its cell has cosine ≥ `threshold`
+   * with it (the id-ordered greedy sweep — survivors are each
+   * neighborhood's minimum id; a chain a~b~c with a<b<c and no a~c
+   * still keeps only `a`, because b's drop does not resurrect c —
+   * exactly the greedy "keep the first seen" semantics).
+   *
+   * Scale shape: assignment is the IVF build (one broadcast argmin per
+   * vector, [[graft.operators.Ann.assignCells]] — the SAME quantizer a
+   * 100-TB corpus already trained for its ANN index is reused as a
+   * curation tool); pair generation is blocked by cell
+   * ([[nearDupPairsInBlocks]] two-phase cheap-then-exact), so cost is
+   * Σ cell², never n² — and the cell count C is a free knob that grows
+   * with the corpus. One anti-join returns survivors.
+   *
+   * Returns the surviving (idCol, cell) rows.
+   */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, threshold: Double): DataFrame = {
+    val assigned = Ann.assignCells(
+      emb.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")), centroids)
+    val pairs = nearDupPairsInBlocks(assigned, "vec_id", "embedding", "cell", threshold)
+    val drops = pairs.select(col("id2").as("_dup_id")).distinct()
+    assigned.join(drops, col("vec_id") === col("_dup_id"), "left_anti")
+      .select(col("vec_id").as(idCol), col("cell"))
   }
 }

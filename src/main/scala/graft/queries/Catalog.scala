@@ -1189,21 +1189,17 @@ object Catalog {
   // the COMPLETE training loop plus the IVF probe semantics in SQL. This
   // gates the scale path we'd actually run (trained quantizer), not just
   // the deterministic-sample reference path (l8).
-  private val l9 = {
-    val nCent = 8
-    val nProbe = 2
-    val k = 5
-    val nQueries = 40
-    val iters = 2
-    val dim = 64
-    def lloydIter(i: Int): String = {
-      val prev = s"cent${i - 1}"
-      s"""
+  /** One DuckDB Lloyd iteration (asg→members→decimal-exact 6-dp means→
+    * next centroids) over corpus relation `tbl` — the SQL replay of
+    * Ann.refineCentroids' round, shared by l9 and l12 (no-drift rule). */
+  private def lloydIterSql(i: Int, tbl: String, dim: Int): String = {
+    val prev = s"cent${i - 1}"
+    s"""
         asg$i AS (
           SELECT e.vec_id, e.embedding, c.cid,
             ROW_NUMBER() OVER (PARTITION BY e.vec_id
               ORDER BY 1.0 - ${cosSql("e.embedding", "c.centv")}, c.cid) AS rn
-          FROM embeddings e, $prev c),
+          FROM $tbl e, $prev c),
         mem$i AS (SELECT vec_id, embedding, cid AS cell FROM asg$i WHERE rn = 1),
         mean$i AS (
           SELECT cell, ds.d,
@@ -1215,7 +1211,16 @@ object Catalog {
         cent$i AS (
           SELECT c.cid, coalesce(n.centv, c.centv) AS centv
           FROM $prev c LEFT JOIN newc$i n ON c.cid = n.cid)"""
-    }
+  }
+
+  private val l9 = {
+    val nCent = 8
+    val nProbe = 2
+    val k = 5
+    val nQueries = 40
+    val iters = 2
+    val dim = 64
+    def lloydIter(i: Int): String = lloydIterSql(i, "embeddings", dim)
     Q(
       "l9_ann_ivf_trained",
       (s, d) => {
@@ -1254,6 +1259,61 @@ object Catalog {
             ORDER BY cosine DESC, cand_id) AS rnk
           FROM scored)
         SELECT query_id, cand_id, cosine, rnk FROM r WHERE rnk <= $k"""))
+  }
+
+  // --------------------------------------------------------------- l12
+  // SemDeDup-style semantic dedup (Dedup.semanticDedup): the TRAINED
+  // quantizer (the same bit-deterministic Lloyd loop l9 gates) reused as
+  // a CURATION tool — cluster the embedding space, keep one
+  // representative per tight cosine neighborhood within each cell.
+  // Fixture: embeddings ∪ near-identical mutants (l4's last-dim-zeroed
+  // copies, +1e6 ids) — each mutant whose base lands in the SAME cell
+  // has cosine ≥ 0.95 with a smaller id and drops; mutants straddling a
+  // cell boundary survive (coarse quantization's documented recall
+  // tradeoff — exactly what nProbe>1 probing exists for on the search
+  // side), and the oracle replays the full train→assign→prune chain
+  // bit-for-bit, boundary cases included.
+  private val l12 = {
+    val nCent = 8
+    val iters = 2
+    val dim = 64
+    val threshold = 0.95
+    Q(
+      "l12_semantic_dedup",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val union = e.select(col("vec_id"), col("embedding"))
+          .unionAll(e.select(
+            (col("vec_id") + 1000000L).as("vec_id"),
+            concat(slice(col("embedding"), 1, 63), array(lit(0.0f))).as("embedding")))
+        val trained = graft.operators.Ann.refineCentroids(
+          union, graft.operators.Ann.sampleCentroids(union, nCent), iters)
+        graft.operators.Dedup.semanticDedup(union, "vec_id", "embedding",
+          trained, threshold)
+      },
+      Some(s"""
+        WITH emb AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000 AS vec_id,
+            list_concat(embedding[1:63], [CAST(0.0 AS FLOAT)]) AS embedding
+          FROM embeddings),
+        cent0 AS (
+          SELECT vec_id AS cid, embedding AS centv FROM emb
+          ORDER BY vec_id LIMIT $nCent),
+        ${(1 to iters).map(i => lloydIterSql(i, "emb", dim)).mkString(",")},
+        asg AS (
+          SELECT e.vec_id, e.embedding, c.cid,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY 1.0 - ${cosSql("e.embedding", "c.centv")}, c.cid) AS rn
+          FROM emb e, cent$iters c),
+        cells AS (SELECT vec_id, embedding, cid AS cell FROM asg WHERE rn = 1),
+        pairs AS (
+          SELECT a.vec_id AS id1, b.vec_id AS id2
+          FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE ${cosSql("a.embedding", "b.embedding")} >= $threshold)
+        SELECT vec_id, cell FROM cells
+        WHERE vec_id NOT IN (SELECT id2 FROM pairs)"""))
   }
 
   // --------------------------------------------------------------- l10
@@ -1301,6 +1361,59 @@ object Catalog {
         FROM j WHERE jaccard >= 0.8)
       SELECT c.id FROM corpus c
       WHERE c.id >= 1000000 AND c.id NOT IN (SELECT id FROM dropped)"""))
+
+  // --------------------------------------------------------------- l11
+  // Substring-span dedup (Dedup.sharedSpans) — the Lee et al. repeated-
+  // span modality the document-level family can't see: pairs sharing a
+  // long run of consecutive words. Fixture: every 5th doc gets a planted
+  // copy (id + 1e6) embedding its base's FIRST 10 WORDS between synthetic
+  // filler tokens — a quote/citation shape MinHash would usually miss
+  // (10 shared words out of ~25+ is far below any whole-doc threshold).
+  // gramN=4 / minRun=4 flags spans of >= 7 words, so each planted pair
+  // reports span_words = 10; natural long spans in the corpus (the
+  // generator reuses phrases) surface too, and the oracle replays every
+  // one bit-for-bit. The 50-doc gram-frequency cap keeps common phrasing
+  // from bucket-squaring — same guard class as t6/l1.
+  private val l11 = Q(
+    "l11_span_dedup",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id").as("id"), T.normKey(col("text")).as("t"))
+      val planted = base.filter(col("id") % 5 === 0)
+        .select((col("id") + 1000000L).as("id"),
+          concat(lit("xq1 xq2 xq3 "),
+            array_join(slice(split(col("t"), " "), 1, 10), " "),
+            lit(" xq4 xq5")).as("t"))
+      graft.operators.Dedup.sharedSpans(base.unionAll(planted), "id", "t",
+        gramN = 4, minRunGrams = 4, maxDocFreq = 50)
+    },
+    Some(s"""
+      WITH base AS (SELECT doc_id AS id, ${normSql("text")} AS t FROM documents),
+      corpus AS (
+        SELECT id, t FROM base
+        UNION ALL
+        SELECT id + 1000000 AS id,
+          'xq1 xq2 xq3 ' || array_to_string(list_slice(string_split(t, ' '), 1, 10), ' ')
+            || ' xq4 xq5' AS t
+        FROM base WHERE id % 5 = 0),
+      w AS (SELECT id, string_split(t, ' ') AS ws FROM corpus),
+      g AS (
+        SELECT id, s['pos'] AS pos, s['gh'] AS gh FROM (
+          SELECT id, unnest(list_transform(range(0, greatest(len(ws) - 3, 0)),
+            i -> {'pos': i, 'gh': md5(ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])})) AS s
+          FROM w) z),
+      hot AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT id) > 50),
+      gk AS (SELECT * FROM g WHERE gh NOT IN (SELECT gh FROM hot)),
+      m AS (
+        SELECT a.id AS id1, b.id AS id2, a.pos AS p1, b.pos AS p2
+        FROM gk a JOIN gk b ON a.gh = b.gh AND a.id < b.id),
+      isl AS (
+        SELECT id1, id2, p1 - p2 AS diag, p1,
+          p1 - ROW_NUMBER() OVER (PARTITION BY id1, id2, p1 - p2 ORDER BY p1) AS grp
+        FROM m),
+      runs AS (SELECT id1, id2, diag, grp, COUNT(*) AS run FROM isl GROUP BY ALL)
+      SELECT id1, id2, MAX(run) + 3 AS span_words
+      FROM runs GROUP BY id1, id2 HAVING MAX(run) >= 4"""))
 
   // ---------------------------------------------------------------- t1
   // Language ID scores each language by its marker HIT RATIO (hits /
@@ -2063,6 +2176,60 @@ object Catalog {
     val oracleSql: String = oracleSqlFor(Some(watermark))
   }
 
+  // ---------------------------------------------------------------- s5
+  // The streaming path of the daily merge — s2's stateful upsert composed
+  // with w3's bucketed layout (Sink.mergeStateVersion, the foreachBatch
+  // body StreamingSpec drives trigger-by-trigger): three time-sliced
+  // "days" of events fold sequentially into a bucketed state-version
+  // chain, each step merging the trigger's latest-state delta into the
+  // previous version and publishing the next (write-new-then-swap —
+  // readers never see a half-written state). Every step THROWS if the
+  // bucketed base would re-shuffle (the w3 invariant, now per-step).
+  // The oracle is the ONE-SHOT latest-state over all events — for
+  // TIME-ORDERED slices (each delta's latest is the global latest so
+  // far) the N-step fold equals the one-shot computation exactly, which
+  // is what makes the streaming and daily-batch paths interchangeable;
+  // under OUT-OF-ORDER arrival the fold instead keeps the reference's
+  // EXCLUDED-wins (ON CONFLICT DO UPDATE) semantics — newest ARRIVAL
+  // takes the payload — asserted trigger-by-trigger in StreamingSpec.
+  private val s5 = Q(
+    "s5_stream_publish",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val dsName = new java.io.File(d).getName
+      val payload = Seq("event_type", "value")
+      val cuts = Seq("2024-01-11 00:00:00", "2024-01-21 00:00:00")
+      val batches = Seq(
+        ev.filter(col("ts") < lit(cuts(0))),
+        ev.filter(col("ts") >= lit(cuts(0)) && col("ts") < lit(cuts(1))),
+        ev.filter(col("ts") >= lit(cuts(1))))
+      val last = batches.zipWithIndex.foldLeft(Option.empty[String]) {
+        case (prev, (b, i)) =>
+          val delta = Upsert.latestState(b, "user_id", "ts", "event_id", payload)
+          graft.sources.Sink.mergeStateVersion(s, delta, prev, s"s5_state_v$i",
+            "user_id", payload, nBuckets = 8,
+            path = s"$scratchRoot/$dsName/s5_state_v$i")
+          Some(s"s5_state_v$i")
+      }
+      s.table(last.get).select(
+        col("user_id"),
+        date_format(col("first_seen"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_seen"),
+        date_format(col("last_seen"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_seen"),
+        col("event_type"), col("value"))
+    },
+    Some("""
+      SELECT user_id,
+        strftime(first_seen, '%Y-%m-%d %H:%M:%S.%f') AS first_seen,
+        strftime(last_seen, '%Y-%m-%d %H:%M:%S.%f') AS last_seen,
+        event_type, value
+      FROM (
+        SELECT user_id, event_type, value,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+          MIN(ts) OVER (PARTITION BY user_id) AS first_seen,
+          MAX(ts) OVER (PARTITION BY user_id) AS last_seen
+        FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, value FROM events) s) t
+      WHERE rn = 1"""))
+
   private val p1 = Q("p1_job_etl", (s, d) => P1.mart(s, d), Some(P1.oracleSql))
 
   // ---------------------------------------------------------------- p3
@@ -2601,10 +2768,10 @@ object Catalog {
     d1, d2, d3, d4,
     e1, e2, e3, e4, e5, j1, j2, j3,
     r1, r2, r3, r4, q1, q2,
-    l1, l2, l3, l4, l5, l6, l7, l8, l9, l10,
+    l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12,
     t1, t2, t3, t4, t5, t6, t7, t8, t9,
     c1, c2, c3, c4, c5,
-    m1, m2, m3, s1, s2, s3, s4, p1, p2, p3, w1, w2, w3, w4, w5)
+    m1, m2, m3, s1, s2, s3, s4, s5, p1, p2, p3, w1, w2, w3, w4, w5)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

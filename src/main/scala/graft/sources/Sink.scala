@@ -46,4 +46,48 @@ object Sink {
     df.write.mode(mode).format("parquet")
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .saveAsTable(table)
+
+  /**
+   * One incremental state-publish step — the per-trigger/per-day body of
+   * the CONTINUOUS daily merge (s2's stateful upsert composed with w3's
+   * bucketed layout): fold a latest-state `delta` into the previous
+   * bucketed state version and publish the result as the NEXT version
+   * table (write-new-then-swap-pointer — a reader never sees a
+   * half-written state, and the previous version stays queryable until
+   * the pointer moves; the catalog-table version chain here is the
+   * engine analog of the reference's transactional staging upsert).
+   *
+   * Scale invariant, ENFORCED at every step: the (bucketed) base is the
+   * 100-TB side and must never re-shuffle — the step THROWS if any
+   * bucketed scan sits below a shuffle exchange in the executed merge
+   * plan. Only the trigger-sized delta may exchange (its latest-state
+   * window shuffle doubles as the merge join's distribution — Spark
+   * reuses the partitioning, so a step plans exactly one exchange).
+   *
+   * Returns the published version table, the next step's base.
+   */
+  def mergeStateVersion(spark: SparkSession, delta: DataFrame,
+      prevTable: Option[String], nextTable: String, keyCol: String,
+      payload: Seq[String], nBuckets: Int, path: String): DataFrame = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val merged = prevTable match {
+      case None => delta
+      case Some(prev) => graft.operators.Upsert.merge(
+        spark.table(prev).hint("merge"), delta.hint("merge"), keyCol, payload)
+    }
+    val bucketedScanShuffled = merged.queryExecution.executedPlan
+      .collect { case e: ShuffleExchangeLike => e }
+      .exists(_.collectFirst {
+        case f: FileSourceScanExec if f.relation.bucketSpec.isDefined => f
+      }.isDefined)
+    if (bucketedScanShuffled)
+      throw new IllegalStateException(
+        "state merge must never re-shuffle the bucketed base:\n" +
+          merged.queryExecution.executedPlan.toString)
+    spark.sql(s"DROP TABLE IF EXISTS $nextTable")
+    merged.write.format("parquet").bucketBy(nBuckets, keyCol).sortBy(keyCol)
+      .option("path", path).mode("overwrite").saveAsTable(nextTable)
+    spark.table(nextTable)
+  }
 }

@@ -79,6 +79,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(tagged.map(t => (t._1, t._2)).toSet == untaggedCross)
   }
 
+  test("sharedSpans: longest shared word span via gram runs; frequency cap; no short-span noise") {
+    val corpus = Seq(
+      (1L, "a1 b1 c d e f g h1 i1"), // shares "c d e f g" (5 words) with 2
+      (2L, "x1 y1 c d e f g z1"),
+      (3L, "p1 q1 c d r1 s1"), // shares only 2 words with 1/2 -> no 3-gram
+      (4L, "m1 m2 m3 m4")) // no overlap
+      .toDF("id", "t")
+    val got = Dedup.sharedSpans(corpus, "id", "t",
+      gramN = 3, minRunGrams = 3, maxDocFreq = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // run of 3 grams ("c d e","d e f","e f g") -> span = 3 + 3 - 1 = 5
+    assert(got.toSeq == Seq((1L, 2L, 5L)))
+    // the shared grams sit in > maxDocFreq docs -> dropped, no pairs
+    val viral = (1L to 5L).map(i => (i, s"w$i common1 common2 common3 common4 tail$i"))
+      .toDF("id", "t")
+    assert(Dedup.sharedSpans(viral, "id", "t", 3, 1, maxDocFreq = 4).count() == 0)
+    assert(Dedup.sharedSpans(viral, "id", "t", 3, 1, maxDocFreq = 10).count() == 10)
+  }
+
   test("droppedLshBuckets surfaces what the skew cap eats; empty when nothing is dropped") {
     val doc = "aa bb cc dd ee ff gg"
     val corpus = (1L to 6L).map(i => (i, doc)).toDF("id", "t")
@@ -173,6 +192,23 @@ class OperatorsSpec extends AnyFunSuite {
       val exp = refCosine(v, v.init :+ 0.0f)
       if (exp >= 0.9) assert(got.contains((id, id + 100L)), s"pair $id missing (cos=$exp)")
     }
+  }
+
+  test("semanticDedup keeps one representative per in-cell neighborhood; chains stay greedy") {
+    // two well-separated anchors (cells), each with near-identical copies
+    def v(seed: Int, eps: Float): Seq[Float] =
+      if (seed == 0) Seq(1f, eps, 0f, 0f) else Seq(0f, 0f, 1f, eps)
+    val emb = Seq(
+      (1L, v(0, 0f)), (2L, v(0, 0.01f)), (3L, v(0, 0.02f)), // a ~ b ~ c chain
+      (10L, v(1, 0f)), (11L, v(1, 0.015f)),
+      (20L, Seq(0.7f, 0.7f, 0f, 0f))) // own direction, near cell 1 but not near-dup
+      .toDF("vec_id", "embedding")
+    val cents = Seq((1L, v(0, 0f)), (10L, v(1, 0f))).toDF("centroid_id", "embedding")
+    val got = Dedup.semanticDedup(emb, "vec_id", "embedding", cents, 0.999)
+      .collect().map(_.getLong(0)).toSet
+    // 2 and 3 both have cosine >= .999 with 1 (greedy min-id survivor);
+    // 11 drops to 10; 20's cosine to 1 is ~0.707 -> survives
+    assert(got == Set(1L, 10L, 20L))
   }
 
   test("Curate: hash fraction matches reference; split and mixture are deterministic") {

@@ -204,4 +204,62 @@ class StreamingSpec extends AnyFunSuite {
       assert(finalState == batchTwin)
     } finally query.stop()
   }
+
+  test("foreachBatch bucketed publish: per-trigger state equals the batch upsert so far") {
+    implicit val ctx = spark.sqlContext
+    val payload = Seq("event_type", "value")
+    val scratch = java.nio.file.Files.createTempDirectory("s5spec").toString
+    val current = new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
+    val input = MemoryStream[UpEv]
+    // the s5 sink: each micro-batch folds into the bucketed state-version
+    // chain via Sink.mergeStateVersion (which itself throws if the
+    // bucketed base would re-shuffle — so this test also gates the plan)
+    val query = input.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val delta = graft.operators.Upsert.latestState(
+          batch, "user_id", "ts", "event_id", payload)
+        graft.sources.Sink.mergeStateVersion(spark, delta, current.get(),
+          s"s5spec_v$id", "user_id", payload, 4, s"$scratch/v$id")
+        current.set(Some(s"s5spec_v$id"))
+      }.start()
+    val batch1 = Seq(
+      UpEv(ts("2024-01-15 10:00:00"), 1, 1, "click", 1.0),
+      UpEv(ts("2024-01-15 10:05:00"), 1, 2, "view", 2.0),
+      UpEv(ts("2024-01-15 10:01:00"), 2, 3, "click", 3.0))
+    val batch2 = Seq(
+      UpEv(ts("2024-01-15 11:00:00"), 1, 4, "purchase", 9.0), // delta wins
+      // LATE arrival: older than user 2's stored latest. EXCLUDED-wins
+      // (the reference's ON CONFLICT DO UPDATE) means the newest ARRIVAL
+      // takes the payload — the fold is only one-shot-equivalent for
+      // time-ordered batches (the s5 catalog fixture; gate-checked there)
+      UpEv(ts("2024-01-15 09:00:00"), 2, 5, "view", 4.0),
+      UpEv(ts("2024-01-15 11:30:00"), 3, 6, "view", 5.0)) // new key
+    try {
+      // parity target: the BATCH daily-merge fold (what a scheduler would
+      // run day by day) — the streaming sink must match it trigger for
+      // trigger, late arrivals included
+      var daily: Option[org.apache.spark.sql.DataFrame] = None
+      for (b <- Seq(batch1, batch2)) {
+        input.addData(b)
+        query.processAllAvailable()
+        val delta = graft.operators.Upsert.latestState(
+          b.toDF(), "user_id", "ts", "event_id", payload)
+        daily = Some(daily.fold(delta)(p =>
+          graft.operators.Upsert.merge(p, delta, "user_id", payload)))
+        val got = spark.table(current.get().get).collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+            r.getString(3), r.getDouble(4))).toSet
+        val expect = daily.get.collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+            r.getString(3), r.getDouble(4))).toSet
+        assert(got == expect, "streaming state must equal the batch daily-merge fold")
+      }
+      val finalState = spark.table(current.get().get).collect()
+        .map(r => (r.getLong(0), r.getString(3), r.getDouble(4))).toSet
+      assert(finalState == Set(
+        (1L, "purchase", 9.0), // newest event wins
+        (2L, "view", 4.0), // EXCLUDED-wins: late ARRIVAL took the payload
+        (3L, "view", 5.0)))
+    } finally query.stop()
+  }
 }
