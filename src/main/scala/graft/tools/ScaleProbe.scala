@@ -22,7 +22,13 @@ import graft.sources.Tables
  */
 object ScaleProbe {
   private val Probes = Seq("l1_dedup_minhash", "l2_dedup_simhash",
-    "l3_ngram_jaccard", "e4_fuzzy_match")
+    "l3_ngram_jaccard", "e4_fuzzy_match",
+    // round-8 additions: every >1s entry of the new families — cross-
+    // corpus dedup, span dedup, semantic dedup, decontamination, and the
+    // multi-probe LSH search (its candidate volume grows with bucket
+    // population, the same hazard class)
+    "l6_ann_lsh", "l10_cross_dedup", "l11_span_dedup",
+    "l12_semantic_dedup", "t9_decontaminate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -50,6 +56,11 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     salt(Tables.customer(spark, sfDir), "c_custkey")
       .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    // identical vectors under re-salted ids: every LSH bucket / IVF cell
+    // inflates by the multiple, and the semantic-dedup fixture gains
+    // mult-1 EXACT copies per vector — the worst duplicate-heavy case
+    salt(Tables.embeddings(spark, sfDir), "vec_id")
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     def medianTime(name: String, dir: String): Double = {
       val q = graft.queries.Catalog.byName(name)
