@@ -96,3 +96,29 @@ object Dictionaries {
     "es" -> Seq("el", "los", "que"),
     "zh" -> Seq("de", "shi", "bu"))
 }
+
+/**
+ * Runtime tuning knobs read from the Spark conf — the hooks that change
+ * between local[32] and a 1000-executor cluster (SURVEY §5).
+ */
+object Knobs {
+  /**
+   * Exchange width for shuffles that FEED Generate-amplified stages (the
+   * deletion-neighborhood explode, the LSH band table, candidate-pair
+   * verification): these exchanges carry few BYTES but fan out to orders
+   * of magnitude more work ABOVE them, so the engine always gives them an
+   * EXPLICIT partition count — AQE's coalescing is byte-based, cannot see
+   * the amplification, and measurably serializes the amplified stage onto
+   * one task (BENCH_NOTES, the e4 case: 93 s single-task vs ~3 s spread).
+   *
+   * Default: `spark.sql.shuffle.partitions` — right when the post-explode
+   * row count per partition still fits a task (always true at fixture
+   * scale). On a cluster, set `spark.graft.amplifiedShufflePartitions`
+   * to scale the width with the POST-explode row count instead (rows ×
+   * amplification / target-rows-per-task), independently of the global
+   * shuffle width the un-amplified exchanges should keep.
+   */
+  def amplifiedShufflePartitions(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("spark.graft.amplifiedShufflePartitions").map(_.toInt)
+      .getOrElse(spark.sessionState.conf.numShufflePartitions)
+}

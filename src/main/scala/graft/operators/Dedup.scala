@@ -105,7 +105,7 @@ object Dedup {
     // would run single-threaded (measured: a 1.5-2 s one-task stage at
     // sf0.1; explicit counts are exempt from coalescing).
     bandsDf
-      .repartition(sig.sparkSession.sessionState.conf.numShufflePartitions,
+      .repartition(graft.config.Knobs.amplifiedShufflePartitions(sig.sparkSession),
         col("b"), col("bh"))
       .withColumn("n_bucket", count(lit(1)).over(Window.partitionBy("b", "bh")))
   }
@@ -193,7 +193,7 @@ object Dedup {
   private def pairSides(cand: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String, carryPair: Seq[String] = Nil)(
       features: DataFrame => DataFrame): DataFrame = {
-    val parts = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = graft.config.Knobs.amplifiedShufflePartitions(corpus.sparkSession)
     val candIds = cand.select(explode(array(col("id1"), col("id2"))).as("cid")).distinct()
     val candCorpus = corpus.select(col(idCol).as("id"), col(textCol).as("t"))
       .join(broadcast(candIds), col("id") === col("cid"), "left_semi")
@@ -379,7 +379,7 @@ object Dedup {
   def sharedSpans(corpus: DataFrame, idCol: String, textCol: String,
       gramN: Int, minRunGrams: Int, maxDocFreq: Long): DataFrame = {
     require(gramN >= 1 && minRunGrams >= 1, "gramN and minRunGrams must be positive")
-    val parts = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = graft.config.Knobs.amplifiedShufflePartitions(corpus.sparkSession)
     val ws = corpus.select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
       .filter(size(col("ws")) >= gramN)
     val g = ws.select(col("id"),

@@ -217,7 +217,7 @@ object Enrich {
     // are tiny; AQE cannot see the Generate amplification) — measured 93 s
     // single-task vs ~3 s spread.
     val keys = base
-      .repartition(base.sparkSession.sessionState.conf.numShufflePartitions, col("id"))
+      .repartition(graft.config.Knobs.amplifiedShufflePartitions(base.sparkSession), col("id"))
       .select(col("id"), explode(deletionNeighborhoodHashes(col("name"), maxEdits)).as("kh"))
     val capped = keys
       .withColumn("n_bucket", count(lit(1)).over(Window.partitionBy("kh")))

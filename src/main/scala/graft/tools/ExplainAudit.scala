@@ -25,8 +25,10 @@ object ExplainAudit {
     // the identical assignment inside each Lloyd training round too.
     // w4 runs l8's SEARCH half over the partitioned store — the same
     // query-side x broadcast(centroids) probe ranking (tiny x tiny).
+    // l12 is l8's BUILD (Ann.assignCells: corpus x broadcast one-row
+    // centroid array) reused for curation — same justified shape.
     val crossJoinOk = Set("l5_ann_bruteforce", "l8_ann_ivf", "l9_ann_ivf_trained",
-      "w4_ann_partitioned")
+      "w4_ann_partitioned", "l12_semantic_dedup")
     graft.queries.Catalog.all.foreach { q =>
       try {
         // NOTE: with AQE on this is the INITIAL plan — exchange-reuse and

@@ -108,6 +108,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Dedup.droppedLshBuckets(corpus, "id", "t", 3, 8, 4, maxBucket = 1000).count() == 0)
   }
 
+  test("amplifiedShufflePartitions knob widens the pre-amplification exchanges") {
+    val knob = "spark.graft.amplifiedShufflePartitions"
+    val corpus = Seq((1L, "aa bb cc dd ee"), (2L, "aa bb cc dd ee ff")).toDF("id", "t")
+    def bandWidth(): Int = {
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      Dedup.lshCandidates(corpus, "id", "t", 3, 8, 4, maxBucket = 1000)
+        .queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeLike => e.outputPartitioning.numPartitions }.max
+    }
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // AQE wraps the plan tree
+    try {
+      assert(bandWidth() == spark.sessionState.conf.numShufflePartitions)
+      spark.conf.set(knob, "7")
+      try assert(bandWidth() == 7)
+      finally spark.conf.unset(knob)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("lshCandidates: bucket cap drops over-popular buckets") {
     val doc = "aa bb cc dd ee ff gg"
     val corpus = (1L to 6L).map(i => (i, doc)).toDF("id", "t")
