@@ -55,6 +55,39 @@ object Curate {
   }
 
   /**
+   * Per-stratum QUOTA sampling — the fixed-budget counterpart of
+   * [[mixtureSample]]'s rate-based mixing: keep exactly `quota(stratum)`
+   * rows per stratum (e.g. "30k documents from each source for the
+   * ablation set", "balance classes to the minority count"), chosen
+   * deterministically as the stratum's lowest hash fractions (same
+   * salted-md5 construction as [[assignSplit]] — the same rows win on
+   * any engine, any cluster, any day; ties on the key, so the cut is a
+   * total order). Strata smaller than their quota keep everything.
+   *
+   * One shuffle on the stratum; selection is a row_number window. The
+   * declarative window form sorts each stratum once — right whenever a
+   * stratum fits a task's spill budget (strata are few and coarse by
+   * construction). For a stratum of billions of rows, the scale path is
+   * the two-level bounded-heap top-k (per-partition heap on the hash
+   * fraction, then a final window over partitions·quota survivors —
+   * exactly [[graft.operators.Ann]].topK's shape); the window form is
+   * kept here because quota ≪ stratum makes the heap variant an
+   * optimization, not a semantic change.
+   */
+  def quotaSample(df: DataFrame, keyCol: String, stratumCol: String, salt: String,
+      quotas: Seq[(String, Int)], defaultQuota: Int): DataFrame = {
+    require(defaultQuota >= 0 && quotas.forall(_._2 >= 0), "quotas must be >= 0")
+    val frac = hashFraction(concat(col(keyCol).cast("string"), lit("|" + salt)))
+    val quota = quotas.foldRight(lit(defaultQuota): Column) { case ((s0, q), e) =>
+      when(col(stratumCol) === s0, lit(q)).otherwise(e)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(frac.asc, col(keyCol).asc)
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= quota)
+  }
+
+  /**
    * Sequence packing — the concat-then-chunk construction of fixed
    * token-budget training examples: documents are dealt to `nShards`
    * deterministic shards (hash fraction, like [[assignSplit]]: same

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.NumericType
 
@@ -120,5 +120,51 @@ object Profile {
       .agg(count(lit(1)).as("tf"), countDistinct(col("id")).as("df"))
       .orderBy(col("tf").desc, col("token"))
       .limit(n)
+  }
+
+  /**
+   * Intra-document repetition signals — the Gopher-class repetition
+   * filters (Rae et al. 2021 §A1.1.2: "repetitious documents are
+   * low-quality"; every major pipeline thresholds on these): per doc,
+   * the duplicate-word fraction, duplicate 2-/3-gram fractions
+   * (1 − distinct/total occurrences), and the top-2-gram fraction (share
+   * of the single most frequent 2-gram). Complements the CROSS-document
+   * family (l1/l2/t6 see text repeated across docs; these see a doc
+   * repeating ITSELF — a loop-generated page, a keyword-stuffed listing).
+   *
+   * Pure narrow plan, zero shuffle: the token array is projected once,
+   * grams come from transform/slice over it, and the per-doc mode
+   * (top-gram count) is an O(distinct·total) array fold per row — for
+   * documents (≤ thousands of words) that beats any explode + groupBy
+   * per (doc, gram), which would shuffle the whole gram stream to
+   * compute a per-row statistic. Int/int double divisions are
+   * IEEE-identical cross-engine, so the gate hash-matches.
+   */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val empty = typedLit(Seq.empty[String])
+    val wsCol = when(graft.functions.text.normKey(col(textCol)) === "", empty)
+      .otherwise(graft.functions.text.words(col(textCol)))
+    def grams(n: Int): Column =
+      when(size(col("ws")) >= n,
+        transform(sequence(lit(1), size(col("ws")) - (n - 1)),
+          i => array_join(slice(col("ws"), i, lit(n)), " ")))
+        .otherwise(empty)
+    def dupFrac(g: Column): Column =
+      when(size(g) === 0, lit(0.0))
+        .otherwise((size(g) - size(array_distinct(g))).cast("double")
+          / size(g).cast("double"))
+    def topFrac(g: Column): Column =
+      when(size(g) === 0, lit(0.0))
+        .otherwise(array_max(transform(array_distinct(g),
+          d => size(filter(g, x => x === d)))).cast("double")
+          / size(g).cast("double"))
+    docs.select(col(idCol), wsCol.as("ws"))
+      .select(col(idCol), col("ws"), grams(2).as("g2"), grams(3).as("g3"))
+      .select(col(idCol),
+        size(col("ws")).cast("bigint").as("n_words"),
+        dupFrac(col("ws")).as("dup_word_frac"),
+        dupFrac(col("g2")).as("dup_2gram_frac"),
+        dupFrac(col("g3")).as("dup_3gram_frac"),
+        topFrac(col("g2")).as("top_2gram_frac"))
   }
 }

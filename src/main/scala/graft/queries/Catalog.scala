@@ -1679,6 +1679,73 @@ object Catalog {
         GROUP BY tg.doc_id"""))
   }
 
+  // --------------------------------------------------------------- t10
+  // Intra-document repetition signals (Profile.repetitionSignals) — the
+  // Gopher-class repetition quality filters: duplicate word / 2-gram /
+  // 3-gram fractions and the top-2-gram share, per document. The
+  // cross-doc dedup family can't see a document repeating ITSELF; these
+  // are the standard thresholds for loop-generated or keyword-stuffed
+  // text. Zero shuffle — the per-doc mode is an array fold, and all
+  // fractions are int/int double divisions (IEEE-identical cross-engine).
+  private val t10 = {
+    def dupSql(g: String) =
+      s"CASE WHEN len($g) = 0 THEN 0.0 ELSE CAST(len($g) - len(list_distinct($g)) AS DOUBLE) / CAST(len($g) AS DOUBLE) END"
+    Q(
+      "t10_repetition",
+      (s, d) => Profile.repetitionSignals(Tables.documents(s, d), "doc_id", "text"),
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id,
+            CASE WHEN ${normSql("text")} = '' THEN CAST([] AS VARCHAR[])
+                 ELSE string_split(${normSql("text")}, ' ') END AS ws
+          FROM documents),
+        g AS (
+          SELECT doc_id, ws,
+            list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+              i -> ws[i] || ' ' || ws[i+1]) AS g2,
+            list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS g3
+          FROM w)
+        SELECT doc_id,
+          CAST(len(ws) AS BIGINT) AS n_words,
+          ${dupSql("ws")} AS dup_word_frac,
+          ${dupSql("g2")} AS dup_2gram_frac,
+          ${dupSql("g3")} AS dup_3gram_frac,
+          CASE WHEN len(g2) = 0 THEN 0.0
+               ELSE CAST(list_max(list_transform(list_distinct(g2),
+                      x -> len(list_filter(g2, y -> y = x)))) AS DOUBLE)
+                    / CAST(len(g2) AS DOUBLE) END AS top_2gram_frac
+        FROM g"""))
+  }
+
+  // ---------------------------------------------------------------- c6
+  // Per-stratum quota sampling (Curate.quotaSample) — the fixed-budget
+  // counterpart of c2's rate mixing: exactly N docs per source, chosen as
+  // the stratum's lowest salted hash fractions (same rows win on any
+  // engine/cluster/day; ties on the key). Quotas: src0 keeps 10, src1
+  // keeps 5, every other source its default 3 — the "balance the
+  // ablation mix" shape. The oracle replays rank and cut exactly,
+  // sample_rank included.
+  private val c6 = {
+    val quotas = Seq("src0" -> 10, "src1" -> 5)
+    val defaultQuota = 3
+    val quotaSql = quotas.map { case (s0, q) => s"WHEN '$s0' THEN $q" }.mkString(" ")
+    Q(
+      "c6_quota_sample",
+      (s, d) => graft.operators.Curate.quotaSample(
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        "doc_id", "source", "quota0", quotas, defaultQuota),
+      Some(s"""
+        WITH r AS (
+          SELECT doc_id, source,
+            ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY ${hashFracSql("CAST(doc_id AS VARCHAR) || '|quota0'")}, doc_id)
+              AS sample_rank
+          FROM documents)
+        SELECT doc_id, source, CAST(sample_rank AS INT) AS sample_rank FROM r
+        WHERE sample_rank <= CASE source $quotaSql ELSE $defaultQuota END"""))
+  }
+
   // ---------------------------------------------------------------- c1
   private val c1 = {
     val key = "CAST(doc_id AS VARCHAR) || '|split0'"
@@ -2783,8 +2850,8 @@ object Catalog {
     e1, e2, e3, e4, e5, j1, j2, j3,
     r1, r2, r3, r4, q1, q2,
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12,
-    t1, t2, t3, t4, t5, t6, t7, t8, t9,
-    c1, c2, c3, c4, c5,
+    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
+    c1, c2, c3, c4, c5, c6,
     m1, m2, m3, s1, s2, s3, s4, s5, p1, p2, p3, w1, w2, w3, w4, w5)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

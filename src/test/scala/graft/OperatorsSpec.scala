@@ -253,6 +253,40 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("repetitionSignals: duplicate and top-gram fractions match hand computation") {
+    import graft.operators.Profile
+    val docs = Seq(
+      (1L, "a b a b a b"), // ws dup 4/6; g2: [ab,ba,ab,ba,ab] dup 3/5 top 3/5
+      (2L, "x y z w"), // no repetition
+      (3L, "q"), // single word: no 2-grams
+      (4L, "  ")) // empty after norm
+      .toDF("doc_id", "text")
+    val got = Profile.repetitionSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(5))).toMap
+    assert(got(1L) == ((6L, 4.0 / 6.0, 3.0 / 5.0, 3.0 / 5.0)))
+    assert(got(2L) == ((4L, 0.0, 0.0, 1.0 / 3.0))) // distinct 2-grams: top share 1/3
+    assert(got(3L) == ((1L, 0.0, 0.0, 0.0)))
+    assert(got(4L) == ((0L, 0.0, 0.0, 0.0)))
+  }
+
+  test("quotaSample: exact per-stratum quotas, deterministic ranks, small strata keep all") {
+    val df = (1L to 20L).map(i => (i, if (i <= 12) "big" else if (i <= 18) "mid" else "tiny"))
+      .toDF("id", "src")
+    val got = graft.operators.Curate.quotaSample(df, "id", "src", "s0",
+      Seq("big" -> 4, "mid" -> 2), defaultQuota = 5)
+    val bySrc = got.collect().map(r => (r.getString(1), r.getLong(0), r.getInt(2)))
+      .groupBy(_._1)
+    assert(bySrc("big").length == 4 && bySrc("mid").length == 2)
+    assert(bySrc("tiny").length == 2) // stratum smaller than quota keeps all
+    assert(bySrc.values.flatten.forall(t => t._3 >= 1))
+    // deterministic: same rows win on a re-run
+    val again = graft.operators.Curate.quotaSample(df, "id", "src", "s0",
+      Seq("big" -> 4, "mid" -> 2), defaultQuota = 5)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(2))).toSet
+    assert(again == bySrc.values.flatten.toSet)
+  }
+
   test("redactPii: emails, contiguous ids, separated phones") {
     val got = Seq(
       "mail bob.smith+x@corp.example.org now",
