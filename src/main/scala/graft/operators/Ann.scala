@@ -260,8 +260,8 @@ object Ann {
     * n·1e-14 itself nears the 1e-9 grid: ~10⁵ dims, far past any
     * embedding; beyond that every row falls back, which is slow but
     * still exact). Anything closer falls back to the full exact-decimal
-    * fold. At 64 dims this is 1.0000064e-8 — behaviorally the previous
-    * fixed 1e-8. */
+    * fold. At 64 dims this is 1e-8 + 64·1e-13 = 1.0064e-8 —
+    * behaviorally the previous fixed 1e-8. */
   private def cellMargin(v: Column): Column =
     lit(1e-8) + size(v).cast("double") * lit(1e-13)
 

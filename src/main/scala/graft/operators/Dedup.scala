@@ -317,10 +317,12 @@ object Dedup {
     * tag1 =!= tag2 and same-corpus pairs never materialize. */
   private[graft] def crossCandidates(taggedUnion: DataFrame, idCol: String,
       textCol: String, shingleN: Int, k: Int, bands: Int,
-      maxBucket: Int): DataFrame =
+      maxBucket: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into $bands bands")
     candidatesFromSig(
       minhashSig(taggedUnion, idCol, textCol, shingleN, k, carry = Seq("_inc")),
       k, bands, maxBucket, tagCol = Some("_inc"))
+  }
 
   /**
    * Audit side-output for the LSH skew cap: the band buckets that
@@ -358,14 +360,20 @@ object Dedup {
    *  1. per-doc positional gram table (id, pos, md5(gram)) — built
    *     NARROW (projected split array + transform/slice + posexplode,
    *     the l1 discipline, zero shuffle);
-   *  2. gram-frequency guard: grams present in more than `maxDocFreq`
-   *     DISTINCT docs are dropped before pair generation (the t6/l1
-   *     skew discipline — one viral template must not create a
-   *     quadratic gram bucket; the hot set is tiny by construction, so
-   *     the anti-join is left to AQE to broadcast);
+   *  2. TWO-LEVEL skew guard before pair generation: grams present in
+   *     more than `maxDocFreq` DISTINCT docs are dropped (the t6/l1
+   *     semantic discipline — boilerplate phrasing must not pair every
+   *     doc with every doc; the hot set is tiny by construction, so the
+   *     anti-join is left to AQE to broadcast), AND gram buckets whose
+   *     ROW occupancy exceeds `maxBucket` are dropped (a gram repeated
+   *     k times INSIDE each of two docs still joins k² position pairs —
+   *     intra-doc repetition, exactly the t10 class, survives a
+   *     doc-frequency cap; the occupancy count is a window partitioned
+   *     like the join keys, sharing the join's shuffle);
    *  3. ONE equi-shuffle keyed on the gram hash self-joins positions:
-   *     (id1, id2, p1, p2) matches, cost Σ bucket² with buckets capped
-   *     by the guard — never corpus²;
+   *     (id1, id2, p1, p2) matches, cost Σ bucket² with bucket rows
+   *     capped by the occupancy guard — never corpus², never k² on a
+   *     self-repeating doc;
    *  4. runs via the islands encoding on the DIAGONAL p1 − p2 (a shared
    *     span advances both positions in lockstep): grp = p1 − rank
    *     within (pair, diag), one shuffle that the following run-length
@@ -377,7 +385,8 @@ object Dedup {
    * positions), so a SQL oracle replays it exactly (the l11 gate).
    */
   def sharedSpans(corpus: DataFrame, idCol: String, textCol: String,
-      gramN: Int, minRunGrams: Int, maxDocFreq: Long): DataFrame = {
+      gramN: Int, minRunGrams: Int, maxDocFreq: Long,
+      maxBucket: Int = 1000): DataFrame = {
     require(gramN >= 1 && minRunGrams >= 1, "gramN and minRunGrams must be positive")
     val parts = graft.config.Knobs.amplifiedShufflePartitions(corpus.sparkSession)
     val ws = corpus.select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
@@ -389,9 +398,14 @@ object Dedup {
       .filter(col("df") > maxDocFreq).select("gh")
     // explicit partition count on the pair join's exchange: the gram
     // table's BYTES are small at fixture scale, so AQE would coalesce
-    // the O(sum bucket^2) pair stage onto one task (the l1 lesson)
+    // the O(sum bucket^2) pair stage onto one task (the l1 lesson).
+    // The row-occupancy window partitions like the join keys, so cap,
+    // filter and both join sides hang off this one exchange.
     val kept = g.join(hot, Seq("gh"), "left_anti")
       .repartition(parts, col("gh"))
+      .withColumn("n_bucket", count(lit(1)).over(Window.partitionBy("gh")))
+      .filter(col("n_bucket") <= maxBucket)
+      .drop("n_bucket")
     val m = kept.as("a").join(kept.as("b"),
         col("a.gh") === col("b.gh") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),

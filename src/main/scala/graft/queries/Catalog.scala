@@ -1385,7 +1385,7 @@ object Catalog {
             array_join(slice(split(col("t"), " "), 1, 10), " "),
             lit(" xq4 xq5")).as("t"))
       graft.operators.Dedup.sharedSpans(base.unionAll(planted), "id", "t",
-        gramN = 4, minRunGrams = 4, maxDocFreq = 50)
+        gramN = 4, minRunGrams = 4, maxDocFreq = 50, maxBucket = 1000)
     },
     Some(s"""
       WITH base AS (SELECT doc_id AS id, ${normSql("text")} AS t FROM documents),
@@ -1403,7 +1403,11 @@ object Catalog {
             i -> {'pos': i, 'gh': md5(ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])})) AS s
           FROM w) z),
       hot AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT id) > 50),
-      gk AS (SELECT * FROM g WHERE gh NOT IN (SELECT gh FROM hot)),
+      gk0 AS (SELECT * FROM g WHERE gh NOT IN (SELECT gh FROM hot)),
+      gk AS (
+        SELECT id, pos, gh FROM (
+          SELECT *, COUNT(*) OVER (PARTITION BY gh) AS n_bucket FROM gk0) z
+        WHERE n_bucket <= 1000),
       m AS (
         SELECT a.id AS id1, b.id AS id2, a.pos AS p1, b.pos AS p2
         FROM gk a JOIN gk b ON a.gh = b.gh AND a.id < b.id),
@@ -2360,7 +2364,10 @@ object Catalog {
     "p2_run_report",
     (s, d) => {
       val dsName = new java.io.File(d).getName
-      val (stagedPath, martPath) = p2Stage.getOrElseUpdate(dsName, {
+      // memo key is the CANONICAL dataset path: two different dirs with
+      // one basename must not share materializations within a JVM
+      val (stagedPath, martPath) = p2Stage.getOrElseUpdate(
+        new java.io.File(d).getCanonicalPath, {
         val sp = s"$scratchRoot/$dsName/p2_staged"
         P1.parsed(s, d).write.mode("overwrite").parquet(sp)
         val mp = s"$scratchRoot/$dsName/p2_mart"

@@ -69,25 +69,54 @@ object Sink {
   def mergeStateVersion(spark: SparkSession, delta: DataFrame,
       prevTable: Option[String], nextTable: String, keyCol: String,
       payload: Seq[String], nBuckets: Int, path: String): DataFrame = {
-    import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val merged = prevTable match {
       case None => delta
-      case Some(prev) => graft.operators.Upsert.merge(
-        spark.table(prev).hint("merge"), delta.hint("merge"), keyCol, payload)
+      case Some(prev) =>
+        // the DELTA adopts the state's bucket layout before the merge:
+        // without this, a session shuffle width different from nBuckets
+        // makes EnsureRequirements align the join by re-shuffling the
+        // BASE to the session width (the exact inversion this function
+        // forbids — the guard below caught it at width 32 vs 8 buckets).
+        // Repartitioning the trigger-sized delta is the cheap direction,
+        // and is what a production merge does anyway: deltas conform to
+        // the state table's layout, never the reverse.
+        graft.operators.Upsert.merge(
+          spark.table(prev).hint("merge"),
+          delta.repartition(nBuckets, col(keyCol)).hint("merge"), keyCol, payload)
     }
-    val bucketedScanShuffled = merged.queryExecution.executedPlan
+    assertNoBucketedScanBelowShuffle(merged)
+    spark.sql(s"DROP TABLE IF EXISTS $nextTable")
+    merged.write.format("parquet").bucketBy(nBuckets, keyCol).sortBy(keyCol)
+      .option("path", path).mode("overwrite").saveAsTable(nextTable)
+    spark.table(nextTable)
+  }
+
+  /** THROW if any bucketed table scan sits below a shuffle exchange in
+    * `df`'s physical plan — the [[mergeStateVersion]] invariant, also
+    * unit-tested directly. Under AQE (the default) the executed plan is
+    * an AdaptiveSparkPlanExec LEAF, which `collect` will not descend
+    * into — inspect its `initialPlan` instead (the plan AFTER
+    * EnsureRequirements inserted the exchanges but BEFORE any adaptive
+    * re-optimization; `inputPlan` would be too early — it carries no
+    * exchanges at all. AQE may later reuse or coalesce exchanges, but
+    * never INSERTS a shuffle that was not in the initial plan, so "no
+    * exchange above the bucketed scan" proven here holds for every
+    * adaptively executed variant). */
+  private[graft] def assertNoBucketedScanBelowShuffle(df: DataFrame): Unit = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val bucketedScanShuffled = plan
       .collect { case e: ShuffleExchangeLike => e }
       .exists(_.collectFirst {
         case f: FileSourceScanExec if f.relation.bucketSpec.isDefined => f
       }.isDefined)
     if (bucketedScanShuffled)
       throw new IllegalStateException(
-        "state merge must never re-shuffle the bucketed base:\n" +
-          merged.queryExecution.executedPlan.toString)
-    spark.sql(s"DROP TABLE IF EXISTS $nextTable")
-    merged.write.format("parquet").bucketBy(nBuckets, keyCol).sortBy(keyCol)
-      .option("path", path).mode("overwrite").saveAsTable(nextTable)
-    spark.table(nextTable)
+        s"state merge must never re-shuffle the bucketed base:\n$plan")
   }
 }

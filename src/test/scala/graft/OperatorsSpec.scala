@@ -96,6 +96,33 @@ class OperatorsSpec extends AnyFunSuite {
       .toDF("id", "t")
     assert(Dedup.sharedSpans(viral, "id", "t", 3, 1, maxDocFreq = 4).count() == 0)
     assert(Dedup.sharedSpans(viral, "id", "t", 3, 1, maxDocFreq = 10).count() == 10)
+    // intra-doc repetition: a gram repeated k times in each of TWO docs
+    // passes any doc-frequency cap but joins k^2 position pairs — the
+    // ROW-occupancy cap is what stops it (here bucket = 12 rows > 10)
+    val loopy = Seq((1L, Seq.fill(8)("r1 r2 r3").mkString(" ")),
+      (2L, Seq.fill(8)("r1 r2 r3").mkString(" "))).toDF("id", "t")
+    assert(Dedup.sharedSpans(loopy, "id", "t", 3, 1, maxDocFreq = 10,
+      maxBucket = 10).count() == 0)
+    assert(Dedup.sharedSpans(loopy, "id", "t", 3, 1, maxDocFreq = 10,
+      maxBucket = 100).count() == 1)
+  }
+
+  test("assertNoBucketedScanBelowShuffle: fires on a re-shuffled bucketed scan, passes clean") {
+    import graft.sources.Sink
+    spark.sql("DROP TABLE IF EXISTS guard_probe")
+    Sink.writeBucketed((1L to 50L).map(i => (i, i * 2.0)).toDF("k", "v"),
+      "guard_probe", "k", 4)
+    val t = spark.table("guard_probe")
+    Sink.assertNoBucketedScanBelowShuffle(t.filter(col("v") > 0)) // no shuffle: ok
+    // grouping on a NON-bucket column forces an exchange over the scan —
+    // the guard must see it through the AQE wrapper (the executed plan
+    // is an AdaptiveSparkPlanExec leaf; a naive collect sees nothing)
+    val e = intercept[IllegalStateException] {
+      Sink.assertNoBucketedScanBelowShuffle(t.groupBy("v").count())
+    }
+    assert(e.getMessage.contains("bucketed base"))
+    // grouping on the bucket column itself needs no exchange
+    Sink.assertNoBucketedScanBelowShuffle(t.groupBy("k").count())
   }
 
   test("droppedLshBuckets surfaces what the skew cap eats; empty when nothing is dropped") {
