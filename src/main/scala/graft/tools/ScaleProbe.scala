@@ -21,14 +21,23 @@ import graft.sources.Tables
  * comparable. Results are hand-recorded in BENCH_NOTES.md.
  */
 object ScaleProbe {
-  private val Probes = Seq("l1_dedup_minhash", "l2_dedup_simhash",
+  private val DefaultProbes = Seq("l1_dedup_minhash", "l2_dedup_simhash",
     "l3_ngram_jaccard", "e4_fuzzy_match",
     // round-8 additions: every >1s entry of the new families — cross-
-    // corpus dedup, span dedup, semantic dedup, decontamination, and the
+    // corpus dedup, span dedup, semantic dedup, decontamination, the
     // multi-probe LSH search (its candidate volume grows with bucket
-    // population, the same hazard class)
+    // population, the same hazard class), the components resolver (edge
+    // list grows ~120x under the clique inflation) and the end-to-end
+    // curation pipeline (exact dedup must collapse the salted copies)
     "l6_ann_lsh", "l10_cross_dedup", "l11_span_dedup",
-    "l12_semantic_dedup", "t9_decontaminate")
+    "l12_semantic_dedup", "t9_decontaminate",
+    "l7_dedup_components", "c3_curation_pipeline")
+
+  /** dev override: SPARK_GRAFT_PROBES=l7_dedup_components,c3_... */
+  private def probes: Seq[String] =
+    sys.env.get("SPARK_GRAFT_PROBES")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(DefaultProbes)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -80,7 +89,7 @@ object ScaleProbe {
 
     println(f"| query | $sfDir | x$mult (salted dup) | ratio |")
     println("|---|---|---|---|")
-    Probes.foreach { name =>
+    probes.foreach { name =>
       val base = medianTime(name, sfDir)
       val big = medianTime(name, out)
       println(f"| $name | $base%.2f s | $big%.2f s | ${big / base}%.1fx |")
