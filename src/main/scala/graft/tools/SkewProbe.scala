@@ -1,0 +1,92 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/**
+ * Dev-only adversarial HOT-KEY probe — the second scale axis next to
+ * [[ScaleProbe]]'s duplicate-heavy growth: remap `SPARK_GRAFT_SKEW_PCT`
+ * percent (default 30) of all event rows onto ONE user id, the classic
+ * power-law key a 100-TB event log always contains, and re-time every
+ * key-partitioned operator (salted join, sessionization, upsert,
+ * sequences, as-of and range joins, the stateful-upsert batch twin).
+ * Row count is UNCHANGED — only the key distribution moves — so a ratio
+ * near 1 means the operator's shuffle/window shape absorbs the hot key
+ * (AQE skew splits, salting, binning); a large ratio is a straggler the
+ * skew machinery failed to spread.
+ *
+ * The skewed copy keeps the testdata's TIMESTAMP(NANOS) contract by
+ * writing `ts` as epoch-nano BIGINT (what Tables.events' nanosAsLong
+ * read path expects — a plain timestamp rewrite would break its
+ * `ts div 1000` conversion). Protocol matches ScaleProbe: shared JVM,
+ * untimed warm-up, median of SPARK_GRAFT_REPS=3.
+ */
+object SkewProbe {
+  private val DefaultProbes = Seq("j3_salted_join", "a6_sessionize",
+    "d2_upsert_merge", "c4_event_sequence", "j1_asof_join",
+    "j2_range_join", "s2_stream_upsert")
+
+  private def probes: Seq[String] =
+    sys.env.get("SPARK_GRAFT_PROBES")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(DefaultProbes)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val pct = sys.env.getOrElse("SPARK_GRAFT_SKEW_PCT", "30").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.files.openCostInBytes", "16384")
+      .config("spark.sql.files.minPartitionNum", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val out = graft.util.Scratch.deleteOnExit(
+      s"/tmp/graft_skew_probe/${java.util.UUID.randomUUID.toString.take(8)}")
+    // deterministic remap: md5-fraction of the event id picks the moved
+    // rows, so the same rows move on every run; the hot key is a REAL
+    // key (user 7) so dim joins still match
+    val ev = Tables.events(spark, sfDir)
+    val frac = graft.operators.Curate.hashFraction(
+      concat(col("event_id").cast("string"), lit("|skew")))
+    ev.withColumn("user_id",
+        when(frac < pct / 100.0, lit(7L)).otherwise(col("user_id")))
+      .withColumn("ts", (unix_micros(col("ts")) * 1000L).as("ts")) // nanos long
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    // the probed entries also read customer (j3's dim side): plain copy
+    Tables.customer(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+
+    def medianTime(name: String, dir: String): Double = {
+      val q = graft.queries.Catalog.byName(name)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        q.run(spark, dir).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        System.gc(); Thread.sleep(150)
+        t
+      }
+      once() // warm-up, untimed
+      val ts = (1 to reps).map(_ => once()).sorted
+      ts(ts.size / 2)
+    }
+
+    println(f"| query | $sfDir | hot-key ($pct%% on one user) | ratio |")
+    println("|---|---|---|---|")
+    probes.foreach { name =>
+      val base = medianTime(name, sfDir)
+      val big = medianTime(name, out)
+      println(f"| $name | $base%.2f s | $big%.2f s | ${big / base}%.1fx |")
+    }
+    spark.stop()
+  }
+}
