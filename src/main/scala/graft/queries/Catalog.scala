@@ -1180,6 +1180,47 @@ object Catalog {
     },
     Some(Ivf.oracleSql))
 
+  // ---------------------------------------------------------------- w6
+  // The IVF index LIFECYCLE completed: w4 proves build-once, this proves
+  // APPEND-DAILY — the frozen coarse quantizer (trained at initial build;
+  // retraining would re-assign the whole store) assigns each day's new
+  // vectors to cells, and the day's batch is APPENDED to the
+  // cell-partitioned store (new files under existing cell= directories —
+  // no rewrite of the 100-TB index, the whole point of the layout).
+  // Fixture: even vec_ids are the initial build, odd ids the appended
+  // batch; search runs over the combined store and must plan DYNAMIC
+  // PARTITION PRUNING exactly like w4 (throws otherwise). Cell
+  // assignment is per-vector and the quantizer is frozen, so one-pass vs
+  // build+append produce the SAME store — the oracle is l8's, proving
+  // the append path changes the write pattern, not the answer.
+  private val w6 = Q(
+    "w6_ann_append",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cent = graft.operators.Ann.sampleCentroids(e, Ivf.nCent)
+      val path = s"$scratchRoot/${new java.io.File(d).getName}/ivf_cells_appended"
+      // initial build (static overwrite clears every partition, so
+      // repeated passes stay idempotent) ...
+      graft.sources.Sink.writePartitioned(
+        graft.operators.Ann.assignCells(e.filter(col("vec_id") % 2 === 0), cent),
+        path, Seq("cell"))
+      // ... then the daily batch appends under the existing cell= dirs
+      graft.operators.Ann.assignCells(e.filter(col("vec_id") % 2 === 1), cent)
+        .write.mode("append").partitionBy("cell").parquet(path)
+      val assigned = s.read
+        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, cell BIGINT")
+        .parquet(path)
+      val result = graft.operators.Ann.ivfTopKAssigned(
+        e.filter(col("vec_id") < Ivf.nQueries), assigned, cent, Ivf.nProbe, Ivf.k)
+        .select("query_id", "cand_id", "cosine", "rnk")
+      val planStr = result.queryExecution.executedPlan.toString
+      if (!planStr.toLowerCase.contains("dynamicpruning"))
+        throw new IllegalStateException(
+          s"appended IVF store search must plan dynamic partition pruning:\n$planStr")
+      result
+    },
+    Some(Ivf.oracleSql))
+
   // ---------------------------------------------------------------- l9
   // IVF with a TRAINED (Lloyd-refined) coarse quantizer under the full
   // oracle: refineCentroids is bit-deterministic by construction —
@@ -2859,7 +2900,7 @@ object Catalog {
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
     c1, c2, c3, c4, c5, c6,
-    m1, m2, m3, s1, s2, s3, s4, s5, p1, p2, p3, w1, w2, w3, w4, w5)
+    m1, m2, m3, s1, s2, s3, s4, s5, p1, p2, p3, w1, w2, w3, w4, w5, w6)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
