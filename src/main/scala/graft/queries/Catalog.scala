@@ -1221,6 +1221,55 @@ object Catalog {
     },
     Some(Ivf.oracleSql))
 
+  // ---------------------------------------------------------------- w7
+  // The step the append lifecycle (w6) makes NECESSARY: every appended
+  // batch adds files under the cell= directories, and a year of daily
+  // appends turns "read nProbe partitions" into "open 365·tasks small
+  // files per partition" — metadata pressure is the classic slow death
+  // of a partitioned store. Compaction: read the appended store,
+  // repartition BY THE PARTITION COLUMN (each cell's rows land in
+  // exactly one task → exactly one output file per cell), publish as a
+  // NEW snapshot path (write-new-then-swap, the mergeStateVersion
+  // discipline — never overwrite a path being read). The query THROWS
+  // unless every cell compacted to ONE file (checked in-engine via
+  // input_file_name, no driver listing), and the search over the
+  // compacted store must still plan dynamic partition pruning and match
+  // l8's oracle — compaction changes file counts, never answers.
+  private val w7 = Q(
+    "w7_compaction",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cent = graft.operators.Ann.sampleCentroids(e, Ivf.nCent)
+      val ds = new java.io.File(d).getName
+      val appended = s"$scratchRoot/$ds/ivf_cells_preCompact"
+      graft.sources.Sink.writePartitioned(
+        graft.operators.Ann.assignCells(e.filter(col("vec_id") % 2 === 0), cent),
+        appended, Seq("cell"))
+      graft.operators.Ann.assignCells(e.filter(col("vec_id") % 2 === 1), cent)
+        .write.mode("append").partitionBy("cell").parquet(appended)
+      val schema = "vec_id BIGINT, embedding ARRAY<FLOAT>, cell BIGINT"
+      val compactedPath = s"$scratchRoot/$ds/ivf_cells_compacted"
+      graft.sources.Sink.writePartitioned(
+        s.read.schema(schema).parquet(appended).repartition(col("cell")),
+        compactedPath, Seq("cell"))
+      val compacted = s.read.schema(schema).parquet(compactedPath)
+      val multiFileCells = compacted
+        .select(col("cell"), input_file_name().as("f")).distinct()
+        .groupBy("cell").count().filter(col("count") > 1).count()
+      if (multiFileCells > 0)
+        throw new IllegalStateException(
+          s"compaction must leave one file per cell; $multiFileCells cells have more")
+      val result = graft.operators.Ann.ivfTopKAssigned(
+        e.filter(col("vec_id") < Ivf.nQueries), compacted, cent, Ivf.nProbe, Ivf.k)
+        .select("query_id", "cand_id", "cosine", "rnk")
+      val planStr = result.queryExecution.executedPlan.toString
+      if (!planStr.toLowerCase.contains("dynamicpruning"))
+        throw new IllegalStateException(
+          s"compacted IVF store search must plan dynamic partition pruning:\n$planStr")
+      result
+    },
+    Some(Ivf.oracleSql))
+
   // ---------------------------------------------------------------- l9
   // IVF with a TRAINED (Lloyd-refined) coarse quantizer under the full
   // oracle: refineCentroids is bit-deterministic by construction —
@@ -2900,7 +2949,7 @@ object Catalog {
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
     c1, c2, c3, c4, c5, c6,
-    m1, m2, m3, s1, s2, s3, s4, s5, p1, p2, p3, w1, w2, w3, w4, w5, w6)
+    m1, m2, m3, s1, s2, s3, s4, s5, p1, p2, p3, w1, w2, w3, w4, w5, w6, w7)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
