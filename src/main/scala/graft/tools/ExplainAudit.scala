@@ -26,9 +26,11 @@ object ExplainAudit {
     // w4 runs l8's SEARCH half over the partitioned store — the same
     // query-side x broadcast(centroids) probe ranking (tiny x tiny).
     // l12 is l8's BUILD (Ann.assignCells: corpus x broadcast one-row
-    // centroid array) reused for curation — same justified shape.
+    // centroid array) reused for curation — same justified shape; w6/w7
+    // run that same build inline (append/compaction lifecycle) before
+    // the w4-style partitioned search.
     val crossJoinOk = Set("l5_ann_bruteforce", "l8_ann_ivf", "l9_ann_ivf_trained",
-      "w4_ann_partitioned", "l12_semantic_dedup")
+      "w4_ann_partitioned", "l12_semantic_dedup", "w6_ann_append", "w7_compaction")
     graft.queries.Catalog.all.foreach { q =>
       try {
         // NOTE: with AQE on this is the INITIAL plan — exchange-reuse and
