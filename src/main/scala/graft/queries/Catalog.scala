@@ -1104,6 +1104,34 @@ object Catalog {
     val nProbe = 2
     val k = 5
     val nQueries = 40
+    /** explicit read-back schema of the cell-partitioned store (w4/w6/
+      * w7): partition-type inference would turn the long cell into an
+      * int and the cast would defeat pruning. */
+    val storeSchema = "vec_id BIGINT, embedding ARRAY<FLOAT>, cell BIGINT"
+
+    /** w6/w7's lifecycle fixture: initial build (even vec_ids, static
+      * overwrite clears every partition → idempotent passes) then the
+      * daily batch APPENDED under the existing cell= dirs. */
+    def buildAppendedStore(s: SparkSession, e: DataFrame,
+        cent: DataFrame, path: String): Unit = {
+      graft.sources.Sink.writePartitioned(
+        graft.operators.Ann.assignCells(e.filter(col("vec_id") % 2 === 0), cent),
+        path, Seq("cell"))
+      graft.operators.Ann.assignCells(e.filter(col("vec_id") % 2 === 1), cent)
+        .write.mode("append").partitionBy("cell").parquet(path)
+    }
+
+    /** THROW unless the search plans dynamic partition pruning — the
+      * shared w4/w6/w7 gate ("search 100 TB" = "read nProbe
+      * partitions"). */
+    def requireDpp(result: DataFrame, what: String): DataFrame = {
+      val planStr = result.queryExecution.executedPlan.toString
+      if (!planStr.toLowerCase.contains("dynamicpruning"))
+        throw new IllegalStateException(
+          s"$what search must plan dynamic partition pruning:\n$planStr")
+      result
+    }
+
     val oracleSql: String = s"""
         WITH cent AS (
           SELECT vec_id AS cid, embedding AS centv FROM embeddings
@@ -1166,17 +1194,11 @@ object Catalog {
       val path = s"$scratchRoot/${new java.io.File(d).getName}/ivf_cells"
       graft.sources.Sink.writePartitioned(
         graft.operators.Ann.assignCells(e, cent), path, Seq("cell"))
-      val assigned = s.read
-        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, cell BIGINT")
-        .parquet(path)
-      val result = graft.operators.Ann.ivfTopKAssigned(
+      val assigned = s.read.schema(Ivf.storeSchema).parquet(path)
+      Ivf.requireDpp(graft.operators.Ann.ivfTopKAssigned(
         e.filter(col("vec_id") < Ivf.nQueries), assigned, cent, Ivf.nProbe, Ivf.k)
-        .select("query_id", "cand_id", "cosine", "rnk")
-      val planStr = result.queryExecution.executedPlan.toString
-      if (!planStr.toLowerCase.contains("dynamicpruning"))
-        throw new IllegalStateException(
-          s"cell-partitioned IVF search must plan dynamic partition pruning:\n$planStr")
-      result
+        .select("query_id", "cand_id", "cosine", "rnk"),
+        "cell-partitioned IVF")
     },
     Some(Ivf.oracleSql))
 
@@ -1199,25 +1221,12 @@ object Catalog {
       val e = Tables.embeddings(s, d)
       val cent = graft.operators.Ann.sampleCentroids(e, Ivf.nCent)
       val path = s"$scratchRoot/${new java.io.File(d).getName}/ivf_cells_appended"
-      // initial build (static overwrite clears every partition, so
-      // repeated passes stay idempotent) ...
-      graft.sources.Sink.writePartitioned(
-        graft.operators.Ann.assignCells(e.filter(col("vec_id") % 2 === 0), cent),
-        path, Seq("cell"))
-      // ... then the daily batch appends under the existing cell= dirs
-      graft.operators.Ann.assignCells(e.filter(col("vec_id") % 2 === 1), cent)
-        .write.mode("append").partitionBy("cell").parquet(path)
-      val assigned = s.read
-        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, cell BIGINT")
-        .parquet(path)
-      val result = graft.operators.Ann.ivfTopKAssigned(
+      Ivf.buildAppendedStore(s, e, cent, path)
+      val assigned = s.read.schema(Ivf.storeSchema).parquet(path)
+      Ivf.requireDpp(graft.operators.Ann.ivfTopKAssigned(
         e.filter(col("vec_id") < Ivf.nQueries), assigned, cent, Ivf.nProbe, Ivf.k)
-        .select("query_id", "cand_id", "cosine", "rnk")
-      val planStr = result.queryExecution.executedPlan.toString
-      if (!planStr.toLowerCase.contains("dynamicpruning"))
-        throw new IllegalStateException(
-          s"appended IVF store search must plan dynamic partition pruning:\n$planStr")
-      result
+        .select("query_id", "cand_id", "cosine", "rnk"),
+        "appended IVF store")
     },
     Some(Ivf.oracleSql))
 
@@ -1242,31 +1251,22 @@ object Catalog {
       val cent = graft.operators.Ann.sampleCentroids(e, Ivf.nCent)
       val ds = new java.io.File(d).getName
       val appended = s"$scratchRoot/$ds/ivf_cells_preCompact"
-      graft.sources.Sink.writePartitioned(
-        graft.operators.Ann.assignCells(e.filter(col("vec_id") % 2 === 0), cent),
-        appended, Seq("cell"))
-      graft.operators.Ann.assignCells(e.filter(col("vec_id") % 2 === 1), cent)
-        .write.mode("append").partitionBy("cell").parquet(appended)
-      val schema = "vec_id BIGINT, embedding ARRAY<FLOAT>, cell BIGINT"
+      Ivf.buildAppendedStore(s, e, cent, appended)
       val compactedPath = s"$scratchRoot/$ds/ivf_cells_compacted"
       graft.sources.Sink.writePartitioned(
-        s.read.schema(schema).parquet(appended).repartition(col("cell")),
+        s.read.schema(Ivf.storeSchema).parquet(appended).repartition(col("cell")),
         compactedPath, Seq("cell"))
-      val compacted = s.read.schema(schema).parquet(compactedPath)
+      val compacted = s.read.schema(Ivf.storeSchema).parquet(compactedPath)
       val multiFileCells = compacted
         .select(col("cell"), input_file_name().as("f")).distinct()
         .groupBy("cell").count().filter(col("count") > 1).count()
       if (multiFileCells > 0)
         throw new IllegalStateException(
           s"compaction must leave one file per cell; $multiFileCells cells have more")
-      val result = graft.operators.Ann.ivfTopKAssigned(
+      Ivf.requireDpp(graft.operators.Ann.ivfTopKAssigned(
         e.filter(col("vec_id") < Ivf.nQueries), compacted, cent, Ivf.nProbe, Ivf.k)
-        .select("query_id", "cand_id", "cosine", "rnk")
-      val planStr = result.queryExecution.executedPlan.toString
-      if (!planStr.toLowerCase.contains("dynamicpruning"))
-        throw new IllegalStateException(
-          s"compacted IVF store search must plan dynamic partition pruning:\n$planStr")
-      result
+        .select("query_id", "cand_id", "cosine", "rnk"),
+        "compacted IVF store")
     },
     Some(Ivf.oracleSql))
 

@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -16,9 +16,10 @@ import graft.sources.Tables
  * caps work; a super-multiple ratio is the scale bug this tool exists to
  * catch.
  *
- * Protocol matches Bench (same session knobs, untimed warm-up, median of
- * SPARK_GRAFT_REPS=3); baseline and ×N runs share one JVM so JIT state is
- * comparable. Results are hand-recorded in BENCH_NOTES.md.
+ * Protocol shared with SkewProbe/Bench via [[ProbeHarness]] (same session
+ * knobs, untimed warm-up, median of SPARK_GRAFT_REPS=3); baseline and ×N
+ * runs share one JVM so JIT state is comparable. Probe list overridable
+ * via SPARK_GRAFT_PROBES. Results are hand-recorded in BENCH_NOTES.md.
  */
 object ScaleProbe {
   private val DefaultProbes = Seq("l1_dedup_minhash", "l2_dedup_simhash",
@@ -33,26 +34,13 @@ object ScaleProbe {
     "l12_semantic_dedup", "t9_decontaminate",
     "l7_dedup_components", "c3_curation_pipeline")
 
-  /** dev override: SPARK_GRAFT_PROBES=l7_dedup_components,c3_... */
-  private def probes: Seq[String] =
-    sys.env.get("SPARK_GRAFT_PROBES")
-      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-      .getOrElse(DefaultProbes)
-
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "8").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.files.openCostInBytes", "16384")
-      .config("spark.sql.files.minPartitionNum", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val probes = ProbeHarness.probesFrom("SPARK_GRAFT_PROBES", DefaultProbes)
+    val spark = ProbeHarness.buildSession(cpus)
 
     // ×mult corpus: ids re-salted into disjoint ranges, text/names as-is
     val out = graft.util.Scratch.deleteOnExit(
@@ -71,27 +59,11 @@ object ScaleProbe {
     salt(Tables.embeddings(spark, sfDir), "vec_id")
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    def medianTime(name: String, dir: String): Double = {
-      val q = graft.queries.Catalog.byName(name)
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        q.run(spark, dir).count()
-        val t = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        System.gc(); Thread.sleep(150)
-        t
-      }
-      once() // warm-up, untimed
-      val ts = (1 to reps).map(_ => once()).sorted
-      ts(ts.size / 2)
-    }
-
     println(f"| query | $sfDir | x$mult (salted dup) | ratio |")
     println("|---|---|---|---|")
     probes.foreach { name =>
-      val base = medianTime(name, sfDir)
-      val big = medianTime(name, out)
+      val base = ProbeHarness.medianTime(spark, name, sfDir, reps)
+      val big = ProbeHarness.medianTime(spark, name, out, reps)
       println(f"| $name | $base%.2f s | $big%.2f s | ${big / base}%.1fx |")
     }
     spark.stop()

@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -20,33 +19,22 @@ import graft.sources.Tables
  * The skewed copy keeps the testdata's TIMESTAMP(NANOS) contract by
  * writing `ts` as epoch-nano BIGINT (what Tables.events' nanosAsLong
  * read path expects — a plain timestamp rewrite would break its
- * `ts div 1000` conversion). Protocol matches ScaleProbe: shared JVM,
- * untimed warm-up, median of SPARK_GRAFT_REPS=3.
+ * `ts div 1000` conversion). Protocol shared with ScaleProbe/Bench via
+ * [[ProbeHarness]]; probe list overridable via SPARK_GRAFT_SKEW_PROBES
+ * (its OWN env var — sharing ScaleProbe's would cross-wire the tools).
  */
 object SkewProbe {
   private val DefaultProbes = Seq("j3_salted_join", "a6_sessionize",
     "d2_upsert_merge", "c4_event_sequence", "j1_asof_join",
     "j2_range_join", "s2_stream_upsert")
 
-  private def probes: Seq[String] =
-    sys.env.get("SPARK_GRAFT_PROBES")
-      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-      .getOrElse(DefaultProbes)
-
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val pct = sys.env.getOrElse("SPARK_GRAFT_SKEW_PCT", "30").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.files.openCostInBytes", "16384")
-      .config("spark.sql.files.minPartitionNum", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val probes = ProbeHarness.probesFrom("SPARK_GRAFT_SKEW_PROBES", DefaultProbes)
+    val spark = ProbeHarness.buildSession(cpus)
 
     val out = graft.util.Scratch.deleteOnExit(
       s"/tmp/graft_skew_probe/${java.util.UUID.randomUUID.toString.take(8)}")
@@ -64,27 +52,11 @@ object SkewProbe {
     Tables.customer(spark, sfDir)
       .write.mode("overwrite").parquet(s"$out/customer.parquet")
 
-    def medianTime(name: String, dir: String): Double = {
-      val q = graft.queries.Catalog.byName(name)
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        q.run(spark, dir).count()
-        val t = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        System.gc(); Thread.sleep(150)
-        t
-      }
-      once() // warm-up, untimed
-      val ts = (1 to reps).map(_ => once()).sorted
-      ts(ts.size / 2)
-    }
-
     println(f"| query | $sfDir | hot-key ($pct%% on one user) | ratio |")
     println("|---|---|---|---|")
     probes.foreach { name =>
-      val base = medianTime(name, sfDir)
-      val big = medianTime(name, out)
+      val base = ProbeHarness.medianTime(spark, name, sfDir, reps)
+      val big = ProbeHarness.medianTime(spark, name, out, reps)
       println(f"| $name | $base%.2f s | $big%.2f s | ${big / base}%.1fx |")
     }
     spark.stop()
