@@ -67,24 +67,93 @@ object Curate {
    * One shuffle on the stratum; selection is a row_number window. The
    * declarative window form sorts each stratum once — right whenever a
    * stratum fits a task's spill budget (strata are few and coarse by
-   * construction). For a stratum of billions of rows, the scale path is
-   * the two-level bounded-heap top-k (per-partition heap on the hash
-   * fraction, then a final window over partitions·quota survivors —
-   * exactly [[graft.operators.Ann]].topK's shape); the window form is
-   * kept here because quota ≪ stratum makes the heap variant an
-   * optimization, not a semantic change.
+   * construction). For a stratum of billions of rows, pass a finite
+   * `heapThreshold`: strata are pre-thinned by a per-partition bounded
+   * heap on the hash fraction (each input partition emits at most its
+   * stratum's quota rows — [[graft.operators.Ann]].topK's shape), and
+   * the SAME window then ranks the ≤ partitions·quota survivors — the
+   * giant stratum never funnels whole into one task's sort. The heap is
+   * a pure pre-filter of non-winners, so both paths select identical
+   * rows (QuotaHeapSpec proves heap == window on one input).
+   *
+   * OUTPUT SCHEMA: adds `sample_rank` (1-based rank within the stratum's
+   * kept rows). The input must not already have a `sample_rank` column —
+   * rather than silently replacing it, this throws.
    */
   def quotaSample(df: DataFrame, keyCol: String, stratumCol: String, salt: String,
-      quotas: Seq[(String, Int)], defaultQuota: Int): DataFrame = {
+      quotas: Seq[(String, Int)], defaultQuota: Int,
+      heapThreshold: Option[Int] = None): DataFrame = {
     require(defaultQuota >= 0 && quotas.forall(_._2 >= 0), "quotas must be >= 0")
+    require(!df.columns.contains("sample_rank"),
+      "quotaSample adds a sample_rank column; input already has one")
+    require(!df.columns.exists(Set("_qs_frac", "_qs_quota")),
+      "quotaSample reserves _qs_frac/_qs_quota as internal columns")
     val frac = hashFraction(concat(col(keyCol).cast("string"), lit("|" + salt)))
     val quota = quotas.foldRight(lit(defaultQuota): Column) { case ((s0, q), e) =>
       when(col(stratumCol) === s0, lit(q)).otherwise(e)
     }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(stratumCol)).orderBy(frac.asc, col(keyCol).asc)
-    df.withColumn("sample_rank", row_number().over(w))
+    val pre = heapThreshold match {
+      case Some(t) => heapPrefilter(df, keyCol, stratumCol, frac, quota, t)
+      case None    => df.withColumn("_qs_frac", frac)
+    }
+    pre.withColumn("sample_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(stratumCol))
+          .orderBy(col("_qs_frac").asc, col(keyCol).asc)))
       .filter(col("sample_rank") <= quota)
+      .drop("_qs_frac")
+  }
+
+  /**
+   * Per-partition bounded-heap pre-thinning for [[quotaSample]]: within
+   * each input partition and stratum, keep the quota lowest-fraction
+   * rows (plus ALL rows tying the boundary fraction). Any dropped row
+   * has `quota` rows with STRICTLY smaller fraction in its own
+   * partition, each of which outranks it in the final window regardless
+   * of the key tie-break — so the prefilter can never change the
+   * window's selection. This is the map-side combine of a distributed
+   * top-k: narrow, no shuffle; the quota expression is evaluated per
+   * row BEFORE the mapPartitions so the heap bound is a plain Int.
+   * `heapThreshold` caps per-(partition, stratum) heap memory: quotas
+   * above it keep all of that stratum's rows here (correct, just no
+   * thinning). Boundary ties can exceed the cap only by the tie
+   * multiplicity — with 2^-32-granular md5 fractions, essentially 0.
+   */
+  private def heapPrefilter(df: DataFrame, keyCol: String, stratumCol: String,
+      frac: Column, quota: Column, heapThreshold: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    val withMeta = df.withColumn("_qs_frac", frac)
+      .withColumn("_qs_quota", quota.cast("int"))
+    val schema = withMeta.schema
+    val stratumIdx = schema.fieldIndex(stratumCol)
+    val fracIdx = schema.fieldIndex("_qs_frac")
+    val quotaIdx = schema.fieldIndex("_qs_quota")
+    val out = withMeta.mapPartitions { it =>
+      // per-stratum MAX-heap on the fraction: the root is the current
+      // worst keeper; a strictly better row evicts it, an exact tie with
+      // the boundary is kept alongside (see correctness note above)
+      val heaps = scala.collection.mutable.Map
+        .empty[Any, scala.collection.mutable.PriorityQueue[Row]]
+      val ord = Ordering.by[Row, Double](_.getDouble(fracIdx))
+      val overflow = scala.collection.mutable.ArrayBuffer.empty[Row]
+      it.foreach { r =>
+        val q = if (r.isNullAt(quotaIdx)) 0 else r.getInt(quotaIdx)
+        if (q > heapThreshold) overflow += r // too big to heap: keep all
+        else if (q > 0) {
+          val h = heaps.getOrElseUpdate(r.get(stratumIdx),
+            scala.collection.mutable.PriorityQueue.empty[Row](ord))
+          if (h.size < q) h.enqueue(r)
+          else {
+            val worst = h.head.getDouble(fracIdx)
+            val f = r.getDouble(fracIdx)
+            if (f < worst) { h.dequeue(); h.enqueue(r) }
+            else if (f == worst) h.enqueue(r) // boundary tie: keep both
+          }
+        }
+      }
+      (heaps.valuesIterator.flatMap(_.iterator) ++ overflow.iterator)
+    }(org.apache.spark.sql.Encoders.row(schema))
+    out.drop("_qs_quota")
   }
 
   /**

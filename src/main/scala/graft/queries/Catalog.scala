@@ -1109,16 +1109,30 @@ object Catalog {
       * int and the cast would defeat pruning. */
     val storeSchema = "vec_id BIGINT, embedding ARRAY<FLOAT>, cell BIGINT"
 
-    /** w6/w7's lifecycle fixture: initial build (even vec_ids, static
-      * overwrite clears every partition → idempotent passes) then the
-      * daily batch APPENDED under the existing cell= dirs. */
+    /** w6/w7's lifecycle fixture: initial build (even vec_ids) then the
+      * daily batch APPENDED under the existing cell= dirs. The store
+      * path is DELETED first: idempotency across repeated bench passes
+      * must not hinge on the session's partitionOverwriteMode — under
+      * dynamic overwrite, cells holding only odd (appended) vec_ids
+      * would survive the rebuild and accumulate duplicates. */
     def buildAppendedStore(s: SparkSession, e: DataFrame,
-        cent: DataFrame, path: String): Unit = {
+        cent: DataFrame, path: String, appendBatches: Int = 1): Unit = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
       graft.sources.Sink.writePartitioned(
         graft.operators.Ann.assignCells(e.filter(col("vec_id") % 2 === 0), cent),
         path, Seq("cell"))
-      graft.operators.Ann.assignCells(e.filter(col("vec_id") % 2 === 1), cent)
-        .write.mode("append").partitionBy("cell").parquet(path)
+      // the odd half arrives as `appendBatches` separate daily appends
+      // (w7 passes >1: each append lands its own files under every
+      // cell= dir — the small-file accumulation compaction exists for)
+      (0 until appendBatches).foreach { b =>
+        // batch b owns odd ids congruent to 2b+1 mod 2·appendBatches
+        // (integer modulus — Column `/` would be double division)
+        graft.operators.Ann.assignCells(
+            e.filter(col("vec_id") % (2 * appendBatches) === (2 * b + 1)), cent)
+          .write.mode("append").partitionBy("cell").parquet(path)
+      }
     }
 
     /** THROW unless the search plans dynamic partition pruning — the
@@ -1235,13 +1249,20 @@ object Catalog {
   // batch adds files under the cell= directories, and a year of daily
   // appends turns "read nProbe partitions" into "open 365·tasks small
   // files per partition" — metadata pressure is the classic slow death
-  // of a partitioned store. Compaction: read the appended store,
-  // repartition BY THE PARTITION COLUMN (each cell's rows land in
-  // exactly one task → exactly one output file per cell), publish as a
-  // NEW snapshot path (write-new-then-swap, the mergeStateVersion
-  // discipline — never overwrite a path being read). The query THROWS
-  // unless every cell compacted to ONE file (checked in-engine via
-  // input_file_name, no driver listing), and the search over the
+  // of a partitioned store. Compaction is SIZE-BUDGETED
+  // (Sink.compactPartitioned): each cell re-deals its rows into
+  // ceil(cellRows/targetRows) salt groups, so a hot cell compacts to
+  // several bounded files written by several tasks — never one
+  // monolithic file from one straggler task (one-file-per-cell is
+  // itself a hot-cell hazard at 100×; real compactors target a
+  // file-SIZE budget). Published as a NEW snapshot path
+  // (write-new-then-swap, the mergeStateVersion discipline — never
+  // overwrite a path being read). The query THROWS unless (a) every
+  // cell holds at most its ceil(rows/target) file budget, (b) the
+  // store holds STRICTLY fewer files than before compaction, and (c)
+  // at least one cell exercised the multi-file path (so the gate can't
+  // silently degenerate to the one-file form) — all checked in-engine
+  // via input_file_name, no driver listing. The search over the
   // compacted store must still plan dynamic partition pruning and match
   // l8's oracle — compaction changes file counts, never answers.
   private val w7 = Q(
@@ -1251,18 +1272,33 @@ object Catalog {
       val cent = graft.operators.Ann.sampleCentroids(e, Ivf.nCent)
       val ds = new java.io.File(d).getName
       val appended = s"$scratchRoot/$ds/ivf_cells_preCompact"
-      Ivf.buildAppendedStore(s, e, cent, appended)
+      Ivf.buildAppendedStore(s, e, cent, appended, appendBatches = 3)
+      val appendedDf = s.read.schema(Ivf.storeSchema).parquet(appended)
+      // file-size budget expressed in rows: ~12 target files across the
+      // store, so the average cell (total/nCent) needs >1 group — the
+      // hot path is exercised at every SF, while the cold tail still
+      // collapses to single files
+      val targetRows = math.max(1L, appendedDf.count() / 12L)
       val compactedPath = s"$scratchRoot/$ds/ivf_cells_compacted"
-      graft.sources.Sink.writePartitioned(
-        s.read.schema(Ivf.storeSchema).parquet(appended).repartition(col("cell")),
-        compactedPath, Seq("cell"))
+      val budgets = graft.sources.Sink.compactPartitioned(
+        appendedDf, compactedPath, "cell", "vec_id", targetRows)
       val compacted = s.read.schema(Ivf.storeSchema).parquet(compactedPath)
-      val multiFileCells = compacted
+      val fileCounts = compacted
         .select(col("cell"), input_file_name().as("f")).distinct()
-        .groupBy("cell").count().filter(col("count") > 1).count()
-      if (multiFileCells > 0)
+        .groupBy("cell").agg(count(lit(1)).as("n_files"))
+      val joined = fileCounts.join(broadcast(budgets), Seq("cell")).cache()
+      val overBudget = joined.filter(col("n_files") > col("_max_files")).count()
+      if (overBudget > 0)
         throw new IllegalStateException(
-          s"compaction must leave one file per cell; $multiFileCells cells have more")
+          s"compaction must respect each cell's file budget; $overBudget cells over")
+      if (joined.filter(col("n_files") > 1).count() == 0)
+        throw new IllegalStateException(
+          "fixture must exercise the multi-file-per-cell path (no cell has >1 file)")
+      val preFiles = appendedDf.select(input_file_name()).distinct().count()
+      val postFiles = compacted.select(input_file_name()).distinct().count()
+      if (postFiles >= preFiles)
+        throw new IllegalStateException(
+          s"compaction must shrink the file count: $preFiles -> $postFiles")
       Ivf.requireDpp(graft.operators.Ann.ivfTopKAssigned(
         e.filter(col("vec_id") < Ivf.nQueries), compacted, cent, Ivf.nProbe, Ivf.k)
         .select("query_id", "cand_id", "cosine", "rnk"),
@@ -2421,9 +2457,14 @@ object Catalog {
         .select(col("user_id").as("_ranked_uid"))
       P1.martFrom(s, d, P1.parsedFrom(s, d, None), excludeUsers = Some(existing))
     },
+    // NOT EXISTS, not NOT IN: a NULL user_id in the exclusion subquery
+    // would make NOT IN return zero rows while the engine's left_anti
+    // keeps non-matching rows — NOT EXISTS is null-safe and matches
+    // left_anti semantics exactly
     Some(P1.oracleSqlFor(None,
-      s""" AND user_id NOT IN (SELECT user_id FROM (${P1.oracleSqlFor(
-        Some(P1.watermark), " AND user_id % 7 <> 0")}) x)""")))
+      s""" AND NOT EXISTS (SELECT 1 FROM (${P1.oracleSqlFor(
+        Some(P1.watermark), " AND user_id % 7 <> 0")}) x
+        WHERE x.user_id = t.user_id)""")))
 
   // ---------------------------------------------------------------- p2
   // The last reference DAG step with no catalog counterpart until now —
@@ -2453,11 +2494,15 @@ object Catalog {
   private val p2 = Q(
     "p2_run_report",
     (s, d) => {
-      val dsName = new java.io.File(d).getName
-      // memo key is the CANONICAL dataset path: two different dirs with
-      // one basename must not share materializations within a JVM
+      // memo key AND scratch paths derive from the CANONICAL dataset
+      // path: two different dirs with one basename must neither share
+      // memo entries nor overwrite each other's scratch materializations
+      val canonical = new java.io.File(d).getCanonicalPath
+      val dsName = new java.io.File(d).getName + "_" +
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(canonical.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
       val (stagedPath, martPath) = p2Stage.getOrElseUpdate(
-        new java.io.File(d).getCanonicalPath, {
+        canonical, {
         val sp = s"$scratchRoot/$dsName/p2_staged"
         P1.parsed(s, d).write.mode("overwrite").parquet(sp)
         val mp = s"$scratchRoot/$dsName/p2_mart"

@@ -38,6 +38,56 @@ object Sink {
     spark.read.parquet(path).filter(col(partitionCol) === value)
   }
 
+  /**
+   * SIZE-BUDGETED compaction of a hive-partitioned store: rewrite `df`
+   * under `destPath` so every partition value holds at most
+   * ceil(partitionRows / targetRowsPerFile) files. Each partition's rows
+   * are dealt to that many deterministic salt groups (xxhash64 of
+   * `saltCol` mod the partition's own group count — derived from a
+   * per-partition count that joins back broadcast, one row per
+   * partition value) and the shuffle distributes on (partition, group).
+   *
+   * The salt is the load-bearing half: compacting with a bare
+   * `repartition(partitionCol)` sends a HOT partition's entire row set
+   * to ONE task and ONE monolithic file — recreating, at the hot end,
+   * the straggler/giant-file problem compaction exists to solve. A real
+   * compactor targets a FILE-SIZE budget, not a file-count of one;
+   * here a popular partition compacts to several bounded files written
+   * by several tasks, and the cold tail still collapses to one file
+   * each. Group→task collisions can only MERGE groups of one partition
+   * (fewer, larger files — never more than the target).
+   *
+   * Returns the per-partition-value file budget (`partitionCol`,
+   * `_rows`, `_max_files`) for the caller's gate: "every partition ≤ its
+   * budget AND strictly fewer total files than before" is checkable
+   * in-engine via input_file_name with no driver listing.
+   */
+  def compactPartitioned(df: DataFrame, destPath: String, partitionCol: String,
+      saltCol: String, targetRowsPerFile: Long): DataFrame = {
+    require(targetRowsPerFile >= 1, "targetRowsPerFile must be positive")
+    import org.apache.spark.sql.functions.{broadcast, ceil, count, lit, pmod, sum, xxhash64}
+    val budgets = df.groupBy(col(partitionCol))
+      .agg(count(lit(1)).as("_rows"))
+      .withColumn("_max_files",
+        ceil(col("_rows").cast("double") / targetRowsPerFile).cast("int"))
+      .cache()
+    // the write width IS the total file budget: an explicit task count
+    // (REPARTITION_BY_NUM) pins it — a column-only repartition is
+    // adaptive, and AQE happily coalesces a small shuffle into one task,
+    // silently restoring the one-monolithic-file-per-hot-partition shape
+    // this function exists to prevent
+    val nTasks = budgets.agg(sum(col("_max_files"))).first().getLong(0)
+    require(nTasks <= Int.MaxValue, s"file budget $nTasks exceeds task limit")
+    val salted = df
+      .join(broadcast(budgets.select(col(partitionCol), col("_max_files"))),
+        Seq(partitionCol))
+      .withColumn("_grp", pmod(xxhash64(col(saltCol)), col("_max_files").cast("bigint")))
+    salted.repartition(nTasks.toInt, col(partitionCol), col("_grp"))
+      .drop("_grp", "_max_files")
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(destPath)
+    budgets
+  }
+
   /** Bucketed + sorted managed table (bucketBy requires saveAsTable).
     * A join between two tables bucketed on the same key with the same
     * bucket count plans with ZERO shuffle exchanges. */

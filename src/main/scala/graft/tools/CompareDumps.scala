@@ -19,10 +19,13 @@ object CompareDumps {
       val cols = df.columns.sorted.toSeq
       // length-prefixed value encoding: no separator choice can be
       // ambushed by a value containing it — ("ab","c") and ("a","bc")
-      // canonicalize to "2:ab|1:c" vs "1:a|2:bc", never one string
+      // canonicalize to "2:ab|1:c" vs "1:a|2:bc", never one string.
+      // SQL NULL gets its own un-prefixed marker so it can never collide
+      // with the literal string "null" (which canonicalizes to "4:null")
       df.select(cols.map(col): _*).collect()
         .map(r => (0 until r.length).map { i =>
-          val v = String.valueOf(r.get(i)); s"${v.length}:$v"
+          if (r.isNullAt(i)) "N!"
+          else { val v = String.valueOf(r.get(i)); s"${v.length}:$v" }
         }.mkString("|"))
         .toSeq.sorted
     }

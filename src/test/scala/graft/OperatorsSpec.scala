@@ -314,6 +314,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again == bySrc.values.flatten.toSet)
   }
 
+  test("quotaSample: bounded-heap path selects exactly the window path's rows") {
+    // one giant stratum spread over several input partitions — the case
+    // the heap pre-filter exists for — plus a small one and a quota-0 one
+    val df = spark.range(0, 5000).repartition(8)
+      .selectExpr("id",
+        "CASE WHEN id % 50 = 0 THEN 'small' WHEN id % 50 = 1 THEN 'none' ELSE 'giant' END AS src")
+    def run(heap: Option[Int]) = graft.operators.Curate.quotaSample(
+        df, "id", "src", "salt9", Seq("giant" -> 100, "none" -> 0), defaultQuota = 7,
+        heapThreshold = heap)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val window = run(None)
+    val heap = run(Some(1000))
+    assert(heap == window)
+    assert(window.count(_._2 == "giant") == 100 && window.count(_._2 == "none") == 0)
+    // quota above heapThreshold falls back to keep-all in the prefilter —
+    // still identical selection
+    assert(run(Some(50)) == window)
+  }
+
+  test("quotaSample rejects an input that already has sample_rank") {
+    val df = Seq((1L, "a", 9)).toDF("id", "src", "sample_rank")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Curate.quotaSample(df, "id", "src", "s", Nil, 1)
+    }
+    assert(e.getMessage.contains("sample_rank"))
+  }
+
   test("redactPii: emails, contiguous ids, separated phones") {
     val got = Seq(
       "mail bob.smith+x@corp.example.org now",

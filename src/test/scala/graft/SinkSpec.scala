@@ -25,6 +25,34 @@ class SinkSpec extends AnyFunSuite {
     assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(part_key"))
   }
 
+  test("compactPartitioned: hot partition spreads over several bounded files, cold tail collapses") {
+    val dir = Files.createTempDirectory("sink-compact").toString
+    val src = s"$dir/appended"
+    // hot partition: 900 of 1000 rows on one key; plus two cold ones.
+    // Written in 5 append passes so the source accumulates small files.
+    val df = spark.range(0, 1000).selectExpr("id",
+      "CASE WHEN id < 900 THEN 'hot' WHEN id < 950 THEN 'c1' ELSE 'c2' END AS pk")
+    (0 until 5).foreach { b =>
+      df.filter(col("id") % 5 === b).repartition(4)
+        .write.mode("append").partitionBy("pk").parquet(src)
+    }
+    val appended = spark.read.parquet(src)
+    val preFiles = appended.select(input_file_name()).distinct().count()
+    val budgets = Sink.compactPartitioned(appended, s"$dir/compacted", "pk", "id", 200L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(budgets("hot") == ((900L, 5)) && budgets("c1") == ((50L, 1)))
+    val back = spark.read.parquet(s"$dir/compacted")
+    assert(back.count() == 1000) // lossless
+    val files = back.select(col("pk"), input_file_name().as("f")).distinct()
+      .groupBy("pk").count().collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // hot partition holds >1 file (no monolithic straggler file) and
+    // every partition respects its ceil(rows/target) budget
+    assert(files("hot") > 1 && files("hot") <= 5)
+    assert(files("c1") == 1 && files("c2") == 1)
+    val postFiles = back.select(input_file_name()).distinct().count()
+    assert(postFiles < preFiles)
+  }
+
   test("publishRoundtrip returns one pruned partition, losslessly") {
     val dir = Files.createTempDirectory("sink-pub").toString + "/mart"
     val df = Seq((1L, "F", 10.5), (2L, "O", 20.25), (3L, "F", 30.125))
