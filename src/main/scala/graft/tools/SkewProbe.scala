@@ -26,7 +26,7 @@ import graft.sources.Tables
 object SkewProbe {
   private val DefaultProbes = Seq("j3_salted_join", "a6_sessionize",
     "d2_upsert_merge", "c4_event_sequence", "j1_asof_join",
-    "j2_range_join", "s2_stream_upsert")
+    "j2_range_join", "s2_stream_upsert", "w7_compaction")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -51,6 +51,21 @@ object SkewProbe {
     // the probed entries also read customer (j3's dim side): plain copy
     Tables.customer(spark, sfDir)
       .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    // hot-CELL variant for the IVF lifecycle: the same pct of vectors is
+    // remapped onto vec_id 0's embedding, so they all quantize to ONE
+    // cell — w7's size-budgeted compaction must absorb the hot cell
+    // (several bounded files via its salt groups, gates still passing);
+    // under the old one-file-per-cell invariant this probe was the
+    // straggler: 30% of the store through one write task into one file
+    val emb = Tables.embeddings(spark, sfDir)
+    val hotVec = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val efrac = graft.operators.Curate.hashFraction(
+      concat(col("vec_id").cast("string"), lit("|cellskew")))
+    emb.withColumn("embedding",
+        when(efrac < pct / 100.0 && col("vec_id") =!= 0, typedlit(hotVec))
+          .otherwise(col("embedding")))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     println(f"| query | $sfDir | hot-key ($pct%% on one user) | ratio |")
     println("|---|---|---|---|")
