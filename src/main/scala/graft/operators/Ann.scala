@@ -279,9 +279,9 @@ object Ann {
   /** Top-2 cells by CHEAP float distance as struct(best, second), each
     * struct(dist, cid) — one fold over the broadcast centroid array, no
     * decimal math, no ×C row materialization. */
-  private def cheapTop2(v: Column, vnF: Column): Column = {
+  private def cheapTop2(v: Column, vnF: Column, cents: Column = col("cents")): Column = {
     val far = struct(lit(Double.MaxValue).as("dist"), lit(Long.MaxValue).as("cid"))
-    aggregate(col("cents"),
+    aggregate(cents,
       struct(far.as("best"), far.as("second")),
       (acc, c) => {
         val cand = struct(cheapCentDist(v, vnF, c).as("dist"), c.getField("cid").as("cid"))
@@ -299,8 +299,9 @@ object Ann {
     * over a STRUCT has no fixed-width agg buffer, so Spark planned a
     * SortAggregate that sorted the C-amplified table (measured as the
     * dominant per-iteration cost of Lloyd refinement). */
-  private def exactArgminCell(v: Column, vnExact: Column): Column =
-    aggregate(col("cents"),
+  private def exactArgminCell(v: Column, vnExact: Column,
+      cents: Column = col("cents")): Column =
+    aggregate(cents,
       struct(lit(Double.MaxValue).as("dist"), lit(Long.MaxValue).as("cid")),
       (acc, c) => least(acc, struct(
         (lit(1.0) - V.cosineFromParts(
@@ -318,12 +319,13 @@ object Ann {
     * exact-decimal re-evaluation, including its per-row exact self-norm,
     * lazily inside the CaseWhen branch. Same two-phase cheap-then-exact
     * discipline as topK (Ann.scala) and embeddingNearDups (Dedup.scala). */
-  private def resolveCell(v: Column, top2: Column): Column = {
+  private def resolveCell(v: Column, top2: Column,
+      cents: Column = col("cents")): Column = {
     val best = top2.getField("best")
     val gap = top2.getField("second").getField("dist") - best.getField("dist")
     when(gap > cellMargin(v), best.getField("cid"))
       .otherwise(exactArgminCell(v,
-        call_function("graft_dot_exact", v, v)).getField("cid"))
+        call_function("graft_dot_exact", v, v), cents).getField("cid"))
   }
 
   /** (vec_id, embedding, cell): nearest-centroid cell per corpus vector —
@@ -436,5 +438,194 @@ object Ann {
     val joined = cCell.join(broadcast(probes),
       col("qcell") === col("cell") && col("query_id") =!= col("cand_id"))
     topK(approxPairs(joined), k)
+  }
+
+  // ===================================================== product quantization
+  //
+  // IVF-PQ — the memory tier below IVF-flat: at 100 TB even the nProbe
+  // PRUNED partitions hold raw float vectors that dwarf executor memory
+  // (a 1-billion-vector cell slice at 64 float dims is 256 GB). Product
+  // quantization stores each vector as M small per-subspace code ids
+  // (here M·1 longs vs dim·4 bytes — a 64-dim vector compresses 16:1
+  // at M=4), and search scores candidates from the CODES plus a
+  // broadcast codebook, never touching raw corpus vectors.
+  //
+  // Semantics are built entirely from the engine's established
+  // bit-deterministic quantization primitive: each subspace trains its
+  // own K-entry codebook with the SAME exact-9-dp-cosine/ties-on-id
+  // Lloyd rounds as [[refineCentroids]] (spherical k-means per
+  // subspace), encoding is the same two-phase argmin per subspace, and
+  // ADC scoring is expressed as the exact cosine of the query against
+  // the code-indexed RECONSTRUCTION (the concatenation of the M looked-
+  // up code vectors). dot(q, recon) ≡ Σ_m dot(q_m, codebook_m[code_m])
+  // — the per-subspace LUT sum every PQ paper writes — but the recon
+  // form rides the existing cheap-then-exact [[topK]] discipline
+  // unchanged, stays inside codegen, and replays in a SQL oracle with
+  // the same dot fold used everywhere else. (The classic per-query
+  // LUT materialization is a batch-local caching of exactly these
+  // subspace dots; with broadcast codebooks the lookup cost is already
+  // per-pair-fold-free here.)
+
+  /**
+   * Train per-subspace PQ codebooks: `nSub` equal slices of the
+   * embedding, each refined for `iters` Lloyd rounds from the
+   * deterministic lowest-vec_id sample (the [[sampleCentroids]] rule
+   * applied per subspace — same init ids in every subspace). Returns
+   * (m, cid, centv) — coordinator-sized (nSub·k·subDim floats), the
+   * broadcast side of encode and search.
+   *
+   * One distributed pass per round covers ALL subspaces: the corpus
+   * crossJoins the single-row broadcast codebook array-of-arrays, every
+   * subspace's two-phase argmin happens in one projection chain (narrow,
+   * zero ×K row growth), and the mean recompute explodes to (m, code,
+   * dim, x) rows whose decimal partial sums aggregate map-side — the
+   * shuffle carries nSub·k·subDim partial sums, never vectors. Means
+   * fold through DECIMAL(30,20), divide once, round to 6 dp — the
+   * [[refineCentroids]] determinism contract, so a SQL oracle replays
+   * training bit-for-bit. A code that loses all members keeps its
+   * previous vector.
+   */
+  def pqTrain(corpus: DataFrame, nSub: Int, k: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    VectorExpressions.ensureRegistered(spark)
+    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    require(dim % nSub == 0, s"dim $dim must divide into $nSub subspaces")
+    val subDim = dim / nSub
+    val init = corpus.orderBy("vec_id").limit(k)
+      .select(col("vec_id"), col("embedding")).collect()
+    var cbs: Seq[(Int, Long, Seq[Float])] = for {
+      m <- 0 until nSub
+      r <- init
+    } yield (m, r.getLong(0), r.getSeq[Float](1).slice(m * subDim, (m + 1) * subDim))
+    for (_ <- 1 to iters) {
+      val assigned = encodeProjection(corpus, cbs, nSub, subDim)
+      val means = assigned
+        // posexplode of the m-ordered codes array IS the (m, code) pair
+        .select(col("embedding"), posexplode(col("codes")).as(Seq("m", "code")))
+        .select(col("m"), col("code"),
+          posexplode(slice(col("embedding"),
+            col("m") * subDim + 1, lit(subDim))).as(Seq("dim", "x")))
+        .groupBy(col("m"), col("code"), col("dim"))
+        .agg(sum(col("x").cast("double").cast("decimal(30,20)")).as("sd"),
+          count(lit(1)).as("n"))
+        .select(col("m"), col("code"), col("dim"),
+          round(col("sd").cast("double") / col("n"), 6).cast("float").as("mv"))
+        .collect() // nSub·k·subDim rows: coordinator-sized by construction
+      val byKey = means.groupBy(r => (r.getInt(0), r.getLong(1))).map { case (key, rows) =>
+        key -> rows.sortBy(_.getInt(2)).map(_.getFloat(3)).toSeq
+      }
+      cbs = cbs.map { case (m, cid, v) => (m, cid, byKey.getOrElse((m, cid), v)) }
+    }
+    cbs.toDF("m", "cid", "centv")
+  }
+
+  /** One-row broadcast frame holding every subspace's centroid array:
+    * `cball[m+1]` is subspace m's (cid, centv, centn, centnf) structs —
+    * the [[centArray]] shape, nested one level so all nSub argmins ride
+    * ONE crossJoin. */
+  private def pqCball(spark: org.apache.spark.sql.SparkSession,
+      cbs: Seq[(Int, Long, Seq[Float])]): DataFrame = {
+    import spark.implicits._
+    cbs.toDF("m", "cid", "centv")
+      .select(col("m"), struct(col("cid"), col("centv"),
+        call_function("graft_dot_exact", col("centv"), col("centv")).as("centn"),
+        call_function("graft_dot", col("centv"), col("centv")).as("centnf")).as("c"))
+      .groupBy(col("m")).agg(sort_array(collect_list(
+        struct(col("c.cid").as("cid"), col("c.centv").as("centv"),
+          col("c.centn").as("centn"), col("c.centnf").as("centnf")))).as("cents"))
+      .agg(sort_array(collect_list(struct(col("m"), col("cents")))).as("mcents"))
+      .select(transform(col("mcents"), s => s.getField("cents")).as("cball"))
+  }
+
+  /** Narrow per-row encode: corpus × broadcast(cball) → (vec_id,
+    * embedding, codes) with codes[m] = subspace m's two-phase argmin
+    * cid. Three projections (subvs+norms → top2s → resolves) so every
+    * fold is evaluated once — the [[resolveCell]] contract. */
+  private def encodeProjection(corpus: DataFrame,
+      cbs: Seq[(Int, Long, Seq[Float])], nSub: Int, subDim: Int,
+      passThrough: Seq[String] = Nil): DataFrame = {
+    val spark = corpus.sparkSession
+    val base = Seq(col("vec_id"), col("embedding")) ++ passThrough.map(col)
+    val withSubs = corpus.select(base ++
+      (0 until nSub).map(m =>
+        slice(col("embedding"), m * subDim + 1, subDim).as(s"sv$m")): _*)
+      .crossJoin(broadcast(pqCball(spark, cbs)))
+    val withNorms = withSubs.select(base ++ Seq(col("cball")) ++
+      (0 until nSub).flatMap(m => Seq(col(s"sv$m"),
+        call_function("graft_dot", col(s"sv$m"), col(s"sv$m")).as(s"nf$m"))): _*)
+    val withTop2 = withNorms.select(base ++ Seq(col("cball")) ++
+      (0 until nSub).flatMap(m => Seq(col(s"sv$m"),
+        cheapTop2(col(s"sv$m"), col(s"nf$m"),
+          element_at(col("cball"), m + 1)).as(s"t2$m"))): _*)
+    withTop2.select(base ++ Seq(
+      array((0 until nSub).map(m =>
+        resolveCell(col(s"sv$m"), col(s"t2$m"),
+          element_at(col("cball"), m + 1))): _*).as("codes")): _*)
+  }
+
+  /** (vec_id, cell, codes): coarse IVF cell + PQ codes in one narrow
+    * pass — the complete IVF-PQ index row (what a 100-TB store persists
+    * partitioned by cell: M code ids per vector, no raw embedding). */
+  def pqEncodeWithCells(corpus: DataFrame, codebooks: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    VectorExpressions.ensureRegistered(corpus.sparkSession)
+    val cbs = collectCodebooks(codebooks)
+    val nSub = cbs.map(_._1).max + 1
+    val subDim = cbs.head._3.length
+    // cell rides the encode projections (passThrough) — ONE narrow pass,
+    // no vec_id self-join
+    encodeProjection(assignCells(corpus, centroids), cbs, nSub, subDim,
+        passThrough = Seq("cell"))
+      .select(col("vec_id"), col("cell"), col("codes"))
+  }
+
+  private def collectCodebooks(codebooks: DataFrame): Seq[(Int, Long, Seq[Float])] =
+    codebooks.select(col("m"), col("cid"), col("centv")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2))).sortBy(t => (t._1, t._2))
+
+  /**
+   * IVF-PQ search: queries pick nProbe cells by the exact centroid
+   * ranking (the [[searchCells]] probe rule), candidates arrive as
+   * (vec_id, cell, codes) — CODES ONLY, the store never ships raw
+   * vectors — and each candidate's scored representation is its
+   * code-indexed reconstruction from the broadcast codebooks. Scoring
+   * and ranking are the asymmetric-distance cosine cos(q, recon(x)):
+   * the cheap float dot prefilters through the bounded-heap [[topK]],
+   * survivors get the exact-decimal 9-dp value, ties on cand_id — so
+   * the full train→encode→ADC-rank chain replays in a SQL oracle.
+   */
+  def ivfPqTopK(queries: DataFrame, encoded: DataFrame, codebooks: DataFrame,
+      centroids: DataFrame, nProbe: Int, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    VectorExpressions.ensureRegistered(spark)
+    val cbs = collectCodebooks(codebooks)
+    val nSub = cbs.map(_._1).max + 1
+    val cent = centAliased(centroids)
+    val qSim = querySide(queries,
+        call_function("graft_dot_exact", col("embedding"), col("embedding")).as("qnx"))
+      .crossJoin(broadcast(cent))
+      .select(col("query_id"), col("qv"), col("qn"), col("cid"),
+        (lit(1.0) - centSim(col("qv"), col("qnx"))).as("dist"))
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("cid"))
+    val probes = qSim.withColumn("pr", row_number().over(w)).filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cid").as("qcell"))
+    // reconstruction: per subspace, the codebook vector whose cid is the
+    // stored code — a pure lookup fold over the broadcast array, then one
+    // concat; no join, no shuffle on the candidate side (the indexed
+    // transform lambda supplies m: codes is m-ordered by construction)
+    val reconExpr = flatten(transform(col("codes"),
+      (code, m) => element_at(
+        filter(element_at(col("cball"), m + 1),
+          c => c.getField("cid") === code), 1).getField("centv")))
+    val cands = encoded
+      .join(broadcast(probes), col("qcell") === col("cell") &&
+        col("query_id") =!= col("vec_id"))
+      .crossJoin(broadcast(pqCball(spark, cbs)))
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("vec_id").as("cand_id"), reconExpr.as("cv"))
+      .select(col("query_id"), col("cand_id"), col("qv"), col("cv"), col("qn"),
+        call_function("graft_dot", col("cv"), col("cv")).as("cn"))
+    topK(approxPairs(cands), k)
   }
 }

@@ -1387,6 +1387,104 @@ object Catalog {
         SELECT query_id, cand_id, cosine, rnk FROM r WHERE rnk <= $k"""))
   }
 
+  // --------------------------------------------------------------- l13
+  // IVF-PQ (Ann.pqTrain/pqEncodeWithCells/ivfPqTopK) — the memory tier
+  // below l8/l9's IVF-flat: candidates are scored from per-subspace
+  // CODES plus a broadcast codebook (the store ships M longs per
+  // vector, never raw floats — at 100 TB even nProbe pruned partitions
+  // of raw vectors dwarf executor memory). ADC ranking is the exact
+  // 9-dp cosine of the query against the code-indexed reconstruction;
+  // the oracle replays the COMPLETE chain — per-subspace spherical
+  // k-means training (one decimal-exact Lloyd round from the lowest-id
+  // init), encoding, reconstruction, ADC rank — bit-for-bit, the l9
+  // pattern applied per subspace. Quality (cluster purity + exact-top-k
+  // recall inside the ADC buffer) is asserted in OperatorsSpec.
+  private val l13 = {
+    val nSub = 4
+    val subDim = 16 // dim 64 / 4 subspaces
+    val pqK = 8
+    /** Subspace m's oracle chain: slice → lowest-id init → ONE decimal-
+      * exact Lloyd round (the engine's pqTrain iters=1) → encode. */
+    def pqSubSql(m: Int): String = {
+      val lo = m * subDim + 1
+      val hi = (m + 1) * subDim
+      s"""
+        sub$m AS (SELECT vec_id, list_slice(embedding, $lo, $hi) AS sv FROM embeddings),
+        icb$m AS (SELECT vec_id AS cid, list_slice(embedding, $lo, $hi) AS centv
+          FROM embeddings ORDER BY vec_id LIMIT $pqK),
+        pasg$m AS (
+          SELECT s.vec_id, s.sv, c.cid,
+            ROW_NUMBER() OVER (PARTITION BY s.vec_id
+              ORDER BY 1.0 - ${cosSql("s.sv", "c.centv")}, c.cid) AS rn
+          FROM sub$m s, icb$m c),
+        pmean$m AS (
+          SELECT cid, ds.d,
+            CAST(round(CAST(sum(CAST(CAST(sv[ds.d] AS DOUBLE) AS DECIMAL(30,20))) AS DOUBLE)
+              / COUNT(*), 6) AS FLOAT) AS mv
+          FROM (SELECT vec_id, sv, cid FROM pasg$m WHERE rn = 1) mem,
+            (SELECT unnest(range(1, ${subDim + 1})) AS d) ds
+          GROUP BY cid, ds.d),
+        pnew$m AS (SELECT cid, list(mv ORDER BY d) AS centv FROM pmean$m GROUP BY cid),
+        cb$m AS (SELECT c.cid, coalesce(n.centv, c.centv) AS centv
+          FROM icb$m c LEFT JOIN pnew$m n ON c.cid = n.cid),
+        enc$m AS (
+          SELECT vec_id, cid AS code, centv FROM (
+            SELECT s.vec_id, c.cid, c.centv,
+              ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                ORDER BY 1.0 - ${cosSql("s.sv", "c.centv")}, c.cid) AS rn
+            FROM sub$m s, cb$m c) t WHERE rn = 1)"""
+    }
+    Q(
+      "l13_ann_ivfpq",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cent = graft.operators.Ann.sampleCentroids(e, Ivf.nCent)
+        val cbs = graft.operators.Ann.pqTrain(e, nSub, pqK, iters = 1)
+        val enc = graft.operators.Ann.pqEncodeWithCells(e, cbs, cent)
+        graft.operators.Ann.ivfPqTopK(
+          e.filter(col("vec_id") < Ivf.nQueries), enc, cbs, cent, Ivf.nProbe, Ivf.k)
+          .withColumnRenamed("cosine", "adc_cosine")
+          .select("query_id", "cand_id", "adc_cosine", "rnk")
+      },
+      Some(s"""
+        WITH ${(0 until nSub).map(pqSubSql).mkString(",")},
+        recon AS (
+          SELECT e0.vec_id,
+            flatten([e0.centv, e1.centv, e2.centv, e3.centv]) AS rv
+          FROM enc0 e0
+          JOIN enc1 e1 USING (vec_id)
+          JOIN enc2 e2 USING (vec_id)
+          JOIN enc3 e3 USING (vec_id)),
+        cent AS (
+          SELECT vec_id AS cid, embedding AS centv FROM embeddings
+          ORDER BY vec_id LIMIT ${Ivf.nCent}),
+        asg AS (
+          SELECT e.vec_id, cent.cid,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY 1.0 - ${cosSql("e.embedding", "centv")}, cid) AS rn
+          FROM embeddings e, cent),
+        cells AS (SELECT vec_id AS cand_id, cid AS cell FROM asg WHERE rn = 1),
+        q AS (
+          SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id < ${Ivf.nQueries}),
+        qasg AS (
+          SELECT query_id, qv, cent.cid,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY 1.0 - ${cosSql("qv", "centv")}, cid) AS rn
+          FROM q, cent),
+        probes AS (SELECT query_id, qv, cid AS cell FROM qasg WHERE rn <= ${Ivf.nProbe}),
+        scored AS (
+          SELECT p.query_id, c.cand_id, ${cosSql("p.qv", "r.rv")} AS adc_cosine
+          FROM cells c
+          JOIN recon r ON r.vec_id = c.cand_id
+          JOIN probes p ON c.cell = p.cell AND c.cand_id <> p.query_id),
+        rr AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY adc_cosine DESC, cand_id) AS rnk
+          FROM scored)
+        SELECT query_id, cand_id, adc_cosine, rnk FROM rr WHERE rnk <= ${Ivf.k}"""))
+  }
+
   // --------------------------------------------------------------- l12
   // SemDeDup-style semantic dedup (Dedup.semanticDedup): the TRAINED
   // quantizer (the same bit-deterministic Lloyd loop l9 gates) reused as
@@ -2991,7 +3089,7 @@ object Catalog {
     d1, d2, d3, d4,
     e1, e2, e3, e4, e5, j1, j2, j3,
     r1, r2, r3, r4, q1, q2,
-    l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12,
+    l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
     c1, c2, c3, c4, c5, c6,
     m1, m2, m3, s1, s2, s3, s4, s5, p1, p2, p3, w1, w2, w3, w4, w5, w6, w7)

@@ -821,4 +821,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e4 <= e1 + 1e-9, s"more rounds must not regress ($e4 vs $e1)")
     assert(e4 < 0.5 * e0, s"refined error $e4 should recover the uncovered clusters (init $e0)")
   }
+
+  test("IVF-PQ: codes-only ADC search recalls the exact top-k on clustered data") {
+    val rnd = new scala.util.Random(41)
+    // 4 direction clusters on orthogonal anchor pairs in an 8-dim space
+    // (2 subspaces x 4 dims), jittered; ids interleave clusters so the
+    // lowest-id codebook init sees every cluster
+    val anchorOf = (i: Int) => Seq.tabulate(8)(j =>
+      if (j == 2 * (i % 4) || j == 2 * (i % 4) + 1) 1.0f else 0.0f)
+    val corpus = Seq.tabulate(80) { i =>
+      (i.toLong, anchorOf(i).map(x => x + (rnd.nextFloat() - 0.5f) * 0.2f))
+    }
+    val emb = corpus.toDF("vec_id", "embedding")
+    val cent = Ann.sampleCentroids(emb, 4)
+    val cbs = Ann.pqTrain(emb, nSub = 2, k = 8, iters = 2)
+    val enc = Ann.pqEncodeWithCells(emb, cbs, cent)
+    // encode is deterministic and codes reference real codebook entries
+    val enc2 = Ann.pqEncodeWithCells(emb, cbs, cent)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSet
+    assert(enc.collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSet == enc2)
+    val cbIds = cbs.collect().map(_.getLong(1)).toSet
+    assert(enc2.flatMap(_._3).forall(cbIds))
+    val queries = emb.filter(col("vec_id") < 8)
+    // quantized scores tie WITHIN a code cell (every member shares the
+    // reconstruction — inherent to PQ), so quality is measured the way
+    // PQ is used: (a) retrieved neighbors come from the query's own
+    // cluster, (b) the EXACT top-5 survives inside an ADC top-20
+    // rerank buffer (the refinement read every production IVF-PQ does)
+    val got20 = Ann.ivfPqTopK(queries, enc, cbs, cent, nProbe = 2, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val exact = Ann.bruteForceTopK(queries, emb, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val purity = (0L until 8L).map { q =>
+      got20(q).map(_._2).count(c => c % 4 == q % 4).toDouble / got20(q).size
+    }
+    assert(purity.sum / purity.size >= 0.9,
+      s"retrieved neighbors should share the query's cluster: $purity")
+    val recalls = (0L until 8L).map { q =>
+      exact(q).map(_._2).toSet.intersect(got20(q).map(_._2).toSet).size.toDouble / 5
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean recall@5-in-20 $mean too low (per-query: $recalls)")
+  }
 }
