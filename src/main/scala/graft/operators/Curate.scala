@@ -157,6 +157,48 @@ object Curate {
   }
 
   /**
+   * TOKEN-budget mixture — the budget counterpart of [[mixtureSample]]
+   * (rate per source) and [[quotaSample]] (row count per stratum):
+   * real mixture weights for a training run are TOKEN shares, not row
+   * shares ("30B tokens of web, 5B of code"), and row quotas drift from
+   * token targets whenever document lengths differ across sources.
+   * Rows are taken per source in the deterministic salted-hash order
+   * (the [[assignSplit]]/[[quotaSample]] construction — same rows on
+   * any engine, any day), accumulating `tokensCol`, and a document is
+   * IN budget iff its FIRST token sits below the cutoff (cum − own <
+   * budget — the [[packSequences]] first-token discipline, so the
+   * budget-crossing document is included and every budget is covered,
+   * never undershot). Sources smaller than their budget keep all rows.
+   *
+   * One shuffle on the source; the cumsum is a window over the salted
+   * order — engine-exact integer arithmetic, so an oracle replays the
+   * cut bit-for-bit. OUTPUT SCHEMA: input columns + `n_tokens` +
+   * `cum_tokens` (inclusive running total in selection order). Same
+   * giant-stratum caveat as [[quotaSample]]'s window form; a token
+   * heap pre-filter would need the budget/mean-doc-tokens bound, so
+   * the scale path here is partition-by-source parallelism (sources
+   * are few and the window is one pass).
+   */
+  def tokenBudgetSample(df: DataFrame, keyCol: String, sourceCol: String,
+      tokensCol: Column, salt: String, budgets: Seq[(String, Long)],
+      defaultBudget: Long): DataFrame = {
+    require(defaultBudget >= 0 && budgets.forall(_._2 >= 0), "budgets must be >= 0")
+    require(!df.columns.exists(Set("n_tokens", "cum_tokens")),
+      "tokenBudgetSample adds n_tokens/cum_tokens; input already has them")
+    val frac = hashFraction(concat(col(keyCol).cast("string"), lit("|" + salt)))
+    val budget = budgets.foldRight(lit(defaultBudget): Column) { case ((s0, b), e) =>
+      when(col(sourceCol) === s0, lit(b)).otherwise(e)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(frac.asc, col(keyCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("n_tokens", tokensCol.cast("bigint"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < budget)
+  }
+
+  /**
    * Sequence packing — the concat-then-chunk construction of fixed
    * token-budget training examples: documents are dealt to `nShards`
    * deterministic shards (hash fraction, like [[assignSplit]]: same

@@ -43,4 +43,49 @@ object Marts {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /**
+   * SCD Type-2: full validity-interval history per key — the standard
+   * next capability past [[scd1Dim]]'s latest-wins (the reference mart
+   * is SCD1; any consumer asking "what was the dim value WHEN this fact
+   * happened" needs the Type-2 form, which then joins facts as-of —
+   * Temporal.asofJoin's build side).
+   *
+   * From raw observations (key, tsCol, tiebreak, payload...):
+   *  1. per (key, ts) keep the final observation (highest tiebreak) —
+   *     an in-window `lead(ts) != ts` test, no extra exchange;
+   *  2. CHANGE COMPRESSION: drop observations whose payload equals the
+   *     previous one (SCD2 records transitions, not touches);
+   *  3. [valid_from, valid_to): valid_to = next change's ts, open
+   *     intervals closed with `openEnd` (the 9999-12-31 convention —
+   *     also what keeps the output NULL-free for hash gates), plus an
+   *     is_current flag.
+   *
+   * ONE exchange end-to-end: every window partitions by `key` and
+   * orders by (ts asc, tiebreak asc), so steps 2 and 3 reuse step 1's
+   * shuffle AND sort — the plan has one Exchange + one Sort feeding
+   * three Window operators (asserted in OperatorsSpec). At 100 TB the
+   * history table this produces is written bucketed by key
+   * (graft.sources.Sink.writeBucketed) so fact joins stay co-located.
+   */
+  def scd2Dim(observations: DataFrame, key: String, tsCol: String,
+      tiebreak: String, payload: Seq[String], openEnd: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(tsCol).asc, col(tiebreak).asc)
+    val lastPerTs = observations
+      .withColumn("__nxt_ts", lead(col(tsCol), 1).over(w))
+      .filter(col("__nxt_ts").isNull || col("__nxt_ts") =!= col(tsCol))
+    val changedOnly = payload.foldLeft(lastPerTs) { case (df, c) =>
+        df.withColumn(s"__prev_$c", lag(col(c), 1).over(w))
+      }
+      .withColumn("__is_first", lag(col(tsCol), 1).over(w).isNull)
+      .filter(col("__is_first") ||
+        payload.map(c => !(col(s"__prev_$c") <=> col(c))).reduce(_ || _))
+    val openLit = lit(openEnd).cast(observations.schema(tsCol).dataType)
+    changedOnly
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", coalesce(lead(col(tsCol), 1).over(w), openLit))
+      .withColumn("is_current", lead(col(tsCol), 1).over(w).isNull)
+      .select((Seq(col(key), col("valid_from"), col("valid_to"),
+        col("is_current")) ++ payload.map(col)): _*)
+  }
 }

@@ -381,6 +381,57 @@ object Catalog {
         WHERE o_orderdate > TIMESTAMP '$watermark'"""))
   }
 
+  // ---------------------------------------------------------------- d5
+  // SCD Type-2 (Marts.scd2Dim): the validity-interval history the
+  // reference's SCD1 mart (dim_companies.sql latest-wins) cannot answer
+  // — "what was the dim WHEN the fact happened". Per-date final
+  // observation, change compression (transitions only), [valid_from,
+  // valid_to) closed with the 9999-12-31 convention, is_current flag.
+  // One exchange + one sort feed all three window steps (asserted in
+  // OperatorsSpec); the oracle replays the same three windows.
+  private val d5 = Q(
+    "d5_scd2_dim",
+    (s, d) => {
+      Marts.scd2Dim(
+        Tables.orders(s, d).select(col("o_custkey"), col("o_orderdate"),
+          col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority")),
+        "o_custkey", "o_orderdate", "o_orderkey",
+        Seq("o_orderstatus", "o_orderpriority"), "9999-12-31")
+        .select(
+          col("o_custkey").as("cust_id"),
+          date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd").as("valid_to"),
+          col("is_current"),
+          col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("priority"))
+    },
+    Some("""
+      WITH lastper AS (
+        SELECT * FROM (
+          SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus, o_orderpriority,
+            LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey) AS nxt
+          FROM orders) t
+        WHERE nxt IS NULL OR nxt <> o_orderdate),
+      chg AS (
+        SELECT * FROM (
+          SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus, o_orderpriority,
+            LAG(o_orderstatus) OVER w AS ps,
+            LAG(o_orderpriority) OVER w AS pp,
+            LAG(o_orderdate) OVER w AS pd
+          FROM lastper
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) t
+        WHERE pd IS NULL OR ps IS DISTINCT FROM o_orderstatus
+          OR pp IS DISTINCT FROM o_orderpriority)
+      SELECT o_custkey AS cust_id,
+        strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+        strftime(coalesce(LEAD(o_orderdate) OVER w2, DATE '9999-12-31'),
+          '%Y-%m-%d') AS valid_to,
+        (LEAD(o_orderdate) OVER w2) IS NULL AS is_current,
+        o_orderstatus AS status, o_orderpriority AS priority
+      FROM chg
+      WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""))
+
   // ---------------------------------------------------------------- d4
   private val d4 = Q(
     "d4_scd1_dim",
@@ -1974,6 +2025,39 @@ object Catalog {
         WHERE sample_rank <= CASE source $quotaSql ELSE $defaultQuota END"""))
   }
 
+  // ---------------------------------------------------------------- c7
+  // Token-budget mixture (Curate.tokenBudgetSample): c2 mixes by row
+  // RATE and c6 by row QUOTA, but a real mixture spec is token shares —
+  // t3's whitespace token count composed with c6's deterministic salted
+  // order, cut where the cumulative count crosses the per-source budget
+  // (first-token discipline: the crossing doc is in, budgets are
+  // covered, never undershot). The oracle replays tokenization, order,
+  // cumsum and cut bit-for-bit — integer window arithmetic both sides.
+  private val c7 = {
+    val budgets = Seq("src0" -> 700L, "src1" -> 300L)
+    val defaultBudget = 500L
+    val budgetSql = budgets.map { case (s0, b) => s"WHEN '$s0' THEN $b" }.mkString(" ")
+    Q(
+      "c7_token_budget",
+      (s, d) => graft.operators.Curate.tokenBudgetSample(
+        Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")),
+        "doc_id", "source", T.tokenCountWs(col("text")), "tokbudget0",
+        budgets, defaultBudget).drop("text"),
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, source,
+            CAST(len(string_split(${normSql("text")}, ' ')) AS BIGINT) AS n_tokens,
+            ${hashFracSql("CAST(doc_id AS VARCHAR) || '|tokbudget0'")} AS f
+          FROM documents),
+        c AS (
+          SELECT doc_id, source, n_tokens,
+            CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY f, doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+          FROM t)
+        SELECT doc_id, source, n_tokens, cum_tokens FROM c
+        WHERE cum_tokens - n_tokens < CASE source $budgetSql ELSE $defaultBudget END"""))
+  }
+
   // ---------------------------------------------------------------- c1
   private val c1 = {
     val key = "CAST(doc_id AS VARCHAR) || '|split0'"
@@ -3086,12 +3170,12 @@ object Catalog {
   val all: Seq[Q] = Seq(
     a1, a2, a3, a4, a5, a6,
     n1, n2, n3, n4, n5, n6, n7,
-    d1, d2, d3, d4,
+    d1, d2, d3, d4, d5,
     e1, e2, e3, e4, e5, j1, j2, j3,
     r1, r2, r3, r4, q1, q2,
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
-    c1, c2, c3, c4, c5, c6,
+    c1, c2, c3, c4, c5, c6, c7,
     m1, m2, m3, s1, s2, s3, s4, s5, p1, p2, p3, w1, w2, w3, w4, w5, w6, w7)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

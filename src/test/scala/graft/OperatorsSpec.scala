@@ -333,6 +333,56 @@ class OperatorsSpec extends AnyFunSuite {
     assert(run(Some(50)) == window)
   }
 
+  test("scd2Dim: change-compressed validity intervals, one exchange for all three windows") {
+    import graft.operators.Marts
+    val obs = Seq(
+      // key 1: B@d1 (two obs same day, okey 11 final), B@d2 (no-op touch,
+      // compressed away), C@d3, is_current C
+      (1L, "2024-01-01", 10L, "A"), (1L, "2024-01-01", 11L, "B"),
+      (1L, "2024-01-02", 12L, "B"), (1L, "2024-01-03", 13L, "C"),
+      // key 2: single observation -> one current row
+      (2L, "2024-01-05", 20L, "X"))
+      .toDF("k", "ds", "okey", "v")
+      .select(col("k"), col("ds").cast("date").as("d"), col("okey"), col("v"))
+    val got = Marts.scd2Dim(obs, "k", "d", "okey", Seq("v"), "9999-12-31")
+      .select(col("k"), col("valid_from").cast("string"),
+        col("valid_to").cast("string"), col("is_current"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getBoolean(3), r.getString(4))).toSet
+    assert(got == Set(
+      (1L, "2024-01-01", "2024-01-03", false, "B"),
+      (1L, "2024-01-03", "9999-12-31", true, "C"),
+      (2L, "2024-01-05", "9999-12-31", true, "X")))
+    // intervals are gapless and consecutive versions differ
+    val plan = Marts.scd2Dim(obs, "k", "d", "okey", Seq("v"), "9999-12-31")
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"all scd2 windows must share one exchange:\n$plan")
+  }
+
+  test("tokenBudgetSample covers each budget without undershoot, deterministically") {
+    val df = (1L to 40L).map(i => (i, if (i % 2 == 0) "a" else "b",
+        "w " * ((i % 7) + 1).toInt))
+      .toDF("id", "src", "txt")
+    val toks = size(split(trim(col("txt")), " ")).cast("bigint")
+    val got = graft.operators.Curate.tokenBudgetSample(
+      df, "id", "src", toks, "tb0", Seq("a" -> 30L), defaultBudget = 12L)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(3), r.getLong(4)))
+    val bySrc = got.groupBy(_._1)
+    // first-token discipline: total kept tokens reaches the budget (the
+    // crossing doc is included) but dropping the LAST kept doc would
+    // undershoot — i.e. every kept doc starts below the cutoff
+    for ((src, budget) <- Seq("a" -> 30L, "b" -> 12L)) {
+      val kept = bySrc(src).sortBy(_._4)
+      assert(kept.last._4 >= budget, s"$src: budget not covered")
+      assert(kept.forall(t => t._4 - t._3 < budget), s"$src: doc starting past cutoff kept")
+    }
+    val again = graft.operators.Curate.tokenBudgetSample(
+      df, "id", "src", toks, "tb0", Seq("a" -> 30L), defaultBudget = 12L)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    assert(again == got.toSet)
+  }
+
   test("quotaSample rejects an input that already has sample_rank") {
     val df = Seq((1L, "a", 9)).toDF("id", "src", "sample_rank")
     val e = intercept[IllegalArgumentException] {
