@@ -115,15 +115,33 @@ object Dedup {
     * set (a BOOLEAN column riding on `sig`), the tag becomes part of the
     * join condition — `a.tag =!= b.tag` — so SAME-TAG pairs are rejected
     * inside the join and never materialize as output rows; the output
-    * then also carries (tag1, tag2). The bucket population (and so the
-    * skew cap) is always counted over ALL of `sig`, tags included —
-    * that is what keeps a tagged run's candidate set the exact cross
-    * subset of the untagged run's. */
+    * then also carries (tag1, tag2).
+    *
+    * The skew cap is PER SIDE on tagged runs: each tag's bucket
+    * population is a windowed conditional sum over the SAME (b, bh)
+    * exchange the join uses, and a bucket is dropped only when one
+    * side's own population exceeds `maxBucket`. Cross-pair work per
+    * bucket is n_inc·n_ref ≤ maxBucket² — the same quadratic bound as
+    * the union cap — but a pathologically self-duplicated batch can no
+    * longer push a MIXED bucket over the cap and evict its true cross
+    * pairs: eviction now requires one SIDE to be oversized by itself.
+    * Untagged runs keep the union-population cap (the l1/l3 oracle
+    * contract, unchanged). */
   private def candidatesFromSig(sig: DataFrame, k: Int, bands: Int,
       maxBucket: Int, tagCol: Option[String] = None): DataFrame = {
     val tags = tagCol.toSeq
-    val capped = bandBuckets(sig, k, bands, tags)
-      .filter(col("n_bucket") <= maxBucket)
+    val capFilter = tagCol match {
+      case Some(t) =>
+        val wB = Window.partitionBy("b", "bh")
+        val nInc = sum(when(col(t), 1L).otherwise(0L)).over(wB)
+        (df: DataFrame) => df
+          .withColumn("__n_inc", nInc)
+          .filter(col("__n_inc") <= maxBucket &&
+            col("n_bucket") - col("__n_inc") <= maxBucket)
+      case None =>
+        (df: DataFrame) => df.filter(col("n_bucket") <= maxBucket)
+    }
+    val capped = capFilter(bandBuckets(sig, k, bands, tags))
       .select("id", tags ++ Seq("b", "bh"): _*)
     val baseCond = col("a.b") === col("b.b") && col("a.bh") === col("b.bh") &&
       col("a.id") < col("b.id")
@@ -262,13 +280,15 @@ object Dedup {
    * tag also rides through verification, so the surviving incoming ids
    * fall straight out of the verified pairs: one anti-join, zero
    * membership-tag joins, and nothing assumes the incoming id set is
-   * broadcastable. The skew cap still counts the UNION's bucket
-   * population (tags carried, not grouped away) — which is what keeps
-   * the oracle replay exact, and means a pathologically self-duplicated
-   * batch can push a bucket past the cap and take real cross pairs down
-   * with it; that blind spot is observable via [[droppedLshBuckets]]
-   * over the union (run d1/l1 on the batch first, which mixing
-   * pipelines do anyway).
+   * broadcastable. The skew cap is PER SIDE (each corpus' bucket
+   * population counted separately on the same exchange, a bucket
+   * dropped only when ONE side exceeds `maxBucket` by itself) — a
+   * pathologically self-duplicated batch can no longer evict a mixed
+   * bucket's true cross pairs, while per-bucket work stays bounded at
+   * maxBucket². Remaining (intended) behavior: a side that IS
+   * oversized alone still vanishes — observable via
+   * [[droppedLshBuckets]] over that side (run d1/l1 on the batch
+   * first, which mixing pipelines do anyway).
    *
    * Returns the SURVIVING `incoming` rows, schema unchanged.
    *

@@ -856,7 +856,8 @@ object Catalog {
    * slices → band keys → skew-capped self-join → distinct (id1, id2).
    * Ends with the `cand` CTE (plus `sh` available for verification joins).
    */
-  private def lshCandSql(shingleN: Int, k: Int, bands: Int, maxBucket: Int): String = {
+  private def lshCandSql(shingleN: Int, k: Int, bands: Int, maxBucket: Int,
+      sideTagSql: Option[String] = None): String = {
     val rowsPerBand = k / bands
     val nHashes = (k + 3) / 4
     val shingleExpr = (1 to shingleN).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
@@ -877,14 +878,30 @@ object Catalog {
       bands AS (
         SELECT id, b, md5($bandConcat) AS bh
         FROM sig, (SELECT unnest(range(0, $bands)) AS b) bs),
-      capped AS (
-        SELECT id, b, bh FROM (
-          SELECT id, b, bh, COUNT(*) OVER (PARTITION BY b, bh) AS n_bucket FROM bands) z
-        WHERE n_bucket <= $maxBucket),
+      capped AS (${cappedSql(maxBucket, sideTagSql)}),
       cand AS (
         SELECT DISTINCT a.id AS id1, b.id AS id2
         FROM capped a JOIN capped b ON a.b = b.b AND a.bh = b.bh AND a.id < b.id)"""
   }
+
+  /** The skew-cap CTE body of [[lshCandSql]]: union-population cap by
+    * default; with `sideTagSql` (a boolean SQL predicate over `id`
+    * marking the incoming side) the PER-SIDE cap crossDedup uses —
+    * each side's windowed count compared to the cap separately. */
+  private def cappedSql(maxBucket: Int, sideTagSql: Option[String]): String =
+    sideTagSql match {
+      case Some(tag) => s"""
+        SELECT id, b, bh FROM (
+          SELECT id, b, bh,
+            SUM(CASE WHEN $tag THEN 1 ELSE 0 END) OVER (PARTITION BY b, bh) AS n_inc,
+            SUM(CASE WHEN $tag THEN 0 ELSE 1 END) OVER (PARTITION BY b, bh) AS n_ref
+          FROM bands) z
+        WHERE n_inc <= $maxBucket AND n_ref <= $maxBucket"""
+      case None => s"""
+        SELECT id, b, bh FROM (
+          SELECT id, b, bh, COUNT(*) OVER (PARTITION BY b, bh) AS n_bucket FROM bands) z
+        WHERE n_bucket <= $maxBucket"""
+    }
 
   // ---------------------------------------------------------------- l1
   // k=16 / 4 bands of 4 rows: P(candidate | jaccard 0.3) ≈ 0.03 vs 0.31
@@ -1620,7 +1637,8 @@ object Catalog {
         SELECT doc_id + 1000000 AS id, ${normSql("text")} || ' extraword' AS t FROM documents
         UNION ALL
         SELECT doc_id AS id, ${normSql("text")} AS t FROM documents WHERE doc_id % 10 = 0),
-      ${lshCandSql(shingleN = 3, k = 16, bands = 4, maxBucket = 1000)},
+      ${lshCandSql(shingleN = 3, k = 16, bands = 4, maxBucket = 1000,
+        sideTagSql = Some("id >= 1000000"))},
       crossc AS (
         SELECT id1, id2 FROM cand WHERE (id1 >= 1000000) <> (id2 >= 1000000)),
       j AS (

@@ -55,6 +55,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("disjoint") && e.getMessage.contains("1"))
   }
 
+  test("crossDedup per-side cap: a self-duplicated batch cannot evict its true cross pairs") {
+    val doc = "the quick brown fox jumps over the lazy dog again and again"
+    val store = Seq((1L, doc)).toDF("id", "t")
+    // 9 identical contaminated copies: every one shares the store doc's
+    // band buckets, so the UNION population is 10 — a union cap of 9
+    // would drop the bucket and let all 9 contaminated docs through.
+    // Per-side: n_inc = 9 <= 9 and n_ref = 1 <= 9, the pairs generate,
+    // and every contaminated copy drops.
+    val incoming = (100L to 108L).map(i => (i, doc + " today")).toDF("id", "t")
+    val got = Dedup.crossDedup(incoming, store, "id", "t",
+      shingleN = 3, k = 8, bands = 4, threshold = 0.8, maxBucket = 9)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got.isEmpty, s"contaminated batch must fully drop, kept: $got")
+    // an incoming side oversized BY ITSELF still vanishes (the bound
+    // that keeps per-bucket work at maxBucket^2)
+    val kept = Dedup.crossDedup(incoming, store, "id", "t",
+      shingleN = 3, k = 8, bands = 4, threshold = 0.8, maxBucket = 8)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == (100L to 108L).toSet)
+  }
+
   test("crossCandidates: within-side pairs never materialize; cross set matches the union run") {
     val doc1 = "the quick brown fox jumps over the lazy dog again and again"
     val doc2 = "completely different words about spark query engines at scale"
