@@ -2627,6 +2627,41 @@ object Catalog {
         FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, value FROM events) s) t
       WHERE rn = 1"""))
 
+  // ---------------------------------------------------------------- s6
+  // Streaming ANN ingest (VectorStream.ivfAppendBatch) — w6's append
+  // lifecycle driven from a stream: the base store is built batch-side
+  // (even vec_ids), then the odd half ARRIVES as three trigger batches,
+  // each folded in by the SAME foreachBatch body the real stream runs
+  // (frozen quantizer assign + append under cell= dirs — never a
+  // retrain, never an index rewrite). After the last trigger the store
+  // must still plan dynamic partition pruning and match l8's oracle —
+  // i.e. N streamed appends == one-shot batch build, bit-for-bit.
+  // StreamingSpec drives the same body through a real MemoryStream and
+  // asserts search parity after EVERY trigger, not just the last.
+  private val s6 = Q(
+    "s6_stream_ann_ingest",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cent = graft.operators.Ann.sampleCentroids(e, Ivf.nCent)
+      val path = s"$scratchRoot/${new java.io.File(d).getName}/ivf_cells_streamed"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      graft.sources.Sink.writePartitioned(
+        graft.operators.Ann.assignCells(e.filter(col("vec_id") % 2 === 0), cent),
+        path, Seq("cell"))
+      val body = graft.streaming.VectorStream.ivfAppendBatch(cent, path) _
+      (0 until 3).foreach { b =>
+        body(e.filter(col("vec_id") % 6 === (2 * b + 1))
+          .select(col("vec_id"), col("embedding")), b.toLong)
+      }
+      val assigned = s.read.schema(Ivf.storeSchema).parquet(path)
+      Ivf.requireDpp(graft.operators.Ann.ivfTopKAssigned(
+        e.filter(col("vec_id") < Ivf.nQueries), assigned, cent, Ivf.nProbe, Ivf.k)
+        .select("query_id", "cand_id", "cosine", "rnk"),
+        "streamed IVF store")
+    },
+    Some(Ivf.oracleSql))
+
   private val p1 = Q("p1_job_etl", (s, d) => P1.mart(s, d), Some(P1.oracleSql))
 
   // ---------------------------------------------------------------- p3
@@ -3194,7 +3229,7 @@ object Catalog {
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
     c1, c2, c3, c4, c5, c6, c7,
-    m1, m2, m3, s1, s2, s3, s4, s5, p1, p2, p3, w1, w2, w3, w4, w5, w6, w7)
+    m1, m2, m3, s1, s2, s3, s4, s5, s6, p1, p2, p3, w1, w2, w3, w4, w5, w6, w7)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -262,4 +262,44 @@ class StreamingSpec extends AnyFunSuite {
         (3L, "view", 5.0)))
     } finally query.stop()
   }
+
+  test("streaming IVF ingest: store matches the batch build after every trigger") {
+    import graft.operators.Ann
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(53)
+    val anchorOf = (i: Int) => Seq.tabulate(6)(j =>
+      if (j == 2 * (i % 3) || j == 2 * (i % 3) + 1) 1.0f else 0.0f)
+    val all = Seq.tabulate(48) { i =>
+      (i.toLong, anchorOf(i).map(x => x + (rnd.nextFloat() - 0.5f) * 0.2f))
+    }
+    val emb = all.toDF("vec_id", "embedding")
+    val cent = Ann.sampleCentroids(emb, 3)
+    val dir = java.nio.file.Files.createTempDirectory("s6spec").toString
+    val path = s"$dir/store"
+    // batch-built base: the first half of the corpus
+    val (baseRows, streamRows) = all.partition(_._1 < 24)
+    graft.sources.Sink.writePartitioned(
+      Ann.assignCells(baseRows.toDF("vec_id", "embedding"), cent), path, Seq("cell"))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val query = graft.streaming.VectorStream.appendStream(
+      input.toDF().toDF("vec_id", "embedding"), cent, path, s"$dir/ckpt")
+    val queries = baseRows.take(4).toDF("vec_id", "embedding")
+    val schema = "vec_id BIGINT, embedding ARRAY<FLOAT>, cell BIGINT"
+    try {
+      var ingested = baseRows
+      for (trigger <- streamRows.grouped(8)) {
+        input.addData(trigger.map(t => (t._1, t._2)))
+        query.processAllAvailable()
+        ingested = ingested ++ trigger
+        // search over the streamed store == the same search over a
+        // one-shot batch corpus of everything ingested so far
+        val store = spark.read.schema(schema).parquet(path)
+        val got = Ann.ivfTopKAssigned(queries, store, cent, 2, 3)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+        val expect = Ann.ivfTopK(queries, ingested.toDF("vec_id", "embedding"), cent, 2, 3)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+        assert(got == expect, s"post-trigger store search diverged (${trigger.map(_._1)})")
+      }
+    } finally query.stop()
+  }
 }
