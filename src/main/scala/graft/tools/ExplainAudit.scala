@@ -28,9 +28,14 @@ object ExplainAudit {
     // l12 is l8's BUILD (Ann.assignCells: corpus x broadcast one-row
     // centroid array) reused for curation — same justified shape; w6/w7
     // run that same build inline (append/compaction lifecycle) before
-    // the w4-style partitioned search.
+    // the w4-style partitioned search. l13 composes the same build with
+    // the PQ encode (corpus x broadcast one-row codebook array — the
+    // same n*C fold per subspace) and the probe ranking; s6 is w6's
+    // append driven through the streaming body (same inline assignCells)
+    // ahead of the w4-style search.
     val crossJoinOk = Set("l5_ann_bruteforce", "l8_ann_ivf", "l9_ann_ivf_trained",
-      "w4_ann_partitioned", "l12_semantic_dedup", "w6_ann_append", "w7_compaction")
+      "w4_ann_partitioned", "l12_semantic_dedup", "w6_ann_append", "w7_compaction",
+      "l13_ann_ivfpq", "s6_stream_ann_ingest")
     graft.queries.Catalog.all.foreach { q =>
       try {
         // NOTE: with AQE on this is the INITIAL plan — exchange-reuse and
