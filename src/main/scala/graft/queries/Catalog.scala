@@ -1340,33 +1340,40 @@ object Catalog {
       val cent = graft.operators.Ann.sampleCentroids(e, Ivf.nCent)
       val ds = new java.io.File(d).getName
       val appended = s"$scratchRoot/$ds/ivf_cells_preCompact"
-      Ivf.buildAppendedStore(s, e, cent, appended, appendBatches = 3)
+      Ivf.buildAppendedStore(s, e, cent, appended, appendBatches = 2)
       val appendedDf = s.read.schema(Ivf.storeSchema).parquet(appended)
-      // file-size budget expressed in rows: ~12 target files across the
-      // store, so the average cell (total/nCent) needs >1 group — the
-      // hot path is exercised at every SF, while the cold tail still
-      // collapses to single files
-      val targetRows = math.max(1L, appendedDf.count() / 12L)
+      // ONE scan of the appended store yields both gate inputs: the
+      // pre-compaction file count and the total rows the file-size
+      // budget derives from (~12 target files across the store, so the
+      // average cell (total/nCent) needs >1 group — the hot path is
+      // exercised at every SF while the cold tail still collapses)
+      val preStats = appendedDf.select(input_file_name().as("f"))
+        .agg(count(lit(1)).as("rows"), count_distinct(col("f")).as("files")).head()
+      val targetRows = math.max(1L, preStats.getLong(0) / 12L)
+      val preFiles = preStats.getLong(1)
       val compactedPath = s"$scratchRoot/$ds/ivf_cells_compacted"
       val budgets = graft.sources.Sink.compactPartitioned(
         appendedDf, compactedPath, "cell", "vec_id", targetRows)
       val compacted = s.read.schema(Ivf.storeSchema).parquet(compactedPath)
-      val fileCounts = compacted
+      // one scan of the compacted store feeds every post-side gate:
+      // per-cell budget compliance, multi-file-path coverage, and the
+      // total file count (Σ per-cell files — cells never share files)
+      val post = compacted
         .select(col("cell"), input_file_name().as("f")).distinct()
         .groupBy("cell").agg(count(lit(1)).as("n_files"))
-      val joined = fileCounts.join(broadcast(budgets), Seq("cell")).cache()
-      val overBudget = joined.filter(col("n_files") > col("_max_files")).count()
-      if (overBudget > 0)
+        .join(broadcast(budgets), Seq("cell"))
+        .agg(sum(when(col("n_files") > col("_max_files"), 1L).otherwise(0L)).as("over"),
+          sum(when(col("n_files") > 1, 1L).otherwise(0L)).as("multi"),
+          sum(col("n_files")).as("files")).head()
+      if (post.getLong(0) > 0)
         throw new IllegalStateException(
-          s"compaction must respect each cell's file budget; $overBudget cells over")
-      if (joined.filter(col("n_files") > 1).count() == 0)
+          s"compaction must respect each cell's file budget; ${post.getLong(0)} cells over")
+      if (post.getLong(1) == 0)
         throw new IllegalStateException(
           "fixture must exercise the multi-file-per-cell path (no cell has >1 file)")
-      val preFiles = appendedDf.select(input_file_name()).distinct().count()
-      val postFiles = compacted.select(input_file_name()).distinct().count()
-      if (postFiles >= preFiles)
+      if (post.getLong(2) >= preFiles)
         throw new IllegalStateException(
-          s"compaction must shrink the file count: $preFiles -> $postFiles")
+          s"compaction must shrink the file count: $preFiles -> ${post.getLong(2)}")
       Ivf.requireDpp(graft.operators.Ann.ivfTopKAssigned(
         e.filter(col("vec_id") < Ivf.nQueries), compacted, cent, Ivf.nProbe, Ivf.k)
         .select("query_id", "cand_id", "cosine", "rnk"),
@@ -1467,10 +1474,17 @@ object Catalog {
   // init), encoding, reconstruction, ADC rank — bit-for-bit, the l9
   // pattern applied per subspace. Quality (cluster purity + exact-top-k
   // recall inside the ADC buffer) is asserted in OperatorsSpec.
-  private val l13 = {
+  /** Shared IVF-PQ parameters + oracle (l13 AND w8 — w8 runs the same
+    * semantics through the codes-only partitioned-store read path, so
+    * one oracle gates both; the l8/w4 pattern). */
+  private object Pq {
     val nSub = 4
     val subDim = 16 // dim 64 / 4 subspaces
     val pqK = 8
+    /** explicit read-back schema of the codes-only store: M code ids
+      * per vector, no raw embedding — the artifact a 100-TB PQ index
+      * actually persists. */
+    val storeSchema = "vec_id BIGINT, cell BIGINT, codes ARRAY<BIGINT>"
     /** Subspace m's oracle chain: slice → lowest-id init → ONE decimal-
       * exact Lloyd round (the engine's pqTrain iters=1) → encode. */
     def pqSubSql(m: Int): String = {
@@ -1502,19 +1516,7 @@ object Catalog {
                 ORDER BY 1.0 - ${cosSql("s.sv", "c.centv")}, c.cid) AS rn
             FROM sub$m s, cb$m c) t WHERE rn = 1)"""
     }
-    Q(
-      "l13_ann_ivfpq",
-      (s, d) => {
-        val e = Tables.embeddings(s, d)
-        val cent = graft.operators.Ann.sampleCentroids(e, Ivf.nCent)
-        val cbs = graft.operators.Ann.pqTrain(e, nSub, pqK, iters = 1)
-        val enc = graft.operators.Ann.pqEncodeWithCells(e, cbs, cent)
-        graft.operators.Ann.ivfPqTopK(
-          e.filter(col("vec_id") < Ivf.nQueries), enc, cbs, cent, Ivf.nProbe, Ivf.k)
-          .withColumnRenamed("cosine", "adc_cosine")
-          .select("query_id", "cand_id", "adc_cosine", "rnk")
-      },
-      Some(s"""
+    val oracleSql: String = s"""
         WITH ${(0 until nSub).map(pqSubSql).mkString(",")},
         recon AS (
           SELECT e0.vec_id,
@@ -1550,8 +1552,50 @@ object Catalog {
           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
             ORDER BY adc_cosine DESC, cand_id) AS rnk
           FROM scored)
-        SELECT query_id, cand_id, adc_cosine, rnk FROM rr WHERE rnk <= ${Ivf.k}"""))
+        SELECT query_id, cand_id, adc_cosine, rnk FROM rr WHERE rnk <= ${Ivf.k}"""
   }
+
+  private val l13 = Q(
+    "l13_ann_ivfpq",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cent = graft.operators.Ann.sampleCentroids(e, Ivf.nCent)
+      val cbs = graft.operators.Ann.pqTrain(e, Pq.nSub, Pq.pqK, iters = 1)
+      val enc = graft.operators.Ann.pqEncodeWithCells(e, cbs, cent)
+      graft.operators.Ann.ivfPqTopK(
+        e.filter(col("vec_id") < Ivf.nQueries), enc, cbs, cent, Ivf.nProbe, Ivf.k)
+        .withColumnRenamed("cosine", "adc_cosine")
+        .select("query_id", "cand_id", "adc_cosine", "rnk")
+    },
+    Some(Pq.oracleSql))
+
+  // ---------------------------------------------------------------- w8
+  // The PQ store ON DISK — what a 100-TB IVF-PQ index actually persists:
+  // (vec_id, cell, codes) written partitioned by cell, raw embeddings
+  // nowhere in the artifact (M longs per vector, 16:1 vs 64 floats
+  // before codebook-width tuning). Search reads it back with an
+  // explicit schema and must still plan dynamic partition pruning (the
+  // w4 discipline: "search 100 TB" = "read nProbe partitions of CODE
+  // rows"), reconstructing candidates from the broadcast codebooks;
+  // gated by l13's oracle — the store roundtrip changes bytes touched,
+  // never answers.
+  private val w8 = Q(
+    "w8_ann_pq_store",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cent = graft.operators.Ann.sampleCentroids(e, Ivf.nCent)
+      val cbs = graft.operators.Ann.pqTrain(e, Pq.nSub, Pq.pqK, iters = 1)
+      val path = s"$scratchRoot/${new java.io.File(d).getName}/ivfpq_cells"
+      graft.sources.Sink.writePartitioned(
+        graft.operators.Ann.pqEncodeWithCells(e, cbs, cent), path, Seq("cell"))
+      val store = s.read.schema(Pq.storeSchema).parquet(path)
+      Ivf.requireDpp(graft.operators.Ann.ivfPqTopK(
+        e.filter(col("vec_id") < Ivf.nQueries), store, cbs, cent, Ivf.nProbe, Ivf.k)
+        .withColumnRenamed("cosine", "adc_cosine")
+        .select("query_id", "cand_id", "adc_cosine", "rnk"),
+        "PQ codes store")
+    },
+    Some(Pq.oracleSql))
 
   // --------------------------------------------------------------- l12
   // SemDeDup-style semantic dedup (Dedup.semanticDedup): the TRAINED
@@ -3229,7 +3273,7 @@ object Catalog {
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
     c1, c2, c3, c4, c5, c6, c7,
-    m1, m2, m3, s1, s2, s3, s4, s5, s6, p1, p2, p3, w1, w2, w3, w4, w5, w6, w7)
+    m1, m2, m3, s1, s2, s3, s4, s5, s6, p1, p2, p3, w1, w2, w3, w4, w5, w6, w7, w8)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
