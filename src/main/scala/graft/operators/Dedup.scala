@@ -89,7 +89,7 @@ object Dedup {
     * b, bh, n_bucket). Shared by the capped candidate join and the
     * dropped-bucket audit so the two always agree on the population. */
   private def bandBuckets(sig: DataFrame, k: Int, bands: Int,
-      extra: Seq[String]): DataFrame = {
+      extra: Seq[String], tagCol: Option[String] = None): DataFrame = {
     val rowsPerBand = k / bands
     val bandKeys = (0 until bands).map(b =>
       md5(concat_ws("#",
@@ -104,10 +104,18 @@ object Dedup {
     // and the O(sum bucket^2) pair generation sitting ABOVE the exchange
     // would run single-threaded (measured: a 1.5-2 s one-task stage at
     // sf0.1; explicit counts are exempt from coalescing).
+    // With a tag, the per-side population rides the SAME projection —
+    // two window expressions in one select collapse to ONE Window pass
+    // (a later withColumn would plan a second WindowExec: the Project
+    // between the two Window nodes defeats CollapseWindow — measured
+    // +35% on l10).
+    val wB = Window.partitionBy("b", "bh")
+    val counts = count(lit(1)).over(wB).as("n_bucket") +: tagCol.toSeq.map(t =>
+      sum(when(col(t), 1L).otherwise(0L)).over(wB).as("__n_inc"))
     bandsDf
       .repartition(graft.config.Knobs.amplifiedShufflePartitions(sig.sparkSession),
         col("b"), col("bh"))
-      .withColumn("n_bucket", count(lit(1)).over(Window.partitionBy("b", "bh")))
+      .select(col("*") +: counts: _*)
   }
 
   /** Skew-capped self-join of per-doc band keys → distinct (id1, id2)
@@ -130,18 +138,12 @@ object Dedup {
   private def candidatesFromSig(sig: DataFrame, k: Int, bands: Int,
       maxBucket: Int, tagCol: Option[String] = None): DataFrame = {
     val tags = tagCol.toSeq
-    val capFilter = tagCol match {
-      case Some(t) =>
-        val wB = Window.partitionBy("b", "bh")
-        val nInc = sum(when(col(t), 1L).otherwise(0L)).over(wB)
-        (df: DataFrame) => df
-          .withColumn("__n_inc", nInc)
-          .filter(col("__n_inc") <= maxBucket &&
-            col("n_bucket") - col("__n_inc") <= maxBucket)
-      case None =>
-        (df: DataFrame) => df.filter(col("n_bucket") <= maxBucket)
+    val cap = tagCol match {
+      case Some(_) => col("__n_inc") <= maxBucket &&
+        col("n_bucket") - col("__n_inc") <= maxBucket
+      case None => col("n_bucket") <= maxBucket
     }
-    val capped = capFilter(bandBuckets(sig, k, bands, tags))
+    val capped = bandBuckets(sig, k, bands, tags, tagCol).filter(cap)
       .select("id", tags ++ Seq("b", "bh"): _*)
     val baseCond = col("a.b") === col("b.b") && col("a.bh") === col("b.bh") &&
       col("a.id") < col("b.id")
