@@ -32,7 +32,11 @@ object ScaleProbe {
     // curation pipeline (exact dedup must collapse the salted copies)
     "l6_ann_lsh", "l10_cross_dedup", "l11_span_dedup",
     "l12_semantic_dedup", "t9_decontaminate",
-    "l7_dedup_components", "c3_curation_pipeline")
+    "l7_dedup_components", "c3_curation_pipeline",
+    // round-9 additions: the PQ tier (train/encode scale with the ×8
+    // corpus; the codes store and its compaction inherit ×8 files/rows
+    // per cell — exactly the small-file pressure w7 exists to absorb)
+    "l13_ann_ivfpq", "w8_ann_pq_store", "w7_compaction")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

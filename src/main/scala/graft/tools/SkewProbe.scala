@@ -26,7 +26,8 @@ import graft.sources.Tables
 object SkewProbe {
   private val DefaultProbes = Seq("j3_salted_join", "a6_sessionize",
     "d2_upsert_merge", "c4_event_sequence", "j1_asof_join",
-    "j2_range_join", "s2_stream_upsert", "w7_compaction")
+    "j2_range_join", "s2_stream_upsert", "w7_compaction",
+    "c6_quota_sample", "c7_token_budget")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -66,6 +67,18 @@ object SkewProbe {
         when(efrac < pct / 100.0 && col("vec_id") =!= 0, typedlit(hotVec))
           .otherwise(col("embedding")))
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // giant-STRATUM variant for the sampling family: 90% of documents
+    // remapped onto ONE source. c6's window path funnels each stratum
+    // to one task (the documented spill-budget scope — quotaSample's
+    // heapThreshold is the scale path, spec-proven selection-identical);
+    // c7's per-source cumsum has the same shape. The probe makes the
+    // funnel measurable instead of prose.
+    val docs = Tables.documents(spark, sfDir)
+    val dfrac = graft.operators.Curate.hashFraction(
+      concat(col("doc_id").cast("string"), lit("|stratskew")))
+    docs.withColumn("source",
+        when(dfrac < 0.9, lit("src0")).otherwise(col("source")))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     println(f"| query | $sfDir | hot-key ($pct%% on one user) | ratio |")
     println("|---|---|---|---|")
