@@ -628,4 +628,33 @@ object Ann {
         call_function("graft_dot", col("cv"), col("cv")).as("cn"))
     topK(approxPairs(cands), k)
   }
+
+  /**
+   * IVF-PQ with EXACT REFINEMENT (the "+R" every production IVFADC
+   * deployment runs): quantized scores tie within a code cell — ADC
+   * alone cannot order true near-neighbors sharing a reconstruction —
+   * so the ADC ranking keeps a `kAdc` buffer per query and only those
+   * candidates get their RAW vectors read back and reranked by the
+   * exact 9-dp cosine. The refinement read is queries·kAdc point
+   * lookups — at 100 TB, a broadcast semi-join against the
+   * cell-partitioned raw store (carry the cell through for DPP);
+   * memory stays code-sized everywhere else. Deterministic end to end
+   * (ADC buffer by 9-dp adc ties cand_id, rerank by 9-dp exact ties
+   * cand_id), so the full chain replays in SQL.
+   */
+  def ivfPqTopKRefined(queries: DataFrame, encoded: DataFrame,
+      corpusRaw: DataFrame, codebooks: DataFrame, centroids: DataFrame,
+      nProbe: Int, kAdc: Int, k: Int): DataFrame = {
+    require(kAdc >= k, s"refinement buffer kAdc=$kAdc must be >= k=$k")
+    val buffer = ivfPqTopK(queries, encoded, codebooks, centroids, nProbe, kAdc)
+      .select(col("query_id"), col("cand_id"))
+    val raw = corpusRaw.select(col("vec_id"), col("embedding"))
+    val qRaw = querySide(queries)
+    val pairs = raw.join(broadcast(buffer), col("vec_id") === col("cand_id"))
+      .join(broadcast(qRaw), Seq("query_id"))
+      .select(col("query_id"), col("cand_id"), col("qv"),
+        col("embedding").as("cv"), col("qn"),
+        call_function("graft_dot", col("embedding"), col("embedding")).as("cn"))
+    topK(approxPairs(pairs), k)
+  }
 }

@@ -1516,7 +1516,10 @@ object Catalog {
                 ORDER BY 1.0 - ${cosSql("s.sv", "c.centv")}, c.cid) AS rn
             FROM sub$m s, cb$m c) t WHERE rn = 1)"""
     }
-    val oracleSql: String = s"""
+    /** The shared train→encode→reconstruct→ADC-rank CTE chain; callers
+      * append their final SELECT (l13/w8: top-k cut; l14: exact rerank
+      * of the ADC buffer). */
+    val adcChain: String = s"""
         WITH ${(0 until nSub).map(pqSubSql).mkString(",")},
         recon AS (
           SELECT e0.vec_id,
@@ -1551,9 +1554,44 @@ object Catalog {
         rr AS (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
             ORDER BY adc_cosine DESC, cand_id) AS rnk
-          FROM scored)
-        SELECT query_id, cand_id, adc_cosine, rnk FROM rr WHERE rnk <= ${Ivf.k}"""
+          FROM scored)"""
+    val oracleSql: String = adcChain +
+      s"\n        SELECT query_id, cand_id, adc_cosine, rnk FROM rr WHERE rnk <= ${Ivf.k}"
   }
+
+  // --------------------------------------------------------------- l14
+  // IVF-PQ with exact refinement (Ann.ivfPqTopKRefined — the "+R" of
+  // production IVFADC): ADC scores tie within a code cell (every member
+  // shares the reconstruction), so the search keeps a kAdc=20 buffer by
+  // ADC rank and reranks ONLY those by the exact 9-dp cosine of the raw
+  // vectors — queries·kAdc point reads, memory code-sized everywhere
+  // else. Both stages are deterministic (ties on cand_id at both
+  // ranks), so the oracle replays ADC-buffer → exact-rerank exactly.
+  private val l14 = Q(
+    "l14_ann_ivfpq_refined",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cent = graft.operators.Ann.sampleCentroids(e, Ivf.nCent)
+      val cbs = graft.operators.Ann.pqTrain(e, Pq.nSub, Pq.pqK, iters = 1)
+      val enc = graft.operators.Ann.pqEncodeWithCells(e, cbs, cent)
+      graft.operators.Ann.ivfPqTopKRefined(
+        e.filter(col("vec_id") < Ivf.nQueries), enc, e, cbs, cent,
+        Ivf.nProbe, kAdc = 20, Ivf.k)
+        .select("query_id", "cand_id", "cosine", "rnk")
+    },
+    Some(Pq.adcChain + s""",
+        adcbuf AS (SELECT query_id, cand_id FROM rr WHERE rnk <= 20),
+        refined AS (
+          SELECT b.query_id, b.cand_id,
+            ${cosSql("q.embedding", "e.embedding")} AS cosine
+          FROM adcbuf b
+          JOIN embeddings q ON q.vec_id = b.query_id
+          JOIN embeddings e ON e.vec_id = b.cand_id),
+        fr AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, cand_id) AS rnk
+          FROM refined)
+        SELECT query_id, cand_id, cosine, rnk FROM fr WHERE rnk <= ${Ivf.k}"""))
 
   private val l13 = Q(
     "l13_ann_ivfpq",
@@ -3270,7 +3308,7 @@ object Catalog {
     d1, d2, d3, d4, d5,
     e1, e2, e3, e4, e5, j1, j2, j3,
     r1, r2, r3, r4, q1, q2,
-    l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13,
+    l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
     c1, c2, c3, c4, c5, c6, c7,
     m1, m2, m3, s1, s2, s3, s4, s5, s6, p1, p2, p3, w1, w2, w3, w4, w5, w6, w7, w8)

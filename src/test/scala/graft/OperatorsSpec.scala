@@ -933,5 +933,17 @@ class OperatorsSpec extends AnyFunSuite {
     }
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.8, s"mean recall@5-in-20 $mean too low (per-query: $recalls)")
+    // the +R refinement tier: exact rerank of the ADC top-20 buffer.
+    // Wherever the buffer covers the in-probe exact top-5 (what the
+    // recall assertion above measures), refined == IVF-flat search over
+    // the same cells — the production equivalence that justifies
+    // shipping codes instead of raw vectors
+    val refined = Ann.ivfPqTopKRefined(queries, enc, emb, cbs, cent,
+      nProbe = 2, kAdc = 20, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val flat = Ann.ivfTopK(queries, emb, cent, nProbe = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val agree = (0L until 8L).count(q => refined(q).map(_._2).toSet == flat(q).map(_._2).toSet)
+    assert(agree >= 6, s"refined should recover the flat top-5 on most queries: $agree/8")
   }
 }
