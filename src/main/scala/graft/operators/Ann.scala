@@ -54,6 +54,11 @@ object Ann {
     * ≤ partitions·|queries|·(k+8) survivors. Ordering is (cosine desc,
     * cand_id asc) on the 9-dp-rounded exact cosine. */
   private def topK(pairs: DataFrame, k: Int): DataFrame = {
+    // positional reads below (getLong(0)/getDouble(4)) make a wrong
+    // input projection a silent mis-rank, not an error — pin the
+    // contract: topK consumes approxPairs output, nothing else
+    require(pairs.columns.toSeq == Seq("query_id", "cand_id", "qv", "cv", "approx"),
+      s"topK expects approxPairs output, got: ${pairs.columns.mkString(", ")}")
     val buffered = k + 8
     val local = pairs.mapPartitions { rows =>
       // "better" = (approx desc, cand_id asc); the MAX under this ordering
@@ -427,17 +432,25 @@ object Ann {
     * two-phase [[topK]]. */
   private def searchCells(queries: DataFrame, cCell: DataFrame, cent: DataFrame,
       nProbe: Int, k: Int): DataFrame = {
+    val probes = probeCells(queries, cent, nProbe)
+    val joined = cCell.join(broadcast(probes),
+      col("qcell") === col("cell") && col("query_id") =!= col("cand_id"))
+    topK(approxPairs(joined), k)
+  }
+
+  /** The probe choice shared by every IVF search variant: each query
+    * ranks the broadcast centroids by the exact 9-dp cosine (the rule
+    * the oracle replays) and keeps its nProbe nearest cells → (query_id,
+    * qv, qn, qcell). */
+  private def probeCells(queries: DataFrame, cent: DataFrame, nProbe: Int): DataFrame = {
     val qSim = querySide(queries,
         call_function("graft_dot_exact", col("embedding"), col("embedding")).as("qnx"))
       .crossJoin(broadcast(cent))
       .select(col("query_id"), col("qv"), col("qn"), col("cid"),
         (lit(1.0) - centSim(col("qv"), col("qnx"))).as("dist"))
     val w = Window.partitionBy("query_id").orderBy(col("dist"), col("cid"))
-    val probes = qSim.withColumn("pr", row_number().over(w)).filter(col("pr") <= nProbe)
+    qSim.withColumn("pr", row_number().over(w)).filter(col("pr") <= nProbe)
       .select(col("query_id"), col("qv"), col("qn"), col("cid").as("qcell"))
-    val joined = cCell.join(broadcast(probes),
-      col("qcell") === col("cell") && col("query_id") =!= col("cand_id"))
-    topK(approxPairs(joined), k)
   }
 
   // ===================================================== product quantization
@@ -597,28 +610,28 @@ object Ann {
    */
   def ivfPqTopK(queries: DataFrame, encoded: DataFrame, codebooks: DataFrame,
       centroids: DataFrame, nProbe: Int, k: Int): DataFrame = {
-    val spark = queries.sparkSession
-    VectorExpressions.ensureRegistered(spark)
+    VectorExpressions.ensureRegistered(queries.sparkSession)
+    val probes = probeCells(queries, centAliased(centroids), nProbe)
+    topK(approxPairs(adcPairs(probes, encoded, codebooks)), k)
+  }
+
+  /** The ADC candidate stage shared by [[ivfPqTopK]] and the refined
+    * store search: probed-cell join against the codes table, candidates
+    * scored as (qv · reconstruction) pairs ready for [[topK]].
+    * Reconstruction is, per subspace, the codebook vector whose cid is
+    * the stored code — a pure lookup fold over the broadcast array,
+    * then one concat; no join, no shuffle on the candidate side (the
+    * indexed transform lambda supplies m: codes is m-ordered by
+    * construction). */
+  private def adcPairs(probes: DataFrame, encoded: DataFrame,
+      codebooks: DataFrame): DataFrame = {
+    val spark = encoded.sparkSession
     val cbs = collectCodebooks(codebooks)
-    val nSub = cbs.map(_._1).max + 1
-    val cent = centAliased(centroids)
-    val qSim = querySide(queries,
-        call_function("graft_dot_exact", col("embedding"), col("embedding")).as("qnx"))
-      .crossJoin(broadcast(cent))
-      .select(col("query_id"), col("qv"), col("qn"), col("cid"),
-        (lit(1.0) - centSim(col("qv"), col("qnx"))).as("dist"))
-    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("cid"))
-    val probes = qSim.withColumn("pr", row_number().over(w)).filter(col("pr") <= nProbe)
-      .select(col("query_id"), col("qv"), col("qn"), col("cid").as("qcell"))
-    // reconstruction: per subspace, the codebook vector whose cid is the
-    // stored code — a pure lookup fold over the broadcast array, then one
-    // concat; no join, no shuffle on the candidate side (the indexed
-    // transform lambda supplies m: codes is m-ordered by construction)
     val reconExpr = flatten(transform(col("codes"),
       (code, m) => element_at(
         filter(element_at(col("cball"), m + 1),
           c => c.getField("cid") === code), 1).getField("centv")))
-    val cands = encoded
+    encoded
       .join(broadcast(probes), col("qcell") === col("cell") &&
         col("query_id") =!= col("vec_id"))
       .crossJoin(broadcast(pqCball(spark, cbs)))
@@ -626,7 +639,6 @@ object Ann {
         col("vec_id").as("cand_id"), reconExpr.as("cv"))
       .select(col("query_id"), col("cand_id"), col("qv"), col("cv"), col("qn"),
         call_function("graft_dot", col("cv"), col("cv")).as("cn"))
-    topK(approxPairs(cands), k)
   }
 
   /**
@@ -652,6 +664,37 @@ object Ann {
     val qRaw = querySide(queries)
     val pairs = raw.join(broadcast(buffer), col("vec_id") === col("cand_id"))
       .join(broadcast(qRaw), Seq("query_id"))
+      .select(col("query_id"), col("cand_id"), col("qv"),
+        col("embedding").as("cv"), col("qn"),
+        call_function("graft_dot", col("embedding"), col("embedding")).as("cn"))
+    topK(approxPairs(pairs), k)
+  }
+
+  /**
+   * The refined search over BOTH persisted stores — the complete
+   * production read path: the ADC stage joins the codes store through
+   * the probed cells (partition-prunable), and the refinement read of
+   * the RAW store is pruned the same way — every buffer candidate lives
+   * in a probed cell by construction, so a cell semi-join prunes the
+   * raw scan to nProbe partitions BEFORE the broadcast point-lookup of
+   * the buffer ids. Neither store is ever scanned whole; the raw store
+   * contributes queries·kAdc rows read out of nProbe partitions. Both
+   * stores must be hive-partitioned by `cell` (the w4/w8 layouts); the
+   * w9 gate requires dynamic partition pruning on BOTH scans.
+   */
+  def ivfPqTopKRefinedStores(queries: DataFrame, codesStore: DataFrame,
+      rawStore: DataFrame, codebooks: DataFrame, centroids: DataFrame,
+      nProbe: Int, kAdc: Int, k: Int): DataFrame = {
+    require(kAdc >= k, s"refinement buffer kAdc=$kAdc must be >= k=$k")
+    VectorExpressions.ensureRegistered(queries.sparkSession)
+    val probes = probeCells(queries, centAliased(centroids), nProbe)
+    val buffer = topK(approxPairs(adcPairs(probes, codesStore, codebooks)), kAdc)
+      .select(col("query_id"), col("cand_id"))
+    val rawPruned = rawStore
+      .join(broadcast(probes.select(col("qcell").as("cell")).distinct()),
+        Seq("cell"), "left_semi")
+    val pairs = rawPruned.join(broadcast(buffer), col("vec_id") === col("cand_id"))
+      .join(broadcast(querySide(queries)), Seq("query_id"))
       .select(col("query_id"), col("cand_id"), col("qv"),
         col("embedding").as("cv"), col("qn"),
         call_function("graft_dot", col("embedding"), col("embedding")).as("cn"))

@@ -1593,6 +1593,45 @@ object Catalog {
           FROM refined)
         SELECT query_id, cand_id, cosine, rnk FROM fr WHERE rnk <= ${Ivf.k}"""))
 
+  // ---------------------------------------------------------------- w9
+  // The refined search over BOTH persisted stores — IVF-PQ's complete
+  // production read path on disk: ADC stage over the codes store (w8's
+  // layout), refinement over the RAW store (w4's layout), and NEITHER
+  // scanned whole — the codes scan prunes through the probe join, and
+  // the raw scan prunes through a probed-cell semi-join before the
+  // broadcast point-lookup of the kAdc buffer ids (every buffer
+  // candidate lives in a probed cell by construction). The gate
+  // requires dynamic partition pruning on BOTH scans — one
+  // "dynamicpruning" marker is not enough — and l14's oracle pins the
+  // answer: two pruned stores, same result as the in-memory chain.
+  private val w9 = Q(
+    "w9_ann_refined_store",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cent = graft.operators.Ann.sampleCentroids(e, Ivf.nCent)
+      val cbs = graft.operators.Ann.pqTrain(e, Pq.nSub, Pq.pqK, iters = 1)
+      val ds = new java.io.File(d).getName
+      val codesPath = s"$scratchRoot/$ds/ivfpq_cells_w9"
+      val rawPath = s"$scratchRoot/$ds/ivf_raw_cells_w9"
+      val encoded = graft.operators.Ann.pqEncodeWithCells(e, cbs, cent)
+      graft.sources.Sink.writePartitioned(encoded, codesPath, Seq("cell"))
+      graft.sources.Sink.writePartitioned(
+        graft.operators.Ann.assignCells(e, cent), rawPath, Seq("cell"))
+      val codesStore = s.read.schema(Pq.storeSchema).parquet(codesPath)
+      val rawStore = s.read.schema(Ivf.storeSchema).parquet(rawPath)
+      val result = graft.operators.Ann.ivfPqTopKRefinedStores(
+        e.filter(col("vec_id") < Ivf.nQueries), codesStore, rawStore, cbs, cent,
+        Ivf.nProbe, kAdc = 20, Ivf.k)
+        .select("query_id", "cand_id", "cosine", "rnk")
+      val planStr = result.queryExecution.executedPlan.toString
+      val nDpp = "dynamicpruning".r.findAllIn(planStr.toLowerCase).size
+      if (nDpp < 2)
+        throw new IllegalStateException(
+          s"refined store search must prune BOTH store scans (found $nDpp):\n$planStr")
+      result
+    },
+    l14.oracle)
+
   private val l13 = Q(
     "l13_ann_ivfpq",
     (s, d) => {
@@ -3311,7 +3350,7 @@ object Catalog {
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
     c1, c2, c3, c4, c5, c6, c7,
-    m1, m2, m3, s1, s2, s3, s4, s5, s6, p1, p2, p3, w1, w2, w3, w4, w5, w6, w7, w8)
+    m1, m2, m3, s1, s2, s3, s4, s5, s6, p1, p2, p3, w1, w2, w3, w4, w5, w6, w7, w8, w9)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -36,7 +36,7 @@ object ExplainAudit {
     val crossJoinOk = Set("l5_ann_bruteforce", "l8_ann_ivf", "l9_ann_ivf_trained",
       "w4_ann_partitioned", "l12_semantic_dedup", "w6_ann_append", "w7_compaction",
       "l13_ann_ivfpq", "s6_stream_ann_ingest", "w8_ann_pq_store",
-      "l14_ann_ivfpq_refined")
+      "l14_ann_ivfpq_refined", "w9_ann_refined_store")
     graft.queries.Catalog.all.foreach { q =>
       try {
         // NOTE: with AQE on this is the INITIAL plan — exchange-reuse and
