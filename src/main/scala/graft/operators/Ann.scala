@@ -355,6 +355,49 @@ object Ann {
   }
 
   /**
+   * L-INDEPENDENT-TABLES LSH top-k — the recall mechanism [[lshTopK]]'s
+   * doc points to beyond probe radius 2: rather than probing a
+   * combinatorial neighborhood of one key, hash each vector into
+   * `tables` independent sign-bucket tables (table t keys on dimensions
+   * [t·bits+1, (t+1)·bits] — disjoint axis sets, so a vector straddling
+   * a hyperplane of one table is cleanly bucketed by another) and union
+   * the per-table bucket joins. Probe cost grows linearly in L, never
+   * combinatorially.
+   *
+   * Candidate pairs are generated EXACTLY ONCE — in the FIRST table
+   * where the pair shares a bucket (`!exists` over the earlier tables'
+   * keys, both sides' key arrays riding the join) — so no
+   * dedup/distinct shuffle of (qv, cv)-carrying rows ever happens; the
+   * pair set is identical to DISTINCT over all tables, which is what
+   * the oracle replays. Corpus side stays one row per (vector, table):
+   * at 100 TB each table's bucket key is a write-time partition column
+   * (L copies of the store, or one store partitioned by (t, bucket)).
+   */
+  def lshTopKMultiTable(queries: DataFrame, corpus: DataFrame, bits: Int,
+      tables: Int, k: Int): DataFrame = {
+    require(bits >= 1 && tables >= 1, "bits and tables must be positive")
+    VectorExpressions.ensureRegistered(corpus.sparkSession)
+    def keyT(t: Int): Column = concat_ws("",
+      (t * bits + 1 to (t + 1) * bits).map(i =>
+        when(element_at(col("embedding"), i) >= 0.0f, lit("1")).otherwise(lit("0"))): _*)
+    val keysArr = array((0 until tables).map(keyT): _*)
+    val q = querySide(queries, keysArr.as("qks"))
+      .select(col("query_id"), col("qv"), col("qn"), col("qks"),
+        posexplode(col("qks")).as(Seq("qt", "qb")))
+    val c = corpusSide(corpus, keysArr.as("cks"))
+      .select(col("cand_id"), col("cv"), col("cn"), col("cks"),
+        posexplode(col("cks")).as(Seq("ct", "cb")))
+    val firstMatch = !exists(
+      zip_with(slice(col("cks"), lit(1), col("ct")),
+        slice(col("qks"), lit(1), col("ct")), (x, y) => x === y), b => b)
+    val joined = c.join(broadcast(q),
+      col("qt") === col("ct") && col("qb") === col("cb") &&
+        col("query_id") =!= col("cand_id") && firstMatch)
+      .select("query_id", "cand_id", "qv", "cv", "qn", "cn")
+    topK(approxPairs(joined), k)
+  }
+
+  /**
    * IVF (inverted-file) top-k — the classic scale path for ANN (see
    * PAPERS.md similarity-search entry; mandated addition beyond the
    * reference, which has no vector search):

@@ -1093,6 +1093,47 @@ object Catalog {
         SELECT query_id, cand_id, cosine, rnk FROM r WHERE rnk <= 3"""))
   }
 
+  // --------------------------------------------------------------- l15
+  // L-independent-tables LSH (Ann.lshTopKMultiTable) — the recall
+  // mechanism l6's doc promises beyond probe radius 2, now code: each
+  // vector hashes into 4 tables keyed on DISJOINT 8-dim sign blocks; a
+  // neighbor straddling one table's hyperplane is cleanly bucketed by
+  // another, and probe cost grows linearly in L, never combinatorially.
+  // Candidate pairs materialize exactly once (first matching table — a
+  // declarative !exists over earlier tables' keys in the join condition,
+  // no distinct shuffle); the oracle replays the pair set as the union
+  // over tables with an EXISTS over the same key blocks.
+  private val l15 = {
+    val bits = 8
+    val tables = 4
+    val nQ = 50
+    val k = 3
+    def signsSql(v: String) = (1 to bits * tables)
+      .map(i => s"(CASE WHEN $v[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+    val anyTableSql = (0 until tables)
+      .map(t => s"substring(qs, ${t * bits + 1}, $bits) = substring(cs, ${t * bits + 1}, $bits)")
+      .mkString(" OR ")
+    Q(
+      "l15_ann_lsh_multitable",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        graft.operators.Ann.lshTopKMultiTable(
+          e.filter(col("vec_id") < nQ), e, bits = bits, tables = tables, k = k)
+          .select("query_id", "cand_id", "cosine", "rnk")
+      },
+      Some(s"""
+        WITH sg AS (SELECT vec_id, embedding, ${signsSql("embedding")} AS cs FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS qv, cs AS qs FROM sg WHERE vec_id < $nQ),
+        scored AS (
+          SELECT query_id, sg.vec_id AS cand_id,
+            ${cosSql("qv", "sg.embedding")} AS cosine
+          FROM sg JOIN q ON ($anyTableSql) AND sg.vec_id <> query_id),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+          FROM scored)
+        SELECT query_id, cand_id, cosine, rnk FROM r WHERE rnk <= $k"""))
+  }
+
   // ---------------------------------------------------------------- l7
   // Component resolution over near-dup pairs — the step that turns pair
   // lists into dedup decisions (component_id = canonical survivor).
@@ -3347,7 +3388,7 @@ object Catalog {
     d1, d2, d3, d4, d5,
     e1, e2, e3, e4, e5, j1, j2, j3,
     r1, r2, r3, r4, q1, q2,
-    l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14,
+    l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
     c1, c2, c3, c4, c5, c6, c7,
     m1, m2, m3, s1, s2, s3, s4, s5, s6, p1, p2, p3, w1, w2, w3, w4, w5, w6, w7, w8, w9)

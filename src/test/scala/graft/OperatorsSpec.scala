@@ -893,6 +893,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e4 < 0.5 * e0, s"refined error $e4 should recover the uncovered clusters (init $e0)")
   }
 
+  test("lshTopKMultiTable: another table recovers a neighbor straddling table 0's hyperplane") {
+    // neighbor of query 0 with dim 1 sign FLIPPED (staddles table 0's
+    // first hyperplane -> different table-0 bucket) but table-1 dims
+    // (9-16) identical; filler vectors differ everywhere
+    val base = Seq.tabulate(16)(i => 0.3f)
+    val q = (0L, base)
+    val straddler = (1L, base.updated(0, -0.01f))
+    val fillers = (2L to 9L).map(i => (i, base.map(x => if (i % 2 == 0) -x else x * 0.1f)))
+    val emb = (Seq(q, straddler) ++ fillers).toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") === 0L)
+    val single = Ann.lshTopK(queries, emb, bits = 8, k = 8, probeRadius = 0)
+      .collect().map(_.getLong(1)).toSet
+    assert(!single.contains(1L), "fixture must actually straddle table 0")
+    val multi = Ann.lshTopKMultiTable(queries, emb, bits = 8, tables = 2, k = 8)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(multi.map(_._1).contains(1L), s"table 1 must recover the straddler: $multi")
+    // first-match discipline: no candidate appears twice in a query's list
+    assert(multi.map(_._1).distinct.length == multi.length)
+  }
+
   test("IVF-PQ: codes-only ADC search recalls the exact top-k on clustered data") {
     val rnd = new scala.util.Random(41)
     // 4 direction clusters on orthogonal anchor pairs in an 8-dim space
