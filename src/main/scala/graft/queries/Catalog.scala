@@ -1531,14 +1531,21 @@ object Catalog {
       * production attribution (and p2's precedent): a deployment trains
       * its quantizer ONCE and every encode/search run reuses it; four
       * catalog entries (l13/l14/w8/w9) sharing one training keeps the
-      * bench measuring search, not four retrainings. pqTrain's work
-      * happens eagerly (the Lloyd collect loop), so the memoized frame
-      * is a driver-local relation — nothing recomputes per action. */
-    private val cbMemo =
-      scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-    def codebooks(s: SparkSession, d: String): DataFrame =
-      cbMemo.getOrElseUpdate(new java.io.File(d).getCanonicalPath,
-        graft.operators.Ann.pqTrain(Tables.embeddings(s, d), nSub, pqK, iters = 1))
+      * bench measuring search, not four retrainings. The memo stores
+      * RAW DRIVER ROWS, never a DataFrame: a frame is bound to the
+      * session that built it, and a second session in the same JVM
+      * (the bench's alt config) collecting a first-session relation
+      * dies with an INTERNAL_ERROR — rebuilding the tiny local
+      * relation per call is free and session-safe. */
+    private val cbMemo = scala.collection.concurrent.TrieMap
+      .empty[String, Seq[(Int, Long, Seq[Float])]]
+    def codebooks(s: SparkSession, d: String): DataFrame = {
+      val rows = cbMemo.getOrElseUpdate(new java.io.File(d).getCanonicalPath,
+        graft.operators.Ann.pqTrain(Tables.embeddings(s, d), nSub, pqK, iters = 1)
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2))).toSeq)
+      import s.implicits._
+      rows.toDF("m", "cid", "centv")
+    }
     /** Subspace m's oracle chain: slice → lowest-id init → ONE decimal-
       * exact Lloyd round (the engine's pqTrain iters=1) → encode. */
     def pqSubSql(m: Int): String = {
