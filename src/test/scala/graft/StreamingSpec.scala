@@ -300,6 +300,18 @@ class StreamingSpec extends AnyFunSuite {
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
         assert(got == expect, s"post-trigger store search diverged (${trigger.map(_._1)})")
       }
+      // lifecycle closure: the small files the triggers accumulated are
+      // exactly what w7's size-budgeted compaction exists for — compact
+      // the STREAMED store and the search must not move
+      val before = Ann.ivfTopKAssigned(queries,
+          spark.read.schema(schema).parquet(path), cent, 2, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      graft.sources.Sink.compactPartitioned(
+        spark.read.schema(schema).parquet(path), s"$dir/compacted", "cell", "vec_id", 1000L)
+      val after = Ann.ivfTopKAssigned(queries,
+          spark.read.schema(schema).parquet(s"$dir/compacted"), cent, 2, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(after == before, "compaction must change file counts, never answers")
     } finally query.stop()
   }
 }
