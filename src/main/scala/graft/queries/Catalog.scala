@@ -2211,9 +2211,15 @@ object Catalog {
     val quotaSql = quotas.map { case (s0, q) => s"WHEN '$s0' THEN $q" }.mkString(" ")
     Q(
       "c6_quota_sample",
+      // the HEAP (giant-stratum scale) path runs under the gate: the
+      // per-partition bounded-heap prefilter is provably
+      // selection-identical to the pure window form (QuotaHeapSpec),
+      // and gating the scale path keeps the oracle on the code a
+      // billion-row stratum would actually execute
       (s, d) => graft.operators.Curate.quotaSample(
         Tables.documents(s, d).select(col("doc_id"), col("source")),
-        "doc_id", "source", "quota0", quotas, defaultQuota),
+        "doc_id", "source", "quota0", quotas, defaultQuota,
+        heapThreshold = Some(1000)),
       Some(s"""
         WITH r AS (
           SELECT doc_id, source,
