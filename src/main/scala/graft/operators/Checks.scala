@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -81,5 +81,63 @@ object Checks {
           col("n_violations"))
     }
     (rowLevel ++ uniques ++ rels).reduce(_.unionAll(_))
+  }
+
+  /**
+   * Distribution drift between two halves of one table — the monitoring
+   * step a daily pipeline runs BEFORE publishing (is today's data shaped
+   * like yesterday's?), the natural next check after [[violations]]'
+   * schema tests: constraints catch broken rows, drift catches a broken
+   * upstream whose rows are individually valid.
+   *
+   * `valueCol` is histogrammed into fixed-width bins
+   * (`floor(value / binWidth)`); rows matching `isB` form window B, the
+   * rest window A. Per `groupCol` value the output reports both window
+   * populations and the TOTAL VARIATION DISTANCE between the two binned
+   * distributions — `0.5 * Σ_bins |cA/nA − cB/nB|`, 0 for identical
+   * shapes, 1 for disjoint support — plus the single most-drifted bin
+   * (ties to the lower bin id). A group empty on either side is maximal
+   * drift by definition (tvd = 1.0).
+   *
+   * Cross-engine determinism (SURVEY.md §6): the per-bin deviation is
+   * kept in EXACT integer form `|cA·nB − cB·nA|` (counts and their
+   * products are exact BIGINTs; Σ over bins ≤ 2·nA·nB stays far below
+   * 2^53) and only the final normalization performs float math — one
+   * multiply chain and one division on exactly-representable operands,
+   * IEEE-identical in any engine.
+   *
+   * Scale shape: one scan with map-side partial counts into
+   * (group, bin) cells — the shuffle carries groups·bins rows, not the
+   * table; the per-group totals/argmax windows and the final reduce all
+   * run on that contracted relation, and the final groupBy reuses the
+   * windows' hash(group) partitioning (exactly two exchanges end to end,
+   * both post-contraction).
+   */
+  def distributionDrift(df: DataFrame, groupCol: String, valueCol: String,
+      isB: Column, binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val byGroup = Window.partitionBy(col(groupCol))
+    val binned = df
+      .withColumn("_bin", floor(col(valueCol) / binWidth).cast("long"))
+      .withColumn("_b", isB)
+      .groupBy(col(groupCol), col("_bin"))
+      .agg(count(when(!col("_b"), lit(1))).as("_ca"),
+        count(when(col("_b"), lit(1))).as("_cb"))
+    val dev = binned
+      .withColumn("_na", sum(col("_ca")).over(byGroup))
+      .withColumn("_nb", sum(col("_cb")).over(byGroup))
+      .withColumn("_dev", abs(col("_ca") * col("_nb") - col("_cb") * col("_na")))
+      .withColumn("_rn", row_number().over(
+        byGroup.orderBy(col("_dev").desc, col("_bin"))))
+    dev.groupBy(col(groupCol))
+      .agg(max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"),
+        sum(col("_dev")).as("_sumdev"),
+        min(when(col("_rn") === 1, col("_bin"))).as("top_bin"))
+      .select(col(groupCol), col("n_a"), col("n_b"),
+        when(col("n_a") === 0 || col("n_b") === 0, lit(1.0))
+          .otherwise(col("_sumdev").cast("double") /
+            (lit(2.0) * col("n_a") * col("n_b"))).as("tvd"),
+        col("top_bin"))
   }
 }

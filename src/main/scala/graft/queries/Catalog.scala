@@ -3217,6 +3217,48 @@ object Catalog {
       Some(profiled.map { case (c, num) => side(c, num) }.mkString("\nUNION ALL\n")))
   }
 
+  // ---------------------------------------------------------------- q3
+  // Distribution drift (Checks.distributionDrift): per event_type, the
+  // total-variation distance between the first and second half-month of
+  // events' value histograms (bin width 50) — the publish-gate check
+  // that catches a broken upstream whose rows pass every schema test.
+  // The per-bin deviation stays in exact integer form |cA·nB − cB·nA|
+  // through the Σ; only the final normalization divides — one IEEE op
+  // on exact operands, replayed verbatim by the oracle. The shuffle
+  // carries (type, bin) cells, never the table.
+  private val q3 = {
+    val split = "2024-01-16"
+    val binW = "50.0"
+    Q(
+      "q3_drift",
+      (s, d) => graft.operators.Checks.distributionDrift(
+        Tables.events(s, d), "event_type", "value",
+        col("ts") >= lit(split).cast("timestamp"), binW.toDouble),
+      Some(s"""
+        WITH binned AS (
+          SELECT event_type, CAST(floor(value / $binW) AS BIGINT) AS bin,
+            COUNT(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '$split'
+                       THEN NULL ELSE 1 END) AS ca,
+            COUNT(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '$split'
+                       THEN 1 ELSE NULL END) AS cb
+          FROM events GROUP BY 1, 2),
+        tot AS (
+          SELECT event_type, bin, ca, cb,
+            CAST(SUM(ca) OVER (PARTITION BY event_type) AS BIGINT) AS na,
+            CAST(SUM(cb) OVER (PARTITION BY event_type) AS BIGINT) AS nb
+          FROM binned),
+        dev AS (
+          SELECT *, abs(ca * nb - cb * na) AS d,
+            ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY abs(ca * nb - cb * na) DESC, bin) AS rn
+          FROM tot)
+        SELECT event_type, MAX(na) AS n_a, MAX(nb) AS n_b,
+          CASE WHEN MAX(na) = 0 OR MAX(nb) = 0 THEN 1.0
+               ELSE CAST(SUM(d) AS DOUBLE) / (2.0 * MAX(na) * MAX(nb)) END AS tvd,
+          MIN(CASE WHEN rn = 1 THEN bin END) AS top_bin
+        FROM dev GROUP BY event_type"""))
+  }
+
   // ---------------------------------------------------------------- c4
   // Per-user ordered event sequences capped at 50 — the autoregressive
   // training-corpus shape (Curate.sequences: the engine's one holistic
@@ -3407,17 +3449,157 @@ object Catalog {
         FROM src GROUP BY 1, 2"""))
   }
 
+  // ---------------------------------------------------------------- w10
+  // The DELETE story (right-to-erasure purge — the lifecycle step GDPR
+  // forces on every retained store): the customer store is published
+  // partitioned by a bucket DERIVED from the key (bucket =
+  // floor(md5Frac(key|shard)·8) — derivability is the design contract:
+  // a delete request carrying only the key names its partition without
+  // touching the store), a tombstone log selects ~3% of keys
+  // (deterministic md5 fraction; bucket 0 excluded, modeling a day whose
+  // requests miss a shard), and Sink.purgeTombstones publishes the
+  // purged snapshot: survivors of AFFECTED partitions rewritten via a
+  // partition-pruned scan (THROWS if the filter misses PartitionFilters)
+  // + broadcast anti-join, every unaffected partition carried forward by
+  // RENAME — metadata only, bytes unmoved. The entry then THROWS unless
+  // (a) the new snapshot holds zero tombstoned keys, (b) bucket 0's
+  // file basenames are IDENTICAL pre/post (the carry-forward really was
+  // a rename, not a rewrite), and (c) at least one affected partition
+  // was rewritten. The oracle recomputes survivors from the source
+  // table — the purge changes files touched, never the answer.
+  private val w10 = {
+    val nB = 8
+    val delFrac = 0.03
+    val storeSchema =
+      "c_custkey BIGINT, c_acctbal DOUBLE, c_mktsegment STRING, bucket BIGINT"
+    val bucketSql =
+      s"CAST(floor(${hashFracSql("CAST(c_custkey AS VARCHAR) || '|shard'")} * $nB) AS BIGINT)"
+    val delSql = hashFracSql("CAST(c_custkey AS VARCHAR) || '|del'")
+    Q(
+      "w10_delete_log",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{broadcast, input_file_name}
+        val bucket = floor(graft.operators.Curate.hashFraction(
+          concat(col("c_custkey").cast("string"), lit("|shard"))) * nB).cast("long")
+        val keyed = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"),
+            bucket.as("bucket"))
+        val ds = new java.io.File(d).getName
+        val storePath = s"$scratchRoot/$ds/cust_store"
+        val purgedPath = s"$scratchRoot/$ds/cust_store_purged"
+        // fresh store per pass: both paths deleted first — idempotency
+        // must not hinge on session overwrite modes (the w6 lesson), and
+        // purge MOVES dirs out of the store, so a stale purged snapshot
+        // would double-count on append
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          s.sparkContext.hadoopConfiguration)
+        Seq(storePath, purgedPath).foreach(p =>
+          fs.delete(new org.apache.hadoop.fs.Path(p), true))
+        graft.sources.Sink.writePartitioned(keyed, storePath, Seq("bucket"))
+        val store = s.read.schema(storeSchema).parquet(storePath)
+        // pre-purge file census (bucket → basenames), captured while the
+        // old snapshot is complete; small: partitions × files-per-dir
+        def census(df: DataFrame): Map[Long, Set[String]] = df
+          .select(col("bucket"), input_file_name().as("f")).distinct()
+          .collect()
+          .groupBy(_.getLong(0))
+          .map { case (b, rows) => b ->
+            rows.map(r => r.getString(1).substring(r.getString(1).lastIndexOf('/') + 1)).toSet }
+        val pre = census(store)
+        val tombstones = keyed
+          .filter(graft.operators.Curate.hashFraction(
+            concat(col("c_custkey").cast("string"), lit("|del"))) < delFrac &&
+            col("bucket") =!= 0)
+          .select("c_custkey", "bucket")
+        graft.sources.Sink.purgeTombstones(
+          s, store, storePath, purgedPath, "bucket", "c_custkey", tombstones)
+        val purged = s.read.schema(storeSchema).parquet(purgedPath)
+        val remaining = purged.join(broadcast(tombstones.select("c_custkey")),
+          Seq("c_custkey"), "left_semi").count()
+        if (remaining != 0) throw new IllegalStateException(
+          s"purged store still holds $remaining tombstoned keys")
+        val post = census(purged)
+        val affected = tombstones.select("bucket").distinct()
+          .collect().map(_.getLong(0)).toSet
+        val carried = pre.keySet -- affected
+        if (!carried.forall(b => pre(b) == post.getOrElse(b, Set.empty)))
+          throw new IllegalStateException(
+            "carry-forward must preserve unaffected partitions' files byte-untouched")
+        if (!affected.exists(b => post.getOrElse(b, Set.empty) != pre(b)))
+          throw new IllegalStateException(
+            "purge must rewrite at least one affected partition")
+        purged.select("c_custkey", "bucket", "c_mktsegment", "c_acctbal")
+      },
+      Some(s"""
+        SELECT c_custkey, $bucketSql AS bucket, c_mktsegment, c_acctbal
+        FROM customer
+        WHERE NOT ($delSql < $delFrac AND $bucketSql <> 0)"""))
+  }
+
+  // ---------------------------------------------------------------- w11
+  // Multi-column DATA SKIPPING under the gate (the pruning tier below
+  // directory partitioning — Delta/Iceberg's OPTIMIZE ZORDER + stats
+  // manifest, Spark-first): events (event_id, user_id, value) written
+  // z-order clustered on (user_id, value) into 16 range files
+  // (Sink.writeZordered — Morton interleave of 8-bit quantized ranks,
+  // pure codegen'd scalar ops), a per-file min/max manifest derived in
+  // one read-back pass, and a 2-D box query answered by scanning ONLY
+  // the files whose envelope intersects the box. The entry THROWS
+  // unless the manifest pruned at least half the files — on a z-order
+  // layout a quarter-range box intersects O(few) curve segments, while
+  // on any single-column sort one of the two predicates prunes nothing.
+  // Envelope pruning is conservative (a skipped file provably holds no
+  // matching row), and the oracle computes the same box straight from
+  // the source table: skipping changes files touched, never answers.
+  // Box bounds derive from the table's own min/max by the same float
+  // expression on both sides (fractional corners 25–50% × 10–35%), so
+  // the fixture tracks any SF's ranges.
+  private val w11 = {
+    val zSchema = "event_id BIGINT, user_id BIGINT, value DOUBLE"
+    val nFiles = 16
+    def boxSql(c: String, t: String, loF: Double, hiF: Double): String =
+      s"""$c >= (SELECT min($t) + (max($t) - min($t)) * $loF FROM events)
+         AND $c <= (SELECT min($t) + (max($t) - min($t)) * $hiF FROM events)"""
+    Q(
+      "w11_zorder_skip",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        val path = s"$scratchRoot/${new java.io.File(d).getName}/events_zorder"
+        graft.sources.Sink.writeZordered(ev, path, "user_id", "value", nFiles)
+        val b = ev.agg(
+          min(col("user_id")).cast("double").as("lo1"), max(col("user_id")).cast("double").as("hi1"),
+          min(col("value")).cast("double").as("lo2"), max(col("value")).cast("double").as("hi2"))
+          .first()
+        def corner(lo: Double, hi: Double, f: Double) = lo + (hi - lo) * f
+        val (u1, u2) = (corner(b.getDouble(0), b.getDouble(1), 0.25),
+          corner(b.getDouble(0), b.getDouble(1), 0.50))
+        val (v1, v2) = (corner(b.getDouble(2), b.getDouble(3), 0.10),
+          corner(b.getDouble(2), b.getDouble(3), 0.35))
+        val manifest = graft.sources.Sink.skippingManifest(s, path, zSchema, "user_id", "value")
+        val (result, kept, total) = graft.sources.Sink.readSkipping(
+          s, manifest, zSchema, "user_id", u1, u2, "value", v1, v2)
+        if (kept * 2 > total) throw new IllegalStateException(
+          s"z-order skipping must prune at least half the files; kept $kept of $total")
+        result
+      },
+      Some(s"""
+        SELECT event_id, user_id, value FROM events
+        WHERE ${boxSql("user_id", "user_id", 0.25, 0.50)}
+          AND ${boxSql("value", "value", 0.10, 0.35)}"""))
+  }
+
   /** All registered queries, in SURVEY §2 order. */
   val all: Seq[Q] = Seq(
     a1, a2, a3, a4, a5, a6,
     n1, n2, n3, n4, n5, n6, n7,
     d1, d2, d3, d4, d5,
     e1, e2, e3, e4, e5, j1, j2, j3,
-    r1, r2, r3, r4, q1, q2,
+    r1, r2, r3, r4, q1, q2, q3,
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
     c1, c2, c3, c4, c5, c6, c7,
-    m1, m2, m3, s1, s2, s3, s4, s5, s6, p1, p2, p3, w1, w2, w3, w4, w5, w6, w7, w8, w9)
+    m1, m2, m3, s1, s2, s3, s4, s5, s6, p1, p2, p3,
+    w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

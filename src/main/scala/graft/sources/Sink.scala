@@ -88,6 +88,165 @@ object Sink {
     budgets
   }
 
+  /**
+   * Targeted DELETE (right-to-erasure / tombstone purge) on a
+   * hive-partitioned store whose partition column derives from the key
+   * (`bucket = f(key)`): the delete log alone names every partition that
+   * can possibly hold a doomed row, so the purge rewrites ONLY those
+   * partitions and the rest of a 100-TB store moves to the new snapshot
+   * as pure METADATA operations (directory renames here — the analog of
+   * a table format carrying forward unchanged data files by manifest
+   * pointer; at 100 TB the rewritten fraction is
+   * affectedPartitions/allPartitions, never 1).
+   *
+   * Discipline (mergeStateVersion's): the purged store is published at
+   * `newPath` — never overwrite a path being read. Order matters and is
+   * load-bearing: survivors are WRITTEN (from the still-complete old
+   * store) before any rename touches it, so no read ever races a move.
+   *
+   * Steps:
+   *  1. affected partition values := distinct `partitionCol` of the log
+   *     (derived from the key — tiny, collected; bounded by the
+   *     partition count, the same coordinator-state class as centroids);
+   *  2. survivors of affected partitions := store filtered to those
+   *     values (the filter must reach the scan's PartitionFilters —
+   *     THROWS otherwise, so "purge reads only affected partitions" is a
+   *     gate invariant, not a hope) anti-joined against the broadcast
+   *     key log, written under `newPath`;
+   *  3. every unaffected partition directory is RENAMED into the new
+   *     snapshot unread and unrewritten.
+   *
+   * `tombstones` must carry `keyCol` and `partitionCol` (the caller
+   * derives the partition from the key — that derivability IS the
+   * design contract that makes deletes targeted).
+   */
+  def purgeTombstones(spark: SparkSession, storeDf: DataFrame, storePath: String,
+      newPath: String, partitionCol: String, keyCol: String,
+      tombstones: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.broadcast
+    val affected = tombstones.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)).toSet
+    require(affected.nonEmpty, "empty delete log: nothing to purge")
+    val survivors = storeDf
+      .filter(col(partitionCol).isin(affected.toSeq: _*))
+      .join(broadcast(tombstones.select(col(keyCol))), Seq(keyCol), "left_anti")
+    assertPartitionPruned(survivors, partitionCol)
+    // write BEFORE any rename: the scan's file listing points into the
+    // old store, which must stay intact until this action completes
+    survivors.write.mode("append").partitionBy(partitionCol).parquet(newPath)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val base = new org.apache.hadoop.fs.Path(storePath)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(newPath))
+    fs.listStatus(base).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith(s"$partitionCol="))
+      .filterNot(p => affected.exists(v => p.getName == s"$partitionCol=$v"))
+      .foreach { p =>
+        if (!fs.rename(p, new org.apache.hadoop.fs.Path(newPath, p.getName)))
+          throw new IllegalStateException(s"carry-forward rename failed: $p")
+      }
+  }
+
+  /** THROW unless `df`'s scan prunes on `partitionCol` — i.e. some file
+    * scan carries a partition filter referencing it. The
+    * [[purgeTombstones]] invariant ("a targeted delete reads only the
+    * partitions the log names"), checked on the INITIAL plan like
+    * [[assertNoBucketedScanBelowShuffle]]. */
+  private[graft] def assertPartitionPruned(df: DataFrame, partitionCol: String): Unit = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val pruned = plan
+      .collect { case f: FileSourceScanExec => f }
+      .exists(_.partitionFilters.exists(_.references.exists(_.name == partitionCol)))
+    if (!pruned)
+      throw new IllegalStateException(
+        s"scan must prune on partition column '$partitionCol':\n$plan")
+  }
+
+  /**
+   * Z-ORDER clustered layout + file-level min/max DATA SKIPPING — the
+   * multi-column pruning tier below directory partitioning (the
+   * Delta/Iceberg `OPTIMIZE ZORDER BY` + stats-manifest pattern,
+   * Spark-first). Directory partitioning prunes on ONE key hierarchy; a
+   * 100-TB fact queried by ad-hoc 2-D boxes (user × value, time × key)
+   * needs every file to be SMALL IN BOTH dimensions at once, which no
+   * single-column sort gives: sorting by A packs each file tight in A
+   * but full-range in B, so B-predicates prune nothing.
+   *
+   * [[writeZordered]] interleaves the bits of both columns' 8-bit
+   * quantized ranks (Morton code — a shiftleft/bitwise-OR fold, pure
+   * codegen'd scalar ops) and RANGE-partitions the rows on that code
+   * into `nFiles` files: each file covers a compact z-curve segment,
+   * i.e. a bounded rectangle-ish region of the (c1, c2) plane. The
+   * quantization bounds come from one tiny min/max aggregate of the
+   * input (the stats pass every clustered write does).
+   *
+   * [[skippingManifest]] then reads the layout back ONCE and derives the
+   * per-file (min, max) envelope of both columns — the file-level stats
+   * manifest a table format persists next to the data (here: collected
+   * to the driver, O(nFiles) rows, the same coordinator-state class as
+   * centroids). [[readSkipping]] evaluates a conjunctive box predicate
+   * against the manifest and hands Spark ONLY the surviving files —
+   * pruning happens at the FILE LIST, before any scan task launches.
+   * Min/max envelopes are conservative: a skipped file provably holds no
+   * matching row, so skipping can change I/O, never answers.
+   */
+  def writeZordered(df: DataFrame, path: String, c1: String, c2: String,
+      nFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.{floor, least, lit, max, min, shiftleft, shiftright}
+    require(nFiles >= 2, "z-order layout needs at least 2 files to skip any")
+    val b = df.agg(min(col(c1)).cast("double").as("lo1"), max(col(c1)).cast("double").as("hi1"),
+      min(col(c2)).cast("double").as("lo2"), max(col(c2)).cast("double").as("hi2")).first()
+    def quant(c: String, lo: Double, hi: Double) = {
+      val w = if (hi > lo) hi - lo else 1.0
+      least(floor((col(c).cast("double") - lo) / w * 256.0), lit(255.0)).cast("int")
+    }
+    val q1 = quant(c1, b.getDouble(0), b.getDouble(1))
+    val q2 = quant(c2, b.getDouble(2), b.getDouble(3))
+    val z = (0 until 8).foldLeft(lit(0)) { (acc, i) =>
+      acc.bitwiseOR(shiftleft(shiftright(q1, i).bitwiseAND(1), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(q2, i).bitwiseAND(1), 2 * i))
+    }
+    df.withColumn("_z", z)
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** One pass over the clustered layout → per-file (path, min, max) of
+    * both skip columns, collected (O(nFiles) — the persisted stats
+    * manifest of a table format). */
+  def skippingManifest(spark: SparkSession, path: String, schema: String,
+      c1: String, c2: String): Array[(String, Double, Double, Double, Double)] = {
+    import org.apache.spark.sql.functions.{input_file_name, max, min}
+    spark.read.schema(schema).parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(c1)).cast("double").as("lo1"), max(col(c1)).cast("double").as("hi1"),
+        min(col(c2)).cast("double").as("lo2"), max(col(c2)).cast("double").as("hi2"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+  }
+
+  /** Box query through the manifest: keep only files whose [min,max]
+    * envelope intersects the box, scan just those, re-apply the exact
+    * predicate. Returns (surviving frame, files kept, files total). */
+  def readSkipping(spark: SparkSession, manifest: Array[(String, Double, Double, Double, Double)],
+      schema: String, c1: String, lo1: Double, hi1: Double,
+      c2: String, lo2: Double, hi2: Double): (DataFrame, Int, Int) = {
+    val keep = manifest.filter { case (_, flo1, fhi1, flo2, fhi2) =>
+      fhi1 >= lo1 && flo1 <= hi1 && fhi2 >= lo2 && flo2 <= hi2 }
+    require(keep.nonEmpty, "box predicate selects no files — fixture must hit data")
+    val df = spark.read.schema(schema).parquet(keep.map(_._1).toIndexedSeq: _*)
+      .filter(col(c1) >= lo1 && col(c1) <= hi1 && col(c2) >= lo2 && col(c2) <= hi2)
+    (df, keep.length, manifest.length)
+  }
+
   /** Bucketed + sorted managed table (bucketBy requires saveAsTable).
     * A join between two tables bucketed on the same key with the same
     * bucket count plans with ZERO shuffle exchanges. */

@@ -25,10 +25,16 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
   /**
-   * events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized reader
-   * rejects; read nanos as long (legacy flag) and floor-convert to the
-   * engine-native microsecond timestamp. Floor matches DuckDB's behavior
-   * for positive epochs, keeping oracle parity at second+ granularity.
+   * events.parquet's `ts` encoding varies by generator version: older
+   * drops carry TIMESTAMP(NANOS) — which Spark's vectorized reader
+   * rejects, so the read happens under the nanos-as-long legacy flag and
+   * the BIGINT is floor-converted to the engine-native microsecond
+   * timestamp (floor matches DuckDB for positive epochs) — while newer
+   * drops carry plain TIMESTAMP(MICROS), landing as (NTZ) timestamps the
+   * flag never touches. The adapter normalizes BOTH shapes to one
+   * session-zone TIMESTAMP column, keyed off the RESOLVED type, so every
+   * downstream operator and oracle sees identical values either way
+   * (sessions run UTC; an NTZ→TZ cast is value-preserving there).
    *
    * The legacy flag only matters while `spark.read.parquet` resolves the
    * schema (it is baked into the relation), so it is set just for this
@@ -44,9 +50,14 @@ object Tables {
         case Some(v) => spark.conf.set(flag, v)
         case None => spark.conf.unset(flag)
       }
-    raw.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", raw.col("ts").cast("timestamp"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

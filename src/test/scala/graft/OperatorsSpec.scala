@@ -966,4 +966,34 @@ class OperatorsSpec extends AnyFunSuite {
     val agree = (0L until 8L).count(q => refined(q).map(_._2).toSet == flat(q).map(_._2).toSet)
     assert(agree >= 6, s"refined should recover the flat top-5 on most queries: $agree/8")
   }
+
+  test("distributionDrift: identical halves score 0, disjoint halves score 1, shifts in between") {
+    import graft.operators.Checks
+    // group "same": windows A and B hold the identical histogram → tvd 0
+    // group "shift": B is A shifted one bin → partial overlap, 0 < tvd < 1
+    // group "gone": B occupies bins A never touches → tvd 1
+    val rows =
+      (1 to 50).map(i => ("same", false, (i % 5) * 10.0)) ++
+      (1 to 50).map(i => ("same", true, (i % 5) * 10.0)) ++
+      (1 to 50).map(i => ("shift", false, (i % 5) * 10.0)) ++
+      (1 to 50).map(i => ("shift", true, (i % 5) * 10.0 + 10.0)) ++
+      (1 to 20).map(i => ("gone", false, 0.0)) ++
+      (1 to 20).map(i => ("gone", true, 90.0))
+    val df = rows.toDF("g", "b", "v")
+    val got = Checks.distributionDrift(df, "g", "v", col("b"), 10.0)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    assert(got("same") == ((50L, 50L, 0.0, 0L)))
+    assert(got("gone")._3 == 1.0)
+    val (na, nb, tvd, topBin) = got("shift")
+    assert(na == 50L && nb == 50L)
+    // shifted-by-one histograms over 5 equal bins: overlap 4/5 → tvd = 1/5
+    assert(math.abs(tvd - 0.2) < 1e-12, s"tvd=$tvd")
+    assert(topBin == 0L || topBin == 5L) // the vacated first or new last bin
+    // empty side = maximal drift by definition
+    val oneSided = Checks.distributionDrift(
+      Seq(("x", false, 1.0)).toDF("g", "b", "v"), "g", "v", col("b"), 10.0)
+      .collect().head
+    assert(oneSided.getDouble(3) == 1.0)
+  }
 }

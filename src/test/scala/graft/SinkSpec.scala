@@ -139,4 +139,71 @@ class SinkSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS bkt_right")
     }
   }
+
+  test("purgeTombstones rewrites only affected partitions; carry-forward is a rename") {
+    val dir = Files.createTempDirectory("sink-purge").toString
+    val (store, purged) = (s"$dir/store", s"$dir/purged")
+    // 4 buckets, bucket = id % 4; tombstones hit buckets 1 and 3 only
+    val df = spark.range(0, 400).selectExpr("id", "id % 4 AS bucket",
+      "CAST(id AS DOUBLE) * 1.5 AS v")
+    Sink.writePartitioned(df, store, Seq("bucket"))
+    val schema = "id BIGINT, v DOUBLE, bucket BIGINT"
+    val storeDf = spark.read.schema(schema).parquet(store)
+    def basenames(path: String, b: Long) = spark.read.schema(schema).parquet(path)
+      .filter(col("bucket") === b).select(input_file_name()).distinct()
+      .collect().map(r => r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)).toSet
+    val pre0 = basenames(store, 0L)
+    val pre1 = basenames(store, 1L)
+    val tombstones = spark.range(0, 400).selectExpr("id", "id % 4 AS bucket")
+      .filter(col("bucket").isin(1L, 3L) && col("id") < 100)
+    val nTomb = tombstones.count()
+    assert(nTomb > 0)
+    Sink.purgeTombstones(spark, storeDf, store, purged, "bucket", "id", tombstones)
+    val back = spark.read.schema(schema).parquet(purged)
+    assert(back.count() == 400 - nTomb)
+    assert(back.join(tombstones.select("id"), Seq("id"), "left_semi").count() == 0)
+    // unaffected bucket 0: identical file basenames (moved, not rewritten)
+    assert(basenames(purged, 0L) == pre0)
+    // affected bucket 1: rewritten files
+    assert(basenames(purged, 1L) != pre1)
+  }
+
+  test("purgeTombstones throws when the survivors scan cannot prune") {
+    val dir = Files.createTempDirectory("sink-purge-noprune").toString
+    val df = spark.range(0, 40).selectExpr("id", "id % 2 AS bucket")
+    // store written UNPARTITIONED: no partition column to prune on
+    df.write.parquet(s"$dir/flat")
+    val flat = spark.read.parquet(s"$dir/flat")
+    val tomb = spark.range(0, 5).selectExpr("id", "id % 2 AS bucket")
+    intercept[IllegalStateException] {
+      Sink.purgeTombstones(spark, flat, s"$dir/flat", s"$dir/out", "bucket", "id", tomb)
+    }
+  }
+
+  test("z-order skipping prunes files a single-column sort cannot, same answer") {
+    val dir = Files.createTempDirectory("sink-zorder").toString
+    // two decorrelated uniform dims: y is the bit-reversal of x's low byte
+    val df = spark.range(0, 4096).selectExpr("id AS x",
+      "CAST(conv(reverse(lpad(bin(id % 256), 8, '0')), 2, 10) AS BIGINT) AS y")
+    val schema = "x BIGINT, y BIGINT"
+    Sink.writeZordered(df, s"$dir/z", "x", "y", 16)
+    // y-dominant box: full x range, narrow y band — the adversarial case
+    // for an x-sorted layout (its files all span the full y range)
+    val zMan = Sink.skippingManifest(spark, s"$dir/z", schema, "x", "y")
+    val (zr, zKept, zTotal) = Sink.readSkipping(spark, zMan, schema,
+      "x", 0.0, 4095.0, "y", 50.0, 100.0)
+    val expected = df.filter(col("y").between(50, 100))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(zr.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+    assert(zKept * 2 <= zTotal, s"z-order must prune at least half: $zKept/$zTotal")
+    // baseline: the same data range-sorted by x ONLY keeps EVERY file —
+    // each covers the full y range, the y predicate prunes nothing
+    df.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.parquet(s"$dir/linear")
+    val lMan = Sink.skippingManifest(spark, s"$dir/linear", schema, "x", "y")
+    val (_, lKept, lTotal) = Sink.readSkipping(spark, lMan, schema,
+      "x", 0.0, 4095.0, "y", 50.0, 100.0)
+    assert(lKept == lTotal, "x-sorted layout cannot prune a y-only box")
+    assert(zKept < lKept, s"z-order ($zKept) must beat single-column sort ($lKept)")
+  }
 }
