@@ -116,15 +116,36 @@ object Checks {
   def distributionDrift(df: DataFrame, groupCol: String, valueCol: String,
       isB: Column, binWidth: Double): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    import org.apache.spark.sql.expressions.Window
-    val byGroup = Window.partitionBy(col(groupCol))
-    val binned = df
+    val cells = df
       .withColumn("_bin", floor(col(valueCol) / binWidth).cast("long"))
       .withColumn("_b", isB)
       .groupBy(col(groupCol), col("_bin"))
       .agg(count(when(!col("_b"), lit(1))).as("_ca"),
         count(when(col("_b"), lit(1))).as("_cb"))
-    val dev = binned
+    driftFromCells(cells, groupCol)
+  }
+
+  /** One side's histogram: (`groupCol`, `_bin`, `countName`) cells with
+    * fixed-width value bins — the contracted relation both
+    * [[distributionDrift]] (fused, both sides in one scan) and its
+    * streaming twin (window A frozen once, window B folded per trigger)
+    * reduce to before [[driftFromCells]]. */
+  def histogram(df: DataFrame, groupCol: String, valueCol: String,
+      binWidth: Double, countName: String): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    df.withColumn("_bin", floor(col(valueCol) / binWidth).cast("long"))
+      .groupBy(col(groupCol), col("_bin"))
+      .agg(count(lit(1)).as(countName))
+  }
+
+  /** TVD + most-drifted bin from pre-binned cells
+    * (`groupCol`, `_bin`, `_ca`, `_cb`) — [[distributionDrift]]'s math,
+    * factored so any cell provenance (one fused scan, or two histograms
+    * outer-joined across a batch/stream seam) scores identically. */
+  def driftFromCells(cells: DataFrame, groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byGroup = Window.partitionBy(col(groupCol))
+    val dev = cells
       .withColumn("_na", sum(col("_ca")).over(byGroup))
       .withColumn("_nb", sum(col("_cb")).over(byGroup))
       .withColumn("_dev", abs(col("_ca") * col("_nb") - col("_cb") * col("_na")))

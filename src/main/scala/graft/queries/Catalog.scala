@@ -2850,6 +2850,46 @@ object Catalog {
     },
     Some(Ivf.oracleSql))
 
+  // ---------------------------------------------------------------- s7
+  // STREAMING drift monitor — q3's live twin, completing the monitoring
+  // story the way s5 completed publish: the baseline (window A) is
+  // histogrammed ONCE and frozen; window B arrives as day-sliced
+  // triggers, each folded into a versioned cumulative histogram by the
+  // real foreachBatch body (EventStream.histogramFoldBatch — idempotent
+  // per-version overwrite, so a trigger retry rewrites the identical
+  // state). The final drift joins frozen-A cells with the folded-B state
+  // (full outer — a bin only one side touches still contributes) and
+  // runs the SAME driftFromCells math as q3, under q3's ORACLE: three
+  // incremental folds must equal the one-shot scan bit-for-bit, which
+  // only holds because histogram merge is associative and the TVD math
+  // consumes exact integer cells. Per-trigger parity vs a MemoryStream
+  // run is StreamingSpec's job.
+  private val s7 = Q(
+    "s7_stream_drift",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val statePath = s"$scratchRoot/${new java.io.File(d).getName}/drift_state"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(statePath), true)
+      val body = graft.streaming.EventStream.histogramFoldBatch(
+        "event_type", "value", Q3.binW.toDouble, Q3.stateSchema, statePath) _
+      val b = ev.filter(col("ts") >= lit(Q3.split).cast("timestamp"))
+      Seq((16, 21), (21, 26), (26, 32)).zipWithIndex.foreach { case ((d1, d2), i) =>
+        body(b.filter(dayofmonth(col("ts")) >= d1 && dayofmonth(col("ts")) < d2),
+          i.toLong)
+      }
+      val bHist = s.read.schema(Q3.stateSchema).parquet(s"$statePath/v3")
+      val aHist = graft.operators.Checks.histogram(
+        ev.filter(col("ts") < lit(Q3.split).cast("timestamp")),
+        "event_type", "value", Q3.binW.toDouble, "_ca")
+      val cells = aHist.join(bHist, Seq("event_type", "_bin"), "full_outer")
+        .select(col("event_type"), col("_bin"),
+          coalesce(col("_ca"), lit(0L)).as("_ca"),
+          coalesce(col("_cb"), lit(0L)).as("_cb"))
+      graft.operators.Checks.driftFromCells(cells, "event_type")
+    },
+    Some(Q3.oracleSql))
+
   private val p1 = Q("p1_job_etl", (s, d) => P1.mart(s, d), Some(P1.oracleSql))
 
   // ---------------------------------------------------------------- p3
@@ -3226,15 +3266,15 @@ object Catalog {
   // through the Σ; only the final normalization divides — one IEEE op
   // on exact operands, replayed verbatim by the oracle. The shuffle
   // carries (type, bin) cells, never the table.
-  private val q3 = {
+  /** Shared drift parameters + oracle (q3 AND s7 — the streaming fold
+    * must land on the same answer as the one-shot scan, so one oracle
+    * gates both, the l8/w4 pattern). Self-contained: s7 initializes
+    * before q3 in declaration order, so the SQL lives here, not on q3. */
+  private object Q3 {
     val split = "2024-01-16"
     val binW = "50.0"
-    Q(
-      "q3_drift",
-      (s, d) => graft.operators.Checks.distributionDrift(
-        Tables.events(s, d), "event_type", "value",
-        col("ts") >= lit(split).cast("timestamp"), binW.toDouble),
-      Some(s"""
+    val stateSchema = "event_type STRING, _bin BIGINT, _cb BIGINT"
+    val oracleSql: String = s"""
         WITH binned AS (
           SELECT event_type, CAST(floor(value / $binW) AS BIGINT) AS bin,
             COUNT(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '$split'
@@ -3256,8 +3296,15 @@ object Catalog {
           CASE WHEN MAX(na) = 0 OR MAX(nb) = 0 THEN 1.0
                ELSE CAST(SUM(d) AS DOUBLE) / (2.0 * MAX(na) * MAX(nb)) END AS tvd,
           MIN(CASE WHEN rn = 1 THEN bin END) AS top_bin
-        FROM dev GROUP BY event_type"""))
+        FROM dev GROUP BY event_type"""
   }
+
+  private val q3: Q = Q(
+    "q3_drift",
+    (s, d) => graft.operators.Checks.distributionDrift(
+      Tables.events(s, d), "event_type", "value",
+      col("ts") >= lit(Q3.split).cast("timestamp"), Q3.binW.toDouble),
+    Some(Q3.oracleSql))
 
   // ---------------------------------------------------------------- c4
   // Per-user ordered event sequences capped at 50 — the autoregressive
@@ -3598,7 +3645,7 @@ object Catalog {
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
     c1, c2, c3, c4, c5, c6, c7,
-    m1, m2, m3, s1, s2, s3, s4, s5, s6, p1, p2, p3,
+    m1, m2, m3, s1, s2, s3, s4, s5, s6, s7, p1, p2, p3,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

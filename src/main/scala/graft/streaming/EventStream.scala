@@ -142,4 +142,38 @@ object EventStream {
       }
       .toDF("user_id", "first_seen", "last_seen", "event_type", "value")
   }
+
+  /**
+   * foreachBatch body of the STREAMING drift monitor (catalog
+   * s7_stream_drift — q3's live twin): each trigger's rows are binned
+   * into (group, _bin, _cb) histogram cells
+   * (graft.operators.Checks.histogram) and folded into a VERSIONED
+   * cumulative histogram — `statePath/v{batchId+1}` is written by
+   * reading `v{batchId}` and summing the trigger's cells in
+   * (mergeStateVersion's write-new-then-swap discipline: a reader never
+   * sees a half-folded state, the previous version stays queryable).
+   *
+   * Scale + delivery notes: the state is the CONTRACTED relation —
+   * groups × bins rows, not events — so each fold is a tiny aggregate
+   * regardless of trigger volume; and because v{batchId+1} is written by
+   * deterministic OVERWRITE from v{batchId} + the batch, a foreachBatch
+   * RETRY of the same batchId rewrites the identical version — the fold
+   * is idempotent, giving effectively-once state without a transaction
+   * log. Histogram merge is associative/commutative, so any trigger
+   * slicing of the stream folds to the same final state (the catalog
+   * twin proves three time slices == q3's one-shot scan, bit-for-bit).
+   */
+  def histogramFoldBatch(groupCol: String, valueCol: String, binWidth: Double,
+      stateSchema: String, statePath: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val cells = graft.operators.Checks.histogram(
+      batch, groupCol, valueCol, binWidth, "_cb")
+    val folded =
+      if (batchId == 0) cells
+      else spark.read.schema(stateSchema).parquet(s"$statePath/v$batchId")
+        .unionAll(cells)
+        .groupBy(col(groupCol), col("_bin"))
+        .agg(sum(col("_cb")).as("_cb"))
+    folded.write.mode("overwrite").parquet(s"$statePath/v${batchId + 1}")
+  }
 }

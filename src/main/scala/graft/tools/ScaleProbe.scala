@@ -36,7 +36,11 @@ object ScaleProbe {
     // round-9 additions: the PQ tier (train/encode scale with the ×8
     // corpus; the codes store and its compaction inherit ×8 files/rows
     // per cell — exactly the small-file pressure w7 exists to absorb)
-    "l13_ann_ivfpq", "w8_ann_pq_store", "w7_compaction")
+    "l13_ann_ivfpq", "w8_ann_pq_store", "w7_compaction",
+    // round-9 continuation: the store-lifecycle and monitoring entries —
+    // the purge's rewrite set, the z-order stats pass, and the drift
+    // histogram all grow linearly with the corpus; the probe pins it
+    "w10_delete_log", "w11_zorder_skip", "q3_drift", "s7_stream_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -62,6 +66,12 @@ object ScaleProbe {
     // mult-1 EXACT copies per vector — the worst duplicate-heavy case
     salt(Tables.embeddings(spark, sfDir), "vec_id")
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // events ×mult for the monitoring/layout probes (q3/w11): same time
+    // windows and value range, mult× rows per (type, bin) cell and per
+    // z-curve segment (written from Tables.events, so ts lands as plain
+    // micros — the adapter's non-long branch reads it back)
+    salt(Tables.events(spark, sfDir), "event_id")
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
 
     println(f"| query | $sfDir | x$mult (salted dup) | ratio |")
     println("|---|---|---|---|")

@@ -314,4 +314,65 @@ class StreamingSpec extends AnyFunSuite {
       assert(after == before, "compaction must change file counts, never answers")
     } finally query.stop()
   }
+
+  test("streaming drift: per-trigger folded histogram equals the batch drift so far") {
+    import graft.operators.Checks
+    implicit val ctx = spark.sqlContext
+    val scratch = java.nio.file.Files.createTempDirectory("s7spec").toString
+    val stateSchema = "event_type STRING, _bin BIGINT, _cb BIGINT"
+    // frozen baseline (window A): two types, distinct histogram shapes
+    val baseline = Seq(
+      Ev(ts("2024-01-10 09:00:00"), 1, "click", 5.0),
+      Ev(ts("2024-01-10 09:01:00"), 2, "click", 15.0),
+      Ev(ts("2024-01-10 09:02:00"), 3, "click", 15.0),
+      Ev(ts("2024-01-10 09:03:00"), 1, "view", 25.0)).toDF()
+    val aHist = Checks.histogram(baseline, "event_type", "value", 10.0, "_ca")
+    val input = MemoryStream[Ev]
+    val lastId = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val query = input.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        EventStream.histogramFoldBatch(
+          "event_type", "value", 10.0, stateSchema, scratch)(batch, id)
+        lastId.set(id)
+      }.start()
+    def driftVsState(): Set[(String, Long, Long, Double, Long)] = {
+      val bHist = spark.read.schema(stateSchema)
+        .parquet(s"$scratch/v${lastId.get() + 1}")
+      val cells = aHist.join(bHist, Seq("event_type", "_bin"), "full_outer")
+        .select(col("event_type"), col("_bin"),
+          coalesce(col("_ca"), lit(0L)).as("_ca"),
+          coalesce(col("_cb"), lit(0L)).as("_cb"))
+      Checks.driftFromCells(cells, "event_type").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+        .toSet
+    }
+    val trig1 = Seq(
+      Ev(ts("2024-01-20 09:00:00"), 1, "click", 5.0),
+      Ev(ts("2024-01-20 09:01:00"), 2, "click", 35.0)) // drifted bin
+    val trig2 = Seq(
+      Ev(ts("2024-01-21 09:00:00"), 3, "click", 15.0),
+      Ev(ts("2024-01-21 09:01:00"), 1, "view", 25.0), // view: same shape
+      Ev(ts("2024-01-21 09:02:00"), 2, "view", 25.0))
+    try {
+      var seen = Seq.empty[Ev]
+      for (t <- Seq(trig1, trig2)) {
+        input.addData(t)
+        query.processAllAvailable()
+        seen = seen ++ t
+        // parity target: the one-shot batch drift over (baseline ∪ seen)
+        val batchDrift = Checks.distributionDrift(
+          baseline.unionAll(seen.toDF()), "event_type", "value",
+          col("ts") >= lit("2024-01-16").cast("timestamp"), 10.0)
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+          .toSet
+        assert(driftVsState() == batchDrift,
+          "folded streaming drift must equal the one-shot batch drift so far")
+      }
+      // "view" kept its shape → zero drift; "click" moved mass → positive
+      val fin = driftVsState().map(t => t._1 -> t._4).toMap
+      assert(fin("view") == 0.0)
+      assert(fin("click") > 0.0)
+    } finally query.stop()
+  }
 }
