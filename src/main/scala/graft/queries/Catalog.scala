@@ -3635,6 +3635,83 @@ object Catalog {
           AND ${boxSql("value", "value", 0.10, 0.35)}"""))
   }
 
+  // ---------------------------------------------------------------- w12
+  // The z-order layout's MAINTENANCE cycle — what w6→w7 are to the
+  // partitioned store, this is to the clustered one (Delta/Iceberg's
+  // OPTIMIZE-after-appends): daily batches land as APPENDED files with
+  // no clustering (arrival order — each new file spans the full value
+  // space), the manifest keeps them honest (min/max envelopes make
+  // pruning degrade gracefully, never wrongly), and a RE-CLUSTER
+  // (writeZordered over the union) restores the skipping rate. The
+  // entry measures all three states of the SAME box query and THROWS
+  // unless (a) the appended store prunes strictly worse than the clean
+  // layout (proving arrival-order files really do defeat skipping —
+  // the decay the maintenance step exists for), (b) the re-clustered
+  // store prunes at least as well as clean, and (c) every state returns
+  // the same rows. Oracle = the box from the source table (w11's
+  // discipline: layout changes I/O, never answers).
+  private val w12 = {
+    val zSchema = "event_id BIGINT, user_id BIGINT, value DOUBLE"
+    val nFiles = 16
+    def boxSql(c: String, t: String, loF: Double, hiF: Double): String =
+      s"""$c >= (SELECT min($t) + (max($t) - min($t)) * $loF FROM events)
+         AND $c <= (SELECT min($t) + (max($t) - min($t)) * $hiF FROM events)"""
+    Q(
+      "w12_zorder_maintain",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        val ds = new java.io.File(d).getName
+        val base = s"$scratchRoot/$ds/events_zorder_maint"
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        // day one: first half of the stream, z-clustered
+        val half1 = ev.filter(col("event_id") % 2 === 0)
+        graft.sources.Sink.writeZordered(half1, s"$base/store", "user_id", "value", nFiles)
+        val b = ev.agg(
+          min(col("user_id")).cast("double").as("lo1"), max(col("user_id")).cast("double").as("hi1"),
+          min(col("value")).cast("double").as("lo2"), max(col("value")).cast("double").as("hi2"))
+          .first()
+        def corner(lo: Double, hi: Double, f: Double) = lo + (hi - lo) * f
+        val (u1, u2) = (corner(b.getDouble(0), b.getDouble(1), 0.25),
+          corner(b.getDouble(0), b.getDouble(1), 0.50))
+        val (v1, v2) = (corner(b.getDouble(2), b.getDouble(3), 0.10),
+          corner(b.getDouble(2), b.getDouble(3), 0.35))
+        def skipRate(path: String): (DataFrame, Int, Int) = {
+          val man = graft.sources.Sink.skippingManifest(s, path, zSchema, "user_id", "value")
+          graft.sources.Sink.readSkipping(s, man, zSchema,
+            "user_id", u1, u2, "value", v1, v2)
+        }
+        val (_, cleanKept, cleanTotal) = skipRate(s"$base/store")
+        // days two..four: appends in ARRIVAL order (event_id ranges —
+        // each batch spans the whole (user, value) plane, the
+        // clustering-decay case); 4 files per batch so decay is
+        // measured in files, not rows
+        val odd = ev.filter(col("event_id") % 2 === 1)
+        (0 until 3).foreach { i =>
+          odd.filter(col("event_id") % 6 === (2 * i + 1))
+            .repartition(4).write.mode("append").parquet(s"$base/store")
+        }
+        val (_, apKept, apTotal) = skipRate(s"$base/store")
+        if (apKept.toDouble / apTotal <= cleanKept.toDouble / cleanTotal)
+          throw new IllegalStateException(
+            s"arrival-order appends must decay the skip rate: clean $cleanKept/$cleanTotal, appended $apKept/$apTotal")
+        // maintenance: re-cluster the union into a NEW snapshot (never
+        // overwrite a path being read), restoring the clean skip rate
+        graft.sources.Sink.writeZordered(
+          s.read.schema(zSchema).parquet(s"$base/store"),
+          s"$base/optimized", "user_id", "value", nFiles)
+        val (result, optKept, optTotal) = skipRate(s"$base/optimized")
+        if (optKept.toDouble / optTotal > cleanKept.toDouble / cleanTotal)
+          throw new IllegalStateException(
+            s"re-clustering must restore the skip rate: clean $cleanKept/$cleanTotal, optimized $optKept/$optTotal")
+        result
+      },
+      Some(s"""
+        SELECT event_id, user_id, value FROM events
+        WHERE ${boxSql("user_id", "user_id", 0.25, 0.50)}
+          AND ${boxSql("value", "value", 0.10, 0.35)}"""))
+  }
+
   /** All registered queries, in SURVEY §2 order. */
   val all: Seq[Q] = Seq(
     a1, a2, a3, a4, a5, a6,
@@ -3646,7 +3723,7 @@ object Catalog {
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
     c1, c2, c3, c4, c5, c6, c7,
     m1, m2, m3, s1, s2, s3, s4, s5, s6, s7, p1, p2, p3,
-    w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11)
+    w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

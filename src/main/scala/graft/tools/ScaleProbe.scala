@@ -40,7 +40,8 @@ object ScaleProbe {
     // round-9 continuation: the store-lifecycle and monitoring entries —
     // the purge's rewrite set, the z-order stats pass, and the drift
     // histogram all grow linearly with the corpus; the probe pins it
-    "w10_delete_log", "w11_zorder_skip", "q3_drift", "s7_stream_drift")
+    "w10_delete_log", "w11_zorder_skip", "q3_drift", "s7_stream_drift",
+    "w12_zorder_maintain")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
