@@ -2777,32 +2777,46 @@ object Catalog {
   // under OUT-OF-ORDER arrival the fold instead keeps the reference's
   // EXCLUDED-wins (ON CONFLICT DO UPDATE) semantics — newest ARRIVAL
   // takes the payload — asserted trigger-by-trigger in StreamingSpec.
-  private val s5 = Q(
-    "s5_stream_publish",
-    (s, d) => {
-      val ev = Tables.events(s, d)
-      val dsName = new java.io.File(d).getName
-      val payload = Seq("event_type", "value")
-      val cuts = Seq("2024-01-11 00:00:00", "2024-01-21 00:00:00")
-      val batches = Seq(
-        ev.filter(col("ts") < lit(cuts(0))),
-        ev.filter(col("ts") >= lit(cuts(0)) && col("ts") < lit(cuts(1))),
-        ev.filter(col("ts") >= lit(cuts(1))))
-      val last = batches.zipWithIndex.foldLeft(Option.empty[String]) {
-        case (prev, (b, i)) =>
-          val delta = Upsert.latestState(b, "user_id", "ts", "event_id", payload)
-          graft.sources.Sink.mergeStateVersion(s, delta, prev, s"s5_state_v$i",
-            "user_id", payload, nBuckets = 8,
-            path = s"$scratchRoot/$dsName/s5_state_v$i")
-          Some(s"s5_state_v$i")
-      }
-      s.table(last.get).select(
-        col("user_id"),
-        date_format(col("first_seen"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_seen"),
-        date_format(col("last_seen"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_seen"),
-        col("event_type"), col("value"))
-    },
-    Some("""
+  /** s5's day-sliced state-version fold, shared with w13 (time travel):
+    * fold events' three time slices through Sink.mergeStateVersion under
+    * `prefix`-named version tables and return every published version
+    * name, oldest first — s5 reads the LAST, w13 reads a PAST one. */
+  private def stateVersionFold(s: SparkSession, d: String, prefix: String): Seq[String] = {
+    val ev = Tables.events(s, d)
+    val dsName = new java.io.File(d).getName
+    val payload = Seq("event_type", "value")
+    val batches = Seq(
+      ev.filter(col("ts") < lit(S5Cuts(0))),
+      ev.filter(col("ts") >= lit(S5Cuts(0)) && col("ts") < lit(S5Cuts(1))),
+      ev.filter(col("ts") >= lit(S5Cuts(1))))
+    batches.zipWithIndex.foldLeft(Seq.empty[String]) {
+      case (published, (b, i)) =>
+        val delta = Upsert.latestState(b, "user_id", "ts", "event_id", payload)
+        graft.sources.Sink.mergeStateVersion(s, delta, published.lastOption,
+          s"${prefix}_v$i", "user_id", payload, nBuckets = 8,
+          path = s"$scratchRoot/$dsName/${prefix}_v$i")
+        published :+ s"${prefix}_v$i"
+    }
+  }
+
+  private val S5Cuts = Seq("2024-01-11 00:00:00", "2024-01-21 00:00:00")
+
+  /** The published-state projection both s5 and w13 return (timestamps
+    * as explicit ISO strings — w2's formatting discipline). */
+  private def stateProjection(df: DataFrame): DataFrame =
+    df.select(
+      col("user_id"),
+      date_format(col("first_seen"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_seen"),
+      date_format(col("last_seen"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_seen"),
+      col("event_type"), col("value"))
+
+  /** One-shot latest-state oracle over events, optionally cut at an
+    * upper ts bound — None gates s5 (full history), Some(cut) gates
+    * w13's as-of read (the fold up to the version published before
+    * `cut` equals the one-shot state over events before `cut`). */
+  private def stateOracleSql(cutBelow: Option[String]): String = {
+    val where = cutBelow.map(c => s" WHERE s.ts < TIMESTAMP '$c'").getOrElse("")
+    s"""
       SELECT user_id,
         strftime(first_seen, '%Y-%m-%d %H:%M:%S.%f') AS first_seen,
         strftime(last_seen, '%Y-%m-%d %H:%M:%S.%f') AS last_seen,
@@ -2812,8 +2826,34 @@ object Catalog {
           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
           MIN(ts) OVER (PARTITION BY user_id) AS first_seen,
           MAX(ts) OVER (PARTITION BY user_id) AS last_seen
-        FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, value FROM events) s) t
-      WHERE rn = 1"""))
+        FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, value FROM events) s$where) t
+      WHERE rn = 1"""
+  }
+
+  private val s5 = Q(
+    "s5_stream_publish",
+    (s, d) => stateProjection(s.table(stateVersionFold(s, d, "s5_state").last)),
+    Some(stateOracleSql(None)))
+
+  // ---------------------------------------------------------------- w13
+  // TIME TRAVEL over the published version chain — the read side of
+  // write-new-then-swap (what a table format's VERSION AS OF does, and
+  // the reason s5/w10/w7 never overwrite a path being read: every past
+  // version REMAINS a queryable table): fold the same three day slices
+  // as s5, then answer "what did the state say BEFORE day 3 landed" by
+  // reading version v1 — no recomputation, no log replay, the chain IS
+  // the history. The oracle recomputes that state from scratch (one-shot
+  // latest-state over events strictly before the day-3 cut), so the gate
+  // proves an as-of read of the chain equals full recomputation at that
+  // cut — versioned publish gives REPRODUCIBILITY (yesterday's report
+  // re-runs bit-identically) for the cost of keeping the old files.
+  private val w13 = Q(
+    "w13_time_travel",
+    (s, d) => {
+      val versions = stateVersionFold(s, d, "w13_state")
+      stateProjection(s.table(versions(1)))
+    },
+    Some(stateOracleSql(Some(S5Cuts(1)))))
 
   // ---------------------------------------------------------------- s6
   // Streaming ANN ingest (VectorStream.ivfAppendBatch) — w6's append
@@ -3723,7 +3763,7 @@ object Catalog {
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
     c1, c2, c3, c4, c5, c6, c7,
     m1, m2, m3, s1, s2, s3, s4, s5, s6, s7, p1, p2, p3,
-    w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12)
+    w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -41,7 +41,7 @@ object ScaleProbe {
     // the purge's rewrite set, the z-order stats pass, and the drift
     // histogram all grow linearly with the corpus; the probe pins it
     "w10_delete_log", "w11_zorder_skip", "q3_drift", "s7_stream_drift",
-    "w12_zorder_maintain")
+    "w12_zorder_maintain", "w13_time_travel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
