@@ -204,10 +204,19 @@ object Enrich {
       .filter(col("n_bucket") > maxBucket)
   }
 
+  /** `requireSide`: name of a BOOLEAN column on `names` — when set, only
+    * pairs with AT LEAST ONE flagged side materialize (the flag rides the
+    * key table into the self-join condition, l10's tag-in-join
+    * discipline), so unflagged↔unflagged pairs never exist past the
+    * candidate join. This is the incremental-maintenance mode: flag a
+    * new batch and the quadratic old↔old pair space is never re-entered. */
   def fuzzySelfMatch(names: DataFrame, idCol: String, nameCol: String,
-      minRatio: Double, maxEdits: Int = 1, maxBucket: Int = 1000): DataFrame = {
+      minRatio: Double, maxEdits: Int = 1, maxBucket: Int = 1000,
+      requireSide: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = names.select(col(idCol).as("id"), col(nameCol).as("name"))
+    val sideCols = requireSide.toSeq.map(col)
+    val base = names.select(
+      (Seq(col(idCol).as("id"), col(nameCol).as("name")) ++ sideCols): _*)
     // The explode amplifies each row ~len^maxEdits/maxEdits!× — by far the
     // heaviest map stage — so spread the (small) name table across the
     // cluster FIRST: a name dim often arrives as a handful of splits, and
@@ -218,14 +227,20 @@ object Enrich {
     // single-task vs ~3 s spread.
     val keys = base
       .repartition(graft.config.Knobs.amplifiedShufflePartitions(base.sparkSession), col("id"))
-      .select(col("id"), explode(deletionNeighborhoodHashes(col("name"), maxEdits)).as("kh"))
+      .select((Seq(col("id"),
+        explode(deletionNeighborhoodHashes(col("name"), maxEdits)).as("kh")) ++ sideCols): _*)
     val capped = keys
       .withColumn("n_bucket", count(lit(1)).over(Window.partitionBy("kh")))
       .filter(col("n_bucket") <= maxBucket)
-      .select("id", "kh")
+      .select((Seq(col("id"), col("kh")) ++ sideCols): _*)
       .hint("shuffle_hash")
+    val baseCond = col("a.kh") === col("b.kh") && col("a.id") < col("b.id")
+    val cond = requireSide match {
+      case Some(c) => baseCond && (col(s"a.$c") || col(s"b.$c"))
+      case None => baseCond
+    }
     val cand = capped.as("a")
-      .join(capped.as("b"), col("a.kh") === col("b.kh") && col("a.id") < col("b.id"))
+      .join(capped.as("b"), cond)
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
     cand

@@ -35,6 +35,28 @@ object Upsert {
         col("__last_seen").as("last_seen")) ++ payload.map(col)): _*)
   }
 
+  /**
+   * Op-coded CDC apply (the Debezium/binlog feed shape): every row is an
+   * OPERATION on a key — an upsert carrying a payload, or a delete. Final
+   * state is last-op-wins per key in event order: a delete removes the
+   * key, a later upsert revives it with a fresh payload — so the state
+   * is a pure function of each key's log suffix, independent of how the
+   * log was batched into micro-batches or days. ONE shuffle (the per-key
+   * window); the delete test runs AFTER the rank, so only each key's
+   * final op is ever inspected, and the payload of a deleted key never
+   * leaves the exchange. [[merge]] is the delete-blind upsert this
+   * generalizes (db_operations.py:334 has no DELETE arm — its feed can
+   * only grow); w10 purges a STORE under a tombstone log, this collapses
+   * the LOG itself into d2-shaped state.
+   */
+  def applyCdc(log: DataFrame, key: String, tsCol: String, tiebreak: String,
+      opCol: String, deleteOp: String, payload: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(tsCol).desc, col(tiebreak).desc)
+    log.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(opCol) =!= deleteOp)
+      .select((Seq(col(key)) ++ payload.map(col) :+ col(tsCol).as("op_ts")): _*)
+  }
+
   /** EXCLUDED-wins merge of two latestState outputs. */
   def merge(base: DataFrame, delta: DataFrame, key: String,
       payload: Seq[String]): DataFrame = {

@@ -162,6 +162,33 @@ object Catalog {
       FROM lineitem
       GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
 
+  // ---------------------------------------------------------------- a7
+  /** Pivoted (cross-tab) reporting: per-priority order totals spread
+    * across the status columns — the spreadsheet-shaped output every
+    * reporting layer eventually asks the engine for. The pivot value
+    * list is EXPLICIT: the implicit form first runs a distinct scan to
+    * DISCOVER the columns, and makes the output schema data-dependent —
+    * a publish gate can never hash-compare a schema the data chooses.
+    * With the list pinned, a pivot is just a conditional aggregate:
+    * ONE shuffle on the groupBy key, map-side partials, each cell a
+    * decimal-exact sum (order-free, so the 100-TB plan is identical to
+    * any other grouped agg). Empty cells stay NULL in both engines. */
+  private val a7 = Q(
+    "a7_pivot",
+    (s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("priority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(col("o_totalprice").cast(DecM)).cast("double"))
+    },
+    Some("""
+      SELECT o_orderpriority AS priority,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS "F",
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS "O",
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS "P"
+      FROM orders
+      GROUP BY 1"""))
+
   // ---------------------------------------------------------------- n1
   private val n1 = Q(
     "n1_normalize_ws",
@@ -432,6 +459,34 @@ object Catalog {
       FROM chg
       WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""))
 
+  // ---------------------------------------------------------------- d6
+  /** Op-coded CDC apply (Upsert.applyCdc): the events table read as a
+    * change log — 'error' rows are DELETE ops, everything else an
+    * upsert — collapsed to final per-user state. Last-op-wins in
+    * (ts, event_id) order: a delete removes the user unless a later op
+    * revives them, the semantics d2's delete-blind merge cannot
+    * express and every binlog/Debezium-shaped feed needs. One shuffle;
+    * at 100 TB the log collapse is the same window d2 plans, and its
+    * output (not the log) is what merges into the bucketed state. */
+  private val d6 = Q(
+    "d6_cdc_apply",
+    (s, d) => {
+      Upsert.applyCdc(
+        Tables.events(s, d),
+        "user_id", "ts", "event_id", "event_type", "error",
+        Seq("event_type", "value"))
+        .select(col("user_id"), col("event_type").as("last_op"),
+          col("value").as("last_value"),
+          date_format(col("op_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("op_ts"))
+    },
+    Some("""
+      SELECT user_id, event_type AS last_op, value AS last_value,
+        strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS op_ts
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) t
+      WHERE rn = 1 AND event_type <> 'error'"""))
+
   // ---------------------------------------------------------------- d4
   private val d4 = Q(
     "d4_scd1_dim",
@@ -548,6 +603,50 @@ object Catalog {
         COUNT(*) FILTER (WHERE n_chars > 250) AS long_docs,
         CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
       FROM documents GROUP BY source"""))
+
+  // ---------------------------------------------------------------- r5
+  /** MERGEABLE distinct-count sketches (Datasketches HLL via the
+    * built-in hll_sketch_agg family): the reason a 100-TB stats layer
+    * never re-scans history for a distinct count. Exact per-type
+    * distinct users is the oracle-pinned OUTPUT; the entry's gates prove
+    * the sketch path that replaces it at scale: (1) per-day sketches
+    * folded with hll_union_agg estimate EXACTLY what one sketch over the
+    * whole scan estimates — HLL registers are per-slot maxima over the
+    * hashed item set, so the fold is associative and batch-invariant
+    * (the s5/s7 fold discipline, here for cardinality state); (2) the
+    * one-shot estimate sits within the configured error of exact. With
+    * daily sketch rows persisted (a few KB each), "distinct users over
+    * any date range" is a merge of range-many sketches — metadata-sized
+    * work, zero fact I/O; count(DISTINCT) stays the correctness anchor,
+    * the sketch is the serving path. */
+  private val r5 = Q(
+    "r5_distinct_sketch",
+    (s, d) => {
+      val ev = Tables.events(s, d).select("event_type", "user_id", "ts")
+      val lgK = 12
+      val oneShot = ev.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(lgK))).as("est"))
+      val merged = ev
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"))
+        .groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      val one = oneShot.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val mrg = merged.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val ex = exact.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(one == mrg,
+        s"daily-sketch fold must equal the one-shot sketch: $one vs $mrg")
+      ex.foreach { case (k, n) =>
+        val e = one(k)
+        require(math.abs(e - n).toDouble / n <= 0.05,
+          s"sketch estimate off by >5% for $k: est $e exact $n") }
+      exact
+    },
+    Some("""
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+      FROM events GROUP BY 1"""))
 
   // ---------------------------------------------------------------- q1
   // dbt-schema-test analog (reference: dbt/job_dbt/models/marts/
@@ -1143,7 +1242,11 @@ object Catalog {
   // genuine diameter-2 chain whose transitive closure the operator must
   // find (one propagation round would NOT suffice). Oracle = recursive-CTE
   // closure over the same quadratic ratio ground truth.
-  private val l7 = {
+  /** Shared chain-corpus fixture + from-scratch oracle (l7 AND l16): l7
+    * resolves the components from scratch; l16 MAINTAINS them
+    * incrementally and must land on the identical label table, so both
+    * entries hang off this one ground truth. */
+  private object CcFixture {
     val nameLen = 8
     val mutations = Seq(2 -> "z", 5 -> "y")
     val minRatio = 80.0
@@ -1158,21 +1261,15 @@ object Catalog {
     val ratioSql =
       """round(100.0 * (1.0 - CAST(levenshtein(n1.name, n2.name) AS DOUBLE) /
         greatest(len(n1.name), len(n2.name))), 2)"""
-    Q(
-      "l7_dedup_components",
-      (s, d) => {
-        val base = Tables.customer(s, d).select(col("c_custkey"),
-          substring(md5(col("c_custkey").cast("string")), 1, nameLen).as("nm"))
-        val names = base.select(col("c_custkey").as("id"), col("nm").as("name"))
-          .unionAll(base.select((col("c_custkey") + 1000000L).as("id"),
-            mutSpark(col("nm"), 1).as("name")))
-          .unionAll(base.select((col("c_custkey") + 2000000L).as("id"),
-            mutSpark(col("nm"), 2).as("name")))
-        val pairs = Enrich.fuzzySelfMatch(names, "id", "name", minRatio,
-          maxEdits = Enrich.maxEditsForRatio(nameLen, minRatio))
-        graft.operators.Dedup.connectedComponents(names, "id", pairs)
-      },
-      Some(s"""
+    /** one mutation tier: ids offset, names k substitutions from base. */
+    def tier(s: SparkSession, d: String, k: Int, offset: Long): DataFrame =
+      Tables.customer(s, d).select(
+        (col("c_custkey") + offset).as("id"),
+        mutSpark(substring(md5(col("c_custkey").cast("string")), 1, nameLen),
+          k).as("name"))
+    def maxEdits: Int = Enrich.maxEditsForRatio(nameLen, minRatio)
+    /** the from-scratch ground truth over all three tiers. */
+    val oracle: String = s"""
         WITH RECURSIVE base AS (
           SELECT c_custkey, substring(md5(CAST(c_custkey AS VARCHAR)), 1, $nameLen) AS nm
           FROM customer),
@@ -1196,8 +1293,58 @@ object Catalog {
           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a AND e.b <> r.a)
         SELECT n.id, least(n.id, coalesce(min(r.b), n.id)) AS component_id
         FROM names n LEFT JOIN reach r ON n.id = r.a
-        GROUP BY n.id"""))
+        GROUP BY n.id"""
   }
+
+  private val l7 = Q(
+    "l7_dedup_components",
+    (s, d) => {
+      import CcFixture._
+      val names = tier(s, d, 0, 0L)
+        .unionAll(tier(s, d, 1, 1000000L))
+        .unionAll(tier(s, d, 2, 2000000L))
+      val pairs = Enrich.fuzzySelfMatch(names, "id", "name", minRatio,
+        maxEdits = maxEdits)
+      graft.operators.Dedup.connectedComponents(names, "id", pairs)
+    },
+    Some(CcFixture.oracle))
+
+  // ---------------------------------------------------------------- l16
+  /** INCREMENTAL component maintenance — the daily form of l7. A 100-TB
+    * dedup graph is not rebuilt when a batch lands: the curated corpus's
+    * prior labels are CONTRACTED to star edges (component_id ← member,
+    * one edge per clustered node — connectivity-equivalent to the whole
+    * old pair set, and already min-labeled so propagation re-converges
+    * in O(1) rounds), candidate generation runs with the new batch's
+    * flag IN the self-join condition (fuzzySelfMatch requireSide —
+    * old↔old candidates never materialize, so the quadratic old pair
+    * space is never re-entered), and one CC pass over star ∪ new-touching
+    * pairs relabels everything. The gate is the strongest available:
+    * the oracle is l7's FROM-SCRATCH ground truth — incremental
+    * maintenance must produce the identical label table, row for row. */
+  private val l16 = Q(
+    "l16_incremental_components",
+    (s, d) => {
+      import CcFixture._
+      // day 1: base + lev-1 variants, resolved from scratch (in
+      // production this label table is simply read from the store).
+      val old = tier(s, d, 0, 0L).unionAll(tier(s, d, 1, 1000000L))
+      val labels1 = graft.operators.Dedup.connectedComponents(old, "id",
+        Enrich.fuzzySelfMatch(old, "id", "name", minRatio, maxEdits = maxEdits))
+      // day 2: lev-2 variants arrive — they chain onto day-1 components
+      // through the lev-1 tier (diameter-2 growth, not just leaf joins).
+      val newBatch = tier(s, d, 2, 2000000L)
+      val stars = labels1.filter(col("id") =!= col("component_id"))
+        .select(col("component_id").as("id1"), col("id").as("id2"))
+      val tagged = old.unionAll(newBatch)
+        .withColumn("is_new", col("id") >= 2000000L)
+      val incPairs = Enrich.fuzzySelfMatch(tagged, "id", "name", minRatio,
+        maxEdits = maxEdits, requireSide = Some("is_new"))
+        .select("id1", "id2")
+      graft.operators.Dedup.connectedComponents(
+        old.unionAll(newBatch), "id", stars.unionAll(incPairs))
+    },
+    Some(CcFixture.oracle))
 
   // ---------------------------------------------------------------- l8
   // IVF ANN: corpus coarse-quantized to its nearest of C deterministic
@@ -3226,6 +3373,62 @@ object Catalog {
       SELECT event_id, e.user_id, event_type, value, c_mktsegment, c_acctbal
       FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey"""))
 
+  // ---------------------------------------------------------------- j4
+  /** Runtime BLOOM-FILTER join pruning under a throwing gate: when a
+    * selective dim predicate survives into a shuffle join, Catalyst's
+    * InjectRuntimeFilter builds a bloom filter from the dim's join keys
+    * and pushes `might_contain` onto the FACT side — fact rows with no
+    * partner die at the scan, before the shuffle, which at 100 TB is the
+    * difference between shuffling the whole fact table and shuffling the
+    * ~selectivity fraction that joins. DPP (w4's gate) needs the join key
+    * to BE the partition column; the bloom filter covers every other
+    * join column, so together they close the pruning story. The entry
+    * pins fixture-scale thresholds (app-side scan floor 0, broadcast off
+    * so a shuffle join actually plans — at real scale the defaults fire
+    * on their own and broadcast stays the first choice), THROWS unless
+    * the filter is in the executed plan, and materializes under the
+    * entry-local confs (write-then-read-back) so the gated plan is the
+    * plan that ran. Oracle: the plain join — pruning changes bytes
+    * shuffled, never answers. */
+  private val j4 = Q(
+    "j4_bloom_join",
+    (s, d) => {
+      val saved = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold")
+        .map(k => k -> s.conf.getOption(k))
+      try {
+        s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        s.conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        val dim = Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        val joined = Tables.orders(s, d)
+          .join(dim, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(DecM)).cast("double").as("total_price"))
+        val planStr = joined.queryExecution.executedPlan.toString.toLowerCase
+        require(planStr.contains("might_contain") || planStr.contains("bloomfilter"),
+          "runtime bloom filter was not injected on the fact side")
+        val path = s"$scratchRoot/${new java.io.File(d).getName}/j4_out"
+        joined.write.mode("overwrite").parquet(path)
+        s.read.parquet(path)
+      } finally saved.foreach { case (k, v) =>
+        v match { case Some(x) => s.conf.set(k, x); case None => s.conf.unset(k) } }
+    },
+    Some("""
+      SELECT o_orderpriority AS priority, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS total_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY 1"""))
+
   // ---------------------------------------------------------------- a6
   // Gap-based sessionization via the built-in session_window (one shuffle;
   // the same expression runs under Structured Streaming — twin asserted in
@@ -3754,12 +3957,12 @@ object Catalog {
 
   /** All registered queries, in SURVEY §2 order. */
   val all: Seq[Q] = Seq(
-    a1, a2, a3, a4, a5, a6,
+    a1, a2, a3, a4, a5, a6, a7,
     n1, n2, n3, n4, n5, n6, n7,
-    d1, d2, d3, d4, d5,
-    e1, e2, e3, e4, e5, j1, j2, j3,
-    r1, r2, r3, r4, q1, q2, q3,
-    l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15,
+    d1, d2, d3, d4, d5, d6,
+    e1, e2, e3, e4, e5, j1, j2, j3, j4,
+    r1, r2, r3, r4, r5, q1, q2, q3,
+    l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
     c1, c2, c3, c4, c5, c6, c7,
     m1, m2, m3, s1, s2, s3, s4, s5, s6, s7, p1, p2, p3,
