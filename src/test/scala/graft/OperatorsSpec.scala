@@ -624,6 +624,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("fuzzySelfMatch requireSide: pairs = full pairs minus unflagged-unflagged") {
+    val rnd = new scala.util.Random(7)
+    val names = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.fill(2 + rnd.nextInt(4))("ab"(rnd.nextInt(2))).mkString))
+    val tagged = names.toDF("id", "name").withColumn("is_new", col("id") >= 30)
+    val got = Enrich.fuzzySelfMatch(tagged, "id", "name", minRatio = 0.0,
+        requireSide = Some("is_new"))
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = (for {
+      (i1, n1) <- names; (i2, n2) <- names
+      if i1 < i2 && levenshtein(n1, n2) <= 1 && (i1 >= 30 || i2 >= 30)
+    } yield (i1, i2)).toSet
+    assert(got == expect)
+    assert(expect.nonEmpty, "fixture must exercise the flagged side")
+  }
+
+  test("applyCdc: last-op-wins with delete and delete-then-revive semantics") {
+    val log = Seq(
+      // key 1: upsert then DELETE last -> absent from final state
+      (1L, 10L, "u", 1.0),
+      (1L, 20L, "del", 2.0),
+      // key 2: delete then a later upsert REVIVES it -> present, payload 4.0
+      (2L, 10L, "del", 3.0),
+      (2L, 20L, "u", 4.0),
+      // key 3: plain upserts, latest (ts tie broken by op id) wins
+      (3L, 10L, "u", 5.0),
+      (3L, 10L, "u", 6.0))
+      .map { case (k, ts, op, v) => (k, ts, v.toLong, op, v) }
+      .toDF("key", "ts", "opid", "op", "v")
+    val got = Upsert.applyCdc(log, "key", "ts", "opid", "op", "del", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((2L, 4.0), (3L, 6.0)))
+  }
+
   test("Checks.violations counts planted unique/not_null/accepted violations") {
     import graft.operators.Checks
     val df = Seq(
