@@ -468,6 +468,16 @@ object Catalog {
     * express and every binlog/Debezium-shaped feed needs. One shuffle;
     * at 100 TB the log collapse is the same window d2 plans, and its
     * output (not the log) is what merges into the bucketed state. */
+  /** d6 AND s8 share this ground truth: the batch window apply and the
+    * streaming state fold must land on the same final CDC state. */
+  private val cdcOracleSql = """
+      SELECT user_id, event_type AS last_op, value AS last_value,
+        strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS op_ts
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) t
+      WHERE rn = 1 AND event_type <> 'error'"""
+
   private val d6 = Q(
     "d6_cdc_apply",
     (s, d) => {
@@ -479,13 +489,7 @@ object Catalog {
           col("value").as("last_value"),
           date_format(col("op_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("op_ts"))
     },
-    Some("""
-      SELECT user_id, event_type AS last_op, value AS last_value,
-        strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS op_ts
-      FROM (SELECT *, ROW_NUMBER() OVER (
-              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-            FROM events) t
-      WHERE rn = 1 AND event_type <> 'error'"""))
+    Some(cdcOracleSql))
 
   // ---------------------------------------------------------------- d4
   private val d4 = Q(
@@ -3088,6 +3092,24 @@ object Catalog {
     },
     Some(Q3.oracleSql))
 
+  // ---------------------------------------------------------------- s8
+  /** The streaming path of d6's CDC apply (EventStream.cdcState): the
+    * SAME mapGroupsWithState builder runs on batch here — gated by d6's
+    * window oracle — and trigger-by-trigger in StreamingSpec, where the
+    * per-trigger state must equal the batch applyCdc of data-so-far
+    * (delete, then revive-by-newer-op, across trigger boundaries).
+    * Delete tombstones stay IN state: dropping them would let a
+    * late-arriving older upsert silently revive a deleted key; the live
+    * snapshot is a filter over the state's last emission per key, not a
+    * different computation. One code path, no twin drift. */
+  private val s8 = Q(
+    "s8_stream_cdc",
+    (s, d) => graft.streaming.EventStream.cdcState(Tables.events(s, d))
+      .filter(col("last_op") =!= "error")
+      .select(col("user_id"), col("last_op"), col("last_value"),
+        date_format(col("op_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("op_ts")),
+    Some(cdcOracleSql))
+
   private val p1 = Q("p1_job_etl", (s, d) => P1.mart(s, d), Some(P1.oracleSql))
 
   // ---------------------------------------------------------------- p3
@@ -3976,7 +3998,7 @@ object Catalog {
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
     c1, c2, c3, c4, c5, c6, c7,
-    m1, m2, m3, s1, s2, s3, s4, s5, s6, s7, p1, p2, p3,
+    m1, m2, m3, s1, s2, s3, s4, s5, s6, s7, s8, p1, p2, p3,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -13,6 +13,12 @@ case class UpsertState(
     latest_ts: Timestamp, latest_event_id: Long,
     event_type: String, value: Double)
 
+/** Per-key last-op state for [[EventStream.cdcState]] — delete ops stay
+  * in state as tombstones (see the method's scaladoc for why). */
+case class CdcOpState(
+    latest_ts: Timestamp, latest_event_id: Long,
+    op: String, value: Double)
+
 /**
  * Structured Streaming twin of the reference's incremental daily batch
  * (reference: airflow/dags/jobs_etl_daily.py orchestrates extract →
@@ -98,6 +104,44 @@ object EventStream {
         col("ts") < col("purchase_ts") + expr("INTERVAL 2 HOURS"))
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
         col("purchase_ts"), col("purchase_value"))
+  }
+
+  /**
+   * Stateful CDC apply: the streaming form of Upsert.applyCdc — per key
+   * the state holds the LAST OP in (ts, event_id) order, and delete ops
+   * are retained as TOMBSTONES rather than cleared: a late-arriving
+   * upsert with an OLDER timestamp must lose to the delete it raced
+   * (dropping the state would silently revive the key), while a genuinely
+   * newer upsert revives it by winning the same last-op-wins rule. Every
+   * trigger emits the refreshed state of each touched key (update mode);
+   * the LIVE snapshot is `last_op != deleteOp` over the latest emission
+   * per key. On a BATCH input Spark runs the same function once per key
+   * with empty state, so the batch twin (catalog s8_stream_cdc, gated by
+   * d6's window oracle) and the streaming run share one code path.
+   */
+  def cdcState(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("ts"), col("event_id").cast("long"),
+        col("event_type"), col("value").cast("double"))
+      .as[(Long, Timestamp, Long, String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[CdcOpState, (Long, Timestamp, String, Double)](
+        GroupStateTimeout.NoTimeout) { case (key, rows, state) =>
+        val last = rows.foldLeft(state.getOption) { case (acc, (_, ts, eid, op, v)) =>
+          Some(acc match {
+            case None => CdcOpState(ts, eid, op, v)
+            case Some(s0) =>
+              val newer = ts.getTime > s0.latest_ts.getTime ||
+                (ts.getTime == s0.latest_ts.getTime && eid > s0.latest_event_id)
+              if (newer) CdcOpState(ts, eid, op, v) else s0
+          })
+        }.get
+        state.update(last)
+        (key, last.latest_ts, last.op, last.value)
+      }
+      .toDF("user_id", "op_ts", "last_op", "last_value")
   }
 
   /**

@@ -205,6 +205,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("cdcState: tombstones persist across triggers; late ops lose; snapshot == applyCdc") {
+    implicit val ctx = spark.sqlContext
+    val b1 = Seq(
+      UpEv(ts("2024-01-15 10:00:00"), 1, 100, "click", 1.0),
+      UpEv(ts("2024-01-15 10:00:00"), 2, 101, "view", 2.0))
+    val b2 = Seq(
+      UpEv(ts("2024-01-15 12:00:00"), 1, 102, "error", 0.0), // delete key 1
+      UpEv(ts("2024-01-15 09:00:00"), 2, 103, "error", 0.0), // LATE delete: loses to 10:00 upsert
+      UpEv(ts("2024-01-15 10:00:00"), 3, 104, "error", 0.0)) // delete a never-seen key
+    val b3 = Seq(
+      UpEv(ts("2024-01-15 11:00:00"), 1, 105, "click", 5.0), // late upsert: tombstone wins
+      UpEv(ts("2024-01-15 13:00:00"), 3, 106, "click", 6.0)) // newer upsert: revives key 3
+    val input = MemoryStream[UpEv]
+    val query = EventStream.cdcState(input.toDF())
+      .writeStream.format("memory").queryName("cdc_out").outputMode("update").start()
+    try {
+      Seq(b1, b2, b3).foreach { b => input.addData(b); query.processAllAvailable() }
+      val rows = spark.table("cdc_out").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2), r.getDouble(3)))
+      // state is monotone in ts (ties only between identical re-emissions),
+      // so each key's final state is its max-ts emission
+      val finalState = rows.groupBy(_._1).map { case (_, rs) =>
+        rs.maxBy(_._2.getTime) }.toSet
+      assert(finalState == Set(
+        (1L, ts("2024-01-15 12:00:00"), "error", 0.0), // deleted; late click lost
+        (2L, ts("2024-01-15 10:00:00"), "view", 2.0),  // late delete lost
+        (3L, ts("2024-01-15 13:00:00"), "click", 6.0))) // revived
+      // same builder on batch == final streaming state (one code path)
+      val batchState = EventStream.cdcState((b1 ++ b2 ++ b3).toDF()).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2), r.getDouble(3))).toSet
+      assert(batchState == finalState)
+      // live snapshot (tombstones filtered) == Upsert.applyCdc of the union
+      val snap = finalState.filter(_._3 != "error").map(t => (t._1, t._4, t._2))
+      val applied = graft.operators.Upsert.applyCdc((b1 ++ b2 ++ b3).toDF(),
+          "user_id", "ts", "event_id", "event_type", "error", Seq("value"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getTimestamp(2))).toSet
+      assert(applied == snap)
+    } finally query.stop()
+  }
+
   test("foreachBatch bucketed publish: per-trigger state equals the batch upsert so far") {
     implicit val ctx = spark.sqlContext
     val payload = Seq("event_type", "value")
