@@ -162,6 +162,31 @@ object Catalog {
       FROM lineitem
       GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
 
+  // ---------------------------------------------------------------- a8
+  /** CUBE + grouping_id, completing a5's subtotal family: every
+    * (status, priority) margin in one pass — Catalyst's Expand feeds all
+    * four grouping sets through ONE shuffle (the q2 discipline: one
+    * scan, map-side partials, however many set combinations). The
+    * grouping_id column is the part a5 deliberately avoids needing: it
+    * separates "subtotal over this column" from "this column was NULL in
+    * the data" — the only way a reporting consumer can trust margins on
+    * nullable dimensions. Bit convention (first listed column = MSB) is
+    * pinned cross-engine by the oracle. */
+  private val a8 = Q(
+    "a8_grouping_sets",
+    (s, d) => Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecM)).cast("double").as("total_price")),
+    Some("""
+      SELECT o_orderstatus, o_orderpriority,
+        GROUPING(o_orderstatus, o_orderpriority) AS gid,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS total_price
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)"""))
+
   // ---------------------------------------------------------------- a7
   /** Pivoted (cross-tab) reporting: per-priority order totals spread
     * across the status columns — the spreadsheet-shaped output every
@@ -3017,6 +3042,64 @@ object Catalog {
     },
     Some(stateOracleSql(Some(S5Cuts(1)))))
 
+  // ---------------------------------------------------------------- w14
+  /** PARTITION-SPEC EVOLUTION — the layout counterpart of w5's column
+    * evolution (Iceberg's signature trick): a store born partitioned by
+    * year later needs (year, status) — but 100 TB of history is never
+    * rewritten to the new spec. Old batches stay under the v1 layout,
+    * new batches land under v2, and ONE query reads both eras with each
+    * era pruned as deeply as ITS spec allows: the v1 scan prunes the
+    * year directory and pushes the status predicate to parquet, the v2
+    * scan prunes BOTH directory levels. The gate collects the union's
+    * two FileSourceScans and THROWS unless both prune on order_year and
+    * the evolved era also prunes on o_orderstatus — w9's both-scans
+    * discipline (one marker is not enough). Explicit read schemas pin
+    * partition-column types against dir-string re-inference (w4's
+    * lesson). Oracle recomputes from the source table: layout eras
+    * change which directories are listed, never answers. */
+  private val w14 = Q(
+    "w14_partition_evolution",
+    (s, d) => {
+      val root = s"$scratchRoot/${new java.io.File(d).getName}/w14"
+      val orders = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"), year(col("o_orderdate")).as("order_year"))
+      graft.sources.Sink.writePartitioned(
+        orders.filter(col("o_orderkey") % 2 === 0), s"$root/v1", Seq("order_year"))
+      graft.sources.Sink.writePartitioned(
+        orders.filter(col("o_orderkey") % 2 === 1), s"$root/v2",
+        Seq("order_year", "o_orderstatus"))
+      val schema = "o_orderkey BIGINT, o_custkey BIGINT, " +
+        "o_totalprice DOUBLE, o_orderstatus STRING, order_year INT"
+      def era(path: String) = s.read.schema(schema).parquet(path)
+        .filter(col("order_year") === 1997 && col("o_orderstatus") === "F")
+      val result = era(s"$root/v1").unionByName(era(s"$root/v2"))
+        .groupBy((col("o_custkey") % 10).as("cust_bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecM)).cast("double").as("total_price"))
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val plan = result.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+      val scans = plan.collect { case f: FileSourceScanExec => f }
+      require(scans.size == 2, s"expected both era scans, got ${scans.size}")
+      def prunes(f: FileSourceScanExec, c: String) =
+        f.partitionFilters.exists(_.references.exists(_.name == c))
+      require(scans.forall(prunes(_, "order_year")),
+        "every era's scan must prune on order_year")
+      require(scans.exists(prunes(_, "o_orderstatus")),
+        "the evolved era's scan must prune on o_orderstatus")
+      result
+    },
+    Some("""
+      SELECT o_custkey % 10 AS cust_bucket, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS total_price
+      FROM orders
+      WHERE year(o_orderdate) = 1997 AND o_orderstatus = 'F'
+      GROUP BY 1"""))
+
   // ---------------------------------------------------------------- s6
   // Streaming ANN ingest (VectorStream.ivfAppendBatch) — w6's append
   // lifecycle driven from a stream: the base store is built batch-side
@@ -3990,7 +4073,7 @@ object Catalog {
 
   /** All registered queries, in SURVEY §2 order. */
   val all: Seq[Q] = Seq(
-    a1, a2, a3, a4, a5, a6, a7,
+    a1, a2, a3, a4, a5, a6, a7, a8,
     n1, n2, n3, n4, n5, n6, n7,
     d1, d2, d3, d4, d5, d6,
     e1, e2, e3, e4, e5, j1, j2, j3, j4,
@@ -3999,7 +4082,7 @@ object Catalog {
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
     c1, c2, c3, c4, c5, c6, c7,
     m1, m2, m3, s1, s2, s3, s4, s5, s6, s7, s8, p1, p2, p3,
-    w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13)
+    w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -41,7 +41,13 @@ object ScaleProbe {
     // the purge's rewrite set, the z-order stats pass, and the drift
     // histogram all grow linearly with the corpus; the probe pins it
     "w10_delete_log", "w11_zorder_skip", "q3_drift", "s7_stream_drift",
-    "w12_zorder_maintain", "w13_time_travel")
+    "w12_zorder_maintain", "w13_time_travel",
+    // round-9 continuation: incremental CC (its day-1 resolve + star
+    // contraction + new-touching candidates all ride the ×8 name
+    // inflation — the same quadratic-bucket hazard class as l7), the
+    // CDC collapse and its sketch sibling (linear windows/folds over
+    // ×8 events — pinned so a regression shows as a ratio, not prose)
+    "l16_incremental_components", "d6_cdc_apply", "r5_distinct_sketch")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -27,7 +27,11 @@ object SkewProbe {
   private val DefaultProbes = Seq("j3_salted_join", "a6_sessionize",
     "d2_upsert_merge", "c4_event_sequence", "j1_asof_join",
     "j2_range_join", "s2_stream_upsert", "w7_compaction",
-    "c6_quota_sample", "c7_token_budget")
+    "c6_quota_sample", "c7_token_budget",
+    // round-9 continuation: the CDC collapse (window) and its stateful
+    // streaming twin (mapGroupsWithState) both partition by user_id —
+    // the hot key funnels 30% of the log into one group on each
+    "d6_cdc_apply", "s8_stream_cdc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
