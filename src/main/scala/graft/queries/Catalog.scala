@@ -3232,6 +3232,138 @@ object Catalog {
         Some(P1.watermark), " AND user_id % 7 <> 0")}) x
         WHERE x.user_id = t.user_id)""")))
 
+  // ---------------------------------------------------------------- p4
+  // The LLM curation pipeline END TO END as one declarative plan — what
+  // p1 is for the reference's job chain, this is for the training-data
+  // chain the LLM-pipeline families exist to serve: language gate →
+  // quality gate (t1/t2 semantics, c3's fused one-scan form) →
+  // exact-dedup survivors → decontamination against a held-out
+  // benchmark (t9, grams broadcast) → per-source TOKEN budget in
+  // deterministic hash order (c7) → reproducible split (c1). The
+  // chain's cheap narrow filters run first, the one dedup shuffle sees
+  // only gated docs, the gram join sees only dedup survivors, and the
+  // budget window sees only clean docs — each stage shrinks the next
+  // stage's input, which is the whole economics of a 100-TB curation
+  // run. Every constant is shared with the oracle, which replays all
+  // six stages bit-for-bit in one SQL chain.
+  private val p4 = {
+    val langs = Dictionaries.langMarkers
+    val stops = Dictionaries.stopwordsEn
+    val qualityMin = 0.3
+    val gramN = 5
+    val budgets = Seq("src0" -> 20000L, "src1" -> 12000L)
+    val defaultBudget = 8000L
+    val budgetSql = budgets.map { case (s0, b) => s"WHEN '$s0' THEN $b" }.mkString(" ")
+    val gramSql = s"list_transform(range(0, greatest(len(w) - ${gramN - 1}, 0)), " +
+      s"i -> ${(1 to gramN).map(k => s"w[i+$k]").mkString(" || ' ' || ")})"
+    Q(
+      "p4_llm_corpus",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bench = docs.filter(col("doc_id") % 20 === 0).select(col("text"))
+        val pool = docs.filter(col("doc_id") % 20 =!= 0)
+        val t = T.normKey(col("text"))
+        val ws0 = split(t, " ")
+        val hitCols = langs.map { case (l, ms) =>
+          size(filter(ws0, w => w.isin(ms.map(lit): _*))).as(s"s_$l")
+        }
+        val lenScore = least(length(t).cast("double") / 500.0, lit(1.0))
+        val punctRatio = (length(t) - length(regexp_replace(t, "[a-z0-9 ]", "")))
+          .cast("double") / length(t).cast("double")
+        val scored = pool.select(
+          (Seq(col("doc_id"), col("source"), t.as("t"),
+            lenScore.as("len_score"),
+            T.distinctRatio(ws0).as("distinct_ratio"),
+            T.stopwordRatio(ws0, stops).as("stopword_ratio"),
+            punctRatio.as("punct_ratio")) ++ hitCols): _*)
+        val isEn = col("s_en") > 0 &&
+          col("s_en") === greatest(langs.map { case (l, _) => col(s"s_$l") }: _*)
+        val quality = col("len_score") * 0.35 + col("distinct_ratio") * 0.25 +
+          (lit(1.0) - col("punct_ratio")) * 0.25 + col("stopword_ratio") * 0.15
+        val filtered = scored.filter(isEn)
+          .withColumn("quality", quality)
+          .filter(col("quality") >= qualityMin)
+          .select("doc_id", "source", "t", "quality")
+        val survivors = filtered
+          .groupBy(md5(col("t")).as("h")).agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        val deduped = filtered.join(survivors, Seq("doc_id"), "left_semi")
+        val flagged = Curate.flagContaminated(
+          deduped.select(col("doc_id"), col("t")), "doc_id", "t",
+          bench, "text", gramN).select("doc_id")
+        val clean = deduped.join(flagged, Seq("doc_id"), "left_anti")
+        val budgeted = Curate.tokenBudgetSample(
+          clean, "doc_id", "source", T.tokenCountWs(col("t")),
+          "llmbudget0", budgets, defaultBudget)
+        graft.operators.Curate.assignSplit(budgeted.drop("t"), "doc_id",
+          "llmsplit0", Seq(0.8 -> "train", 0.9 -> "val"), "test")
+      },
+      Some {
+        val scoreDefs = langs.map { case (lang, ms) =>
+          val lst = ms.map(m => s"'$m'").mkString(", ")
+          s"len(list_filter(ws, w -> list_contains([$lst], w))) AS s_$lang"
+        }.mkString(",\n            ")
+        val mxExpr = langs.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+        val stopsSql = stops.map(s0 => s"'$s0'").mkString(", ")
+        val fracSplit = hashFracSql("CAST(doc_id AS VARCHAR) || '|llmsplit0'")
+        s"""
+        WITH pool AS (
+          SELECT doc_id, source, ${normSql("text")} AS t
+          FROM documents WHERE doc_id % 20 <> 0),
+        w AS (SELECT doc_id, source, t, string_split(t, ' ') AS ws FROM pool),
+        sc AS (
+          SELECT doc_id, source, t,
+            least(CAST(len(t) AS DOUBLE) / 500.0, 1.0) AS len_score,
+            CASE WHEN len(ws) = 0 THEN 0.0
+                 ELSE CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) END AS distinct_ratio,
+            CASE WHEN len(ws) = 0 THEN 0.0
+                 ELSE CAST(len(list_filter(ws, w -> list_contains([$stopsSql], w))) AS DOUBLE) /
+                      CAST(len(ws) AS DOUBLE) END AS stopword_ratio,
+            CAST(len(t) - len(regexp_replace(t, '[a-z0-9 ]', '', 'g')) AS DOUBLE) /
+              CAST(len(t) AS DOUBLE) AS punct_ratio,
+            $scoreDefs
+          FROM w),
+        q AS (
+          SELECT doc_id, source, t,
+            len_score * 0.35 + distinct_ratio * 0.25 + (1.0 - punct_ratio) * 0.25 +
+              stopword_ratio * 0.15 AS quality
+          FROM sc WHERE s_en > 0 AND s_en = $mxExpr),
+        f AS (SELECT doc_id, source, t, quality FROM q WHERE quality >= $qualityMin),
+        surv AS (SELECT min(doc_id) AS sdoc_id FROM f GROUP BY md5(t)),
+        dd AS (SELECT f.* FROM f JOIN surv ON f.doc_id = surv.sdoc_id),
+        bws AS (SELECT string_split(${normSql("text")}, ' ') AS w
+                FROM documents WHERE doc_id % 20 = 0),
+        bg AS (SELECT DISTINCT md5(g) AS gh
+               FROM (SELECT unnest($gramSql) AS g FROM bws) t0),
+        dws AS (SELECT doc_id, string_split(t, ' ') AS w FROM dd),
+        cont AS (
+          SELECT DISTINCT doc_id
+          FROM (SELECT doc_id, unnest($gramSql) AS g FROM dws) t1
+          JOIN bg ON md5(g) = bg.gh),
+        clean AS (
+          SELECT dd.* FROM dd
+          WHERE NOT EXISTS (SELECT 1 FROM cont c WHERE c.doc_id = dd.doc_id)),
+        tok AS (
+          SELECT doc_id, source, quality,
+            CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens,
+            ${hashFracSql("CAST(doc_id AS VARCHAR) || '|llmbudget0'")} AS fb
+          FROM clean),
+        cum AS (
+          SELECT doc_id, source, quality, n_tokens,
+            CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY fb, doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+          FROM tok),
+        kept AS (
+          SELECT * FROM cum
+          WHERE cum_tokens - n_tokens < CASE source $budgetSql ELSE $defaultBudget END)
+        SELECT doc_id, source, quality, n_tokens, cum_tokens,
+          CASE WHEN $fracSplit < 0.8 THEN 'train'
+               WHEN $fracSplit < 0.9 THEN 'val'
+               ELSE 'test' END AS split
+        FROM kept"""
+      })
+  }
+
   // ---------------------------------------------------------------- p2
   // The last reference DAG step with no catalog counterpart until now —
   // the run-summary/notification table (DAG step 9, notifier payload at
@@ -4081,7 +4213,7 @@ object Catalog {
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
     c1, c2, c3, c4, c5, c6, c7,
-    m1, m2, m3, s1, s2, s3, s4, s5, s6, s7, s8, p1, p2, p3,
+    m1, m2, m3, s1, s2, s3, s4, s5, s6, s7, s8, p1, p2, p3, p4,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
