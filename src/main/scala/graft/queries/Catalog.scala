@@ -1442,7 +1442,9 @@ object Catalog {
       result
     }
 
-    val oracleSql: String = s"""
+    /** the l8 replay, with an optional exclusion on the CANDIDATE side
+      * (w15: deleted vectors leave the store, queries are untouched). */
+    def oracleSqlFor(candExtraWhere: String = ""): String = s"""
         WITH cent AS (
           SELECT vec_id AS cid, embedding AS centv FROM embeddings
           ORDER BY vec_id LIMIT $nCent),
@@ -1453,7 +1455,7 @@ object Catalog {
           FROM embeddings e, cent),
         cells AS (
           SELECT vec_id AS cand_id, embedding AS cv, cid AS cell
-          FROM asg WHERE rn = 1),
+          FROM asg WHERE rn = 1$candExtraWhere),
         q AS (
           SELECT vec_id AS query_id, embedding AS qv FROM embeddings
           WHERE vec_id < $nQueries),
@@ -1471,6 +1473,8 @@ object Catalog {
             ORDER BY cosine DESC, cand_id) AS rnk
           FROM scored)
         SELECT query_id, cand_id, cosine, rnk FROM r WHERE rnk <= $k"""
+
+    val oracleSql: String = oracleSqlFor()
   }
 
   private val l8 = Q(
@@ -3100,6 +3104,60 @@ object Catalog {
       WHERE year(o_orderdate) = 1997 AND o_orderstatus = 'F'
       GROUP BY 1"""))
 
+  // ---------------------------------------------------------------- w15
+  /** DELETEs on the VECTOR store, completing the IVF lifecycle's CRUD
+    * (build w4 / append w6 / stream-ingest s6 / compact w7 / now
+    * delete): w10 proves targeted purge when the partition is DERIVABLE
+    * from the key; a vector store's partition (cell) is not — the
+    * quantizer decided it at ingest. The production answer is the slim
+    * id→cell INDEX written as a build artifact: a right-to-erasure log
+    * names only vec_ids, the index join turns it into a (vec_id, cell)
+    * purge, and Sink.purgeTombstones rewrites ONLY the named cells
+    * (partition-pruned scan, THROWS otherwise) while every unaffected
+    * cell carries forward by RENAME — bytes unmoved. Census gates pin
+    * the semantics in-engine: zero doomed ids survive, and the purged
+    * store holds exactly oldRows − deletedRows. The search over the
+    * purged store must still plan DPP, and the oracle is l8's replay
+    * with the doomed set excluded from the CANDIDATE side only —
+    * deletes change the answer exactly as far as the deleted vectors
+    * reached it, and nothing else. */
+  private val w15 = Q(
+    "w15_ann_delete",
+    (s, d) => {
+      val root = s"$scratchRoot/${new java.io.File(d).getName}/ann_delete"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val e = Tables.embeddings(s, d)
+      val cent = graft.operators.Ann.sampleCentroids(e, Ivf.nCent)
+      val assigned = graft.operators.Ann.assignCells(e, cent)
+      graft.sources.Sink.writePartitioned(assigned, s"$root/store", Seq("cell"))
+      assigned.select("vec_id", "cell")
+        .write.mode("overwrite").parquet(s"$root/index")
+      val doomed = e.select(col("vec_id"))
+        .filter(col("vec_id") % 17 === 3 && col("vec_id") >= Ivf.nQueries)
+      val index = s.read.schema("vec_id BIGINT, cell BIGINT")
+        .parquet(s"$root/index")
+      val tombstones = index.join(broadcast(doomed), "vec_id")
+      val store = s.read.schema(Ivf.storeSchema).parquet(s"$root/store")
+      val (nOld, nDel) = (store.count(), doomed.count())
+      graft.sources.Sink.purgeTombstones(s, store, s"$root/store",
+        s"$root/purged", "cell", "vec_id", tombstones)
+      val purged = s.read.schema(Ivf.storeSchema).parquet(s"$root/purged")
+      val nGhosts = purged.join(broadcast(doomed), Seq("vec_id"), "left_semi").count()
+      require(nGhosts == 0, s"purged store still holds $nGhosts doomed ids")
+      val nNew = purged.count()
+      require(nNew == nOld - nDel,
+        s"purge must remove exactly the doomed rows: $nOld - $nDel != $nNew")
+      Ivf.requireDpp(
+        graft.operators.Ann.ivfTopKAssigned(
+          e.filter(col("vec_id") < Ivf.nQueries), purged, cent, Ivf.nProbe, Ivf.k)
+          .select("query_id", "cand_id", "cosine", "rnk"),
+        "post-delete IVF")
+    },
+    Some(Ivf.oracleSqlFor(
+      s" AND NOT (vec_id % 17 = 3 AND vec_id >= ${Ivf.nQueries})")))
+
   // ---------------------------------------------------------------- s6
   // Streaming ANN ingest (VectorStream.ivfAppendBatch) — w6's append
   // lifecycle driven from a stream: the base store is built batch-side
@@ -4226,7 +4284,7 @@ object Catalog {
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
     c1, c2, c3, c4, c5, c6, c7,
     m1, m2, m3, s1, s2, s3, s4, s5, s6, s7, s8, p1, p2, p3, p4,
-    w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14)
+    w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
