@@ -47,7 +47,12 @@ object ScaleProbe {
     // inflation — the same quadratic-bucket hazard class as l7), the
     // CDC collapse and its sketch sibling (linear windows/folds over
     // ×8 events — pinned so a regression shows as a ratio, not prose)
-    "l16_incremental_components", "d6_cdc_apply", "r5_distinct_sketch")
+    "l16_incremental_components", "d6_cdc_apply", "r5_distinct_sketch",
+    // the end-to-end curation chain (every stage rides the ×8 corpus;
+    // the salted copies are exact dups, so the dedup stage must collapse
+    // them before the gram join and budget window) and the vector-store
+    // delete (×8 rows per cell in both the purge rewrite and the index)
+    "p4_llm_corpus", "w15_ann_delete")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
