@@ -3104,6 +3104,67 @@ object Catalog {
       WHERE year(o_orderdate) = 1997 AND o_orderstatus = 'F'
       GROUP BY 1"""))
 
+  // ---------------------------------------------------------------- w16
+  /** GLOBAL SORT as a distributed primitive (the terasort shape, and
+    * the sorted-publish layout BI range reads and merge scans want):
+    * `orderBy` on a fact table must plan RANGE partitioning — sampled
+    * boundaries deal rows to parallel tasks whose outputs are DISJOINT
+    * sorted runs, so "globally sorted" costs one shuffle, never a
+    * single-task sort (the gate THROWS on a plan without
+    * rangepartitioning). The written store is then PROVEN sorted from
+    * its own files: the per-file min/max manifest (w11's machinery) must
+    * show >1 files whose key envelopes are pairwise disjoint in order —
+    * which is also why the layout is useful: a key-range read touches
+    * only the files whose envelope intersects it. Boundaries are
+    * SAMPLED (nondeterministic across runs), so no per-file fact can be
+    * oracle-pinned — the oracle instead pins the roundtrip (count +
+    * decimal sum + min/max of the read-back equal the source), and
+    * sortedness is gate-enforced where it lives: in the layout. */
+  private val w16 = Q(
+    "w16_global_sort",
+    (s, d) => {
+      val root = s"$scratchRoot/${new java.io.File(d).getName}/sorted_fact"
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_quantity"))
+      // EXPLICIT width: a bare orderBy's range exchange carries a few MB
+      // here and AQE folds it to ONE partition (one file, nothing to
+      // prove — measured at sf0.001/0.01); explicit counts are exempt
+      // (e4's repartition lesson). range-partition + in-partition sort
+      // IS the global sort construction — disjoint sorted runs.
+      val sorted = li
+        .repartitionByRange(8,
+          col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        .sortWithinPartitions("l_extendedprice", "l_orderkey", "l_linenumber")
+      val planStr = sorted.queryExecution.executedPlan.toString.toLowerCase
+      require(planStr.contains("rangepartitioning"),
+        "global sort must plan range partitioning, not a single-task sort")
+      sorted.write.mode("overwrite").parquet(root)
+      val schema = "l_orderkey BIGINT, l_linenumber INT, " +
+        "l_extendedprice DOUBLE, l_quantity DOUBLE"
+      val man = graft.sources.Sink.skippingManifest(
+        s, root, schema, "l_extendedprice", "l_extendedprice")
+      require(man.length > 1,
+        s"sorted store must hold several range files, got ${man.length}")
+      man.sortBy(_._2).toSeq.sliding(2).foreach {
+        case Seq((fa, _, hiA, _, _), (fb, loB, _, _, _)) =>
+          require(hiA <= loB,
+            s"file ranges must be disjoint in key order: $fa hi=$hiA overlaps $fb lo=$loB")
+        case _ => ()
+      }
+      s.read.schema(schema).parquet(root).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_extendedprice").cast(DecM)).cast("double").as("sum_price"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+    },
+    Some("""
+      SELECT COUNT(*) AS n_rows,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_price,
+        MIN(l_extendedprice) AS min_price,
+        MAX(l_extendedprice) AS max_price
+      FROM lineitem"""))
+
   // ---------------------------------------------------------------- w15
   /** DELETEs on the VECTOR store, completing the IVF lifecycle's CRUD
     * (build w4 / append w6 / stream-ingest s6 / compact w7 / now
@@ -4284,7 +4345,7 @@ object Catalog {
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
     c1, c2, c3, c4, c5, c6, c7,
     m1, m2, m3, s1, s2, s3, s4, s5, s6, s7, s8, p1, p2, p3, p4,
-    w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15)
+    w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
