@@ -138,6 +138,56 @@ object Checks {
       .agg(count(lit(1)).as(countName))
   }
 
+  /**
+   * Row-level RECONCILIATION between two versions of a keyed table — the
+   * audit every publish step should run before a swap ("what did this
+   * release change"): row counts added / removed / changed / unchanged
+   * plus a per-column changed count, as one (section, item, n) summary a
+   * scheduler can gate on (the shape dbt's `dbt-audit-helper` and every
+   * data-diff tool reports; reference analog: the run-report counts in
+   * services/notifier/email.py:100 compare stages, this compares
+   * VERSIONS).
+   *
+   * Semantics: keys are matched with a full-outer join; a row counts as
+   * `changed` when both versions have the key and ANY compared column
+   * differs under NULL-SAFE equality (NULL→value and value→NULL are
+   * changes; NULL→NULL is not), and each differing column increments its
+   * own `column` row independently (one changed row can tick several
+   * columns).
+   *
+   * Scale shape: ONE full-outer shuffle join on the key (co-located and
+   * shuffle-free when both versions are published bucketed on the key —
+   * the w3 layout discipline) feeding ONE single-row conditional
+   * aggregate (map-side combinable); the (section, item, n) rows are
+   * inlined from that one row, so nothing but the join ever touches the
+   * data. No column comparison is a separate pass — a version diff over
+   * N columns costs exactly one join regardless of N.
+   */
+  def diffReport(oldDf: DataFrame, newDf: DataFrame, key: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one compared column")
+    val o = oldDf.select((key +: cols).map(c => col(c).as(s"o_$c")): _*)
+    val n = newDf.select((key +: cols).map(c => col(c).as(s"n_$c")): _*)
+    val j = o.join(n, col(s"o_$key") === col(s"n_$key"), "full_outer")
+    val both = col(s"o_$key").isNotNull && col(s"n_$key").isNotNull
+    def colChanged(c: String): Column = !(col(s"o_$c") <=> col(s"n_$c"))
+    val anyChanged = cols.map(colChanged).reduce(_ || _)
+    val aggs = Seq(
+      count(when(col(s"o_$key").isNull, 1)).as("added"),
+      count(when(col(s"n_$key").isNull, 1)).as("removed"),
+      count(when(both && anyChanged, 1)).as("changed"),
+      count(when(both && !anyChanged, 1)).as("unchanged")) ++
+      cols.map(c => count(when(both && colChanged(c), 1)).as(s"col_$c"))
+    val one = j.agg(aggs.head, aggs.tail: _*)
+    val rows =
+      Seq("added", "removed", "changed", "unchanged").map(i =>
+        struct(lit("rows").as("section"), lit(i).as("item"), col(i).as("n"))) ++
+        cols.map(c =>
+          struct(lit("column").as("section"), lit(c).as("item"),
+            col(s"col_$c").as("n")))
+    one.select(inline(array(rows: _*)))
+  }
+
   /** TVD + most-drifted bin from pre-binned cells
     * (`groupCol`, `_bin`, `_ca`, `_cb`) — [[distributionDrift]]'s math,
     * factored so any cell provenance (one fused scan, or two histograms

@@ -688,6 +688,56 @@ object Catalog {
       SELECT event_type, COUNT(DISTINCT user_id) AS n_users
       FROM events GROUP BY 1"""))
 
+  // ---------------------------------------------------------------- r6
+  /** MERGEABLE heavy-hitters sketches (Datasketches frequent-items via
+    * the built-in approx_top_k family) — r5's companion: HLL answers
+    * "how many distinct", this answers "WHICH items dominate" ("top
+    * users over any date range" without re-scanning history). Daily
+    * sketch rows persist (KB each, capacity-bounded regardless of input
+    * size); serving is a combine over range-many sketches, zero fact
+    * I/O. Gates: (1) RE-MERGE INVARIANCE — the daily→weekly→total
+    * combine fold equals the flat one-shot accumulate, compared as the
+    * exploded (item, count) SET: a frequent-items merge adds counters
+    * item-wise, so the accumulated map is batching-independent, but the
+    * estimate's ARRAY order breaks count-ties nondeterministically —
+    * comparing arrays would be flaky by construction (measured: flat
+    * and folded orders differ on tied items), comparing sets is the
+    * real invariant. (2) the ORACLE pins the served top-10 (count desc,
+    * ties on user_id) to the exact GROUP BY — at fixture scale
+    * maxItemsTracked (8192) exceeds user cardinality (≤1500 at sf0.1),
+    * so no purge ever fires and sketch counts are EXACT; at 100 TB the
+    * same pipeline runs with maxItemsTracked sized to the serving
+    * budget and every count carries the datasketches ε·N guarantee
+    * (error ≤ ~3.5·N/M) — the code path is identical, only the
+    * exactness regime changes. */
+  private val r6 = Q(
+    "r6_heavy_hitters",
+    (s, d) => {
+      val maxTracked = 8192
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+      def rows(df: DataFrame): DataFrame = df
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("user_id"), col("e.count").as("n_events"))
+      val flat = rows(ev.agg(expr(
+        s"approx_top_k_estimate(approx_top_k_accumulate(user_id, $maxTracked), $maxTracked)")
+        .as("tk")))
+      val daily = ev
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(expr(s"approx_top_k_accumulate(user_id, $maxTracked)").as("sk"))
+      val folded = rows(daily
+        .groupBy(date_trunc("week", col("day")).as("wk"))
+        .agg(expr(s"approx_top_k_combine(sk, $maxTracked)").as("sk"))
+        .agg(expr(s"approx_top_k_estimate(approx_top_k_combine(sk, $maxTracked), $maxTracked)")
+          .as("tk")))
+      require(flat.exceptAll(folded).isEmpty && folded.exceptAll(flat).isEmpty,
+        "hierarchical combine must equal the flat accumulate as an (item, count) set")
+      folded.orderBy(col("n_events").desc, col("user_id")).limit(10)
+    },
+    Some("""
+      SELECT user_id, COUNT(*) AS n_events
+      FROM events GROUP BY user_id
+      ORDER BY n_events DESC, user_id LIMIT 10"""))
+
   // ---------------------------------------------------------------- q1
   // dbt-schema-test analog (reference: dbt/job_dbt/models/marts/
   // schema.yml:10-25 — unique/not_null on job_uid, accepted_values on
@@ -3916,6 +3966,86 @@ object Catalog {
       col("ts") >= lit(Q3.split).cast("timestamp"), Q3.binW.toDouble),
     Some(Q3.oracleSql))
 
+  // ---------------------------------------------------------------- q4
+  // VERSION RECONCILIATION (Checks.diffReport) — the row-level diff
+  // audit between two published versions of a keyed state table ("what
+  // did this release change"), the q-family's third leg: q1 gates a
+  // version against DECLARED constraints, q3 against the PREVIOUS
+  // DISTRIBUTION, q4 against the previous VERSION row for row. The two
+  // versions are real latest-state builds over different event windows
+  // with deterministic membership perturbations so every change class is
+  // exercised: users in the 31-residue are absent from the OLD version
+  // (late onboarding → `added`), users in the 29-residue are purged from
+  // the NEW version (the w10 right-to-erasure cut between releases →
+  // `removed`), users in the 7-residue-3 class are STALE in the old
+  // version (their post-day-21 events missing → `changed`, with
+  // per-column attribution), and everyone else is bit-identical across
+  // versions (`unchanged` — the class that proves the diff does not
+  // hallucinate changes). ONE
+  // full-outer join + one single-row aggregate regardless of how many
+  // columns are compared; both payloads come from the same source rows,
+  // so null-safe equality needs no float tolerance.
+  private val q4 = Q(
+    "q4_reconcile",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val payload = Seq("event_type", "value")
+      val oldV = Upsert.latestState(
+        ev.filter(!(col("user_id") % 7 === 3 && col("ts") >= lit(S5Cuts(1))) &&
+          col("user_id") % 31 =!= 5),
+        "user_id", "ts", "event_id", payload)
+      val newV = Upsert.latestState(
+        ev.filter(col("user_id") % 29 =!= 0),
+        "user_id", "ts", "event_id", payload)
+      graft.operators.Checks.diffReport(oldV, newV, "user_id", payload)
+    },
+    Some(s"""
+      WITH src AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, value
+        FROM events),
+      ostate AS (
+        SELECT user_id, event_type, value FROM (
+          SELECT user_id, event_type, value,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM src
+          WHERE NOT (user_id % 7 = 3 AND ts >= TIMESTAMP '${S5Cuts(1)}')
+            AND user_id % 31 <> 5) t
+        WHERE rn = 1),
+      nstate AS (
+        SELECT user_id, event_type, value FROM (
+          SELECT user_id, event_type, value,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM src WHERE user_id % 29 <> 0) t
+        WHERE rn = 1),
+      j AS (
+        SELECT o.user_id AS ok, n.user_id AS nk,
+          o.event_type AS oet, n.event_type AS net,
+          o.value AS ov, n.value AS nv
+        FROM ostate o FULL OUTER JOIN nstate n ON o.user_id = n.user_id),
+      flags AS (
+        SELECT ok, nk,
+          (oet IS DISTINCT FROM net) AS c_et,
+          (ov IS DISTINCT FROM nv) AS c_v
+        FROM j)
+      SELECT 'rows' AS section, 'added' AS item,
+        (SELECT COUNT(*) FROM flags WHERE ok IS NULL) AS n
+      UNION ALL SELECT 'rows', 'removed',
+        (SELECT COUNT(*) FROM flags WHERE nk IS NULL)
+      UNION ALL SELECT 'rows', 'changed',
+        (SELECT COUNT(*) FROM flags
+         WHERE ok IS NOT NULL AND nk IS NOT NULL AND (c_et OR c_v))
+      UNION ALL SELECT 'rows', 'unchanged',
+        (SELECT COUNT(*) FROM flags
+         WHERE ok IS NOT NULL AND nk IS NOT NULL AND NOT (c_et OR c_v))
+      UNION ALL SELECT 'column', 'event_type',
+        (SELECT COUNT(*) FROM flags
+         WHERE ok IS NOT NULL AND nk IS NOT NULL AND c_et)
+      UNION ALL SELECT 'column', 'value',
+        (SELECT COUNT(*) FROM flags
+         WHERE ok IS NOT NULL AND nk IS NOT NULL AND c_v)"""))
+
   // ---------------------------------------------------------------- c4
   // Per-user ordered event sequences capped at 50 — the autoregressive
   // training-corpus shape (Curate.sequences: the engine's one holistic
@@ -4340,7 +4470,7 @@ object Catalog {
     n1, n2, n3, n4, n5, n6, n7,
     d1, d2, d3, d4, d5, d6,
     e1, e2, e3, e4, e5, j1, j2, j3, j4,
-    r1, r2, r3, r4, r5, q1, q2, q3,
+    r1, r2, r3, r4, r5, r6, q1, q2, q3, q4,
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
     c1, c2, c3, c4, c5, c6, c7,

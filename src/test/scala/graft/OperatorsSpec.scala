@@ -1030,4 +1030,33 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().head
     assert(oneSided.getDouble(3) == 1.0)
   }
+
+  test("diffReport: null-safe change classes and per-column attribution") {
+    import graft.operators.Checks
+    // k=1 unchanged; k=2 changed (one column); k=3 changed (both, incl.
+    // value→NULL); k=4 removed; k=5 added; k=6 unchanged with NULL==NULL
+    val oldV = Seq(
+      (1L, Some("a"), Some(1.0)), (2L, Some("a"), Some(1.0)),
+      (3L, Some("a"), Some(1.0)), (4L, Some("a"), Some(1.0)),
+      (6L, None: Option[String], Some(2.0)))
+      .toDF("k", "et", "v")
+    val newV = Seq(
+      (1L, Some("a"), Some(1.0)), (2L, Some("b"), Some(1.0)),
+      (3L, Some("b"), None: Option[Double]), (5L, Some("a"), Some(1.0)),
+      (6L, None: Option[String], Some(2.0)))
+      .toDF("k", "et", "v")
+    val got = Checks.diffReport(oldV, newV, "k", Seq("et", "v"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got(("rows", "added")) == 1L)
+    assert(got(("rows", "removed")) == 1L)
+    assert(got(("rows", "changed")) == 2L)
+    assert(got(("rows", "unchanged")) == 2L) // incl. the NULL==NULL row
+    assert(got(("column", "et")) == 2L)
+    assert(got(("column", "v")) == 1L) // value→NULL IS a change
+    // one full-outer join, no second pass per column
+    val joins = Checks.diffReport(oldV, newV, "k", Seq("et", "v"))
+      .queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.size == 1, s"expected exactly one join, got ${joins.size}")
+  }
 }
