@@ -3215,6 +3215,196 @@ object Catalog {
         MAX(l_extendedprice) AS max_price
       FROM lineitem"""))
 
+  // ------------------------------------------------------- w17 / w18
+  // MANIFEST-BASED snapshot chain (ManifestStore) — versions as
+  // manifests over SHARED immutable data files, the table-format core
+  // that completes the lifecycle story: w13 proved keeping versions
+  // buys time travel, w10 proved targeted rewrites, but w10's RENAME
+  // carry-forward destroys the old snapshot — the manifest carries
+  // untouched files BY REFERENCE, so every retained version stays
+  // queryable through every publish. Both entries share one fixture
+  // shape: v0 = full latest-state over the first event slice, bucketed
+  // by a key-DERIVED bucket (w10's derivability contract); v1/v2 = two
+  // delta publishes whose day's updates land in disjoint bucket ranges
+  // (shards 0-7, then 8-15 of 32), so each publish rewrites ≤ 8/32 of
+  // the store and references the rest.
+  private object MStore {
+    val nB = 32
+    val schema = "user_id BIGINT, first_seen TIMESTAMP, " +
+      "last_seen TIMESTAMP, event_type STRING, value DOUBLE, bucket BIGINT"
+    val payload = Seq("event_type", "value")
+    def bucketCol: Column = floor(graft.operators.Curate.hashFraction(
+      concat(col("user_id").cast("string"), lit("|mb"))) * nB).cast("long")
+    val bucketSql: String =
+      s"CAST(floor(${hashFracSql("CAST(user_id AS VARCHAR) || '|mb'")} * $nB) AS BIGINT)"
+
+    /** Build the three-version chain under `root`; returns the root. */
+    def buildChain(s: SparkSession, d: String, root: String): Unit = {
+      val ev = Tables.events(s, d)
+      def state(df: DataFrame) = Upsert
+        .latestState(df, "user_id", "ts", "event_id", payload)
+        .withColumn("bucket", bucketCol)
+      val v0 = state(ev.filter(col("ts") < lit(S5Cuts(0))))
+      val d1 = state(ev.filter(
+        col("ts") >= lit(S5Cuts(0)) && col("ts") < lit(S5Cuts(1)) &&
+          bucketCol < 8))
+      val d2 = state(ev.filter(col("ts") >= lit(S5Cuts(1)) &&
+        bucketCol >= 8 && bucketCol < 16))
+      graft.sources.ManifestStore.publishInitial(s, v0, root, "v0", "bucket")
+      graft.sources.ManifestStore.publishDelta(
+        s, d1, root, "v0", "v1", "bucket", "user_id", payload, schema)
+      graft.sources.ManifestStore.publishDelta(
+        s, d2, root, "v1", "v2", "bucket", "user_id", payload, schema)
+    }
+
+    /** One version's latest-state recomputed from source: rows included
+      * in the chain up to that version (slice 1 in full, slices 2/3 cut
+      * to their shard ranges), folded by the same window as d2/s5. */
+    def stateSql(withSlice2: Boolean, withSlice3: Boolean): String = {
+      val s2 = if (withSlice2)
+        s""" OR (ts >= TIMESTAMP '${S5Cuts(0)}' AND ts < TIMESTAMP '${S5Cuts(1)}'
+             AND $bucketSql < 8)""" else ""
+      val s3 = if (withSlice3)
+        s""" OR (ts >= TIMESTAMP '${S5Cuts(1)}'
+             AND $bucketSql >= 8 AND $bucketSql < 16)""" else ""
+      s"""
+        SELECT user_id, first_seen, last_seen, event_type, value,
+          $bucketSql AS bucket
+        FROM (
+          SELECT user_id, event_type, value,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn,
+            MIN(ts) OVER (PARTITION BY user_id) AS first_seen,
+            MAX(ts) OVER (PARTITION BY user_id) AS last_seen
+          FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                  event_type, value FROM events) s
+          WHERE ts < TIMESTAMP '${S5Cuts(0)}'$s2$s3) t
+        WHERE rn = 1"""
+    }
+
+    def project(df: DataFrame): DataFrame = df.select(
+      col("user_id"),
+      date_format(col("first_seen"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_seen"),
+      date_format(col("last_seen"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_seen"),
+      col("event_type"), col("value"), col("bucket"))
+
+    val projectSql = """user_id,
+        strftime(first_seen, '%Y-%m-%d %H:%M:%S.%f') AS first_seen,
+        strftime(last_seen, '%Y-%m-%d %H:%M:%S.%f') AS last_seen,
+        event_type, value, bucket"""
+  }
+
+  // ---------------------------------------------------------------- w17
+  // SNAPSHOT EXPIRY + ORPHAN-FILE VACUUM — the step file sharing makes
+  // necessary and w13's "keep old files" story eventually demands: GC
+  // an expired version WITHOUT touching any file a retained version
+  // still references, computed from manifests alone (reachability =
+  // ∪ retained manifests; Iceberg's expire_snapshots + orphan cleanup).
+  // Gates, in order: (1) the chain really SHARES files (v1's manifest
+  // keeps v0 entries AND adds rewritten ones); (2) vacuum(retain v1,v2)
+  // deletes a nonempty orphan set — exactly the files only v0
+  // referenced; (3) after the sweep the disk holds precisely the
+  // reachable set (nothing leaked, nothing extra); (4) the RETAINED
+  // past version v1 still reads bit-identically (count pinned before
+  // the sweep) — proving expiry of v0 did not damage surviving
+  // history; (5) the entry's RESULT is v2 read from its manifest after
+  // the vacuum, pinned by the oracle's from-source recomputation.
+  private val w17 = Q(
+    "w17_manifest_vacuum",
+    (s, d) => {
+      import graft.sources.ManifestStore
+      val root = s"$scratchRoot/${new java.io.File(d).getName}/mstore_w17"
+      MStore.buildChain(s, d, root)
+      val m0 = ManifestStore.readManifest(s, root, "v0").toSet
+      val m1 = ManifestStore.readManifest(s, root, "v1").toSet
+      val m2 = ManifestStore.readManifest(s, root, "v2").toSet
+      require((m1 & m0).nonEmpty && (m2 & m0).nonEmpty,
+        "delta publishes must carry untouched files by reference")
+      require((m1 -- m0).nonEmpty && (m2 -- m1).nonEmpty,
+        "each delta publish must write new files for its buckets")
+      val v1Before = ManifestStore.readVersion(s, root, "v1", MStore.schema).count()
+      val orphans = ManifestStore.vacuum(s, root, retain = Seq("v1", "v2"))
+      require(orphans.nonEmpty, "expiring v0 must collect its private files")
+      require(orphans.forall(f => m0(f) && !m1(f) && !m2(f)),
+        "vacuum must only delete files no retained manifest references")
+      val disk = ManifestStore.listDataFiles(s, root)
+      require(disk == (m1 ++ m2),
+        "after vacuum the store must hold exactly the reachable set")
+      require(ManifestStore.listVersions(s, root) == Seq("v1", "v2"),
+        "expired manifests must be gone, retained ones intact")
+      require(
+        ManifestStore.readVersion(s, root, "v1", MStore.schema).count() == v1Before,
+        "a retained version must survive the sweep unchanged")
+      MStore.project(ManifestStore.readVersion(s, root, "v2", MStore.schema))
+    },
+    Some(s"""
+      SELECT ${MStore.projectSql}
+      FROM (${MStore.stateSql(withSlice2 = true, withSlice3 = true)}) t"""))
+
+  // ---------------------------------------------------------------- w18
+  // INCREMENTAL SNAPSHOT CONSUMPTION — the read-side dividend of the
+  // manifest chain (Delta/Iceberg's changed-file CDC read): "what
+  // changed between v1 and v2" is answered from the MANIFEST DIFF — new
+  // files = m2∖m1, their pre-images = m1∖m2 — so the consumer reads
+  // only the rewritten buckets' files, never the store (gated: files
+  // touched < the full manifest). The per-key change rows (inserted /
+  // updated, with the no-op rows a bucket rewrite carries filtered out
+  // by null-safe comparison) must equal the oracle's diff of the two
+  // FULL states recomputed from source — proving the file-level
+  // shortcut is complete (no change escapes the rewritten buckets:
+  // immutable files + derivable buckets make that a structural
+  // invariant, and the gate makes it a checked one). Deletes cannot
+  // occur in an upsert chain (d6/w10 cover op-coded deletes and purges).
+  private val w18 = Q(
+    "w18_incremental_read",
+    (s, d) => {
+      import graft.sources.ManifestStore
+      val root = s"$scratchRoot/${new java.io.File(d).getName}/mstore_w18"
+      MStore.buildChain(s, d, root)
+      val m1 = ManifestStore.readManifest(s, root, "v1")
+      val m2 = ManifestStore.readManifest(s, root, "v2")
+      val newFiles = m2.filterNot(m1.toSet)
+      val oldFiles = m1.filterNot(m2.toSet)
+      require(newFiles.nonEmpty, "v2 must have rewritten something")
+      require(newFiles.size + oldFiles.size < m2.size,
+        "incremental consumption must read fewer files than the store holds")
+      def readFiles(fl: Seq[String]) = s.read.schema(MStore.schema)
+        .option("basePath", s"$root/data")
+        .parquet(fl.map(f => s"$root/data/$f"): _*)
+      val o = readFiles(oldFiles).select(
+        col("user_id").as("o_uid"), col("event_type").as("o_et"),
+        col("value").as("o_v"), col("last_seen").as("o_ls"))
+      val n = readFiles(newFiles).select(
+        col("user_id").as("n_uid"), col("event_type").as("n_et"),
+        col("value").as("n_v"), col("last_seen").as("n_ls"))
+      val changed = !(col("o_et") <=> col("n_et")) ||
+        !(col("o_v") <=> col("n_v")) || !(col("o_ls") <=> col("n_ls"))
+      // from the NEW side: a bucket rewrite is old keys ∪ delta keys, so
+      // an old-only key cannot exist — the left join encodes that
+      // invariant instead of silently emitting a null-keyed row
+      n.join(o, col("o_uid") === col("n_uid"), "left_outer")
+        .filter(col("o_uid").isNull || changed)
+        .select(
+          col("n_uid").as("user_id"),
+          when(col("o_uid").isNull, lit("inserted"))
+            .otherwise(lit("updated")).as("change_type"),
+          col("n_et").as("event_type"), col("n_v").as("value"),
+          date_format(col("n_ls"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_seen"))
+    },
+    Some(s"""
+      WITH v1s AS (${MStore.stateSql(withSlice2 = true, withSlice3 = false)}),
+      v2s AS (${MStore.stateSql(withSlice2 = true, withSlice3 = true)})
+      SELECT n.user_id,
+        CASE WHEN o.user_id IS NULL THEN 'inserted' ELSE 'updated' END AS change_type,
+        n.event_type,
+        n.value,
+        strftime(n.last_seen, '%Y-%m-%d %H:%M:%S.%f') AS last_seen
+      FROM v2s n LEFT JOIN v1s o ON o.user_id = n.user_id
+      WHERE o.user_id IS NULL
+         OR o.event_type IS DISTINCT FROM n.event_type
+         OR o.value IS DISTINCT FROM n.value
+         OR o.last_seen IS DISTINCT FROM n.last_seen"""))
+
   // ---------------------------------------------------------------- w15
   /** DELETEs on the VECTOR store, completing the IVF lifecycle's CRUD
     * (build w4 / append w6 / stream-ingest s6 / compact w7 / now
@@ -4475,7 +4665,8 @@ object Catalog {
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
     c1, c2, c3, c4, c5, c6, c7,
     m1, m2, m3, s1, s2, s3, s4, s5, s6, s7, s8, p1, p2, p3, p4,
-    w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16)
+    w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
+    w17, w18)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,171 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * MANIFEST-BASED snapshot chain — the table-format core (Iceberg/Delta's
+ * load-bearing idea) built Spark-first: a version is a MANIFEST (a small
+ * file listing the data files it comprises), data files are IMMUTABLE and
+ * SHARED between versions, and a delta publish rewrites only the
+ * partitions it touches while carrying every untouched file forward BY
+ * REFERENCE — the manifest-pointer move that [[Sink.purgeTombstones]]'s
+ * directory RENAME only approximates (a rename carries bytes-untouched
+ * files into the new snapshot but DESTROYS the old snapshot's
+ * readability; a manifest reference keeps every retained version
+ * queryable forever, which is what makes w13-style time travel and
+ * concurrent readers safe during publishes).
+ *
+ * Layout under `root`:
+ * {{{
+ *   data/<bucketCol>=<b>/part-*.parquet   immutable, append-only
+ *   manifests/<version>.manifest          one RELATIVE data-file path per line
+ * }}}
+ *
+ * The flip side of file sharing is garbage collection: deleting an old
+ * version must not delete files a retained version still references, so
+ * [[vacuum]] is a REACHABILITY sweep (Iceberg `expire_snapshots` + orphan
+ * cleanup): reachable = ∪ retained manifests; everything else under
+ * `data/` is deleted. Reachability is computed from manifests alone —
+ * metadata-sized work no matter how big the store is.
+ *
+ * Scale shape: manifests are O(files) text; the only data-sized work in a
+ * delta publish is reading + rewriting the AFFECTED buckets (named by the
+ * delta's derived bucket values — w10's derivability contract), and the
+ * merge there is [[graft.operators.Upsert.merge]]'s one join. Nothing
+ * ever lists or scans the unaffected part of a 100-TB store; vacuum's
+ * file listing is the one full `data/` enumeration, and it reads no data
+ * bytes. Single-writer per root (the publish captures "files I just
+ * wrote" as a before/after listing diff); multi-writer needs the
+ * compare-and-swap manifest commit real table formats add on top.
+ */
+object ManifestStore {
+
+  private def fsOf(spark: SparkSession, p: String): FileSystem =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dataPath(root: String) = s"$root/data"
+  private def manifestPath(root: String, version: String) =
+    new Path(s"$root/manifests/$version.manifest")
+
+  /** All parquet data files currently on disk, RELATIVE to `data/`. */
+  def listDataFiles(spark: SparkSession, root: String): Set[String] = {
+    val fs = fsOf(spark, root)
+    val base = new Path(dataPath(root))
+    if (!fs.exists(base)) return Set.empty
+    val it = fs.listFiles(base, true)
+    val out = Set.newBuilder[String]
+    val prefix = base.toUri.getPath + "/"
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet"))
+        out += f.toUri.getPath.stripPrefix(prefix)
+    }
+    out.result()
+  }
+
+  def readManifest(spark: SparkSession, root: String, version: String): Seq[String] = {
+    val fs = fsOf(spark, root)
+    val in = fs.open(manifestPath(root, version))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  private def writeManifest(spark: SparkSession, root: String, version: String,
+      files: Seq[String]): Unit = {
+    val fs = fsOf(spark, root)
+    val out = fs.create(manifestPath(root, version), true)
+    try out.write((files.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def listVersions(spark: SparkSession, root: String): Seq[String] = {
+    val fs = fsOf(spark, root)
+    val dir = new Path(s"$root/manifests")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(".manifest")).map(_.stripSuffix(".manifest"))
+      .toSeq.sorted
+  }
+
+  /** First publish: the full state partitioned by `bucketCol`; the
+    * version's manifest is everything just written. Wipes any prior
+    * store at `root` (idempotent re-runs must not append into a stale
+    * chain — the w6 lesson: never rely on the session's overwrite mode). */
+  def publishInitial(spark: SparkSession, state: DataFrame, root: String,
+      version: String, bucketCol: String): Unit = {
+    val fs = fsOf(spark, root)
+    fs.delete(new Path(root), true)
+    state.write.mode("overwrite").partitionBy(bucketCol).parquet(dataPath(root))
+    writeManifest(spark, root, version, listDataFiles(spark, root).toSeq)
+  }
+
+  /**
+   * Delta publish: merge `delta` (a latest-state batch) into the buckets
+   * it touches, write ONLY those buckets' new files, and reference every
+   * other file from `prevVersion`'s manifest unchanged. The merged
+   * content is [[graft.operators.Upsert.merge]]'s EXCLUDED-wins state
+   * (first_seen min / last_seen max / newest payload), so a chain of
+   * time-ordered delta publishes equals the one-shot build — the s5 fold
+   * discipline, here at partition granularity on a shared-file store.
+   */
+  def publishDelta(spark: SparkSession, delta: DataFrame, root: String,
+      prevVersion: String, version: String, bucketCol: String, keyCol: String,
+      payload: Seq[String], schema: String): Unit = {
+    val prevFiles = readManifest(spark, root, prevVersion)
+    val affected = delta.select(col(bucketCol)).distinct()
+      .collect().map(_.get(0)).toSet
+    require(affected.nonEmpty, "empty delta: nothing to publish")
+    val prefixes = affected.map(b => s"$bucketCol=$b/")
+    val (baseFiles, carried) =
+      prevFiles.partition(f => prefixes.exists(f.startsWith))
+    val merged = if (baseFiles.isEmpty) delta else {
+      val base = spark.read.schema(schema)
+        .option("basePath", dataPath(root))
+        .parquet(baseFiles.map(f => s"${dataPath(root)}/$f"): _*)
+      graft.operators.Upsert.merge(base, delta, keyCol, payload :+ bucketCol)
+    }
+    val before = listDataFiles(spark, root)
+    merged.write.mode("append").partitionBy(bucketCol).parquet(dataPath(root))
+    val newFiles = (listDataFiles(spark, root) -- before).toSeq
+    require(newFiles.forall(f => prefixes.exists(f.startsWith)),
+      "a delta publish must only write under its affected buckets")
+    writeManifest(spark, root, version, carried ++ newFiles)
+  }
+
+  /** Read one version: exactly its manifest's files, nothing else — an
+    * explicit-schema, explicit-file-list read (the manifest IS the scan's
+    * file index; no directory listing, no footer discovery pass). */
+  def readVersion(spark: SparkSession, root: String, version: String,
+      schema: String): DataFrame = {
+    val files = readManifest(spark, root, version)
+    spark.read.schema(schema)
+      .option("basePath", dataPath(root))
+      .parquet(files.map(f => s"${dataPath(root)}/$f"): _*)
+  }
+
+  /**
+   * Snapshot expiry + orphan-file cleanup in one reachability sweep:
+   * keep `retain`'s manifests, delete every other manifest, and delete
+   * every data file no retained manifest references. THROWS before
+   * deleting anything if a retained manifest names a missing file (a
+   * corrupt chain must fail the GC, not be "cleaned" deeper). Returns
+   * the deleted data files (relative paths) for auditing.
+   */
+  def vacuum(spark: SparkSession, root: String, retain: Seq[String]): Seq[String] = {
+    require(retain.nonEmpty, "refusing to vacuum every version")
+    val fs = fsOf(spark, root)
+    val reachable = retain.flatMap(readManifest(spark, root, _)).toSet
+    val all = listDataFiles(spark, root)
+    val missing = reachable -- all
+    require(missing.isEmpty,
+      s"retained manifests reference missing files: ${missing.take(3).mkString(", ")}")
+    val orphans = (all -- reachable).toSeq.sorted
+    orphans.foreach(f => fs.delete(new Path(s"${dataPath(root)}/$f"), false))
+    (listVersions(spark, root).toSet -- retain).foreach(v =>
+      fs.delete(manifestPath(root, v), false))
+    orphans
+  }
+}

@@ -206,4 +206,62 @@ class SinkSpec extends AnyFunSuite {
     assert(lKept == lTotal, "x-sorted layout cannot prune a y-only box")
     assert(zKept < lKept, s"z-order ($zKept) must beat single-column sort ($lKept)")
   }
+
+  test("ManifestStore: delta publish shares files by reference; vacuum sweeps exactly the unreachable set") {
+    import graft.sources.ManifestStore
+    import java.sql.Timestamp
+    val root = Files.createTempDirectory("mstore").toString + "/chain"
+    val schema = "k BIGINT, first_seen TIMESTAMP, last_seen TIMESTAMP, " +
+      "v STRING, bucket BIGINT"
+    def ts(s: Long) = new Timestamp(s * 1000)
+    // v0: keys 1-6 over buckets 0/1/2 (k % 3)
+    val v0 = (1L to 6L).map(k => (k, ts(k), ts(k), s"v0-$k", k % 3))
+      .toDF("k", "first_seen", "last_seen", "v", "bucket")
+    ManifestStore.publishInitial(spark, v0, root, "v0", "bucket")
+    val m0 = ManifestStore.readManifest(spark, root, "v0").toSet
+    assert(m0.nonEmpty && m0.forall(_.startsWith("bucket=")))
+    // v1: update key 3 (bucket 0) + insert key 7 (bucket 1); bucket 2 untouched
+    val d1 = Seq((3L, ts(30), ts(30), "v1-3", 0L), (7L, ts(31), ts(31), "v1-7", 1L))
+      .toDF("k", "first_seen", "last_seen", "v", "bucket")
+    ManifestStore.publishDelta(spark, d1, root, "v0", "v1", "bucket", "k",
+      Seq("v"), schema)
+    val m1 = ManifestStore.readManifest(spark, root, "v1").toSet
+    val b2files = m0.filter(_.startsWith("bucket=2/"))
+    assert(b2files.nonEmpty && b2files.subsetOf(m1),
+      "untouched bucket 2 must be carried by reference")
+    assert((m1 -- m0).forall(f =>
+      f.startsWith("bucket=0/") || f.startsWith("bucket=1/")),
+      "new files only under the affected buckets")
+    // v1 content: merged state — key 3 updated, key 7 added, rest carried
+    val v1 = ManifestStore.readVersion(spark, root, "v1", schema)
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v1 == Map(1L -> "v0-1", 2L -> "v0-2", 3L -> "v1-3", 4L -> "v0-4",
+      5L -> "v0-5", 6L -> "v0-6", 7L -> "v1-7"))
+    // both versions readable pre-vacuum (the rename design could not do this)
+    assert(ManifestStore.readVersion(spark, root, "v0", schema).count() == 6)
+    // vacuum retaining v1 only: v0-private files (old buckets 0/1) die,
+    // shared bucket-2 files survive, v1 still reads
+    val orphans = ManifestStore.vacuum(spark, root, retain = Seq("v1"))
+    assert(orphans.nonEmpty && orphans.toSet == (m0 -- m1))
+    assert(ManifestStore.listDataFiles(spark, root) == m1)
+    assert(ManifestStore.listVersions(spark, root) == Seq("v1"))
+    assert(ManifestStore.readVersion(spark, root, "v1", schema).count() == 7)
+  }
+
+  test("ManifestStore.vacuum refuses a corrupt chain instead of sweeping deeper") {
+    import graft.sources.ManifestStore
+    import java.sql.Timestamp
+    val root = Files.createTempDirectory("mstore-bad").toString + "/chain"
+    val df = Seq((1L, new Timestamp(1000), new Timestamp(1000), "x", 0L))
+      .toDF("k", "first_seen", "last_seen", "v", "bucket")
+    ManifestStore.publishInitial(spark, df, root, "v0", "bucket")
+    val f = ManifestStore.readManifest(spark, root, "v0").head
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/data/$f"), false)
+    val e = intercept[IllegalArgumentException] {
+      ManifestStore.vacuum(spark, root, retain = Seq("v0"))
+    }
+    assert(e.getMessage.contains("missing files"))
+  }
 }
