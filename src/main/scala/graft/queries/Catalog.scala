@@ -3405,6 +3405,53 @@ object Catalog {
          OR o.value IS DISTINCT FROM n.value
          OR o.last_seen IS DISTINCT FROM n.last_seen"""))
 
+  // ---------------------------------------------------------------- s9
+  // STREAMING publish into the manifest chain — s5's trigger discipline
+  // against the SHARED-FILE store (EventStream.manifestPublishBatch as
+  // the ONE named foreachBatch body): each trigger's latest-state delta
+  // rewrites only the buckets its keys touch and publishes the next
+  // manifest, so per-trigger cost tracks the trigger's key spread, not
+  // the state's size — what makes minute-level triggers affordable on a
+  // 100-TB state (s5's bucketed table rewrites the whole state per
+  // version; the manifest chain is how that cost goes away). The catalog
+  // twin folds the three day slices through the same body and gates:
+  // three versions published, every one still readable after the fold
+  // (time travel came free), and the head equals the one-shot
+  // latest-state oracle — the fold == one-shot equivalence for
+  // time-ordered slices, at manifest granularity. Per-trigger parity
+  // (each version == the batch merge of data-so-far) and commit-retry
+  // skip are asserted in StreamingSpec via MemoryStream.
+  private val s9 = Q(
+    "s9_stream_manifest",
+    (s, d) => {
+      import graft.sources.ManifestStore
+      val root = s"$scratchRoot/${new java.io.File(d).getName}/mstore_s9"
+      // fresh chain per pass: the body treats an existing version name as
+      // an already-committed trigger (retry skip), so a stale chain from
+      // a prior bench pass would short-circuit every fold step
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val ev = Tables.events(s, d)
+      val slices = Seq(
+        ev.filter(col("ts") < lit(S5Cuts(0))),
+        ev.filter(col("ts") >= lit(S5Cuts(0)) && col("ts") < lit(S5Cuts(1))),
+        ev.filter(col("ts") >= lit(S5Cuts(1))))
+      slices.zipWithIndex.foreach { case (b, i) =>
+        graft.streaming.EventStream.manifestPublishBatch(
+          root, MStore.nB, MStore.schema)(b, i.toLong)
+      }
+      val versions = ManifestStore.listVersions(s, root)
+      require(versions == Seq("v00000", "v00001", "v00002"),
+        s"three triggers must publish three versions, got $versions")
+      require(versions.forall(v =>
+        ManifestStore.readVersion(s, root, v, MStore.schema).count() > 0),
+        "every published version must stay readable after later publishes")
+      stateProjection(
+        ManifestStore.readVersion(s, root, versions.last, MStore.schema))
+    },
+    Some(stateOracleSql(None)))
+
   // ---------------------------------------------------------------- w15
   /** DELETEs on the VECTOR store, completing the IVF lifecycle's CRUD
     * (build w4 / append w6 / stream-ingest s6 / compact w7 / now
@@ -4664,7 +4711,7 @@ object Catalog {
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
     c1, c2, c3, c4, c5, c6, c7,
-    m1, m2, m3, s1, s2, s3, s4, s5, s6, s7, s8, p1, p2, p3, p4,
+    m1, m2, m3, s1, s2, s3, s4, s5, s6, s7, s8, s9, p1, p2, p3, p4,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
     w17, w18)
 

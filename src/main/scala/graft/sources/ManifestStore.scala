@@ -81,6 +81,9 @@ object ManifestStore {
     finally out.close()
   }
 
+  /** Versions sorted lexicographically — names must be chosen to sort
+    * in publish order (v0, v1, … or zero-padded v00042): the LAST one is
+    * the head the concurrency check in [[publishDelta]] compares against. */
   def listVersions(spark: SparkSession, root: String): Seq[String] = {
     val fs = fsOf(spark, root)
     val dir = new Path(s"$root/manifests")
@@ -114,6 +117,14 @@ object ManifestStore {
   def publishDelta(spark: SparkSession, delta: DataFrame, root: String,
       prevVersion: String, version: String, bucketCol: String, keyCol: String,
       payload: Seq[String], schema: String): Unit = {
+    // optimistic concurrency: a publish prepared against a version that
+    // is no longer the head must FAIL, not silently drop the interleaved
+    // publish's changes (the compare-and-swap check a real table format
+    // runs at manifest-commit time; here the single-writer assumption is
+    // checked, not just assumed)
+    val head = listVersions(spark, root).lastOption
+    require(head.contains(prevVersion),
+      s"stale publish: prepared against $prevVersion but head is $head")
     val prevFiles = readManifest(spark, root, prevVersion)
     val affected = delta.select(col(bucketCol)).distinct()
       .collect().map(_.get(0)).toSet

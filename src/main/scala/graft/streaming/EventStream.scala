@@ -207,6 +207,46 @@ object EventStream {
    * slicing of the stream folds to the same final state (the catalog
    * twin proves three time slices == q3's one-shot scan, bit-for-bit).
    */
+  /**
+   * Streaming publish into the MANIFEST chain — s5's discipline (each
+   * trigger folds its latest-state delta into the previous version and
+   * publishes the next) against the SHARED-FILE store instead of the
+   * full-rewrite bucketed table: a trigger rewrites only the buckets its
+   * keys touch ([[graft.sources.ManifestStore.publishDelta]]) and every
+   * untouched file rides into the new version by manifest reference, so
+   * publish cost tracks the TRIGGER's key spread, not the state's size —
+   * the property that makes minute-level triggers affordable on a
+   * 100-TB state.
+   *
+   * Delivery: versions are named v<zero-padded batchId>, so a
+   * foreachBatch RETRY of a batch whose manifest already committed is
+   * detected (`listVersions` holds the name) and SKIPPED — effectively
+   * once at the manifest level; a retry of a batch that crashed mid-write
+   * re-appends its data files and commits a manifest referencing only the
+   * retry's files, stranding the first attempt's files as unreferenced
+   * orphans for [[graft.sources.ManifestStore.vacuum]] — exactly how
+   * table formats treat failed commits.
+   */
+  def manifestPublishBatch(root: String, nBuckets: Int, schema: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.sources.ManifestStore
+    val spark = batch.sparkSession
+    val payload = Seq("event_type", "value")
+    val bucket = floor(graft.operators.Curate.hashFraction(
+      concat(col("user_id").cast("string"), lit("|mb"))) * nBuckets).cast("long")
+    val delta = graft.operators.Upsert
+      .latestState(batch, "user_id", "ts", "event_id", payload)
+      .withColumn("bucket", bucket)
+    val version = f"v$batchId%05d"
+    val versions = ManifestStore.listVersions(spark, root)
+    if (versions.contains(version)) () // committed by a prior attempt
+    else if (versions.isEmpty)
+      ManifestStore.publishInitial(spark, delta, root, version, "bucket")
+    else
+      ManifestStore.publishDelta(spark, delta, root, versions.last, version,
+        "bucket", "user_id", payload, schema)
+  }
+
   def histogramFoldBatch(groupCol: String, valueCol: String, binWidth: Double,
       stateSchema: String, statePath: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession

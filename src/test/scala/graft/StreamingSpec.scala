@@ -415,4 +415,62 @@ class StreamingSpec extends AnyFunSuite {
       assert(fin("click") > 0.0)
     } finally query.stop()
   }
+
+  test("manifest publish: per-trigger chain state equals the batch fold; retry skips a committed version") {
+    implicit val ctx = spark.sqlContext
+    import graft.sources.ManifestStore
+    val payload = Seq("event_type", "value")
+    val root = java.nio.file.Files.createTempDirectory("s9spec").toString + "/chain"
+    val schema = "user_id BIGINT, first_seen TIMESTAMP, last_seen TIMESTAMP, " +
+      "event_type STRING, value DOUBLE, bucket BIGINT"
+    val input = MemoryStream[UpEv]
+    val query = input.toDF().writeStream
+      .foreachBatch(EventStream.manifestPublishBatch(root, 4, schema) _)
+      .start()
+    val batch1 = Seq(
+      UpEv(ts("2024-01-15 10:00:00"), 1, 1, "click", 1.0),
+      UpEv(ts("2024-01-15 10:05:00"), 1, 2, "view", 2.0),
+      UpEv(ts("2024-01-15 10:01:00"), 2, 3, "click", 3.0))
+    val batch2 = Seq(
+      UpEv(ts("2024-01-15 11:00:00"), 1, 4, "purchase", 9.0), // delta wins
+      UpEv(ts("2024-01-15 11:30:00"), 3, 6, "view", 5.0)) // new key
+    try {
+      var daily: Option[org.apache.spark.sql.DataFrame] = None
+      for (b <- Seq(batch1, batch2)) {
+        input.addData(b)
+        query.processAllAvailable()
+        val delta = graft.operators.Upsert.latestState(
+          b.toDF(), "user_id", "ts", "event_id", payload)
+        daily = Some(daily.fold(delta)(p =>
+          graft.operators.Upsert.merge(p, delta, "user_id", payload)))
+        val head = ManifestStore.listVersions(spark, root).last
+        val got = ManifestStore.readVersion(spark, root, head, schema)
+          .select("user_id", "first_seen", "last_seen", "event_type", "value")
+          .collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+            r.getString(3), r.getDouble(4))).toSet
+        val expect = daily.get.collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+            r.getString(3), r.getDouble(4))).toSet
+        assert(got == expect,
+          "the chain's head must equal the batch daily-merge fold")
+      }
+      // earlier versions remain readable through later publishes
+      assert(ManifestStore.listVersions(spark, root) == Seq("v00000", "v00001"))
+      assert(ManifestStore.readVersion(spark, root, "v00000", schema).count() == 2)
+      // a RETRY of a committed batch id must be a no-op, not a re-publish
+      val before = ManifestStore.readManifest(spark, root, "v00001")
+      EventStream.manifestPublishBatch(root, 4, schema)(batch2.toDF(), 1L)
+      assert(ManifestStore.readManifest(spark, root, "v00001") == before)
+      assert(ManifestStore.listVersions(spark, root) == Seq("v00000", "v00001"))
+      // a publish prepared against a stale head must throw (CAS check)
+      val e = intercept[IllegalArgumentException] {
+        ManifestStore.publishDelta(spark,
+          graft.operators.Upsert.latestState(batch2.toDF(), "user_id", "ts",
+            "event_id", payload).withColumn("bucket", lit(0L)),
+          root, "v00000", "v00002", "bucket", "user_id", payload, schema)
+      }
+      assert(e.getMessage.contains("stale publish"))
+    } finally query.stop()
+  }
 }
