@@ -57,6 +57,70 @@ object Upsert {
       .select((Seq(col(key)) ++ payload.map(col) :+ col(tsCol).as("op_ts")): _*)
   }
 
+  /**
+   * Multi-clause MERGE INTO (first-matching-clause-wins), the
+   * warehouse/lakehouse workhorse both [[merge]] (unconditional
+   * EXCLUDED-wins upsert) and [[applyCdc]] (op-coded log collapse)
+   * specialize: one statement routes every key to DELETE / UPDATE /
+   * INSERT / keep by clause order — the dbt-incremental / `MERGE INTO`
+   * shape the reference's ON CONFLICT upsert (db_operations.py:334)
+   * grows into the moment a feed carries conditional deletes.
+   *
+   * Clause order (SQL-standard first-match-wins):
+   *   1. WHEN MATCHED AND `matchedDeleteWhen`  THEN DELETE
+   *   2. WHEN MATCHED                          THEN UPDATE (payload := source)
+   *   3. WHEN NOT MATCHED AND `notMatchedInsertWhen` THEN INSERT
+   *   4. otherwise the row is untouched: unmatched target rows survive
+   *      as-is (`keep`), unmatched source rows failing clause 3 vanish
+   *      (`skip`). No NOT-MATCHED-BY-SOURCE arm — absence from a DELTA
+   *      feed carries no signal (deletes must be explicit ops).
+   *
+   * Clause conditions are Columns over the joined row, with source
+   * columns exposed as `s_<name>` and target columns as `t_<name>`
+   * (the EXCLUDED./target. naming of SQL MERGE).
+   *
+   * The output carries `merge_action` ('update'/'insert'/'keep') so a
+   * gate can pin the ROUTING, not just the final values.
+   *
+   * SQL MERGE's cardinality rule ("a target row may not be updated
+   * twice") is enforced DISTRIBUTIVELY: a per-key count window over the
+   * source feeds `assert_true`, so a duplicate-key source fails the job
+   * inside the exchange — no driver-side pre-count scan.
+   *
+   * Cost: ONE shuffle of the (small, delta-sized) source for the
+   * cardinality window, plus the key join. At 100 TB the target is the
+   * published state bucketed on the key (w3's layout), so the join
+   * co-locates and the base never re-shuffles.
+   */
+  def mergeInto(target: DataFrame, source: DataFrame, key: String,
+      payload: Seq[String], matchedDeleteWhen: Column,
+      notMatchedInsertWhen: Column): DataFrame = {
+    val t = target.select(target.columns.map(c => col(c).as(s"t_$c")): _*)
+    val srcP = source.select(source.columns.map(c => col(c).as(s"s_$c")): _*)
+    val src = srcP
+      .withColumn("__dup", count(lit(1)).over(Window.partitionBy(s"s_$key")))
+      .filter(coalesce(
+        assert_true(col("__dup") <= 1,
+          lit(s"MERGE cardinality violation: source holds duplicate rows for a '$key'")),
+        lit(true)))
+      .drop("__dup")
+    val j = t.join(src, col(s"t_$key") === col(s"s_$key"), "full_outer")
+    val matched = col(s"t_$key").isNotNull && col(s"s_$key").isNotNull
+    val action = when(matched && matchedDeleteWhen, "delete")
+      .when(matched, "update")
+      .when(col(s"t_$key").isNull && notMatchedInsertWhen, "insert")
+      .when(col(s"t_$key").isNull, "skip")
+      .otherwise("keep")
+    val fromSource = col("merge_action").isin("update", "insert")
+    j.withColumn("merge_action", action)
+      .filter(col("merge_action").isin("update", "insert", "keep"))
+      .select((Seq(
+        coalesce(col(s"s_$key"), col(s"t_$key")).as(key),
+        col("merge_action")) ++
+        payload.map(c =>
+          when(fromSource, col(s"s_$c")).otherwise(col(s"t_$c")).as(c))): _*)
+  }
+
   /** EXCLUDED-wins merge of two latestState outputs. */
   def merge(base: DataFrame, delta: DataFrame, key: String,
       payload: Seq[String]): DataFrame = {

@@ -516,6 +516,75 @@ object Catalog {
     },
     Some(cdcOracleSql))
 
+  // ---------------------------------------------------------------- d7
+  // Multi-clause MERGE INTO (Upsert.mergeInto) — the conditional-route
+  // form d2 (unconditional upsert) and d6 (op-coded log) both
+  // specialize, and the statement every dbt-incremental / lakehouse
+  // MERGE pipeline runs: target = pre-split per-user state, source =
+  // post-split per-user state; WHEN MATCHED AND the source's last op is
+  // 'error' THEN DELETE (churn), WHEN MATCHED THEN UPDATE from source,
+  // WHEN NOT MATCHED AND not-'error' THEN INSERT — first-match-wins,
+  // unmatched target rows kept, 'error'-only new users never admitted.
+  // The output's merge_action column puts the ROUTING itself under the
+  // hash gate. SQL MERGE's cardinality error is a distributed
+  // assert_true over the source's key-count window (spec-asserted to
+  // throw on a planted duplicate-key source). At 100 TB the target is
+  // the published state bucketed on the key (w3), so the one join
+  // co-locates; only the delta-sized source shuffles.
+  private val d7 = {
+    val split = "2024-01-16 00:00:00"
+    Q(
+      "d7_merge_into",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        def state(df: DataFrame): DataFrame = {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+          df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+            .select(col("user_id"), col("event_type"), col("value"))
+        }
+        val cut = lit(split).cast("timestamp")
+        Upsert.mergeInto(
+          state(ev.filter(col("ts") < cut)),
+          state(ev.filter(col("ts") >= cut)),
+          "user_id", Seq("event_type", "value"),
+          matchedDeleteWhen = col("s_event_type") === "error",
+          notMatchedInsertWhen = col("s_event_type") =!= "error")
+      },
+      Some(s"""
+        WITH src AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, value
+          FROM events),
+        tstate AS (
+          SELECT user_id, event_type, value FROM (
+            SELECT user_id, event_type, value, ROW_NUMBER() OVER (
+              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM src WHERE ts < TIMESTAMP '$split') t WHERE rn = 1),
+        sstate AS (
+          SELECT user_id, event_type, value FROM (
+            SELECT user_id, event_type, value, ROW_NUMBER() OVER (
+              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM src WHERE ts >= TIMESTAMP '$split') t WHERE rn = 1),
+        acts AS (
+          SELECT coalesce(s.user_id, t.user_id) AS user_id,
+            CASE
+              WHEN t.user_id IS NOT NULL AND s.user_id IS NOT NULL
+                   AND s.event_type = 'error' THEN 'delete'
+              WHEN t.user_id IS NOT NULL AND s.user_id IS NOT NULL THEN 'update'
+              WHEN t.user_id IS NULL AND s.event_type <> 'error' THEN 'insert'
+              WHEN t.user_id IS NULL THEN 'skip'
+              ELSE 'keep' END AS merge_action,
+            s.event_type AS s_event_type, s.value AS s_value,
+            t.event_type AS t_event_type, t.value AS t_value
+          FROM tstate t FULL OUTER JOIN sstate s ON t.user_id = s.user_id)
+        SELECT user_id, merge_action,
+          CASE WHEN merge_action IN ('update', 'insert')
+               THEN s_event_type ELSE t_event_type END AS event_type,
+          CASE WHEN merge_action IN ('update', 'insert')
+               THEN s_value ELSE t_value END AS value
+        FROM acts WHERE merge_action IN ('update', 'insert', 'keep')"""))
+  }
+
   // ---------------------------------------------------------------- d4
   private val d4 = Q(
     "d4_scd1_dim",
@@ -4560,6 +4629,191 @@ object Catalog {
         WHERE NOT ($delSql < $delFrac AND $bucketSql <> 0)"""))
   }
 
+  // ---------------------------------------------------------------- w19
+  // MERGE-ON-READ deletion vectors (Sink.buildDeletionVectors /
+  // readMergeOnRead / foldDeletionVectors) — the delete tier BELOW w10's
+  // copy-on-write purge (Delta DVs / Iceberg v2 positional deletes,
+  // Spark-first). w10 pays O(affected-partition BYTES) at delete time:
+  // one doomed row in a 10-GB bucket rewrites the bucket. Here the
+  // delete writes ONLY a positional sidecar — (_metadata.file_path,
+  // _metadata.row_index) pairs, the stable row identity of an immutable
+  // parquet file — and readers overlay it with one broadcast anti-join
+  // on (file, position), deliberately KEY-BLIND so the gate proves the
+  // sidecar mechanism, not a hidden key filter. The bytes move later,
+  // once, when the fold materializes survivors (w10's snapshot
+  // discipline: affected buckets rewritten, the rest carried by RENAME).
+  // Gates: (a) the DV build scan partition-prunes to the log's buckets
+  // (derivable-bucket contract, THROWS inside Sink); (b) after the
+  // delete is durable the store's data-file set is BYTE-IDENTICAL — the
+  // whole point of the tier; (c) DV cardinality == tombstoned row count;
+  // (d) the MOR read shows zero doomed keys; (e) fold: bucket 0's file
+  // basenames survive by rename, affected buckets really rewrite, and
+  // the folded store equals the MOR overlay row for row (exceptAll both
+  // ways) — DVs change WHEN bytes move, never answers. Oracle recomputes
+  // survivors from source.
+  private val w19 = {
+    val nB = 8
+    val delFrac = 0.04
+    val storeSchema =
+      "c_custkey BIGINT, c_acctbal DOUBLE, c_mktsegment STRING, bucket BIGINT"
+    val bucketSql =
+      s"CAST(floor(${hashFracSql("CAST(c_custkey AS VARCHAR) || '|shard'")} * $nB) AS BIGINT)"
+    val delSql = hashFracSql("CAST(c_custkey AS VARCHAR) || '|dv'")
+    Q(
+      "w19_deletion_vectors",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{broadcast, input_file_name}
+        val bucket = floor(graft.operators.Curate.hashFraction(
+          concat(col("c_custkey").cast("string"), lit("|shard"))) * nB).cast("long")
+        val keyed = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"),
+            bucket.as("bucket"))
+        val ds = new java.io.File(d).getName
+        val storePath = s"$scratchRoot/$ds/cust_dv_store"
+        val dvPath = s"$scratchRoot/$ds/cust_dv_sidecar"
+        val morPath = s"$scratchRoot/$ds/cust_dv_mor"
+        val foldedPath = s"$scratchRoot/$ds/cust_dv_folded"
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          s.sparkContext.hadoopConfiguration)
+        // fresh store per pass (the w6 lesson): fold MOVES dirs out of
+        // the store, so stale state would double-count on append
+        Seq(storePath, dvPath, morPath, foldedPath).foreach(p =>
+          fs.delete(new org.apache.hadoop.fs.Path(p), true))
+        graft.sources.Sink.writePartitioned(keyed, storePath, Seq("bucket"))
+        // full data-file listing, captured before the delete
+        def dataFiles(p: String): Set[String] = {
+          val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+          val b = Set.newBuilder[String]
+          while (it.hasNext) {
+            val f = it.next().getPath.toString
+            if (f.endsWith(".parquet")) b += f
+          }
+          b.result()
+        }
+        val preFiles = dataFiles(storePath)
+        val tombstones = keyed
+          .filter(graft.operators.Curate.hashFraction(
+            concat(col("c_custkey").cast("string"), lit("|dv"))) < delFrac &&
+            col("bucket") =!= 0)
+          .select("c_custkey", "bucket")
+        // THE DELETE: build + persist the sidecar; nothing else happens
+        graft.sources.Sink.buildDeletionVectors(
+          s, storeSchema, storePath, "bucket", "c_custkey", tombstones)
+          .write.mode("overwrite").parquet(dvPath)
+        if (dataFiles(storePath) != preFiles) throw new IllegalStateException(
+          "a DV delete must leave every data file byte-untouched")
+        val dv = s.read.schema("__file STRING, __pos BIGINT, bucket BIGINT")
+          .parquet(dvPath)
+        val nDoomed = tombstones.count() // store holds exactly one row per key
+        if (dv.count() != nDoomed) throw new IllegalStateException(
+          s"sidecar must hold one position per tombstoned row ($nDoomed)")
+        // MERGE-ON-READ: overlay the sidecar; persist the view so the
+        // fold's renames can't invalidate its lineage mid-comparison
+        graft.sources.Sink.readMergeOnRead(
+          graft.sources.Sink.readWithPosition(s, storeSchema, storePath), dv)
+          .write.mode("overwrite").parquet(morPath)
+        val mor = s.read.schema(storeSchema).parquet(morPath)
+        val visible = mor.join(broadcast(tombstones.select("c_custkey")),
+          Seq("c_custkey"), "left_semi").count()
+        if (visible != 0) throw new IllegalStateException(
+          s"MOR read still shows $visible tombstoned keys")
+        // per-bucket basename census before the fold renames dirs away
+        def census(df: DataFrame): Map[Long, Set[String]] = df
+          .select(col("bucket"), input_file_name().as("f")).distinct()
+          .collect()
+          .groupBy(_.getLong(0))
+          .map { case (b, rows) => b ->
+            rows.map(r => r.getString(1).substring(r.getString(1).lastIndexOf('/') + 1)).toSet }
+        val store = s.read.schema(storeSchema).parquet(storePath)
+        val pre = census(store)
+        // THE FOLD: materialize survivors, carry the rest forward
+        graft.sources.Sink.foldDeletionVectors(
+          s, storeSchema, storePath, foldedPath, "bucket", dv)
+        val folded = s.read.schema(storeSchema).parquet(foldedPath)
+        val post = census(folded)
+        val affected = dv.select("bucket").distinct()
+          .collect().map(_.getLong(0)).toSet
+        val carried = pre.keySet -- affected
+        if (!carried.forall(b => pre(b) == post.getOrElse(b, Set.empty)))
+          throw new IllegalStateException(
+            "fold carry-forward must preserve unaffected buckets' files byte-untouched")
+        if (!affected.exists(b => post.getOrElse(b, Set.empty) != pre(b)))
+          throw new IllegalStateException(
+            "fold must rewrite at least one affected bucket")
+        if (folded.exceptAll(mor).count() != 0 || mor.exceptAll(folded).count() != 0)
+          throw new IllegalStateException(
+            "folded store must equal the merge-on-read overlay row for row")
+        mor.select("c_custkey", "bucket", "c_mktsegment", "c_acctbal")
+      },
+      Some(s"""
+        SELECT c_custkey, $bucketSql AS bucket, c_mktsegment, c_acctbal
+        FROM customer
+        WHERE NOT ($delSql < $delFrac AND $bucketSql <> 0)"""))
+  }
+
+  // ---------------------------------------------------------------- w20
+  // Per-file BLOOM-FILTER membership skipping (Sink.bloomManifest /
+  // bloomProbeFiles) — the point-lookup tier neither directory
+  // partitioning nor min/max stats can serve (Delta's bloom index /
+  // parquet bloom filters, Spark-first): a needle-in-haystack lookup on
+  // the PRIMARY KEY of an arrival-ordered event log hits a layout where
+  // every file spans the whole key range (w11's envelopes prune
+  // nothing) and no directory key matches — yet each file holds only
+  // rows/nFiles of the keys. The manifest is built as a MERGEABLE
+  // sketch (r5/r6's discipline): k xxhash64 positions per row packed
+  // into (file, word, bits) rows by one bit_or aggregate — map-side
+  // partials, appended files merge by adding rows. Probe positions come
+  // from the SAME Catalyst expression over a tiny probe frame (no
+  // engine/manifest hash drift possible). Bloom has no false negatives,
+  // so skipping changes files read, never answers; the entry THROWS
+  // unless the manifest covers exactly the written layout and at least
+  // half the files were skipped. Probes are three ids at fractional
+  // ranks of the key range, the same double arithmetic on both sides.
+  private val w20 = {
+    val nFiles = 16
+    val mBits = 65536
+    val kH = 5
+    val evSchema = "event_id BIGINT, event_type STRING, value DOUBLE"
+    val fracs = Seq(0.15, 0.5, 0.85)
+    Q(
+      "w20_bloom_skip",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val path = s"$scratchRoot/${new java.io.File(d).getName}/events_bloom"
+        // arrival-order layout: explicit round-robin width (exempt from
+        // AQE coalescing), no clustering on the key — the hard case
+        ev.repartition(nFiles).write.mode("overwrite").parquet(path)
+        val manifest = graft.sources.Sink.bloomManifest(
+          s, evSchema, path, "event_id", mBits, kH)
+        val total = manifest.map(_._1).distinct.length
+        if (total != nFiles) throw new IllegalStateException(
+          s"bloom manifest covers $total files, layout wrote $nFiles")
+        val b = ev.agg(min(col("event_id")).cast("double").as("lo"),
+          max(col("event_id")).cast("double").as("hi")).first()
+        val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+        val probes = fracs.map(f => (lo + math.floor((hi - lo) * f)).toLong)
+        val files = graft.sources.Sink.bloomProbeFiles(
+          s, manifest, "event_id", probes, mBits, kH)
+        if (files.isEmpty) throw new IllegalStateException(
+          "present probe keys must survive their own bloom (no false negatives)")
+        if (files.length > total / 2) throw new IllegalStateException(
+          s"bloom must skip at least half the files (kept ${files.length}/$total)")
+        s.read.schema(evSchema).parquet(files: _*)
+          .filter(col("event_id").isin(probes: _*))
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT CAST(min(event_id) AS DOUBLE) AS lo,
+                 CAST(max(event_id) AS DOUBLE) AS hi
+          FROM events),
+        probes AS (${fracs.map(f =>
+          s"SELECT CAST(lo + floor((hi - lo) * $f) AS BIGINT) AS id FROM b")
+          .mkString(" UNION ALL ")})
+        SELECT event_id, event_type, value FROM events
+        WHERE event_id IN (SELECT id FROM probes)"""))
+  }
+
   // ---------------------------------------------------------------- w11
   // Multi-column DATA SKIPPING under the gate (the pruning tier below
   // directory partitioning — Delta/Iceberg's OPTIMIZE ZORDER + stats
@@ -4705,7 +4959,7 @@ object Catalog {
   val all: Seq[Q] = Seq(
     a1, a2, a3, a4, a5, a6, a7, a8,
     n1, n2, n3, n4, n5, n6, n7,
-    d1, d2, d3, d4, d5, d6,
+    d1, d2, d3, d4, d5, d6, d7,
     e1, e2, e3, e4, e5, j1, j2, j3, j4,
     r1, r2, r3, r4, r5, r6, q1, q2, q3, q4,
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
@@ -4713,7 +4967,7 @@ object Catalog {
     c1, c2, c3, c4, c5, c6, c7,
     m1, m2, m3, s1, s2, s3, s4, s5, s6, s7, s8, s9, p1, p2, p3, p4,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
-    w17, w18)
+    w17, w18, w19, w20)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

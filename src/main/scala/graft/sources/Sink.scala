@@ -147,6 +147,100 @@ object Sink {
       }
   }
 
+  /**
+   * MERGE-ON-READ deletion vectors — the delete tier BELOW
+   * [[purgeTombstones]]'s copy-on-write rewrite (Delta deletion vectors /
+   * Iceberg v2 positional delete files, Spark-first). Copy-on-write
+   * makes delete-time cost O(affected-partition BYTES): one doomed row
+   * in a 10-GB bucket rewrites the bucket. A deletion vector makes it
+   * O(DELETED rows): the delete writes only a positional sidecar —
+   * (file, row position) pairs — and every reader overlays it; the
+   * bytes move later, once, when a fold (compaction) materializes the
+   * survivors. Row positions come from the scan's own
+   * `_metadata.file_path` / `_metadata.row_index` columns (stable: a
+   * parquet row's index in its immutable file never changes), exactly
+   * the identity Delta's DVs bind to.
+   *
+   * Three steps, each its own method so gates can hold each invariant
+   * separately:
+   *  - [[readWithPosition]]: the store scan + positional identity
+   *    columns `__file` / `__pos`;
+   *  - [[buildDeletionVectors]]: tombstone keys → DV rows, reading ONLY
+   *    the partitions the (derivable-bucket) log names — THROWS unless
+   *    the scan partition-prunes; after this, the delete is DONE and no
+   *    data file has been touched;
+   *  - [[readMergeOnRead]]: the reader overlay — one broadcast
+   *    anti-join on (file, position), deliberately key-blind: the
+   *    sidecar ALONE decides visibility, so the gate proves the DV
+   *    mechanism, not a hidden key filter;
+   *  - [[foldDeletionVectors]]: the deferred rewrite —
+   *    [[purgeTombstones]]'s snapshot discipline (affected partitions
+   *    rewritten through the DV overlay, unaffected partitions carried
+   *    forward by RENAME), after which the sidecar is obsolete.
+   */
+  def readWithPosition(spark: SparkSession, schema: String, path: String): DataFrame =
+    spark.read.schema(schema).parquet(path)
+      .select(col("*"),
+        col("_metadata.file_path").as("__file"),
+        col("_metadata.row_index").as("__pos"))
+
+  /** Doomed (file, position, partition) rows for `tombstones` keys.
+    * Scans only the log's partitions (gate-asserted); the store is not
+    * modified — persisting the returned frame IS the whole delete. */
+  def buildDeletionVectors(spark: SparkSession, schema: String, storePath: String,
+      partitionCol: String, keyCol: String, tombstones: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val affected = tombstones.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)).toSet
+    require(affected.nonEmpty, "empty delete log: nothing to delete")
+    val doomed = readWithPosition(spark, schema, storePath)
+      .filter(col(partitionCol).isin(affected.toSeq: _*))
+      .join(broadcast(tombstones.select(col(keyCol))), Seq(keyCol), "left_semi")
+      .select(col("__file"), col("__pos"), col(partitionCol))
+    assertPartitionPruned(doomed, partitionCol)
+    doomed
+  }
+
+  /** The reader overlay: store rows minus DV positions. Key-blind by
+    * design — only (file, position) decides. DVs are deleted-row-sized,
+    * so the anti-join broadcasts; the store side stays a straight scan. */
+  def readMergeOnRead(storeWithPos: DataFrame, dv: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    storeWithPos
+      .join(broadcast(dv.select(col("__file"), col("__pos"))),
+        Seq("__file", "__pos"), "left_anti")
+      .drop("__file", "__pos")
+  }
+
+  /** Materialize the DV overlay into a new snapshot: partitions named by
+    * the DV are rewritten through [[readMergeOnRead]]; every other
+    * partition directory RENAMES across (metadata only, bytes unmoved).
+    * After this the sidecar is obsolete — the caller drops it. Write
+    * precedes any rename ([[purgeTombstones]]'s ordering discipline). */
+  def foldDeletionVectors(spark: SparkSession, schema: String, storePath: String,
+      newPath: String, partitionCol: String, dv: DataFrame): Unit = {
+    val affected = dv.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)).toSet
+    require(affected.nonEmpty, "empty deletion vector: nothing to fold")
+    val survivors = readMergeOnRead(
+      readWithPosition(spark, schema, storePath)
+        .filter(col(partitionCol).isin(affected.toSeq: _*)),
+      dv)
+    assertPartitionPruned(survivors, partitionCol)
+    survivors.write.mode("append").partitionBy(partitionCol).parquet(newPath)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val base = new org.apache.hadoop.fs.Path(storePath)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(newPath))
+    fs.listStatus(base).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith(s"$partitionCol="))
+      .filterNot(p => affected.exists(v => p.getName == s"$partitionCol=$v"))
+      .foreach { p =>
+        if (!fs.rename(p, new org.apache.hadoop.fs.Path(newPath, p.getName)))
+          throw new IllegalStateException(s"carry-forward rename failed: $p")
+      }
+  }
+
   /** THROW unless `df`'s scan prunes on `partitionCol` — i.e. some file
     * scan carries a partition filter referencing it. The
     * [[purgeTombstones]] invariant ("a targeted delete reads only the
@@ -245,6 +339,73 @@ object Sink {
     val df = spark.read.schema(schema).parquet(keep.map(_._1).toIndexedSeq: _*)
       .filter(col(c1) >= lo1 && col(c1) <= hi1 && col(c2) >= lo2 && col(c2) <= hi2)
     (df, keep.length, manifest.length)
+  }
+
+  /**
+   * Per-file BLOOM-FILTER membership manifest — the skipping tier
+   * [[skippingManifest]]'s min/max envelopes cannot provide (Delta's
+   * bloom-filter index / parquet bloom filters, Spark-first): a POINT
+   * LOOKUP on a high-cardinality key over an arrival-ordered layout
+   * defeats both directory partitioning (wrong column) and min/max
+   * stats (every file spans the whole key range), yet each file holds
+   * only rows/nFiles of the keys — membership is exactly what a bloom
+   * summarizes in O(bits) per file.
+   *
+   * The filter is built DECLARATIVELY as a mergeable sketch (the r5/r6
+   * discipline): each row contributes k=`kHashes` positions
+   * (`xxhash64(seed, key) mod mBits` — seeded by prepending the seed to
+   * the hash input), positions pack into (file, word, bits) rows via one
+   * `bit_or` aggregate — map-side partials, and an APPENDED file merges
+   * into the manifest by adding rows, no rebuild. Collected to the
+   * driver: nFiles × mBits/64 longs, the same coordinator-state class
+   * as [[skippingManifest]].
+   *
+   * [[bloomProbeFiles]] evaluates probe keys against the manifest —
+   * positions computed by the SAME Catalyst expression over a tiny
+   * probe frame, so engine and manifest can never disagree on the hash —
+   * and returns only files where EVERY position of SOME probe is set.
+   * No false negatives (a present key's bits are all set by
+   * construction), so skipping changes I/O, never answers; false
+   * positives only cost an extra file scan that the exact residual
+   * filter empties.
+   */
+  def bloomManifest(spark: SparkSession, schema: String, path: String,
+      keyCol: String, mBits: Int, kHashes: Int): Array[(String, Int, Long)] = {
+    import org.apache.spark.sql.functions.{bit_or, expr}
+    spark.read.schema(schema).parquet(path)
+      .select(col("_metadata.file_path").as("__file"),
+        bloomPositions(keyCol, mBits, kHashes).as("__ps"))
+      .select(col("__file"), expr("explode(__ps)").as("pos"))
+      .groupBy(col("__file"), expr("CAST(pos / 64 AS INT)").as("word"))
+      .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))"))
+        .as("bits"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+  }
+
+  /** The k bloom positions of `keyCol` as an array column. Shared by
+    * build and probe — the no-drift rule applied to the hash. */
+  private def bloomPositions(keyCol: String, mBits: Int, kHashes: Int) = {
+    import org.apache.spark.sql.functions.{array, lit, pmod, xxhash64}
+    array((1 to kHashes).map(seed =>
+      pmod(xxhash64(lit(seed), col(keyCol)), lit(mBits.toLong))): _*)
+  }
+
+  /** Files that may hold ANY of `probes` according to the manifest.
+    * Probe positions come from the same expression the build used,
+    * evaluated over a tiny in-memory frame. */
+  def bloomProbeFiles(spark: SparkSession, manifest: Array[(String, Int, Long)],
+      keyCol: String, probes: Seq[Long], mBits: Int, kHashes: Int): Seq[String] = {
+    require(probes.nonEmpty, "no probe keys")
+    import spark.implicits._
+    val positions = probes.toDF(keyCol)
+      .select(bloomPositions(keyCol, mBits, kHashes).as("__ps"))
+      .collect().map(_.getSeq[Long](0))
+    val byFile = manifest.groupBy(_._1)
+      .map { case (f, rows) => f -> rows.map(r => r._2 -> r._3).toMap }
+    byFile.collect { case (f, words) if positions.exists(_.forall(p =>
+      (words.getOrElse((p / 64).toInt, 0L) >> (p % 64).toInt & 1L) == 1L)) => f
+    }.toSeq.sorted
   }
 
   /** Bucketed + sorted managed table (bucketBy requires saveAsTable).

@@ -658,6 +658,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Set((2L, 4.0), (3L, 6.0)))
   }
 
+  test("mergeInto routes delete/update/insert/keep/skip by clause order") {
+    val target = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("key", "tag", "v")
+    val source = Seq(
+      (1L, "del", 9.0), // matched + delete clause -> row vanishes
+      (2L, "b2", 9.0),  // matched, delete clause false -> update from source
+      (4L, "d", 4.0),   // not matched, insert clause true -> insert
+      (5L, "del", 5.0)) // not matched, insert clause false -> skip
+      .toDF("key", "tag", "v")
+    val got = Upsert.mergeInto(target, source, "key", Seq("tag", "v"),
+      matchedDeleteWhen = col("s_tag") === "del",
+      notMatchedInsertWhen = col("s_tag") =!= "del")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    // key 3 untouched by the source survives as 'keep' with target payload
+    assert(got == Set(
+      (2L, "update", "b2", 9.0),
+      (3L, "keep", "c", 3.0),
+      (4L, "insert", "d", 4.0)))
+  }
+
+  test("mergeInto fails the job on a duplicate-key source (MERGE cardinality rule)") {
+    val target = Seq((1L, 1.0)).toDF("key", "v")
+    val dupSource = Seq((1L, 2.0), (1L, 3.0)).toDF("key", "v")
+    val e = intercept[Exception] {
+      Upsert.mergeInto(target, dupSource, "key", Seq("v"),
+        matchedDeleteWhen = lit(false), notMatchedInsertWhen = lit(true))
+        .collect()
+    }
+    // the assert_true fires inside the exchange; Spark wraps it, so
+    // search the causal chain for the cardinality message
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("MERGE cardinality violation")))
+  }
+
   test("Checks.violations counts planted unique/not_null/accepted violations") {
     import graft.operators.Checks
     val df = Seq(

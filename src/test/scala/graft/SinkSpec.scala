@@ -168,6 +168,51 @@ class SinkSpec extends AnyFunSuite {
     assert(basenames(purged, 1L) != pre1)
   }
 
+  test("deletion vectors delete by POSITION, not key: one of two equal-key rows survives") {
+    val dir = Files.createTempDirectory("sink-dv").toString
+    val store = s"$dir/store"
+    // two rows with the SAME key land in the same bucket/file; a key-level
+    // delete (w10's purge) could never remove just one of them
+    val df = Seq((7L, 0L, "first"), (7L, 0L, "second"), (8L, 0L, "other"),
+      (9L, 1L, "carried")).toDF("id", "bucket", "tag")
+    df.coalesce(1).write.partitionBy("bucket").parquet(store)
+    val schema = "id BIGINT, tag STRING, bucket BIGINT"
+    val withPos = Sink.readWithPosition(spark, schema, store)
+    // doom exactly the key-7 row tagged 'second' — position-targeted
+    val dv = withPos.filter(col("tag") === "second")
+      .select(col("__file"), col("__pos"), col("bucket"))
+    assert(dv.count() == 1)
+    val mor = Sink.readMergeOnRead(withPos, dv)
+    val got = mor.select("id", "tag").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((7L, "first"), (8L, "other"), (9L, "carried")))
+    // fold: bucket 0 rewritten through the overlay, bucket 1 renamed across
+    val folded = s"$dir/folded"
+    Sink.foldDeletionVectors(spark, schema, store, folded, "bucket", dv)
+    val back = spark.read.schema(schema).parquet(folded)
+    assert(back.select("id", "tag").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == got)
+  }
+
+  test("bloom manifest: present key keeps exactly its file, absent key skips all") {
+    val dir = Files.createTempDirectory("sink-bloom").toString
+    val store = s"$dir/store"
+    spark.range(0, 200).selectExpr("id AS k").repartition(4).write.parquet(store)
+    val (m, kh) = (4096, 5)
+    val manifest = Sink.bloomManifest(spark, "k BIGINT", store, "k", m, kh)
+    assert(manifest.map(_._1).distinct.length == 4)
+    // the file physically holding k=42 must survive its own bloom
+    val holder = spark.read.schema("k BIGINT").parquet(store)
+      .filter(col("k") === 42L).select(col("_metadata.file_path"))
+      .first().getString(0)
+    val kept = Sink.bloomProbeFiles(spark, manifest, "k", Seq(42L), m, kh)
+    assert(kept.contains(holder))
+    // membership pruning: most files don't hold 42 (round-robin spread)
+    assert(kept.length < 4)
+    // absent key: at 50 keys/file in 4096 bits the FP odds are ~1e-6 and
+    // xxhash64 is deterministic, so "skip everything" is a stable assert
+    assert(Sink.bloomProbeFiles(spark, manifest, "k", Seq(987654321L), m, kh).isEmpty)
+  }
+
   test("purgeTombstones throws when the survivors scan cannot prune") {
     val dir = Files.createTempDirectory("sink-purge-noprune").toString
     val df = spark.range(0, 40).selectExpr("id", "id % 2 AS bucket")
