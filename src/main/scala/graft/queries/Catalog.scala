@@ -4767,14 +4767,20 @@ object Catalog {
   // engine/manifest hash drift possible). Bloom has no false negatives,
   // so skipping changes files read, never answers; the entry THROWS
   // unless the manifest covers exactly the written layout and at least
-  // half the files were skipped. Probes are three ids at fractional
-  // ranks of the key range, the same double arithmetic on both sides.
+  // half the files were skipped. The bloom is sized from the layout's
+  // own row count (bitsPerKey × rows/file, next power of two — the
+  // stats pass every bloom-indexed write runs; a FIXED m saturates the
+  // moment files grow, FP → 1, and skipping silently dies). Probes are
+  // the three ids with the smallest salted md5 fraction — always
+  // present in the data at ANY scale or id distribution (range
+  // arithmetic would miss sparse id spaces), deterministic, and
+  // replayed by the oracle.
   private val w20 = {
     val nFiles = 16
-    val mBits = 65536
+    val bitsPerKey = 16
     val kH = 5
+    val nProbes = 3
     val evSchema = "event_id BIGINT, event_type STRING, value DOUBLE"
-    val fracs = Seq(0.15, 0.5, 0.85)
     Q(
       "w20_bloom_skip",
       (s, d) => {
@@ -4784,15 +4790,20 @@ object Catalog {
         // arrival-order layout: explicit round-robin width (exempt from
         // AQE coalescing), no clustering on the key — the hard case
         ev.repartition(nFiles).write.mode("overwrite").parquet(path)
+        val nRows = ev.count()
+        val mBits = math.max(4096,
+          java.lang.Long.highestOneBit(
+            bitsPerKey * nRows / nFiles * 2 - 1).toInt)
         val manifest = graft.sources.Sink.bloomManifest(
           s, evSchema, path, "event_id", mBits, kH)
         val total = manifest.map(_._1).distinct.length
         if (total != nFiles) throw new IllegalStateException(
           s"bloom manifest covers $total files, layout wrote $nFiles")
-        val b = ev.agg(min(col("event_id")).cast("double").as("lo"),
-          max(col("event_id")).cast("double").as("hi")).first()
-        val (lo, hi) = (b.getDouble(0), b.getDouble(1))
-        val probes = fracs.map(f => (lo + math.floor((hi - lo) * f)).toLong)
+        val probes = ev
+          .select(col("event_id"), graft.operators.Curate.hashFraction(
+            concat(col("event_id").cast("string"), lit("|probe"))).as("__f"))
+          .orderBy(col("__f"), col("event_id")).limit(nProbes)
+          .collect().map(_.getLong(0)).toSeq
         val files = graft.sources.Sink.bloomProbeFiles(
           s, manifest, "event_id", probes, mBits, kH)
         if (files.isEmpty) throw new IllegalStateException(
@@ -4803,13 +4814,10 @@ object Catalog {
           .filter(col("event_id").isin(probes: _*))
       },
       Some(s"""
-        WITH b AS (
-          SELECT CAST(min(event_id) AS DOUBLE) AS lo,
-                 CAST(max(event_id) AS DOUBLE) AS hi
-          FROM events),
-        probes AS (${fracs.map(f =>
-          s"SELECT CAST(lo + floor((hi - lo) * $f) AS BIGINT) AS id FROM b")
-          .mkString(" UNION ALL ")})
+        WITH probes AS (
+          SELECT event_id AS id FROM events
+          ORDER BY ${hashFracSql("CAST(event_id AS VARCHAR) || '|probe'")}, event_id
+          LIMIT $nProbes)
         SELECT event_id, event_type, value FROM events
         WHERE event_id IN (SELECT id FROM probes)"""))
   }

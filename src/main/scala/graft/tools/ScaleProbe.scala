@@ -52,7 +52,12 @@ object ScaleProbe {
     // the salted copies are exact dups, so the dedup stage must collapse
     // them before the gram join and budget window) and the vector-store
     // delete (×8 rows per cell in both the purge rewrite and the index)
-    "p4_llm_corpus", "w15_ann_delete")
+    "p4_llm_corpus", "w15_ann_delete",
+    // round-9 continuation: MERGE INTO (two ×8 state windows + the key
+    // join), the DV delete lifecycle (×8 rows per bucket in the DV
+    // build, overlay and fold) and the bloom layout (×8 keys per file —
+    // exactly the saturation axis the count-adaptive sizing absorbs)
+    "d7_merge_into", "w19_deletion_vectors", "w20_bloom_skip")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -31,7 +31,10 @@ object SkewProbe {
     // round-9 continuation: the CDC collapse (window) and its stateful
     // streaming twin (mapGroupsWithState) both partition by user_id —
     // the hot key funnels 30% of the log into one group on each
-    "d6_cdc_apply", "s8_stream_cdc")
+    "d6_cdc_apply", "s8_stream_cdc",
+    // MERGE INTO: both state windows and the full-outer join partition
+    // by user_id; the hot key rides one group per side + one join row
+    "d7_merge_into")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
