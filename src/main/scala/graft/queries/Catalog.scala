@@ -3521,6 +3521,92 @@ object Catalog {
     },
     Some(stateOracleSql(None)))
 
+  // ---------------------------------------------------------------- s10
+  // STREAMING right-to-erasure (DeleteStream.dvDeleteBatch) — w19's
+  // deletion vectors driven from a stream, closing the lifecycle's last
+  // batch-only seam (ingest s6, publish s5/s9, CDC s8, delete s10): a
+  // tombstone-key stream folds into the published store as positional
+  // DV sidecars, one batch=<id> subdir per trigger — each trigger costs
+  // O(its deleted rows), NO data file is ever rewritten on the hot
+  // path (census-gated byte-identical store across all triggers), and
+  // the merge-on-read overlay sees deletes as each sidecar lands. A
+  // RETRY of an already-committed trigger is replayed IN the entry and
+  // must leave the cumulative sidecar unchanged (deterministic
+  // per-batch overwrite — the s7 effectively-once discipline). The
+  // deferred fold stays w19's scheduled batch concern. Per-trigger
+  // overlay parity through a real MemoryStream is StreamingSpec's job.
+  private val s10 = {
+    val nB = 8
+    val delFrac = 0.06
+    val storeSchema =
+      "c_custkey BIGINT, c_acctbal DOUBLE, c_mktsegment STRING, bucket BIGINT"
+    val bucketSql =
+      s"CAST(floor(${hashFracSql("CAST(c_custkey AS VARCHAR) || '|shard'")} * $nB) AS BIGINT)"
+    val delSql = hashFracSql("CAST(c_custkey AS VARCHAR) || '|sdel'")
+    Q(
+      "s10_stream_delete",
+      (s, d) => {
+        val bucket = floor(graft.operators.Curate.hashFraction(
+          concat(col("c_custkey").cast("string"), lit("|shard"))) * nB).cast("long")
+        val keyed = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"),
+            bucket.as("bucket"))
+        val ds = new java.io.File(d).getName
+        val storePath = s"$scratchRoot/$ds/cust_sdel_store"
+        val dvRoot = s"$scratchRoot/$ds/cust_sdel_dv"
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          s.sparkContext.hadoopConfiguration)
+        Seq(storePath, dvRoot).foreach(p =>
+          fs.delete(new org.apache.hadoop.fs.Path(p), true))
+        graft.sources.Sink.writePartitioned(keyed, storePath, Seq("bucket"))
+        def dataFiles(p: String): Set[String] = {
+          val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+          val b = Set.newBuilder[String]
+          while (it.hasNext) {
+            val f = it.next().getPath.toString
+            if (f.endsWith(".parquet")) b += f
+          }
+          b.result()
+        }
+        val preFiles = dataFiles(storePath)
+        val tombstones = keyed
+          .filter(graft.operators.Curate.hashFraction(
+            concat(col("c_custkey").cast("string"), lit("|sdel"))) < delFrac &&
+            col("bucket") =!= 0)
+          .select("c_custkey", "bucket")
+        // three trigger slices by a second hash — every slice through
+        // the SAME body the real stream runs
+        val slice = floor(graft.operators.Curate.hashFraction(
+          concat(col("c_custkey").cast("string"), lit("|slice"))) * 3).cast("int")
+        val body = graft.streaming.DeleteStream.dvDeleteBatch(
+          storeSchema, storePath, dvRoot, "bucket", "c_custkey") _
+        (0 until 3).foreach(b =>
+          body(tombstones.filter(slice === b), b.toLong))
+        val dvSchema = "__file STRING, __pos BIGINT, bucket BIGINT"
+        val nDv = s.read.schema(dvSchema).parquet(dvRoot).count()
+        // trigger RETRY: re-fold slice 1; the sidecar must not grow
+        body(tombstones.filter(slice === 1), 1L)
+        val dv = s.read.schema(dvSchema).parquet(dvRoot)
+        if (dv.count() != nDv) throw new IllegalStateException(
+          "a trigger retry must rewrite its sidecar, not grow it")
+        if (nDv != tombstones.count()) throw new IllegalStateException(
+          "cumulative sidecar must hold one position per tombstoned row")
+        if (dataFiles(storePath) != preFiles) throw new IllegalStateException(
+          "streaming deletes must leave every data file byte-untouched")
+        val mor = graft.sources.Sink.readMergeOnRead(
+          graft.sources.Sink.readWithPosition(s, storeSchema, storePath), dv)
+        val visible = mor.join(broadcast(tombstones.select("c_custkey")),
+          Seq("c_custkey"), "left_semi").count()
+        if (visible != 0) throw new IllegalStateException(
+          s"MOR read still shows $visible streamed-tombstoned keys")
+        mor.select("c_custkey", "bucket", "c_mktsegment", "c_acctbal")
+      },
+      Some(s"""
+        SELECT c_custkey, $bucketSql AS bucket, c_mktsegment, c_acctbal
+        FROM customer
+        WHERE NOT ($delSql < $delFrac AND $bucketSql <> 0)"""))
+  }
+
   // ---------------------------------------------------------------- w15
   /** DELETEs on the VECTOR store, completing the IVF lifecycle's CRUD
     * (build w4 / append w6 / stream-ingest s6 / compact w7 / now
@@ -4973,7 +5059,7 @@ object Catalog {
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
     c1, c2, c3, c4, c5, c6, c7,
-    m1, m2, m3, s1, s2, s3, s4, s5, s6, s7, s8, s9, p1, p2, p3, p4,
+    m1, m2, m3, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, p1, p2, p3, p4,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
     w17, w18, w19, w20)
 

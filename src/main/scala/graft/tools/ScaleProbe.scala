@@ -57,7 +57,10 @@ object ScaleProbe {
     // join), the DV delete lifecycle (×8 rows per bucket in the DV
     // build, overlay and fold) and the bloom layout (×8 keys per file —
     // exactly the saturation axis the count-adaptive sizing absorbs)
-    "d7_merge_into", "w19_deletion_vectors", "w20_bloom_skip")
+    "d7_merge_into", "w19_deletion_vectors", "w20_bloom_skip",
+    // streaming DV deletes: three pruned DV builds + the overlay ride
+    // the ×8 store
+    "s10_stream_delete")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -355,6 +355,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming deletes: per-trigger MOR overlay hides exactly the keys deleted so far") {
+    import graft.sources.Sink
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("s10spec").toString
+    val (store, dvRoot) = (s"$dir/store", s"$dir/dv")
+    // 120 rows over 4 buckets (bucket = id % 4)
+    val rows = spark.range(0, 120).selectExpr("id", "id % 4 AS bucket",
+      "CAST(id AS DOUBLE) * 2.0 AS v")
+    Sink.writePartitioned(rows, store, Seq("bucket"))
+    val schema = "id BIGINT, v DOUBLE, bucket BIGINT"
+    val input = MemoryStream[Long]
+    val query = graft.streaming.DeleteStream.deleteStream(
+      input.toDF().toDF("id").selectExpr("id", "id % 4 AS bucket"),
+      schema, store, dvRoot, "bucket", "id", s"$dir/ckpt")
+    val dvSchema = "__file STRING, __pos BIGINT, bucket BIGINT"
+    try {
+      var deleted = Set.empty[Long]
+      for (trigger <- Seq(Seq(1L, 5L, 9L), Seq(2L, 50L), Seq(99L, 107L, 3L))) {
+        input.addData(trigger)
+        query.processAllAvailable()
+        deleted = deleted ++ trigger
+        val mor = Sink.readMergeOnRead(
+          Sink.readWithPosition(spark, schema, store),
+          spark.read.schema(dvSchema).parquet(dvRoot))
+        val visible = mor.select("id").collect().map(_.getLong(0)).toSet
+        assert(visible == (0L until 120L).toSet -- deleted,
+          s"post-trigger overlay diverged after deleting $deleted")
+      }
+      // data files never rewritten: every store file predates the stream
+      val nFiles = spark.read.schema(schema).parquet(store)
+        .select(input_file_name()).distinct().count()
+      assert(nFiles > 0)
+    } finally query.stop()
+  }
+
   test("streaming drift: per-trigger folded histogram equals the batch drift so far") {
     import graft.operators.Checks
     implicit val ctx = spark.sqlContext
