@@ -3474,6 +3474,111 @@ object Catalog {
          OR o.value IS DISTINCT FROM n.value
          OR o.last_seen IS DISTINCT FROM n.last_seen"""))
 
+  // ---------------------------------------------------------------- w21
+  // WRITE-AUDIT-PUBLISH over branch refs (Iceberg WAP / Netflix's audit
+  // pattern; ManifestStore branch API) — the GOVERNANCE step the
+  // manifest chain was built to afford: a publish lands on a staging
+  // branch, quality gates run against the STAGED SNAPSHOT (the merged
+  // state a promote would expose, not the incoming delta alone — a
+  // batch can be clean in isolation and still corrupt the merge), and
+  // only a passing audit moves `main` — as one compare-and-swap ref
+  // move, metadata-only, zero data files written at promote time. A
+  // failing audit aborts by dropping the ref; the staged version's
+  // private files die in the next reachability vacuum, and no `main`
+  // reader ever resolved them. File sharing is what makes the whole
+  // pattern affordable: staging a delta costs only the rewritten
+  // buckets, so audit-before-publish adds zero data-path cost over
+  // publishing blind. Gates, in order: (1) while the good batch sits
+  // staged, `main` still resolves v0 and v0 reads unchanged (reader
+  // isolation through an in-flight publish); (2) the staged snapshot
+  // passes the dbt-shaped audit (not_null value/event_type + unique
+  // key: q1's check suite, here as a publish gate instead of a report);
+  // (3) the promote changes NO data file (disk file set identical
+  // before/after the fastForward); (4) the planted-corruption batch
+  // (nulled values riding an otherwise-valid delta) FAILS the audit on
+  // its branch, the abort + vacuum collects exactly the staged-only
+  // files, and `main` still serves the promoted good state. Result =
+  // main's head read through its ref, oracle-pinned to the from-source
+  // fold WITHOUT the rejected slice — the bad batch never happened,
+  // provably.
+  private val w21 = Q(
+    "w21_wap_branch",
+    (s, d) => {
+      import graft.sources.ManifestStore
+      val root = s"$scratchRoot/${new java.io.File(d).getName}/mstore_w21"
+      val ev = Tables.events(s, d)
+      def state(df: DataFrame) = Upsert
+        .latestState(df, "user_id", "ts", "event_id", MStore.payload)
+        .withColumn("bucket", MStore.bucketCol)
+      // the audit: dbt-schema-test shapes (q1) as a PUBLISH gate —
+      // not_null + accepted_values + unique-key, over the staged SNAPSHOT
+      val auditDomain = EnumDomains.validEventTypes :+ "error"
+      def auditViolations(df: DataFrame): Long = {
+        val bad = df.filter(col("value").isNull || col("event_type").isNull ||
+          !col("event_type").isin(auditDomain: _*)).count()
+        val dupKeys = df.groupBy("user_id").count().filter(col("count") > 1).count()
+        bad + dupKeys
+      }
+      val v0 = state(ev.filter(col("ts") < lit(S5Cuts(0))))
+      ManifestStore.publishInitial(s, v0, root, "v0", "bucket")
+      ManifestStore.setBranch(s, root, "main", "v0")
+      val mainRows0 = ManifestStore.readVersion(s, root, "v0", MStore.schema).count()
+
+      // ---- cycle 1: a clean delta — write, audit, publish
+      val d1 = state(ev.filter(
+        col("ts") >= lit(S5Cuts(0)) && col("ts") < lit(S5Cuts(1)) &&
+          MStore.bucketCol < 8))
+      ManifestStore.publishDelta(
+        s, d1, root, "v0", "v1", "bucket", "user_id", MStore.payload, MStore.schema)
+      ManifestStore.setBranch(s, root, "audit", "v1")
+      // reader isolation: the staged files exist, main is oblivious
+      require(ManifestStore.branchHead(s, root, "main").contains("v0"),
+        "staging must not move main")
+      require(ManifestStore.readVersion(s, root, "v0", MStore.schema).count() == mainRows0,
+        "main's snapshot must read unchanged while a publish is staged")
+      require(auditViolations(
+        ManifestStore.readVersion(s, root, "v1", MStore.schema)) == 0L,
+        "the clean batch must pass the audit")
+      val diskBeforePromote = ManifestStore.listDataFiles(s, root)
+      ManifestStore.fastForward(s, root, "main", "v0", "v1")
+      require(ManifestStore.listDataFiles(s, root) == diskBeforePromote,
+        "promotion must be metadata-only: no data file written or moved")
+
+      // ---- cycle 2: a corrupted delta — write, audit FAILS, abort.
+      // The corruption is an out-of-domain enum, NOT a nulled field: the
+      // EXCLUDED-wins merge COALESCEs a null delta field back to the
+      // base's value (d2's semantics), so a null plant would be healed
+      // by the merge for every already-known key — which is exactly why
+      // the audit runs over the staged SNAPSHOT: only corruption that
+      // survives the merge can ever reach a reader, and only that is
+      // worth failing a publish for.
+      val d2bad = state(ev.filter(col("ts") >= lit(S5Cuts(1)) &&
+        MStore.bucketCol >= 8 && MStore.bucketCol < 16))
+        .withColumn("event_type",
+          when(col("user_id") % 3 === 0, lit("__corrupt__"))
+            .otherwise(col("event_type")))
+      ManifestStore.publishDelta(s, d2bad, root, "v1", "v2", "bucket",
+        "user_id", MStore.payload, MStore.schema)
+      ManifestStore.setBranch(s, root, "audit", "v2")
+      require(auditViolations(
+        ManifestStore.readVersion(s, root, "v2", MStore.schema)) > 0L,
+        "the planted corruption must fail the audit")
+      val m0 = ManifestStore.readManifest(s, root, "v0").toSet
+      val m1 = ManifestStore.readManifest(s, root, "v1").toSet
+      val m2 = ManifestStore.readManifest(s, root, "v2").toSet
+      ManifestStore.dropBranch(s, root, "audit")
+      val orphans = ManifestStore.vacuum(s, root, retain = Seq("v0", "v1")).toSet
+      require(orphans.nonEmpty && orphans == (m2 -- m1 -- m0),
+        "aborting must collect exactly the rejected version's private files")
+      require(ManifestStore.branchHead(s, root, "main").contains("v1"),
+        "main must still serve the promoted good state after the abort")
+      MStore.project(ManifestStore.readVersion(
+        s, root, ManifestStore.branchHead(s, root, "main").get, MStore.schema))
+    },
+    Some(s"""
+      SELECT ${MStore.projectSql}
+      FROM (${MStore.stateSql(withSlice2 = true, withSlice3 = false)}) t"""))
+
   // ---------------------------------------------------------------- s9
   // STREAMING publish into the manifest chain — s5's trigger discipline
   // against the SHARED-FILE store (EventStream.manifestPublishBatch as
@@ -5061,7 +5166,7 @@ object Catalog {
     c1, c2, c3, c4, c5, c6, c7,
     m1, m2, m3, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, p1, p2, p3, p4,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
-    w17, w18, w19, w20)
+    w17, w18, w19, w20, w21)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

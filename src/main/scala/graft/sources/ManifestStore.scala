@@ -179,4 +179,61 @@ object ManifestStore {
       fs.delete(manifestPath(root, v), false))
     orphans
   }
+
+  // ------------------------------------------------------------ branches
+  // BRANCH REFS — named pointers into the version chain (Iceberg branch
+  // refs / git's refs/heads): `refs/<branch>` holds one version name.
+  // Because versions are manifests over SHARED immutable files, two
+  // branches pointing at different versions cost nothing beyond the
+  // files that genuinely differ — which is what makes write-audit-
+  // publish (w21) safe: a staged version is fully materialized and
+  // auditable on its own branch while every `main` reader keeps
+  // resolving the old head, and PROMOTION is one ref move (metadata
+  // only, no data files written or copied).
+
+  private def refPath(root: String, branch: String) =
+    new Path(s"$root/refs/$branch.ref")
+
+  /** The version `refs/<branch>` points at, if the branch exists. */
+  def branchHead(spark: SparkSession, root: String, branch: String): Option[String] = {
+    val fs = fsOf(spark, root)
+    val p = refPath(root, branch)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
+
+  /** Point `branch` at `version`; the version's manifest must exist
+    * (a ref to a missing manifest would be a corrupt chain by fiat). */
+  def setBranch(spark: SparkSession, root: String, branch: String,
+      version: String): Unit = {
+    val fs = fsOf(spark, root)
+    require(fs.exists(manifestPath(root, version)),
+      s"cannot point branch '$branch' at missing version '$version'")
+    val out = fs.create(refPath(root, branch), true)
+    try out.write((version + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Compare-and-swap promotion: move `branch` from `expected` to
+    * `version` as a METADATA-ONLY commit. THROWS if the branch no longer
+    * points at `expected` (a concurrent promote must fail loudly, not
+    * silently drop the interleaved move — the publishDelta CAS, at the
+    * ref tier). */
+  def fastForward(spark: SparkSession, root: String, branch: String,
+      expected: String, version: String): Unit = {
+    val head = branchHead(spark, root, branch)
+    require(head.contains(expected),
+      s"stale promote: branch '$branch' is at $head, expected '$expected'")
+    setBranch(spark, root, branch, version)
+  }
+
+  /** Remove a branch ref (an aborted audit). The versions it pointed at
+    * stay on disk until a [[vacuum]] expires them — dropping a ref is
+    * instant and reversible, GC is a separate, deliberate sweep. */
+  def dropBranch(spark: SparkSession, root: String, branch: String): Unit =
+    fsOf(spark, root).delete(refPath(root, branch), false)
 }

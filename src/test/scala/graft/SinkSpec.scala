@@ -309,4 +309,56 @@ class SinkSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("missing files"))
   }
+
+  test("ManifestStore branches: CAS fast-forward, stale promote fails, abort leaves main serving") {
+    import graft.sources.ManifestStore
+    import java.sql.Timestamp
+    val root = Files.createTempDirectory("mstore-branch").toString + "/chain"
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val schema = "k BIGINT, first_seen TIMESTAMP, last_seen TIMESTAMP, " +
+      "v STRING, bucket BIGINT"
+    val v0 = (1L to 4L).map(k => (k, ts(k), ts(k), s"v0-$k", k % 2))
+      .toDF("k", "first_seen", "last_seen", "v", "bucket")
+    ManifestStore.publishInitial(spark, v0, root, "v0", "bucket")
+    // a ref may only point at an existing version
+    intercept[IllegalArgumentException] {
+      ManifestStore.setBranch(spark, root, "main", "nope")
+    }
+    ManifestStore.setBranch(spark, root, "main", "v0")
+    assert(ManifestStore.branchHead(spark, root, "main").contains("v0"))
+    assert(ManifestStore.branchHead(spark, root, "audit").isEmpty)
+    // stage v1 on the audit branch; main is isolated
+    val d1 = Seq((2L, ts(20), ts(20), "v1-2", 0L))
+      .toDF("k", "first_seen", "last_seen", "v", "bucket")
+    ManifestStore.publishDelta(spark, d1, root, "v0", "v1", "bucket", "k",
+      Seq("v"), schema)
+    ManifestStore.setBranch(spark, root, "audit", "v1")
+    assert(ManifestStore.branchHead(spark, root, "main").contains("v0"))
+    // a CAS promote with a stale expectation must fail...
+    val stale = intercept[IllegalArgumentException] {
+      ManifestStore.fastForward(spark, root, "main", "v9", "v1")
+    }
+    assert(stale.getMessage.contains("stale promote"))
+    // ...and the correct one is metadata-only
+    val before = ManifestStore.listDataFiles(spark, root)
+    ManifestStore.fastForward(spark, root, "main", "v0", "v1")
+    assert(ManifestStore.listDataFiles(spark, root) == before)
+    assert(ManifestStore.branchHead(spark, root, "main").contains("v1"))
+    // abort a staged v2: drop the ref, vacuum its private files; the
+    // promoted head still reads in full
+    val d2 = Seq((3L, ts(30), ts(30), "v2-3", 1L))
+      .toDF("k", "first_seen", "last_seen", "v", "bucket")
+    ManifestStore.publishDelta(spark, d2, root, "v1", "v2", "bucket", "k",
+      Seq("v"), schema)
+    ManifestStore.setBranch(spark, root, "audit", "v2")
+    val m1 = ManifestStore.readManifest(spark, root, "v1").toSet
+    val m2 = ManifestStore.readManifest(spark, root, "v2").toSet
+    ManifestStore.dropBranch(spark, root, "audit")
+    val orphans = ManifestStore.vacuum(spark, root, retain = Seq("v0", "v1"))
+    assert(orphans.nonEmpty && orphans.toSet.subsetOf(m2 -- m1))
+    assert(ManifestStore.branchHead(spark, root, "main").contains("v1"))
+    val head = ManifestStore.readVersion(spark, root, "v1", schema)
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(head == Map(1L -> "v0-1", 2L -> "v1-2", 3L -> "v0-3", 4L -> "v0-4"))
+  }
 }
