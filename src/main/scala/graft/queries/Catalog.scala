@@ -807,6 +807,104 @@ object Catalog {
       FROM events GROUP BY user_id
       ORDER BY n_events DESC, user_id LIMIT 10"""))
 
+  // ---------------------------------------------------------------- r7
+  /** MERGEABLE quantile sketches — the third leg of the sketch family
+    * (r5 answers "how many distinct", r6 "which items dominate", this
+    * answers "where do the percentiles sit" over any batch range
+    * without re-scanning history): a fixed-width bucket HISTOGRAM as
+    * the sketch state — one (group, batch, bucket, count) row per
+    * occupied cell, built by ONE count aggregate with map-side
+    * partials. Counts are INTEGERS, so the merge is pure addition:
+    * unlike r5's HLL (estimate drifts with fold shape) the re-merge
+    * invariance here is BIT-EXACT by construction, and the gate proves
+    * it — the batch→pair→total fold equals the flat fold cell for
+    * cell. Serving a quantile = a cumulative walk over one group's
+    * ≤ B cells (metadata-sized; the persisted daily histogram rows
+    * make "p95 doc length over any date range" a sum of range-many
+    * sketch rows + a 32-step walk, zero fact I/O). The sketch's error
+    * contract is STRUCTURAL, not statistical: the bucket-upper-bound
+    * estimate can never sit below the true discrete quantile nor a
+    * full bucket width above it (cum(qb−1) < target ≤ cum(qb) pins the
+    * true value inside bucket qb) — gated per (group, percentile) row
+    * against the exact quantile, which the entry computes from the
+    * distinct-value cumsum as its correctness anchor (at 100 TB that
+    * anchor is the oracle-only path; production serves the histogram).
+    * At scale the knobs are W (width → error) and the bucket count
+    * B = domain/W (state size per group); both are metadata-sized for
+    * any fixed-domain metric (lengths, scores, latencies). */
+  private val r7 = Q(
+    "r7_quantile_sketch",
+    (s, d) => {
+      val W = 16L
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("n_chars"), col("doc_id"))
+      // the persisted sketch: per (group, batch) histogram rows
+      val daily = docs
+        .groupBy(col("source"), (col("doc_id") % 4).as("batch"),
+          expr(s"n_chars div $W").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val flat = daily.groupBy("source", "b").agg(sum("cnt").as("cnt"))
+      val folded = daily
+        .groupBy(col("source"), expr("batch div 2").as("pair"), col("b"))
+        .agg(sum("cnt").as("cnt"))
+        .groupBy("source", "b").agg(sum("cnt").as("cnt"))
+      def cells(df: DataFrame): Map[(String, Long), Long] =
+        df.collect().map(r =>
+          (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      require(cells(flat) == cells(folded),
+        "integer histogram merge must be bit-exact under any fold shape")
+      // serve 4 percentiles from the folded sketch: target rank via
+      // integer ceil, estimate = upper bound of the first bucket whose
+      // cumulative count reaches it
+      val tgt = flat.groupBy("source").agg(sum("cnt").as("total"))
+        .select(col("source"), col("total"),
+          explode(lit(Array(25, 50, 75, 95))).as("p"))
+        .withColumn("target", expr("(p * total + 99) div 100"))
+      val wS = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("b")
+      val cum = flat.withColumn("cum", sum("cnt").over(wS))
+      val est = tgt.join(cum, "source").filter(col("cum") >= col("target"))
+        .groupBy("source", "p").agg((min("b") * W + (W - 1)).as("q_est"))
+      // exact anchor: distinct-value cumsum (one shuffle over distinct
+      // values — the path the sketch replaces at scale)
+      val wV = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("n_chars")
+      val vcum = docs.groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(wV))
+      val exact = tgt.join(vcum, "source").filter(col("cum") >= col("target"))
+        .groupBy("source", "p").agg(min("n_chars").as("q_exact"))
+      val out = est.join(exact, Seq("source", "p"))
+        .select("source", "p", "q_est", "q_exact")
+      require(out.filter(col("q_est") < col("q_exact") ||
+        col("q_est") - col("q_exact") >= W).isEmpty,
+        "the bucket-upper-bound estimate must pin the true quantile within one width")
+      out
+    },
+    Some("""
+      WITH hist AS (
+        SELECT source, n_chars // 16 AS b, COUNT(*) AS cnt
+        FROM documents GROUP BY 1, 2),
+      tot AS (SELECT source, SUM(cnt) AS total FROM hist GROUP BY 1),
+      cum AS (SELECT source, b,
+                SUM(cnt) OVER (PARTITION BY source ORDER BY b) AS cum
+              FROM hist),
+      ps AS (SELECT unnest([25, 50, 75, 95]) AS p),
+      tgt AS (SELECT t.source, p.p, (p.p * t.total + 99) // 100 AS target
+              FROM tot t CROSS JOIN ps p),
+      est AS (SELECT g.source, g.p, MIN(c.b) * 16 + 15 AS q_est
+              FROM tgt g JOIN cum c
+                ON c.source = g.source AND c.cum >= g.target
+              GROUP BY 1, 2),
+      vcum AS (SELECT source, n_chars,
+                 SUM(COUNT(*)) OVER (PARTITION BY source ORDER BY n_chars) AS cum
+               FROM documents GROUP BY source, n_chars),
+      exact AS (SELECT g.source, g.p, MIN(v.n_chars) AS q_exact
+                FROM tgt g JOIN vcum v
+                  ON v.source = g.source AND v.cum >= g.target
+                GROUP BY 1, 2)
+      SELECT e.source, e.p, e.q_est, x.q_exact
+      FROM est e JOIN exact x ON x.source = e.source AND x.p = e.p"""))
+
   // ---------------------------------------------------------------- q1
   // dbt-schema-test analog (reference: dbt/job_dbt/models/marts/
   // schema.yml:10-25 — unique/not_null on job_uid, accepted_values on
@@ -5160,7 +5258,7 @@ object Catalog {
     n1, n2, n3, n4, n5, n6, n7,
     d1, d2, d3, d4, d5, d6, d7,
     e1, e2, e3, e4, e5, j1, j2, j3, j4,
-    r1, r2, r3, r4, r5, r6, q1, q2, q3, q4,
+    r1, r2, r3, r4, r5, r6, r7, q1, q2, q3, q4,
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
     c1, c2, c3, c4, c5, c6, c7,
