@@ -167,4 +167,89 @@ object Profile {
         dupFrac(col("g3")).as("dup_3gram_frac"),
         topFrac(col("g2")).as("top_2gram_frac"))
   }
+
+  /**
+   * Laplace-smoothed bigram language model trained on a reference slice
+   * — the model half of the CCNet/KenLM-style LM quality filter
+   * ([[lmScore]]): bigram counts, bigram-LHS unigram counts (so
+   * Σ_w2 c2(w1,w2) = c1(w1) — a proper conditional), and the training
+   * vocabulary size, collected to driver maps. The maps are the
+   * broadcast dictionary of the scoring pass (the e1 skills-dictionary
+   * discipline): their size is a SERVING-BUDGET knob, not a data-sized
+   * artifact — `maxEntries` caps each map by (count desc, key) with
+   * deterministic ties, which is how a web-scale model stays
+   * broadcastable (rare tails fold into the smoothing mass exactly as
+   * an unseen pair would). Training itself is two count aggregates +
+   * one distinct over the reference slice — map-side partials, one
+   * shuffle each, and the reference slice is by definition the small,
+   * curated fraction of the corpus.
+   */
+  def bigramModel(train: DataFrame, tokens: Column, maxEntries: Int)
+      : (Map[String, Long], Map[String, Long], Long) = {
+    val pairs = train.select(tokens.as("t")).filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w1"), col("w2")).limit(maxEntries)
+      .collect().map(r => s"${r.getString(0)} ${r.getString(1)}" -> r.getLong(2))
+      .toMap
+    val uni = pairs.groupBy("w1").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w1")).limit(maxEntries)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vocab = train.select(tokens.as("t"))
+      .select(explode(col("t")).as("w"))
+      .agg(countDistinct(col("w"))).head.getLong(0)
+    (bi, uni, vocab)
+  }
+
+  /**
+   * LM quality scoring (the filter CCNet runs with a KenLM model): each
+   * document's mean Laplace bigram probability under a [[bigramModel]],
+   * plus its out-of-model bigram count. FULLY NARROW — the model rides
+   * along as two map literals (a broadcast dictionary, not a join
+   * side), and the whole score is one fold over the token array per
+   * row, so a 100-TB scoring pass is map-only: zero shuffle, zero
+   * model re-read per partition.
+   *
+   * Engine-exact by construction (SURVEY §6): each pair's probability
+   * is the SCALED-INTEGER floor((c2+1)·scale / (c1+V)) — numerator and
+   * denominator are exact longs far below 2^53, the double division is
+   * IEEE-correctly-rounded, and the quotient sits ≥ 1/denominator away
+   * from the integer below it, so `floor` lands identically in any
+   * engine; sums of the scaled longs are exact. (The production
+   * variant scores in log space — same plan, swap the per-pair scalar
+   * for a log; kept linear here because log/exp are NOT
+   * correctly-rounded across libms and the catalog gate hash-compares
+   * doubles.) Scale headroom: (c2+1)·scale must stay < 2^53 — at
+   * scale=1e9 that holds until a single bigram repeats ~9·10^6 times
+   * in the reference slice; size `scale` down before it fires.
+   */
+  def lmScore(docs: DataFrame, tokens: Column, bi: Map[String, Long],
+      uni: Map[String, Long], vocab: Long, scale: Long): DataFrame = {
+    require(bi.isEmpty || (bi.values.max + 1) * scale < (1L << 53),
+      s"scale=$scale overflows double-exact range for max bigram count ${bi.values.max}")
+    val biCol = typedLit(bi)
+    val uniCol = typedLit(uni)
+    val t = tokens
+    def w1(i: Column) = element_at(t, i + 1)
+    def w2(i: Column) = element_at(t, i + 2)
+    def key(i: Column) = concat(w1(i), lit(" "), w2(i))
+    def ps(i: Column) = floor(
+      ((coalesce(element_at(biCol, key(i)), lit(0L)) + lit(1L)) * lit(scale))
+        .cast("double") /
+        (coalesce(element_at(uniCol, w1(i)), lit(0L)) + lit(vocab)).cast("double"))
+    val idx = when(size(t) >= 2, sequence(lit(0), size(t) - 2))
+      .otherwise(lit(Array.empty[Int]))
+    docs
+      .withColumn("n_bigrams", greatest(size(t) - 1, lit(0)).cast("long"))
+      .withColumn("__sum_ps", aggregate(idx, lit(0L), (acc, i) => acc + ps(i)))
+      .withColumn("n_oov", aggregate(idx, lit(0L), (acc, i) =>
+        acc + when(element_at(biCol, key(i)).isNull, lit(1L)).otherwise(lit(0L))))
+      .withColumn("avg_bigram_prob",
+        when(col("n_bigrams") > 0, col("__sum_ps").cast("double") /
+          (col("n_bigrams") * lit(scale)).cast("double")))
+      .drop("__sum_ps")
+  }
 }

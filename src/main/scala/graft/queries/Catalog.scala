@@ -2605,6 +2605,56 @@ object Catalog {
         FROM g"""))
   }
 
+  // ---------------------------------------------------------------- t11
+  // LM QUALITY SCORING (Profile.bigramModel + lmScore) — the model-based
+  // quality-filter tier above t2's heuristics (CCNet's KenLM filter:
+  // score every document under an LM trained on a curated reference
+  // slice, keep what the model finds probable). The reference slice is
+  // doc_id % 5 == 0 (the "curated fifth"); every document is scored,
+  // train included — a filter must rank the whole corpus. The model
+  // travels as two broadcast map literals (the e1 dictionary
+  // discipline) and scoring is ONE narrow fold per row — zero shuffle,
+  // the 100-TB pass is map-only. Determinism: per-pair Laplace
+  // probability as floor((c2+1)·1e9 / (c1+V)) — exact-long operands,
+  // correctly-rounded double division, engine-identical floor (the
+  // oracle replays train AND score in SQL, including the same floor);
+  // the production log-space variant is the same plan with the scalar
+  // swapped (log isn't correctly-rounded across libms, so the gated
+  // path stays linear-space). n_oov counts out-of-model bigrams — the
+  // smoothing mass path, exercised in the spec (the fixture vocabulary
+  // is closed, so naturally n_oov = 0 here).
+  private val t11 = Q(
+    "t11_lm_score",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+      val (bi, uni, vocab) = Profile.bigramModel(
+        docs.filter(col("doc_id") % 5 === 0), col("t"), maxEntries = 262144)
+      Profile.lmScore(docs, col("t"), bi, uni, vocab, scale = 1000000000L)
+        .select("doc_id", "n_bigrams", "n_oov", "avg_bigram_prob")
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      big AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+              FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+      tr AS (SELECT w1, w2 FROM big WHERE doc_id % 5 = 0),
+      c2 AS (SELECT w1, w2, COUNT(*) AS c FROM tr GROUP BY 1, 2),
+      c1 AS (SELECT w1, COUNT(*) AS c FROM tr GROUP BY 1),
+      vocab AS (SELECT COUNT(DISTINCT tok) AS v
+                FROM (SELECT unnest(t) AS tok FROM toks WHERE doc_id % 5 = 0)),
+      scored AS (
+        SELECT b.doc_id,
+          CAST(FLOOR(CAST((COALESCE(c2.c, 0) + 1) * 1000000000 AS DOUBLE)
+               / CAST(COALESCE(c1.c, 0) + (SELECT v FROM vocab) AS DOUBLE))
+            AS BIGINT) AS ps,
+          CASE WHEN c2.c IS NULL THEN 1 ELSE 0 END AS oov
+        FROM big b
+        LEFT JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+        LEFT JOIN c1 ON c1.w1 = b.w1)
+      SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(oov) AS BIGINT) AS n_oov,
+        CAST(SUM(ps) AS DOUBLE) / (COUNT(*) * 1000000000.0) AS avg_bigram_prob
+      FROM scored GROUP BY doc_id"""))
+
   // ---------------------------------------------------------------- c6
   // Per-stratum quota sampling (Curate.quotaSample) — the fixed-budget
   // counterpart of c2's rate mixing: exactly N docs per source, chosen as
@@ -5260,7 +5310,7 @@ object Catalog {
     e1, e2, e3, e4, e5, j1, j2, j3, j4,
     r1, r2, r3, r4, r5, r6, r7, q1, q2, q3, q4,
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
-    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10,
+    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     c1, c2, c3, c4, c5, c6, c7,
     m1, m2, m3, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, p1, p2, p3, p4,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,

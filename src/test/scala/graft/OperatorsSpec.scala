@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.config.{RankingProfile, RankingWeights}
 import graft.functions.{vectors => V}
-import graft.operators.{Ann, Dedup, Enrich, Ranker, Report, Upsert}
+import graft.operators.{Ann, Dedup, Enrich, Profile, Ranker, Report, Upsert}
 
 class OperatorsSpec extends AnyFunSuite {
   import TestSpark._
@@ -1095,5 +1095,41 @@ class OperatorsSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.collect {
         case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
     assert(joins.size == 1, s"expected exactly one join, got ${joins.size}")
+  }
+
+  test("bigramModel + lmScore: hand-computed Laplace probabilities, OOV smoothing, degenerate docs") {
+    // train corpus: "a b a b" + "a c" → bigrams: (a,b)x2, (b,a)x1, (a,c)x1
+    // c1: a→3, b→1; vocab {a,b,c} → V=3
+    val train = Seq((0L, Seq("a", "b", "a", "b")), (1L, Seq("a", "c")))
+      .toDF("doc_id", "t")
+    val (bi, uni, v) = Profile.bigramModel(train, col("t"), maxEntries = 100)
+    assert(bi == Map("a b" -> 2L, "b a" -> 1L, "a c" -> 1L))
+    assert(uni == Map("a" -> 3L, "b" -> 1L))
+    assert(v == 3L)
+    val scale = 1000000L
+    val docs = Seq(
+      (10L, Seq("a", "b")),        // P(b|a) = (2+1)/(3+3) = 0.5, in-model
+      (11L, Seq("c", "a")),        // OOV pair: (0+1)/(0+3) = 1/3 (c is not a LHS)
+      (12L, Seq("x", "y", "x")),   // fully OOV: 2 pairs of (0+1)/(0+3)
+      (13L, Seq("only")),          // 1 token: no bigrams, null score
+      (14L, Seq.empty[String]))    // empty doc
+      .toDF("doc_id", "t")
+    val got = Profile.lmScore(docs, col("t"), bi, uni, v, scale)
+      .select("doc_id", "n_bigrams", "n_oov", "avg_bigram_prob")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(10L) == ((1L, 0L, Some(0.5))))
+    assert(got(11L) == ((1L, 1L, Some(math.floor(scale / 3.0) / scale))))
+    assert(got(12L) == ((2L, 2L, Some(2 * math.floor(scale / 3.0) / (2 * scale)))))
+    assert(got(13L) == ((0L, 0L, None)))
+    assert(got(14L) == ((0L, 0L, None)))
+    // the maxEntries serving cap cuts by (count desc, key) deterministically
+    val (biCapped, _, _) = Profile.bigramModel(train, col("t"), maxEntries = 1)
+    assert(biCapped == Map("a b" -> 2L))
+    // scoring is narrow: no exchange anywhere in the plan
+    val plan = Profile.lmScore(docs, col("t"), bi, uni, v, scale)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "lmScore must be map-only")
   }
 }
