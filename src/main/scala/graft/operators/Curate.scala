@@ -199,6 +199,42 @@ object Curate {
   }
 
   /**
+   * Temperature-scaled mixture budgets — the multilingual/multi-source
+   * rebalancing rule (mT5/XLM-R's α-scaled sampling): source i's share
+   * of a total token budget is proportional to n_i^α with α < 1, so
+   * head sources are down-weighted and tail sources up-weighted
+   * relative to their natural token shares. Here α is expressed as
+   * `sqrtApplications` ∈ {1, 2} (α = 0.5 or 0.25): IEEE `sqrt` is
+   * correctly rounded, so n^α — and therefore every derived budget —
+   * is bit-identical in any engine, which an arbitrary-α `pow` (libm
+   * exp·log, NOT correctly rounded) could never guarantee. The weight
+   * is frozen to an integer (floor(n^α · 1e6)) and each budget is an
+   * exact integer ratio of it (BigInt product ÷ weight sum — no
+   * overflow at any corpus size); Σ budgets ≤ totalBudget with
+   * rounding loss < #sources tokens.
+   *
+   * One count aggregate over the corpus; the per-source weight table is
+   * coordinator-sized (#sources rows) by definition. Feed the result to
+   * [[tokenBudgetSample]] for the actual deterministic cut.
+   */
+  def temperatureBudgets(df: DataFrame, sourceCol: String, tokensCol: Column,
+      totalBudget: Long, sqrtApplications: Int): Seq[(String, Long)] = {
+    require(totalBudget >= 0, "totalBudget must be >= 0")
+    require(sqrtApplications >= 1 && sqrtApplications <= 2,
+      "alpha is limited to 0.5 / 0.25: sqrt is the only correctly-rounded power")
+    val wExpr = (1 to sqrtApplications)
+      .foldLeft(col("__n").cast("double"))((c, _) => sqrt(c))
+    val rows = df.groupBy(col(sourceCol))
+      .agg(sum(tokensCol.cast("bigint")).as("__n"))
+      .select(col(sourceCol), floor(wExpr * lit(1000000.0)).cast("long").as("__w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val totalW = rows.map(w => BigInt(w._2)).sum
+    require(totalW > 0, "corpus holds no tokens: every budget would be 0/0")
+    rows.toSeq.map { case (s0, w0) =>
+      s0 -> ((BigInt(totalBudget) * w0) / totalW).toLong }
+  }
+
+  /**
    * Sequence packing — the concat-then-chunk construction of fixed
    * token-budget training examples: documents are dealt to `nShards`
    * deterministic shards (hash fraction, like [[assignSplit]]: same

@@ -2722,6 +2722,53 @@ object Catalog {
         WHERE cum_tokens - n_tokens < CASE source $budgetSql ELSE $defaultBudget END"""))
   }
 
+  // ---------------------------------------------------------------- c8
+  // TEMPERATURE-SCALED MIXTURE (Curate.temperatureBudgets feeding c7's
+  // tokenBudgetSample) — the mT5/XLM-R α-sampling rule: c2 mixes by
+  // fixed row rates and c7 by fixed token budgets, but a real
+  // multi-source corpus derives the budgets FROM the data — source i
+  // gets share ∝ n_i^α (α=0.5 here), compressing head/tail imbalance
+  // (a 9× token imbalance becomes a 3× budget imbalance). α is
+  // expressed as repeated correctly-rounded sqrt — the ONLY power that
+  // is bit-identical across engines (libm pow is not) — then frozen to
+  // integer weights; budgets are exact BigInt/HUGEINT ratios, and the
+  // cut itself is c7's deterministic hash-order cumsum. The oracle
+  // replays the whole derive→cut chain in SQL. One corpus aggregate +
+  // one window pass; the weight table is #sources rows by definition.
+  private val c8 = {
+    val B = 12000L
+    Q(
+      "c8_temperature_mix",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"))
+        val budgets = Curate.temperatureBudgets(
+          docs, "source", T.tokenCountWs(col("text")), B, sqrtApplications = 1)
+        Curate.tokenBudgetSample(docs, "doc_id", "source",
+          T.tokenCountWs(col("text")), "tempmix0", budgets, 0L).drop("text")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, source,
+            CAST(len(string_split(${normSql("text")}, ' ')) AS BIGINT) AS n_tokens,
+            ${hashFracSql("CAST(doc_id AS VARCHAR) || '|tempmix0'")} AS f
+          FROM documents),
+        w AS (SELECT source,
+                CAST(FLOOR(SQRT(CAST(SUM(n_tokens) AS DOUBLE)) * 1000000.0)
+                  AS HUGEINT) AS wt
+              FROM t GROUP BY 1),
+        b AS (SELECT source,
+                CAST(($B * wt) // (SELECT SUM(wt) FROM w) AS BIGINT) AS budget
+              FROM w),
+        c AS (SELECT doc_id, source, n_tokens,
+                CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY f, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+              FROM t)
+        SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens
+        FROM c JOIN b ON b.source = c.source
+        WHERE c.cum_tokens - c.n_tokens < b.budget"""))
+  }
+
   // ---------------------------------------------------------------- c1
   private val c1 = {
     val key = "CAST(doc_id AS VARCHAR) || '|split0'"
@@ -5311,7 +5358,7 @@ object Catalog {
     r1, r2, r3, r4, r5, r6, r7, q1, q2, q3, q4,
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
-    c1, c2, c3, c4, c5, c6, c7,
+    c1, c2, c3, c4, c5, c6, c7, c8,
     m1, m2, m3, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, p1, p2, p3, p4,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
     w17, w18, w19, w20, w21)

@@ -1132,4 +1132,27 @@ class OperatorsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), "lmScore must be map-only")
   }
+
+  test("temperatureBudgets: alpha<1 compresses head/tail imbalance, exact integer shares") {
+    import graft.operators.Curate
+    // head source holds 9x the tail's tokens
+    val docs = (
+      (1 to 9).map(i => (i.toLong, "head", 100L)) :+ (100L, "tail", 100L)
+    ).toDF("doc_id", "source", "n_tok")
+    val b05 = Curate.temperatureBudgets(docs, "source", col("n_tok"), 12000L, 1).toMap
+    // sqrt(900):sqrt(100) = 3:1 exactly -> budgets 9000/3000
+    assert(b05 == Map("head" -> 9000L, "tail" -> 3000L))
+    val b025 = Curate.temperatureBudgets(docs, "source", col("n_tok"), 12000L, 2).toMap
+    // sqrt(sqrt(900)) : sqrt(sqrt(100)) ~ 1.732:1 — flatter than alpha=0.5
+    val r05 = b05("head").toDouble / b05("tail")
+    val r025 = b025("head").toDouble / b025("tail")
+    assert(r025 < r05 && r05 < 9.0,
+      s"temperature must compress: natural 9x, got a=.5 $r05, a=.25 $r025")
+    assert(b025.values.sum <= 12000L && b05.values.sum <= 12000L)
+    // deterministic across invocations (the frozen-integer-weight contract)
+    assert(Curate.temperatureBudgets(docs, "source", col("n_tok"), 12000L, 2).toMap == b025)
+    intercept[IllegalArgumentException] {
+      Curate.temperatureBudgets(docs, "source", col("n_tok"), 12000L, 3)
+    }
+  }
 }
