@@ -3907,6 +3907,83 @@ object Catalog {
         WHERE NOT ($delSql < $delFrac AND $bucketSql <> 0)"""))
   }
 
+  // ---------------------------------------------------------------- s11
+  // STREAMING WRITE-AUDIT-PUBLISH (EventStream.wapPublishBatch) — w21's
+  // governance cycle at trigger cadence, closing the loop the streaming
+  // family opened: s9 publishes every trigger BLIND, s11 quarantines
+  // the bad ones. The fold: a clean slice promotes v00000; a POISONED
+  // slice 2 (out-of-domain enum across the feed) is staged,
+  // fails the audit on its branch, and is expired on the spot — main
+  // still serves v00000 and the version list carries no residue; the
+  // CORRECTED slice 2 then lands as v00002 and slice 3 as v00003.
+  // Because the rejected trigger's data returned fixed, the final head
+  // must equal the one-shot fold of the three (shard-restricted)
+  // slices — "the poisoned trigger never happened" is the
+  // oracle-checked claim (w17's chain-state oracle).
+  // The audit reads only the staged version's manifest-diff files
+  // (immutability keeps carried files' verdicts valid; key-derived
+  // bucketing confines dup keys to rewritten buckets), so governance
+  // costs O(trigger spread), not O(state) — gated: the promoted delta
+  // versions' audit sets are strictly smaller than their manifests.
+  // Per-trigger parity, rejection isolation, and crash-retry resume
+  // are MemoryStream-asserted in StreamingSpec.
+  private val s11 = Q(
+    "s11_stream_wap",
+    (s, d) => {
+      import graft.sources.ManifestStore
+      val root = s"$scratchRoot/${new java.io.File(d).getName}/mstore_s11"
+      // fresh chain per pass: the body's retry skip would otherwise
+      // short-circuit on a prior bench pass's committed versions
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      // w17's chain shape: day slices restricted to disjoint shard
+      // ranges, so each delta REWRITES a subset and carries the rest by
+      // reference — the file sharing the audit-diff economics ride on
+      // (an all-bucket delta would audit everything because it
+      // legitimately rewrote everything)
+      val ev = Tables.events(s, d)
+      val s1 = ev.filter(col("ts") < lit(S5Cuts(0)))
+      val s2 = ev.filter(
+        col("ts") >= lit(S5Cuts(0)) && col("ts") < lit(S5Cuts(1)) &&
+          MStore.bucketCol < 8)
+      // the poison is UNCONDITIONAL (a bad deploy corrupts the whole
+      // feed): a %-based plant can miss the restricted slice entirely
+      // at small scales, and the audit's job is the same either way
+      val s2bad = s2.withColumn("event_type", lit("__corrupt__"))
+      val s3 = ev.filter(col("ts") >= lit(S5Cuts(1)) &&
+        MStore.bucketCol >= 8 && MStore.bucketCol < 16)
+      val body = graft.streaming.EventStream.wapPublishBatch(
+        root, MStore.nB, MStore.schema, EnumDomains.validEventTypes :+ "error") _
+      body(s1, 0L)
+      require(ManifestStore.branchHead(s, root, "main").contains("v00000"),
+        "the clean first trigger must be promoted")
+      body(s2bad, 1L)
+      require(ManifestStore.branchHead(s, root, "main").contains("v00000"),
+        "a poisoned trigger must not move main")
+      require(ManifestStore.listVersions(s, root) == Seq("v00000"),
+        "a rejected version must be expired, not left staged")
+      body(s2, 2L) // the corrected data, replayed as the next trigger
+      body(s3, 3L)
+      require(ManifestStore.listVersions(s, root) ==
+        Seq("v00000", "v00002", "v00003"),
+        "the chain must hold exactly the promoted versions")
+      require(ManifestStore.branchHead(s, root, "main").contains("v00003"),
+        "main must ride the promoted chain head")
+      // governance cost gate: each promoted delta's audit set (manifest
+      // diff vs its predecessor) is strictly smaller than its manifest
+      val m0 = ManifestStore.readManifest(s, root, "v00000").toSet
+      val m2 = ManifestStore.readManifest(s, root, "v00002").toSet
+      val m3 = ManifestStore.readManifest(s, root, "v00003").toSet
+      require((m2 -- m0).size < m2.size && (m3 -- m2).size < m3.size,
+        "the audit must read the manifest diff, not the store")
+      MStore.project(
+        ManifestStore.readVersion(s, root, "v00003", MStore.schema))
+    },
+    Some(s"""
+      SELECT ${MStore.projectSql}
+      FROM (${MStore.stateSql(withSlice2 = true, withSlice3 = true)}) t"""))
+
   // ---------------------------------------------------------------- w15
   /** DELETEs on the VECTOR store, completing the IVF lifecycle's CRUD
     * (build w4 / append w6 / stream-ingest s6 / compact w7 / now
@@ -5359,7 +5436,7 @@ object Catalog {
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     c1, c2, c3, c4, c5, c6, c7, c8,
-    m1, m2, m3, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, p1, p2, p3, p4,
+    m1, m2, m3, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, p1, p2, p3, p4,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
     w17, w18, w19, w20, w21)
 

@@ -247,6 +247,82 @@ object EventStream {
         "bucket", "user_id", payload, schema)
   }
 
+  /**
+   * WRITE-AUDIT-PUBLISH per trigger (w21's governance cycle as the ONE
+   * foreachBatch body): the trigger's latest-state delta is STAGED as a
+   * new version, the dbt-shaped audit (not_null + accepted_values +
+   * unique key) runs on its `audit` branch, and only a pass moves
+   * `main` — one CAS ref move, metadata-only. A failing trigger aborts
+   * on the spot: the ref is dropped and the staged version expired by a
+   * reachability vacuum, so a poisoned trigger costs its own staging
+   * I/O and nothing downstream ever resolves it — main's readers keep
+   * serving the last good head THROUGH the failure. That quarantine is
+   * what makes trigger-cadence publishing governable at 100 TB: no
+   * human gates a minute-level publish, the audit does.
+   *
+   * The audit reads ONLY the staged version's NEW files (manifest diff
+   * vs main's head): carried-by-reference files are immutable and
+   * passed a previous trigger's audit, so their verdict still stands,
+   * and the key-derived bucketing confines any duplicate key to a
+   * single bucket — so per-trigger audit cost tracks the trigger's key
+   * spread, like the publish itself (w18's incremental-read dividend,
+   * spent on governance).
+   *
+   * Retry discipline: a version main already points at is committed —
+   * skip. A version on disk but not promoted is a crashed attempt's
+   * stage — resume at the audit (stage-if-absent). A REJECTED version
+   * was fully expired, so a replayed poisoned trigger re-stages and
+   * re-rejects: idempotent, no residue.
+   */
+  def wapPublishBatch(root: String, nBuckets: Int, schema: String,
+      acceptedTypes: Seq[String])(batch: DataFrame, batchId: Long): Unit = {
+    import graft.sources.ManifestStore
+    val spark = batch.sparkSession
+    val payload = Seq("event_type", "value")
+    val version = f"v$batchId%05d"
+    val mainHead = ManifestStore.branchHead(spark, root, "main")
+    if (mainHead.contains(version)) return // committed by a prior attempt
+    val versions = ManifestStore.listVersions(spark, root)
+    if (!versions.contains(version)) {
+      require(mainHead.forall(h => versions.lastOption.contains(h)),
+        s"stage must build on main's head: main=$mainHead versions=$versions")
+      val bucket = floor(graft.operators.Curate.hashFraction(
+        concat(col("user_id").cast("string"), lit("|mb"))) * nBuckets).cast("long")
+      val delta = graft.operators.Upsert
+        .latestState(batch, "user_id", "ts", "event_id", payload)
+        .withColumn("bucket", bucket)
+      if (versions.isEmpty)
+        ManifestStore.publishInitial(spark, delta, root, version, "bucket")
+      else
+        ManifestStore.publishDelta(spark, delta, root, versions.last, version,
+          "bucket", "user_id", payload, schema)
+    }
+    ManifestStore.setBranch(spark, root, "audit", version)
+    val prevFiles: Set[String] = mainHead
+      .map(h => ManifestStore.readManifest(spark, root, h).toSet)
+      .getOrElse(Set.empty)
+    val auditFiles = ManifestStore.readManifest(spark, root, version)
+      .filterNot(prevFiles)
+    val staged = spark.read.schema(schema).option("basePath", s"$root/data")
+      .parquet(auditFiles.map(f => s"$root/data/$f"): _*)
+    val violations = staged.filter(col("value").isNull ||
+      col("event_type").isNull ||
+      !col("event_type").isin(acceptedTypes: _*)).count() +
+      staged.groupBy("user_id").count().filter(col("count") > 1).count()
+    ManifestStore.dropBranch(spark, root, "audit")
+    if (violations == 0L) mainHead match {
+      case Some(h) => ManifestStore.fastForward(spark, root, "main", h, version)
+      case None => ManifestStore.setBranch(spark, root, "main", version)
+    } else {
+      val keep = ManifestStore.listVersions(spark, root).filterNot(_ == version)
+      if (keep.isEmpty) { // a poisoned FIRST trigger: wipe the embryonic store
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      } else ManifestStore.vacuum(spark, root, keep)
+    }
+  }
+
   def histogramFoldBatch(groupCol: String, valueCol: String, binWidth: Double,
       stateSchema: String, statePath: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession

@@ -508,4 +508,60 @@ class StreamingSpec extends AnyFunSuite {
       assert(e.getMessage.contains("stale publish"))
     } finally query.stop()
   }
+
+  test("WAP publish: poisoned trigger quarantined with zero residue; corrected retry promoted; committed retry no-op") {
+    implicit val ctx = spark.sqlContext
+    import graft.sources.ManifestStore
+    import graft.streaming.EventStream
+    val root = java.nio.file.Files.createTempDirectory("s11spec").toString + "/chain"
+    val schema = "user_id BIGINT, first_seen TIMESTAMP, last_seen TIMESTAMP, " +
+      "event_type STRING, value DOUBLE, bucket BIGINT"
+    val accepted = Seq("click", "view", "purchase")
+    val input = MemoryStream[UpEv]
+    val query = input.toDF().writeStream
+      .foreachBatch(EventStream.wapPublishBatch(root, 4, schema, accepted) _)
+      .start()
+    val good1 = Seq(
+      UpEv(ts("2024-01-15 10:00:00"), 1, 1, "click", 1.0),
+      UpEv(ts("2024-01-15 10:05:00"), 2, 2, "view", 2.0),
+      UpEv(ts("2024-01-15 10:06:00"), 3, 3, "view", 3.0))
+    val poisoned = Seq(
+      UpEv(ts("2024-01-15 11:00:00"), 1, 4, "__corrupt__", 9.0),
+      UpEv(ts("2024-01-15 11:30:00"), 4, 5, "view", 5.0))
+    val corrected = Seq(
+      UpEv(ts("2024-01-15 11:00:00"), 1, 4, "purchase", 9.0),
+      UpEv(ts("2024-01-15 11:30:00"), 4, 5, "view", 5.0))
+    try {
+      input.addData(good1)
+      query.processAllAvailable()
+      assert(ManifestStore.branchHead(spark, root, "main").contains("v00000"))
+      val m0 = ManifestStore.readManifest(spark, root, "v00000").toSet
+      input.addData(poisoned)
+      query.processAllAvailable()
+      // quarantined: main unmoved, the staged version expired, the
+      // audit ref dropped, disk holds exactly the reachable set
+      assert(ManifestStore.branchHead(spark, root, "main").contains("v00000"))
+      assert(ManifestStore.branchHead(spark, root, "audit").isEmpty)
+      assert(ManifestStore.listVersions(spark, root) == Seq("v00000"))
+      assert(ManifestStore.listDataFiles(spark, root) == m0,
+        "a rejected trigger must leave zero file residue")
+      // main still serves the last good state through the failure
+      assert(ManifestStore.readVersion(spark, root, "v00000", schema)
+        .count() == 3)
+      input.addData(corrected)
+      query.processAllAvailable()
+      assert(ManifestStore.branchHead(spark, root, "main").contains("v00002"))
+      val head = ManifestStore.readVersion(spark, root, "v00002", schema)
+        .select("user_id", "event_type", "value").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+      assert(head == Map(1L -> (("purchase", 9.0)), 2L -> (("view", 2.0)),
+        3L -> (("view", 3.0)), 4L -> (("view", 5.0))))
+      // a retry of a COMMITTED trigger id is a no-op
+      val before = ManifestStore.readManifest(spark, root, "v00002")
+      EventStream.wapPublishBatch(root, 4, schema, accepted)(
+        corrected.toDF(), 2L)
+      assert(ManifestStore.readManifest(spark, root, "v00002") == before)
+      assert(ManifestStore.listVersions(spark, root) == Seq("v00000", "v00002"))
+    } finally query.stop()
+  }
 }
