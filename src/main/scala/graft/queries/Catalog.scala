@@ -1603,6 +1603,60 @@ object Catalog {
     },
     Some(CcFixture.oracle))
 
+  // ---------------------------------------------------------------- l17
+  // CLUSTER-BALANCED DIVERSITY SAMPLING (Ann.refineCentroids +
+  // assignCells feeding Curate.quotaSample with the CELL as the
+  // stratum) — the embedding-space counterpart of c6's source quotas
+  // and the selection half of the SemDeDup recipe l12 runs: a trained
+  // quantizer partitions the corpus into semantic cells, and each cell
+  // contributes AT MOST `quota` vectors to the curated mix — the cap
+  // that stops one dominant mode (boilerplate cluster, template farm)
+  // from flooding a training set no matter how many raw documents it
+  // holds. Every stage is machinery the catalog already gates: the
+  // decimal-deterministic Lloyd rounds (l9's no-drift rule — the
+  // oracle replays the identical train→assign chain via lloydIterSql),
+  // the bit-exact two-phase cell argmin, and c6's deterministic
+  // hash-fraction quota cut, here salted per use. One broadcast argmin
+  // pass + one cell-partitioned window; cells are the natural skew
+  // guard — the quota bounds every window partition's OUTPUT, and the
+  // giant-cell heap path (c6's heapThreshold) applies unchanged.
+  private val l17 = {
+    val nCent = 8
+    val iters = 2
+    val dim = 64
+    val quota = 40
+    Q(
+      "l17_diversity_sample",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val trained = graft.operators.Ann.refineCentroids(
+          e, graft.operators.Ann.sampleCentroids(e, nCent), iters)
+        val assigned = graft.operators.Ann.assignCells(e, trained)
+          .select(col("vec_id"), col("cell"))
+        Curate.quotaSample(assigned, "vec_id", "cell", "divsample0",
+          Seq.empty, quota)
+      },
+      Some(s"""
+        WITH cent0 AS (
+          SELECT vec_id AS cid, embedding AS centv FROM embeddings
+          ORDER BY vec_id LIMIT $nCent),
+        ${(1 to iters).map(i => lloydIterSql(i, "embeddings", dim)).mkString(",")},
+        asg AS (
+          SELECT e.vec_id, c.cid,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY 1.0 - ${cosSql("e.embedding", "c.centv")}, c.cid) AS rn
+          FROM embeddings e, cent$iters c),
+        cells AS (SELECT vec_id, cid AS cell FROM asg WHERE rn = 1),
+        r AS (
+          SELECT vec_id, cell,
+            ROW_NUMBER() OVER (PARTITION BY cell
+              ORDER BY ${hashFracSql("CAST(vec_id AS VARCHAR) || '|divsample0'")},
+                vec_id) AS sample_rank
+          FROM cells)
+        SELECT vec_id, cell, CAST(sample_rank AS BIGINT) AS sample_rank
+        FROM r WHERE sample_rank <= $quota"""))
+  }
+
   // ---------------------------------------------------------------- l8
   // IVF ANN: corpus coarse-quantized to its nearest of C deterministic
   // sampled centroids (exact 9-dp cosine, ties to lower centroid id);
@@ -5433,7 +5487,7 @@ object Catalog {
     d1, d2, d3, d4, d5, d6, d7,
     e1, e2, e3, e4, e5, j1, j2, j3, j4,
     r1, r2, r3, r4, r5, r6, r7, q1, q2, q3, q4,
-    l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
+    l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16, l17,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     c1, c2, c3, c4, c5, c6, c7, c8,
     m1, m2, m3, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, p1, p2, p3, p4,

@@ -60,7 +60,15 @@ object ScaleProbe {
     "d7_merge_into", "w19_deletion_vectors", "w20_bloom_skip",
     // streaming DV deletes: three pruned DV builds + the overlay ride
     // the ×8 store
-    "s10_stream_delete")
+    "s10_stream_delete",
+    // round-9 continuation 2: WAP cycles (×8 rows through stage + the
+    // manifest-diff audit, batch and trigger form), the histogram
+    // sketch (×8 rows into the SAME cell set — state must not grow),
+    // LM scoring (×8 docs through the narrow fold + ×8 training
+    // pairs into the same tiny model) and the temperature cut (×8
+    // tokens per source move every budget and the cumsum windows)
+    "w21_wap_branch", "s11_stream_wap", "r7_quantile_sketch",
+    "t11_lm_score", "c8_temperature_mix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -34,7 +34,13 @@ object SkewProbe {
     "d6_cdc_apply", "s8_stream_cdc",
     // MERGE INTO: both state windows and the full-outer join partition
     // by user_id; the hot key rides one group per side + one join row
-    "d7_merge_into")
+    "d7_merge_into",
+    // round-9 continuation 2: the WAP trigger fold (30% of rows on one
+    // user concentrates that bucket's rewrites and its audit diff),
+    // the histogram sketch and temperature cut under the
+    // 90%-one-stratum document skew (cell-bounded state vs one giant
+    // window partition — the c6/c7 caveat, measured)
+    "s11_stream_wap", "r7_quantile_sketch", "c8_temperature_mix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
