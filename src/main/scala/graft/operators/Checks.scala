@@ -211,4 +211,47 @@ object Checks {
             (lit(2.0) * col("n_a") * col("n_b"))).as("tvd"),
         col("top_bin"))
   }
+
+  /**
+   * VOLUME-SLA ANOMALY FLAGS — the feed-monitoring check every
+   * warehouse's source-freshness/volume monitor runs (dbt source
+   * freshness, Monte-Carlo-style volume rules): per (group, day) row
+   * counts judged against the trailing `lookback`-day mean, flagging
+   * days whose count deviates by more than `pctThreshold` percent —
+   * the shape that catches a silent upstream outage (half a day's
+   * events missing) or a runaway duplicator before a human does.
+   *
+   * The deviation test is ALL-INTEGER: |n·k − Σprev|·100 >
+   * pct·Σprev (k = trailing days present, Σprev their count sum) —
+   * algebraically "count differs from the trailing mean by > pct%"
+   * without ever forming the mean, so there is no float division, no
+   * stddev, no summation-order sensitivity: the verdict is
+   * bit-identical in any engine. Warm-up days (fewer than 3 trailing
+   * days) are unjudged, not silently "normal".
+   *
+   * One daily count aggregate (map-side partials — the only data-sized
+   * pass) + one rows-window over the day series per group
+   * (metadata-sized: days × groups). At 100 TB the daily counts are
+   * exactly the partition-level row counts a manifest already carries
+   * (w17), so the production form reads NO data at all.
+   */
+  def volumeAnomaly(df: DataFrame, groupCol: String, tsCol: String,
+      lookback: Int, pctThreshold: Int): DataFrame = {
+    require(lookback >= 3 && pctThreshold > 0,
+      "need >= 3 trailing days and a positive threshold")
+    import org.apache.spark.sql.expressions.Window
+    val daily = df
+      .groupBy(col(groupCol), date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("day"))
+      .rowsBetween(-lookback, -1)
+    daily
+      .withColumn("prev_days", count(lit(1)).over(w))
+      .withColumn("__prev_sum", sum(col("n_events")).over(w))
+      .filter(col("prev_days") >= 3)
+      .select(col(groupCol), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_events"), col("prev_days"),
+        (abs(col("n_events") * col("prev_days") - col("__prev_sum")) * 100 >
+          lit(pctThreshold) * col("__prev_sum")).as("is_anomaly"))
+  }
 }

@@ -3760,7 +3760,13 @@ object Catalog {
         .latestState(df, "user_id", "ts", "event_id", MStore.payload)
         .withColumn("bucket", MStore.bucketCol)
       // the audit: dbt-schema-test shapes (q1) as a PUBLISH gate —
-      // not_null + accepted_values + unique-key, over the staged SNAPSHOT
+      // not_null + accepted_values + unique-key, over the staged
+      // version's MANIFEST-DIFF files: those hold the rewritten
+      // buckets' MERGED content (what a promote would newly expose),
+      // carried files keep their previous cycle's verdict (immutable),
+      // and the key-derived bucketing confines any duplicate key to a
+      // rewritten bucket — so the audit is snapshot-complete at
+      // O(delta spread) cost, the s11 economics in batch form
       val auditDomain = EnumDomains.validEventTypes :+ "error"
       def auditViolations(df: DataFrame): Long = {
         val bad = df.filter(col("value").isNull || col("event_type").isNull ||
@@ -3768,9 +3774,15 @@ object Catalog {
         val dupKeys = df.groupBy("user_id").count().filter(col("count") > 1).count()
         bad + dupKeys
       }
+      def auditRead(version: String, prev: Set[String]): DataFrame = {
+        val files = ManifestStore.readManifest(s, root, version).filterNot(prev)
+        s.read.schema(MStore.schema).option("basePath", s"$root/data")
+          .parquet(files.map(f => s"$root/data/$f"): _*)
+      }
       val v0 = state(ev.filter(col("ts") < lit(S5Cuts(0))))
       ManifestStore.publishInitial(s, v0, root, "v0", "bucket")
       ManifestStore.setBranch(s, root, "main", "v0")
+      val m0 = ManifestStore.readManifest(s, root, "v0").toSet
       val mainRows0 = ManifestStore.readVersion(s, root, "v0", MStore.schema).count()
 
       // ---- cycle 1: a clean delta — write, audit, publish
@@ -3785,8 +3797,7 @@ object Catalog {
         "staging must not move main")
       require(ManifestStore.readVersion(s, root, "v0", MStore.schema).count() == mainRows0,
         "main's snapshot must read unchanged while a publish is staged")
-      require(auditViolations(
-        ManifestStore.readVersion(s, root, "v1", MStore.schema)) == 0L,
+      require(auditViolations(auditRead("v1", m0)) == 0L,
         "the clean batch must pass the audit")
       val diskBeforePromote = ManifestStore.listDataFiles(s, root)
       ManifestStore.fastForward(s, root, "main", "v0", "v1")
@@ -3798,9 +3809,9 @@ object Catalog {
       // EXCLUDED-wins merge COALESCEs a null delta field back to the
       // base's value (d2's semantics), so a null plant would be healed
       // by the merge for every already-known key — which is exactly why
-      // the audit runs over the staged SNAPSHOT: only corruption that
-      // survives the merge can ever reach a reader, and only that is
-      // worth failing a publish for.
+      // the audit reads the MERGED rewritten buckets: only corruption
+      // that survives the merge can ever reach a reader, and only that
+      // is worth failing a publish for.
       val d2bad = state(ev.filter(col("ts") >= lit(S5Cuts(1)) &&
         MStore.bucketCol >= 8 && MStore.bucketCol < 16))
         .withColumn("event_type",
@@ -3809,11 +3820,9 @@ object Catalog {
       ManifestStore.publishDelta(s, d2bad, root, "v1", "v2", "bucket",
         "user_id", MStore.payload, MStore.schema)
       ManifestStore.setBranch(s, root, "audit", "v2")
-      require(auditViolations(
-        ManifestStore.readVersion(s, root, "v2", MStore.schema)) > 0L,
-        "the planted corruption must fail the audit")
-      val m0 = ManifestStore.readManifest(s, root, "v0").toSet
       val m1 = ManifestStore.readManifest(s, root, "v1").toSet
+      require(auditViolations(auditRead("v2", m1)) > 0L,
+        "the planted corruption must fail the audit")
       val m2 = ManifestStore.readManifest(s, root, "v2").toSet
       ManifestStore.dropBranch(s, root, "audit")
       val orphans = ManifestStore.vacuum(s, root, retain = Seq("v0", "v1")).toSet
@@ -4869,6 +4878,54 @@ object Catalog {
         (SELECT COUNT(*) FROM flags
          WHERE ok IS NOT NULL AND nk IS NOT NULL AND c_v)"""))
 
+  // ---------------------------------------------------------------- q5
+  // VOLUME-SLA MONITORING (Checks.volumeAnomaly) — the q-family's
+  // FEED-LEVEL leg: q1 gates declared constraints, q3 the value
+  // distribution, q4 the row-level diff; q5 watches the one signal all
+  // three assume — that the rows ARRIVED. A deterministic outage is
+  // planted (day 17 keeps only the event_id%4==0 quarter — the silent
+  // upstream failure shape) and the entry THROWS unless the monitor
+  // flags that day; the all-integer deviation test (|n·k − Σprev|·100 >
+  // pct·Σprev — the trailing mean never formed as a float) makes the
+  // verdict engine-exact, and the oracle replays plant, window and
+  // verdict bit for bit. Warm-up days are excluded as unjudged rather
+  // than passed. At 100 TB the daily counts equal the manifest's
+  // partition row counts (w17), so the production monitor reads zero
+  // data bytes.
+  private val q5 = Q(
+    "q5_volume_anomaly",
+    (s, d) => {
+      val outage = lit("2024-01-17 00:00:00").cast("timestamp")
+      val ev = Tables.events(s, d).filter(
+        !(date_trunc("day", col("ts")) === outage && col("event_id") % 4 =!= 0))
+      val out = graft.operators.Checks.volumeAnomaly(ev, "event_type", "ts", 7, 50)
+      require(out.filter(col("is_anomaly") &&
+        col("day").startsWith("2024-01-17")).count() > 0,
+        "the planted outage day must be flagged")
+      out
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+      f AS (
+        SELECT * FROM ev
+        WHERE NOT (date_trunc('day', ts) = TIMESTAMP '2024-01-17 00:00:00'
+                   AND event_id % 4 <> 0)),
+      daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n_events
+        FROM f GROUP BY 1, 2),
+      wnd AS (
+        SELECT event_type, day, n_events,
+          COUNT(*) OVER w AS prev_days,
+          SUM(n_events) OVER w AS prev_sum
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_events,
+        prev_days,
+        ABS(n_events * prev_days - prev_sum) * 100 > 50 * prev_sum AS is_anomaly
+      FROM wnd WHERE prev_days >= 3"""))
+
   // ---------------------------------------------------------------- c4
   // Per-user ordered event sequences capped at 50 — the autoregressive
   // training-corpus shape (Curate.sequences: the engine's one holistic
@@ -5486,7 +5543,7 @@ object Catalog {
     n1, n2, n3, n4, n5, n6, n7,
     d1, d2, d3, d4, d5, d6, d7,
     e1, e2, e3, e4, e5, j1, j2, j3, j4,
-    r1, r2, r3, r4, r5, r6, r7, q1, q2, q3, q4,
+    r1, r2, r3, r4, r5, r6, r7, q1, q2, q3, q4, q5,
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16, l17,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     c1, c2, c3, c4, c5, c6, c7, c8,

@@ -68,7 +68,11 @@ object ScaleProbe {
     // pairs into the same tiny model) and the temperature cut (×8
     // tokens per source move every budget and the cumsum windows)
     "w21_wap_branch", "s11_stream_wap", "r7_quantile_sketch",
-    "t11_lm_score", "c8_temperature_mix")
+    "t11_lm_score", "c8_temperature_mix",
+    // diversity sampling: ×8 identical vectors per cell — the quota
+    // bounds every window partition's OUTPUT but the argmin + window
+    // INPUT rides the full ×8
+    "l17_diversity_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
