@@ -863,7 +863,11 @@ object Catalog {
       val wS = org.apache.spark.sql.expressions.Window
         .partitionBy("source").orderBy("b")
       val cum = flat.withColumn("cum", sum("cnt").over(wS))
-      val est = tgt.join(cum, "source").filter(col("cum") >= col("target"))
+      // the target table is #groups x 4 rows — broadcast it explicitly
+      // (the window barrier hides the size from the planner, which
+      // otherwise falls back to sort-merge)
+      val est = broadcast(tgt).join(cum, "source")
+        .filter(col("cum") >= col("target"))
         .groupBy("source", "p").agg((min("b") * W + (W - 1)).as("q_est"))
       // exact anchor: distinct-value cumsum (one shuffle over distinct
       // values — the path the sketch replaces at scale)
@@ -871,9 +875,10 @@ object Catalog {
         .partitionBy("source").orderBy("n_chars")
       val vcum = docs.groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
         .withColumn("cum", sum("c").over(wV))
-      val exact = tgt.join(vcum, "source").filter(col("cum") >= col("target"))
+      val exact = broadcast(tgt).join(vcum, "source")
+        .filter(col("cum") >= col("target"))
         .groupBy("source", "p").agg(min("n_chars").as("q_exact"))
-      val out = est.join(exact, Seq("source", "p"))
+      val out = est.join(broadcast(exact), Seq("source", "p"))
         .select("source", "p", "q_est", "q_exact")
       require(out.filter(col("q_est") < col("q_exact") ||
         col("q_est") - col("q_exact") >= W).isEmpty,

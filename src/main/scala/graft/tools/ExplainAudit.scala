@@ -34,10 +34,13 @@ object ExplainAudit {
     // append driven through the streaming body (same inline assignCells)
     // ahead of the w4-style search; w15 is the same build + w4-style
     // search again, over the post-purge store.
+    // l17 is the same Ann.assignCells build (corpus x broadcast one-row
+    // centroid array) feeding the quota cut — same justified shape.
     val crossJoinOk = Set("l5_ann_bruteforce", "l8_ann_ivf", "l9_ann_ivf_trained",
       "w4_ann_partitioned", "l12_semantic_dedup", "w6_ann_append", "w7_compaction",
       "l13_ann_ivfpq", "s6_stream_ann_ingest", "w8_ann_pq_store",
-      "l14_ann_ivfpq_refined", "w9_ann_refined_store", "w15_ann_delete")
+      "l14_ann_ivfpq_refined", "w9_ann_refined_store", "w15_ann_delete",
+      "l17_diversity_sample")
     graft.queries.Catalog.all.foreach { q =>
       try {
         // NOTE: with AQE on this is the INITIAL plan — exchange-reuse and
