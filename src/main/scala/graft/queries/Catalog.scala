@@ -4370,6 +4370,160 @@ object Catalog {
       })
   }
 
+  // ---------------------------------------------------------------- p5
+  // PER-SOURCE CORPUS DATASHEET — the "datasheets for datasets"
+  // reporting artifact a curation pipeline publishes next to the data
+  // (p2 reports the RUN, p5 reports the CORPUS): one row per source
+  // folding the profiling families the catalog already gates into the
+  // numbers a consumer decides with — volume (docs, tokens),
+  // redundancy (exact-dup fraction), language mix (majority lang +
+  // its share, t1's hit-ratio rule), quality (mean t2 score), and
+  // length shape (p50/p95 via r7's sketch walk — the served quantile,
+  // not the exact one, because that is what a datasheet at 100 TB
+  // would read from the persisted histogram rows). Determinism
+  // discipline: the mean quality goes through floor(q·1e6) per row
+  // (the t11 scaled-integer rule — an order-free long sum instead of
+  // a float sum), every fraction is a single exact-operand double
+  // division, the majority lang breaks ties lexicographically, and
+  // the oracle replays the whole fold. Plan: three small aggregates
+  // over one shared doc-level projection + two metadata-sized joins
+  // (broadcast); the doc-level pass is narrow and codegen'd.
+  private val p5 = {
+    val langs = Dictionaries.langMarkers
+    val stops = Dictionaries.stopwordsEn
+    Q(
+      "p5_corpus_datasheet",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val ws = T.words(col("text"))
+        val scoreCols = langs.map { case (lang, ms) =>
+          size(filter(ws, w => w.isin(ms.map(lit): _*))).as(s"s_$lang") }
+        val mxE = greatest(langs.map { case (l, _) => col(s"s_$l") }: _*)
+        val pick = langs.foldRight(lit("unknown"): Column) {
+          case ((l, _), e) => when(col(s"s_$l") === col("mx"), lit(l)).otherwise(e) }
+        val t = T.normKey(col("text"))
+        val wsq = split(t, " ")
+        val lenScore = least(length(t).cast("double") / 500.0, lit(1.0))
+        val punct = (length(t) - length(regexp_replace(t, "[a-z0-9 ]", "")))
+          .cast("double") / length(t).cast("double")
+        val quality = lenScore * 0.35 + T.distinctRatio(wsq) * 0.25 +
+          (lit(1.0) - punct) * 0.25 + T.stopwordRatio(wsq, stops) * 0.15
+        val base = docs.select(
+          (Seq(col("source"), col("text"), col("n_chars"),
+            T.tokenCountWs(col("text")).as("n_toks"),
+            floor(quality * lit(1000000.0)).cast("long").as("q_micro")) ++
+            scoreCols): _*)
+          .withColumn("mx", mxE)
+          .withColumn("lang_pred",
+            when(col("mx") === 0, "unknown").otherwise(pick))
+        val agg = base.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_toks").as("n_tokens"),
+          countDistinct(md5(col("text"))).as("__uniq"),
+          sum("q_micro").as("__q_sum"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            ((col("n_docs") - col("__uniq")).cast("double") /
+              col("n_docs").cast("double")).as("dup_frac"),
+            (col("__q_sum").cast("double") /
+              (col("n_docs") * lit(1000000L)).cast("double")).as("mean_quality"))
+        val top = base.groupBy("source", "lang_pred").agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(Window.partitionBy("source")
+            .orderBy(col("c").desc, col("lang_pred"))))
+          .filter(col("rn") === 1)
+          .select(col("source"), col("lang_pred").as("top_lang"), col("c").as("__c"))
+        val hist = docs.groupBy(col("source"), expr("n_chars div 16").as("bkt"))
+          .agg(count(lit(1)).as("cnt"))
+        val tgtQ = hist.groupBy("source").agg(sum("cnt").as("total"))
+          .select(col("source"), col("total"), explode(lit(Array(50, 95))).as("p"))
+          .withColumn("target", expr("(p * total + 99) div 100"))
+        val cum = hist.withColumn("cum", sum("cnt").over(
+          Window.partitionBy("source").orderBy("bkt")))
+        val qs = broadcast(tgtQ).join(cum, "source")
+          .filter(col("cum") >= col("target"))
+          .groupBy("source", "p").agg((min("bkt") * 16 + 15).as("q_est"))
+          .groupBy("source").agg(
+            max(when(col("p") === 50, col("q_est"))).as("p50_chars_est"),
+            max(when(col("p") === 95, col("q_est"))).as("p95_chars_est"))
+        agg.join(broadcast(top), "source").join(broadcast(qs), "source")
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("dup_frac"), col("mean_quality"), col("top_lang"),
+            (col("__c").cast("double") / col("n_docs").cast("double"))
+              .as("top_lang_frac"),
+            col("p50_chars_est"), col("p95_chars_est"))
+      },
+      Some {
+        val scoreDefs = langs.map { case (lang, ms) =>
+          val lst = ms.map(m => s"'$m'").mkString(", ")
+          s"len(list_filter(ws, w -> list_contains([$lst], w))) AS s_$lang"
+        }.mkString(",\n            ")
+        val mxExpr = langs.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+        val pick = langs.map { case (l, _) => s"WHEN s_$l = mx THEN '$l'" }.mkString(" ")
+        val stopsSql = stops.map(s0 => s"'$s0'").mkString(", ")
+        s"""
+        WITH b AS (
+          SELECT doc_id, source, text, n_chars, ${normSql("text")} AS t,
+                 string_split(${normSql("text")}, ' ') AS ws
+          FROM documents),
+        sc AS (
+          SELECT *, CAST(len(ws) AS BIGINT) AS n_toks,
+            $scoreDefs
+          FROM b),
+        m AS (SELECT *, $mxExpr AS mx FROM sc),
+        doc AS (
+          SELECT doc_id, source, text, n_chars, n_toks,
+            CASE WHEN mx = 0 THEN 'unknown' $pick ELSE 'unknown' END AS lang_pred,
+            CAST(FLOOR((
+              least(CAST(len(t) AS DOUBLE) / 500.0, 1.0) * 0.35 +
+              (CASE WHEN len(ws) = 0 THEN 0.0
+                    ELSE CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) END) * 0.25 +
+              (1.0 - CAST(len(t) - len(regexp_replace(t, '[a-z0-9 ]', '', 'g')) AS DOUBLE) /
+                     CAST(len(t) AS DOUBLE)) * 0.25 +
+              (CASE WHEN len(ws) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(ws, w -> list_contains([$stopsSql], w))) AS DOUBLE) /
+                         CAST(len(ws) AS DOUBLE) END) * 0.15
+            ) * 1000000.0) AS BIGINT) AS q_micro
+          FROM m),
+        agg AS (
+          SELECT source, COUNT(*) AS n_docs,
+            CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+            COUNT(DISTINCT md5(text)) AS uniq,
+            CAST(SUM(q_micro) AS BIGINT) AS q_sum
+          FROM doc GROUP BY 1),
+        lc AS (SELECT source, lang_pred, COUNT(*) AS c FROM doc GROUP BY 1, 2),
+        top AS (
+          SELECT source, lang_pred AS top_lang, c FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY c DESC, lang_pred) AS rn FROM lc) z
+          WHERE rn = 1),
+        hist AS (SELECT source, n_chars // 16 AS bkt, COUNT(*) AS cnt
+                 FROM doc GROUP BY 1, 2),
+        tot AS (SELECT source, SUM(cnt) AS total FROM hist GROUP BY 1),
+        cum AS (SELECT source, bkt,
+                  SUM(cnt) OVER (PARTITION BY source ORDER BY bkt) AS cum
+                FROM hist),
+        tgt AS (SELECT t.source, p.p, (p.p * t.total + 99) // 100 AS target
+                FROM tot t CROSS JOIN (SELECT unnest([50, 95]) AS p) p),
+        qe AS (SELECT g.source, g.p, MIN(c.bkt) * 16 + 15 AS q_est
+               FROM tgt g JOIN cum c
+                 ON c.source = g.source AND c.cum >= g.target
+               GROUP BY 1, 2),
+        qs AS (SELECT source,
+                 MAX(CASE WHEN p = 50 THEN q_est END) AS p50_chars_est,
+                 MAX(CASE WHEN p = 95 THEN q_est END) AS p95_chars_est
+               FROM qe GROUP BY 1)
+        SELECT a.source, a.n_docs, a.n_tokens,
+          CAST(a.n_docs - a.uniq AS DOUBLE) / CAST(a.n_docs AS DOUBLE) AS dup_frac,
+          CAST(a.q_sum AS DOUBLE) / CAST(a.n_docs * 1000000 AS DOUBLE) AS mean_quality,
+          t.top_lang,
+          CAST(t.c AS DOUBLE) / CAST(a.n_docs AS DOUBLE) AS top_lang_frac,
+          q.p50_chars_est, q.p95_chars_est
+        FROM agg a
+        JOIN top t ON t.source = a.source
+        JOIN qs q ON q.source = a.source"""
+      })
+  }
+
   // ---------------------------------------------------------------- p2
   // The last reference DAG step with no catalog counterpart until now —
   // the run-summary/notification table (DAG step 9, notifier payload at
@@ -5552,7 +5706,8 @@ object Catalog {
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16, l17,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     c1, c2, c3, c4, c5, c6, c7, c8,
-    m1, m2, m3, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, p1, p2, p3, p4,
+    m1, m2, m3, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11,
+    p1, p2, p3, p4, p5,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
     w17, w18, w19, w20, w21)
 
