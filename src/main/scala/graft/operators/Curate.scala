@@ -343,4 +343,65 @@ object Curate {
       .groupBy(col(idCol))
       .agg(countDistinct(col("gh")).as("n_shared_grams"))
   }
+
+  /** Distinct md5 word-n-gram hashes of a benchmark set, collected to a
+    * driver set for [[exciseContaminatedSpans]]' broadcast map. Eval
+    * sets are KBs–MBs by nature, so this is coordinator-sized by
+    * definition (the t11 model-collect rationale); a benchmark too big
+    * to collect should use [[flagContaminated]]'s join shape instead. */
+  def benchmarkGramHashes(benchmark: DataFrame, benchTextCol: String,
+      n: Int): Set[String] =
+    gramTable(benchmark, None, benchTextCol, n).distinct()
+      .collect().map(_.getString(0)).toSet
+
+  /**
+   * SPAN-LEVEL decontamination — the surgical form of
+   * [[flagContaminated]]'s document gate: rather than DROP a long
+   * document for one leaked eval question, EXCISE exactly the
+   * contaminated token spans (every token covered by a
+   * benchmark-matching word n-gram) and keep the rest — how production
+   * pipelines decontaminate high-value long documents where whole-doc
+   * dropping wastes 99% clean text.
+   *
+   * FULLY NARROW: the benchmark's gram hashes ride along as a
+   * broadcast map literal (the t11 dictionary discipline) and the
+   * whole mask — match starts, covered positions, span count, kept
+   * tokens — is per-row array algebra over the token array. Zero
+   * shuffle, zero join: the 100-TB pass is map-only. Per-row cost is
+   * O(tokens × matched-starts); clean documents (the overwhelming
+   * majority) pay one hash probe per gram.
+   *
+   * Output per input row: idCol, n_tokens, n_removed, n_spans (maximal
+   * covered runs), text_clean (kept tokens of the NORMALIZED text,
+   * space-joined — the same token stream every downstream operator
+   * tokenizes to). A fully-covered document yields text_clean = "".
+   */
+  def exciseContaminatedSpans(corpus: DataFrame, idCol: String,
+      textCol: String, benchGramHashes: Set[String], n: Int): DataFrame = {
+    require(n >= 1, "n-gram size must be positive")
+    val benchMap = typedLit(benchGramHashes.iterator.map(_ -> true).toMap)
+    val ws = graft.functions.text.words(col(textCol))
+    def covers(starts: Column, j: Column): Column =
+      exists(starts, i => j >= i && j < i + lit(n))
+    val empty = lit(Array.empty[Int])
+    corpus.select(col(idCol), ws.as("__ws"))
+      .withColumn("__nt", size(col("__ws")))
+      .withColumn("__starts", when(col("__nt") >= n,
+        filter(sequence(lit(0), col("__nt") - n), i =>
+          element_at(benchMap,
+            md5(concat_ws(" ", slice(col("__ws"), i + 1, lit(n))))).isNotNull))
+        .otherwise(empty))
+      .withColumn("__idx", when(col("__nt") > 0,
+        sequence(lit(0), col("__nt") - 1)).otherwise(empty))
+      .withColumn("__kept", filter(col("__idx"), j => !covers(col("__starts"), j)))
+      .select(
+        col(idCol),
+        col("__nt").cast("long").as("n_tokens"),
+        (col("__nt") - size(col("__kept"))).cast("long").as("n_removed"),
+        size(filter(col("__idx"), j => covers(col("__starts"), j) &&
+          (j === 0 || !covers(col("__starts"), j - 1))))
+          .cast("long").as("n_spans"),
+        array_join(transform(col("__kept"),
+          j => element_at(col("__ws"), j + 1)), " ").as("text_clean"))
+  }
 }

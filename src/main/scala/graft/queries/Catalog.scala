@@ -2714,6 +2714,87 @@ object Catalog {
         CAST(SUM(ps) AS DOUBLE) / (COUNT(*) * 1000000000.0) AS avg_bigram_prob
       FROM scored GROUP BY doc_id"""))
 
+  // ---------------------------------------------------------------- t12
+  // SPAN-LEVEL DECONTAMINATION (Curate.exciseContaminatedSpans) — t9's
+  // surgical sibling: t9 FLAGS a document for one leaked eval question,
+  // t12 cuts exactly the leaked token spans and keeps the rest — the
+  // form a pipeline runs on high-value long documents where whole-doc
+  // dropping wastes 99% clean text. Same fixture as t9 (docs %20==0
+  // play the benchmark; training corpus = the rest + a perturbed leaked
+  // copy of each benchmark doc), same 5-grams — but the output is the
+  // REPAIRED corpus: per doc, token/span accounting plus the cleaned
+  // text itself, all under the hash gate (the oracle rebuilds every
+  // cleaned string relationally: positional gram match → covered
+  // positions → kept tokens re-joined in order). The leaked copies must
+  // lose their interior spans; natural cross-doc gram overlap excises
+  // identically on both sides. Engine side is ZERO-shuffle map-only
+  // (benchmark hashes as a broadcast map literal, mask/spans/rebuild
+  // as per-row array algebra) — the scale shape a 100-TB repair pass
+  // needs; the entry THROWS unless every planted leak lost tokens.
+  private val t12 = {
+    val n = 5
+    val gramSql = s"list_transform(range(0, greatest(len(w) - ${n - 1}, 0)), " +
+      s"i -> ${(1 to n).map(k => s"w[i+$k]").mkString(" || ' ' || ")})"
+    val gramAtI = (1 to n).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+    Q(
+      "t12_decontaminate_spans",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bench = Curate.benchmarkGramHashes(
+          docs.filter(col("doc_id") % 20 === 0).select(col("text")), "text", n)
+        val train = docs.filter(col("doc_id") % 20 =!= 0)
+          .select(col("doc_id"), col("text"))
+          .unionAll(docs.filter(col("doc_id") % 20 === 0).select(
+            (col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" leaked copy")).as("text")))
+        val out = Curate.exciseContaminatedSpans(train, "doc_id", "text", bench, n)
+        require(out.filter(col("doc_id") >= 2000000L && col("n_removed") === 0)
+          .isEmpty, "every planted leaked copy must lose tokens")
+        out
+      },
+      Some(s"""
+        WITH bws AS (
+          SELECT string_split(${normSql("text")}, ' ') AS w
+          FROM documents WHERE doc_id % 20 = 0),
+        bg AS (SELECT DISTINCT md5(g) AS gh
+               FROM (SELECT unnest($gramSql) AS g FROM bws) t),
+        tws AS (
+          SELECT doc_id, string_split(${normSql("text")}, ' ') AS w
+          FROM documents WHERE doc_id % 20 <> 0
+          UNION ALL
+          SELECT doc_id + 2000000,
+            string_split(${normSql("text || ' leaked copy'")}, ' ') AS w
+          FROM documents WHERE doc_id % 20 = 0),
+        g AS (SELECT doc_id, i, md5($gramAtI) AS gh
+              FROM (SELECT doc_id, w,
+                      unnest(range(0, greatest(len(w) - ${n - 1}, 0))) AS i
+                    FROM tws) z),
+        mt AS (SELECT doc_id, i FROM g WHERE gh IN (SELECT gh FROM bg)),
+        cov AS (SELECT DISTINCT doc_id, i + u AS j
+                FROM mt CROSS JOIN (SELECT unnest(range(0, $n)) AS u) s),
+        tok AS (SELECT doc_id, j, w[j + 1] AS wd
+                FROM (SELECT doc_id, w, unnest(range(0, len(w))) AS j FROM tws) z),
+        kept AS (SELECT t.doc_id, t.j, t.wd FROM tok t
+                 WHERE NOT EXISTS (SELECT 1 FROM cov c
+                   WHERE c.doc_id = t.doc_id AND c.j = t.j)),
+        spans AS (SELECT c.doc_id, COUNT(*) AS n_spans FROM cov c
+                  WHERE NOT EXISTS (SELECT 1 FROM cov p
+                    WHERE p.doc_id = c.doc_id AND p.j = c.j - 1)
+                  GROUP BY 1),
+        rem AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY 1),
+        base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM tws),
+        cln AS (SELECT doc_id, string_agg(wd, ' ' ORDER BY j) AS text_clean
+                FROM kept GROUP BY 1)
+        SELECT b.doc_id, b.n_tokens,
+          COALESCE(r.n_removed, 0) AS n_removed,
+          COALESCE(s.n_spans, 0) AS n_spans,
+          COALESCE(c.text_clean, '') AS text_clean
+        FROM base b
+        LEFT JOIN rem r ON r.doc_id = b.doc_id
+        LEFT JOIN spans s ON s.doc_id = b.doc_id
+        LEFT JOIN cln c ON c.doc_id = b.doc_id"""))
+  }
+
   // ---------------------------------------------------------------- c6
   // Per-stratum quota sampling (Curate.quotaSample) — the fixed-budget
   // counterpart of c2's rate mixing: exactly N docs per source, chosen as
@@ -5704,7 +5785,7 @@ object Catalog {
     e1, e2, e3, e4, e5, j1, j2, j3, j4,
     r1, r2, r3, r4, r5, r6, r7, q1, q2, q3, q4, q5,
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16, l17,
-    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
+    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12,
     c1, c2, c3, c4, c5, c6, c7, c8,
     m1, m2, m3, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11,
     p1, p2, p3, p4, p5,

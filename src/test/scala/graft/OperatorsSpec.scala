@@ -1155,4 +1155,33 @@ class OperatorsSpec extends AnyFunSuite {
       Curate.temperatureBudgets(docs, "source", col("n_tok"), 12000L, 3)
     }
   }
+
+  test("exciseContaminatedSpans: surgical cut, span accounting, full-cover and clean docs") {
+    import graft.operators.Curate
+    val bench = Seq(Tuple1("alpha beta gamma")).toDF("text")
+    val hashes = Curate.benchmarkGramHashes(bench, "text", 3)
+    assert(hashes.size == 1)
+    val docs = Seq(
+      // leak in the middle: tokens 2-4 covered, rest kept
+      (1L, "keep one alpha beta gamma keep two"),
+      // clean doc: untouched
+      (2L, "totally unrelated words here"),
+      // fully covered: 3 tokens == the leaked gram
+      (3L, "alpha beta gamma"),
+      // two disjoint leaks -> two spans
+      (4L, "alpha beta gamma x y alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val got = Curate.exciseContaminatedSpans(docs, "doc_id", "text", hashes, 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(1L) == ((7L, 3L, 1L, "keep one keep two")))
+    assert(got(2L) == ((4L, 0L, 0L, "totally unrelated words here")))
+    assert(got(3L) == ((3L, 3L, 1L, "")))
+    // doc 4: tokens 0-2 and 5-7 covered, the bridge "x y" is in no
+    // benchmark gram and must survive — over-covering would eat it
+    assert(got(4L) == ((8L, 6L, 2L, "x y")))
+    val plan = Curate.exciseContaminatedSpans(docs, "doc_id", "text", hashes, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "excision must be map-only")
+  }
 }
