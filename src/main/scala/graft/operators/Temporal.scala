@@ -170,4 +170,58 @@ object Temporal {
         col("sw.end").as("session_end"),
         col("n_events"),
         col("total_value"))
+
+  /**
+   * ORDERED-STEP FUNNEL — the product-analytics staple (Amplitude/
+   * Mixpanel funnels; window-function gymnastics in a warehouse):
+   * how many keys performed step 1, then step 2 strictly AFTER it,
+   * then step 3 after that — per step, reach + conversion from the
+   * previous step.
+   *
+   * ONE shuffle total: events group to a per-key ordered array (the
+   * c4 sequences discipline — sort_array over (ts, tiebreak, type)
+   * structs gives a deterministic order with ties broken by the id),
+   * and the whole "each next step must come after the previous match"
+   * semantics is a single left-to-right fold over that array (the
+   * furthest step index only ever advances when the CURRENT event
+   * matches the NEXT wanted step — positions later in the array are
+   * by construction after the previous match). The alternative
+   * relational form is one self-join per step — step-count joins of
+   * the full event table; the fold does all steps in one pass and is
+   * how the oracle's 3-join SQL is proven equivalent. Per-key arrays
+   * are bounded by the same cap consideration as c4 (cap upstream for
+   * degenerate hot keys).
+   */
+  def funnel(events: DataFrame, keyCol: String, tsCol: String,
+      tiebreakCol: String, typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val stepsLit = typedLit(steps)
+    val nSteps = steps.length
+    val reached = events
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(
+        col(tsCol).as("ts"), col(tiebreakCol).as("tb"),
+        col(typeCol).as("et")))).as("seq"))
+      .select(col(keyCol), aggregate(col("seq"),
+        struct(lit(0).as("k")),
+        (acc, e) => struct(
+          when(acc.getField("k") < nSteps &&
+            e.getField("et") === element_at(stepsLit, acc.getField("k") + 1),
+            acc.getField("k") + 1).otherwise(acc.getField("k")).as("k")))
+        .getField("k").as("k"))
+    val aggs = (1 to nSteps).map(i =>
+      sum(when(col("k") >= i, 1L).otherwise(0L)).as(s"n$i"))
+    val counts = reached.agg(aggs.head, aggs.tail: _*)
+    val rows = (1 to nSteps).map { i =>
+      val prev = if (i == 1) col("n1") else col(s"n${i - 1}")
+      struct(lit(i).as("step"), lit(steps(i - 1)).as("step_name"),
+        col(s"n$i").as("n_users"), prev.as("prev"))
+    }
+    counts.select(explode(array(rows: _*)).as("s"))
+      .select(col("s.step").as("step"), col("s.step_name").as("step_name"),
+        col("s.n_users").as("n_users"),
+        when(col("s.prev") > 0,
+          col("s.n_users").cast("double") / col("s.prev").cast("double"))
+          .as("conv_from_prev"))
+  }
 }

@@ -214,6 +214,49 @@ object Catalog {
       FROM orders
       GROUP BY 1"""))
 
+  // ---------------------------------------------------------------- a9
+  // ORDERED-STEP FUNNEL (Temporal.funnel) — the product-analytics
+  // staple the a-family was missing: reach + step-to-step conversion
+  // for click → view → purchase where each step must occur strictly
+  // AFTER the previous step's first match (position order, ties broken
+  // by event_id). The engine does ALL steps in one shuffle — per-user
+  // sorted event array (c4's sequences discipline) + a single
+  // left-to-right fold whose step counter only advances on the next
+  // wanted type; the oracle proves that fold equal to the textbook
+  // relational form (one MIN-position self-join per step) — the
+  // equivalence that justifies replacing k joins of a 100-TB event
+  // table with one grouped pass.
+  private val a9 = Q(
+    "a9_funnel",
+    (s, d) => Temporal.funnel(Tables.events(s, d), "user_id", "ts",
+      "event_id", "event_type", Seq("click", "view", "purchase")),
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_type,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS r
+        FROM events),
+      s1 AS (SELECT user_id, MIN(r) AS p FROM e
+             WHERE event_type = 'click' GROUP BY 1),
+      s2 AS (SELECT e.user_id, MIN(e.r) AS p
+             FROM e JOIN s1 ON s1.user_id = e.user_id AND e.r > s1.p
+             WHERE e.event_type = 'view' GROUP BY 1),
+      s3 AS (SELECT e.user_id, MIN(e.r) AS p
+             FROM e JOIN s2 ON s2.user_id = e.user_id AND e.r > s2.p
+             WHERE e.event_type = 'purchase' GROUP BY 1),
+      c AS (SELECT (SELECT COUNT(*) FROM s1) AS n1,
+                   (SELECT COUNT(*) FROM s2) AS n2,
+                   (SELECT COUNT(*) FROM s3) AS n3)
+      SELECT 1 AS step, 'click' AS step_name, n1 AS n_users,
+        CASE WHEN n1 > 0 THEN CAST(n1 AS DOUBLE) / CAST(n1 AS DOUBLE) END
+          AS conv_from_prev FROM c
+      UNION ALL
+      SELECT 2, 'view', n2,
+        CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) END FROM c
+      UNION ALL
+      SELECT 3, 'purchase', n3,
+        CASE WHEN n2 > 0 THEN CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE) END FROM c"""))
+
   // ---------------------------------------------------------------- n1
   private val n1 = Q(
     "n1_normalize_ws",
@@ -5779,7 +5822,7 @@ object Catalog {
 
   /** All registered queries, in SURVEY §2 order. */
   val all: Seq[Q] = Seq(
-    a1, a2, a3, a4, a5, a6, a7, a8,
+    a1, a2, a3, a4, a5, a6, a7, a8, a9,
     n1, n2, n3, n4, n5, n6, n7,
     d1, d2, d3, d4, d5, d6, d7,
     e1, e2, e3, e4, e5, j1, j2, j3, j4,

@@ -1184,4 +1184,29 @@ class OperatorsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), "excision must be map-only")
   }
+
+  test("funnel: steps must occur strictly after the previous match, in event order") {
+    import graft.operators.Temporal
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val ev = Seq(
+      // user 1: full funnel in order
+      (1L, ts(10), 1L, "click"), (1L, ts(20), 2L, "view"), (1L, ts(30), 3L, "purchase"),
+      // user 2: view BEFORE the click — stalls at step 1
+      (2L, ts(10), 4L, "view"), (2L, ts(20), 5L, "click"),
+      // user 3: purchase before view — the view later, purchase never re-fires
+      (3L, ts(10), 6L, "click"), (3L, ts(20), 7L, "purchase"), (3L, ts(30), 8L, "view"),
+      // user 4: same-ts click/view ordered by the event_id tiebreak
+      (4L, ts(10), 9L, "click"), (4L, ts(10), 10L, "view"), (4L, ts(20), 11L, "purchase"),
+      // user 5: never clicks
+      (5L, ts(10), 12L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Temporal.funnel(ev, "user_id", "ts", "event_id", "event_type",
+      Seq("click", "view", "purchase"))
+      .collect().map(r => r.getInt(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // reach: step1 = users 1,2,3,4; step2 = 1,3,4; step3 = 1,4
+    assert(got(1) == (("click", 4L)))
+    assert(got(2) == (("view", 3L)))
+    assert(got(3) == (("purchase", 2L)))
+  }
 }
