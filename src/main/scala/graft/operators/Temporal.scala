@@ -209,6 +209,15 @@ object Temporal {
             e.getField("et") === element_at(stepsLit, acc.getField("k") + 1),
             acc.getField("k") + 1).otherwise(acc.getField("k")).as("k")))
         .getField("k").as("k"))
+    funnelSummary(reached, steps)
+  }
+
+  /** The funnel's reporting tail, factored out so the streaming twin
+    * (EventStream.runningFunnel, s12) summarizes its per-key state with
+    * the SAME code: per step, keys with `k` >= step + conversion from
+    * the previous step. Expects a frame with an integer `k` column. */
+  def funnelSummary(reached: DataFrame, steps: Seq[String]): DataFrame = {
+    val nSteps = steps.length
     val aggs = (1 to nSteps).map(i =>
       sum(when(col("k") >= i, 1L).otherwise(0L)).as(s"n$i"))
     val counts = reached.agg(aggs.head, aggs.tail: _*)

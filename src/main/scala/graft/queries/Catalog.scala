@@ -226,11 +226,10 @@ object Catalog {
   // relational form (one MIN-position self-join per step) — the
   // equivalence that justifies replacing k joins of a 100-TB event
   // table with one grouped pass.
-  private val a9 = Q(
-    "a9_funnel",
-    (s, d) => Temporal.funnel(Tables.events(s, d), "user_id", "ts",
-      "event_id", "event_type", Seq("click", "view", "purchase")),
-    Some("""
+  /** a9's oracle, shared verbatim by the streaming twin s12 — the
+    * relational (one MIN-position self-join per step) form both the
+    * batch fold and the stateful streaming fold must equal. */
+  private val funnelOracleSql = """
       WITH e AS (
         SELECT user_id, event_type,
           ROW_NUMBER() OVER (PARTITION BY user_id
@@ -255,7 +254,63 @@ object Catalog {
         CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) END FROM c
       UNION ALL
       SELECT 3, 'purchase', n3,
-        CASE WHEN n2 > 0 THEN CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE) END FROM c"""))
+        CASE WHEN n2 > 0 THEN CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE) END FROM c"""
+
+  private val a9 = Q(
+    "a9_funnel",
+    (s, d) => Temporal.funnel(Tables.events(s, d), "user_id", "ts",
+      "event_id", "event_type", Seq("click", "view", "purchase")),
+    Some(funnelOracleSql))
+
+  // ---------------------------------------------------------------- a10
+  // COHORT RETENTION (a9's companion, the other product-analytics
+  // staple): users cohorted by their FIRST active day, and for every
+  // (cohort, day-offset) cell the distinct users still active — the
+  // retention matrix a growth dashboard renders. TWO shuffles total and
+  // no join: the cohort day is a per-user window MIN riding the same
+  // exchange the events already need, and the cohort size for the rate
+  // denominator is recovered from the matrix ITSELF (the offset-0 cell
+  // — every user is active on their own first day by construction) via
+  // a per-cohort window, so the cohort-size table never materializes.
+  // Rates are exact-operand double divisions; day arithmetic is
+  // integer datediff on day-truncated timestamps — identical in both
+  // engines, oracle-replayed cell for cell.
+  private val a10 = Q(
+    "a10_retention",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).select(
+        col("user_id"), date_trunc("day", col("ts")).as("day"))
+      val withCohort = ev.withColumn("cohort",
+        min(col("day")).over(Window.partitionBy(col("user_id"))))
+      val cells = withCohort
+        .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+      cells
+        .withColumn("__n0", max(when(col("day_offset") === 0, col("n_active")))
+          .over(Window.partitionBy(col("cohort"))))
+        .select(
+          date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+          col("day_offset").cast("long").as("day_offset"),
+          col("n_active"),
+          (col("n_active").cast("double") / col("__n0").cast("double"))
+            .as("retention"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+        FROM events),
+      c AS (SELECT user_id, day,
+              MIN(day) OVER (PARTITION BY user_id) AS cohort FROM e),
+      m AS (SELECT cohort, date_diff('day', cohort, day) AS day_offset,
+              COUNT(DISTINCT user_id) AS n_active
+            FROM c GROUP BY 1, 2),
+      r AS (SELECT *, MAX(CASE WHEN day_offset = 0 THEN n_active END)
+              OVER (PARTITION BY cohort) AS n0 FROM m)
+      SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+        CAST(day_offset AS BIGINT) AS day_offset, n_active,
+        CAST(n_active AS DOUBLE) / CAST(n0 AS DOUBLE) AS retention
+      FROM r"""))
 
   // ---------------------------------------------------------------- n1
   private val n1 = Q(
@@ -4176,6 +4231,28 @@ object Catalog {
       SELECT ${MStore.projectSql}
       FROM (${MStore.stateSql(withSlice2 = true, withSlice3 = true)}) t"""))
 
+  // ---------------------------------------------------------------- s12
+  // STREAMING FUNNEL (EventStream.runningFunnel + Temporal
+  // .funnelSummary) — a9's live twin and the s-family's first
+  // mapGroupsWithState op whose state is a single INT per key (s2
+  // keeps a payload, s8 a tombstone struct; the funnel's ordered-fold
+  // semantics collapse to "furthest step reached", which is what makes
+  // a live funnel over a billion keys an int-sized state table). On a
+  // batch input Spark runs the same state function once per key over
+  // the full history — Temporal.funnel's fold exactly — so the entry,
+  // the streaming run, and the reporting tail share ONE code path and
+  // a9's relational oracle verbatim (fold == k self-joins, now also
+  // for the stateful form). Cross-trigger ordering and per-trigger
+  // parity are MemoryStream-asserted in StreamingSpec (stalls, late
+  // steps, revivals across triggers).
+  private val s12 = Q(
+    "s12_stream_funnel",
+    (s, d) => Temporal.funnelSummary(
+      graft.streaming.EventStream.runningFunnel(
+        Tables.events(s, d), Seq("click", "view", "purchase")),
+      Seq("click", "view", "purchase")),
+    Some(funnelOracleSql))
+
   // ---------------------------------------------------------------- w15
   /** DELETEs on the VECTOR store, completing the IVF lifecycle's CRUD
     * (build w4 / append w6 / stream-ingest s6 / compact w7 / now
@@ -5822,7 +5899,7 @@ object Catalog {
 
   /** All registered queries, in SURVEY §2 order. */
   val all: Seq[Q] = Seq(
-    a1, a2, a3, a4, a5, a6, a7, a8, a9,
+    a1, a2, a3, a4, a5, a6, a7, a8, a9, a10,
     n1, n2, n3, n4, n5, n6, n7,
     d1, d2, d3, d4, d5, d6, d7,
     e1, e2, e3, e4, e5, j1, j2, j3, j4,
@@ -5830,7 +5907,7 @@ object Catalog {
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16, l17,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12,
     c1, c2, c3, c4, c5, c6, c7, c8,
-    m1, m2, m3, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11,
+    m1, m2, m3, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12,
     p1, p2, p3, p4, p5,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
     w17, w18, w19, w20, w21)

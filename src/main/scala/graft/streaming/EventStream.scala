@@ -15,6 +15,12 @@ case class UpsertState(
 
 /** Per-key last-op state for [[EventStream.cdcState]] — delete ops stay
   * in state as tombstones (see the method's scaladoc for why). */
+/** [[EventStream.runningFunnel]]'s per-key state: the furthest funnel
+  * step reached so far — the ONLY state the ordered-fold semantics
+  * needs, which is what makes a streaming funnel over a billion keys
+  * an int per key. */
+case class FunnelState(k: Int)
+
 case class CdcOpState(
     latest_ts: Timestamp, latest_event_id: Long,
     op: String, value: Double)
@@ -185,6 +191,48 @@ object EventStream {
         (key, merged.first_seen, merged.last_seen, merged.event_type, merged.value)
       }
       .toDF("user_id", "first_seen", "last_seen", "event_type", "value")
+  }
+
+  /**
+   * STREAMING ordered-step funnel (Temporal.funnel's live twin, catalog
+   * s12) via mapGroupsWithState: per key the state is ONE int — the
+   * furthest step reached — updated by folding each trigger's rows in
+   * (ts, tiebreak) order from the stored step. Emits (key, k) per
+   * trigger (`update` mode); [[graft.operators.Temporal.funnelSummary]]
+   * turns the state into the reach/conversion table with the SAME code
+   * the batch form uses (no twin drift).
+   *
+   * On a BATCH input Spark runs the function once per key with empty
+   * state and the full history, which IS Temporal.funnel's fold — one
+   * code path, oracle-shared. Ordering contract: rows WITHIN a call are
+   * sorted here (seconds, nanos, tiebreak — the full timestamp
+   * resolution, not getTime's milliseconds); ACROSS triggers the fold
+   * assumes event-time-ordered arrival (the time-sliced ingest every
+   * log replay gives). A source that reorders across triggers needs a
+   * watermark reorder buffer in front — the state stays an int either
+   * way.
+   */
+  def runningFunnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepArr = steps.toArray
+    events
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_id").cast("long"), col("event_type"))
+      .as[(Long, Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[FunnelState, (Long, Int)](
+        GroupStateTimeout.NoTimeout) { case (key, rows, state) =>
+        var k = state.getOption.map(_.k).getOrElse(0)
+        val sorted = rows.toArray.sortBy(r =>
+          (r._2.toInstant.getEpochSecond, r._2.getNanos.toLong, r._3))
+        sorted.foreach { r =>
+          if (k < stepArr.length && r._4 == stepArr(k)) k += 1
+        }
+        state.update(FunnelState(k))
+        (key, k)
+      }
+      .toDF("user_id", "k")
   }
 
   /**

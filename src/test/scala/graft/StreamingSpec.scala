@@ -564,4 +564,47 @@ class StreamingSpec extends AnyFunSuite {
       assert(ManifestStore.listVersions(spark, root) == Seq("v00000", "v00002"))
     } finally query.stop()
   }
+
+  test("streaming funnel: per-trigger state equals the batch fold over data-so-far") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.EventStream
+    import graft.operators.Temporal
+    val steps = Seq("click", "view", "purchase")
+    val input = MemoryStream[UpEv]
+    val states = scala.collection.mutable.Map.empty[Long, Int]
+    val query = EventStream.runningFunnel(input.toDF(), steps)
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => states(r.getLong(0)) = r.getInt(1))
+      }.start()
+    // trigger 1: user 1 clicks+views; user 2 views first (stalls at 0)
+    val t1 = Seq(
+      UpEv(ts("2024-01-15 10:00:00"), 1, 1, "click", 1.0),
+      UpEv(ts("2024-01-15 10:05:00"), 1, 2, "view", 1.0),
+      UpEv(ts("2024-01-15 10:01:00"), 2, 3, "view", 1.0))
+    // trigger 2: user 1 completes; user 2 revives (click then view);
+    // user 3 enters and leaps steps out of order (purchase first — stalls)
+    val t2 = Seq(
+      UpEv(ts("2024-01-15 11:00:00"), 1, 4, "purchase", 1.0),
+      UpEv(ts("2024-01-15 11:01:00"), 2, 5, "click", 1.0),
+      UpEv(ts("2024-01-15 11:02:00"), 2, 6, "view", 1.0),
+      UpEv(ts("2024-01-15 11:03:00"), 3, 7, "purchase", 1.0))
+    try {
+      var seen = Seq.empty[UpEv]
+      for (t <- Seq(t1, t2)) {
+        input.addData(t)
+        query.processAllAvailable()
+        seen = seen ++ t
+        // parity: accumulated streaming state == the one-shot batch fold
+        val batch = Temporal.funnel(seen.toDF(), "user_id", "ts",
+          "event_id", "event_type", steps)
+          .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+        val live = (1 to steps.length).map(i =>
+          i -> states.values.count(_ >= i).toLong).toMap
+        assert(live == batch,
+          s"streaming funnel reach $live must equal batch $batch")
+      }
+      assert(states(1L) == 3 && states(2L) == 2 && states(3L) == 0)
+    } finally query.stop()
+  }
 }
