@@ -725,6 +725,108 @@ object Ann {
    * stores must be hive-partitioned by `cell` (the w4/w8 layouts); the
    * w9 gate requires dynamic partition pruning on BOTH scans.
    */
+  // ------------------------------------------------------------ SQ8
+  // Scalar quantization — the memory tier BETWEEN raw float32 and PQ:
+  // one byte per dimension (4x smaller than raw; PQ is smaller still
+  // but pays codebook training + reconstruction error). Train is two
+  // numbers per dimension (min/max) — embarrassingly mergeable, no
+  // Lloyd loop, no codebooks — and encode/decode are pure per-row
+  // arithmetic, so SQ8 is the quantization a pipeline can apply to a
+  // 100-TB corpus in ONE narrow pass the same day the corpus lands.
+  // Composition with the IVF lifecycle is positional, exactly like PQ:
+  // (vec_id, cell, codes) partitioned by cell is the persisted store.
+
+  /**
+   * Train the SQ8 quantizer: per-dimension (lo, hi) = min/max over the
+   * corpus, as doubles. One posexplode + one grouped aggregate whose
+   * map-side partials collapse the corpus to partitions·dim rows before
+   * the shuffle; the result is dim rows — coordinator-sized, the
+   * broadcast side of encode and search. Rows are (dim, lo, hi),
+   * dim 0-based.
+   */
+  def sq8Train(corpus: DataFrame): DataFrame =
+    corpus
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(min(col("x").cast("double")).as("lo"),
+        max(col("x").cast("double")).as("hi"))
+
+  /** One-row broadcast frame: dim-ordered `los` / `his` arrays. */
+  private def sqBall(sq: DataFrame): DataFrame =
+    sq.groupBy()
+      .agg(sort_array(collect_list(
+        struct(col("dim"), col("lo"), col("hi")))).as("s"))
+      .select(
+        transform(col("s"), e => e.getField("lo")).as("los"),
+        transform(col("s"), e => e.getField("hi")).as("his"))
+
+  /**
+   * Narrow per-row encode: codes[i] = floor((x_i − lo_i)·255 ∕
+   * (hi_i − lo_i)) clamped to [0, 255] (a degenerate dimension with
+   * hi = lo encodes 0). Every op is double IEEE arithmetic in a fixed
+   * order, so a SQL oracle replays the codes bit-for-bit. Returns
+   * (vec_id, codes: array<int>) — the persisted form would pack these
+   * to bytes; ints keep the cross-engine comparison exact.
+   */
+  def sq8Encode(corpus: DataFrame, sq: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(sqBall(sq)))
+      .select(col("vec_id"),
+        transform(col("embedding"), (x, i) => {
+          val lo = element_at(col("los"), i + 1)
+          val hi = element_at(col("his"), i + 1)
+          when(hi > lo,
+            least(lit(255), greatest(lit(0),
+              floor(((x.cast("double") - lo) * lit(255.0)) / (hi - lo))
+                .cast("int"))))
+            .otherwise(lit(0))
+        }).as("codes"))
+
+  /** Dequantized candidate side from a codes table: cv[i] = lo_i +
+    * codes[i]·(hi_i − lo_i) ∕ 255 cast to float — the scored
+    * representation, reconstructed per row from the broadcast
+    * quantizer, no join. */
+  private def sq8DeqSide(codes: DataFrame, sq: DataFrame): DataFrame =
+    codes.crossJoin(broadcast(sqBall(sq)))
+      .select(col("vec_id").as("cand_id"),
+        transform(col("codes"), (c, i) => {
+          val lo = element_at(col("los"), i + 1)
+          val hi = element_at(col("his"), i + 1)
+          (lo + (c.cast("double") * (hi - lo)) / lit(255.0)).cast("float")
+        }).as("cv"))
+      .select(col("cand_id"), col("cv"),
+        call_function("graft_dot", col("cv"), col("cv")).as("cn"))
+
+  /**
+   * SQ8 search with exact refinement: rank ALL candidates by the
+   * cosine of their dequantized reconstruction (the scan that, on a
+   * persisted store, reads 1-byte codes instead of 4-byte floats),
+   * keep a `kSq` buffer per query, then read back ONLY the buffer's
+   * raw vectors and rerank by the exact 9-dp cosine — the
+   * [[ivfPqTopKRefined]] discipline with the scalar quantizer in
+   * place of codebooks. Both rankings are deterministic (9-dp value,
+   * ties on cand_id), so the full train→encode→rank→refine chain
+   * replays in a SQL oracle. Flat scan here; compose with
+   * [[assignCells]]/cell partitioning for the IVF-pruned form exactly
+   * as PQ does.
+   */
+  def sq8TopKRefined(queries: DataFrame, corpus: DataFrame, sq: DataFrame,
+      kSq: Int, k: Int): DataFrame = {
+    require(kSq >= k, s"refinement buffer kSq=$kSq must be >= k=$k")
+    VectorExpressions.ensureRegistered(queries.sparkSession)
+    val deq = sq8DeqSide(sq8Encode(corpus, sq), sq)
+    val joined = deq.crossJoin(broadcast(querySide(queries)))
+      .filter(col("query_id") =!= col("cand_id"))
+    val buffer = topK(approxPairs(joined), kSq)
+      .select(col("query_id"), col("cand_id"))
+    val raw = corpus.select(col("vec_id"), col("embedding"))
+    val pairs = raw.join(broadcast(buffer), col("vec_id") === col("cand_id"))
+      .join(broadcast(querySide(queries)), Seq("query_id"))
+      .select(col("query_id"), col("cand_id"), col("qv"),
+        col("embedding").as("cv"), col("qn"),
+        call_function("graft_dot", col("embedding"), col("embedding")).as("cn"))
+    topK(approxPairs(pairs), k)
+  }
+
   def ivfPqTopKRefinedStores(queries: DataFrame, codesStore: DataFrame,
       rawStore: DataFrame, codebooks: DataFrame, centroids: DataFrame,
       nProbe: Int, kAdc: Int, k: Int): DataFrame = {

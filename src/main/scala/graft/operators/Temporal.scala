@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -232,5 +232,114 @@ object Temporal {
         when(col("s.prev") > 0,
           col("s.n_users").cast("double") / col("s.prev").cast("double"))
           .as("conv_from_prev"))
+  }
+
+  /**
+   * SLIDING-WINDOW DISTINCT COUNT — rolling 7/28-day active users
+   * (DAU/WAU/MAU), the metric every event warehouse reports daily.
+   *
+   * The relational form is a range join: active-days × per-day actives
+   * on `u.day BETWEEN d.day - (w-1) AND d.day` — a theta join whose
+   * comparison count is |days| x |user-days| (no equi key, so Spark
+   * plans it as a broadcast nested loop; at 100 TB of events that scan
+   * repeats per reported day). This is instead the BOUNDED-EXPLODE
+   * rewrite, linear end to end:
+   *
+   *   1. distinct (user, day) FIRST — collapses raw event volume (the
+   *      100-TB side) to at most |users| x |days| rows BEFORE any
+   *      amplification; map-side partial aggregation does the heavy
+   *      collapse pre-shuffle. Exploding before this distinct would
+   *      amplify the raw event stream w times — order is the whole
+   *      operator.
+   *   2. each (user, day) contributes to the w report days
+   *      [day, day+w-1]: a narrow `explode(sequence(...))` — exactly w
+   *      rows per user-day, no skew possible (amplification is a
+   *      constant, not data-dependent).
+   *   3. one `count(DISTINCT user)` per report day — Spark plans the
+   *      distinct as a two-phase aggregate keyed (report_day, user),
+   *      deduping the same user arriving from several active days
+   *      inside one window.
+   *   4. semi-join back to the observed-day set, so partial windows
+   *      past the data's horizon are not reported; the day dimension is
+   *      |calendar days| — broadcast by construction.
+   *
+   * For windows too wide for a w-times explode (365-day rolling), the
+   * same day-grain pre-aggregate feeds the sketch path instead: per-day
+   * HLL sketches (r5's machinery) merged w-per-window — constant
+   * amplification, approximate counts; this operator is the exact form.
+   *
+   * Returns (day, n_users): for each day with at least one event, the
+   * distinct users active in the trailing `windowDays` window.
+   */
+  def slidingDistinct(events: DataFrame, keyCol: String, tsCol: String,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val userDays = events
+      .select(col(keyCol).as("_u"), to_date(col(tsCol)).as("_d"))
+      .distinct()
+    val observed = userDays.select(col("_d").as("day")).distinct()
+    userDays
+      .select(col("_u"), explode(
+        sequence(col("_d"), date_add(col("_d"), windowDays - 1))).as("day"))
+      .join(broadcast(observed), Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(countDistinct(col("_u")).as("n_users"))
+  }
+
+  /**
+   * INTERVAL OVERLAP JOIN — all pairs of intervals (one from each side,
+   * same key) whose half-open ranges [start, end) intersect: the
+   * "which sessions overlapped which campaigns / incidents / shifts"
+   * question. [[rangeJoin]] is its point-in-interval special case.
+   *
+   * Spark plans a raw `ls < re AND rs < le` predicate as a broadcast
+   * nested loop (no equi key) — quadratic per key. Both sides here
+   * explode to the time bins their interval covers, join on
+   * (keys, bin) — an EQUI join, one hash shuffle per side — and keep
+   * true overlaps. A pair overlapping across several shared bins would
+   * emit once per bin; instead of a distinct (a second shuffle over the
+   * whole result), each pair is emitted ONLY at its OWNING bin — the
+   * bin containing the intersection's start, `greatest(ls, rs)` —
+   * which exactly one joined bin row satisfies. Dedup is a codegen'd
+   * filter, not a shuffle.
+   *
+   * `binSeconds` tunes the amplification-vs-candidates tradeoff as in
+   * [[rangeJoin]] (set near the median interval length), and the same
+   * open-interval hazard applies to BOTH sides here: a sentinel end
+   * explodes ceil(len/bin) rows, so `maxBinsPerInterval` fail-fasts
+   * per interval before any explode output is buffered.
+   *
+   * Column names must be disjoint across the two sides apart from
+   * `keys`; empty intervals (end <= start) match nothing.
+   */
+  def overlapJoin(left: DataFrame, leftStart: String, leftEnd: String,
+      right: DataFrame, rightStart: String, rightEnd: String,
+      keys: Seq[String], binSeconds: Long,
+      maxBinsPerInterval: Long = 100000L): DataFrame = {
+    require(binSeconds > 0, "binSeconds must be positive")
+    require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
+    require(!left.columns.contains("_bin") && !right.columns.contains("_bin"),
+      "column _bin is reserved")
+    val binUs = binSeconds * 1000000L
+    def bins(start: String, end: String): Column = {
+      val startBin = floor(unix_micros(col(start)) / binUs)
+      val endBin = floor((unix_micros(col(end)) - 1) / binUs)
+      explode(
+        when(endBin - startBin + 1 > maxBinsPerInterval, raise_error(concat(
+          lit(s"overlapJoin: interval spans more than $maxBinsPerInterval bins of "),
+          lit(s"$binSeconds s (start="), col(start).cast("string"),
+          lit(", end="), col(end).cast("string"),
+          lit(s"); widen binSeconds, raise maxBinsPerInterval, or cap sentinel ends"))))
+          .otherwise(sequence(startBin, endBin)))
+    }
+    val l = left.filter(col(leftEnd) > col(leftStart))
+      .withColumn("_bin", bins(leftStart, leftEnd))
+    val r = right.filter(col(rightEnd) > col(rightStart))
+      .withColumn("_bin", bins(rightStart, rightEnd))
+    l.join(r, keys :+ "_bin")
+      .filter(col(leftStart) < col(rightEnd) && col(rightStart) < col(leftEnd))
+      .filter(col("_bin") ===
+        floor(unix_micros(greatest(col(leftStart), col(rightStart))) / binUs))
+      .drop("_bin")
   }
 }

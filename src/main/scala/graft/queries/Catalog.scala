@@ -312,6 +312,27 @@ object Catalog {
         CAST(n_active AS DOUBLE) / CAST(n0 AS DOUBLE) AS retention
       FROM r"""))
 
+  // --------------------------------------------------------------- a11
+  // Rolling 7-day distinct actives (Temporal.slidingDistinct) — the
+  // DAU/WAU staple, via the bounded-explode rewrite: distinct
+  // (user, day) BEFORE any amplification, then a constant 7-per-row
+  // explode and one two-phase distinct aggregate. The oracle IS the
+  // naive relational form (a range join whose comparison volume is
+  // |days| x |user-days| — a broadcast nested loop at engine scale),
+  // proving the linear rewrite exact, partial windows included.
+  private val a11 = Q(
+    "a11_sliding_distinct",
+    (s, d) => Temporal.slidingDistinct(Tables.events(s, d), "user_id", "ts", 7)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n_users")),
+    Some("""
+      WITH ud AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      days AS (SELECT DISTINCT day FROM ud)
+      SELECT strftime(d.day, '%Y-%m-%d') AS day,
+        COUNT(DISTINCT u.user_id) AS n_users
+      FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+      GROUP BY 1"""))
+
   // ---------------------------------------------------------------- n1
   private val n1 = Q(
     "n1_normalize_ws",
@@ -2218,6 +2239,71 @@ object Catalog {
             ORDER BY cosine DESC, cand_id) AS rnk
           FROM refined)
         SELECT query_id, cand_id, cosine, rnk FROM fr WHERE rnk <= ${Ivf.k}"""))
+
+  // --------------------------------------------------------------- l18
+  // Scalar-quantized ANN (Ann.sq8Train/sq8Encode/sq8TopKRefined) — the
+  // memory tier BETWEEN raw float32 and PQ: 1 byte/dim (4x smaller than
+  // raw), trained in ONE aggregate (per-dim min/max — mergeable, no
+  // Lloyd loop), encoded in one narrow pass. Search ranks dequantized
+  // reconstructions (a code-width scan on a persisted store), keeps a
+  // kSq buffer, and reranks only the buffer's raw vectors by the exact
+  // 9-dp cosine. Every step is fixed-order IEEE double math, so the
+  // oracle replays train→encode→dequantize→rank→refine bit-for-bit.
+  // Compose with assignCells/cell partitioning for the IVF-pruned form
+  // exactly as PQ does (l13/w8); recall vs the exact l5 ranking is
+  // asserted in AnnSpec.
+  private val l18 = {
+    val dim = 64
+    val kSq = 30
+    val k = 10
+    Q(
+      "l18_ann_sq8",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val sq = graft.operators.Ann.sq8Train(e)
+        graft.operators.Ann.sq8TopKRefined(
+          e.filter(col("vec_id") < 5), e, sq, kSq, k)
+          .select("query_id", "cand_id", "cosine", "rnk")
+      },
+      Some(s"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < 5),
+        stats AS (
+          SELECT i.i AS dim, MIN(CAST(embedding[i.i] AS DOUBLE)) AS lo,
+                 MAX(CAST(embedding[i.i] AS DOUBLE)) AS hi
+          FROM embeddings, range(1, ${dim + 1}) i(i) GROUP BY 1),
+        ball AS (SELECT list(lo ORDER BY dim) AS los,
+                        list(hi ORDER BY dim) AS his FROM stats),
+        deq AS (
+          SELECT vec_id AS cand_id,
+            list_transform(list_zip(embedding, los, his), p -> CAST(
+              CASE WHEN CAST(p[3] AS DOUBLE) > CAST(p[2] AS DOUBLE) THEN
+                CAST(p[2] AS DOUBLE) +
+                  (CAST(LEAST(255, GREATEST(0,
+                     CAST(FLOOR(((CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * 255.0)
+                       / (CAST(p[3] AS DOUBLE) - CAST(p[2] AS DOUBLE))) AS INT)))
+                   AS DOUBLE)
+                   * (CAST(p[3] AS DOUBLE) - CAST(p[2] AS DOUBLE))) / 255.0
+              ELSE CAST(p[2] AS DOUBLE) END AS REAL)) AS cv
+          FROM embeddings, ball),
+        buf AS (
+          SELECT query_id, cand_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY ${cosSql("qv", "cv")} DESC, cand_id) AS rn
+          FROM deq, q WHERE cand_id <> query_id),
+        keep AS (SELECT query_id, cand_id FROM buf WHERE rn <= $kSq),
+        refined AS (
+          SELECT kp.query_id, kp.cand_id,
+            ${cosSql("q.qv", "e.embedding")} AS cosine
+          FROM keep kp
+          JOIN embeddings e ON e.vec_id = kp.cand_id
+          JOIN q ON q.query_id = kp.query_id),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, cand_id) AS rnk
+          FROM refined)
+        SELECT query_id, cand_id, cosine, rnk FROM r WHERE rnk <= $k"""))
+  }
 
   // ---------------------------------------------------------------- w9
   // The refined search over BOTH persisted stores — IVF-PQ's complete
@@ -5038,6 +5124,68 @@ object Catalog {
       WHERE c_mktsegment = 'BUILDING'
       GROUP BY 1"""))
 
+  // ---------------------------------------------------------------- j5
+  // Interval OVERLAP join (Temporal.overlapJoin): which view-sessions
+  // overlapped which purchase-sessions of the same user — interval ×
+  // interval, where j2 is point × interval. Both sides explode to
+  // covered hour bins (equi join, one hash shuffle per side), true
+  // overlaps keep, and each pair emits only at the bin owning the
+  // intersection's start — multi-bin dedup is a codegen'd filter, not
+  // a distinct shuffle. The oracle runs the raw inequality self-join
+  // over lag/cumsum-reconstructed sessions (the a6 oracle twice) —
+  // the quadratic form the rewrite replaces.
+  private val j5 = {
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    def sessCte(evType: String, n: Int, p: String): String = s"""
+      f$n AS (
+        SELECT user_id, ts,
+          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                    <= INTERVAL '30 minutes' THEN 0 ELSE 1 END AS is_new
+        FROM e WHERE event_type = '$evType'),
+      g$n AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+        FROM f$n),
+      s$n AS (
+        SELECT user_id, MIN(ts) AS ${p}_start,
+          MAX(ts) + INTERVAL '30 minutes' AS ${p}_end
+        FROM g$n GROUP BY user_id, sess)"""
+    Q(
+      "j5_overlap_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        def sess(t: String, p: String) = Temporal.sessionize(
+            ev.filter(col("event_type") === t), "user_id", "ts", "30 minutes", "value")
+          .select(col("user_id"), col("session_start").as(s"${p}_start"),
+            col("session_end").as(s"${p}_end"))
+        Temporal.overlapJoin(
+            sess("view", "v"), "v_start", "v_end",
+            sess("purchase", "p"), "p_start", "p_end",
+            Seq("user_id"), binSeconds = 3600L)
+          .select(col("user_id"),
+            date_format(col("v_start"), fmt).as("v_start"),
+            date_format(col("v_end"), fmt).as("v_end"),
+            date_format(col("p_start"), fmt).as("p_start"),
+            date_format(col("p_end"), fmt).as("p_end"),
+            (unix_micros(least(col("v_end"), col("p_end"))) -
+              unix_micros(greatest(col("v_start"), col("p_start"))))
+              .as("overlap_us"))
+      },
+      Some(s"""
+        WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        ${sessCte("view", 1, "v")},
+        ${sessCte("purchase", 2, "p")}
+        SELECT s1.user_id,
+          strftime(v_start, '%Y-%m-%d %H:%M:%S.%f') AS v_start,
+          strftime(v_end, '%Y-%m-%d %H:%M:%S.%f') AS v_end,
+          strftime(p_start, '%Y-%m-%d %H:%M:%S.%f') AS p_start,
+          strftime(p_end, '%Y-%m-%d %H:%M:%S.%f') AS p_end,
+          epoch_us(LEAST(v_end, p_end)) - epoch_us(GREATEST(v_start, p_start))
+            AS overlap_us
+        FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+        WHERE v_start < p_end AND p_start < v_end"""))
+  }
+
   // ---------------------------------------------------------------- a6
   // Gap-based sessionization via the built-in session_window (one shuffle;
   // the same expression runs under Structured Streaming — twin asserted in
@@ -5899,12 +6047,12 @@ object Catalog {
 
   /** All registered queries, in SURVEY §2 order. */
   val all: Seq[Q] = Seq(
-    a1, a2, a3, a4, a5, a6, a7, a8, a9, a10,
+    a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11,
     n1, n2, n3, n4, n5, n6, n7,
     d1, d2, d3, d4, d5, d6, d7,
-    e1, e2, e3, e4, e5, j1, j2, j3, j4,
+    e1, e2, e3, e4, e5, j1, j2, j3, j4, j5,
     r1, r2, r3, r4, r5, r6, r7, q1, q2, q3, q4, q5,
-    l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16, l17,
+    l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16, l17, l18,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12,
     c1, c2, c3, c4, c5, c6, c7, c8,
     m1, m2, m3, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12,

@@ -72,7 +72,15 @@ object ScaleProbe {
     // diversity sampling: ×8 identical vectors per cell — the quota
     // bounds every window partition's OUTPUT but the argmin + window
     // INPUT rides the full ×8
-    "l17_diversity_sample")
+    "l17_diversity_sample",
+    // round-9 continuation 3: SQ8 (train aggregate, narrow encode and
+    // the candidate side all ride the ×8 corpus; the kSq buffer and
+    // refine stay query-sized), the sliding-distinct rewrite (×8
+    // events collapse at the FIRST distinct — the pre-explode order
+    // the operator exists for) and the overlap join (×8 events per
+    // unchanged session set: sessionize absorbs the growth, the pair
+    // space must not)
+    "l18_ann_sq8", "a11_sliding_distinct", "j5_overlap_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -40,7 +40,13 @@ object SkewProbe {
     // the histogram sketch and temperature cut under the
     // 90%-one-stratum document skew (cell-bounded state vs one giant
     // window partition — the c6/c7 caveat, measured)
-    "s11_stream_wap", "r7_quantile_sketch", "c8_temperature_mix")
+    "s11_stream_wap", "r7_quantile_sketch", "c8_temperature_mix",
+    // round-9 continuation 3: sliding distinct (the hot user's 30% of
+    // rows collapse at the per-day distinct — amplification stays the
+    // constant w) and the overlap join (one user owns 30% of view AND
+    // purchase events: giant merged sessions, the per-(key, bin) equi
+    // join must keep the pair space bounded)
+    "a11_sliding_distinct", "j5_overlap_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

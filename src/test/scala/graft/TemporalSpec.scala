@@ -318,4 +318,107 @@ class TemporalSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(
       ("the", 3L, 2L), ("a", 2L, 1L), ("cat", 2L, 2L), ("dog", 2L, 2L)))
   }
+
+  // -------------------------------------------------- slidingDistinct
+  test("slidingDistinct: trailing window dedups multi-day users, skips silent days") {
+    val ev = Seq(
+      // user 1 active on days 1, 2, 3; user 2 on day 1 twice (two events);
+      // user 3 on day 5 only; nobody on day 4
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-02 10:00:00")),
+      (1L, ts("2024-01-03 10:00:00")),
+      (2L, ts("2024-01-01 08:00:00")), (2L, ts("2024-01-01 09:00:00")),
+      (3L, ts("2024-01-05 12:00:00")))
+      .toDF("user_id", "ts")
+    val got3 = Temporal.slidingDistinct(ev, "user_id", "ts", 3)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // day 1: {1,2}; day 2: window [day-2,day] -> {1,2}, user 1 active on
+    // two window days counts ONCE; day 3: {1,2}; day 4 has no events ->
+    // not reported; day 5: window [3,5] -> {1 (active day 3), 3}
+    assert(got3 == Map(
+      "2024-01-01" -> 2L, "2024-01-02" -> 2L, "2024-01-03" -> 2L,
+      "2024-01-05" -> 2L))
+  }
+
+  test("slidingDistinct window=1 is per-day distinct; random data matches naive") {
+    val rnd = new scala.util.Random(7)
+    val ev = Seq.fill(300)((rnd.nextInt(10).toLong,
+      ts(f"2024-02-${1 + rnd.nextInt(20)}%02d 0${rnd.nextInt(10)}:00:00")))
+      .toDF("user_id", "ts")
+    val userDays = ev.collect().map(r =>
+      (r.getLong(0), r.getTimestamp(1).toLocalDateTime.toLocalDate)).distinct
+    val days = userDays.map(_._2).distinct
+    for (w <- Seq(1, 7)) {
+      val got = Temporal.slidingDistinct(ev, "user_id", "ts", w)
+        .collect().map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+      val expect = days.map(d => d -> userDays.collect {
+        case (u, ud) if !ud.isAfter(d) && ud.isAfter(d.minusDays(w)) => u
+      }.distinct.size.toLong).toMap
+      assert(got == expect, s"window $w")
+    }
+  }
+
+  // ------------------------------------------------------ overlapJoin
+  private def iv(id: Long, k: Long, s: String, e: String) =
+    (id, k, ts(s), ts(e))
+
+  test("overlapJoin: half-open semantics, nesting, keys, single emission per pair") {
+    val left = Seq(
+      iv(10L, 1L, "2024-01-01 10:00:00", "2024-01-01 12:00:00"),
+      iv(11L, 1L, "2024-01-01 15:00:00", "2024-01-01 16:00:00"),
+      iv(12L, 2L, "2024-01-01 10:00:00", "2024-01-01 12:00:00"))
+      .toDF("l_id", "user_id", "l_start", "l_end")
+    val right = Seq(
+      // overlaps 10 (partial), same key
+      iv(20L, 1L, "2024-01-01 11:00:00", "2024-01-01 13:00:00"),
+      // touches 10 exactly at its end: half-open -> NO overlap
+      iv(21L, 1L, "2024-01-01 12:00:00", "2024-01-01 13:00:00"),
+      // nested inside 10, crosses no bin boundary
+      iv(22L, 1L, "2024-01-01 10:15:00", "2024-01-01 10:45:00"),
+      // overlaps 12 but key 2 -- joins 12 only, never 10
+      iv(23L, 2L, "2024-01-01 11:00:00", "2024-01-01 13:00:00"),
+      // long interval covering 10 across MANY bins -> still one row
+      iv(24L, 1L, "2024-01-01 00:00:00", "2024-01-02 00:00:00"))
+      .toDF("r_id", "user_id", "r_start", "r_end")
+    val got = Temporal.overlapJoin(left, "l_start", "l_end",
+        right, "r_start", "r_end", Seq("user_id"), binSeconds = 3600L)
+      .collect().map(r => (r.getAs[Long]("l_id"), r.getAs[Long]("r_id")))
+    assert(got.length == got.distinct.length, "each pair must emit exactly once")
+    assert(got.toSet == Set(
+      (10L, 20L), (10L, 22L), (10L, 24L), (11L, 24L), (12L, 23L)))
+  }
+
+  test("overlapJoin matches the naive quadratic reference on random intervals") {
+    val rnd = new scala.util.Random(23)
+    def mk(n: Int, tag: String) = Seq.tabulate(n) { i =>
+      val start = rnd.nextInt(72000)
+      (i.toLong, rnd.nextInt(4).toLong,
+        new Timestamp(1700000000000L + start * 1000L),
+        new Timestamp(1700000000000L + (start + 60 + rnd.nextInt(7200)) * 1000L))
+    }
+    val ls = mk(60, "l"); val rs = mk(60, "r")
+    val got = Temporal.overlapJoin(
+        ls.toDF("l_id", "user_id", "l_start", "l_end"), "l_start", "l_end",
+        rs.toDF("r_id", "k2", "r_start", "r_end")
+          .withColumnRenamed("k2", "user_id"), "r_start", "r_end",
+        Seq("user_id"), binSeconds = 600L)
+      .collect().map(r => (r.getAs[Long]("l_id"), r.getAs[Long]("r_id"))).toSet
+    val expect = (for {
+      (li, lk, lsrt, lend) <- ls
+      (ri, rk, rsrt, rend) <- rs
+      if lk == rk && lsrt.before(rend) && rsrt.before(lend)
+    } yield (li, ri)).toSet
+    assert(got == expect)
+  }
+
+  test("overlapJoin fail-fasts on an interval spanning more bins than the cap") {
+    val left = Seq(iv(1L, 1L, "2024-01-01 00:00:00", "2024-03-01 00:00:00"))
+      .toDF("l_id", "user_id", "l_start", "l_end")
+    val right = Seq(iv(2L, 1L, "2024-01-01 00:00:00", "2024-01-01 01:00:00"))
+      .toDF("r_id", "user_id", "r_start", "r_end")
+    val e = intercept[Exception] {
+      Temporal.overlapJoin(left, "l_start", "l_end", right, "r_start", "r_end",
+        Seq("user_id"), binSeconds = 60L, maxBinsPerInterval = 1000L).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("overlapJoin"))
+  }
 }
