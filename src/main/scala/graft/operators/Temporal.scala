@@ -212,6 +212,55 @@ object Temporal {
     funnelSummary(reached, steps)
   }
 
+  /**
+   * WINDOWED FUNNEL — [[funnel]] with a CONVERSION WINDOW: each step
+   * must occur within `windowMicros` of the PREVIOUS matched step (the
+   * "converted within 6 hours" semantics every funnel product ships).
+   *
+   * Greedy first-match is WRONG under a window: taking the earliest
+   * step-2 event can doom a conversion a later step-2 event (still
+   * within window of step 1) would have enabled. The fold is instead an
+   * attainability DP over the per-key ordered array: `acc[i]` = the
+   * LATEST event time that completes steps 1..i+1 under the window
+   * constraints (null if unreachable). A later completion time strictly
+   * dominates (it only relaxes the next step's window), so one
+   * left-to-right pass is exact "exists a qualifying chain" — the
+   * k-join EXISTS form the oracle runs. Every level reads the PREVIOUS
+   * event's acc (`transform` captures the old array), so one event
+   * never serves two adjacent steps; "after" ties on (ts, tiebreak)
+   * exactly as [[funnel]].
+   *
+   * Same single-shuffle shape as [[funnel]]: one grouped sort_array +
+   * one fold, nSteps longs of state per key.
+   */
+  def windowedFunnel(events: DataFrame, keyCol: String, tsCol: String,
+      tiebreakCol: String, typeCol: String, steps: Seq[String],
+      windowMicros: Long): DataFrame = {
+    require(steps.nonEmpty, "windowedFunnel needs at least one step")
+    require(windowMicros > 0, "windowMicros must be positive")
+    val stepsLit = typedLit(steps)
+    val nSteps = steps.length
+    val init = array(Seq.fill(nSteps)(lit(null).cast("long")): _*)
+    val reached = events
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(
+        unix_micros(col(tsCol)).as("us"), col(tiebreakCol).as("tb"),
+        col(typeCol).as("et")))).as("seq"))
+      .select(col(keyCol), aggregate(col("seq"), init,
+        (acc, e) => transform(acc, (f, i) => {
+          val typeOk = e.getField("et") === element_at(stepsLit, i + 1)
+          // element_at(acc, i) is 1-based = OLD acc of the previous
+          // level; the i === 0 arm guards the out-of-range index away
+          val prevOk = when(i === 0, lit(true))
+            .otherwise(element_at(acc, i).isNotNull &&
+              e.getField("us") <= element_at(acc, i) + lit(windowMicros))
+          when(typeOk && prevOk, e.getField("us")).otherwise(f)
+        })).as("acc"))
+      .select(col(keyCol),
+        size(filter(col("acc"), f => f.isNotNull)).as("k"))
+    funnelSummary(reached, steps)
+  }
+
   /** The funnel's reporting tail, factored out so the streaming twin
     * (EventStream.runningFunnel, s12) summarizes its per-key state with
     * the SAME code: per step, keys with `k` >= step + conversion from

@@ -262,6 +262,58 @@ object Catalog {
       "event_id", "event_type", Seq("click", "view", "purchase")),
     Some(funnelOracleSql))
 
+  // --------------------------------------------------------------- a12
+  // WINDOWED funnel (Temporal.windowedFunnel): a9 with a conversion
+  // window — each step within 6 h of the previous matched step. Greedy
+  // first-match (a9's rule) is WRONG here (an early step-2 match can
+  // doom a conversion a later in-window step-2 event would enable), so
+  // the fold is an attainability DP: acc[i] = LATEST time completing
+  // steps 1..i+1 (later strictly dominates — it only relaxes the next
+  // window). Exactly "exists a qualifying chain", which is what the
+  // oracle's k-way EXISTS join computes — the equivalence that
+  // justifies one grouped pass over k joins of a 100-TB event table.
+  // Same one-shuffle shape as a9; nSteps longs of state per key.
+  private val a12 = {
+    val winUs = 6L * 3600 * 1000000 // 6 hours
+    val ord = "(b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))"
+    val ordBc = ord.replace("b.", "c.").replace("a.", "b.")
+    Q(
+      "a12_windowed_funnel",
+      (s, d) => Temporal.windowedFunnel(Tables.events(s, d), "user_id", "ts",
+        "event_id", "event_type", Seq("click", "view", "purchase"), winUs),
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+          FROM events),
+        s1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'click'),
+        s2 AS (
+          SELECT DISTINCT a.user_id
+          FROM e a JOIN e b ON b.user_id = a.user_id
+          WHERE a.event_type = 'click' AND b.event_type = 'view'
+            AND $ord AND b.ts <= a.ts + INTERVAL '6 hours'),
+        s3 AS (
+          SELECT DISTINCT a.user_id
+          FROM e a
+          JOIN e b ON b.user_id = a.user_id
+          JOIN e c ON c.user_id = b.user_id
+          WHERE a.event_type = 'click' AND b.event_type = 'view'
+            AND c.event_type = 'purchase'
+            AND $ord AND b.ts <= a.ts + INTERVAL '6 hours'
+            AND $ordBc AND c.ts <= b.ts + INTERVAL '6 hours'),
+        n AS (SELECT (SELECT COUNT(*) FROM s1) AS n1,
+                     (SELECT COUNT(*) FROM s2) AS n2,
+                     (SELECT COUNT(*) FROM s3) AS n3)
+        SELECT 1 AS step, 'click' AS step_name, n1 AS n_users,
+          CASE WHEN n1 > 0 THEN CAST(n1 AS DOUBLE) / CAST(n1 AS DOUBLE) END
+            AS conv_from_prev FROM n
+        UNION ALL
+        SELECT 2, 'view', n2,
+          CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) END FROM n
+        UNION ALL
+        SELECT 3, 'purchase', n3,
+          CASE WHEN n2 > 0 THEN CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE) END FROM n"""))
+  }
+
   // ---------------------------------------------------------------- a10
   // COHORT RETENTION (a9's companion, the other product-analytics
   // staple): users cohorted by their FIRST active day, and for every
@@ -6047,7 +6099,7 @@ object Catalog {
 
   /** All registered queries, in SURVEY §2 order. */
   val all: Seq[Q] = Seq(
-    a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11,
+    a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11, a12,
     n1, n2, n3, n4, n5, n6, n7,
     d1, d2, d3, d4, d5, d6, d7,
     e1, e2, e3, e4, e5, j1, j2, j3, j4, j5,

@@ -319,6 +319,84 @@ class TemporalSpec extends AnyFunSuite {
       ("the", 3L, 2L), ("a", 2L, 1L), ("cat", 2L, 2L), ("dog", 2L, 2L)))
   }
 
+  // --------------------------------------------------- windowedFunnel
+  test("windowedFunnel: window cuts slow conversions; DP beats greedy first-match") {
+    def min5(n: Int) = ts(f"2024-01-01 ${10 + n / 12}%02d:${(n % 12) * 5}%02d:00")
+    val win15min = 15L * 60 * 1000000
+    val ev = Seq(
+      // user 1: click then view 5 min later, purchase 5 min after that
+      (1L, min5(0), 1L, "click"), (1L, min5(1), 2L, "view"), (1L, min5(2), 3L, "purchase"),
+      // user 2: view 20 min after click — outside the 15-min window
+      (2L, min5(0), 4L, "click"), (2L, min5(4), 5L, "view"),
+      // user 3: THE GREEDY TRAP — view@5min (greedy pick), purchase@25min
+      // is outside ITS window, but view@15min still converts: greedy
+      // stalls at step 2, the attainability DP completes the funnel
+      (3L, min5(0), 6L, "click"), (3L, min5(1), 7L, "view"),
+      (3L, min5(3), 8L, "view"), (3L, min5(5), 9L, "purchase"),
+      // user 4: purchase BEFORE the view — order still matters
+      (4L, min5(0), 10L, "click"), (4L, min5(1), 11L, "purchase"),
+      (4L, min5(2), 12L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Temporal.windowedFunnel(ev, "user_id", "ts", "event_id",
+      "event_type", Seq("click", "view", "purchase"), win15min)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    // step 1: users 1,2,3,4; step 2: 1,3 (in-window view), 4 (view 10min);
+    // step 3: 1 and 3 (via the SECOND view) — user 4's purchase precedes its view
+    assert(got == Map(1 -> 4L, 2 -> 3L, 3 -> 2L))
+  }
+
+  test("windowedFunnel with a huge window equals the unwindowed funnel") {
+    val rnd = new scala.util.Random(17)
+    val types = Seq("click", "view", "purchase", "error")
+    val ev = Seq.tabulate(400)(i => (rnd.nextInt(25).toLong,
+      ts(f"2024-01-${1 + rnd.nextInt(28)}%02d ${rnd.nextInt(24)}%02d:00:00"),
+      i.toLong, types(rnd.nextInt(4))))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val steps = Seq("click", "view", "purchase")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(2))).toSet
+    val unbounded = rows(Temporal.funnel(ev, "user_id", "ts", "event_id",
+      "event_type", steps))
+    val huge = rows(Temporal.windowedFunnel(ev, "user_id", "ts", "event_id",
+      "event_type", steps, 365L * 86400 * 1000000))
+    assert(huge == unbounded)
+  }
+
+  test("windowedFunnel matches a brute-force chain search on random data") {
+    val rnd = new scala.util.Random(19)
+    val types = Seq("click", "view", "purchase")
+    val win = 3L * 3600 * 1000000 // 3 hours
+    val raw = Seq.tabulate(300)(i => (rnd.nextInt(20).toLong,
+      ts(f"2024-01-0${1 + rnd.nextInt(5)} ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"),
+      i.toLong, types(rnd.nextInt(3))))
+    val ev = raw.toDF("user_id", "ts", "event_id", "event_type")
+    val steps = Seq("click", "view", "purchase")
+    // brute force: per user, try every (a, b, c) chain
+    val byUser = raw.groupBy(_._1)
+    def after(a: (Long, java.sql.Timestamp, Long, String),
+        b: (Long, java.sql.Timestamp, Long, String)) =
+      b._2.getTime > a._2.getTime || (b._2.getTime == a._2.getTime && b._3 > a._3)
+    def inWin(a: (Long, java.sql.Timestamp, Long, String),
+        b: (Long, java.sql.Timestamp, Long, String)) =
+      (b._2.getTime - a._2.getTime) * 1000L <= win
+    val expect = (1 to 3).map { k =>
+      k -> byUser.count { case (_, evs) =>
+        k match {
+          case 1 => evs.exists(_._4 == "click")
+          case 2 => evs.exists(a => a._4 == "click" && evs.exists(b =>
+            b._4 == "view" && after(a, b) && inWin(a, b)))
+          case 3 => evs.exists(a => a._4 == "click" && evs.exists(b =>
+            b._4 == "view" && after(a, b) && inWin(a, b) && evs.exists(c =>
+              c._4 == "purchase" && after(b, c) && inWin(b, c))))
+        }
+      }.toLong
+    }.toMap
+    val got = Temporal.windowedFunnel(ev, "user_id", "ts", "event_id",
+      "event_type", steps, win)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got == expect)
+  }
+
   // -------------------------------------------------- slidingDistinct
   test("slidingDistinct: trailing window dedups multi-day users, skips silent days") {
     val ev = Seq(
