@@ -1081,6 +1081,118 @@ object Catalog {
       SELECT e.source, e.p, e.q_est, x.q_exact
       FROM est e JOIN exact x ON x.source = e.source AND x.p = e.p"""))
 
+  // ---------------------------------------------------------------- r8
+  /** Sketch SET ALGEBRA — the serving question the distinct-count tier
+    * (r5) cannot answer by itself: "how many users are in BOTH
+    * audiences?" (cross-source overlap, campaign reach dedup,
+    * contamination between corpus splits). HLL unions are native and
+    * lossless, so |A∩B| serves as the INCLUSION-EXCLUSION composite
+    * est(A) + est(B) − est(A∪B) over the SAME persisted per-day
+    * sketches r5 already maintains — zero fact I/O at serving time,
+    * where the exact answer would re-join two 100-TB scans.
+    *
+    * Gates (r5's discipline): (1) re-merge invariance — est over the
+    * daily→type union fold equals est over a one-shot sketch of the
+    * same rows, for every type AND every pair union; (2) the composite
+    * intersection estimate lands within 3·1.04/√2^lgK of the EXACT
+    * intersection, relative to the UNION size — inclusion-exclusion
+    * compounds three estimates, so its error is union-scaled (the
+    * documented HLL-intersection caveat: a tiny overlap of two huge
+    * sets is unestimable — surfaced here as a bound, not a surprise).
+    * The returned frame is the exact overlap table (ONE shuffle for
+    * all pairs: per-user type flags, then one aggregate); the oracle
+    * replays it with DISTINCT/INTERSECT SQL.
+    */
+  private val r8 = Q(
+    "r8_set_overlap",
+    (s, d) => {
+      val lgK = 12
+      val pairs = Seq(("click", "purchase"), ("click", "view"), ("view", "purchase"))
+      val types = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin(types: _*))
+        .select(col("event_type"), col("user_id"), col("ts"))
+      // --- sketch tier: per-(type, day) sketches, as r5 persists them
+      val daily = ev
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"))
+      val byType = daily.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val oneShot = ev.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(lgK))).as("est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(byType == oneShot,
+        s"daily->type re-merge must equal the one-shot sketch: $byType vs $oneShot")
+      val unionEst = pairs.map { case (a, b) =>
+        val folded = daily.filter(col("event_type").isin(a, b))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+          .head().getLong(0)
+        val direct = ev.filter(col("event_type").isin(a, b))
+          .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(lgK))).as("est"))
+          .head().getLong(0)
+        require(folded == direct,
+          s"pair-union re-merge must equal the one-shot sketch for ($a,$b): $folded vs $direct")
+        (a, b) -> folded
+      }.toMap
+      // --- exact tier: ONE shuffle for every pair — per-user type flags
+      val typeFlags = types.map(t =>
+        max(when(col("event_type") === t, 1).otherwise(0)).as(s"f_$t"))
+      val flags = ev.groupBy(col("user_id"))
+        .agg(typeFlags.head, typeFlags.tail: _*)
+      val aggs = pairs.flatMap { case (a, b) =>
+        val pre = s"${a}_$b"
+        Seq(
+          sum(col(s"f_$a")).as(s"${pre}_na"),
+          sum(col(s"f_$b")).as(s"${pre}_nb"),
+          sum(greatest(col(s"f_$a"), col(s"f_$b"))).as(s"${pre}_nu"),
+          sum(least(col(s"f_$a"), col(s"f_$b"))).as(s"${pre}_ni"))
+      }
+      val counts = flags.agg(aggs.head, aggs.tail: _*)
+      val rows = pairs.map { case (a, b) =>
+        val pre = s"${a}_$b"
+        struct(lit(s"$a|$b").as("pair"),
+          col(s"${pre}_na").as("n_a"), col(s"${pre}_nb").as("n_b"),
+          col(s"${pre}_nu").as("n_union"), col(s"${pre}_ni").as("n_intersect"))
+      }
+      val exact = counts.select(explode(array(rows: _*)).as("r")).select(
+        col("r.pair").as("pair"), col("r.n_a").as("n_a"), col("r.n_b").as("n_b"),
+        col("r.n_union").as("n_union"), col("r.n_intersect").as("n_intersect"),
+        (col("r.n_intersect").cast("double") / col("r.n_union").cast("double"))
+          .as("jaccard"))
+      // --- the composite estimate's union-scaled error bound
+      val exactRows = exact.collect().map(r =>
+        r.getString(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+      val rse = 1.04 / math.sqrt((1 << lgK).toDouble)
+      pairs.foreach { case (a, b) =>
+        val estI = byType(a) + byType(b) - unionEst((a, b))
+        val (exU, exI) = exactRows(s"$a|$b")
+        require(math.abs(estI - exI) <= math.max(3 * rse * exU, 1.0),
+          s"inclusion-exclusion estimate for ($a,$b) off: est $estI exact $exI union $exU")
+      }
+      exact
+    },
+    Some {
+      val pairSql = Seq(("click", "purchase"), ("click", "view"), ("view", "purchase"))
+        .map { case (a, b) =>
+          s"""
+          SELECT '$a|$b' AS pair,
+            (SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = '$a') AS n_a,
+            (SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = '$b') AS n_b,
+            (SELECT COUNT(DISTINCT user_id) FROM events
+              WHERE event_type IN ('$a', '$b')) AS n_union,
+            (SELECT COUNT(*) FROM (
+              SELECT DISTINCT user_id FROM events WHERE event_type = '$a'
+              INTERSECT
+              SELECT DISTINCT user_id FROM events WHERE event_type = '$b')) AS n_intersect"""
+        }.mkString("\nUNION ALL\n")
+      s"""
+      WITH base AS ($pairSql)
+      SELECT pair, n_a, n_b, n_union, n_intersect,
+        CAST(n_intersect AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
+      FROM base"""
+    })
+
   // ---------------------------------------------------------------- q1
   // dbt-schema-test analog (reference: dbt/job_dbt/models/marts/
   // schema.yml:10-25 — unique/not_null on job_uid, accepted_values on
@@ -6103,7 +6215,7 @@ object Catalog {
     n1, n2, n3, n4, n5, n6, n7,
     d1, d2, d3, d4, d5, d6, d7,
     e1, e2, e3, e4, e5, j1, j2, j3, j4, j5,
-    r1, r2, r3, r4, r5, r6, r7, q1, q2, q3, q4, q5,
+    r1, r2, r3, r4, r5, r6, r7, r8, q1, q2, q3, q4, q5,
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16, l17, l18,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12,
     c1, c2, c3, c4, c5, c6, c7, c8,
