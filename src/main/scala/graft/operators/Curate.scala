@@ -363,10 +363,13 @@ object Curate {
    * pipelines decontaminate high-value long documents where whole-doc
    * dropping wastes 99% clean text.
    *
-   * FULLY NARROW: the benchmark's gram hashes ride along as a
-   * broadcast map literal (the t11 dictionary discipline) and the
-   * whole mask — match starts, covered positions, span count, kept
-   * tokens — is per-row array algebra over the token array. Zero
+   * FULLY NARROW: the benchmark's gram hashes ride along as ONE array
+   * literal probed through the native `graft_in_set` hash set (a map
+   * LITERAL would be probed by Catalyst's linear `ArrayBasedMapData`
+   * scan — O(|benchmark|) per gram, measured 83 s at sf0.1 before the
+   * native expression; the hash probe is O(1) and stays in codegen)
+   * and the whole mask — match starts, covered positions, span count,
+   * kept tokens — is per-row array algebra over the token array. Zero
    * shuffle, zero join: the 100-TB pass is map-only. Per-row cost is
    * O(tokens × matched-starts); clean documents (the overwhelming
    * majority) pay one hash probe per gram.
@@ -379,27 +382,37 @@ object Curate {
   def exciseContaminatedSpans(corpus: DataFrame, idCol: String,
       textCol: String, benchGramHashes: Set[String], n: Int): DataFrame = {
     require(n >= 1, "n-gram size must be positive")
-    val benchMap = typedLit(benchGramHashes.iterator.map(_ -> true).toMap)
+    graft.plans.VectorExpressions.ensureRegistered(corpus.sparkSession)
+    val benchArr = typedLit(benchGramHashes.toSeq.sorted)
     val ws = graft.functions.text.words(col(textCol))
-    def covers(starts: Column, j: Column): Column =
-      exists(starts, i => j >= i && j < i + lit(n))
     val empty = lit(Array.empty[Int])
     corpus.select(col(idCol), ws.as("__ws"))
       .withColumn("__nt", size(col("__ws")))
       .withColumn("__starts", when(col("__nt") >= n,
         filter(sequence(lit(0), col("__nt") - n), i =>
-          element_at(benchMap,
-            md5(concat_ws(" ", slice(col("__ws"), i + 1, lit(n))))).isNotNull))
+          call_function("graft_in_set",
+            md5(concat_ws(" ", slice(col("__ws"), i + 1, lit(n)))), benchArr)))
         .otherwise(empty))
       .withColumn("__idx", when(col("__nt") > 0,
         sequence(lit(0), col("__nt") - 1)).otherwise(empty))
-      .withColumn("__kept", filter(col("__idx"), j => !covers(col("__starts"), j)))
+      // covered positions as ONE sorted distinct array: |starts|·n
+      // elements flattened, then hash-based array_except — linear, where
+      // a per-position `exists over starts` probe is O(tokens·starts),
+      // quadratic exactly on the fully-covered documents the operator
+      // exists to excise
+      .withColumn("__cov", sort_array(array_distinct(flatten(
+        transform(col("__starts"), i => sequence(i, i + lit(n - 1)))))))
+      .withColumn("__kept", array_except(col("__idx"), col("__cov")))
       .select(
         col(idCol),
         col("__nt").cast("long").as("n_tokens"),
         (col("__nt") - size(col("__kept"))).cast("long").as("n_removed"),
-        size(filter(col("__idx"), j => covers(col("__starts"), j) &&
-          (j === 0 || !covers(col("__starts"), j - 1))))
+        // maximal covered runs = positions in __cov not preceded by
+        // their predecessor (O(|cov|), element_at is O(1) on arrays)
+        when(size(col("__cov")) === 0, lit(0)).otherwise(
+          size(filter(sequence(lit(0), size(col("__cov")) - 1), k =>
+            (k === 0) || (element_at(col("__cov"), k + 1) =!=
+              element_at(col("__cov"), k) + 1))))
           .cast("long").as("n_spans"),
         array_join(transform(col("__kept"),
           j => element_at(col("__ws"), j + 1)), " ").as("text_clean"))

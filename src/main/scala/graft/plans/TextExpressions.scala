@@ -226,6 +226,59 @@ case class MinhashSlices(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `graft_in_set(s, setArr)` — O(1) membership of `s` in the FOLDABLE
+  * string-array literal `setArr`.
+  *
+  * Why native: `element_at` on a map LITERAL (and `array_contains` on an
+  * array literal) is a LINEAR SCAN in Catalyst — `ArrayBasedMapData` has
+  * no index — so a membership probe against a 5·10^5-entry broadcast
+  * benchmark set costs O(|set|) per gram (measured: 83 s on
+  * t12_decontaminate_spans at sf0.1; this expression returns it to the
+  * map-only cost its design claims). The set literal is evaluated ONCE
+  * per expression instance into a transient java HashSet; generated code
+  * references that object — the surrounding projection stays inside
+  * whole-stage codegen. */
+case class InStringSet(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "graft_in_set"
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val rightIsStringArray = right.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (left.dataType != StringType || !rightIsStringArray)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, array<string>) arguments, got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a foldable (literal) set argument")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+  @transient private lazy val lookup: java.util.HashSet[UTF8String] = {
+    val arr = right.eval(null).asInstanceOf[ArrayData]
+    val s = new java.util.HashSet[UTF8String](arr.numElements() * 2)
+    var i = 0
+    while (i < arr.numElements()) {
+      s.add(arr.getUTF8String(i).clone())
+      i += 1
+    }
+    s
+  }
+  override protected def nullSafeEval(s: Any, unused: Any): Any =
+    lookup.contains(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("graftInSet", lookup, "java.util.HashSet")
+    // the right child is a literal: its generated value is a constant
+    // reference the probe ignores (membership goes through the hash set)
+    nullSafeCodeGen(ctx, ev, (s, _) =>
+      s"${ev.value} = $setRef.contains($s);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** `graft_md5_prefix64(token)` — see [[MinhashOps.md5Prefix64]]. */
 case class Md5Prefix64(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {

@@ -1091,14 +1091,21 @@ object Catalog {
     * sketches r5 already maintains — zero fact I/O at serving time,
     * where the exact answer would re-join two 100-TB scans.
     *
-    * Gates (r5's discipline): (1) re-merge invariance — est over the
-    * daily→type union fold equals est over a one-shot sketch of the
-    * same rows, for every type AND every pair union; (2) the composite
-    * intersection estimate lands within 3·1.04/√2^lgK of the EXACT
-    * intersection, relative to the UNION size — inclusion-exclusion
-    * compounds three estimates, so its error is union-scaled (the
-    * documented HLL-intersection caveat: a tiny overlap of two huge
-    * sets is unestimable — surfaced here as a bound, not a surprise).
+    * Gates (r5's discipline): (1) re-merge invariance — the
+    * daily→weekly→type union fold serves the same estimate as the flat
+    * daily→type fold, for every type AND every pair union. NOT
+    * direct-vs-union: a directly-built sketch keeps its HIP estimator
+    * while any union drops to the composite estimator, so their
+    * estimates legitimately diverge once the sketch densifies (r5
+    * measured 1491 vs 1488 at sf0.1 and this entry re-confirmed it on
+    * first capture — the invariant is union-fold-shape independence,
+    * which is what a sketch STORE actually relies on); (2) the
+    * composite intersection estimate lands within 3·1.04/√2^lgK of the
+    * EXACT intersection, relative to the UNION size —
+    * inclusion-exclusion compounds three estimates, so its error is
+    * union-scaled (the documented HLL-intersection caveat: a tiny
+    * overlap of two huge sets is unestimable — surfaced here as a
+    * bound, not a surprise).
     * The returned frame is the exact overlap table (ONE shuffle for
     * all pairs: per-user type flags, then one aggregate); the oracle
     * replays it with DISTINCT/INTERSECT SQL.
@@ -1112,28 +1119,36 @@ object Catalog {
       val ev = Tables.events(s, d)
         .filter(col("event_type").isin(types: _*))
         .select(col("event_type"), col("user_id"), col("ts"))
-      // --- sketch tier: per-(type, day) sketches, as r5 persists them
+      // --- sketch tier: per-(type, day) sketches, as r5 persists them.
+      // PERSISTED for the entry's lifetime: the serving tier's whole
+      // premise is that sketch rows are materialized once and every
+      // fold below reads them — without it each of the ~8 gate folds
+      // would re-scan the fact table
       val daily = ev
         .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
         .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"))
+        .persist()
+      val weekly = daily
+        .groupBy(col("event_type"), date_trunc("week", col("day")).as("wk"))
+        .agg(hll_union_agg(col("sk")).as("sk"))
       val byType = daily.groupBy("event_type")
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val oneShot = ev.groupBy("event_type")
-        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(lgK))).as("est"))
+      val rolled = weekly.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      require(byType == oneShot,
-        s"daily->type re-merge must equal the one-shot sketch: $byType vs $oneShot")
+      require(byType == rolled,
+        s"daily->weekly->type re-merge must equal the flat fold: $rolled vs $byType")
       val unionEst = pairs.map { case (a, b) =>
-        val folded = daily.filter(col("event_type").isin(a, b))
+        val flat = daily.filter(col("event_type").isin(a, b))
           .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
           .head().getLong(0)
-        val direct = ev.filter(col("event_type").isin(a, b))
-          .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(lgK))).as("est"))
+        val viaWeekly = weekly.filter(col("event_type").isin(a, b))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
           .head().getLong(0)
-        require(folded == direct,
-          s"pair-union re-merge must equal the one-shot sketch for ($a,$b): $folded vs $direct")
-        (a, b) -> folded
+        require(flat == viaWeekly,
+          s"pair-union re-merge must be fold-shape independent for ($a,$b): $flat vs $viaWeekly")
+        (a, b) -> flat
       }.toMap
       // --- exact tier: ONE shuffle for every pair — per-user type flags
       val typeFlags = types.map(t =>
@@ -1170,6 +1185,7 @@ object Catalog {
         require(math.abs(estI - exI) <= math.max(3 * rse * exU, 1.0),
           s"inclusion-exclusion estimate for ($a,$b) off: est $estI exact $exI union $exU")
       }
+      daily.unpersist(blocking = false) // exact (the returned frame) never reads it
       exact
     },
     Some {

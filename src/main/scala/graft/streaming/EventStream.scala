@@ -57,6 +57,28 @@ object EventStream {
         col("event_type"), col("n_events"), col("total_value"))
 
   /**
+   * Per-(type, day) HLL register sketches — the r5/r8 metadata tier as a
+   * streaming-safe stateful aggregate. HLL register state is a
+   * per-register MAX, so it is insertion-order-FREE: the trigger-sliced
+   * accumulation must serve the same estimates as a batch fold over the
+   * same rows, whatever the slicing — asserted per trigger in
+   * StreamingSpec. State is bounded at |types|·|days| rows of 2^lgK
+   * registers each, independent of event volume; at 100 TB the same
+   * expression runs in update mode with the sketch store as the sink
+   * and r5/r8's serving folds read it with zero fact I/O.
+   */
+  def dailySketches(events: DataFrame, lgK: Int = 12): DataFrame =
+    events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"))
+
+  /** The serving fold over persisted sketch rows (r5's read path):
+    * distinct users per type across any day range, zero fact I/O. */
+  def serveDistinct(sketches: DataFrame): DataFrame =
+    sketches.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+
+  /**
    * Streaming dedup by key within the watermark horizon — the streaming
    * form of the staging-table hash-key upsert (db_operations.py:334): the
    * first event per (user_id, event_type, hour) wins, late duplicates are

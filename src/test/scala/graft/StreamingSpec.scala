@@ -607,4 +607,45 @@ class StreamingSpec extends AnyFunSuite {
       assert(states(1L) == 3 && states(2L) == 2 && states(3L) == 0)
     } finally query.stop()
   }
+
+  test("daily HLL sketches: per-trigger served estimates equal the batch fold over data-so-far") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = EventStream.dailySketches(input.toDF())
+      .writeStream.format("memory").queryName("sk_out")
+      .outputMode("complete").start()
+    try {
+      // users repeat across days AND across triggers: the register-max
+      // state must dedup both axes exactly like a one-shot batch fold
+      val triggers = Seq(
+        Seq(Ev(ts("2024-01-01 10:00:00"), 1, "click", 0.0),
+          Ev(ts("2024-01-01 11:00:00"), 2, "click", 0.0),
+          Ev(ts("2024-01-01 12:00:00"), 1, "view", 0.0)),
+        Seq(Ev(ts("2024-01-02 10:00:00"), 1, "click", 0.0), // repeat user, new day
+          Ev(ts("2024-01-02 11:00:00"), 3, "click", 0.0),
+          Ev(ts("2024-01-02 12:00:00"), 2, "view", 0.0)),
+        Seq(Ev(ts("2024-01-01 13:00:00"), 2, "click", 0.0), // late event, old day
+          Ev(ts("2024-01-03 10:00:00"), 4, "view", 0.0)))
+      var seen = Seq.empty[Ev]
+      def served(df: org.apache.spark.sql.DataFrame) =
+        EventStream.serveDistinct(df)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      triggers.foreach { t =>
+        input.addData(t)
+        query.processAllAvailable()
+        seen = seen ++ t
+        val live = served(spark.table("sk_out"))
+        val batch = served(EventStream.dailySketches(seen.toDF()))
+        assert(live == batch,
+          s"trigger-sliced sketch state $live must serve the batch fold $batch")
+        // at this cardinality the HLL estimate is exact — pin it
+        val exact = seen.groupBy(_.event_type).map { case (ty, es) =>
+          ty -> es.map(_.user_id).distinct.size.toLong }
+        assert(live == exact)
+      }
+      // state is day-grain rows, not event rows
+      assert(spark.table("sk_out").count() ==
+        seen.map(e => (e.event_type, e.ts.toLocalDateTime.toLocalDate)).distinct.size)
+    } finally query.stop()
+  }
 }
