@@ -364,10 +364,13 @@ object Curate {
    * dropping wastes 99% clean text.
    *
    * FULLY NARROW: the benchmark's gram hashes ride along as ONE array
-   * literal probed through the native `graft_in_set` hash set (a map
-   * LITERAL would be probed by Catalyst's linear `ArrayBasedMapData`
-   * scan — O(|benchmark|) per gram, measured 83 s at sf0.1 before the
-   * native expression; the hash probe is O(1) and stays in codegen)
+   * literal probed through the native `graft_in_set` hash set. Measured
+   * decomposition of the original 83 s at sf0.1: the quadratic
+   * per-position exists-probe mask was ~78 s of it (interpreted
+   * higher-order lambda cost on exactly the fully-covered docs this
+   * operator exists for — replaced by the linear covered-array algebra
+   * below), and the map-literal probe accounted for the rest (4.97 s
+   * with the linear mask; 1.32 s with the hash set)
    * and the whole mask — match starts, covered positions, span count,
    * kept tokens — is per-row array algebra over the token array. Zero
    * shuffle, zero join: the 100-TB pass is map-only. Per-row cost is

@@ -226,18 +226,19 @@ case class MinhashSlices(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** `graft_in_set(s, setArr)` — O(1) membership of `s` in the FOLDABLE
-  * string-array literal `setArr`.
+/** `graft_in_set(s, setArr)` — hash-set membership of `s` in the
+  * FOLDABLE string-array literal `setArr`.
   *
-  * Why native: `element_at` on a map LITERAL (and `array_contains` on an
-  * array literal) is a LINEAR SCAN in Catalyst — `ArrayBasedMapData` has
-  * no index — so a membership probe against a 5·10^5-entry broadcast
-  * benchmark set costs O(|set|) per gram (measured: 83 s on
-  * t12_decontaminate_spans at sf0.1; this expression returns it to the
-  * map-only cost its design claims). The set literal is evaluated ONCE
-  * per expression instance into a transient java HashSet; generated code
-  * references that object — the surrounding projection stays inside
-  * whole-stage codegen. */
+  * Why native: probing a 5·10^5-entry map/array LITERAL per gram is what
+  * a literal-backed dictionary costs at benchmark scale — measured on
+  * t12_decontaminate_spans at sf0.1, the map-literal probe ran 4.97 s
+  * where this expression runs 1.32 s (same query, same linear mask
+  * algebra; a ~3.7× cut from the probe path alone — literal map data is
+  * re-shipped and probed per task with no shared index, the HashSet here
+  * is built once per instance and probed O(1)). The set literal is
+  * evaluated ONCE per expression instance into a transient java HashSet;
+  * generated code references that object — the surrounding projection
+  * stays inside whole-stage codegen. */
 case class InStringSet(left: Expression, right: Expression)
     extends BinaryExpression {
   override def prettyName: String = "graft_in_set"

@@ -183,4 +183,20 @@ class TextFunctionsSpec extends AnyFunSuite {
     val rows = toks.select(concat(nibbleBits: _*), concat(longBits: _*)).collect()
     rows.foreach(r => assert(r.getString(0) == r.getString(1)))
   }
+
+  test("native graft_in_set == array_contains on the same literal; null-safe") {
+    graft.plans.VectorExpressions.ensureRegistered(spark)
+    val set = (0 until 5000).map(i => s"k$i")
+    val probes = Seq("k0", "k4999", "k5000", "missing", "", null)
+      .toDF("s")
+    val got = probes.select(col("s"),
+      call_function("graft_in_set", col("s"), typedLit(set)).as("in_set"),
+      array_contains(typedLit(set), col("s")).as("ref")).collect()
+    got.foreach { r =>
+      if (r.isNullAt(0)) assert(r.isNullAt(1) && r.isNullAt(2))
+      else assert(r.getBoolean(1) == r.getBoolean(2), s"probe ${r.getString(0)}")
+    }
+    assert(got.count(r => !r.isNullAt(1) && r.getBoolean(1)) == 2)
+  }
+
 }
