@@ -336,6 +336,35 @@ object Temporal {
   }
 
   /**
+   * The SKETCH path of [[slidingDistinct]] — for windows too wide for a
+   * w-times explode of user-days (365-day rolling actives), the same
+   * day-grain pre-aggregate feeds per-day HLL sketches instead: ONE
+   * sketch row per (day) regardless of user count, and each report
+   * day's estimate is a union fold over its w sketch rows. The explode
+   * here amplifies |days| SKETCH rows by w — metadata-sized — where
+   * [[slidingDistinct]] amplifies |users|·|days| rows; beyond the
+   * build's single event scan, serving touches zero fact I/O (the
+   * r5/r8 store economics applied to the rolling window). Estimates
+   * carry the HLL 1.04/√2^lgK relative-error guarantee; the a11
+   * catalog entry gates this path against the exact rewrite at 5%.
+   */
+  def slidingDistinctSketch(events: DataFrame, keyCol: String, tsCol: String,
+      windowDays: Int, lgK: Int = 12): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val daily = events
+      .select(col(keyCol).as("_u"), to_date(col(tsCol)).as("_d"))
+      .groupBy(col("_d"))
+      .agg(hll_sketch_agg(col("_u"), lit(lgK)).as("sk"))
+    val observed = daily.select(col("_d").as("day"))
+    daily
+      .select(col("sk"), explode(
+        sequence(col("_d"), date_add(col("_d"), windowDays - 1))).as("day"))
+      .join(broadcast(observed), Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+  }
+
+  /**
    * INTERVAL OVERLAP JOIN — all pairs of intervals (one from each side,
    * same key) whose half-open ranges [start, end) intersect: the
    * "which sessions overlapped which campaigns / incidents / shifts"

@@ -371,11 +371,27 @@ object Catalog {
   // explode and one two-phase distinct aggregate. The oracle IS the
   // naive relational form (a range join whose comparison volume is
   // |days| x |user-days| — a broadcast nested loop at engine scale),
-  // proving the linear rewrite exact, partial windows included.
+  // proving the linear rewrite exact, partial windows included. The
+  // wide-window SKETCH path (per-day HLL rows, w-union per report day,
+  // fact-free serving) runs IN the entry and must land within the HLL
+  // error bound of the exact rewrite for every reported day — the
+  // scale path is a gated invariant, not prose.
   private val a11 = Q(
     "a11_sliding_distinct",
-    (s, d) => Temporal.slidingDistinct(Tables.events(s, d), "user_id", "ts", 7)
-      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n_users")),
+    (s, d) => {
+      val exact = Temporal.slidingDistinct(Tables.events(s, d), "user_id", "ts", 7)
+      val approx = Temporal.slidingDistinctSketch(
+          Tables.events(s, d), "user_id", "ts", 7)
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      val ex = exact.collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      require(approx.keySet == ex.keySet,
+        s"sketch path must report exactly the observed days")
+      ex.foreach { case (day, n) =>
+        val e = approx(day)
+        require(math.abs(e - n).toDouble / n <= 0.05,
+          s"sketch sliding distinct off by >5% on $day: est $e exact $n") }
+      exact.select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n_users"))
+    },
     Some("""
       WITH ud AS (
         SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
