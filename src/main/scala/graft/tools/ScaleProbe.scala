@@ -80,7 +80,11 @@ object ScaleProbe {
     // the operator exists for) and the overlap join (×8 events per
     // unchanged session set: sessionize absorbs the growth, the pair
     // space must not)
-    "l18_ann_sq8", "a11_sliding_distinct", "j5_overlap_join")
+    "l18_ann_sq8", "a11_sliding_distinct", "j5_overlap_join",
+    // windowed funnel (×8 events per key fold) and the sketch-algebra
+    // entry (×8 rows into the same |types|·|days| sketch cells — state
+    // must not grow; the exact flags table rides the ×8 user axis)
+    "a12_windowed_funnel", "r8_set_overlap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -46,7 +46,13 @@ object SkewProbe {
     // constant w) and the overlap join (one user owns 30% of view AND
     // purchase events: giant merged sessions, the per-(key, bin) equi
     // join must keep the pair space bounded)
-    "a11_sliding_distinct", "j5_overlap_join")
+    "a11_sliding_distinct", "j5_overlap_join",
+    // the funnel folds (plain and windowed) sort-collect one array per
+    // key: the hot user's 30% of the log becomes ONE ~180k-element
+    // array in one task — the fold is linear and the state nSteps
+    // longs, but the sort-collect is the axis to watch; r8's exact
+    // path flags per user on the same exchange
+    "a9_funnel", "a12_windowed_funnel", "r8_set_overlap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
