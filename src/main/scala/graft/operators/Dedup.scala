@@ -501,13 +501,29 @@ object Dedup {
         .reduce(_ + _).as(s"b$b")
     }
     val fp = simhashVotes(corpus, idCol, textCol).select(col("id") +: blockCols: _*)
-    val blocks = fp.select(col("id"), col("b0"), col("b1"), col("b2"), col("b3"),
-      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("blk", "bv")))
+    blockPigeonholePairs(fp, nBlocks = 4, maxHamming, maxBucket)
+  }
+
+  /**
+   * Shared pigeonhole pair generator over int-block fingerprints: `fp`
+   * is (id, b0..b{nBlocks-1}); by pigeonhole any pair within hamming
+   * (nBlocks − 1) agrees exactly on ≥ 1 block, so candidates are a
+   * shuffle on (block index, block value) — Σ bucket², never n². Bucket
+   * populations above `maxBucket` are dropped (the l1 skew-cap
+   * discipline); hamming is nBlocks codegen'd `bit_count(xor)`s.
+   */
+  private def blockPigeonholePairs(fp: DataFrame, nBlocks: Int,
+      maxHamming: Int, maxBucket: Int): DataFrame = {
+    require(maxHamming < nBlocks,
+      s"pigeonhole completeness needs maxHamming < nBlocks ($maxHamming >= $nBlocks)")
+    val bCols = (0 until nBlocks).map(b => col(s"b$b"))
+    val blocks = fp.select(col("id") +: bCols :+
+      posexplode(array(bCols: _*)).as(Seq("blk", "bv")): _*)
     val capped = blocks
       .withColumn("n_bucket", count(lit(1)).over(Window.partitionBy("blk", "bv")))
       .filter(col("n_bucket") <= maxBucket)
       .drop("n_bucket")
-    val hamming = (0 until 4).map(b =>
+    val hamming = (0 until nBlocks).map(b =>
       bit_count(col(s"a.b$b").bitwiseXOR(col(s"b.b$b")))).reduce(_ + _).cast("int")
     capped.as("a")
       .join(capped.as("b"),
@@ -516,6 +532,30 @@ object Dedup {
       .select(col("a.id").as("id1"), col("b.id").as("id2"), hamming.as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /**
+   * Perceptual-hash near-duplicate pairs over a binary media column:
+   * fingerprint = the native 64-bit block-mean hash
+   * ([[graft.plans.MediaOps.blockMeanBits]] — one O(bytes) pass per
+   * payload, codegen-friendly), pairs within hamming <= `maxHamming`
+   * (<= 7: the 8-block pigeonhole is complete for 7) via the same
+   * banded candidate join SimHash uses — never an all-pairs scan.
+   *
+   * Scale note: 8-bit blocks give 256 bucket values per band, so
+   * unrelated-pair collision chance is ~nBlocks/256 per pair — right
+   * for ~10^6-payload stores; a larger corpus wants a wider phash
+   * (256-bit, 16-bit blocks) — same plan, different constants.
+   */
+  def phashPairs(media: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int = 7, maxBucket: Int = 10000): DataFrame = {
+    graft.plans.VectorExpressions.ensureRegistered(media.sparkSession)
+    val fp = media
+      .select(col(idCol).as("id"),
+        call_function("graft_blockmean_bits", col(payloadCol)).as("bb"))
+      .select(col("id") +:
+        (0 until 8).map(j => element_at(col("bb"), j + 1).as(s"b$j")): _*)
+    blockPigeonholePairs(fp, nBlocks = 8, maxHamming, maxBucket)
   }
 
   /** Character n-gram Jaccard for candidate pairs (verification primitive). */

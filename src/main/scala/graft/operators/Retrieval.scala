@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Full-text retrieval over a document corpus: inverted-index build + a
+ * BM25-family ranked search — the "find training docs matching a probe
+ * query" primitive a curation pipeline runs for targeted corpus audits
+ * (and the batch form of any search-backed data-selection loop).
+ *
+ * Reference anchor: the reference's keyword search is a LIKE scan inside
+ * its search endpoint (services/api/search.py:61 ILIKE filter); this is
+ * the index-backed re-expression that survives a corpus you cannot scan
+ * per query.
+ *
+ * Scale shape (the 100-TB story):
+ *  - the posting build is ONE shuffle keyed on (term, doc) with map-side
+ *    partial counts; document length rides the explode so no second
+ *    join against a doc-stats table is ever needed;
+ *  - document frequencies reduce the posting table itself (map-side
+ *    partials on term — the distinct (term,doc) pairs, never raw tokens);
+ *  - the query set is small by definition, so query terms (with their
+ *    precomputed idf weights) BROADCAST to the postings — the corpus
+ *    side never re-shuffles for scoring;
+ *  - per-(query,doc) score aggregation shuffles only MATCHED postings —
+ *    cost tracks result size, not corpus size;
+ *  - top-k is the two-phase bounded-heap + final-window discipline
+ *    (Ann.topK's shape): a single window over query_id would funnel
+ *    every scored doc of a query onto one reducer.
+ *
+ * Determinism (SURVEY §6): no log(). BM25's idf and tf saturation are
+ * evaluated as SCALED-INTEGER floors over exact-long operands — both
+ * factors are floor(scale·a/b) with a, b exact longs < 2^53, so the
+ * IEEE-correctly-rounded double division (and hence the floor) is
+ * engine-identical; per-term contributions s1·s2 and their per-doc sums
+ * stay exact longs. The production log-idf variant is the same plan with
+ * the s1 scalar swapped (log isn't correctly-rounded across libms, so
+ * the gated path stays rational — t11's discipline).
+ *
+ * With k1 = 6/5 and b = 3/4 (the textbook 1.2 / 0.75), multiplying the
+ * tf-saturation term through by 20·T (T = total corpus tokens, so
+ * avgdl = T/N) clears every fraction:
+ *
+ *   tfSat = tf·(k1+1) / (tf + k1·(1−b+b·dl·N/T))
+ *         = 44·T·tf / (20·T·tf + 6·T + 18·dl·N)          (all longs)
+ *   idf   = (N−df+0.5)/(df+0.5) = (2N−2df+1)/(2df+1)     (all longs)
+ *
+ *   s1 = floor(scale1·(2N−2df+1)/(2df+1))     per query term
+ *   s2 = floor(scale2·44·T·tf/(20·T·tf+6·T+18·dl·N))  per matched posting
+ *   score(q,d) = Σ_terms s1·s2                exact long
+ */
+object Retrieval {
+
+  /** Inverted index: one row per (term, doc) with the term frequency and
+    * the document's token length. ONE shuffle (map-side partial counts
+    * on (term, doc_id, dl) — dl is functionally dependent on doc_id so
+    * it rides the key for free instead of costing a later join). */
+  def buildPostings(docs: DataFrame, idCol: String, tokensCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        size(col(tokensCol)).cast("long").as("dl"),
+        explode(col(tokensCol)).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Per-term document frequency, reduced from the posting table (map-side
+    * partials over the already-distinct (term, doc) pairs). */
+  def docFreq(postings: DataFrame): DataFrame =
+    postings.groupBy("term").agg(count(lit(1)).as("df"))
+
+  /**
+   * BM25 top-k: rank `postings` docs for each query in `queryTerms`
+   * (query_id, term — duplicate terms score twice, as duplicate query
+   * tokens do in any BM25). `n` = corpus doc count, `t` = total corpus
+   * tokens; both exact. Returns (query_id, doc_id, score, rank), score
+   * the exact-long scaled BM25, rank 1-based with (score desc, doc_id
+   * asc) ties.
+   *
+   * Headroom (exactness preconditions, checked against the declared
+   * contract): every floor's operands and every score sum must stay
+   * < 2^53. `maxTf` (largest in-doc term frequency; enforced in-plan
+   * with a raise_error guard, so a corpus that breaks the declaration
+   * fails loudly, never silently rounds) and `maxQueryLen` (terms per
+   * query; queries are caller-built literals) bound scale2·44·T·maxTf
+   * and maxQueryLen·s1max·s2max — size the scales down before a bigger
+   * corpus fires the require.
+   */
+  def bm25TopK(postings: DataFrame, queryTerms: DataFrame, n: Long, t: Long,
+      k: Int, scale1: Long = 100000L, scale2: Long = 10000L,
+      maxTf: Long = 4096L, maxQueryLen: Long = 16L): DataFrame = {
+    require(n > 0 && t > 0, "empty corpus")
+    require(scale1 * (2 * n + 1) < (1L << 53), s"scale1=$scale1 overflows idf headroom at N=$n")
+    require(scale2 * 44L * t <= (1L << 53) / maxTf,
+      s"scale2 tf-saturation headroom exceeded at T=$t, maxTf=$maxTf")
+    val s1max = scale1 * (2 * n + 1)
+    val s2max = scale2 * 22L / 10L + 1L
+    require(maxQueryLen * s1max * s2max < (1L << 53),
+      s"score-sum headroom exceeded: maxQueryLen=$maxQueryLen, N=$n")
+
+    val dfT = docFreq(postings)
+    // query-side weights: tiny by construction -> broadcast the whole
+    // (query_id, term, s1) table into the posting scan.
+    val weighted = queryTerms
+      .join(dfT, Seq("term"), "inner") // terms absent from the corpus match no doc: drop
+      .withColumn("s1", floor(
+        (lit(scale1) * (lit(2 * n) - lit(2) * col("df") + lit(1))).cast("double") /
+          (lit(2) * col("df") + lit(1)).cast("double")).cast("long"))
+      .select("query_id", "term", "s1")
+
+    val tfChecked = when(col("tf") > maxTf,
+      raise_error(concat(lit(s"bm25TopK: tf exceeds declared maxTf=$maxTf for term "),
+        col("term")))).otherwise(col("tf"))
+    val num = (lit(scale2) * lit(44) * lit(t) * tfChecked).cast("double")
+    val den = (lit(20) * lit(t) * col("tf") + lit(6) * lit(t) +
+      lit(18) * col("dl") * lit(n)).cast("double")
+    val scored = postings
+      .join(broadcast(weighted), Seq("term"), "inner")
+      .withColumn("s2", floor(num / den).cast("long"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("s1") * col("s2")).as("score"))
+
+    topKByGroup(scored, k)
+  }
+
+  private val scoredSchema = StructType(Seq(
+    StructField("query_id", LongType),
+    StructField("doc_id", LongType),
+    StructField("score", LongType)))
+
+  /** Test-only visibility for the heap-vs-window equivalence spec. */
+  private[graft] def bm25TestTopK(scored: DataFrame, k: Int): DataFrame =
+    topKByGroup(scored, k)
+
+  /** Two-phase top-k per query_id on (score desc, doc_id asc): a bounded
+    * per-partition heap cuts each partition to <= k rows per query, then
+    * one window ranks the <= partitions·queries·k survivors. */
+  private[operators] def topKByGroup(scored: DataFrame, k: Int): DataFrame = {
+    require(scored.columns.toSeq == Seq("query_id", "doc_id", "score"),
+      s"topKByGroup expects (query_id, doc_id, score), got: ${scored.columns.mkString(", ")}")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(scoredSchema)
+    // max under this ordering = the WORST kept row (lowest score, then
+    // highest doc_id) -> O(log k) eviction at the heap head.
+    val worstFirst: Ordering[(Long, Long)] =
+      Ordering.Tuple2(Ordering.Long.reverse, Ordering.Long)
+    val local = scored.mapPartitions { rows =>
+      val heaps = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.PriorityQueue[(Long, Long)]]
+      rows.foreach { r =>
+        val h = heaps.getOrElseUpdate(r.getLong(0),
+          scala.collection.mutable.PriorityQueue.empty[(Long, Long)](worstFirst))
+        h.enqueue((r.getLong(2), r.getLong(1)))
+        if (h.size > k) h.dequeue()
+      }
+      heaps.iterator.flatMap { case (q, h) =>
+        h.iterator.map { case (s, d) => org.apache.spark.sql.Row(q, d, s) }
+      }
+    }(enc)
+    local
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank").cast("long").as("rank"),
+        col("score"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -294,6 +294,66 @@ case class Md5Prefix64(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s =>
       s"${ev.value} = graft.plans.MinhashOps.md5Prefix64($s);")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/**
+ * Block-mean perceptual hash over an opaque byte payload — the classic
+ * block-mean image hash (Yang/Weng's blocked mean-threshold scheme)
+ * re-expressed for a binary media column: 64 equal byte-range blocks
+ * (block k = bytes [k·L/64, (k+1)·L/64)), bit k = 1 iff the block's byte
+ * mean exceeds the whole-payload mean. The mean comparison is EXACT
+ * cross-multiplication (sum(block)·L > total·blockLen) — no division, no
+ * doubles, so the hash is engine-identical by construction.
+ *
+ * A real image phash resizes + DCTs decoded pixels; this operates on the
+ * raw payload bytes (the honest stub this container supports — swap the
+ * byte loop for decoded-pixel means and the whole distributed plan is
+ * unchanged). Robust to in-place byte noise, NOT to length changes —
+ * exactly a block-mean hash's behavior on unaligned crops.
+ *
+ * Returned as 8 ints of 8 consecutive bits (int j carries bits 8j..8j+7,
+ * MSB first: bit 8j+i lands at 1 << (7−i)) so pair generation can
+ * pigeonhole on int blocks (Dedup.simhashPairs' form: any pair within
+ * hamming 7 agrees exactly on ≥ 1 of the 8 blocks) and pair hamming is
+ * 8 codegen'd bit_count(xor)s.
+ */
+object MediaOps {
+  def blockMeanBits(payload: Array[Byte]): ArrayData = {
+    val L = payload.length
+    var total = 0L
+    var i = 0
+    while (i < L) { total += (payload(i) & 0xff); i += 1 }
+    val out = new Array[Int](8)
+    var k = 0
+    while (k < 64) {
+      val lo = (k.toLong * L / 64).toInt
+      val hi = ((k + 1).toLong * L / 64).toInt
+      var s = 0L
+      var j = lo
+      while (j < hi) { s += (payload(j) & 0xff); j += 1 }
+      if (s * L > total * (hi - lo)) out(k / 8) |= 1 << (7 - (k % 8))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_blockmean_bits(payload)` — see [[MediaOps.blockMeanBits]]. */
+case class BlockMeanBits(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "graft_blockmean_bits"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary argument, got ${child.dataType.simpleString}")
+  override protected def nullSafeEval(b: Any): Any =
+    MediaOps.blockMeanBits(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"${ev.value} = graft.plans.MediaOps.blockMeanBits($b);")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }

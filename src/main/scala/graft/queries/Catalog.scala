@@ -3175,6 +3175,64 @@ object Catalog {
         LEFT JOIN cln c ON c.doc_id = b.doc_id"""))
   }
 
+  // ---------------------------------------------------------------- t13
+  // BM25 RETRIEVAL (Retrieval.bm25TopK) — index-backed ranked search,
+  // the re-expression of the reference's ILIKE keyword scan
+  // (services/api/search.py:61) that survives a corpus you can't scan
+  // per query. Queries are data-derived (every doc_id % 97 == 0
+  // contributes its first 4 normalized tokens), so recall is
+  // non-vacuous: each query's own source doc must surface. No log():
+  // idf and tf-saturation are scaled-integer floors over exact longs
+  // (k1 = 6/5, b = 3/4 cleared through 20·T — see Retrieval's scaladoc),
+  // so score longs hash-compare across engines; the oracle replays
+  // tokenize → postings → df → floors → sum → rank bit-for-bit. The
+  // stats pass (N, T) is the t11/bigramModel coordinator discipline:
+  // two scalars collected once, broadcast as literals.
+  private val t13 = Q(
+    "t13_bm25_search",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(T.normKey(col("text")), " ").as("w"))
+      val st = docs.agg(count(lit(1)), sum(size(col("w")).cast("long"))).head
+      val (n, t) = (st.getLong(0), st.getLong(1))
+      val queries = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"), explode(slice(col("w"), 1, 4)).as("term"))
+      val postings = graft.operators.Retrieval.buildPostings(docs, "doc_id", "w")
+      graft.operators.Retrieval.bm25TopK(postings, queries, n, t, k = 10)
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, string_split(${normSql("text")}, ' ') AS w FROM documents),
+      stats AS (
+        SELECT COUNT(*) AS n, SUM(len(w)) AS t FROM docs),
+      post AS (
+        SELECT tok AS term, doc_id, dl, COUNT(*) AS tf
+        FROM (SELECT doc_id, len(w) AS dl, unnest(w) AS tok FROM docs) z
+        GROUP BY 1, 2, 3),
+      dft AS (SELECT term, COUNT(*) AS df FROM post GROUP BY 1),
+      q AS (
+        SELECT doc_id AS query_id, unnest(w[1:4]) AS term
+        FROM docs WHERE doc_id % 97 = 0),
+      wq AS (
+        SELECT q.query_id, q.term,
+          CAST(FLOOR(CAST(100000 * (2 * s.n - 2 * d.df + 1) AS DOUBLE)
+            / CAST(2 * d.df + 1 AS DOUBLE)) AS BIGINT) AS s1
+        FROM q JOIN dft d ON d.term = q.term CROSS JOIN stats s),
+      sc AS (
+        SELECT w.query_id, p.doc_id,
+          SUM(w.s1 * CAST(FLOOR(CAST(10000 * 44 * s.t * p.tf AS DOUBLE)
+            / CAST(20 * s.t * p.tf + 6 * s.t + 18 * p.dl * s.n AS DOUBLE))
+            AS BIGINT)) AS score
+        FROM post p JOIN wq w ON w.term = p.term CROSS JOIN stats s
+        GROUP BY 1, 2),
+      r AS (
+        SELECT query_id, doc_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id) AS rank, score
+        FROM sc)
+      SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, score
+      FROM r WHERE rank <= 10"""))
+
   // ---------------------------------------------------------------- c6
   // Per-stratum quota sampling (Curate.quotaSample) — the fixed-budget
   // counterpart of c2's rate mixing: exactly N docs per source, chosen as
@@ -3487,6 +3545,85 @@ object Catalog {
         md5(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_md5,
         CAST(len(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS BIGINT) AS frame_chars
       FROM f"""))
+
+  // ---------------------------------------------------------------- m4
+  // PERCEPTUAL-HASH NEAR-DUP over the binary media column
+  // (MediaOps.blockMeanBits + Dedup.phashPairs) — the media-modality
+  // member of the dedup family: l1/l2 catch near-identical TEXT, m4
+  // catches near-identical PAYLOADS (re-encoded images, watermarked
+  // copies) that exact d1 hashing misses. Fingerprint = the classic
+  // block-mean hash over payload bytes (native expression, one O(bytes)
+  // pass, exact cross-multiplied mean compares — no doubles), pairs via
+  // the 8-block pigeonhole (complete for hamming <= 7), Σ bucket² like
+  // every dedup entry — never an all-pairs scan. Fixture: the corpus as
+  // payloads plus in-place-corrupted copies (5 'z' bytes at L/5-spaced
+  // offsets — "pixel noise", which block-mean hashing absorbs; measured
+  // planted-pair hamming ~2, unrelated >= 13 on this corpus). The oracle
+  // is the QUADRATIC ground truth: full self-join with the same 64 bits
+  // rebuilt relationally per row — the engine's banded join must
+  // reproduce it exactly (pigeonhole completeness, hash-gated).
+  private val m4 = {
+    // substitution positions q_i = i·L/5 + 4 (1-based), i = 0..4; min
+    // corpus length (44) makes every position valid and the gaps > 1.
+    // One generator, two integer-division spellings (Spark `div`,
+    // DuckDB `//`) — the segments are rebuilt from the SAME constants.
+    def perturbSql(t: String, idiv: String): String = {
+      val L = s"length($t)"
+      val q = (0 until 5).map(i => s"(($i * $L) $idiv 5 + 4)")
+      val segs = new scala.collection.mutable.ArrayBuffer[String]
+      segs += s"substr($t, 1, ${q(0)} - 1)"
+      for (i <- 0 until 4) {
+        segs += "'z'"
+        segs += s"substr($t, ${q(i)} + 1, ${q(i + 1)} - ${q(i)} - 1)"
+      }
+      segs += "'z'"
+      segs += s"substr($t, ${q(4)} + 1)"
+      segs.mkString(" || ")
+    }
+    // DuckDB replay of MediaOps.blockMeanBits over ASCII text (the
+    // payload is the utf-8 encoding, corpus verified 7-bit): 8 block
+    // ints from 64 exact cross-multiplied block-mean bits.
+    val blockSqls = (0 until 8).map { j =>
+      (0 until 8).map { i =>
+        val k = 8 * j + i
+        val lo = s"(($k * L) // 64)"
+        val hi = s"((${k + 1} * L) // 64)"
+        s"""(CASE WHEN COALESCE(list_aggregate(list_slice(codes, $lo + 1, $hi), 'sum'), 0) * L
+              > total * ($hi - $lo) THEN ${1 << (7 - i)} ELSE 0 END)"""
+      }.mkString(" + ") + s" AS b$j"
+    }.mkString(", ")
+    val hammingSql = (0 until 8).map(j => s"bit_count(xor(a.b$j, b.b$j))").mkString(" + ")
+    Q(
+      "m4_phash_neardup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), T.normKey(col("text")).as("t"))
+        val pert = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+          expr(perturbSql("t", "div")).as("t"))
+        val media = docs.unionAll(pert)
+          .select(col("doc_id"), encode(col("t"), "UTF-8").as("payload"))
+        graft.operators.Dedup.phashPairs(media, "doc_id", "payload",
+          maxHamming = 7, maxBucket = 10000)
+      },
+      Some(s"""
+        WITH corpus AS (
+          SELECT doc_id AS id, ${normSql("text")} AS t FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS id, ${perturbSql(normSql("text"), "//")} AS t
+          FROM documents),
+        pre AS (
+          SELECT id, length(t) AS L,
+            list_transform(range(1, length(t) + 1),
+              i -> ord(substr(t, CAST(i AS INT), 1))) AS codes
+          FROM corpus),
+        tot AS (
+          SELECT id, L, codes, COALESCE(list_aggregate(codes, 'sum'), 0) AS total
+          FROM pre),
+        ph AS (SELECT id, $blockSqls FROM tot)
+        SELECT a.id AS id1, b.id AS id2, CAST($hammingSql AS INT) AS hamming
+        FROM ph a JOIN ph b ON a.id < b.id
+        WHERE $hammingSql <= 7"""))
+  }
 
   // ---------------------------------------------------------------- s1
   private val s1 = Q(
@@ -6249,9 +6386,9 @@ object Catalog {
     e1, e2, e3, e4, e5, j1, j2, j3, j4, j5,
     r1, r2, r3, r4, r5, r6, r7, r8, q1, q2, q3, q4, q5,
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16, l17, l18,
-    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12,
+    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13,
     c1, c2, c3, c4, c5, c6, c7, c8,
-    m1, m2, m3, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12,
+    m1, m2, m3, m4, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12,
     p1, p2, p3, p4, p5,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
     w17, w18, w19, w20, w21)

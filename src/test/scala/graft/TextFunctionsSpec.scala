@@ -199,4 +199,62 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got.count(r => !r.isNullAt(1) && r.getBoolean(1)) == 2)
   }
 
+  /** Plain-Scala block-mean reference for graft_blockmean_bits. */
+  private def refBlockBits(payload: Array[Byte]): Seq[Int] = {
+    val L = payload.length
+    val total = payload.map(b => (b & 0xff).toLong).sum
+    val out = Array.fill(8)(0)
+    for (k <- 0 until 64) {
+      val lo = k * L / 64; val hi = (k + 1) * L / 64
+      val s = payload.slice(lo, hi).map(b => (b & 0xff).toLong).sum
+      if (s * L > total * (hi - lo)) out(k / 8) |= 1 << (7 - (k % 8))
+    }
+    out.toSeq
+  }
+
+  test("native graft_blockmean_bits matches the plain-Scala block-mean reference") {
+    graft.plans.VectorExpressions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(11)
+    val payloads = Seq(
+      Array.empty[Byte],                       // degenerate: all-zero hash
+      Array.fill(7)(42.toByte),                // shorter than 64: empty blocks
+      Array.fill(200)(9.toByte),               // uniform: no block above the mean
+      Array.tabulate(300)(i => (i % 251).toByte),
+      Array.fill(500)(rnd.nextInt(256).toByte))
+    val df = payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("id", "payload")
+    val got = df.select(col("id"),
+      call_function("graft_blockmean_bits", col("payload")).as("bb"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    payloads.zipWithIndex.foreach { case (p, i) =>
+      assert(got(i.toLong) == refBlockBits(p), s"payload $i")
+    }
+  }
+
+  test("phashPairs: in-place noise found, pigeonhole complete vs brute force") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(13)
+    val base = Seq.tabulate(30)(i =>
+      i.toLong -> Array.fill(400)(rnd.nextInt(256).toByte))
+    // noisy twin of each: 5 in-place byte flips (indices spread evenly)
+    val noisy = base.map { case (id, p) =>
+      val q = p.clone()
+      for (i <- 0 until 5) q(i * q.length / 5 + 3) = 'z'.toByte
+      (id + 1000L) -> q
+    }
+    val media = (base ++ noisy).map { case (id, p) => (id, p) }.toDF("id", "payload")
+    val got = Dedup.phashPairs(media, "id", "payload", maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute-force ground truth over the same fingerprints
+    val fps = (base ++ noisy).map { case (id, p) => id -> refBlockBits(p) }
+    val want = (for {
+      (id1, f1) <- fps; (id2, f2) <- fps if id1 < id2
+      h = f1.zip(f2).map { case (a, b) => Integer.bitCount(a ^ b) }.sum
+      if h <= 7
+    } yield (id1, id2, h)).toSet
+    assert(got == want)
+    // the planted twins dominate the matches: most ids find their +1000 copy
+    val twins = want.count { case (a, b, _) => b == a + 1000L }
+    assert(twins >= 25, s"only $twins of 30 planted twins within hamming 7")
+  }
+
 }
