@@ -31,12 +31,13 @@ object Curate {
    * (0.9,"val"), default "test".
    */
   def assignSplit(df: DataFrame, keyCol: String, salt: String,
-      cuts: Seq[(Double, String)], default: String): DataFrame = {
+      cuts: Seq[(Double, String)], default: String,
+      outCol: String = "split"): DataFrame = {
     val frac = hashFraction(concat(col(keyCol).cast("string"), lit("|" + salt)))
     val split = cuts.foldRight(lit(default): Column) { case ((ub, label), elseCol) =>
       when(frac < ub, lit(label)).otherwise(elseCol)
     }
-    df.withColumn("split", split)
+    df.withColumn(outCol, split)
   }
 
   /**

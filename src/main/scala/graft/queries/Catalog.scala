@@ -3347,6 +3347,74 @@ object Catalog {
         WHERE c.cum_tokens - c.n_tokens < b.budget"""))
   }
 
+  // ---------------------------------------------------------------- c9
+  // LEAKAGE-AWARE GROUP-ATOMIC SPLIT — the eval-integrity fix for c1's
+  // per-document split: hashing each doc independently puts near-dup
+  // PAIRS on both sides of the train/test cut, and a held-out set the
+  // model has effectively seen is exactly the t9/t12 contamination
+  // failure reappearing through the split. c9 assigns ATOMICALLY by
+  // near-dup component: l1's minhash edges → l7's connected components →
+  // c1's salted-hash cuts keyed on the COMPONENT id, so same-component
+  // docs land on the same side by construction (split is a pure function
+  // of component_id — no pair can straddle). naive_split (the same cuts
+  // keyed per-doc) rides along as the audit column: rows where the two
+  // disagree are exactly the leakage c1 would have committed; the spec
+  // counts a planted straddling pair under naive and proves zero under
+  // group. Scale = the sum of its parts, all already probed: banded
+  // minhash (Σ bucket², never n²), O(log d) CC rounds, then a map-only
+  // labeling pass. The oracle replays minhash → recursive-CTE closure →
+  // both hash cuts bit-for-bit.
+  private val c9 = {
+    val (cut1, cut2, salt) = (0.8, 0.9, "leak0")
+    def splitCaseSql(f: String) =
+      s"CASE WHEN $f < $cut1 THEN 'train' WHEN $f < $cut2 THEN 'val' ELSE 'test' END"
+    Q(
+      "c9_leakage_split",
+      (s, d) => {
+        val corpus = perturbedCorpus(s, d)
+        val pairs = graft.operators.Dedup.minhashPairs(corpus, "id", "t",
+          shingleN = 3, k = 16, bands = 4, threshold = 0.8, maxBucket = 1000)
+        val labels = graft.operators.Dedup.connectedComponents(
+          corpus.select("id"), "id", pairs)
+        val grouped = Curate.assignSplit(labels, "component_id", salt,
+          Seq(cut1 -> "train", cut2 -> "val"), "test")
+        Curate.assignSplit(grouped, "id", salt,
+          Seq(cut1 -> "train", cut2 -> "val"), "test", outCol = "naive_split")
+          .select("id", "component_id", "split", "naive_split")
+      },
+      Some(s"""
+        WITH RECURSIVE corpus AS ($corpusSql),
+        ${lshCandSql(shingleN = 3, k = 16, bands = 4, maxBucket = 1000)},
+        j AS ( -- c9: l1's verified-pair SQL, pairs only
+          SELECT id1, id2 FROM (
+            SELECT id1, id2,
+              CAST(len(list_filter(list_distinct(s1.shingles),
+                     x -> list_contains(list_distinct(s2.shingles), x))) AS DOUBLE) /
+              CAST(len(list_distinct(s1.shingles)) + len(list_distinct(s2.shingles)) -
+                   len(list_filter(list_distinct(s1.shingles),
+                     x -> list_contains(list_distinct(s2.shingles), x))) AS DOUBLE) AS jac
+            FROM cand JOIN sh s1 ON cand.id1 = s1.id JOIN sh s2 ON cand.id2 = s2.id) z
+          WHERE jac >= 0.8),
+        edges AS (SELECT id1 AS a, id2 AS b FROM j UNION SELECT id2, id1 FROM j),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a AND e.b <> r.a),
+        lab AS (
+          SELECT c.id, least(c.id, coalesce(min(r.b), c.id)) AS component_id
+          FROM corpus c LEFT JOIN reach r ON c.id = r.a
+          GROUP BY c.id),
+        fr AS (
+          SELECT id, component_id,
+            ${hashFracSql(s"CAST(component_id AS VARCHAR) || '|$salt'")} AS gf,
+            ${hashFracSql(s"CAST(id AS VARCHAR) || '|$salt'")} AS nf
+          FROM lab)
+        SELECT id, component_id,
+          ${splitCaseSql("gf")} AS split,
+          ${splitCaseSql("nf")} AS naive_split
+        FROM fr"""))
+  }
+
   // ---------------------------------------------------------------- c1
   private val c1 = {
     val key = "CAST(doc_id AS VARCHAR) || '|split0'"
@@ -6387,7 +6455,7 @@ object Catalog {
     r1, r2, r3, r4, r5, r6, r7, r8, q1, q2, q3, q4, q5,
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16, l17, l18,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13,
-    c1, c2, c3, c4, c5, c6, c7, c8,
+    c1, c2, c3, c4, c5, c6, c7, c8, c9,
     m1, m2, m3, m4, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12,
     p1, p2, p3, p4, p5,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,

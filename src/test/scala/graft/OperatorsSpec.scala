@@ -18,6 +18,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Set((md5hex("x"), 1L, 2L), (md5hex("y"), 3L, 1L)))
   }
 
+  test("leakage split: component members share a split; naive per-id split straddles") {
+    import graft.operators.Curate
+    // per-id hash fraction replay (Curate.hashFraction): pick two ids the
+    // NAIVE split provably separates, then give them identical text
+    def frac(key: String): Double =
+      java.lang.Long.parseLong(md5hex(key).take(8), 16).toDouble / 4294967296.0
+    val salt = "s0"
+    val id1 = (1L to 500L).find(i => frac(s"$i|$salt") < 0.8).get
+    val id2 = (1L to 500L).find(i => frac(s"$i|$salt") >= 0.8).get
+    val doc = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = Seq((id1, doc), (id2, doc),
+      (499999L, "completely different words about spark query engines at scale"))
+      .toDF("id", "t")
+    val pairs = Dedup.minhashPairs(corpus, "id", "t",
+      shingleN = 3, k = 8, bands = 4, threshold = 0.9)
+    val labels = Dedup.connectedComponents(corpus.select("id"), "id", pairs)
+    val cuts = Seq(0.8 -> "train", 0.9 -> "val")
+    val out = Curate.assignSplit(
+      Curate.assignSplit(labels, "component_id", salt, cuts, "test"),
+      "id", salt, cuts, "test", outCol = "naive_split")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getString(3)))).toMap
+    val (c1, s1, n1) = out(id1)
+    val (c2, s2, n2) = out(id2)
+    assert(c1 == c2 && c1 == math.min(id1, id2)) // one component, min label
+    assert(s1 == s2)                             // group split: atomic, no straddle
+    assert(n1 != n2)                             // naive split: the leak c1 commits
+    assert(out(499999L)._1 == 499999L)           // unrelated doc: own component
+  }
+
   test("minhashPairs finds identical docs and not dissimilar ones") {
     val doc = "the quick brown fox jumps over the lazy dog again and again"
     val other = "completely different words about spark query engines at scale"
