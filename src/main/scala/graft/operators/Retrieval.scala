@@ -90,7 +90,8 @@ object Retrieval {
    */
   def bm25TopK(postings: DataFrame, queryTerms: DataFrame, n: Long, t: Long,
       k: Int, scale1: Long = 100000L, scale2: Long = 10000L,
-      maxTf: Long = 4096L, maxQueryLen: Long = 16L): DataFrame = {
+      maxTf: Long = 4096L, maxQueryLen: Long = 16L,
+      docFreqTable: Option[DataFrame] = None): DataFrame = {
     require(n > 0 && t > 0, "empty corpus")
     require(scale1 * (2 * n + 1) < (1L << 53), s"scale1=$scale1 overflows idf headroom at N=$n")
     require(scale2 * 44L * t <= (1L << 53) / maxTf,
@@ -100,7 +101,10 @@ object Retrieval {
     require(maxQueryLen * s1max * s2max < (1L << 53),
       s"score-sum headroom exceeded: maxQueryLen=$maxQueryLen, N=$n")
 
-    val dfT = docFreq(postings)
+    // a maintained index (s13) serves df from its FOLDED summary — the
+    // whole point of incremental maintenance is never recounting the
+    // posting store at query time; the batch path derives it in-plan.
+    val dfT = docFreqTable.getOrElse(docFreq(postings))
     // query-side weights: tiny by construction -> broadcast the whole
     // (query_id, term, s1) table into the posting scan.
     val weighted = queryTerms
@@ -133,6 +137,66 @@ object Retrieval {
   /** Test-only visibility for the heap-vs-window equivalence spec. */
   private[graft] def bm25TestTopK(scored: DataFrame, k: Int): DataFrame =
     topKByGroup(scored, k)
+
+  // ------------------------------------------------------------------
+  // Incremental index maintenance (the s13 streaming twin's engine):
+  // a search index over an append-only corpus is SEGMENTS + a folded
+  // DICTIONARY. Each arriving batch appends its postings as a new
+  // segment (never rewriting old ones — a 100-TB posting store is
+  // immutable history; compaction is w7's separate job) and folds its
+  // per-term df + corpus stats into a NEW summary version computed from
+  // (previous summary ⊕ batch aggregate) only — the merge cost tracks
+  // dictionary + batch size, never the accumulated posting store.
+  // Query time reads the segments plus the LATEST summary; bm25TopK's
+  // docFreqTable hook keeps scoring off the recount path.
+  // ------------------------------------------------------------------
+
+  private val postingsReadSchema =
+    "term STRING, doc_id BIGINT, dl BIGINT, tf BIGINT, batch INT"
+
+  /** Fold one corpus batch into the index store at `root`: postings →
+    * segment `batch=<version>`, dictionary/stats → summary `v<version>`
+    * merged from version − 1 (version 0 starts the chain). Docs must be
+    * new ids (append-only corpus — re-sent ids belong in a d2-style
+    * upsert upstream). */
+  def indexBatchAppend(root: String, docs: DataFrame, idCol: String,
+      tokensCol: String, version: Int): Unit = {
+    val spark = docs.sparkSession
+    val postings = buildPostings(docs, idCol, tokensCol)
+    postings.write.mode("overwrite").parquet(s"$root/postings/batch=$version")
+    val batchDf = docFreq(postings)
+    val batchStats = docs.select(size(col(tokensCol)).cast("long").as("dl"))
+      .agg(count(lit(1)).cast("long").as("n"), sum(col("dl")).as("t"))
+    val (dfOut, statsOut) =
+      if (version == 0) (batchDf, batchStats)
+      else {
+        val prevDf = spark.read.schema("term STRING, df BIGINT")
+          .parquet(s"$root/summary/v${version - 1}/df")
+        val prevStats = spark.read.schema("n BIGINT, t BIGINT")
+          .parquet(s"$root/summary/v${version - 1}/stats")
+        (prevDf.unionAll(batchDf).groupBy("term").agg(sum("df").as("df")),
+          prevStats.unionAll(batchStats)
+            .agg(sum("n").cast("long").as("n"), sum("t").cast("long").as("t")))
+      }
+    dfOut.write.mode("overwrite").parquet(s"$root/summary/v$version/df")
+    statsOut.write.mode("overwrite").parquet(s"$root/summary/v$version/stats")
+  }
+
+  /** BM25 search against a maintained index store: all segments + the
+    * `version` summary. Explicit read schemas (the w4/w14 discipline —
+    * no partition-dir re-inference), df served from the fold. */
+  def searchFromStore(spark: org.apache.spark.sql.SparkSession, root: String,
+      version: Int, queryTerms: DataFrame, k: Int): DataFrame = {
+    val postings = spark.read.schema(postingsReadSchema)
+      .parquet(s"$root/postings")
+      .select("term", "doc_id", "dl", "tf")
+    val dfT = spark.read.schema("term STRING, df BIGINT")
+      .parquet(s"$root/summary/v$version/df")
+    val st = spark.read.schema("n BIGINT, t BIGINT")
+      .parquet(s"$root/summary/v$version/stats").head
+    bm25TopK(postings, queryTerms, st.getLong(0), st.getLong(1), k,
+      docFreqTable = Some(dfT))
+  }
 
   /** Two-phase top-k per query_id on (score desc, doc_id asc): a bounded
     * per-partition heap cuts each partition to <= k rows per query, then

@@ -3188,19 +3188,20 @@ object Catalog {
   // tokenize → postings → df → floors → sum → rank bit-for-bit. The
   // stats pass (N, T) is the t11/bigramModel coordinator discipline:
   // two scalars collected once, broadcast as literals.
-  private val t13 = Q(
-    "t13_bm25_search",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), split(T.normKey(col("text")), " ").as("w"))
-      val st = docs.agg(count(lit(1)), sum(size(col("w")).cast("long"))).head
-      val (n, t) = (st.getLong(0), st.getLong(1))
-      val queries = docs.filter(col("doc_id") % 97 === 0)
-        .select(col("doc_id").as("query_id"), explode(slice(col("w"), 1, 4)).as("term"))
-      val postings = graft.operators.Retrieval.buildPostings(docs, "doc_id", "w")
-      graft.operators.Retrieval.bm25TopK(postings, queries, n, t, k = 10)
-    },
-    Some(s"""
+  /** The corpus-side pieces t13 and s13 share: tokenized docs and the
+    * data-derived query set (first 4 tokens of every doc_id % 97 doc). */
+  private def bm25Docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(T.normKey(col("text")), " ").as("w"))
+  private def bm25Queries(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("query_id"), explode(slice(col("w"), 1, 4)).as("term"))
+
+  /** One ground truth for both the batch search (t13) and the
+    * incrementally-maintained index (s13): same corpus, same queries,
+    * same scaled-integer BM25 — s13's fold must land on the identical
+    * ranking or the df/stats merge drifted. */
+  private val bm25OracleSql: String = s"""
       WITH docs AS (
         SELECT doc_id, string_split(${normSql("text")}, ' ') AS w FROM documents),
       stats AS (
@@ -3231,7 +3232,46 @@ object Catalog {
             ORDER BY score DESC, doc_id) AS rank, score
         FROM sc)
       SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, score
-      FROM r WHERE rank <= 10"""))
+      FROM r WHERE rank <= 10"""
+
+  private val t13 = Q(
+    "t13_bm25_search",
+    (s, d) => {
+      val docs = bm25Docs(s, d)
+      val st = docs.agg(count(lit(1)), sum(size(col("w")).cast("long"))).head
+      graft.operators.Retrieval.bm25TopK(
+        graft.operators.Retrieval.buildPostings(docs, "doc_id", "w"),
+        bm25Queries(docs), st.getLong(0), st.getLong(1), k = 10)
+    },
+    Some(bm25OracleSql))
+
+  // ---------------------------------------------------------------- s13
+  // STREAMING INDEX MAINTENANCE (Retrieval.indexBatchAppend +
+  // searchFromStore) — t13's index as a stream would build it: the
+  // corpus arrives in three slices (doc_id % 3), each trigger appends
+  // its postings as an immutable SEGMENT and folds per-term df + corpus
+  // stats into a new summary version from (previous summary ⊕ batch
+  // aggregate) ONLY — merge cost tracks dictionary + batch size, never
+  // the accumulated posting store (the r5/s5 fold discipline applied to
+  // a search dictionary). Query time reads segments + the latest
+  // summary, df served from the FOLD (bm25TopK's docFreqTable hook —
+  // no recount). Gate: t13's own oracle — the incrementally-maintained
+  // index must reproduce the from-scratch ranking bit-for-bit (every
+  // score is floor-sensitive to df/N/T, so any merge drift breaks the
+  // hash); per-trigger parity of the fold runs under MemoryStream in
+  // StreamingSpec.
+  private val s13 = Q(
+    "s13_stream_index",
+    (s, d) => {
+      val root = s"$scratchRoot/${new java.io.File(d).getName}/s13"
+      val docs = bm25Docs(s, d)
+      (0 until 3).foreach { i =>
+        graft.operators.Retrieval.indexBatchAppend(
+          root, docs.filter(col("doc_id") % 3 === i), "doc_id", "w", i)
+      }
+      graft.operators.Retrieval.searchFromStore(s, root, 2, bm25Queries(docs), k = 10)
+    },
+    Some(bm25OracleSql))
 
   // ---------------------------------------------------------------- c6
   // Per-stratum quota sampling (Curate.quotaSample) — the fixed-budget
@@ -6456,7 +6496,7 @@ object Catalog {
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16, l17, l18,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13,
     c1, c2, c3, c4, c5, c6, c7, c8, c9,
-    m1, m2, m3, m4, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12,
+    m1, m2, m3, m4, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13,
     p1, p2, p3, p4, p5,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
     w17, w18, w19, w20, w21)

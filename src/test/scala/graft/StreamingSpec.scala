@@ -648,4 +648,56 @@ class StreamingSpec extends AnyFunSuite {
         seen.map(e => (e.event_type, e.ts.toLocalDateTime.toLocalDate)).distinct.size)
     } finally query.stop()
   }
+
+  test("streaming index ingest: folded dictionary + search match batch after every trigger") {
+    import graft.operators.Retrieval
+    implicit val ctx = spark.sqlContext
+    val docsAll = Seq(
+      1L -> "spark shuffles data across the cluster for joins",
+      2L -> "broadcast joins avoid the shuffle for small tables",
+      3L -> "parquet scans push filters down to the reader",
+      4L -> "the shuffle is the bottleneck for big joins",
+      5L -> "streaming state lives in the state store",
+      6L -> "dictionaries fold one version at a time")
+    val root = java.nio.file.Files.createTempDirectory("s13spec").toString + "/idx"
+    val input = MemoryStream[(Long, String)]
+    var version = -1
+    val query = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        version += 1
+        Retrieval.indexBatchAppend(root,
+          batch.select(col("doc_id"), split(col("text"), " ").as("w")),
+          "doc_id", "w", version)
+        ()
+      }
+      .start()
+    val qt = Seq(100L -> "shuffle", 100L -> "joins").toDF("query_id", "term")
+    try {
+      var seen = Seq.empty[(Long, String)]
+      for (trigger <- docsAll.grouped(2)) {
+        input.addData(trigger)
+        query.processAllAvailable()
+        seen = seen ++ trigger
+        val soFar = seen.toDF("doc_id", "text")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+        // folded dictionary == from-scratch docFreq over everything so far
+        val gotDf = spark.read.schema("term STRING, df BIGINT")
+          .parquet(s"$root/summary/v$version/df")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val wantDf = Retrieval.docFreq(Retrieval.buildPostings(soFar, "doc_id", "w"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(gotDf == wantDf, s"dictionary fold drifted at v$version")
+        // search over the store == the one-shot batch search on data so far
+        val got = Retrieval.searchFromStore(spark, root, version, qt, k = 3)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        val st = soFar.agg(count(lit(1)), sum(size(col("w")).cast("long"))).head
+        val want = Retrieval.bm25TopK(
+            Retrieval.buildPostings(soFar, "doc_id", "w"), qt,
+            st.getLong(0), st.getLong(1), k = 3)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        assert(got == want, s"post-trigger search diverged at v$version")
+      }
+    } finally query.stop()
+  }
 }
