@@ -84,7 +84,16 @@ object ScaleProbe {
     // windowed funnel (×8 events per key fold) and the sketch-algebra
     // entry (×8 rows into the same |types|·|days| sketch cells — state
     // must not grow; the exact flags table rides the ×8 user axis)
-    "a12_windowed_funnel", "r8_set_overlap")
+    "a12_windowed_funnel", "r8_set_overlap",
+    // round-9 continuation 4: retrieval (×8 docs inflate the posting
+    // build and every query term's matched-posting set — the scoring
+    // shuffle must track matches, not corpus), its incrementally-
+    // maintained twin (×8 through three segment appends + dictionary
+    // folds), phash media dedup (×8 salted payloads per 8-bit bucket —
+    // the pigeonhole join's quadratic-bucket hazard class) and the
+    // leakage split (×8 minhash edges + CC rounds over ×8 nodes)
+    "t13_bm25_search", "s13_stream_index", "m4_phash_neardup",
+    "c9_leakage_split")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
