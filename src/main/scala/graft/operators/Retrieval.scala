@@ -134,10 +134,6 @@ object Retrieval {
     StructField("doc_id", LongType),
     StructField("score", LongType)))
 
-  /** Test-only visibility for the heap-vs-window equivalence spec. */
-  private[graft] def bm25TestTopK(scored: DataFrame, k: Int): DataFrame =
-    topKByGroup(scored, k)
-
   // ------------------------------------------------------------------
   // Incremental index maintenance (the s13 streaming twin's engine):
   // a search index over an append-only corpus is SEGMENTS + a folded
@@ -200,8 +196,9 @@ object Retrieval {
 
   /** Two-phase top-k per query_id on (score desc, doc_id asc): a bounded
     * per-partition heap cuts each partition to <= k rows per query, then
-    * one window ranks the <= partitions·queries·k survivors. */
-  private[operators] def topKByGroup(scored: DataFrame, k: Int): DataFrame = {
+    * one window ranks the <= partitions·queries·k survivors. Public —
+    * any long-scored (group, id) ranking rides this (BM25, RRF fusion). */
+  def topKByGroup(scored: DataFrame, k: Int): DataFrame = {
     require(scored.columns.toSeq == Seq("query_id", "doc_id", "score"),
       s"topKByGroup expects (query_id, doc_id, score), got: ${scored.columns.mkString(", ")}")
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(scoredSchema)

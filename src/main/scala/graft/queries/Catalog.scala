@@ -2501,6 +2501,72 @@ object Catalog {
         SELECT query_id, cand_id, cosine, rnk FROM r WHERE rnk <= $k"""))
   }
 
+  // --------------------------------------------------------------- l19
+  // HYBRID SEARCH via RECIPROCAL RANK FUSION — the retrieval shape a
+  // modern curation/RAG pipeline actually serves: lexical (t13's BM25)
+  // and dense (l5's exact cosine) top-10 lists per query, fused by RRF
+  // (Cormack et al.'s rank-only fusion — no score normalization across
+  // incomparable scales). Each list contributes floor(1e6/(60+rank))
+  // per doc (exact-long operands, engine-identical floor — the t11
+  // discipline yet again; 60 = the canonical RRF damping constant),
+  // fused score = exact long sum, final top-5 through the shared
+  // bounded-heap topKByGroup. Query ids ride both modalities (doc_id
+  // and vec_id are aligned); the dense side excludes the query vector
+  // itself (l5's contract) while BM25 naturally retrieves the source
+  // doc — RRF handles the asymmetry by construction. Scale: the fusion
+  // input is queries×k rows per list — negligible next to the two
+  // searches, each already probed/audited on its own entry.
+  private val l19 = Q(
+    "l19_hybrid_rrf",
+    (s, d) => {
+      val docs = bm25Docs(s, d)
+      val st = docs.agg(count(lit(1)), sum(size(col("w")).cast("long"))).head
+      val bm = graft.operators.Retrieval.bm25TopK(
+        graft.operators.Retrieval.buildPostings(docs, "doc_id", "w"),
+        bm25Queries(docs), st.getLong(0), st.getLong(1), k = 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val e = Tables.embeddings(s, d)
+      val vec = graft.operators.Ann.bruteForceTopK(
+        e.filter(col("vec_id") % 97 === 0), e, 10)
+        .select(col("query_id"), col("cand_id").as("doc_id"),
+          col("rnk").cast("long").as("rank"))
+      def rrf(rank: Column) = floor(
+        lit(1000000L).cast("double") / (lit(60L) + rank).cast("double")).cast("long")
+      val fused = bm.unionAll(vec)
+        .select(col("query_id"), col("doc_id"), rrf(col("rank")).as("score"))
+        .groupBy("query_id", "doc_id").agg(sum("score").as("score"))
+      graft.operators.Retrieval.topKByGroup(fused, 5)
+    },
+    Some(s"""
+      WITH bm AS ($bm25OracleSql),
+      vq AS (SELECT vec_id AS query_id, embedding AS qv
+             FROM embeddings WHERE vec_id % 97 = 0),
+      vsc AS (
+        SELECT query_id, e.vec_id AS cand_id,
+          ${cosSql("qv", "e.embedding")} AS cosine
+        FROM embeddings e, vq WHERE e.vec_id <> query_id),
+      vr AS (
+        SELECT query_id, cand_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, cand_id) AS rnk
+        FROM vsc),
+      contrib AS (
+        SELECT query_id, doc_id,
+          CAST(FLOOR(1000000.0 / (60 + rank)) AS BIGINT) AS sc FROM bm
+        UNION ALL
+        SELECT query_id, cand_id,
+          CAST(FLOOR(1000000.0 / (60 + rnk)) AS BIGINT) FROM vr WHERE rnk <= 10),
+      fused AS (
+        SELECT query_id, doc_id, SUM(sc) AS score
+        FROM contrib GROUP BY 1, 2),
+      rr AS (
+        SELECT query_id, doc_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id) AS rank, score
+        FROM fused)
+      SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, score
+      FROM rr WHERE rank <= 5"""))
+
   // ---------------------------------------------------------------- w9
   // The refined search over BOTH persisted stores — IVF-PQ's complete
   // production read path on disk: ADC stage over the codes store (w8's
@@ -3201,7 +3267,7 @@ object Catalog {
     * incrementally-maintained index (s13): same corpus, same queries,
     * same scaled-integer BM25 — s13's fold must land on the identical
     * ranking or the df/stats merge drifted. */
-  private val bm25OracleSql: String = s"""
+  private def bm25OracleSql: String = s"""
       WITH docs AS (
         SELECT doc_id, string_split(${normSql("text")}, ' ') AS w FROM documents),
       stats AS (
@@ -3272,6 +3338,61 @@ object Catalog {
       graft.operators.Retrieval.searchFromStore(s, root, 2, bm25Queries(docs), k = 10)
     },
     Some(bm25OracleSql))
+
+  // ---------------------------------------------------------------- t14
+  // TF-IDF KEYPHRASES — the per-document inverse of t13's per-query
+  // ranking: the 3 most distinguishing terms of every document (tf ·
+  // rational idf, t13's exact-integer s1 — ubiquitous terms get tiny or
+  // negative idf and sink without a stopword list), the standard cheap
+  // doc-descriptor a pipeline attaches for faceting, clustering labels
+  // and dedup explanations. Plan: the posting build's one shuffle, a
+  // dictionary-sized df join (AQE broadcasts it when it fits; an
+  // explicit shuffle join on term otherwise — either way the corpus
+  // side shuffles ONCE), then a per-doc window top-3 (partition key =
+  // doc_id, so parallelism grows WITH the corpus — no single-reducer
+  // choke). Scores are exact longs (tf · s1); oracle replays the floor
+  // and both tie-breaks.
+  private val t14 = Q(
+    "t14_keyphrases",
+    (s, d) => {
+      val docs = bm25Docs(s, d)
+      val n = docs.count()
+      val postings = graft.operators.Retrieval.buildPostings(docs, "doc_id", "w")
+      val dfT = graft.operators.Retrieval.docFreq(postings)
+      val scored = postings.join(dfT, Seq("term"))
+        .withColumn("s1", floor(
+          (lit(100000L) * (lit(2 * n) - lit(2) * col("df") + lit(1))).cast("double") /
+            (lit(2) * col("df") + lit(1)).cast("double")).cast("long"))
+        .select(col("doc_id"), col("term"), (col("tf") * col("s1")).as("score"))
+      scored
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+            .orderBy(col("score").desc, col("term"))))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("rank").cast("long").as("rank"),
+          col("score"))
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, string_split(${normSql("text")}, ' ') AS w FROM documents),
+      n AS (SELECT COUNT(*) AS n FROM docs),
+      post AS (
+        SELECT tok AS term, doc_id, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(w) AS tok FROM docs) z
+        GROUP BY 1, 2),
+      dft AS (SELECT term, COUNT(*) AS df FROM post GROUP BY 1),
+      sc AS (
+        SELECT p.doc_id, p.term,
+          p.tf * CAST(FLOOR(CAST(100000 * (2 * n.n - 2 * d.df + 1) AS DOUBLE)
+            / CAST(2 * d.df + 1 AS DOUBLE)) AS BIGINT) AS score
+        FROM post p JOIN dft d ON d.term = p.term CROSS JOIN n),
+      r AS (
+        SELECT doc_id, term,
+          ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, term) AS rank, score
+        FROM sc)
+      SELECT doc_id, term, CAST(rank AS BIGINT) AS rank, score
+      FROM r WHERE rank <= 3"""))
 
   // ---------------------------------------------------------------- c6
   // Per-stratum quota sampling (Curate.quotaSample) — the fixed-budget
@@ -5875,6 +5996,77 @@ object Catalog {
         ABS(n_events * prev_days - prev_sum) * 100 > 50 * prev_sum AS is_anomaly
       FROM wnd WHERE prev_days >= 3"""))
 
+  // ---------------------------------------------------------------- q6
+  // ANN RECALL AUDIT — the quality monitor every approximate index
+  // needs in production: recall@10 of the LSH search (l6's multi-probe
+  // config) against the exact brute-force ranking (l5), per query. An
+  // index whose recall drifts (embedding distribution shift, stale
+  // buckets after heavy appends) degrades silently — searches still
+  // return k results; only THIS comparison notices. Run it on a sampled
+  // query panel (here l5/l6's 50-query set): the exact side is the
+  // expensive leg, which is exactly why the audit is a scheduled
+  // sampled job, never a per-query check. recall = n_hits/10.0 —
+  // exact-operand division, engine-identical. Both legs are audited
+  // operators; the join/aggregate rides queries×k rows.
+  private val q6 = {
+    val bits = 6
+    val radius = 2
+    def bucketSql(v: String) = (1 to bits)
+      .map(i => s"(CASE WHEN $v[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+    val hammingSql = (1 to bits)
+      .map(i => s"(CASE WHEN substring(qbkt, $i, 1) <> substring(bkt, $i, 1) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    Q(
+      "q6_ann_recall_audit",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < 50)
+        val exact = graft.operators.Ann.bruteForceTopK(q, e, 10)
+          .select(col("query_id"), col("cand_id"))
+        val approx = graft.operators.Ann.lshTopK(q, e, bits = bits, k = 10,
+          probeRadius = radius)
+          .select(col("query_id").as("aq"), col("cand_id").as("ac"))
+        val hits = exact
+          .join(approx, exact("query_id") === approx("aq") &&
+            exact("cand_id") === approx("ac"))
+          .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+        q.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(10.0)).as("recall"))
+      },
+      Some(s"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < 50),
+        ex AS (
+          SELECT query_id, cand_id FROM (
+            SELECT query_id, e.vec_id AS cand_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY ${cosSql("qv", "e.embedding")} DESC, e.vec_id) AS rnk
+            FROM embeddings e, q WHERE e.vec_id <> query_id) z
+          WHERE rnk <= 10),
+        qb AS (SELECT query_id, qv, ${bucketSql("qv")} AS qbkt FROM q),
+        b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bkt
+              FROM embeddings),
+        ap AS (
+          SELECT query_id, cand_id FROM (
+            SELECT qb.query_id, b.vec_id AS cand_id,
+              ROW_NUMBER() OVER (PARTITION BY qb.query_id
+                ORDER BY ${cosSql("qb.qv", "b.embedding")} DESC, b.vec_id) AS rnk
+            FROM b JOIN qb ON ($hammingSql) <= $radius AND b.vec_id <> qb.query_id) z
+          WHERE rnk <= 10),
+        hits AS (
+          SELECT e.query_id, COUNT(*) AS n
+          FROM ex e JOIN ap a
+            ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+          GROUP BY 1)
+        SELECT q.query_id,
+          CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+          CAST(COALESCE(h.n, 0) AS DOUBLE) / 10.0 AS recall
+        FROM q LEFT JOIN hits h ON h.query_id = q.query_id"""))
+  }
+
   // ---------------------------------------------------------------- c4
   // Per-user ordered event sequences capped at 50 — the autoregressive
   // training-corpus shape (Curate.sequences: the engine's one holistic
@@ -6492,9 +6684,10 @@ object Catalog {
     n1, n2, n3, n4, n5, n6, n7,
     d1, d2, d3, d4, d5, d6, d7,
     e1, e2, e3, e4, e5, j1, j2, j3, j4, j5,
-    r1, r2, r3, r4, r5, r6, r7, r8, q1, q2, q3, q4, q5,
-    l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16, l17, l18,
-    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13,
+    r1, r2, r3, r4, r5, r6, r7, r8, q1, q2, q3, q4, q5, q6,
+    l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
+    l17, l18, l19,
+    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14,
     c1, c2, c3, c4, c5, c6, c7, c8, c9,
     m1, m2, m3, m4, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13,
     p1, p2, p3, p4, p5,

@@ -78,11 +78,70 @@ class RetrievalSpec extends AnyFunSuite {
     assert(score(Seq("shuffle", "shuffle")) == 2 * score(Seq("shuffle")))
   }
 
+  test("tf-idf ranks a doc-unique term over shared and ubiquitous ones") {
+    // every doc contains "the" (df = n -> tiny idf); "zebra" is unique
+    // to doc 1; "shuffle" is shared by two docs
+    val docs = Seq(
+      1L -> "the zebra shuffle".split(" ").toSeq,
+      2L -> "the shuffle runs".split(" ").toSeq,
+      3L -> "the reader scans".split(" ").toSeq).toDF("doc_id", "w")
+    val n = 3L
+    val postings = Retrieval.buildPostings(docs, "doc_id", "w")
+    val dfT = Retrieval.docFreq(postings)
+    // replicate t14's scoring inline (tf * floor-scaled rational idf)
+    val scored = postings.join(dfT, Seq("term"))
+      .withColumn("s1", floor(
+        (lit(100000L) * (lit(2 * n) - lit(2) * col("df") + lit(1))).cast("double") /
+          (lit(2) * col("df") + lit(1)).cast("double")).cast("long"))
+      .select(col("doc_id"), col("term"), (col("tf") * col("s1")).as("score"))
+      .filter(col("doc_id") === 1L)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(scored("zebra") > scored("shuffle"), "df=1 term must beat df=2")
+    assert(scored("shuffle") > scored("the"), "df=2 term must beat df=n")
+    // df = n makes the rational idf (2n-2n+1)/(2n+1) < 1 -> s1 underflows
+    // to a small positive floor, so ubiquitous terms sink without a
+    // stopword list but never go negative on a present term
+    assert(scored("the") > 0)
+  }
+
+  test("RRF: a doc on both lists outranks single-list docs; floor contributions exact") {
+    def rrf(rank: Long): Long = math.floor(1000000.0 / (60 + rank)).toLong
+    val bm = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("query_id", "doc_id", "rank")
+    val vec = Seq((1L, 20L, 1L), (1L, 30L, 2L)).toDF("query_id", "doc_id", "rank")
+    val fused = bm.unionAll(vec)
+      .select(col("query_id"), col("doc_id"),
+        floor(lit(1000000L).cast("double") / (lit(60L) + col("rank")).cast("double"))
+          .cast("long").as("score"))
+      .groupBy("query_id", "doc_id").agg(sum("score").as("score"))
+    val got = Retrieval.topKByGroup(fused, 3)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // doc 20: rank 2 lexical + rank 1 dense > doc 10's single rank 1
+    assert(got(20L) == ((1L, rrf(2) + rrf(1))))
+    assert(got(10L) == ((2L, rrf(1))))
+    assert(got(30L) == ((3L, rrf(2))))
+  }
+
+  test("recall audit invariant: full probe coverage makes LSH == exact (recall 1.0)") {
+    import graft.operators.Ann
+    val rnd = new scala.util.Random(17)
+    val vecs = Seq.tabulate(60)(i => (i.toLong, Seq.fill(8)((rnd.nextFloat() - 0.5f) * 2)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 5)
+    def ranked(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    // probeRadius = bits (2 over 2 — the operator caps the radius at 2):
+    // every bucket is within hamming reach, so the candidate set is the
+    // whole corpus and the audit must read 10/10 for every query — the
+    // q6 computation's fixed point
+    assert(ranked(Ann.lshTopK(q, emb, bits = 2, k = 10, probeRadius = 2)) ==
+      ranked(Ann.bruteForceTopK(q, emb, 10)))
+  }
+
   test("topKByGroup equals the pure-window form") {
     val rnd = new scala.util.Random(7)
     val scored = Seq.tabulate(500)(i =>
       (i % 7L, i.toLong, rnd.nextInt(40).toLong)).toDF("query_id", "doc_id", "score")
-    val viaHeap = Retrieval.bm25TestTopK(scored, 5)
+    val viaHeap = Retrieval.topKByGroup(scored, 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     val viaWindow = scored
       .withColumn("rank", row_number().over(
