@@ -39,11 +39,15 @@ object ExplainAudit {
     // l18 encodes/dequantizes corpus x broadcast ONE-ROW quantizer arrays
     // and then runs l5's intended broadcast (dequantized corpus x tiny
     // query set, non-equi self-exclusion) — both justified shapes.
+    // q6's exact leg and l19's dense leg ARE l5 (the audit compares /
+    // fuses against the brute-force ground truth, so they inherit its
+    // intended broadcast; both other legs are equi-joins).
     val crossJoinOk = Set("l5_ann_bruteforce", "l8_ann_ivf", "l9_ann_ivf_trained",
       "w4_ann_partitioned", "l12_semantic_dedup", "w6_ann_append", "w7_compaction",
       "l13_ann_ivfpq", "s6_stream_ann_ingest", "w8_ann_pq_store",
       "l14_ann_ivfpq_refined", "w9_ann_refined_store", "w15_ann_delete",
-      "l17_diversity_sample", "l18_ann_sq8")
+      "l17_diversity_sample", "l18_ann_sq8", "q6_ann_recall_audit",
+      "l19_hybrid_rrf")
     graft.queries.Catalog.all.foreach { q =>
       try {
         // NOTE: with AQE on this is the INITIAL plan — exchange-reuse and

@@ -93,7 +93,11 @@ object ScaleProbe {
     // the pigeonhole join's quadratic-bucket hazard class) and the
     // leakage split (×8 minhash edges + CC rounds over ×8 nodes)
     "t13_bm25_search", "s13_stream_index", "m4_phash_neardup",
-    "c9_leakage_split")
+    "c9_leakage_split",
+    // keyphrases (×8 postings through the df join + per-doc windows) and
+    // the fusion/audit entries (their exact leg rides the ×8 corpus
+    // through l5's broadcast cross; fusion/join stages stay queries×k)
+    "t14_keyphrases", "l19_hybrid_rrf", "q6_ann_recall_audit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
