@@ -194,6 +194,42 @@ object Retrieval {
       docFreqTable = Some(dfT))
   }
 
+  /** Compact accumulated posting segments into a TERM-RANGE-partitioned
+    * store: `repartitionByRange` on term gives pairwise-disjoint per-file
+    * term ranges (every occurrence of a term lands in exactly one range
+    * partition), and the in-file (term, doc_id) sort makes parquet
+    * row-group min/max stats selective for term lookups — the w11
+    * skipping discipline applied to a posting store. Layout-only: the
+    * posting multiset is untouched (the caller's search-parity gate
+    * proves it). */
+  def compactSegments(spark: org.apache.spark.sql.SparkSession, root: String,
+      numRanges: Int): String = {
+    val segs = spark.read.schema(postingsReadSchema)
+      .parquet(s"$root/postings")
+      .select("term", "doc_id", "dl", "tf")
+    val dest = s"$root/compacted"
+    segs.repartitionByRange(numRanges, col("term"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode("overwrite").parquet(dest)
+    dest
+  }
+
+  /** THROWS unless every file's [min, max] range of `keyCol` is pairwise
+    * disjoint — the precondition for file-level skipping on that key
+    * (a lookup may then consult file stats alone). File count is
+    * layout-sized (driver-side by construction), never row-sized. */
+  def assertDisjointFileRanges(df: DataFrame, keyCol: String): Unit = {
+    val ranges = df.groupBy(input_file_name().as("f"))
+      .agg(min(keyCol).cast("string").as("lo"), max(keyCol).cast("string").as("hi"))
+      .collect().map(r => (r.getString(1), r.getString(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        if (lo2 <= hi1) throw new IllegalStateException(
+          s"file $keyCol ranges overlap: ...$hi1] vs [$lo2...")
+      case _ =>
+    }
+  }
+
   /** Two-phase top-k per query_id on (score desc, doc_id asc): a bounded
     * per-partition heap cuts each partition to <= k rows per query, then
     * one window ranks the <= partitions·queries·k survivors. Public —

@@ -3339,6 +3339,47 @@ object Catalog {
     },
     Some(bm25OracleSql))
 
+  // ---------------------------------------------------------------- w22
+  // INDEX SEGMENT COMPACTION — closing s13's lifecycle the way w7
+  // closes the vector store's: trigger-sized segments accumulate until
+  // read amplification bites, then compact into a TERM-RANGE-partitioned
+  // store (repartitionByRange on term + in-file (term, doc_id) sort), so
+  // a query's term lookup touches only the files whose [min, max] term
+  // range can match — parquet row-group stats do the rest (w11's
+  // skipping discipline applied to a posting store; at 100 TB the
+  // term-range layout IS the dictionary-pruned access path). Two
+  // throwing gates: (1) file ranges must be pairwise DISJOINT (the
+  // skipping precondition — RangePartitioner guarantees it, the gate
+  // keeps it true under any future rewrite), and (2) the compacted
+  // store must serve the t13 oracle's exact ranking through the SAME
+  // folded summary (compaction changes layout, never answers).
+  private val w22 = Q(
+    "w22_index_compaction",
+    (s, d) => {
+      val root = s"$scratchRoot/${new java.io.File(d).getName}/w22"
+      val docs = bm25Docs(s, d)
+      (0 until 3).foreach { i =>
+        graft.operators.Retrieval.indexBatchAppend(
+          root, docs.filter(col("doc_id") % 3 === i), "doc_id", "w", i)
+      }
+      val dest = graft.operators.Retrieval.compactSegments(s, root, numRanges = 4)
+      val compacted = s.read
+        .schema("term STRING, doc_id BIGINT, dl BIGINT, tf BIGINT")
+        .parquet(dest)
+      // gate 1: pairwise-disjoint per-file term ranges (the skipping
+      // precondition; files are few by construction — driver-sized)
+      graft.operators.Retrieval.assertDisjointFileRanges(compacted, "term")
+      // gate 2 is the oracle itself: search the compacted segments with
+      // the FOLDED summary — any layout-induced drift breaks the hash
+      val dfT = s.read.schema("term STRING, df BIGINT")
+        .parquet(s"$root/summary/v2/df")
+      val st = s.read.schema("n BIGINT, t BIGINT")
+        .parquet(s"$root/summary/v2/stats").head
+      graft.operators.Retrieval.bm25TopK(compacted, bm25Queries(docs),
+        st.getLong(0), st.getLong(1), k = 10, docFreqTable = Some(dfT))
+    },
+    Some(bm25OracleSql))
+
   // ---------------------------------------------------------------- t14
   // TF-IDF KEYPHRASES — the per-document inverse of t13's per-query
   // ranking: the 3 most distinguishing terms of every document (tf ·
@@ -6692,7 +6733,7 @@ object Catalog {
     m1, m2, m3, m4, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13,
     p1, p2, p3, p4, p5,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
-    w17, w18, w19, w20, w21)
+    w17, w18, w19, w20, w21, w22)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

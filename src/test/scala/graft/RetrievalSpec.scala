@@ -151,4 +151,33 @@ class RetrievalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(viaHeap == viaWindow)
   }
+
+  test("compactSegments: posting multiset preserved, per-file term ranges disjoint") {
+    val root = java.nio.file.Files.createTempDirectory("graft-w22").toString
+    val docs = corpus.map { case (id, w) => (id, w) }.toDF("doc_id", "w")
+    (0 until 3).foreach { i =>
+      Retrieval.indexBatchAppend(root, docs.filter(col("doc_id") % 3 === i), "doc_id", "w", i)
+    }
+    val segSchema = "term STRING, doc_id BIGINT, dl BIGINT, tf BIGINT"
+    val before = spark.read.schema(segSchema + ", batch INT")
+      .parquet(s"$root/postings").select("term", "doc_id", "dl", "tf")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val dest = Retrieval.compactSegments(spark, root, numRanges = 3)
+    val compacted = spark.read.schema(segSchema).parquet(dest)
+    val after = compacted.collect().map(_.toSeq).sortBy(_.toString)
+    assert(after.toSeq == before.toSeq)           // layout-only: multiset identical
+    Retrieval.assertDisjointFileRanges(compacted, "term")  // must not throw
+  }
+
+  test("assertDisjointFileRanges throws on a full-range-per-file layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-w22-bad").toString + "/flat"
+    val rows = Seq(("alpha", 1L), ("omega", 2L)).toDF("term", "doc_id")
+    rows.coalesce(1).write.mode("append").parquet(dir)   // file 1: [alpha, omega]
+    rows.coalesce(1).write.mode("append").parquet(dir)   // file 2: [alpha, omega]
+    val df = spark.read.schema("term STRING, doc_id BIGINT").parquet(dir)
+    val ex = intercept[IllegalStateException] {
+      Retrieval.assertDisjointFileRanges(df, "term")
+    }
+    assert(ex.getMessage.contains("ranges overlap"))
+  }
 }
