@@ -203,15 +203,42 @@ object Retrieval {
     * posting multiset is untouched (the caller's search-parity gate
     * proves it). */
   def compactSegments(spark: org.apache.spark.sql.SparkSession, root: String,
-      numRanges: Int): String = {
+      numRanges: Int, through: Int = Int.MaxValue): String = {
     val segs = spark.read.schema(postingsReadSchema)
       .parquet(s"$root/postings")
+      .filter(col("batch") <= through)
       .select("term", "doc_id", "dl", "tf")
     val dest = s"$root/compacted"
     segs.repartitionByRange(numRanges, col("term"))
       .sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite").parquet(dest)
     dest
+  }
+
+  /** Search a PARTIALLY-compacted store: the term-range-compacted file
+    * set serves every segment ≤ `compactedThrough`, segments after it
+    * are read from their original batch= dirs, and the union feeds the
+    * same scaled-integer BM25 through the `version` summary. The gate is
+    * structural: the residual scan must carry a `batch` partition filter
+    * (pre-compaction segments are PRUNED from the read, never re-scanned
+    * — the read-amplification win compaction exists for; THROWS if the
+    * filter misses the scan). */
+  def searchCompactedStore(spark: org.apache.spark.sql.SparkSession, root: String,
+      compactedThrough: Int, version: Int, queryTerms: DataFrame, k: Int): DataFrame = {
+    val compacted = spark.read
+      .schema("term STRING, doc_id BIGINT, dl BIGINT, tf BIGINT")
+      .parquet(s"$root/compacted")
+    val residual = spark.read.schema(postingsReadSchema)
+      .parquet(s"$root/postings")
+      .filter(col("batch") > compactedThrough)
+      .select("term", "doc_id", "dl", "tf")
+    graft.sources.Sink.assertPartitionPruned(residual, "batch")
+    val dfT = spark.read.schema("term STRING, df BIGINT")
+      .parquet(s"$root/summary/v$version/df")
+    val st = spark.read.schema("n BIGINT, t BIGINT")
+      .parquet(s"$root/summary/v$version/stats").head
+    bm25TopK(compacted.unionAll(residual), queryTerms,
+      st.getLong(0), st.getLong(1), k, docFreqTable = Some(dfT))
   }
 
   /** THROWS unless every file's [min, max] range of `keyCol` is pairwise

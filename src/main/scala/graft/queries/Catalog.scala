@@ -3380,6 +3380,45 @@ object Catalog {
     },
     Some(bm25OracleSql))
 
+  // ---------------------------------------------------------------- s14
+  // STREAMING COMPACTION — the mid-stream form of w22, the seam s6 is
+  // to w6: segments keep arriving WHILE compaction folds the old ones,
+  // so the read path must serve compacted ∪ post-compaction residual
+  // without ever re-scanning the segments the compaction replaced. Four
+  // trigger-slices land as segments; after the third, batches 0..2 fold
+  // into the term-range store; the fourth appends as a plain segment;
+  // search reads compacted + residual with a THROWING gate that the
+  // residual scan carries a batch partition filter (pre-compaction
+  // dirs pruned — the read-amplification win compaction exists for,
+  // enforced structurally, not assumed). Oracle: t13's full-corpus
+  // ranking — the split-brain read must be indistinguishable from the
+  // one-shot index (floor-sensitive scores catch any lost/doubled
+  // posting across the compaction boundary). Per-trigger parity of the
+  // mid-stream fold runs under MemoryStream in StreamingSpec.
+  private val s14 = Q(
+    "s14_stream_compaction",
+    (s, d) => {
+      val root = s"$scratchRoot/${new java.io.File(d).getName}/s14"
+      val docs = bm25Docs(s, d)
+      (0 until 3).foreach { i =>
+        graft.operators.Retrieval.indexBatchAppend(
+          root, docs.filter(col("doc_id") % 4 === i), "doc_id", "w", i)
+      }
+      // compaction folds ONLY the segments that exist at its cut
+      // (through = 2): a re-run with batch=3 already on disk must not
+      // double those postings into the compacted set
+      val dest = graft.operators.Retrieval.compactSegments(
+        s, root, numRanges = 4, through = 2)
+      graft.operators.Retrieval.assertDisjointFileRanges(
+        s.read.schema("term STRING, doc_id BIGINT, dl BIGINT, tf BIGINT")
+          .parquet(dest), "term")
+      graft.operators.Retrieval.indexBatchAppend(
+        root, docs.filter(col("doc_id") % 4 === 3), "doc_id", "w", 3)
+      graft.operators.Retrieval.searchCompactedStore(
+        s, root, compactedThrough = 2, version = 3, bm25Queries(docs), k = 10)
+    },
+    Some(bm25OracleSql))
+
   // ---------------------------------------------------------------- t14
   // TF-IDF KEYPHRASES — the per-document inverse of t13's per-query
   // ranking: the 3 most distinguishing terms of every document (tf ·
@@ -6730,7 +6769,7 @@ object Catalog {
     l17, l18, l19,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14,
     c1, c2, c3, c4, c5, c6, c7, c8, c9,
-    m1, m2, m3, m4, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13,
+    m1, m2, m3, m4, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14,
     p1, p2, p3, p4, p5,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
     w17, w18, w19, w20, w21, w22)

@@ -700,4 +700,61 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally query.stop()
   }
+
+  test("mid-stream compaction: search parity holds across the compaction boundary") {
+    import graft.operators.Retrieval
+    implicit val ctx = spark.sqlContext
+    val docsAll = Seq(
+      1L -> "spark shuffles data across the cluster for joins",
+      2L -> "broadcast joins avoid the shuffle for small tables",
+      3L -> "parquet scans push filters down to the reader",
+      4L -> "the shuffle is the bottleneck for big joins",
+      5L -> "streaming state lives in the state store",
+      6L -> "dictionaries fold one version at a time",
+      7L -> "compaction folds segments into range files",
+      8L -> "residual segments ride the batch filter")
+    val root = java.nio.file.Files.createTempDirectory("s14spec").toString + "/idx"
+    val compactAfter = 1 // fold batches 0..1 while batches 2..3 still arrive
+    val input = MemoryStream[(Long, String)]
+    var version = -1
+    val query = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        version += 1
+        Retrieval.indexBatchAppend(root,
+          batch.select(col("doc_id"), split(col("text"), " ").as("w")),
+          "doc_id", "w", version)
+        if (version == compactAfter) {
+          val dest = Retrieval.compactSegments(spark, root, numRanges = 2,
+            through = compactAfter)
+          Retrieval.assertDisjointFileRanges(
+            spark.read.schema("term STRING, doc_id BIGINT, dl BIGINT, tf BIGINT")
+              .parquet(dest), "term")
+        }
+        ()
+      }
+      .start()
+    val qt = Seq(100L -> "shuffle", 100L -> "segments").toDF("query_id", "term")
+    try {
+      var seen = Seq.empty[(Long, String)]
+      for (trigger <- docsAll.grouped(2)) {
+        input.addData(trigger)
+        query.processAllAvailable()
+        seen = seen ++ trigger
+        val soFar = seen.toDF("doc_id", "text")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+        val got =
+          (if (version >= compactAfter)
+             Retrieval.searchCompactedStore(spark, root, compactAfter, version, qt, k = 3)
+           else Retrieval.searchFromStore(spark, root, version, qt, k = 3))
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        val st = soFar.agg(count(lit(1)), sum(size(col("w")).cast("long"))).head
+        val want = Retrieval.bm25TopK(
+            Retrieval.buildPostings(soFar, "doc_id", "w"), qt,
+            st.getLong(0), st.getLong(1), k = 3)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        assert(got == want, s"search diverged at v$version (compacted through $compactAfter)")
+      }
+    } finally query.stop()
+  }
 }
