@@ -314,6 +314,69 @@ object Catalog {
           CASE WHEN n2 > 0 THEN CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE) END FROM n"""))
   }
 
+  // ---------------------------------------------------------------- a13
+  // TIME-SERIES GAP-FILL / RESAMPLE — irregular events resampled to a
+  // regular per-user DAILY grid with last-observation-carried-forward
+  // (the pandas-ffill primitive at warehouse scale; every feature store
+  // densifies sparse activity this way before sequence models consume
+  // it). The scale-shaped plan is the bounded-explode span rewrite (a11's
+  // discipline): each observed day emits ITS OWN fill span via
+  // sequence(day, next_day − 1) — no generated calendar table, no
+  // calendar join, no second windowed fill pass. Two shuffles of
+  // DAY-resolution rows only: the daily groupBy ships map-side partial
+  // aggregates (never raw events), the lead() window reshuffles the
+  // ~1000×-smaller daily table, and the explode is narrow. Span length
+  // is bounded by the series horizon (a retention window at 100 TB), so
+  // the explode cannot amplify past grid size. Filled days carry the
+  // value forward but report n_events = 0 and observed = false with
+  // their staleness (days_since_obs) — the downstream quality signal.
+  // Decimal-exact day_value (DecV) keeps the double sum order-free.
+  private val a13 = Q(
+    "a13_gapfill",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(
+          sum(col("value").cast(DecV)).cast("double").as("day_value"),
+          count(lit(1)).as("n_events"))
+      daily
+        .withColumn("next_day",
+          lead(col("day"), 1).over(Window.partitionBy("user_id").orderBy("day")))
+        .withColumn("grid_day",
+          explode(sequence(col("day"),
+            coalesce(date_sub(col("next_day"), 1), col("day")),
+            expr("interval 1 day"))))
+        .select(
+          col("user_id"),
+          date_format(col("grid_day"), "yyyy-MM-dd").as("day"),
+          col("day_value"),
+          when(col("grid_day") === col("day"), col("n_events"))
+            .otherwise(lit(0L)).as("n_events"),
+          (col("grid_day") === col("day")).as("observed"),
+          datediff(col("grid_day"), col("day")).cast("long").as("days_since_obs"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_value,
+          COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2),
+      spans AS (
+        SELECT *, LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+        FROM daily),
+      grid AS (
+        SELECT user_id, day, day_value, n_events,
+          CAST(UNNEST(generate_series(CAST(day AS TIMESTAMP),
+            CAST(COALESCE(next_day - 1, day) AS TIMESTAMP),
+            INTERVAL 1 DAY)) AS DATE) AS grid_day
+        FROM spans)
+      SELECT user_id, CAST(grid_day AS VARCHAR) AS day, day_value,
+        CASE WHEN grid_day = day THEN n_events ELSE 0 END AS n_events,
+        grid_day = day AS observed,
+        date_diff('day', day, grid_day) AS days_since_obs
+      FROM grid"""))
+
   // ---------------------------------------------------------------- a10
   // COHORT RETENTION (a9's companion, the other product-analytics
   // staple): users cohorted by their FIRST active day, and for every
@@ -6760,7 +6823,7 @@ object Catalog {
 
   /** All registered queries, in SURVEY §2 order. */
   val all: Seq[Q] = Seq(
-    a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11, a12,
+    a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11, a12, a13,
     n1, n2, n3, n4, n5, n6, n7,
     d1, d2, d3, d4, d5, d6, d7,
     e1, e2, e3, e4, e5, j1, j2, j3, j4, j5,
