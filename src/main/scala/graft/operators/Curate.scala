@@ -200,6 +200,65 @@ object Curate {
   }
 
   /**
+   * EPOCH EXPANSION — the UPsampling half [[tokenBudgetSample]] cannot
+   * express: when a source's token budget exceeds its corpus size (the
+   * scarce high-quality source every mixture recipe repeats — "4 epochs
+   * of wiki, 0.4 of web"), the source is served floor(budget / total)
+   * FULL epochs plus a deterministic partial epoch covering the
+   * remainder. Budgets are RATIONAL multiples of each source's own
+   * token total (num/den, exact integer arithmetic — scale-free, so the
+   * same recipe means the same epoch count at any corpus size), and the
+   * partial epoch is the [[tokenBudgetSample]] cut (salted-hash order,
+   * first-token rule) with the remainder as its budget. Downsampling
+   * (num < den) degenerates to zero full epochs + the cut — exactly
+   * tokenBudgetSample's selection, as an epoch-0 slice.
+   *
+   * Emits one row per (input row, epoch): epoch 0..k−1 are full
+   * replicas, epoch k the partial slice. Row amplification is
+   * floor(num/den)+1 — the recipe's token multiplier, a knob, never
+   * data-dependent — via one narrow `sequence` explode; totals ride a
+   * per-source aggregate joined back (source cardinality is tiny, so
+   * the join broadcasts). OUTPUT SCHEMA: input columns + `n_tokens` +
+   * `cum_tokens` + `epoch`.
+   */
+  def epochExpand(df: DataFrame, keyCol: String, sourceCol: String,
+      tokensCol: Column, salt: String, multipliers: Seq[(String, (Long, Long))],
+      defaultMultiplier: (Long, Long)): DataFrame = {
+    (multipliers.map(_._2) :+ defaultMultiplier).foreach { case (n0, d0) =>
+      require(n0 >= 0 && d0 >= 1, s"multiplier must be >=0 / >=1, got $n0/$d0")
+    }
+    require(!df.columns.exists(Set("n_tokens", "cum_tokens", "epoch")),
+      "epochExpand adds n_tokens/cum_tokens/epoch; input already has them")
+    val frac = hashFraction(concat(col(keyCol).cast("string"), lit("|" + salt)))
+    def pick(f: ((Long, Long)) => Long): Column =
+      multipliers.foldRight(lit(f(defaultMultiplier)): Column) {
+        case ((s0, m), e) => when(col(sourceCol) === s0, lit(f(m))).otherwise(e)
+      }
+    val totals = df.groupBy(col(sourceCol))
+      .agg(sum(tokensCol.cast("bigint")).as("__src_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(frac.asc, col(keyCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("n_tokens", tokensCol.cast("bigint"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .join(broadcast(totals), sourceCol)
+      // integer arithmetic throughout: `div` is integral division (the
+      // Column `/` would detour through double and round)
+      .withColumn("__num", col("__src_tokens") * pick(_._1))
+      .withColumn("__den", pick(_._2))
+      .withColumn("__budget", expr("__num div __den"))
+      .withColumn("__full", expr("__budget div __src_tokens"))
+      .withColumn("__rem", expr("__budget % __src_tokens"))
+      .withColumn("__n_ep", col("__full") +
+        when(col("cum_tokens") - col("n_tokens") < col("__rem"), lit(1L))
+          .otherwise(lit(0L)))
+      .filter(col("__n_ep") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__n_ep") - 1)))
+      .drop("__src_tokens", "__num", "__den", "__budget", "__full", "__rem", "__n_ep")
+  }
+
+  /**
    * Temperature-scaled mixture budgets — the multilingual/multi-source
    * rebalancing rule (mT5/XLM-R's α-scaled sampling): source i's share
    * of a total token budget is proportional to n_i^α with α < 1, so

@@ -199,15 +199,24 @@ object Retrieval {
     * term ranges (every occurrence of a term lands in exactly one range
     * partition), and the in-file (term, doc_id) sort makes parquet
     * row-group min/max stats selective for term lookups — the w11
-    * skipping discipline applied to a posting store. Layout-only: the
-    * posting multiset is untouched (the caller's search-parity gate
-    * proves it). */
+    * skipping discipline applied to a posting store. The range count is
+    * SIZED FROM THE DATA (ceil(rows / targetRowsPerFile)): a fixed file
+    * count would cap write parallelism and grow per-file size without
+    * bound as segments accumulate — the one-file-per-cell hazard w7's
+    * compaction fixed, avoided here by construction (file size and task
+    * size stay constant at any store size; the count pass is
+    * metadata-cheap next to the rewrite). Layout-only: the posting
+    * multiset is untouched (the caller's search-parity gate proves
+    * it). */
   def compactSegments(spark: org.apache.spark.sql.SparkSession, root: String,
-      numRanges: Int, through: Int = Int.MaxValue): String = {
+      targetRowsPerFile: Long, through: Int = Int.MaxValue): String = {
+    require(targetRowsPerFile >= 1, "targetRowsPerFile must be positive")
     val segs = spark.read.schema(postingsReadSchema)
       .parquet(s"$root/postings")
       .filter(col("batch") <= through)
       .select("term", "doc_id", "dl", "tf")
+    val n = segs.count()
+    val numRanges = math.max(2L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
     val dest = s"$root/compacted"
     segs.repartitionByRange(numRanges, col("term"))
       .sortWithinPartitions("term", "doc_id")

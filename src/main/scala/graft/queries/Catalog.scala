@@ -1567,6 +1567,76 @@ object Catalog {
   private def normSql(c: String): String =
     s"lower(trim(regexp_replace($c, '\\s+', ' ', 'g')))"
 
+  // ---------------------------------------------------------------- e6
+  // GOLDEN RECORD / SURVIVORSHIP — the canonical-record construction
+  // every master-data pipeline runs after matching (the step AFTER e3's
+  // normalization and e4/l7's clustering decide who belongs together):
+  // per cluster, field-wise survivorship rules pick the serving values.
+  // The scale shape is the point: every rule here is a MERGEABLE
+  // aggregate — "first registered name" = min(struct(src_id, name)),
+  // "latest NON-NULL segment" = max(struct(version, segment)) over the
+  // non-null rows (the when() nulls the struct so the aggregate skips
+  // it) — so golden-record construction is ONE shuffle of map-side
+  // partials, never the row_number()-per-cluster window a naive
+  // implementation sorts whole clusters for. Fixture: three suffix
+  // variants per customer (e3's alias shapes) with versioned segment
+  // values, one version NULLed per cluster at a rotating position —
+  // the survivor must SKIP a missing latest value, not return null
+  // (the case that distinguishes arg-max-non-null from plain arg-max).
+  // Decimal acctbal keeps max() exact; the oracle replays every rule
+  // via DuckDB's arg_min/arg_max with the same null-key skip.
+  private val e6 = Q(
+    "e6_golden_record",
+    (s, d) => {
+      val v = Tables.customer(s, d).select(
+        col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"),
+        explode(array(lit(0), lit(1), lit(2))).as("version"))
+      val raw = concat(col("c_name"),
+        element_at(array(lit(" Inc"), lit(" LLC"), lit("")),
+          (col("version") + 1).cast("int")))
+      val rec = v.select(
+        (col("c_custkey") * 10 + col("version")).as("src_id"),
+        col("version"),
+        raw.as("name_raw"),
+        T.stripCompanySuffixes(raw).as("name_clean"),
+        when((col("c_custkey") + col("version")) % 3 === 0,
+          lit(null).cast("string"))
+          .otherwise(concat(col("c_mktsegment"), lit("-v"),
+            col("version").cast("string"))).as("segment"),
+        (col("c_acctbal").cast(DecM) + col("version").cast(DecM)).as("acctbal"))
+      rec.groupBy("name_clean").agg(
+        min(struct(col("src_id"), col("name_raw")))
+          .getField("name_raw").as("canonical_name"),
+        max(when(col("segment").isNotNull, struct(col("version"), col("segment"))))
+          .getField("segment").as("segment"),
+        max(col("acctbal")).cast("double").as("max_acctbal"),
+        count(lit(1)).as("n_versions"),
+        (count(lit(1)) - count(col("segment"))).as("n_missing_segment"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT c_custkey, c_name, c_mktsegment, c_acctbal, k
+        FROM customer, (VALUES (0), (1), (2)) AS t(k)),
+      a AS (
+        SELECT c_custkey * 10 + k AS src_id, k AS version,
+          c_name || CASE k WHEN 0 THEN ' Inc' WHEN 1 THEN ' LLC' ELSE '' END
+            AS name_raw,
+          trim(regexp_replace(regexp_replace(lower(c_name ||
+            CASE k WHEN 0 THEN ' Inc' WHEN 1 THEN ' LLC' ELSE '' END),
+            '\b(inc|llc|ltd|corp|corporation|co|lp|llp|plc|gmbh|ag|sa)\b\.?',
+            ' ', 'g'), '\s+', ' ', 'g')) AS name_clean,
+          CASE WHEN (c_custkey + k) % 3 = 0 THEN NULL
+               ELSE c_mktsegment || '-v' || k END AS segment,
+          CAST(c_acctbal AS DECIMAL(12,4)) + k AS acctbal
+        FROM v)
+      SELECT name_clean,
+        arg_min(name_raw, src_id) AS canonical_name,
+        arg_max(segment, CASE WHEN segment IS NOT NULL THEN version END) AS segment,
+        CAST(MAX(acctbal) AS DOUBLE) AS max_acctbal,
+        COUNT(*) AS n_versions,
+        COUNT(*) - COUNT(segment) AS n_missing_segment
+      FROM a GROUP BY 1"""))
+
   /** DuckDB cosine mirroring graft.functions.vectors.cosine (decimal-exact). */
   private def cosSql(a: String, b: String): String = {
     def dot(x: String, y: String) =
@@ -3402,6 +3472,34 @@ object Catalog {
     },
     Some(bm25OracleSql))
 
+  /** Segment stores consumed by the compaction entries (w22/s14), built
+    * ONCE per (JVM, canonical dataset, layout) — the p2/codebook
+    * attribution precedent: in production the store EXISTS (s13 is the
+    * operator that builds it, and keeps its fold in ITS timed path);
+    * compaction/serving entries should measure compaction and serving,
+    * not a per-pass re-ingest of the whole corpus. Key and path derive
+    * from the canonical dataset path (two dirs sharing a basename must
+    * neither share memo entries nor scratch paths); builds are
+    * idempotent overwrites, so a concurrent second session converges on
+    * identical bytes. */
+  private val segStoreMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def bm25SegmentStore(s: SparkSession, d: String, tag: String,
+      mod: Int, nBuilt: Int): String = {
+    val canonical = new java.io.File(d).getCanonicalPath
+    segStoreMemo.getOrElseUpdate(s"$canonical#$tag", {
+      val dsName = new java.io.File(d).getName + "_" +
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(canonical.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val root = s"$scratchRoot/$dsName/$tag"
+      val docs = bm25Docs(s, d)
+      (0 until nBuilt).foreach { i =>
+        graft.operators.Retrieval.indexBatchAppend(
+          root, docs.filter(col("doc_id") % mod === i), "doc_id", "w", i)
+      }
+      root
+    })
+  }
+
   // ---------------------------------------------------------------- w22
   // INDEX SEGMENT COMPACTION — closing s13's lifecycle the way w7
   // closes the vector store's: trigger-sized segments accumulate until
@@ -3419,13 +3517,10 @@ object Catalog {
   private val w22 = Q(
     "w22_index_compaction",
     (s, d) => {
-      val root = s"$scratchRoot/${new java.io.File(d).getName}/w22"
+      val root = bm25SegmentStore(s, d, "w22", mod = 3, nBuilt = 3)
       val docs = bm25Docs(s, d)
-      (0 until 3).foreach { i =>
-        graft.operators.Retrieval.indexBatchAppend(
-          root, docs.filter(col("doc_id") % 3 === i), "doc_id", "w", i)
-      }
-      val dest = graft.operators.Retrieval.compactSegments(s, root, numRanges = 4)
+      val dest = graft.operators.Retrieval.compactSegments(s, root,
+        targetRowsPerFile = 100000L)
       val compacted = s.read
         .schema("term STRING, doc_id BIGINT, dl BIGINT, tf BIGINT")
         .parquet(dest)
@@ -3461,17 +3556,13 @@ object Catalog {
   private val s14 = Q(
     "s14_stream_compaction",
     (s, d) => {
-      val root = s"$scratchRoot/${new java.io.File(d).getName}/s14"
+      val root = bm25SegmentStore(s, d, "s14", mod = 4, nBuilt = 3)
       val docs = bm25Docs(s, d)
-      (0 until 3).foreach { i =>
-        graft.operators.Retrieval.indexBatchAppend(
-          root, docs.filter(col("doc_id") % 4 === i), "doc_id", "w", i)
-      }
       // compaction folds ONLY the segments that exist at its cut
       // (through = 2): a re-run with batch=3 already on disk must not
       // double those postings into the compacted set
       val dest = graft.operators.Retrieval.compactSegments(
-        s, root, numRanges = 4, through = 2)
+        s, root, targetRowsPerFile = 100000L, through = 2)
       graft.operators.Retrieval.assertDisjointFileRanges(
         s.read.schema("term STRING, doc_id BIGINT, dl BIGINT, tf BIGINT")
           .parquet(dest), "term")
@@ -3718,6 +3809,60 @@ object Catalog {
           ${splitCaseSql("nf")} AS naive_split
         FROM fr"""))
   }
+
+  // ---------------------------------------------------------------- c10
+  // EPOCH EXPANSION (Curate.epochExpand) — the UPsampling half of the
+  // mixture family: c2/c6/c7/c8 can only CUT a source down to a budget,
+  // but a real recipe REPEATS scarce high-quality sources ("4 epochs of
+  // wiki, 0.4 of web") — floor(budget/total) full replicas plus a
+  // deterministic partial epoch. Budgets are rational multiples of each
+  // source's OWN token total (exact integer `div`/`%` — scale-free: the
+  // same recipe yields the same epoch count at any corpus size), the
+  // partial epoch is c7's salted-hash-order first-token cut with the
+  // remainder as its budget, and the replication is one narrow
+  // sequence-explode whose amplification is the recipe's multiplier —
+  // a knob, never data-dependent. Fixture exercises all three regimes:
+  // src0 at 5/2 (two full epochs + a half partial), src1 at 3/1 (exact
+  // epochs — the rem = 0 boundary must emit NO partial rows), default
+  // 2/5 (pure downsample ≡ tokenBudgetSample as epoch 0). Oracle
+  // replays totals → rational budget → div/mod → cumsum cut → range
+  // explode bit-for-bit.
+  private val c10 = Q(
+    "c10_epoch_expand",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+      Curate.epochExpand(docs, "doc_id", "source",
+        T.tokenCountWs(col("text")), "epoch0",
+        Seq("src0" -> (5L, 2L), "src1" -> (3L, 1L)), (2L, 5L))
+        .drop("text")
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, source,
+          CAST(len(string_split(${normSql("text")}, ' ')) AS BIGINT) AS n_tokens,
+          ${hashFracSql("CAST(doc_id AS VARCHAR) || '|epoch0'")} AS f
+        FROM documents),
+      tot AS (SELECT source, SUM(n_tokens) AS src_tokens FROM t GROUP BY 1),
+      b AS (SELECT source, src_tokens,
+              (src_tokens * CASE source WHEN 'src0' THEN 5 WHEN 'src1' THEN 3
+                 ELSE 2 END)
+              // CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1 ELSE 5 END
+                AS budget
+            FROM tot),
+      c AS (SELECT t.doc_id, t.source, t.n_tokens,
+              CAST(SUM(t.n_tokens) OVER (PARTITION BY t.source
+                ORDER BY t.f, t.doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                AS cum_tokens,
+              b.src_tokens, b.budget
+            FROM t JOIN b USING (source)),
+      e AS (SELECT *, budget // src_tokens AS n_full,
+              budget % src_tokens AS rem FROM c),
+      x AS (SELECT *, n_full + CASE WHEN cum_tokens - n_tokens < rem
+              THEN 1 ELSE 0 END AS n_ep FROM e)
+      SELECT doc_id, source, n_tokens, cum_tokens,
+        CAST(UNNEST(range(CAST(n_ep AS BIGINT))) AS BIGINT) AS epoch
+      FROM x WHERE n_ep > 0"""))
 
   // ---------------------------------------------------------------- c1
   private val c1 = {
@@ -6826,12 +6971,12 @@ object Catalog {
     a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11, a12, a13,
     n1, n2, n3, n4, n5, n6, n7,
     d1, d2, d3, d4, d5, d6, d7,
-    e1, e2, e3, e4, e5, j1, j2, j3, j4, j5,
+    e1, e2, e3, e4, e5, e6, j1, j2, j3, j4, j5,
     r1, r2, r3, r4, r5, r6, r7, r8, q1, q2, q3, q4, q5, q6,
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
     l17, l18, l19,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14,
-    c1, c2, c3, c4, c5, c6, c7, c8, c9,
+    c1, c2, c3, c4, c5, c6, c7, c8, c9, c10,
     m1, m2, m3, m4, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14,
     p1, p2, p3, p4, p5,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,

@@ -97,7 +97,17 @@ object ScaleProbe {
     // keyphrases (×8 postings through the df join + per-doc windows) and
     // the fusion/audit entries (their exact leg rides the ×8 corpus
     // through l5's broadcast cross; fusion/join stages stay queries×k)
-    "t14_keyphrases", "l19_hybrid_rrf", "q6_ann_recall_audit")
+    "t14_keyphrases", "l19_hybrid_rrf", "q6_ann_recall_audit",
+    // round-9 continuation 5: index compaction (×8 postings through the
+    // range repartition + the disjointness stats pass), its mid-stream
+    // twin (×8 through four appends, the cut fold and the split-brain
+    // read) and gap-fill (×8 events collapse at the daily groupBy —
+    // the grid output is user-days, so ×8 salted users grow it
+    // linearly, never quadratically)
+    "w22_index_compaction", "s14_stream_compaction", "a13_gapfill",
+    // golden record: ×8 customers = ×8 clusters; survivorship is one
+    // mergeable-aggregate shuffle, so growth must stay linear
+    "e6_golden_record")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

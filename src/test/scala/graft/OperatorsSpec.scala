@@ -383,6 +383,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(run(Some(50)) == window)
   }
 
+  test("epochExpand: full epochs replicate whole source; rem=0 emits no partial; downsample == tokenBudgetSample") {
+    import graft.operators.Curate
+    val df = (1L to 10L).map(i => (i, if (i <= 5) "hot" else "cold", 10L))
+      .toDF("id", "src", "tok")
+    // hot at 5/2: total 50 tokens, budget 125 -> 2 full epochs + 25-token
+    // partial; cold at 2/5: budget 20 -> 0 full + 20-token partial
+    val got = Curate.epochExpand(df, "id", "src", col("tok"), "ep0",
+      Seq("hot" -> ((5L, 2L))), (2L, 5L))
+      .collect().map(r => (r.getAs[String]("src"), r.getAs[Long]("id"),
+        r.getAs[Long]("epoch"))).toList
+    val hot = got.filter(_._1 == "hot")
+    // every hot row appears in epochs 0 and 1; the partial epoch 2 holds
+    // the first 25 tokens (rows 1-3 in hash order: first-token rule
+    // admits the 25-crossing row)
+    assert(hot.count(_._3 == 0L) == 5 && hot.count(_._3 == 1L) == 5)
+    assert(hot.count(_._3 == 2L) == 3)
+    val cold = got.filter(_._1 == "cold")
+    assert(cold.forall(_._3 == 0L) && cold.size == 2)
+    // downsample regime must select exactly tokenBudgetSample's rows
+    val viaBudget = Curate.tokenBudgetSample(df.filter(col("src") === "cold"),
+      "id", "src", col("tok"), "ep0", Seq("cold" -> 20L), 0L)
+      .collect().map(_.getLong(0)).toSet
+    assert(cold.map(_._2).toSet == viaBudget)
+    // exact-multiple boundary: 3/1 -> exactly 3 full epochs, zero partial
+    val exact = Curate.epochExpand(df.filter(col("src") === "hot"),
+      "id", "src", col("tok"), "ep0", Seq("hot" -> ((3L, 1L))), (1L, 1L))
+      .collect().map(_.getAs[Long]("epoch"))
+    assert(exact.length == 15 && exact.max == 2L)
+  }
+
   test("scd2Dim: change-compressed validity intervals, one exchange for all three windows") {
     import graft.operators.Marts
     val obs = Seq(

@@ -162,7 +162,7 @@ class RetrievalSpec extends AnyFunSuite {
     val before = spark.read.schema(segSchema + ", batch INT")
       .parquet(s"$root/postings").select("term", "doc_id", "dl", "tf")
       .collect().map(_.toSeq).sortBy(_.toString)
-    val dest = Retrieval.compactSegments(spark, root, numRanges = 3)
+    val dest = Retrieval.compactSegments(spark, root, targetRowsPerFile = 12L)
     val compacted = spark.read.schema(segSchema).parquet(dest)
     val after = compacted.collect().map(_.toSeq).sortBy(_.toString)
     assert(after.toSeq == before.toSeq)           // layout-only: multiset identical

@@ -725,8 +725,8 @@ class StreamingSpec extends AnyFunSuite {
           batch.select(col("doc_id"), split(col("text"), " ").as("w")),
           "doc_id", "w", version)
         if (version == compactAfter) {
-          val dest = Retrieval.compactSegments(spark, root, numRanges = 2,
-            through = compactAfter)
+          val dest = Retrieval.compactSegments(spark, root,
+            targetRowsPerFile = 20L, through = compactAfter)
           Retrieval.assertDisjointFileRanges(
             spark.read.schema("term STRING, doc_id BIGINT, dl BIGINT, tf BIGINT")
               .parquet(dest), "term")
