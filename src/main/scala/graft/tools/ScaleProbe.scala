@@ -107,7 +107,11 @@ object ScaleProbe {
     "w22_index_compaction", "s14_stream_compaction", "a13_gapfill",
     // golden record: ×8 customers = ×8 clusters; survivorship is one
     // mergeable-aggregate shuffle, so growth must stay linear
-    "e6_golden_record")
+    "e6_golden_record",
+    // epoch expansion: ×8 docs move every source total and budget in
+    // lockstep (rational multipliers are scale-free), so epoch counts
+    // are unchanged and the output grows linearly with the corpus
+    "c10_epoch_expand")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

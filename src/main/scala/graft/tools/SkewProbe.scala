@@ -52,7 +52,17 @@ object SkewProbe {
     // array in one task — the fold is linear and the state nSteps
     // longs, but the sort-collect is the axis to watch; r8's exact
     // path flags per user on the same exchange
-    "a9_funnel", "a12_windowed_funnel", "r8_set_overlap")
+    "a9_funnel", "a12_windowed_funnel", "r8_set_overlap",
+    // round-9 continuation 5: golden record under the hot-CLUSTER
+    // customer fixture (30% of customers share one name -> one mega
+    // cluster; survivorship is mergeable min/max aggregates, so the hot
+    // cluster must cost a partial-aggregate merge, not a one-task
+    // sort), epoch expansion under the 90%-one-stratum document skew
+    // (one giant source rides the same cumsum window as c7, and its
+    // replication explode is bounded by the recipe multiplier), and
+    // gap-fill under the hot event user (30% of events collapse into
+    // one user's daily aggregate; the span explode stays grid-sized)
+    "e6_golden_record", "c10_epoch_expand", "a13_gapfill")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -74,8 +84,18 @@ object SkewProbe {
         when(frac < pct / 100.0, lit(7L)).otherwise(col("user_id")))
       .withColumn("ts", (unix_micros(col("ts")) * 1000L).as("ts")) // nanos long
       .write.mode("overwrite").parquet(s"$out/events.parquet")
-    // the probed entries also read customer (j3's dim side): plain copy
-    Tables.customer(spark, sfDir)
+    // customer (j3's dim side; e6's cluster source): keys untouched, but
+    // the same pct of customer NAMES remap onto customer 7's name — the
+    // mega-brand alias pile that turns one e6 cluster giant while every
+    // key-join still matches
+    val cust = Tables.customer(spark, sfDir)
+    val hotName = cust.filter(col("c_custkey") === 7)
+      .select("c_name").head().getString(0)
+    val cfrac = graft.operators.Curate.hashFraction(
+      concat(col("c_custkey").cast("string"), lit("|nameskew")))
+    cust.withColumn("c_name",
+        when(cfrac < pct / 100.0 && col("c_custkey") =!= 7, lit(hotName))
+          .otherwise(col("c_name")))
       .write.mode("overwrite").parquet(s"$out/customer.parquet")
     // hot-CELL variant for the IVF lifecycle: the same pct of vectors is
     // remapped onto vec_id 0's embedding, so they all quantize to ONE
