@@ -174,15 +174,24 @@ object Curate {
    * One shuffle on the source; the cumsum is a window over the salted
    * order — engine-exact integer arithmetic, so an oracle replays the
    * cut bit-for-bit. OUTPUT SCHEMA: input columns + `n_tokens` +
-   * `cum_tokens` (inclusive running total in selection order). Same
-   * giant-stratum caveat as [[quotaSample]]'s window form; a token
-   * heap pre-filter would need the budget/mean-doc-tokens bound, so
-   * the scale path here is partition-by-source parallelism (sources
-   * are few and the window is one pass).
+   * `cum_tokens` (inclusive running total in selection order).
+   *
+   * SCALE PATH (`prefixPartitions = Some(p)`): the plain window funnels
+   * each source into ONE task — the giant-source hazard every mixture
+   * cut hits at 100 TB. The two-level form is a DISTRIBUTED PREFIX SUM:
+   * rows land in p deterministic hash-fraction buckets (bucket =
+   * floor(frac·p), monotone in the selection order, so bucket-then-
+   * (frac, key) IS the global order), level 1 aggregates per-(source,
+   * bucket) token totals (sources·p rows — coordinator state, the
+   * centroid/codebook class), the driver prefix-sums them into bucket
+   * offsets, and level 2 runs the cumsum window per (source, bucket) —
+   * parallelism sources·p instead of sources — adding the broadcast
+   * offset. Selection is BIT-IDENTICAL to the window form (spec-
+   * asserted): same order, same totals, same first-token rule.
    */
   def tokenBudgetSample(df: DataFrame, keyCol: String, sourceCol: String,
       tokensCol: Column, salt: String, budgets: Seq[(String, Long)],
-      defaultBudget: Long): DataFrame = {
+      defaultBudget: Long, prefixPartitions: Option[Int] = None): DataFrame = {
     require(defaultBudget >= 0 && budgets.forall(_._2 >= 0), "budgets must be >= 0")
     require(!df.columns.exists(Set("n_tokens", "cum_tokens")),
       "tokenBudgetSample adds n_tokens/cum_tokens; input already has them")
@@ -190,13 +199,46 @@ object Curate {
     val budget = budgets.foldRight(lit(defaultBudget): Column) { case ((s0, b), e) =>
       when(col(sourceCol) === s0, lit(b)).otherwise(e)
     }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(sourceCol)).orderBy(frac.asc, col(keyCol).asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    df.withColumn("n_tokens", tokensCol.cast("bigint"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-      .filter(col("cum_tokens") - col("n_tokens") < budget)
+    prefixPartitions match {
+      case None =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(sourceCol)).orderBy(frac.asc, col(keyCol).asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        df.withColumn("n_tokens", tokensCol.cast("bigint"))
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .filter(col("cum_tokens") - col("n_tokens") < budget)
+      case Some(p) =>
+        require(p >= 1, "prefixPartitions must be positive")
+        val withTok = df.withColumn("n_tokens", tokensCol.cast("bigint"))
+          .withColumn("__frac", frac)
+          .withColumn("__bucket",
+            least(floor(col("__frac") * p).cast("int"), lit(p - 1)))
+        val partials = withTok.groupBy(col(sourceCol), col("__bucket"))
+          .agg(sum(col("n_tokens")).as("__bt"))
+          .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+        val offsets = partials.keys.map(_._1).toSeq.distinct.sorted.flatMap { s0 =>
+          var acc = 0L
+          (0 until p).map { b =>
+            val off = acc
+            acc += partials.getOrElse((s0, b), 0L)
+            (s0, b, off)
+          }
+        }
+        val sp = df.sparkSession
+        import sp.implicits._
+        val offDf = offsets.toDF(sourceCol, "__bucket", "__off")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(sourceCol), col("__bucket"))
+          .orderBy(col("__frac").asc, col(keyCol).asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        withTok
+          .join(broadcast(offDf), Seq(sourceCol, "__bucket"))
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w) + col("__off"))
+          .filter(col("cum_tokens") - col("n_tokens") < budget)
+          .drop("__frac", "__bucket", "__off")
+    }
   }
 
   /**

@@ -3676,10 +3676,13 @@ object Catalog {
     val budgetSql = budgets.map { case (s0, b) => s"WHEN '$s0' THEN $b" }.mkString(" ")
     Q(
       "c7_token_budget",
+      // the distributed-prefix-sum path (p=8 buckets per source) is the
+      // engine form under gate: the oracle's plain global cumsum must
+      // hash-match it, proving the two-level cut selection-identical
       (s, d) => graft.operators.Curate.tokenBudgetSample(
         Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")),
         "doc_id", "source", T.tokenCountWs(col("text")), "tokbudget0",
-        budgets, defaultBudget).drop("text"),
+        budgets, defaultBudget, prefixPartitions = Some(8)).drop("text"),
       Some(s"""
         WITH t AS (
           SELECT doc_id, source,

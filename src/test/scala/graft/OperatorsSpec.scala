@@ -383,6 +383,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(run(Some(50)) == window)
   }
 
+  test("tokenBudgetSample: distributed prefix-sum path is bit-identical to the window path") {
+    import graft.operators.Curate
+    // one giant source spread over several input partitions + a small one
+    val df = spark.range(0, 4000).repartition(8)
+      .selectExpr("id", "CASE WHEN id % 40 = 0 THEN 'small' ELSE 'giant' END AS src",
+        "1 + id % 17 AS tok")
+    def run(p: Option[Int]) = Curate.tokenBudgetSample(df, "id", "src",
+        col("tok"), "ps0", Seq("giant" -> 9000L, "small" -> 100L), 0L, p)
+      .select("id", "src", "n_tokens", "cum_tokens")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val window = run(None)
+    assert(run(Some(8)) == window)   // same rows AND same cum_tokens
+    assert(run(Some(1)) == window)   // degenerate single bucket
+    assert(run(Some(64)) == window)  // many sparse buckets (some empty)
+  }
+
   test("epochExpand: full epochs replicate whole source; rem=0 emits no partial; downsample == tokenBudgetSample") {
     import graft.operators.Curate
     val df = (1L to 10L).map(i => (i, if (i <= 5) "hot" else "cold", 10L))
