@@ -199,22 +199,37 @@ object Curate {
     val budget = budgets.foldRight(lit(defaultBudget): Column) { case ((s0, b), e) =>
       when(col(sourceCol) === s0, lit(b)).otherwise(e)
     }
+    withCumTokens(df.withColumn("n_tokens", tokensCol.cast("bigint")),
+      keyCol, sourceCol, frac, prefixPartitions)
+      .filter(col("cum_tokens") - col("n_tokens") < budget)
+  }
+
+  /** Shared cumsum core of [[tokenBudgetSample]] and [[epochExpand]]:
+    * adds `cum_tokens` (inclusive running n_tokens total per source in
+    * (frac, key) order). `prefixPartitions = None` is the plain window
+    * (one task per source); `Some(p)` is the DISTRIBUTED PREFIX SUM —
+    * bucket = floor(frac·p) is monotone in the selection order, so
+    * bucket-then-(frac, key) IS the global order; per-(source, bucket)
+    * totals reduce to coordinator state (sources·p rows, the centroid
+    * class), the driver prefix-sums them into offsets, and the window
+    * runs per (source, bucket) at sources·p parallelism. Bit-identical
+    * output by construction (spec-asserted for p ∈ {1, 8, 64}). */
+  private def withCumTokens(withTok: DataFrame, keyCol: String,
+      sourceCol: String, frac: Column, prefixPartitions: Option[Int]): DataFrame =
     prefixPartitions match {
       case None =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col(sourceCol)).orderBy(frac.asc, col(keyCol).asc)
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
             org.apache.spark.sql.expressions.Window.currentRow)
-        df.withColumn("n_tokens", tokensCol.cast("bigint"))
-          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-          .filter(col("cum_tokens") - col("n_tokens") < budget)
+        withTok.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       case Some(p) =>
         require(p >= 1, "prefixPartitions must be positive")
-        val withTok = df.withColumn("n_tokens", tokensCol.cast("bigint"))
+        val bucketed = withTok
           .withColumn("__frac", frac)
           .withColumn("__bucket",
             least(floor(col("__frac") * p).cast("int"), lit(p - 1)))
-        val partials = withTok.groupBy(col(sourceCol), col("__bucket"))
+        val partials = bucketed.groupBy(col(sourceCol), col("__bucket"))
           .agg(sum(col("n_tokens")).as("__bt"))
           .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
         val offsets = partials.keys.map(_._1).toSeq.distinct.sorted.flatMap { s0 =>
@@ -225,7 +240,7 @@ object Curate {
             (s0, b, off)
           }
         }
-        val sp = df.sparkSession
+        val sp = withTok.sparkSession
         import sp.implicits._
         val offDf = offsets.toDF(sourceCol, "__bucket", "__off")
         val w = org.apache.spark.sql.expressions.Window
@@ -233,13 +248,11 @@ object Curate {
           .orderBy(col("__frac").asc, col(keyCol).asc)
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
             org.apache.spark.sql.expressions.Window.currentRow)
-        withTok
+        bucketed
           .join(broadcast(offDf), Seq(sourceCol, "__bucket"))
           .withColumn("cum_tokens", sum(col("n_tokens")).over(w) + col("__off"))
-          .filter(col("cum_tokens") - col("n_tokens") < budget)
           .drop("__frac", "__bucket", "__off")
     }
-  }
 
   /**
    * EPOCH EXPANSION — the UPsampling half [[tokenBudgetSample]] cannot
@@ -265,7 +278,8 @@ object Curate {
    */
   def epochExpand(df: DataFrame, keyCol: String, sourceCol: String,
       tokensCol: Column, salt: String, multipliers: Seq[(String, (Long, Long))],
-      defaultMultiplier: (Long, Long)): DataFrame = {
+      defaultMultiplier: (Long, Long),
+      prefixPartitions: Option[Int] = None): DataFrame = {
     (multipliers.map(_._2) :+ defaultMultiplier).foreach { case (n0, d0) =>
       require(n0 >= 0 && d0 >= 1, s"multiplier must be >=0 / >=1, got $n0/$d0")
     }
@@ -278,12 +292,8 @@ object Curate {
       }
     val totals = df.groupBy(col(sourceCol))
       .agg(sum(tokensCol.cast("bigint")).as("__src_tokens"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(sourceCol)).orderBy(frac.asc, col(keyCol).asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    df.withColumn("n_tokens", tokensCol.cast("bigint"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    withCumTokens(df.withColumn("n_tokens", tokensCol.cast("bigint")),
+      keyCol, sourceCol, frac, prefixPartitions)
       .join(broadcast(totals), sourceCol)
       // integer arithmetic throughout: `div` is integral division (the
       // Column `/` would detour through double and round)

@@ -3721,7 +3721,8 @@ object Catalog {
         val budgets = Curate.temperatureBudgets(
           docs, "source", T.tokenCountWs(col("text")), B, sqrtApplications = 1)
         Curate.tokenBudgetSample(docs, "doc_id", "source",
-          T.tokenCountWs(col("text")), "tempmix0", budgets, 0L).drop("text")
+          T.tokenCountWs(col("text")), "tempmix0", budgets, 0L,
+          prefixPartitions = Some(8)).drop("text")
       },
       Some(s"""
         WITH t AS (
@@ -3837,7 +3838,8 @@ object Catalog {
         .select(col("doc_id"), col("source"), col("text"))
       Curate.epochExpand(docs, "doc_id", "source",
         T.tokenCountWs(col("text")), "epoch0",
-        Seq("src0" -> (5L, 2L), "src1" -> (3L, 1L)), (2L, 5L))
+        Seq("src0" -> (5L, 2L), "src1" -> (3L, 1L)), (2L, 5L),
+        prefixPartitions = Some(8))
         .drop("text")
     },
     Some(s"""
@@ -5438,6 +5440,10 @@ object Catalog {
           deduped.select(col("doc_id"), col("t")), "doc_id", "t",
           bench, "text", gramN).select("doc_id")
         val clean = deduped.join(flagged, Seq("doc_id"), "left_anti")
+        // window form on purpose: the prefix-sum path's bucket-totals
+        // collect would eagerly re-run the dedup/decontaminate chain
+        // above at plan-build time; in production the budget cut runs
+        // on the MATERIALIZED clean corpus, where Some(p) applies
         val budgeted = Curate.tokenBudgetSample(
           clean, "doc_id", "source", T.tokenCountWs(col("t")),
           "llmbudget0", budgets, defaultBudget)

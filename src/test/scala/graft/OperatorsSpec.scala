@@ -427,6 +427,11 @@ class OperatorsSpec extends AnyFunSuite {
       "id", "src", col("tok"), "ep0", Seq("hot" -> ((3L, 1L))), (1L, 1L))
       .collect().map(_.getAs[Long]("epoch"))
     assert(exact.length == 15 && exact.max == 2L)
+    // prefix-sum cumsum path: identical (id, epoch) selection
+    val viaPrefix = Curate.epochExpand(df, "id", "src", col("tok"), "ep0",
+      Seq("hot" -> ((5L, 2L))), (2L, 5L), prefixPartitions = Some(4))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("epoch"))).toSet
+    assert(viaPrefix == got.map(t => (t._2, t._3)).toSet)
   }
 
   test("scd2Dim: change-compressed validity intervals, one exchange for all three windows") {
