@@ -356,7 +356,12 @@ object Catalog {
           (col("grid_day") === col("day")).as("observed"),
           datediff(col("grid_day"), col("day")).cast("long").as("days_since_obs"))
     },
-    Some("""
+    Some(gapfillOracleSql))
+
+  /** One ground truth for the batch span rewrite (a13) and its stateful
+    * streaming twin (s15): any drift between the two fills breaks the
+    * shared hash. */
+  private def gapfillOracleSql: String = """
       WITH daily AS (
         SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_value,
@@ -375,7 +380,37 @@ object Catalog {
         CASE WHEN grid_day = day THEN n_events ELSE 0 END AS n_events,
         grid_day = day AS observed,
         date_diff('day', day, grid_day) AS days_since_obs
-      FROM grid"""))
+      FROM grid"""
+
+  // ---------------------------------------------------------------- s15
+  // STREAMING GAP-FILL (EventStream.gapFillDaily) — a13 as a stream
+  // serves it: per-user daily aggregates arrive over triggers and every
+  // emitted row is append-final; the state is TWO fields per user (last
+  // day, carried value), emission per trigger is the gap being closed,
+  // so state and output stay grid-sized at any stream length. This is
+  // the flatMapGroupsWithState multi-row-emission shape the rest of the
+  // s-family doesn't exercise (s2/s8/s12 emit one row per key per
+  // trigger). On batch the SAME function folds each user's full day set
+  // in one call, so this entry and the streaming run share one code
+  // path — and the gate is a13's own oracle: the stateful fold must
+  // reproduce the declarative span rewrite bit-for-bit (value carry,
+  // zero-count fills, staleness, the no-fill-after-last-day edge).
+  // Per-trigger parity (including fills spanning a trigger boundary)
+  // runs under MemoryStream in StreamingSpec.
+  private val s15 = Q(
+    "s15_stream_gapfill",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day0"))
+        .agg(
+          sum(col("value").cast(DecV)).cast("double").as("day_value"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("day0"), "yyyy-MM-dd").as("day"),
+          col("day_value"), col("n_events"))
+      graft.streaming.EventStream.gapFillDaily(daily)
+    },
+    Some(gapfillOracleSql))
 
   // ---------------------------------------------------------------- a10
   // COHORT RETENTION (a9's companion, the other product-analytics
@@ -6986,7 +7021,7 @@ object Catalog {
     l17, l18, l19,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14,
     c1, c2, c3, c4, c5, c6, c7, c8, c9, c10,
-    m1, m2, m3, m4, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14,
+    m1, m2, m3, m4, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15,
     p1, p2, p3, p4, p5,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
     w17, w18, w19, w20, w21, w22)

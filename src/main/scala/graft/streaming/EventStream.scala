@@ -21,6 +21,10 @@ case class UpsertState(
   * an int per key. */
 case class FunnelState(k: Int)
 
+/** gapFillDaily's per-user state: last observed day (ISO string) and its
+  * carried value — constant size, the whole point of the stateful form. */
+case class GapFillState(lastDay: String, lastValue: Double)
+
 case class CdcOpState(
     latest_ts: Timestamp, latest_event_id: Long,
     op: String, value: Double)
@@ -391,6 +395,63 @@ object EventStream {
         fs.delete(new org.apache.hadoop.fs.Path(root), true)
       } else ManifestStore.vacuum(spark, root, keep)
     }
+  }
+
+  /**
+   * STREAMING GAP-FILL (a13's stateful twin): per-user daily aggregates
+   * arrive over triggers; every emitted series row is APPEND-final —
+   * fills for the gap (last observed day, new day) carry the stored
+   * value with n_events = 0 / observed = false / their staleness, then
+   * the observed day emits and becomes the new state. The state is TWO
+   * fields per user (last day, last value) — constant, no retained rows
+   * — and emission per trigger is bounded by the gap being closed, so
+   * state and output both stay grid-sized at any stream length. This is
+   * the flatMapGroupsWithState shape (multi-row emission per key per
+   * trigger) the rest of the s-family doesn't exercise.
+   *
+   * Days ride as ISO `yyyy-MM-dd` STRINGS end to end (lexicographic
+   * order == day order; LocalDate arithmetic driver-free and
+   * timezone-free — a java.sql.Date detour would re-enter the JVM
+   * default-zone trap). On a BATCH input Spark runs the same function
+   * once per key with empty state — each user's full day set folds in
+   * one call (sorted in-task; bounded by the series horizon, the a13
+   * knob) — so the batch twin (catalog s15) and the streaming run share
+   * one code path, and a13's oracle gates both.
+   */
+  def gapFillDaily(daily: DataFrame): DataFrame = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    daily
+      .select(col("user_id").cast("long"), col("day").cast("string"),
+        col("day_value").cast("double"), col("n_events").cast("long"))
+      .as[(Long, String, Double, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[GapFillState,
+        (Long, String, Double, Long, Boolean, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) { case (key, rows, state) =>
+        val sorted = rows.toSeq.sortBy(_._2)
+        var st = state.getOption
+        val out = Seq.newBuilder[(Long, String, Double, Long, Boolean, Long)]
+        sorted.foreach { case (_, dayS, v, n) =>
+          val day = java.time.LocalDate.parse(dayS)
+          st.foreach { s0 =>
+            val last = java.time.LocalDate.parse(s0.lastDay)
+            var d = last.plusDays(1)
+            while (d.isBefore(day)) {
+              out += ((key, d.toString, s0.lastValue, 0L, false,
+                java.time.temporal.ChronoUnit.DAYS.between(last, d)))
+              d = d.plusDays(1)
+            }
+          }
+          out += ((key, dayS, v, n, true, 0L))
+          st = Some(GapFillState(dayS, v))
+        }
+        st.foreach(state.update)
+        out.result().iterator
+      }
+      .toDF("user_id", "day", "day_value", "n_events", "observed",
+        "days_since_obs")
   }
 
   def histogramFoldBatch(groupCol: String, valueCol: String, binWidth: Double,

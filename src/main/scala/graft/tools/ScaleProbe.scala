@@ -111,7 +111,10 @@ object ScaleProbe {
     // epoch expansion: ×8 docs move every source total and budget in
     // lockstep (rational multipliers are scale-free), so epoch counts
     // are unchanged and the output grows linearly with the corpus
-    "c10_epoch_expand")
+    "c10_epoch_expand",
+    // streaming gap-fill twin: ×8 events fold into the same per-user
+    // day set before the stateful pass; output is grid-sized
+    "s15_stream_gapfill")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -62,7 +62,10 @@ object SkewProbe {
     // replication explode is bounded by the recipe multiplier), and
     // gap-fill under the hot event user (30% of events collapse into
     // one user's daily aggregate; the span explode stays grid-sized)
-    "e6_golden_record", "c10_epoch_expand", "a13_gapfill")
+    "e6_golden_record", "c10_epoch_expand", "a13_gapfill",
+    // the stateful gap-fill twin: the hot user's 30% of events still
+    // collapse at the daily aggregate; its per-key state stays 2 fields
+    "s15_stream_gapfill")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -701,6 +701,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming gap-fill: per-trigger emission equals the batch fold; fills cross trigger boundaries") {
+    implicit val ctx = spark.sqlContext
+    // (user, day, value, n): user 1 has a 2-day hole INSIDE trigger 2's
+    // arrival and a 3-day hole ACROSS the trigger boundary; user 2 is a
+    // single observation (no fills ever)
+    val t1 = Seq((1L, "2024-02-01", 5.0, 2L), (2L, "2024-02-03", 7.0, 1L))
+    val t2 = Seq((1L, "2024-02-05", 9.0, 1L), (1L, "2024-02-08", 4.0, 3L))
+    val input = MemoryStream[(Long, String, Double, Long)]
+    val query = EventStream.gapFillDaily(
+        input.toDF().toDF("user_id", "day", "day_value", "n_events"))
+      .writeStream.format("memory").queryName("gf_out").outputMode("append").start()
+    try {
+      def snap() = spark.table("gf_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3),
+          r.getBoolean(4), r.getLong(5))).toSet
+      def batchOn(rows: Seq[(Long, String, Double, Long)]) =
+        EventStream.gapFillDaily(
+            rows.toDF("user_id", "day", "day_value", "n_events"))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3),
+            r.getBoolean(4), r.getLong(5))).toSet
+      input.addData(t1: _*)
+      query.processAllAvailable()
+      assert(snap() == batchOn(t1))
+      input.addData(t2: _*)
+      query.processAllAvailable()
+      val got = snap()
+      assert(got == batchOn(t1 ++ t2), "accumulated stream != batch fold")
+      // the cross-boundary fills carry trigger-1 state: days 2-4 hold
+      // 5.0 with staleness 1..3, emitted only when day 5 arrived
+      assert(got((1L, "2024-02-02", 5.0, 0L, false, 1L)))
+      assert(got((1L, "2024-02-04", 5.0, 0L, false, 3L)))
+      // in-trigger hole: days 6-7 carry 9.0
+      assert(got((1L, "2024-02-07", 9.0, 0L, false, 2L)))
+      // single-observation user never fills
+      assert(got.count(_._1 == 2L) == 1)
+    } finally query.stop()
+  }
+
   test("mid-stream compaction: search parity holds across the compaction boundary") {
     import graft.operators.Retrieval
     implicit val ctx = spark.sqlContext
