@@ -253,8 +253,13 @@ object Retrieval {
   /** THROWS unless every file's [min, max] range of `keyCol` is pairwise
     * disjoint — the precondition for file-level skipping on that key
     * (a lookup may then consult file stats alone). File count is
-    * layout-sized (driver-side by construction), never row-sized. */
+    * layout-sized (driver-side by construction), never row-sized.
+    * STRING keys only: the comparison is lexicographic, which is the
+    * range partitioner's order for strings but would silently misjudge
+    * numeric ranges ("10" < "9") — guarded, not assumed. */
   def assertDisjointFileRanges(df: DataFrame, keyCol: String): Unit = {
+    require(df.schema(keyCol).dataType == StringType,
+      s"assertDisjointFileRanges compares lexicographically; '$keyCol' must be STRING")
     val ranges = df.groupBy(input_file_name().as("f"))
       .agg(min(keyCol).cast("string").as("lo"), max(keyCol).cast("string").as("hi"))
       .collect().map(r => (r.getString(1), r.getString(2))).sortBy(_._1)
