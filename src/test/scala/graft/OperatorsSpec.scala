@@ -383,6 +383,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(run(Some(50)) == window)
   }
 
+  test("tokenBudgetSample invariants on randomized inputs: coverage, no-overshoot, prefix-closure") {
+    import graft.operators.Curate
+    val rnd = new scala.util.Random(42)
+    // plain-Scala replica of Curate.hashFraction (md5 first 8 hex / 2^32)
+    def frac(id: Long, salt: String): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id|$salt".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(h, 16).toDouble / 4294967296.0
+    }
+    for (c <- 1 to 4) {
+      val salt = s"prop$c"
+      val nSrc = 1 + rnd.nextInt(4)
+      val rows = Seq.tabulate(250 + rnd.nextInt(150))(i =>
+        (i.toLong, s"s${rnd.nextInt(nSrc)}", 1L + rnd.nextInt(30)))
+      val totals = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+      val budgets = totals.keys.toSeq.sorted.map(s0 =>
+        s0 -> rnd.nextLong(2 * totals(s0)))
+      val p = if (rnd.nextBoolean()) Some(1 + rnd.nextInt(12)) else None
+      val got = Curate.tokenBudgetSample(rows.toDF("id", "src", "tok").repartition(7),
+          "id", "src", col("tok"), salt, budgets, 0L, p)
+        .collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("src"), r.getAs[Long]("n_tokens")))
+      for ((s0, b) <- budgets) {
+        val selIds = got.filter(_._2 == s0).map(_._1).toSet
+        val sum = got.filter(_._2 == s0).map(_._3).sum
+        if (b >= totals(s0)) assert(sum == totals(s0), s"case $c src $s0: whole source must stay")
+        else {
+          assert(sum >= b, s"case $c src $s0: budget $b not covered (sum $sum)")
+          // prefix-closure: the selection is exactly the shortest hash-order
+          // prefix whose token sum reaches the budget (first-token rule)
+          val ordered = rows.filter(_._2 == s0).sortBy(t => (frac(t._1, salt), t._1))
+          var acc = 0L
+          val wantIds = ordered.takeWhile { t => val in = acc < b; acc += t._3; in }
+            .map(_._1).toSet
+          assert(selIds == wantIds, s"case $c src $s0: not the hash-order prefix")
+        }
+      }
+    }
+  }
+
   test("tokenBudgetSample: distributed prefix-sum path is bit-identical to the window path") {
     import graft.operators.Curate
     // one giant source spread over several input partitions + a small one
