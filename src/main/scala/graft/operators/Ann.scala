@@ -845,4 +845,43 @@ object Ann {
         call_function("graft_dot", col("embedding"), col("embedding")).as("cn"))
     topK(approxPairs(pairs), k)
   }
+
+  /**
+   * Per-item k-NEAREST-NEIGHBOR SELF-JOIN within the quantizer's cells —
+   * the "every item's neighbors" primitive (recommendation candidates,
+   * neighbor-graph construction for clustering/UMAP-class methods) that
+   * neither the query-panel searches (l5/l6/l8: small query set vs
+   * corpus) nor the threshold-pair dedups (l4/l12: pairs above a cutoff)
+   * express: EVERY vector gets its top-k in-cell neighbors, ranked.
+   *
+   * Scale shape: the same trained coarse quantizer the corpus's ANN
+   * index already maintains blocks the pair space to Σ cell² (the l12
+   * discipline; C is the free knob), norms are computed per ROW before
+   * the join so each pair pays one exact dot ([[graft.functions.vectors
+   * .cosineFromParts]]), and the per-vector ranking window partitions by
+   * vec_id — corpus-many small partitions, each bounded by its cell's
+   * size, never a global funnel. Cell-restricted candidates make this
+   * approximate in the ANN sense, exact under the gate: the oracle
+   * replays train → assign → in-cell pairs → rounded cosine → rank.
+   */
+  def knnJoin(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    VectorExpressions.ensureRegistered(emb.sparkSession)
+    def dotX(x: Column, y: Column) = call_function("graft_dot_exact", x, y)
+    val assigned = assignCells(
+      emb.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")), centroids)
+    val a = assigned.select(col("vec_id"), col("embedding").as("v1"), col("cell"),
+      dotX(col("embedding"), col("embedding")).as("xnsq1"))
+    val b = assigned.select(col("vec_id").as("nbr_id"), col("embedding").as("v2"),
+      col("cell"), dotX(col("embedding"), col("embedding")).as("xnsq2"))
+    a.join(b, Seq("cell")).filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        graft.functions.vectors.cosineFromParts(
+          dotX(col("v1"), col("v2")), col("xnsq1"), col("xnsq2")).as("sim"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("sim").desc, col("nbr_id"))))
+      .filter(col("rank") <= k)
+  }
 }

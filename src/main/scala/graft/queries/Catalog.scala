@@ -2735,6 +2735,63 @@ object Catalog {
       SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, score
       FROM rr WHERE rank <= 5"""))
 
+  // --------------------------------------------------------------- l20
+  // kNN SELF-JOIN (Ann.knnJoin) — the "every item's neighbors"
+  // primitive (recommendation candidates, neighbor-graph construction
+  // for clustering) that neither the query-panel searches (small query
+  // set vs corpus) nor the threshold-pair dedups (pairs above a cutoff)
+  // express: EVERY vector gets its ranked top-k in-cell neighbors. The
+  // trained coarse quantizer blocks the pair space to Σ cell² (l12's
+  // discipline, C the free knob), per-row norms make each pair one
+  // exact dot, and the ranking window partitions by vec_id — corpus-
+  // many cell-bounded partitions, no global funnel. Cell-restricted
+  // candidates are the ANN approximation; the GATE is exact: the
+  // oracle replays train → assign → in-cell pairs → rounded cosine →
+  // rank bit-for-bit (the l9 chain, self-join form).
+  private val l20 = {
+    // C = 64 at fixture scale: Σ cell² = n²/C makes the cell count THE
+    // cost knob — production sizes C with the corpus (C ∝ √n gives the
+    // n^1.5 pair law), and dup-heavy corpora run semantic dedup (l12)
+    // BEFORE graph construction, so identical-vector pileups never
+    // reach the pair join
+    val nCent = 64
+    val iters = 2
+    val k = 5
+    val dim = 64
+    Q(
+      "l20_knn_join",
+      (s, d) => {
+        val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val trained = graft.operators.Ann.refineCentroids(
+          e, graft.operators.Ann.sampleCentroids(e, nCent), iters)
+        graft.operators.Ann.knnJoin(e, "vec_id", "embedding", trained, k)
+          .select(col("vec_id"), col("nbr_id"),
+            col("rank").cast("long").as("rank"), col("sim"))
+      },
+      Some(s"""
+        WITH cent0 AS (
+          SELECT vec_id AS cid, embedding AS centv FROM embeddings
+          ORDER BY vec_id LIMIT $nCent),
+        ${(1 to iters).map(i => lloydIterSql(i, "embeddings", dim)).mkString(",")},
+        asg AS (
+          SELECT e.vec_id, e.embedding, c.cid,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY 1.0 - ${cosSql("e.embedding", "c.centv")}, c.cid) AS rn
+          FROM embeddings e, cent$iters c),
+        cells AS (SELECT vec_id, embedding, cid AS cell FROM asg WHERE rn = 1),
+        nb AS (
+          SELECT a.vec_id, b.vec_id AS nbr_id,
+            ${cosSql("a.embedding", "b.embedding")} AS sim
+          FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+        r AS (
+          SELECT vec_id, nbr_id, sim,
+            ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY sim DESC, nbr_id) AS rank
+          FROM nb)
+        SELECT vec_id, nbr_id, CAST(rank AS BIGINT) AS rank, sim
+        FROM r WHERE rank <= $k"""))
+  }
+
   // ---------------------------------------------------------------- w9
   // The refined search over BOTH persisted stores — IVF-PQ's complete
   // production read path on disk: ADC stage over the codes store (w8's
@@ -7018,7 +7075,7 @@ object Catalog {
     e1, e2, e3, e4, e5, e6, j1, j2, j3, j4, j5,
     r1, r2, r3, r4, r5, r6, r7, r8, q1, q2, q3, q4, q5, q6,
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
-    l17, l18, l19,
+    l17, l18, l19, l20,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14,
     c1, c2, c3, c4, c5, c6, c7, c8, c9, c10,
     m1, m2, m3, m4, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15,

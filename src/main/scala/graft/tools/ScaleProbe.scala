@@ -114,7 +114,12 @@ object ScaleProbe {
     "c10_epoch_expand",
     // streaming gap-fill twin: ×8 events fold into the same per-user
     // day set before the stateful pass; output is grid-sized
-    "s15_stream_gapfill")
+    "s15_stream_gapfill",
+    // kNN self-join: ×8 identical vectors per cell — the Σ cell² pair
+    // hazard class (l12's) at FIXED C, with no threshold to cull by, so
+    // this is the probe list's costliest row (~2 min at ×8; the ~21×
+    // ratio is the documented n²/C worst case, see BENCH_NOTES)
+    "l20_knn_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -890,6 +890,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r1.getAs[Double]("proximity_score") == 1.0) // Brand#5 == home 5
   }
 
+  test("knnJoin under a single cell equals the exact per-item kNN reference") {
+    val rnd = new scala.util.Random(23)
+    val vecs = Seq.tabulate(25)(i => (i.toLong, Seq.fill(8)((rnd.nextFloat() - 0.5f) * 2)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    // one centroid -> every vector lands in one cell -> candidates = all,
+    // so the cell-blocked join must reproduce exact kNN
+    val cent = Seq((0L, Seq.fill(8)(0.1f))).toDF("centroid_id", "embedding")
+    val k = 4
+    val got = Ann.knnJoin(emb, "vec_id", "embedding", cent, k)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("rank")) ->
+        r.getAs[Long]("nbr_id")).toMap
+    val byId = vecs.toMap
+    for (q <- vecs.map(_._1)) {
+      val expect = vecs.filter(_._1 != q)
+        .map { case (id, v) => (id, refCosine(byId(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1)
+      assert((1 to k).map(r => got((q, r))) == expect, s"neighbors of $q")
+    }
+  }
+
   test("bruteForceTopK matches a naive reference ranking") {
     val rnd = new scala.util.Random(11)
     val vecs = Seq.tabulate(30)(i => (i.toLong, Seq.fill(8)((rnd.nextFloat() - 0.5f) * 2)))
