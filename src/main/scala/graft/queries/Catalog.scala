@@ -2749,12 +2749,14 @@ object Catalog {
   // oracle replays train → assign → in-cell pairs → rounded cosine →
   // rank bit-for-bit (the l9 chain, self-join form).
   private val l20 = {
-    // C = 64 at fixture scale: Σ cell² = n²/C makes the cell count THE
-    // cost knob — production sizes C with the corpus (C ∝ √n gives the
-    // n^1.5 pair law), and dup-heavy corpora run semantic dedup (l12)
-    // BEFORE graph construction, so identical-vector pileups never
-    // reach the pair join
-    val nCent = 64
+    // C = ceil(sqrt(n)), DATA-ADAPTIVE: Σ cell² = n²/C makes the cell
+    // count THE cost knob, so it is sized from the corpus (the n^1.5
+    // pair law) rather than fixed — a fixed C would re-quadratize as
+    // the corpus grows, the w7/compactSegments hazard class. The count
+    // is one metadata-cheap job; ceil(sqrt) is IEEE-exact in both
+    // engines, so the oracle derives the SAME C from the same COUNT(*).
+    // Dup-heavy corpora still run semantic dedup (l12) BEFORE graph
+    // construction, so identical-vector pileups never reach the join.
     val iters = 2
     val k = 5
     val dim = 64
@@ -2762,6 +2764,7 @@ object Catalog {
       "l20_knn_join",
       (s, d) => {
         val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val nCent = math.ceil(math.sqrt(e.count().toDouble)).toInt
         val trained = graft.operators.Ann.refineCentroids(
           e, graft.operators.Ann.sampleCentroids(e, nCent), iters)
         graft.operators.Ann.knnJoin(e, "vec_id", "embedding", trained, k)
@@ -2771,7 +2774,8 @@ object Catalog {
       Some(s"""
         WITH cent0 AS (
           SELECT vec_id AS cid, embedding AS centv FROM embeddings
-          ORDER BY vec_id LIMIT $nCent),
+          ORDER BY vec_id
+          LIMIT (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) FROM embeddings)),
         ${(1 to iters).map(i => lloydIterSql(i, "embeddings", dim)).mkString(",")},
         asg AS (
           SELECT e.vec_id, e.embedding, c.cid,

@@ -116,9 +116,10 @@ object ScaleProbe {
     // day set before the stateful pass; output is grid-sized
     "s15_stream_gapfill",
     // kNN self-join: ×8 identical vectors per cell — the Σ cell² pair
-    // hazard class (l12's) at FIXED C, with no threshold to cull by, so
-    // this is the probe list's costliest row (~2 min at ×8; the ~21×
-    // ratio is the documented n²/C worst case, see BENCH_NOTES)
+    // hazard class (l12's) with no threshold to cull by; C is data-
+    // adaptive (ceil(sqrt n)) so the expected ratio is the n^1.5 law
+    // (~5.5× measured at ×8, vs ~21× when C was fixed — BENCH_NOTES);
+    // still the probe list's costliest row (~1 min at ×8)
     "l20_knn_join")
 
   def main(args: Array[String]): Unit = {
