@@ -42,12 +42,15 @@ object ExplainAudit {
     // q6's exact leg and l19's dense leg ARE l5 (the audit compares /
     // fuses against the brute-force ground truth, so they inherit its
     // intended broadcast; both other legs are equi-joins).
+    // l20 is the same Ann.assignCells build (corpus x broadcast one-row
+    // centroid array, Lloyd rounds included) ahead of an EQUI cell
+    // self-join — the flagged nested-loop is the assignment fold only.
     val crossJoinOk = Set("l5_ann_bruteforce", "l8_ann_ivf", "l9_ann_ivf_trained",
       "w4_ann_partitioned", "l12_semantic_dedup", "w6_ann_append", "w7_compaction",
       "l13_ann_ivfpq", "s6_stream_ann_ingest", "w8_ann_pq_store",
       "l14_ann_ivfpq_refined", "w9_ann_refined_store", "w15_ann_delete",
       "l17_diversity_sample", "l18_ann_sq8", "q6_ann_recall_audit",
-      "l19_hybrid_rrf")
+      "l19_hybrid_rrf", "l20_knn_join")
     graft.queries.Catalog.all.foreach { q =>
       try {
         // NOTE: with AQE on this is the INITIAL plan — exchange-reuse and
