@@ -123,7 +123,8 @@ object Bench {
       (total, medians.map { case (k, v) => s"${quote(k)}:$v" }.mkString("{", ",", "}"))
     }
 
-    val (total, qs) = toJson(series(cpus, ""))
+    val primary = series(cpus, "")
+    val (total, qs) = toJson(primary)
     // the alt series must NEVER cost the primary result its JSON line —
     // a bad SPARK_GRAFT_ALT_CPUS or a session that fails to start is
     // reported inside "alt", not thrown past the println
@@ -131,9 +132,11 @@ object Bench {
     // or a value like "*" would corrupt the JSON line
     val altCpusJson = if (altCpus.nonEmpty && altCpus.forall(_.isDigit)) altCpus
       else quote(altCpus)
+    var altTotalOpt: Option[Double] = None
     val altJson = if (!altEnabled) "null" else {
       try {
         val (altTotal, altQs) = toJson(series(altCpus, "alt:"))
+        altTotalOpt = Some(altTotal)
         s"""{"cpus":$altCpusJson,"total":$altTotal,"queries":$altQs}"""
       } catch {
         case e: Throwable =>
@@ -147,6 +150,22 @@ object Bench {
     if (contended)
       System.err.println(f"[bench] WARNING: ambient load $loadBefore%.2f > $loadLimit%.1f " +
         "before the run — another job is on this host; timings are unreliable, re-run quiet")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":$cpus,"alt":$altJson,"errors":$errJson,"load_before":$loadBefore,"load_after":$loadAfter,"contended":$contended}""")
+    // TWO outputs, one contract. The driver captures only the TAIL of the
+    // run's output (~2000 chars) and parses the JSON line out of it — the
+    // full per-query map (142 queries × two series) is ~5 KB, so the full
+    // line has NEVER survived that window (every BENCH_r*.json through r9
+    // has parsed:null). So: the COMPLETE result goes to BENCH_FULL.json
+    // (committed, full precision, both series), and stdout gets a COMPACT
+    // line — totals, counts, and the slowest-25 query map — sized to fit
+    // the tail window with room for sbt's trailing [success] line.
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":$cpus,"alt":$altJson,"errors":$errJson,"load_before":$loadBefore,"load_after":$loadAfter,"contended":$contended}"""
+    val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
+    try java.nio.file.Files.write(fullPath, fullLine.getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
+    def r2(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val slowest = primary.sortBy(-_._2).take(25)
+      .map { case (k, v) => s"${quote(k)}:${r2(v)}" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"cpus":$cpus,"n_queries":${primary.size},"n_errors":${errors.size},"queries":$slowest,"alt_total":${altTotalOpt.map(r2).getOrElse("null")},"alt_cpus":$altCpusJson,"load_before":$loadBefore,"load_after":$loadAfter,"contended":$contended,"full":"BENCH_FULL.json"}""")
   }
 }

@@ -75,7 +75,7 @@ object Retrieval {
    * BM25 top-k: rank `postings` docs for each query in `queryTerms`
    * (query_id, term — duplicate terms score twice, as duplicate query
    * tokens do in any BM25). `n` = corpus doc count, `t` = total corpus
-   * tokens; both exact. Returns (query_id, doc_id, score, rank), score
+   * tokens; both exact. Returns (query_id, doc_id, rank, score), score
    * the exact-long scaled BM25, rank 1-based with (score desc, doc_id
    * asc) ties.
    *
@@ -93,12 +93,18 @@ object Retrieval {
       maxTf: Long = 4096L, maxQueryLen: Long = 16L,
       docFreqTable: Option[DataFrame] = None): DataFrame = {
     require(n > 0 && t > 0, "empty corpus")
-    require(scale1 * (2 * n + 1) < (1L << 53), s"scale1=$scale1 overflows idf headroom at N=$n")
-    require(scale2 * 44L * t <= (1L << 53) / maxTf,
+    // The guard products themselves must not wrap Long (scale2·44·t
+    // overflows for t >= ~2.1e13 tokens — i.e. exactly the 100-TB
+    // regime): multiplyExact makes an overflowing GUARD fail loudly
+    // instead of spuriously passing on a wrapped value.
+    def mul(xs: Long*): Long = xs.reduce((a, b) => Math.multiplyExact(a, b))
+    require(mul(scale1, 2 * n + 1) < (1L << 53),
+      s"scale1=$scale1 overflows idf headroom at N=$n")
+    require(mul(scale2, 44L, t) <= (1L << 53) / maxTf,
       s"scale2 tf-saturation headroom exceeded at T=$t, maxTf=$maxTf")
-    val s1max = scale1 * (2 * n + 1)
+    val s1max = mul(scale1, 2 * n + 1)
     val s2max = scale2 * 22L / 10L + 1L
-    require(maxQueryLen * s1max * s2max < (1L << 53),
+    require(mul(maxQueryLen, s1max, s2max) < (1L << 53),
       s"score-sum headroom exceeded: maxQueryLen=$maxQueryLen, N=$n")
 
     // a maintained index (s13) serves df from its FOLDED summary — the
@@ -278,6 +284,11 @@ object Retrieval {
   def topKByGroup(scored: DataFrame, k: Int): DataFrame = {
     require(scored.columns.toSeq == Seq("query_id", "doc_id", "score"),
       s"topKByGroup expects (query_id, doc_id, score), got: ${scored.columns.mkString(", ")}")
+    // the mapPartitions below reads r.getLong(i) against a hardcoded
+    // all-LongType encoder — a string-keyed caller must fail HERE, not
+    // as a ClassCastException inside a running task
+    require(scored.schema.fields.forall(_.dataType == LongType),
+      s"topKByGroup requires LONG query_id/doc_id/score, got: ${scored.schema.simpleString}")
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(scoredSchema)
     // max under this ordering = the WORST kept row (lowest score, then
     // highest doc_id) -> O(log k) eviction at the heap head.

@@ -41,6 +41,18 @@ object Catalog {
   private val scratchRoot = graft.util.Scratch.deleteOnExit(
     s"/tmp/graft_publish/run-${java.util.UUID.randomUUID.toString.take(8)}")
 
+  /** Scratch subdir key for dataset `d`: basename (readability) + an MD5
+    * prefix of the CANONICAL path — two dirs sharing a basename must
+    * never share scratch paths or memo entries (the bm25SegmentStore /
+    * p2 rule, applied uniformly: any basename-only key lets a second
+    * dataset named e.g. `sf0.01` read the first one's store). */
+  private def dsScratch(d: String): String = {
+    val canonical = new java.io.File(d).getCanonicalPath
+    new java.io.File(d).getName + "_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(canonical.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+  }
+
   // ---------------------------------------------------------------- a1
   private val a1 = Q(
     "a1_agg_pushdown",
@@ -2264,7 +2276,7 @@ object Catalog {
     (s, d) => {
       val e = Tables.embeddings(s, d)
       val cent = graft.operators.Ann.sampleCentroids(e, Ivf.nCent)
-      val path = s"$scratchRoot/${new java.io.File(d).getName}/ivf_cells"
+      val path = s"$scratchRoot/${dsScratch(d)}/ivf_cells"
       graft.sources.Sink.writePartitioned(
         graft.operators.Ann.assignCells(e, cent), path, Seq("cell"))
       val assigned = s.read.schema(Ivf.storeSchema).parquet(path)
@@ -2293,7 +2305,7 @@ object Catalog {
     (s, d) => {
       val e = Tables.embeddings(s, d)
       val cent = graft.operators.Ann.sampleCentroids(e, Ivf.nCent)
-      val path = s"$scratchRoot/${new java.io.File(d).getName}/ivf_cells_appended"
+      val path = s"$scratchRoot/${dsScratch(d)}/ivf_cells_appended"
       Ivf.buildAppendedStore(s, e, cent, path)
       val assigned = s.read.schema(Ivf.storeSchema).parquet(path)
       Ivf.requireDpp(graft.operators.Ann.ivfTopKAssigned(
@@ -2329,7 +2341,7 @@ object Catalog {
     (s, d) => {
       val e = Tables.embeddings(s, d)
       val cent = graft.operators.Ann.sampleCentroids(e, Ivf.nCent)
-      val ds = new java.io.File(d).getName
+      val ds = dsScratch(d)
       val appended = s"$scratchRoot/$ds/ivf_cells_preCompact"
       Ivf.buildAppendedStore(s, e, cent, appended, appendBatches = 2)
       val appendedDf = s.read.schema(Ivf.storeSchema).parquet(appended)
@@ -2813,7 +2825,7 @@ object Catalog {
       val e = Tables.embeddings(s, d)
       val cent = graft.operators.Ann.sampleCentroids(e, Ivf.nCent)
       val cbs = Pq.codebooks(s, d)
-      val ds = new java.io.File(d).getName
+      val ds = dsScratch(d)
       val codesPath = s"$scratchRoot/$ds/ivfpq_cells_w9"
       val rawPath = s"$scratchRoot/$ds/ivf_raw_cells_w9"
       val encoded = graft.operators.Ann.pqEncodeWithCells(e, cbs, cent)
@@ -2865,7 +2877,7 @@ object Catalog {
       val e = Tables.embeddings(s, d)
       val cent = graft.operators.Ann.sampleCentroids(e, Ivf.nCent)
       val cbs = Pq.codebooks(s, d)
-      val path = s"$scratchRoot/${new java.io.File(d).getName}/ivfpq_cells"
+      val path = s"$scratchRoot/${dsScratch(d)}/ivfpq_cells"
       graft.sources.Sink.writePartitioned(
         graft.operators.Ann.pqEncodeWithCells(e, cbs, cent), path, Seq("cell"))
       val store = s.read.schema(Pq.storeSchema).parquet(path)
@@ -3507,8 +3519,14 @@ object Catalog {
         GROUP BY 1, 2, 3),
       dft AS (SELECT term, COUNT(*) AS df FROM post GROUP BY 1),
       q AS (
-        SELECT doc_id AS query_id, unnest(w[1:4]) AS term
-        FROM docs WHERE doc_id % 97 = 0),
+        -- first-4-terms via explicit list_extract indexes, NOT
+        -- unnest(w[1:4]): the r9 driver run hash-mismatched exactly the
+        -- five entries sharing this oracle while local DuckDB passed
+        -- bitwise — unnest-of-a-slice is the one construct unique to
+        -- them, so spell it in the oldest, most version-stable form.
+        SELECT doc_id AS query_id, w[v.i] AS term
+        FROM docs, (VALUES (1), (2), (3), (4)) v(i)
+        WHERE doc_id % 97 = 0 AND v.i <= len(w)),
       wq AS (
         SELECT q.query_id, q.term,
           CAST(FLOOR(CAST(100000 * (2 * s.n - 2 * d.df + 1) AS DOUBLE)
@@ -3558,7 +3576,7 @@ object Catalog {
   private val s13 = Q(
     "s13_stream_index",
     (s, d) => {
-      val root = s"$scratchRoot/${new java.io.File(d).getName}/s13"
+      val root = s"$scratchRoot/${dsScratch(d)}/s13"
       val docs = bm25Docs(s, d)
       (0 until 3).foreach { i =>
         graft.operators.Retrieval.indexBatchAppend(
@@ -3583,9 +3601,7 @@ object Catalog {
       mod: Int, nBuilt: Int): String = {
     val canonical = new java.io.File(d).getCanonicalPath
     segStoreMemo.getOrElseUpdate(s"$canonical#$tag", {
-      val dsName = new java.io.File(d).getName + "_" +
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(canonical.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val dsName = dsScratch(d)
       val root = s"$scratchRoot/$dsName/$tag"
       val docs = bm25Docs(s, d)
       (0 until nBuilt).foreach { i =>
@@ -4563,7 +4579,7 @@ object Catalog {
     * name, oldest first — s5 reads the LAST, w13 reads a PAST one. */
   private def stateVersionFold(s: SparkSession, d: String, prefix: String): Seq[String] = {
     val ev = Tables.events(s, d)
-    val dsName = new java.io.File(d).getName
+    val dsName = dsScratch(d)
     val payload = Seq("event_type", "value")
     val batches = Seq(
       ev.filter(col("ts") < lit(S5Cuts(0))),
@@ -4653,7 +4669,7 @@ object Catalog {
   private val w14 = Q(
     "w14_partition_evolution",
     (s, d) => {
-      val root = s"$scratchRoot/${new java.io.File(d).getName}/w14"
+      val root = s"$scratchRoot/${dsScratch(d)}/w14"
       val orders = Tables.orders(s, d).select(
         col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         col("o_orderstatus"), year(col("o_orderdate")).as("order_year"))
@@ -4712,7 +4728,7 @@ object Catalog {
   private val w16 = Q(
     "w16_global_sort",
     (s, d) => {
-      val root = s"$scratchRoot/${new java.io.File(d).getName}/sorted_fact"
+      val root = s"$scratchRoot/${dsScratch(d)}/sorted_fact"
       val li = Tables.lineitem(s, d).select(
         col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice"), col("l_quantity"))
@@ -4852,7 +4868,7 @@ object Catalog {
     "w17_manifest_vacuum",
     (s, d) => {
       import graft.sources.ManifestStore
-      val root = s"$scratchRoot/${new java.io.File(d).getName}/mstore_w17"
+      val root = s"$scratchRoot/${dsScratch(d)}/mstore_w17"
       MStore.buildChain(s, d, root)
       val m0 = ManifestStore.readManifest(s, root, "v0").toSet
       val m1 = ManifestStore.readManifest(s, root, "v1").toSet
@@ -4898,7 +4914,7 @@ object Catalog {
     "w18_incremental_read",
     (s, d) => {
       import graft.sources.ManifestStore
-      val root = s"$scratchRoot/${new java.io.File(d).getName}/mstore_w18"
+      val root = s"$scratchRoot/${dsScratch(d)}/mstore_w18"
       MStore.buildChain(s, d, root)
       val m1 = ManifestStore.readManifest(s, root, "v1")
       val m2 = ManifestStore.readManifest(s, root, "v2")
@@ -4975,7 +4991,7 @@ object Catalog {
     "w21_wap_branch",
     (s, d) => {
       import graft.sources.ManifestStore
-      val root = s"$scratchRoot/${new java.io.File(d).getName}/mstore_w21"
+      val root = s"$scratchRoot/${dsScratch(d)}/mstore_w21"
       val ev = Tables.events(s, d)
       def state(df: DataFrame) = Upsert
         .latestState(df, "user_id", "ts", "event_id", MStore.payload)
@@ -5078,7 +5094,7 @@ object Catalog {
     "s9_stream_manifest",
     (s, d) => {
       import graft.sources.ManifestStore
-      val root = s"$scratchRoot/${new java.io.File(d).getName}/mstore_s9"
+      val root = s"$scratchRoot/${dsScratch(d)}/mstore_s9"
       // fresh chain per pass: the body treats an existing version name as
       // an already-committed trigger (retry skip), so a stale chain from
       // a prior bench pass would short-circuit every fold step
@@ -5135,7 +5151,7 @@ object Catalog {
         val keyed = Tables.customer(s, d)
           .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"),
             bucket.as("bucket"))
-        val ds = new java.io.File(d).getName
+        val ds = dsScratch(d)
         val storePath = s"$scratchRoot/$ds/cust_sdel_store"
         val dvRoot = s"$scratchRoot/$ds/cust_sdel_dv"
         val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -5215,7 +5231,7 @@ object Catalog {
     "s11_stream_wap",
     (s, d) => {
       import graft.sources.ManifestStore
-      val root = s"$scratchRoot/${new java.io.File(d).getName}/mstore_s11"
+      val root = s"$scratchRoot/${dsScratch(d)}/mstore_s11"
       // fresh chain per pass: the body's retry skip would otherwise
       // short-circuit on a prior bench pass's committed versions
       val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -5310,7 +5326,7 @@ object Catalog {
   private val w15 = Q(
     "w15_ann_delete",
     (s, d) => {
-      val root = s"$scratchRoot/${new java.io.File(d).getName}/ann_delete"
+      val root = s"$scratchRoot/${dsScratch(d)}/ann_delete"
       val fs = org.apache.hadoop.fs.FileSystem.get(
         s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
@@ -5360,7 +5376,7 @@ object Catalog {
     (s, d) => {
       val e = Tables.embeddings(s, d)
       val cent = graft.operators.Ann.sampleCentroids(e, Ivf.nCent)
-      val path = s"$scratchRoot/${new java.io.File(d).getName}/ivf_cells_streamed"
+      val path = s"$scratchRoot/${dsScratch(d)}/ivf_cells_streamed"
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(path), true)
       graft.sources.Sink.writePartitioned(
@@ -5397,7 +5413,7 @@ object Catalog {
     "s7_stream_drift",
     (s, d) => {
       val ev = Tables.events(s, d)
-      val statePath = s"$scratchRoot/${new java.io.File(d).getName}/drift_state"
+      val statePath = s"$scratchRoot/${dsScratch(d)}/drift_state"
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(statePath), true)
       val body = graft.streaming.EventStream.histogramFoldBatch(
@@ -5798,9 +5814,7 @@ object Catalog {
       // path: two different dirs with one basename must neither share
       // memo entries nor overwrite each other's scratch materializations
       val canonical = new java.io.File(d).getCanonicalPath
-      val dsName = new java.io.File(d).getName + "_" +
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(canonical.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val dsName = dsScratch(d)
       val (stagedPath, martPath) = p2Stage.getOrElseUpdate(
         canonical, {
         val sp = s"$scratchRoot/$dsName/p2_staged"
@@ -5880,7 +5894,7 @@ object Catalog {
           col("o_orderstatus").as("last_status"),
           col("o_orderpriority").as("last_priority"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("last_order_date"))
-      val path = s"$scratchRoot/${new java.io.File(d).getName}/dim_customer"
+      val path = s"$scratchRoot/${dsScratch(d)}/dim_customer"
       graft.sources.Sink.publishRoundtrip(s, mart, path, "last_status", "F")
         .groupBy("last_priority")
         .agg(count(lit(1)).as("n_customers"),
@@ -6066,7 +6080,7 @@ object Catalog {
         val planStr = joined.queryExecution.executedPlan.toString.toLowerCase
         require(planStr.contains("might_contain") || planStr.contains("bloomfilter"),
           "runtime bloom filter was not injected on the fact side")
-        val path = s"$scratchRoot/${new java.io.File(d).getName}/j4_out"
+        val path = s"$scratchRoot/${dsScratch(d)}/j4_out"
         joined.write.mode("overwrite").parquet(path)
         s.read.parquet(path)
       } finally saved.foreach { case (k, v) =>
@@ -6495,7 +6509,7 @@ object Catalog {
         col("event_id"), col("user_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_iso"),
         col("event_type"), col("value"), col("props"))
-      val path = s"$scratchRoot/${new java.io.File(d).getName}/events_jsonl"
+      val path = s"$scratchRoot/${dsScratch(d)}/events_jsonl"
       ev.write.mode("overwrite").json(path)
       s.read
         .schema("event_id BIGINT, user_id BIGINT, ts_iso STRING, " +
@@ -6534,7 +6548,7 @@ object Catalog {
       "w3_bucketed_merge",
       (s, d) => {
         val ev = Tables.events(s, d)
-        val dsName = new java.io.File(d).getName
+        val dsName = dsScratch(d)
         def writeState(df: DataFrame, tbl: String): DataFrame = {
           s.sql(s"DROP TABLE IF EXISTS $tbl")
           df.write.format("parquet").bucketBy(8, "user_id").sortBy("user_id")
@@ -6611,7 +6625,7 @@ object Catalog {
     Q(
       "w5_schema_evolution",
       (s, d) => {
-        val path = s"$scratchRoot/${new java.io.File(d).getName}/cust_dim_evo"
+        val path = s"$scratchRoot/${dsScratch(d)}/cust_dim_evo"
         val base = Tables.customer(s, d).select(
           col("c_custkey").as("cust_id"),
           col("c_mktsegment").as("mktsegment"),
@@ -6685,7 +6699,7 @@ object Catalog {
         val keyed = Tables.customer(s, d)
           .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"),
             bucket.as("bucket"))
-        val ds = new java.io.File(d).getName
+        val ds = dsScratch(d)
         val storePath = s"$scratchRoot/$ds/cust_store"
         val purgedPath = s"$scratchRoot/$ds/cust_store_purged"
         // fresh store per pass: both paths deleted first — idempotency
@@ -6776,7 +6790,7 @@ object Catalog {
         val keyed = Tables.customer(s, d)
           .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"),
             bucket.as("bucket"))
-        val ds = new java.io.File(d).getName
+        val ds = dsScratch(d)
         val storePath = s"$scratchRoot/$ds/cust_dv_store"
         val dvPath = s"$scratchRoot/$ds/cust_dv_sidecar"
         val morPath = s"$scratchRoot/$ds/cust_dv_mor"
@@ -6894,7 +6908,7 @@ object Catalog {
       (s, d) => {
         val ev = Tables.events(s, d)
           .select(col("event_id"), col("event_type"), col("value"))
-        val path = s"$scratchRoot/${new java.io.File(d).getName}/events_bloom"
+        val path = s"$scratchRoot/${dsScratch(d)}/events_bloom"
         // arrival-order layout: explicit round-robin width (exempt from
         // AQE coalescing), no clustering on the key — the hard case
         ev.repartition(nFiles).write.mode("overwrite").parquet(path)
@@ -6958,7 +6972,7 @@ object Catalog {
       "w11_zorder_skip",
       (s, d) => {
         val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("value"))
-        val path = s"$scratchRoot/${new java.io.File(d).getName}/events_zorder"
+        val path = s"$scratchRoot/${dsScratch(d)}/events_zorder"
         graft.sources.Sink.writeZordered(ev, path, "user_id", "value", nFiles)
         val b = ev.agg(
           min(col("user_id")).cast("double").as("lo1"), max(col("user_id")).cast("double").as("hi1"),
@@ -7007,7 +7021,7 @@ object Catalog {
       "w12_zorder_maintain",
       (s, d) => {
         val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("value"))
-        val ds = new java.io.File(d).getName
+        val ds = dsScratch(d)
         val base = s"$scratchRoot/$ds/events_zorder_maint"
         val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(base), true)

@@ -434,18 +434,26 @@ object EventStream {
         var st = state.getOption
         val out = Seq.newBuilder[(Long, String, Double, Long, Boolean, Long)]
         sorted.foreach { case (_, dayS, v, n) =>
-          val day = java.time.LocalDate.parse(dayS)
-          st.foreach { s0 =>
-            val last = java.time.LocalDate.parse(s0.lastDay)
-            var d = last.plusDays(1)
-            while (d.isBefore(day)) {
-              out += ((key, d.toString, s0.lastValue, 0L, false,
-                java.time.temporal.ChronoUnit.DAYS.between(last, d)))
-              d = d.plusDays(1)
+          // Append-mode contract: every (user, day) is emitted exactly
+          // once, final. A day at-or-before state.lastDay arriving in a
+          // LATER trigger (out-of-order across triggers — normal in a
+          // stream) must not regress state, or already-emitted grid days
+          // would re-emit with conflicting values. Late days are dropped;
+          // in-trigger order is already handled by the sort above.
+          if (st.forall(_.lastDay < dayS)) {
+            val day = java.time.LocalDate.parse(dayS)
+            st.foreach { s0 =>
+              val last = java.time.LocalDate.parse(s0.lastDay)
+              var d = last.plusDays(1)
+              while (d.isBefore(day)) {
+                out += ((key, d.toString, s0.lastValue, 0L, false,
+                  java.time.temporal.ChronoUnit.DAYS.between(last, d)))
+                d = d.plusDays(1)
+              }
             }
+            out += ((key, dayS, v, n, true, 0L))
+            st = Some(GapFillState(dayS, v))
           }
-          out += ((key, dayS, v, n, true, 0L))
-          st = Some(GapFillState(dayS, v))
         }
         st.foreach(state.update)
         out.result().iterator
