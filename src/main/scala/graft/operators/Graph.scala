@@ -1,0 +1,219 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Iterative graph analytics — the operator class a corpus-curation
+ * pipeline reaches for once documents/entities form a graph: link-style
+ * authority scores as a quality prior (PageRank over a host/entity
+ * graph, the CommonCrawl-lineage curation signal), seed-set proximity
+ * (hop distance from a trusted whitelist), and local clustering
+ * (per-node triangle counts — the community-density signal).
+ *
+ * Reference scope: the reference pipeline (filmozolevskiy/job-etl) has
+ * no graph operators; this family extends the engine the same way the
+ * dedup/ANN families do, with the reference's determinism discipline.
+ *
+ * Shared design rules:
+ *  - EXACT integer arithmetic end to end. Ranks are scaled longs; every
+ *    division is a single floor over exact-in-double operands (< 2^53,
+ *    the BM25/t11 rule), so any engine replays the fixed-point chain
+ *    bit-for-bit. No float accumulation anywhere.
+ *  - The driver holds COORDINATOR STATE only (iteration counter, the
+ *    frontier-exhausted flag, node count); per-round state lives in
+ *    checkpointed distributed tables (the connectedComponents
+ *    discipline: eager localCheckpoint per round to truncate lineage,
+ *    superseded rounds' blocks dropped immediately).
+ *  - The static tables each round re-joins (edges + out-degrees) are
+ *    PRE-PARTITIONED on the join key and cached, so every iteration
+ *    re-shuffles only the (small) per-round state, never the edge list:
+ *    InMemoryRelation preserves outputPartitioning, an eager checkpoint
+ *    does not — this is why edges are cached, not checkpointed.
+ */
+object Graph {
+
+  /** block-manager hygiene for iterative loops — the connectedComponents
+    * pattern: track which RDD ids each eager checkpoint persists, drop a
+    * round's blocks as soon as the next round's checkpoint is live. */
+  private final class RoundState(sc: org.apache.spark.SparkContext) {
+    private def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    def drop(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    def save(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = persistedIds
+      try {
+        val out = df.localCheckpoint()
+        (out, persistedIds -- before)
+      } catch {
+        case e: Throwable => drop(persistedIds -- before); throw e
+      }
+    }
+  }
+
+  /**
+   * PageRank with damping 0.85 over a directed edge list (`src`, `dst`;
+   * an undirected graph is passed as both directions), `iterations`
+   * fixed power-iteration rounds, ranks as longs scaled by `scale`.
+   *
+   * Fixed-point iteration (both engines replay it identically):
+   *   r0(v)   = floor(scale / N)
+   *   c(u->v) = floor(85 * r(u) / (100 * outdeg(u)))   per edge
+   *   r'(v)   = floor(15 * scale / (100 * N)) + Σ_in c(u->v)
+   * Every operand stays < 2^53 for scale = 1e12 (85·r ≤ 8.5e13; the
+   * in-sum is bounded by the conserved rank mass ≤ scale), so the
+   * double-division floors are cross-engine deterministic.
+   *
+   * Scale shape: edges ⋈ outdeg is computed ONCE, hash-partitioned on
+   * src, and cached — each of the K rounds shuffles only the rank table
+   * (one exchange to src partitioning, one for the dst aggregation).
+   * Rank state is localCheckpoint-ed per round (lineage truncation) with
+   * immediate cleanup of the superseded round. Nodes without in-edges
+   * keep the teleport floor via the left join from the node table.
+   * Dangling nodes (no OUT-edges) simply contribute nothing — callers
+   * that need mass conservation add reverse edges (the bipartite
+   * both-directions construction has none by construction).
+   */
+  def pageRank(edges: DataFrame, iterations: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, "at least one power-iteration round")
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+    val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val st = new RoundState(sc)
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // explicit width: exempt from AQE coalescing (the e4 lesson) — this
+    // partitioning is what every round's rank join aligns to
+    val edgesDeg = e.join(outdeg, "src").repartition(width, col("src")).persist()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().persist()
+    var labelIds = Set.empty[Int]
+    try {
+      val n = nodes.count()
+      require(n > 0, "empty graph")
+      val init = math.floor(scale.toDouble / n).toLong
+      val teleport = math.floor(15.0 * scale / (100.0 * n)).toLong
+      var ranks = { val s = st.save(nodes.select(col("id"), lit(init).as("r")))
+        labelIds = s._2; s._1 }
+      (1 to iterations).foreach { _ =>
+        val contrib = edgesDeg
+          .join(ranks, edgesDeg("src") === ranks("id"))
+          .select(col("dst"),
+            floor((lit(85) * col("r")).cast("double") /
+              (lit(100) * col("outdeg")).cast("double")).cast("long").as("c"))
+          .groupBy(col("dst").as("id")).agg(sum("c").as("in_sum"))
+        val (next, ids) = st.save(nodes
+          .join(contrib, Seq("id"), "left")
+          .select(col("id"),
+            (lit(teleport) + coalesce(col("in_sum"), lit(0L))).as("r")))
+        st.drop(labelIds)
+        ranks = next
+        labelIds = ids
+      }
+      ranks.select(col("id"), col("r").as("rank_scaled"))
+    } catch {
+      case e: Throwable => st.drop(labelIds); throw e
+    } finally {
+      edgesDeg.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+    }
+  }
+
+  /**
+   * Minimum hop distance from a seed set, capped at `maxHops` —
+   * seed-proximity curation (distance from a trusted whitelist as a
+   * quality prior; nodes unreached within the cap are absent from the
+   * output, which is the honest answer at 100 TB where the full closure
+   * is never materialized).
+   *
+   * Frontier BFS: per hop, the NEW frontier is frontier ⋈ edges minus
+   * everything already labeled (anti-join) — each node is labeled at
+   * most once, so total work is O(E · diameter-visited) and per-round
+   * state is the (shrinking) frontier plus the label table. Early exit
+   * when the frontier empties (a count — coordinator scalar, the l7
+   * convergence precedent). Edges are pre-partitioned on src and cached
+   * once; labels/frontier are checkpointed per round.
+   */
+  def seedDistance(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    val spark = edges.sparkSession
+    val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val st = new RoundState(spark.sparkContext)
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+      .repartition(width, col("src")).persist()
+    var distIds = Set.empty[Int]
+    var frontIds = Set.empty[Int]
+    try {
+      val seed0 = seeds.select(col("id").cast("long").as("id")).distinct()
+      var dist = { val s = st.save(seed0.withColumn("dist", lit(0L)))
+        distIds = s._2; s._1 }
+      var frontier = dist.select("id")
+      var frontierNonEmpty = frontier.limit(1).count() > 0
+      var hop = 1
+      while (frontierNonEmpty && hop <= maxHops) {
+        val next = frontier
+          .join(e, frontier("id") === e("src"))
+          .select(col("dst").as("id")).distinct()
+          .join(dist, Seq("id"), "left_anti")
+        val (nf, nfIds) = st.save(next)
+        val (nd, ndIds) = st.save(dist.unionAll(nf.withColumn("dist", lit(hop.toLong))))
+        st.drop(distIds); st.drop(frontIds)
+        dist = nd; distIds = ndIds
+        frontier = nf; frontIds = nfIds
+        frontierNonEmpty = frontier.limit(1).count() > 0
+        hop += 1
+      }
+      st.drop(frontIds)
+      dist
+    } catch {
+      case ex: Throwable => st.drop(distIds); st.drop(frontIds); throw ex
+    } finally e.unpersist(blocking = false)
+  }
+
+  /**
+   * Per-node triangle counts over an undirected simple graph given as
+   * canonical edges (`a` < `b`, distinct). The local clustering signal:
+   * how interconnected a node's neighborhood is.
+   *
+   * Degree-ordered node-iterator (the standard distributed form): orient
+   * every edge from its lower-(degree, id) endpoint to the higher one —
+   * each wedge is then enumerated exactly once at its lowest-ordered
+   * apex, and per-apex out-degree is O(sqrt(2m)) on any graph, which
+   * bounds the wedge join's worst key fan-out (the skew argument that
+   * makes this survive hub nodes at scale). A wedge (v, w) closes iff
+   * its canonical (min, max) pair is an edge — one hash join against the
+   * canonical edge set. Each triangle is found once and credited to all
+   * three corners via explode.
+   */
+  def triangleCounts(canonicalEdges: DataFrame): DataFrame = {
+    val e = canonicalEdges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"))
+    val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // orient: lower (deg, id) endpoint -> higher. Join the two degree
+    // lookups, then pick direction per edge.
+    val withDeg = e
+      .join(deg.select(col("id").as("a"), col("deg").as("dega")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("degb")), "b")
+    val oriented = withDeg.select(
+      when(col("dega") < col("degb") ||
+          (col("dega") === col("degb") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("o"))
+      .select(col("o.u").as("u"), col("o.v").as("v"))
+    // wedges at apex u: unordered {v, w} pairs of out-neighbors
+    val o2 = oriented.select(col("u"), col("v").as("w"))
+    val wedges = oriented.join(o2, "u").filter(col("v") < col("w"))
+    // wedge pairs carry v < w by the filter and the edge set is already
+    // canonical a < b, so the closing check is a direct equi-join
+    val closed = wedges.join(
+      e.select(col("a").as("v"), col("b").as("w")), Seq("v", "w"))
+    closed
+      .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+  }
+}

@@ -7086,6 +7086,168 @@ object Catalog {
   }
 
   /** All registered queries, in SURVEY §2 order. */
+  // ================================================================ g1-g3
+  // GRAPH ANALYTICS — the operator class a curation pipeline needs once
+  // documents/entities form a graph: link-authority quality priors
+  // (PageRank — the CommonCrawl-lineage curation signal), seed-set
+  // proximity (hop distance from a trusted whitelist), and neighborhood
+  // density (per-node triangle counts). The reference has no graph
+  // surface; this family extends the engine like the dedup/ANN families
+  // do. Two graphs derive deterministically from the driver's tables:
+  // the bipartite customer–supplier purchase graph (rank/distance) and
+  // the capped (event_type, hour) user co-occurrence graph (triangles).
+  private object GFixture {
+    val iters = 6
+    val scale = 1000000000000L
+    val maxHops = 3
+    val cooccurCap = 8
+    /** bipartite purchase graph: node ids 2·cust / 2·supp+1 (disjoint),
+      * undirected = both directions, so every node has out-edges (no
+      * dangling-mass handling needed) and in-edges (no teleport-only
+      * stragglers). */
+    def bipartite(s: SparkSession, d: String): DataFrame = {
+      val pairs = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("cust"),
+          (col("l_suppkey") * 2 + 1).as("supp"))
+        .distinct()
+      pairs.select(col("cust").as("src"), col("supp").as("dst"))
+        .unionAll(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+    }
+    val bipartiteSql: String = """ep AS (
+        SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      edges AS (
+        SELECT src, dst FROM ep UNION ALL SELECT dst AS src, src AS dst FROM ep)"""
+    val nodeTypeSql =
+      "CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type"
+    def nodeType: Column =
+      when(col("id") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+        .as("node_type")
+  }
+
+  /** The fixed-point PageRank chain (Graph.pageRank's scaladoc) unrolled
+    * to `iters` CTEs — the lloydIterSql precedent: the oracle replays
+    * every floor of the scaled-integer iteration bit-for-bit. */
+  private def pagerankOracleSql: String = {
+    val s0 = GFixture.scale
+    val pre = s"""
+      WITH ${GFixture.bipartiteSql},
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      nn AS (SELECT COUNT(*) AS n FROM nodes),
+      deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+      r0 AS (SELECT id, CAST(FLOOR(CAST($s0 AS DOUBLE) / nn.n) AS BIGINT) AS r
+             FROM nodes CROSS JOIN nn)"""
+    val iters = (1 to GFixture.iters).map { i =>
+      s""",
+      r$i AS (
+        SELECT nodes.id,
+          CAST(FLOOR(CAST(15 * $s0 AS DOUBLE) / (100 * nn.n)) AS BIGINT)
+            + COALESCE(s.in_sum, 0) AS r
+        FROM nodes CROSS JOIN nn LEFT JOIN (
+          SELECT e.dst AS id,
+            SUM(CAST(FLOOR(CAST(85 * r.r AS DOUBLE) / (100 * d.outdeg)) AS BIGINT))
+              AS in_sum
+          FROM edges e JOIN r${i - 1} r ON r.id = e.src JOIN deg d ON d.src = e.src
+          GROUP BY e.dst) s ON s.id = nodes.id)"""
+    }.mkString
+    pre + iters + s"""
+      SELECT id AS node_id, ${GFixture.nodeTypeSql}, r AS rank_scaled
+      FROM r${GFixture.iters}"""
+  }
+
+  private val g1 = Q(
+    "g1_pagerank",
+    (s, d) => graft.operators.Graph
+      .pageRank(GFixture.bipartite(s, d), GFixture.iters, GFixture.scale)
+      .select(col("id").as("node_id"), GFixture.nodeType, col("rank_scaled")),
+    Some(pagerankOracleSql))
+
+  // ---------------------------------------------------------------- g2
+  // Hop distance from the BUILDING-segment customers (a trusted seed
+  // whitelist): frontier BFS with per-round checkpoints; nodes unreached
+  // within maxHops are absent by design (the full closure is never
+  // materialized at 100 TB). Oracle = recursive-CTE reachability (the
+  // CcFixture closure precedent) with MIN(dist) per node.
+  private val g2 = Q(
+    "g2_seed_distance",
+    (s, d) => {
+      val seeds = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select((col("c_custkey") * 2).as("id"))
+      graft.operators.Graph
+        .seedDistance(GFixture.bipartite(s, d), seeds, GFixture.maxHops)
+        .select(col("id").as("node_id"), GFixture.nodeType, col("dist"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${GFixture.bipartiteSql},
+      seeds AS (
+        SELECT DISTINCT c_custkey * 2 AS id FROM customer
+        WHERE c_mktsegment = 'BUILDING'),
+      reach(id, dist) AS (
+        SELECT id, CAST(0 AS BIGINT) AS dist FROM seeds
+        UNION
+        SELECT e.dst AS id, r.dist + 1 AS dist
+        FROM reach r JOIN edges e ON e.src = r.id
+        WHERE r.dist < ${GFixture.maxHops})
+      SELECT id AS node_id, ${GFixture.nodeTypeSql}, MIN(dist) AS dist
+      FROM reach GROUP BY 1, 2"""))
+
+  // ---------------------------------------------------------------- g3
+  // Per-user triangle counts over the capped co-occurrence graph: users
+  // sharing an (event_type, hour) cell are linked; per-cell membership
+  // is capped at cooccurCap BY SPECIFICATION (first `cap` user_ids —
+  // deterministic, applied identically in both engines), so a hub cell
+  // bounds pair fan-out without breaking exactness. The operator runs
+  // the degree-ordered node-iterator (Graph.triangleCounts); the oracle
+  // counts each a<b<c triangle once from the same canonical edge set.
+  private val g3 = Q(
+    "g3_triangle_count",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = Tables.events(s, d)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"),
+          col("user_id"))
+        .distinct()
+      val capped = g
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type", "hr").orderBy("user_id")))
+        .filter(col("rn") <= GFixture.cooccurCap)
+        .select("event_type", "hr", "user_id")
+      val edges = capped.as("g1").join(capped.as("g2"),
+          col("g1.event_type") === col("g2.event_type") &&
+            col("g1.hr") === col("g2.hr") &&
+            col("g1.user_id") < col("g2.user_id"))
+        .select(col("g1.user_id").as("a"), col("g2.user_id").as("b"))
+        .distinct()
+      graft.operators.Graph.triangleCounts(edges)
+        .select(col("id").as("user_id"), col("n_triangles"))
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT DISTINCT event_type, date_trunc('hour', ts) AS hr, user_id
+        FROM events),
+      capped AS (
+        SELECT event_type, hr, user_id FROM (
+          SELECT g.*, ROW_NUMBER() OVER (
+            PARTITION BY event_type, hr ORDER BY user_id) AS rn FROM g)
+        WHERE rn <= ${GFixture.cooccurCap}),
+      ed AS (
+        SELECT DISTINCT g1.user_id AS a, g2.user_id AS b
+        FROM capped g1 JOIN capped g2
+          ON g1.event_type = g2.event_type AND g1.hr = g2.hr
+            AND g1.user_id < g2.user_id),
+      tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM ed e1 JOIN ed e2 ON e2.a = e1.b
+          JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+      corners AS (
+        SELECT x AS id FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+      SELECT id AS user_id, COUNT(*) AS n_triangles FROM corners GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(
     a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11, a12, a13,
     n1, n2, n3, n4, n5, n6, n7,
@@ -7099,7 +7261,8 @@ object Catalog {
     m1, m2, m3, m4, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15,
     p1, p2, p3, p4, p5,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
-    w17, w18, w19, w20, w21, w22)
+    w17, w18, w19, w20, w21, w22,
+    g1, g2, g3)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

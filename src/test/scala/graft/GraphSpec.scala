@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+/** Graph family vs plain-Scala references on crafted graphs. */
+class GraphSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  /** both-directions edge DataFrame from undirected pairs. */
+  private def undirected(pairs: Seq[(Long, Long)]) =
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+
+  test("pageRank matches a plain-Scala fixed-point replay") {
+    // square with one diagonal 2-4: degrees 2,3,2,3
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (2L, 4L))
+    val edges = pairs ++ pairs.map(p => (p._2, p._1))
+    val scale = 1000000000000L
+    val iters = 5
+    // reference: the exact scaled-integer chain from Graph.pageRank's doc
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size
+    val outdeg = edges.groupBy(_._1).map { case (k, es) => k -> es.size.toLong }
+    val teleport = math.floor(15.0 * scale / (100.0 * n)).toLong
+    var r = nodes.map(_ -> math.floor(scale.toDouble / n).toLong).toMap
+    (1 to iters).foreach { _ =>
+      val in = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) =>
+          math.floor(85.0 * r(u) / (100.0 * outdeg(u))).toLong
+        }.sum
+      }
+      r = nodes.map(v => v -> (teleport + in.getOrElse(v, 0L))).toMap
+    }
+    val got = Graph.pageRank(undirected(pairs), iters, scale)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == r)
+    // higher-degree nodes outrank lower-degree ones on this graph
+    assert(got(2L) > got(1L) && got(4L) > got(3L))
+  }
+
+  test("pageRank keeps teleport mass for a node with no in-edges") {
+    // directed-only: 1 -> 2 -> 3; node 1 has no in-edges
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = Graph.pageRank(edges, 3, 1000000L)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val teleport = math.floor(15.0 * 1000000L / (100.0 * 3)).toLong
+    assert(got(1L) == teleport) // survives every round at exactly teleport
+    assert(got.keySet == Set(1L, 2L, 3L))
+  }
+
+  test("seedDistance labels min hops, capped, unreached absent") {
+    // path 1-2-3-4-5 plus isolated edge 10-11; seeds = {1, 10}
+    val edges = undirected(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L)))
+    val got = Graph.seedDistance(edges, Seq(1L, 10L).toDF("id"), maxHops = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 10L -> 0L, 11L -> 1L))
+    // node 4 is 3 hops out: beyond the cap, absent — and a seed absent
+    // from the graph still labels itself at 0
+    val got2 = Graph.seedDistance(edges, Seq(99L).toDF("id"), maxHops = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got2 == Map(99L -> 0L))
+  }
+
+  test("seedDistance takes the SHORTEST route when routes differ") {
+    // ring 1-2-3-4-5-6-1: node 4 is 3 hops clockwise, 3 counter; node 5 is 2
+    val edges = undirected(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 1L)))
+    val got = Graph.seedDistance(edges, Seq(1L).toDF("id"), maxHops = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 6L -> 1L, 3L -> 2L, 5L -> 2L, 4L -> 3L))
+  }
+
+  test("triangleCounts: K4 plus a pendant vs the closed-form answer") {
+    // K4 on {1,2,3,4}: 4 triangles, each node in 3; pendant 5 in none
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val got = Graph.triangleCounts(e)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts matches brute force on a hashed random graph") {
+    // deterministic pseudo-random graph: edge (i,j) iff md5(i|j) starts 0-3
+    val nodes = (1L to 30L)
+    val pairs = for {
+      i <- nodes; j <- nodes if i < j
+      if md5hex(s"$i|$j").charAt(0) <= '3'
+    } yield (i, j)
+    val edgeSet = pairs.toSet
+    val brute = (for {
+      i <- nodes; j <- nodes if i < j; k <- nodes if j < k
+      if edgeSet((i, j)) && edgeSet((j, k)) && edgeSet((i, k))
+    } yield Seq(i, j, k)).flatten
+      .groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+    val got = Graph.triangleCounts(pairs.toDF("a", "b"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == brute)
+  }
+}
