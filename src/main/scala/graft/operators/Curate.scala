@@ -56,6 +56,29 @@ object Curate {
   }
 
   /**
+   * IMPORTANCE sampling — the PER-ROW counterpart of [[mixtureSample]]'s
+   * per-source rates: keep a row with probability proportional to its
+   * own weight (a quality/classifier score in [0, 1]), i.e. iff
+   * hash_frac(key | salt) < min(1, weight · boost). This is the
+   * quality-proportional downsampling step of modern curation pipelines
+   * (keep high-quality documents at full rate, thin the tail in
+   * proportion) — deterministic per key, so the same rows survive on
+   * any engine or cluster, and the decision is a pure row-level
+   * expression (zero shuffle at any scale).
+   *
+   * `boost` rescales weights into keep-probabilities (boost > 1 saturates
+   * the best rows at 1). Output adds `p_keep` so downstream
+   * importance-WEIGHTED estimators can reweight by 1/p_keep.
+   */
+  def importanceSample(df: DataFrame, keyCol: String, weightCol: String,
+      boost: Double, salt: String): DataFrame = {
+    require(boost > 0, "boost must be positive")
+    val frac = hashFraction(concat(col(keyCol).cast("string"), lit("|" + salt)))
+    df.withColumn("p_keep", least(lit(1.0), col(weightCol) * boost))
+      .filter(frac < col("p_keep"))
+  }
+
+  /**
    * Per-stratum QUOTA sampling — the fixed-budget counterpart of
    * [[mixtureSample]]'s rate-based mixing: keep exactly `quota(stratum)`
    * rows per stratum (e.g. "30k documents from each source for the
@@ -454,6 +477,54 @@ object Curate {
       .join(broadcast(bench), "gh")
       .groupBy(col(idCol))
       .agg(countDistinct(col("gh")).as("n_shared_grams"))
+  }
+
+  /**
+   * SEMANTIC decontamination — [[flagContaminated]]'s embedding-space
+   * twin: flag corpus items whose embedding is near-identical (cosine >=
+   * `threshold`) to ANY benchmark item, catching paraphrased leakage no
+   * lexical n-gram overlap can see (the l12/SemDeDup rationale applied
+   * to eval protection).
+   *
+   * Scale shape: a benchmark is small BY NATURE (the
+   * benchmarkGramHashes rationale), so it broadcasts whole and the
+   * corpus pass is one narrow scan — no shuffle until the (tiny)
+   * flagged set's per-doc max window. Scoring is the standard two-phase
+   * cheap-then-exact: the native double cosine with a 0.01 margin
+   * prunes the broadcast pairs, the exact decimal cosine decides, with
+   * per-row exact norms computed before the pairing (the
+   * nearDupPairsInBlocks contract — output identical to scoring every
+   * pair exactly).
+   *
+   * Returns one row per CONTAMINATED corpus item: (idCol, bench_id,
+   * cosine) for its STRONGEST benchmark hit (max cosine, ties to the
+   * smaller bench id).
+   */
+  def flagSemanticContamination(corpus: DataFrame, idCol: String,
+      vecCol: String, benchmark: DataFrame, benchIdCol: String,
+      benchVecCol: String, threshold: Double): DataFrame = {
+    graft.plans.VectorExpressions.ensureRegistered(corpus.sparkSession)
+    def dot(x: Column, y: Column) = call_function("graft_dot", x, y)
+    def dotX(x: Column, y: Column) = call_function("graft_dot_exact", x, y)
+    val c = corpus.select(col(idCol), col(vecCol).as("__v"),
+      dot(col(vecCol), col(vecCol)).as("__nsq"),
+      dotX(col(vecCol), col(vecCol)).as("__xnsq"))
+    val b = benchmark.select(col(benchIdCol).as("bench_id"),
+      col(benchVecCol).as("__bv"),
+      dot(col(benchVecCol), col(benchVecCol)).as("__bnsq"),
+      dotX(col(benchVecCol), col(benchVecCol)).as("__bxnsq"))
+    val approx = dot(col("__v"), col("__bv")) / sqrt(col("__nsq") * col("__bnsq"))
+    val hits = c.crossJoin(broadcast(b))
+      .filter(col("__nsq") === 0.0 || col("__bnsq") === 0.0 ||
+        approx >= threshold - 0.01)
+      .select(col(idCol), col("bench_id"),
+        graft.functions.vectors.cosineFromParts(dotX(col("__v"), col("__bv")),
+          col("__xnsq"), col("__bxnsq")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("cosine").desc, col("bench_id").asc)
+    hits.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
   }
 
   /** Distinct md5 word-n-gram hashes of a benchmark set, collected to a

@@ -3098,28 +3098,29 @@ object Catalog {
   }
 
   // ---------------------------------------------------------------- t2
-  private val t2 = {
+  /** t2's quality chain as a shared fixture: c11's importance weights
+    * reuse the SAME scored table (one Spark chain, one SQL string — the
+    * bm25OracleSql sharing rule, so the two entries cannot drift). */
+  private object QualityFixture {
     val stops = Dictionaries.stopwordsEn
     val stopsSql = stops.map(s0 => s"'$s0'").mkString(", ")
-    Q(
-      "t2_quality_score",
-      (s, d) => {
-        val t = T.normKey(col("text"))
-        val ws = split(t, " ")
-        val lenScore = least(length(t).cast("double") / 500.0, lit(1.0))
-        val punctRatio = (length(t) - length(regexp_replace(t, "[a-z0-9 ]", "")))
-          .cast("double") / length(t).cast("double")
-        Tables.documents(s, d).select(
-          col("doc_id"),
-          lenScore.as("len_score"),
-          T.distinctRatio(ws).as("distinct_ratio"),
-          T.stopwordRatio(ws, stops).as("stopword_ratio"),
-          punctRatio.as("punct_ratio"))
-          .withColumn("quality",
-            col("len_score") * 0.35 + col("distinct_ratio") * 0.25 +
-              (lit(1.0) - col("punct_ratio")) * 0.25 + col("stopword_ratio") * 0.15)
-      },
-      Some(s"""
+    def scored(s: SparkSession, d: String): DataFrame = {
+      val t = T.normKey(col("text"))
+      val ws = split(t, " ")
+      val lenScore = least(length(t).cast("double") / 500.0, lit(1.0))
+      val punctRatio = (length(t) - length(regexp_replace(t, "[a-z0-9 ]", "")))
+        .cast("double") / length(t).cast("double")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        lenScore.as("len_score"),
+        T.distinctRatio(ws).as("distinct_ratio"),
+        T.stopwordRatio(ws, stops).as("stopword_ratio"),
+        punctRatio.as("punct_ratio"))
+        .withColumn("quality",
+          col("len_score") * 0.35 + col("distinct_ratio") * 0.25 +
+            (lit(1.0) - col("punct_ratio")) * 0.25 + col("stopword_ratio") * 0.15)
+    }
+    val scoredSql: String = s"""
         WITH b AS (SELECT doc_id, ${normSql("text")} AS t FROM documents),
         w AS (SELECT doc_id, t, string_split(t, ' ') AS ws FROM b),
         sc AS (
@@ -3136,8 +3137,13 @@ object Catalog {
         SELECT doc_id, len_score, distinct_ratio, stopword_ratio, punct_ratio,
           len_score * 0.35 + distinct_ratio * 0.25 + (1.0 - punct_ratio) * 0.25 +
             stopword_ratio * 0.15 AS quality
-        FROM sc"""))
+        FROM sc"""
   }
+
+  private val t2 = Q(
+    "t2_quality_score",
+    (s, d) => QualityFixture.scored(s, d),
+    Some(QualityFixture.scoredSql))
 
   // ---------------------------------------------------------------- t3
   private val t3 = Q(
@@ -7086,6 +7092,65 @@ object Catalog {
   }
 
   /** All registered queries, in SURVEY §2 order. */
+  // ---------------------------------------------------------------- c11
+  // IMPORTANCE SAMPLING (Curate.importanceSample) — per-document
+  // quality-proportional downsampling: keep a doc iff its deterministic
+  // hash fraction is under min(1, quality · boost). The per-ROW
+  // counterpart of c2's per-source rates, weighted by t2's OWN quality
+  // chain (QualityFixture — one scored table, one SQL string, no
+  // drift). Zero shuffle: the decision is a pure row expression.
+  private val c11 = {
+    val boost = 1.25
+    val salt = "imp0"
+    Q(
+      "c11_importance_sample",
+      (s, d) => graft.operators.Curate.importanceSample(
+        QualityFixture.scored(s, d).select("doc_id", "quality"),
+        "doc_id", "quality", boost, salt),
+      Some(s"""
+        WITH sc AS (${QualityFixture.scoredSql})
+        SELECT doc_id, quality, least(1.0, quality * $boost) AS p_keep
+        FROM sc
+        WHERE ${hashFracSql(s"CAST(doc_id AS VARCHAR) || '|$salt'")}
+          < least(1.0, quality * $boost)"""))
+  }
+
+  // ---------------------------------------------------------------- t15
+  // SEMANTIC DECONTAMINATION (Curate.flagSemanticContamination) — t9's
+  // embedding-space twin: flag corpus vectors near-identical (cosine >=
+  // 0.95) to any benchmark item, catching paraphrased eval leakage that
+  // n-gram overlap cannot see. Benchmark = perturbed copies of every
+  // 97th vector (l4's last-dim perturbation — planted contamination the
+  // gate must find); broadcast x corpus scan, two-phase cheap-then-
+  // exact cosine, per-doc strongest hit.
+  private val t15 = {
+    val tau = 0.95
+    Q(
+      "t15_semantic_decontam",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val bench = e.filter(col("vec_id") % 97 === 0).select(
+          (col("vec_id") + 2000000L).as("bench_id"),
+          concat(slice(col("embedding"), 1, 63), array(lit(0.0f))).as("bv"))
+        graft.operators.Curate.flagSemanticContamination(
+          e, "vec_id", "embedding", bench, "bench_id", "bv", tau)
+      },
+      Some(s"""
+        WITH bench AS (
+          SELECT vec_id + 2000000 AS bench_id,
+            list_concat(embedding[1:63], [CAST(0.0 AS FLOAT)]) AS bv
+          FROM embeddings WHERE vec_id % 97 = 0),
+        hits AS (
+          SELECT e.vec_id, b.bench_id, ${cosSql("e.embedding", "b.bv")} AS cosine
+          FROM embeddings e CROSS JOIN bench b),
+        fl AS (SELECT * FROM hits WHERE cosine >= $tau),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY cosine DESC, bench_id) AS rn
+          FROM fl)
+        SELECT vec_id, bench_id, cosine FROM r WHERE rn = 1"""))
+  }
+
   // ================================================================ g1-g3
   // GRAPH ANALYTICS — the operator class a curation pipeline needs once
   // documents/entities form a graph: link-authority quality priors
@@ -7256,8 +7321,8 @@ object Catalog {
     r1, r2, r3, r4, r5, r6, r7, r8, q1, q2, q3, q4, q5, q6,
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
     l17, l18, l19, l20,
-    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14,
-    c1, c2, c3, c4, c5, c6, c7, c8, c9, c10,
+    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
+    c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11,
     m1, m2, m3, m4, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15,
     p1, p2, p3, p4, p5,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,

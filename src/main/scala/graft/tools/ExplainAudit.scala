@@ -45,7 +45,11 @@ object ExplainAudit {
     // l20 is the same Ann.assignCells build (corpus x broadcast one-row
     // centroid array, Lloyd rounds included) ahead of an EQUI cell
     // self-join — the flagged nested-loop is the assignment fold only.
+    // t15 intentionally broadcast-cross-joins the (small by nature)
+    // benchmark set against the corpus scan — l5's shape with a
+    // threshold instead of top-k.
     val crossJoinOk = Set("l5_ann_bruteforce", "l8_ann_ivf", "l9_ann_ivf_trained",
+      "t15_semantic_decontam",
       "w4_ann_partitioned", "l12_semantic_dedup", "w6_ann_append", "w7_compaction",
       "l13_ann_ivfpq", "s6_stream_ann_ingest", "w8_ann_pq_store",
       "l14_ann_ivfpq_refined", "w9_ann_refined_store", "w15_ann_delete",

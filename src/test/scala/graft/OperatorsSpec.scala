@@ -1402,4 +1402,40 @@ class OperatorsSpec extends AnyFunSuite {
     // but always contain the true top-5 (deterministic under the seed)
     assert(recall >= 0.9, s"recall@5 $recall")
   }
+
+  test("importanceSample keeps exactly the rows under their own keep-probability") {
+    import graft.operators.Curate
+    def frac(key: String): Double =
+      java.lang.Long.parseLong(md5hex(key).take(8), 16).toDouble / 4294967296.0
+    val rows = (1L to 200L).map(i => (i, (i % 10).toDouble / 10.0))
+    val df = rows.toDF("id", "w")
+    val got = Curate.importanceSample(df, "id", "w", boost = 1.25, salt = "s1")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val want = rows.flatMap { case (i, w) =>
+      val p = math.min(1.0, w * 1.25)
+      if (frac(s"$i|s1") < p) Some(i -> p) else None
+    }.toMap
+    assert(got == want)
+    // weight 0 rows can never survive; weight >= 0.8 saturates at p = 1
+    assert(!got.keySet.exists(_ % 10 == 0))
+    assert(got.values.exists(_ == 1.0))
+  }
+
+  test("flagSemanticContamination flags planted near-copies with the strongest hit") {
+    import graft.operators.Curate
+    val rnd = new scala.util.Random(7)
+    val base = Seq.tabulate(40)(i => (i.toLong, Seq.fill(16)((rnd.nextFloat() - 0.5f) * 2)))
+    val corpus = base.toDF("id", "v")
+    // benchmark: near-copies of ids 3 and 17 (last component zeroed), plus
+    // one unrelated random vector that must flag nothing
+    val bench = Seq(
+      (1003L, base(3)._2.dropRight(1) :+ 0.0f),
+      (1017L, base(17)._2.dropRight(1) :+ 0.0f),
+      (1999L, Seq.fill(16)((rnd.nextFloat() - 0.5f) * 2))).toDF("bid", "bv")
+    val got = Curate.flagSemanticContamination(
+        corpus, "id", "v", bench, "bid", "bv", 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(3L, 17L))
+    assert(got(3L) == 1003L && got(17L) == 1017L)
+  }
 }
