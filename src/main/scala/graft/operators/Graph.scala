@@ -190,8 +190,14 @@ object Graph {
    * three corners via explode.
    */
   def triangleCounts(canonicalEdges: DataFrame): DataFrame = {
+    // the edge list is consumed FIVE times (degree legs, orientation,
+    // both wedge sides, the closing probe): materialize it once with an
+    // eager checkpoint or every reuse re-embeds the caller's whole edge
+    // construction into the plan (measured: 67 initial-plan exchanges on
+    // the co-occurrence entry vs 8 after — the l7 final-label precedent;
+    // the bench's between-query reaper reclaims the blocks)
     val e = canonicalEdges.select(col("a").cast("long").as("a"),
-      col("b").cast("long").as("b"))
+      col("b").cast("long").as("b")).localCheckpoint()
     val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     // orient: lower (deg, id) endpoint -> higher. Join the two degree
