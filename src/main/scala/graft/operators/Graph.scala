@@ -73,9 +73,18 @@ object Graph {
    * Dangling nodes (no OUT-edges) simply contribute nothing — callers
    * that need mass conservation add reverse edges (the bipartite
    * both-directions construction has none by construction).
+   *
+   * `teleportSeeds` turns the uniform walk into TRUSTRANK (Gyöngyi et
+   * al. 2004): the random jump lands ONLY on the trusted seed set —
+   * init is floor(scale / |seeds|) on seeds (0 elsewhere) and the
+   * per-round teleport floor(15·scale / (100·|seeds|)) likewise — so
+   * rank becomes proximity-weighted trust: content far from every seed
+   * earns almost none (the link-spam demotion signal a web-scale
+   * curation pipeline runs beside uniform PageRank).
    */
   def pageRank(edges: DataFrame, iterations: Int,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L,
+      teleportSeeds: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1, "at least one power-iteration round")
     val spark = edges.sparkSession
     val sc = spark.sparkContext
@@ -87,15 +96,27 @@ object Graph {
     // explicit width: exempt from AQE coalescing (the e4 lesson) — this
     // partitioning is what every round's rank join aligns to
     val edgesDeg = e.join(outdeg, "src").repartition(width, col("src")).persist()
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().persist()
+    val allNodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    // per-node (init, tele): uniform over all nodes, or — seeded — the
+    // seed set carries ALL jump mass and the rest start at zero
+    val nodes = (teleportSeeds match {
+      case None => allNodes.withColumn("is_seed", lit(true))
+      case Some(sd) => allNodes.join(
+          sd.select(col("id").cast("long").as("id")).distinct()
+            .withColumn("is_seed", lit(true)),
+          Seq("id"), "left")
+          .select(col("id"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+    }).persist()
     var labelIds = Set.empty[Int]
     try {
-      val n = nodes.count()
-      require(n > 0, "empty graph")
-      val init = math.floor(scale.toDouble / n).toLong
-      val teleport = math.floor(15.0 * scale / (100.0 * n)).toLong
-      var ranks = { val s = st.save(nodes.select(col("id"), lit(init).as("r")))
+      val nBase = nodes.filter(col("is_seed")).count()
+      require(nBase > 0,
+        "empty graph (or no teleport seed appears as a graph node)")
+      val init = math.floor(scale.toDouble / nBase).toLong
+      val teleport = math.floor(15.0 * scale / (100.0 * nBase)).toLong
+      def seedLit(v: Long) = when(col("is_seed"), lit(v)).otherwise(lit(0L))
+      var ranks = { val s = st.save(nodes.select(col("id"), seedLit(init).as("r")))
         labelIds = s._2; s._1 }
       (1 to iterations).foreach { _ =>
         val contrib = edgesDeg
@@ -107,7 +128,7 @@ object Graph {
         val (next, ids) = st.save(nodes
           .join(contrib, Seq("id"), "left")
           .select(col("id"),
-            (lit(teleport) + coalesce(col("in_sum"), lit(0L))).as("r")))
+            (seedLit(teleport) + coalesce(col("in_sum"), lit(0L))).as("r")))
         st.drop(labelIds)
         ranks = next
         labelIds = ids

@@ -7194,28 +7194,44 @@ object Catalog {
 
   /** The fixed-point PageRank chain (Graph.pageRank's scaladoc) unrolled
     * to `iters` CTEs — the lloydIterSql precedent: the oracle replays
-    * every floor of the scaled-integer iteration bit-for-bit. */
-  private def pagerankOracleSql: String = {
+    * every floor of the scaled-integer iteration bit-for-bit. With
+    * `seedsSql` the jump mass lands only on the seed set (TrustRank):
+    * is_seed gates both the init and the per-round teleport floor, and
+    * nn counts SEED nodes, mirroring Graph.pageRank(teleportSeeds). */
+  private def pagerankOracleSql(seedsSql: Option[String]): String = {
     val s0 = GFixture.scale
+    val snode = seedsSql match {
+      case None => "snode AS (SELECT id, 1 AS is_seed FROM nodes)"
+      case Some(sq) => s"""seeds AS ($sq),
+      snode AS (
+        SELECT nodes.id, CASE WHEN s.id IS NOT NULL THEN 1 ELSE 0 END AS is_seed
+        FROM nodes LEFT JOIN seeds s ON s.id = nodes.id)"""
+    }
     val pre = s"""
       WITH ${GFixture.bipartiteSql},
       nodes AS (SELECT DISTINCT src AS id FROM edges),
-      nn AS (SELECT COUNT(*) AS n FROM nodes),
+      $snode,
+      nn AS (SELECT SUM(is_seed) AS n FROM snode),
       deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
-      r0 AS (SELECT id, CAST(FLOOR(CAST($s0 AS DOUBLE) / nn.n) AS BIGINT) AS r
-             FROM nodes CROSS JOIN nn)"""
+      r0 AS (SELECT id,
+               CASE WHEN is_seed = 1
+                 THEN CAST(FLOOR(CAST($s0 AS DOUBLE) / nn.n) AS BIGINT)
+                 ELSE 0 END AS r
+             FROM snode CROSS JOIN nn)"""
     val iters = (1 to GFixture.iters).map { i =>
       s""",
       r$i AS (
-        SELECT nodes.id,
-          CAST(FLOOR(CAST(15 * $s0 AS DOUBLE) / (100 * nn.n)) AS BIGINT)
+        SELECT snode.id,
+          CASE WHEN snode.is_seed = 1
+            THEN CAST(FLOOR(CAST(15 * $s0 AS DOUBLE) / (100 * nn.n)) AS BIGINT)
+            ELSE 0 END
             + COALESCE(s.in_sum, 0) AS r
-        FROM nodes CROSS JOIN nn LEFT JOIN (
+        FROM snode CROSS JOIN nn LEFT JOIN (
           SELECT e.dst AS id,
             SUM(CAST(FLOOR(CAST(85 * r.r AS DOUBLE) / (100 * d.outdeg)) AS BIGINT))
               AS in_sum
           FROM edges e JOIN r${i - 1} r ON r.id = e.src JOIN deg d ON d.src = e.src
-          GROUP BY e.dst) s ON s.id = nodes.id)"""
+          GROUP BY e.dst) s ON s.id = snode.id)"""
     }.mkString
     pre + iters + s"""
       SELECT id AS node_id, ${GFixture.nodeTypeSql}, r AS rank_scaled
@@ -7227,7 +7243,29 @@ object Catalog {
     (s, d) => graft.operators.Graph
       .pageRank(GFixture.bipartite(s, d), GFixture.iters, GFixture.scale)
       .select(col("id").as("node_id"), GFixture.nodeType, col("rank_scaled")),
-    Some(pagerankOracleSql))
+    Some(pagerankOracleSql(None)))
+
+  // ---------------------------------------------------------------- g4
+  // TRUSTRANK — g1's walk with the random jump landing ONLY on the
+  // trusted seed whitelist (the BUILDING customers, g2's seed set):
+  // rank becomes proximity-weighted trust, the link-spam demotion
+  // signal run beside uniform PageRank in web-scale curation. Same
+  // fixed-point floors, same unrolled oracle with is_seed gating init
+  // and teleport.
+  private val g4 = Q(
+    "g4_trustrank",
+    (s, d) => {
+      val seeds = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select((col("c_custkey") * 2).as("id"))
+      graft.operators.Graph
+        .pageRank(GFixture.bipartite(s, d), GFixture.iters, GFixture.scale,
+          teleportSeeds = Some(seeds))
+        .select(col("id").as("node_id"), GFixture.nodeType, col("rank_scaled"))
+    },
+    Some(pagerankOracleSql(Some(
+      """SELECT DISTINCT c_custkey * 2 AS id FROM customer
+         WHERE c_mktsegment = 'BUILDING'"""))))
 
   // ---------------------------------------------------------------- g2
   // Hop distance from the BUILDING-segment customers (a trusted seed
@@ -7327,7 +7365,7 @@ object Catalog {
     p1, p2, p3, p4, p5,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
     w17, w18, w19, w20, w21, w22,
-    g1, g2, g3)
+    g1, g2, g3, g4)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -40,6 +40,37 @@ class GraphSpec extends AnyFunSuite {
     assert(got(2L) > got(1L) && got(4L) > got(3L))
   }
 
+  test("pageRank with teleportSeeds replays the TrustRank chain") {
+    // path 1-2-3-4: seed the walk at node 1 only
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val edges = pairs ++ pairs.map(p => (p._2, p._1))
+    val scale = 1000000000000L
+    val iters = 4
+    val seeds = Set(1L)
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val outdeg = edges.groupBy(_._1).map { case (k, es) => k -> es.size.toLong }
+    val nSeed = seeds.size
+    val tele = math.floor(15.0 * scale / (100.0 * nSeed)).toLong
+    val init = math.floor(scale.toDouble / nSeed).toLong
+    var r = nodes.map(v => v -> (if (seeds(v)) init else 0L)).toMap
+    (1 to iters).foreach { _ =>
+      val in = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) =>
+          math.floor(85.0 * r(u) / (100.0 * outdeg(u))).toLong
+        }.sum
+      }
+      r = nodes.map(v => v -> ((if (seeds(v)) tele else 0L) + in.getOrElse(v, 0L))).toMap
+    }
+    val got = Graph.pageRank(undirected(pairs), iters, scale,
+      teleportSeeds = Some(Seq(1L).toDF("id")))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == r)
+    // the seed holds the most trust; the far end the least (no strict
+    // monotone decay claim — an undirected endpoint reflects its whole
+    // mass back, so node 3 can outrank node 2)
+    assert(got(1L) == got.values.max && got(4L) == got.values.min)
+  }
+
   test("pageRank keeps teleport mass for a node with no in-edges") {
     // directed-only: 1 -> 2 -> 3; node 1 has no in-edges
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
