@@ -7190,6 +7190,43 @@ object Catalog {
     def nodeType: Column =
       when(col("id") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
         .as("node_type")
+    /** ONE ground truth for the capped co-occurrence triangle counts:
+      * the batch build (g3) and the streaming membership fold (s16)
+      * must land on the identical per-user table (the bm25OracleSql
+      * sharing rule). */
+    val cooccurTriangleOracle: String = s"""
+      WITH g AS (
+        SELECT DISTINCT event_type, date_trunc('hour', ts) AS hr, user_id
+        FROM events),
+      capped AS (
+        SELECT event_type, hr, user_id FROM (
+          SELECT g.*, ROW_NUMBER() OVER (
+            PARTITION BY event_type, hr ORDER BY user_id) AS rn FROM g)
+        WHERE rn <= $cooccurCap),
+      ed AS (
+        SELECT DISTINCT g1.user_id AS a, g2.user_id AS b
+        FROM capped g1 JOIN capped g2
+          ON g1.event_type = g2.event_type AND g1.hr = g2.hr
+            AND g1.user_id < g2.user_id),
+      tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM ed e1 JOIN ed e2 ON e2.a = e1.b
+          JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+      corners AS (
+        SELECT x AS id FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+      SELECT id AS user_id, COUNT(*) AS n_triangles FROM corners GROUP BY 1"""
+    /** canonical edges (a < b) from a (event_type, hr, user_id) capped
+      * membership table — g3 builds it with a window, s16 from the
+      * streaming fold's exploded members; both feed triangleCounts. */
+    def cooccurEdges(cellUser: DataFrame): DataFrame =
+      cellUser.as("g1").join(cellUser.as("g2"),
+          col("g1.event_type") === col("g2.event_type") &&
+            col("g1.hr") === col("g2.hr") &&
+            col("g1.user_id") < col("g2.user_id"))
+        .select(col("g1.user_id").as("a"), col("g2.user_id").as("b"))
+        .distinct()
   }
 
   /** The fixed-point PageRank chain (Graph.pageRank's scaladoc) unrolled
@@ -7318,38 +7355,31 @@ object Catalog {
           Window.partitionBy("event_type", "hr").orderBy("user_id")))
         .filter(col("rn") <= GFixture.cooccurCap)
         .select("event_type", "hr", "user_id")
-      val edges = capped.as("g1").join(capped.as("g2"),
-          col("g1.event_type") === col("g2.event_type") &&
-            col("g1.hr") === col("g2.hr") &&
-            col("g1.user_id") < col("g2.user_id"))
-        .select(col("g1.user_id").as("a"), col("g2.user_id").as("b"))
-        .distinct()
-      graft.operators.Graph.triangleCounts(edges)
+      graft.operators.Graph.triangleCounts(GFixture.cooccurEdges(capped))
         .select(col("id").as("user_id"), col("n_triangles"))
     },
-    Some(s"""
-      WITH g AS (
-        SELECT DISTINCT event_type, date_trunc('hour', ts) AS hr, user_id
-        FROM events),
-      capped AS (
-        SELECT event_type, hr, user_id FROM (
-          SELECT g.*, ROW_NUMBER() OVER (
-            PARTITION BY event_type, hr ORDER BY user_id) AS rn FROM g)
-        WHERE rn <= ${GFixture.cooccurCap}),
-      ed AS (
-        SELECT DISTINCT g1.user_id AS a, g2.user_id AS b
-        FROM capped g1 JOIN capped g2
-          ON g1.event_type = g2.event_type AND g1.hr = g2.hr
-            AND g1.user_id < g2.user_id),
-      tri AS (
-        SELECT e1.a AS x, e1.b AS y, e2.b AS z
-        FROM ed e1 JOIN ed e2 ON e2.a = e1.b
-          JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
-      corners AS (
-        SELECT x AS id FROM tri
-        UNION ALL SELECT y FROM tri
-        UNION ALL SELECT z FROM tri)
-      SELECT id AS user_id, COUNT(*) AS n_triangles FROM corners GROUP BY 1"""))
+    Some(GFixture.cooccurTriangleOracle))
+
+  // ---------------------------------------------------------------- s16
+  // STREAMING GRAPH MAINTENANCE (EventStream.cooccurMembership) — g3 as
+  // a stream serves it: the capped cell membership is a min-k-distinct
+  // fold (commutative, associative, idempotent), maintained per trigger
+  // in update-mode state, and the triangle counts derived from the
+  // final membership must land on g3's OWN oracle bit-for-bit. On
+  // batch the same function folds each cell in one call — one code
+  // path; per-trigger parity (including a late event EVICTING a larger
+  // id from a full cell) lives in StreamingSpec.
+  private val s16 = Q(
+    "s16_stream_graph",
+    (s, d) => {
+      val membership = graft.streaming.EventStream.cooccurMembership(
+        Tables.events(s, d), GFixture.cooccurCap)
+      val cellUser = membership.select(col("event_type"), col("hr"),
+        explode(col("members")).as("user_id"))
+      graft.operators.Graph.triangleCounts(GFixture.cooccurEdges(cellUser))
+        .select(col("id").as("user_id"), col("n_triangles"))
+    },
+    Some(GFixture.cooccurTriangleOracle))
 
   val all: Seq[Q] = Seq(
     a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11, a12, a13,
@@ -7361,7 +7391,7 @@ object Catalog {
     l17, l18, l19, l20,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
     c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11,
-    m1, m2, m3, m4, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15,
+    m1, m2, m3, m4, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16,
     p1, p2, p3, p4, p5,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
     w17, w18, w19, w20, w21, w22,

@@ -25,6 +25,8 @@ case class FunnelState(k: Int)
   * carried value — constant size, the whole point of the stateful form. */
 case class GapFillState(lastDay: String, lastValue: Double)
 
+case class CooccurState(users: Seq[Long])
+
 case class CdcOpState(
     latest_ts: Timestamp, latest_event_id: Long,
     op: String, value: Double)
@@ -418,6 +420,45 @@ object EventStream {
    * knob) — so the batch twin (catalog s15) and the streaming run share
    * one code path, and a13's oracle gates both.
    */
+  /**
+   * STREAMING capped co-occurrence membership (catalog s16 — the graph
+   * family's live twin): per (event_type, hour) cell keep the `cap`
+   * SMALLEST distinct user_ids seen so far. min-k-of-distinct is a
+   * commutative, associative, idempotent fold, so ANY slicing of the
+   * stream into triggers converges on the batch answer — the final
+   * membership IS g3's capped cell table, and the edges / triangle
+   * counts derived from it are gated by g3's own oracle. Emits every
+   * touched cell's current membership per trigger (update mode); state
+   * is <= cap longs per cell — constant, no retained rows. A late
+   * event can EVICT a larger id from a full cell (min-k is not
+   * append-final), which is exactly why this rides update-mode state
+   * and the graph is derived from the LAST emission per cell, never
+   * from appended increments.
+   *
+   * On a batch input Spark runs the function once per cell with empty
+   * state — the same fold — so the batch entry and the streaming run
+   * share one code path (the gapFillDaily precedent).
+   */
+  def cooccurMembership(events: DataFrame, cap: Int): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(cap >= 1, "cap must be positive")
+    events
+      .select(col("event_type").cast("string"),
+        date_trunc("hour", col("ts")).cast("string").as("hr"),
+        col("user_id").cast("long"))
+      .as[(String, String, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .mapGroupsWithState[CooccurState, (String, String, Seq[Long])](
+        GroupStateTimeout.NoTimeout) { case ((tpe, hr), rows, state) =>
+        val merged = (state.getOption.map(_.users).getOrElse(Seq.empty) ++
+          rows.map(_._3)).distinct.sorted.take(cap)
+        state.update(CooccurState(merged))
+        (tpe, hr, merged)
+      }
+      .toDF("event_type", "hr", "members")
+  }
+
   def gapFillDaily(daily: DataFrame): DataFrame = {
     val spark = daily.sparkSession
     import spark.implicits._

@@ -796,4 +796,43 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally query.stop()
   }
+
+  test("cooccurMembership: late event evicts a larger id; final state equals the batch fold") {
+    implicit val ctx = spark.sqlContext
+    val cap = 3
+    // one cell (click @ 10h): trigger 1 fills it to capacity {4,7,9};
+    // trigger 2's late user 2 must EVICT 9 (min-k is not append-final).
+    // a second cell (view @ 10h) stays under capacity.
+    val batch1 = Seq(
+      Ev(ts("2024-01-15 10:01:00"), 7, "click", 1.0),
+      Ev(ts("2024-01-15 10:02:00"), 4, "click", 1.0),
+      Ev(ts("2024-01-15 10:03:00"), 9, "click", 1.0),
+      Ev(ts("2024-01-15 10:04:00"), 5, "view", 1.0))
+    val batch2 = Seq(
+      Ev(ts("2024-01-15 10:30:00"), 2, "click", 1.0),
+      Ev(ts("2024-01-15 10:31:00"), 4, "click", 1.0), // duplicate: no-op
+      Ev(ts("2024-01-15 10:32:00"), 6, "view", 1.0))
+    val input = MemoryStream[Ev]
+    val query = EventStream.cooccurMembership(input.toDF(), cap)
+      .writeStream.format("memory").queryName("cooccur_out")
+      .outputMode("update").start()
+    try {
+      input.addData(batch1)
+      query.processAllAvailable()
+      val t1 = spark.table("cooccur_out").collect()
+        .map(r => (r.getString(0), r.getSeq[Long](2))).toMap
+      assert(t1("click") == Seq(4L, 7L, 9L) && t1("view") == Seq(5L))
+      input.addData(batch2)
+      query.processAllAvailable()
+      // last emission per cell across all triggers
+      val fin = spark.table("cooccur_out").collect()
+        .map(r => (r.getString(0), r.getSeq[Long](2)))
+        .zipWithIndex.groupBy(_._1._1).map { case (k, rs) => k -> rs.maxBy(_._2)._1._2 }
+      assert(fin("click") == Seq(2L, 4L, 7L) && fin("view") == Seq(5L, 6L))
+      // == the batch fold over everything (one code path)
+      val batchTwin = EventStream.cooccurMembership((batch1 ++ batch2).toDF(), cap)
+        .collect().map(r => (r.getString(0), r.getSeq[Long](2))).toMap
+      assert(fin == batchTwin)
+    } finally query.stop()
+  }
 }
