@@ -120,7 +120,19 @@ object ScaleProbe {
     // adaptive (ceil(sqrt n)) so the expected ratio is the n^1.5 law
     // (~5.5× measured at ×8, vs ~21× when C was fixed — BENCH_NOTES);
     // still the probe list's costliest row (~1 min at ×8)
-    "l20_knn_join")
+    "l20_knn_join",
+    // round-10: the graph family. g1 rides 8 DISJOINT graph replicas
+    // (lineitem/orders salted on key+partner columns): ×8 edges, ×8
+    // nodes, same iteration count — the per-round joins must grow
+    // linearly (g4/g2 share g1's plan shapes and are skipped). g3/s16
+    // ride ×8 RAW events that collapse at the first distinct — the
+    // graph is UNCHANGED, so the ratio isolates the scan/fold cost
+    // (s16's per-cell state must stay <= cap regardless of row count).
+    // t15: ×8 corpus AND ~×8 benchmark (vec_id salting preserves the
+    // % 97 rule) -> ×64 pair space through the cheap-filter prune — the
+    // broadcast-cross hazard axis pinned.
+    "g1_pagerank", "g3_triangle_count", "s16_stream_graph",
+    "t15_semantic_decontam")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -152,6 +164,18 @@ object ScaleProbe {
     // micros — the adapter's non-long branch reads it back)
     salt(Tables.events(spark, sfDir), "event_id")
       .write.mode("overwrite").parquet(s"$out/events.parquet")
+    // lineitem/orders salted on key AND partner columns with the SAME
+    // offsets: mult disjoint purchase-graph replicas (cust/supp/order
+    // ids shift together, so each replica's edges close on themselves
+    // and the salted customer table's seed rows line up with them)
+    def saltCols(df: DataFrame, cs: Seq[String]): DataFrame =
+      (0 until mult).map(i =>
+        cs.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * 100000000L))))
+        .reduce(_.unionAll(_))
+    saltCols(Tables.orders(spark, sfDir), Seq("o_orderkey", "o_custkey"))
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    saltCols(Tables.lineitem(spark, sfDir), Seq("l_orderkey", "l_suppkey"))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
     println(f"| query | $sfDir | x$mult (salted dup) | ratio |")
     println("|---|---|---|---|")

@@ -65,7 +65,13 @@ object SkewProbe {
     "e6_golden_record", "c10_epoch_expand", "a13_gapfill",
     // the stateful gap-fill twin: the hot user's 30% of events still
     // collapse at the daily aggregate; its per-key state stays 2 fields
-    "s15_stream_gapfill")
+    "s15_stream_gapfill",
+    // round-10: the graph family under the hot-hub lineitem fixture
+    // (g1/g2; g4 shares g1's shape) and the event-user skew (g3/s16:
+    // the hot user joins 30% of cells — the membership cap bounds each
+    // cell's pairs and orientation keeps the hub off wedge apexes)
+    "g1_pagerank", "g2_seed_distance", "g3_triangle_count",
+    "s16_stream_graph")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -127,6 +133,26 @@ object SkewProbe {
     docs.withColumn("source",
         when(dfrac < 0.9, lit("src0")).otherwise(col("source")))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    // hot-HUB variant for the graph family: the same pct of lineitem
+    // rows remap onto ONE supplier — a hub node carrying pct% of all
+    // purchase edges (the power-law site every web graph contains).
+    // PageRank's per-round dst aggregation is a mergeable partial sum
+    // (the hub costs a combine, not a one-task funnel) and the rank
+    // join's hub partition is the axis this row watches; BFS reaches
+    // the hub in one hop and must not straggle on its adjacency; the
+    // triangle probe rides the EVENT skew instead (user 7 in 30% of
+    // cells), where the degree-ordered orientation keeps the hub off
+    // every wedge apex.
+    val li = Tables.lineitem(spark, sfDir)
+    val lfrac = graft.operators.Curate.hashFraction(concat(
+      col("l_orderkey").cast("string"), lit("#"),
+      col("l_linenumber").cast("string"), lit("|hubskew")))
+    li.withColumn("l_suppkey",
+        when(lfrac < pct / 100.0, lit(7L)).otherwise(col("l_suppkey")))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    Tables.orders(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
 
     println(f"| query | $sfDir | hot-key ($pct%% on one user) | ratio |")
     println("|---|---|---|---|")
