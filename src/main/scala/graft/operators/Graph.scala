@@ -210,6 +210,41 @@ object Graph {
    * canonical edge set. Each triangle is found once and credited to all
    * three corners via explode.
    */
+  /**
+   * Common-neighbor link prediction over an undirected simple graph
+   * (canonical `a` < `b` edges): for every NON-adjacent pair (v, w),
+   * the number of shared neighbors — the classic candidate-generation
+   * score (recommendations, entity-resolution candidates, "you may
+   * also know").
+   *
+   * Scale guard: wedge enumeration at an apex costs deg² and a full
+   * count MUST visit every apex (unlike [[triangleCounts]], whose
+   * degree orientation can't be used here — it would undercount pairs
+   * whose common neighbor outranks them), so apexes with degree >
+   * `apexCap` are EXCLUDED BY SPECIFICATION — the "too generic to be
+   * informative" rule every production candidate generator applies
+   * (a hub shared by everyone predicts nothing). Deterministic, applied
+   * identically in any engine; cost is Σ min(deg, cap)². Pairs already
+   * adjacent are removed with one anti-join against the edge set.
+   *
+   * Returns (v, w, n_common) with v < w, n_common counted over kept
+   * apexes only.
+   */
+  def commonNeighborCandidates(canonicalEdges: DataFrame,
+      apexCap: Int): DataFrame = {
+    require(apexCap >= 1, "apexCap must be positive")
+    val e = canonicalEdges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b")).localCheckpoint()
+    val adj = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    val deg = adj.groupBy("u").agg(count(lit(1)).as("deg"))
+    val kept = adj.join(deg.filter(col("deg") <= apexCap), "u").select("u", "v")
+    val wedges = kept.join(kept.select(col("u"), col("v").as("w")), "u")
+      .filter(col("v") < col("w"))
+    wedges.groupBy("v", "w").agg(count(lit(1)).as("n_common"))
+      .join(e.select(col("a").as("v"), col("b").as("w")), Seq("v", "w"), "left_anti")
+  }
+
   def triangleCounts(canonicalEdges: DataFrame): DataFrame = {
     // the edge list is consumed FIVE times (degree legs, orientation,
     // both wedge sides, the closing probe): materialize it once with an

@@ -1740,6 +1740,31 @@ object Catalog {
         FROM capped a JOIN capped b ON a.b = b.b AND a.bh = b.bh AND a.id < b.id)"""
   }
 
+  /** l1's verified-pair SQL + CC closure + min-label table: the shared
+    * chain of c9 (leakage split) and l21 (cluster survivor) — candidates
+    * verified at jaccard >= 0.8, symmetric edges, recursive reachability,
+    * component_id = least reachable id. Expects `corpus` and
+    * [[lshCandSql]]'s `sh`/`cand` CTEs in scope. */
+  private val ccLabelSql: String = """j AS (
+          SELECT id1, id2 FROM (
+            SELECT id1, id2,
+              CAST(len(list_filter(list_distinct(s1.shingles),
+                     x -> list_contains(list_distinct(s2.shingles), x))) AS DOUBLE) /
+              CAST(len(list_distinct(s1.shingles)) + len(list_distinct(s2.shingles)) -
+                   len(list_filter(list_distinct(s1.shingles),
+                     x -> list_contains(list_distinct(s2.shingles), x))) AS DOUBLE) AS jac
+            FROM cand JOIN sh s1 ON cand.id1 = s1.id JOIN sh s2 ON cand.id2 = s2.id) z
+          WHERE jac >= 0.8),
+        edges AS (SELECT id1 AS a, id2 AS b FROM j UNION SELECT id2, id1 FROM j),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a AND e.b <> r.a),
+        lab AS (
+          SELECT c.id, least(c.id, coalesce(min(r.b), c.id)) AS component_id
+          FROM corpus c LEFT JOIN reach r ON c.id = r.a
+          GROUP BY c.id)"""
+
   /** The skew-cap CTE body of [[lshCandSql]]: union-population cap by
     * default; with `sideTagSql` (a boolean SQL predicate over `id`
     * marking the incoming side) the PER-SIDE cap crossDedup uses —
@@ -3902,25 +3927,7 @@ object Catalog {
       Some(s"""
         WITH RECURSIVE corpus AS ($corpusSql),
         ${lshCandSql(shingleN = 3, k = 16, bands = 4, maxBucket = 1000)},
-        j AS ( -- c9: l1's verified-pair SQL, pairs only
-          SELECT id1, id2 FROM (
-            SELECT id1, id2,
-              CAST(len(list_filter(list_distinct(s1.shingles),
-                     x -> list_contains(list_distinct(s2.shingles), x))) AS DOUBLE) /
-              CAST(len(list_distinct(s1.shingles)) + len(list_distinct(s2.shingles)) -
-                   len(list_filter(list_distinct(s1.shingles),
-                     x -> list_contains(list_distinct(s2.shingles), x))) AS DOUBLE) AS jac
-            FROM cand JOIN sh s1 ON cand.id1 = s1.id JOIN sh s2 ON cand.id2 = s2.id) z
-          WHERE jac >= 0.8),
-        edges AS (SELECT id1 AS a, id2 AS b FROM j UNION SELECT id2, id1 FROM j),
-        reach(a, b) AS (
-          SELECT a, b FROM edges
-          UNION
-          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a AND e.b <> r.a),
-        lab AS (
-          SELECT c.id, least(c.id, coalesce(min(r.b), c.id)) AS component_id
-          FROM corpus c LEFT JOIN reach r ON c.id = r.a
-          GROUP BY c.id),
+        $ccLabelSql,
         fr AS (
           SELECT id, component_id,
             ${hashFracSql(s"CAST(component_id AS VARCHAR) || '|$salt'")} AS gf,
@@ -7151,6 +7158,109 @@ object Catalog {
         SELECT vec_id, bench_id, cosine FROM r WHERE rn = 1"""))
   }
 
+  // ---------------------------------------------------------------- l21
+  // CLUSTER SURVIVOR SELECTION (minhashPairs → connectedComponents →
+  // best-representative window): l1/l7 resolve WHO is duplicated; l21
+  // decides WHAT to keep — per near-dup cluster the LONGEST member wins
+  // (the most-complete-version rule production dedup applies; ties to
+  // the smaller id), with the cluster size carried for auditing. The
+  // fixture's perturbed copies are strictly longer than their bases, so
+  // the gate proves the survivor flips to the perturbed side. Oracle =
+  // c9's shared minhash→closure label chain + the same window.
+  private val l21 = Q(
+    "l21_cluster_survivor",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val corpus = perturbedCorpus(s, d)
+      val pairs = graft.operators.Dedup.minhashPairs(corpus, "id", "t",
+        shingleN = 3, k = 16, bands = 4, threshold = 0.8, maxBucket = 1000)
+      val labels = graft.operators.Dedup.connectedComponents(
+        corpus.select("id"), "id", pairs)
+      val members = labels.join(corpus, "id")
+        .withColumn("len", length(col("t")).cast("long"))
+      val w = Window.partitionBy("component_id")
+      members
+        .withColumn("rn", row_number().over(w.orderBy(col("len").desc, col("id"))))
+        .withColumn("n_members", count(lit(1)).over(w))
+        .filter(col("rn") === 1)
+        .select(col("component_id"), col("id").as("survivor_id"),
+          col("len").as("survivor_len"), col("n_members"))
+    },
+    Some(s"""
+      WITH RECURSIVE corpus AS ($corpusSql),
+      ${lshCandSql(shingleN = 3, k = 16, bands = 4, maxBucket = 1000)},
+      $ccLabelSql,
+      mem AS (
+        SELECT lab.id, lab.component_id, CAST(len(c.t) AS BIGINT) AS len
+        FROM lab JOIN corpus c ON c.id = lab.id),
+      r AS (
+        SELECT *,
+          ROW_NUMBER() OVER (PARTITION BY component_id ORDER BY len DESC, id) AS rn,
+          COUNT(*) OVER (PARTITION BY component_id) AS n_members
+        FROM mem)
+      SELECT component_id, id AS survivor_id, len AS survivor_len, n_members
+      FROM r WHERE rn = 1"""))
+
+  // ---------------------------------------------------------------- t16
+  // COLLOCATION EXTRACTION — top adjacent bigrams by LIFT, the
+  // log-free monotone transform of PMI (score = c(xy)·N / (c(x)·c(y));
+  // log is monotone, so lift-ranking IS PMI-ranking without a libm
+  // call no two engines round alike): the classic phrase/term-mining
+  // pass (tokenizer merges, index phrase dictionaries). The score chain
+  // is a FIXED-ORDER double expression — each IEEE op is correctly
+  // rounded, so both engines produce the identical double even where
+  // products exceed 2^53 — with min-support 5 and a fully tie-broken
+  // global top 100 (TakeOrderedAndProject; the candidate set after
+  // min-support is vocabulary²-bounded, not corpus-bounded).
+  private val t16 = {
+    val minCount = 5L
+    val topN = 100
+    Q(
+      "t16_collocations",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(split(T.normKey(col("text")), " ").as("ws"))
+        val uni = toks.select(explode(col("ws")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c1"))
+        val nTok = toks.agg(sum(size(col("ws"))).cast("long")).head.getLong(0)
+        val bi = toks
+          .select(explode(zip_with(
+            slice(col("ws"), lit(1), size(col("ws")) - 1),
+            slice(col("ws"), lit(2), size(col("ws")) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+          .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
+          .filter(col("n_xy") >= minCount)
+        bi
+          .join(uni.select(col("w").as("w1"), col("c1").as("cx")), "w1")
+          .join(uni.select(col("w").as("w2"), col("c1").as("cy")), "w2")
+          .withColumn("lift", round(
+            (col("n_xy").cast("double") * lit(nTok.toDouble)) /
+              (col("cx").cast("double") * col("cy").cast("double")), 6))
+          .orderBy(col("lift").desc, col("w1"), col("w2"))
+          .limit(topN)
+          .select("w1", "w2", "n_xy", "lift")
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT string_split(${normSql("text")}, ' ') AS ws FROM documents),
+        uni AS (
+          SELECT w, COUNT(*) AS c1
+          FROM (SELECT unnest(ws) AS w FROM toks) z GROUP BY 1),
+        n AS (SELECT SUM(len(ws)) AS n_tok FROM toks),
+        bi AS (
+          SELECT ws[i] AS w1, ws[i + 1] AS w2, COUNT(*) AS n_xy
+          FROM toks, unnest(range(1, len(ws))) t(i)
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= $minCount)
+        SELECT w1, w2, n_xy,
+          round((CAST(n_xy AS DOUBLE) * CAST(n.n_tok AS DOUBLE)) /
+            (CAST(u1.c1 AS DOUBLE) * CAST(u2.c1 AS DOUBLE)), 6) AS lift
+        FROM bi JOIN uni u1 ON u1.w = bi.w1 JOIN uni u2 ON u2.w = bi.w2
+          CROSS JOIN n
+        ORDER BY lift DESC, w1, w2 LIMIT $topN"""))
+  }
+
   // ================================================================ g1-g3
   // GRAPH ANALYTICS — the operator class a curation pipeline needs once
   // documents/entities form a graph: link-authority quality priors
@@ -7190,12 +7300,20 @@ object Catalog {
     def nodeType: Column =
       when(col("id") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
         .as("node_type")
-    /** ONE ground truth for the capped co-occurrence triangle counts:
-      * the batch build (g3) and the streaming membership fold (s16)
-      * must land on the identical per-user table (the bm25OracleSql
-      * sharing rule). */
-    val cooccurTriangleOracle: String = s"""
-      WITH g AS (
+    /** the capped co-occurrence cell membership (g3/g5's graph source),
+      * as one shared Spark builder + one shared SQL CTE chain. */
+    def cappedCells(s: SparkSession, d: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      Tables.events(s, d)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"),
+          col("user_id"))
+        .distinct()
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type", "hr").orderBy("user_id")))
+        .filter(col("rn") <= cooccurCap)
+        .select("event_type", "hr", "user_id")
+    }
+    val cooccurEdgeCtes: String = s"""g AS (
         SELECT DISTINCT event_type, date_trunc('hour', ts) AS hr, user_id
         FROM events),
       capped AS (
@@ -7207,7 +7325,13 @@ object Catalog {
         SELECT DISTINCT g1.user_id AS a, g2.user_id AS b
         FROM capped g1 JOIN capped g2
           ON g1.event_type = g2.event_type AND g1.hr = g2.hr
-            AND g1.user_id < g2.user_id),
+            AND g1.user_id < g2.user_id)"""
+    /** ONE ground truth for the capped co-occurrence triangle counts:
+      * the batch build (g3) and the streaming membership fold (s16)
+      * must land on the identical per-user table (the bm25OracleSql
+      * sharing rule). */
+    val cooccurTriangleOracle: String = s"""
+      WITH $cooccurEdgeCtes,
       tri AS (
         SELECT e1.a AS x, e1.b AS y, e2.b AS z
         FROM ed e1 JOIN ed e2 ON e2.a = e1.b
@@ -7344,21 +7468,51 @@ object Catalog {
   // counts each a<b<c triangle once from the same canonical edge set.
   private val g3 = Q(
     "g3_triangle_count",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val g = Tables.events(s, d)
-        .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"),
-          col("user_id"))
-        .distinct()
-      val capped = g
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("event_type", "hr").orderBy("user_id")))
-        .filter(col("rn") <= GFixture.cooccurCap)
-        .select("event_type", "hr", "user_id")
-      graft.operators.Graph.triangleCounts(GFixture.cooccurEdges(capped))
-        .select(col("id").as("user_id"), col("n_triangles"))
-    },
+    (s, d) => graft.operators.Graph
+      .triangleCounts(GFixture.cooccurEdges(GFixture.cappedCells(s, d)))
+      .select(col("id").as("user_id"), col("n_triangles")),
     Some(GFixture.cooccurTriangleOracle))
+
+  // ---------------------------------------------------------------- g5
+  // COMMON-NEIGHBOR LINK PREDICTION (Graph.commonNeighborCandidates)
+  // over g3's capped co-occurrence graph: for every NON-adjacent user
+  // pair, the shared-neighbor count — candidate generation for
+  // recommendations/entity resolution. Apexes above the degree cap are
+  // excluded BY SPECIFICATION (a hub shared by everyone predicts
+  // nothing — and wedge cost at an apex is deg², so the cap is also the
+  // scale guard: Σ min(deg, cap)²). Top 50 by (n_common desc, v, w) —
+  // fully tie-broken, so the set is deterministic.
+  private val g5 = {
+    // 256 spans the fixture's degree range (85-123 at sf0.01) so the
+    // entry exercises real candidates; the cap SEMANTICS are pinned by
+    // the GraphSpec star test, and at a web-scale degree distribution
+    // the knob is what bounds wedge cost
+    val apexCap = 256
+    Q(
+      "g5_link_predict",
+      (s, d) => graft.operators.Graph
+        .commonNeighborCandidates(
+          GFixture.cooccurEdges(GFixture.cappedCells(s, d)), apexCap)
+        .orderBy(col("n_common").desc, col("v"), col("w"))
+        .limit(50)
+        .select(col("v").as("user1"), col("w").as("user2"), col("n_common")),
+      Some(s"""
+        WITH ${GFixture.cooccurEdgeCtes},
+        adj AS (SELECT a AS u, b AS v FROM ed UNION ALL SELECT b AS u, a AS v FROM ed),
+        deg AS (SELECT u, COUNT(*) AS dg FROM adj GROUP BY 1),
+        kept AS (SELECT adj.u, adj.v FROM adj JOIN deg ON deg.u = adj.u
+                 WHERE deg.dg <= $apexCap),
+        wedge AS (
+          SELECT k1.v AS v, k2.v AS w, COUNT(*) AS n_common
+          FROM kept k1 JOIN kept k2 ON k1.u = k2.u AND k1.v < k2.v
+          GROUP BY 1, 2),
+        cand AS (
+          SELECT wedge.v, wedge.w, wedge.n_common FROM wedge
+          LEFT JOIN ed ON ed.a = wedge.v AND ed.b = wedge.w
+          WHERE ed.a IS NULL)
+        SELECT v AS user1, w AS user2, n_common
+        FROM cand ORDER BY n_common DESC, v, w LIMIT 50"""))
+  }
 
   // ---------------------------------------------------------------- s16
   // STREAMING GRAPH MAINTENANCE (EventStream.cooccurMembership) — g3 as
@@ -7388,14 +7542,14 @@ object Catalog {
     e1, e2, e3, e4, e5, e6, j1, j2, j3, j4, j5,
     r1, r2, r3, r4, r5, r6, r7, r8, q1, q2, q3, q4, q5, q6,
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
-    l17, l18, l19, l20,
-    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15,
+    l17, l18, l19, l20, l21,
+    t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16,
     c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11,
     m1, m2, m3, m4, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16,
     p1, p2, p3, p4, p5,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
     w17, w18, w19, w20, w21, w22,
-    g1, g2, g3, g4)
+    g1, g2, g3, g4, g5)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -102,6 +102,21 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(1L -> 0L, 2L -> 1L, 6L -> 1L, 3L -> 2L, 5L -> 2L, 4L -> 3L))
   }
 
+  test("commonNeighborCandidates: hub apex excluded, adjacent pairs dropped") {
+    // star hub 100 -> {1..5} (deg 5) plus path edges (1,2), (2,3)
+    val e = (Seq((1L, 2L), (2L, 3L)) ++ (1L to 5L).map(i => (i, 100L))).toDF("a", "b")
+    def run(cap: Int) = Graph.commonNeighborCandidates(e, cap)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // cap 4 excludes the hub as an apex: only apex 2 ({100,1,3}) yields a
+    // non-adjacent pair, (1,3); pairs through the hub vanish
+    assert(run(4) == Map((1L, 3L) -> 1L))
+    // uncapped: the hub contributes every non-adjacent pair among 1..5
+    val full = run(100)
+    assert(full((1L, 3L)) == 2L) // via hub AND via node 2
+    assert(full((4L, 5L)) == 1L && full((1L, 4L)) == 1L)
+    assert(!full.contains((1L, 2L)) && !full.contains((2L, 3L))) // adjacent
+  }
+
   test("triangleCounts: K4 plus a pendant vs the closed-form answer") {
     // K4 on {1,2,3,4}: 4 triangles, each node in 3; pendant 5 in none
     val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
