@@ -132,7 +132,13 @@ object ScaleProbe {
     // % 97 rule) -> ×64 pair space through the cheap-filter prune — the
     // broadcast-cross hazard axis pinned.
     "g1_pagerank", "g3_triangle_count", "s16_stream_graph",
-    "t15_semantic_decontam")
+    "t15_semantic_decontam",
+    // l21 rides the ×8 salted duplicate corpus through minhash + CC +
+    // the survivor window (the l7/c9 hazard class: clusters inflate to
+    // 16 members each); t16's counts all scale ×8 so every lift value
+    // is INVARIANT (c(xy)·N / c(x)·c(y) — the ×8s cancel) and cost must
+    // stay linear; g5's ×8 raw events collapse at the first distinct
+    "l21_cluster_survivor", "t16_collocations", "g5_link_predict")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
