@@ -66,6 +66,24 @@ class RetrievalSpec extends AnyFunSuite {
     assert(top2 == Set(2L, 4L))
   }
 
+  test("bm25TopK headroom guards fail LOUDLY even where their products overflow Long") {
+    val docs = corpus.toDF("doc_id", "w")
+    val qt = Seq(100L -> "shuffle").toDF("query_id", "term")
+    val postings = Retrieval.buildPostings(docs, "doc_id", "w")
+    // t large enough that scale2·44·t wraps Long: the old plain-* guard
+    // could wrap to a small/negative product and spuriously pass; the
+    // multiplyExact form must throw (ArithmeticException), never proceed
+    val hugeT = 3000000000000000000L // 3e18: 44·1e4·t >> 2^63
+    intercept[ArithmeticException] {
+      Retrieval.bm25TopK(postings, qt, n = 10L, t = hugeT, k = 1)
+    }
+    // and a merely-too-big (non-wrapping) t still fails the require:
+    // 44·1e4·1e9 ≈ 4.4e14 < 2^63 but > 2^53/maxTf
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(postings, qt, n = 10L, t = 1000000000L, k = 1)
+    }
+  }
+
   test("duplicate query terms score twice (BM25 duplicate-token semantics)") {
     val docs = corpus.toDF("doc_id", "w")
     val n = corpus.size.toLong

@@ -737,6 +737,18 @@ class StreamingSpec extends AnyFunSuite {
       assert(got((1L, "2024-02-07", 9.0, 0L, false, 2L)))
       // single-observation user never fills
       assert(got.count(_._1 == 2L) == 1)
+      // LATE-DAY GUARD: a day at-or-before the stored lastDay arriving in
+      // a LATER trigger must be dropped — state must not regress and no
+      // already-emitted (user, day) may re-emit with a conflicting value
+      val before = snap()
+      input.addData((1L, "2024-02-03", 99.0, 5L), (1L, "2024-02-08", 77.0, 1L))
+      query.processAllAvailable()
+      assert(snap() == before,
+        "late/duplicate days regressed state or re-emitted grid rows")
+      // and the stream still advances from the UNregressed state
+      input.addData((1L, "2024-02-09", 1.0, 1L))
+      query.processAllAvailable()
+      assert(snap() == before + ((1L, "2024-02-09", 1.0, 1L, true, 0L)))
     } finally query.stop()
   }
 
