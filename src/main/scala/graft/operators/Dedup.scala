@@ -25,6 +25,53 @@ import graft.functions.{text => T, vectors => V}
  */
 object Dedup {
 
+  /**
+   * ASYMMETRIC CONTAINMENT near-dup: pairs where one document's shingle
+   * set is mostly INSIDE the other's (containment of A in B =
+   * |A∩B| / |A|) — the aggregator/wrapped-copy case resemblance misses:
+   * a short article quoted whole inside a long page has low Jaccard
+   * (the union is big) but containment ≈ 1.
+   *
+   * Candidates come from a shingle inverted index, NOT minhash bands —
+   * minhash LSH estimates resemblance, so a small-in-big pair rarely
+   * collides. The cost guard is a DOCUMENT-FREQUENCY CAP (the g5
+   * apexCap rule, by specification): shingles appearing in more than
+   * `maxDf` docs — boilerplate runs, ubiquitous phrases — identify
+   * nothing and cost df² pairs each, so they are dropped before pair
+   * generation and EXCLUDED from the denominators; cost is
+   * Σ min(df, cap)² over shingles. Both engines apply the identical
+   * rule, so the score stays exact (integer overlap counts, one
+   * exact-operand double division per side, round 9).
+   *
+   * Returns (id1, id2, n_shared, containment) with id1 < id2,
+   * containment = max of the two sides, filtered at `minContainment`.
+   */
+  def containmentPairs(corpus: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, maxDf: Int, minContainment: Double): DataFrame = {
+    require(maxDf >= 2, "maxDf < 2 would drop every shared shingle")
+    require(minContainment > 0 && minContainment <= 1, "minContainment in (0, 1]")
+    val sh = shingleTable(corpus, idCol, textCol, shingleN)
+      .select(col(idCol).as("id"), col("s")).distinct()
+    val kept = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+      .filter(col("df") <= maxDf)
+      .select("id", "s")
+    val sizes = kept.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val pairs = kept.as("x")
+      .join(kept.as("y"), col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id1"), col("y.id").as("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(sizes.select(col("id").as("id1"), col("n_sh").as("n1")), "id1")
+      .join(sizes.select(col("id").as("id2"), col("n_sh").as("n2")), "id2")
+      .withColumn("containment", round(
+        greatest(
+          col("n_shared").cast("double") / col("n1").cast("double"),
+          col("n_shared").cast("double") / col("n2").cast("double")), 9))
+      .filter(col("containment") >= minContainment)
+      .select("id1", "id2", "n_shared", "containment")
+  }
+
   /** Exact dedup: group on md5 of the content, keep min id as survivor. */
   def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame =
     df.groupBy(md5(col(contentCol)).as("content_hash"))

@@ -7201,6 +7201,62 @@ object Catalog {
       SELECT component_id, id AS survivor_id, len AS survivor_len, n_members
       FROM r WHERE rn = 1"""))
 
+  // ---------------------------------------------------------------- l22
+  // ASYMMETRIC CONTAINMENT DEDUP (Dedup.containmentPairs) — the
+  // aggregator/wrapped-copy case resemblance misses: a doc quoted whole
+  // inside a longer page has low Jaccard but containment ≈ 1, so l1/l3
+  // never pair it. Candidates ride a shingle inverted index with a
+  // DOCUMENT-FREQUENCY cap (boilerplate shingles identify nothing and
+  // cost df² pairs — dropped by spec, and the fixture's shared wrapper
+  // suffix is EXACTLY such boilerplate: its shingles exceed the cap and
+  // vanish, while each base's content shingles pair it with its
+  // wrapper at containment 1.0). Σ min(df, cap)² cost, exact integer
+  // overlaps, one exact-operand division per side.
+  private val l22 = {
+    val wrapper = "terms and conditions apply all rights reserved " +
+      "contact us for details subscribe to our newsletter"
+    val maxDf = 20
+    Q(
+      "l22_containment_dedup",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("doc_id").as("id"), T.normKey(col("text")).as("t"))
+        val wrapped = base.select((col("id") + 3000000L).as("id"),
+          concat(col("t"), lit(" " + wrapper)).as("t"))
+        graft.operators.Dedup.containmentPairs(
+          base.unionAll(wrapped), "id", "t",
+          shingleN = 3, maxDf = maxDf, minContainment = 0.9)
+      },
+      Some(s"""
+        WITH corpus AS (
+          SELECT doc_id AS id, ${normSql("text")} AS t FROM documents
+          UNION ALL
+          SELECT doc_id + 3000000 AS id, ${normSql("text")} || ' $wrapper' AS t
+          FROM documents),
+        ws AS (SELECT id, string_split(t, ' ') AS ws FROM corpus),
+        sh AS (
+          SELECT DISTINCT id, s FROM (
+            SELECT id, unnest(list_transform(range(1, len(ws) - 1),
+              i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS s
+            FROM ws WHERE len(ws) >= 3) z),
+        kept AS (
+          SELECT id, s FROM (
+            SELECT id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM sh) k
+          WHERE df <= $maxDf),
+        sizes AS (SELECT id, COUNT(*) AS n_sh FROM kept GROUP BY 1),
+        p AS (
+          SELECT x.id AS id1, y.id AS id2, COUNT(*) AS n_shared
+          FROM kept x JOIN kept y ON x.s = y.s AND x.id < y.id
+          GROUP BY 1, 2)
+        SELECT id1, id2, n_shared, containment FROM (
+          SELECT id1, id2, n_shared,
+            round(greatest(
+              CAST(n_shared AS DOUBLE) / CAST(s1.n_sh AS DOUBLE),
+              CAST(n_shared AS DOUBLE) / CAST(s2.n_sh AS DOUBLE)), 9) AS containment
+          FROM p JOIN sizes s1 ON s1.id = p.id1 JOIN sizes s2 ON s2.id = p.id2) f
+        WHERE containment >= 0.9"""))
+  }
+
   // ---------------------------------------------------------------- t16
   // COLLOCATION EXTRACTION — top adjacent bigrams by LIFT, the
   // log-free monotone transform of PMI (score = c(xy)·N / (c(x)·c(y));
@@ -7542,7 +7598,7 @@ object Catalog {
     e1, e2, e3, e4, e5, e6, j1, j2, j3, j4, j5,
     r1, r2, r3, r4, r5, r6, r7, r8, q1, q2, q3, q4, q5, q6,
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
-    l17, l18, l19, l20, l21,
+    l17, l18, l19, l20, l21, l22,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16,
     c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11,
     m1, m2, m3, m4, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16,

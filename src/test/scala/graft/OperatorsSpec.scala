@@ -1403,6 +1403,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall@5 $recall")
   }
 
+  test("containmentPairs finds a wrapped copy; the df cap silences boilerplate") {
+    val bp = "x1 x2 x3 x4 x5"
+    val docs = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> s"alpha beta gamma delta epsilon zeta $bp", // 1 wrapped in boilerplate
+      3L -> s"three words here $bp",
+      4L -> s"other content entirely $bp",
+      5L -> s"more unrelated tokens $bp",
+      6L -> s"final distinct payload $bp").toDF("id", "t")
+    val got = Dedup.containmentPairs(docs, "id", "t",
+        shingleN = 3, maxDf = 3, minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // doc 1's four shingles all sit inside doc 2 -> containment 1.0;
+    // docs 3-6 share ONLY the boilerplate run, whose shingles exceed the
+    // df cap (5 > 3) and are dropped — no pair may surface among them
+    assert(got.keySet == Set((1L, 2L)))
+    assert(got((1L, 2L)) == 1.0)
+  }
+
   test("importanceSample keeps exactly the rows under their own keep-probability") {
     import graft.operators.Curate
     def frac(key: String): Double =
