@@ -343,6 +343,37 @@ object Catalog {
   // value forward but report n_events = 0 and observed = false with
   // their staleness (days_since_obs) — the downstream quality signal.
   // Decimal-exact day_value (DecV) keeps the double sum order-free.
+  // ---------------------------------------------------------------- a14
+  // EVENT-PATH DISTRIBUTION — the product-analytics "journey" view
+  // (Sankey/path exploration): each (user, day)'s first-5 event-type
+  // sequence, counted and ranked. Rides c4's sequences machinery (one
+  // holistic aggregate, per-group sort AFTER the exchange, (ts,
+  // event_id) total order) over a composite user|day key, then one
+  // count shuffle over path strings (bounded by |types|^5, not
+  // corpus-sized) and a fully tie-broken top 20.
+  private val a14 = Q(
+    "a14_event_paths",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        concat(col("user_id").cast("string"), lit("|"),
+          date_format(col("ts"), "yyyy-MM-dd")).as("ukey"),
+        col("ts"), col("event_id"), col("event_type"))
+      graft.operators.Curate
+        .sequences(ev, "ukey", Seq("ts", "event_id"), "event_type", maxLen = 5)
+        .groupBy(col("seq").as("path")).agg(count(lit(1)).as("n_journeys"))
+        .orderBy(col("n_journeys").desc, col("path"))
+        .limit(20)
+    },
+    Some("""
+      WITH paths AS (
+        SELECT CAST(user_id AS VARCHAR) || '|' || strftime(ts, '%Y-%m-%d') AS ukey,
+          array_to_string(list_slice(
+            list(event_type ORDER BY CAST(ts AS TIMESTAMP), event_id),
+            1, 5), ',') AS path
+        FROM events GROUP BY 1)
+      SELECT path, COUNT(*) AS n_journeys FROM paths
+      GROUP BY 1 ORDER BY n_journeys DESC, path LIMIT 20"""))
+
   private val a13 = Q(
     "a13_gapfill",
     (s, d) => {
@@ -7592,7 +7623,7 @@ object Catalog {
     Some(GFixture.cooccurTriangleOracle))
 
   val all: Seq[Q] = Seq(
-    a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11, a12, a13,
+    a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11, a12, a13, a14,
     n1, n2, n3, n4, n5, n6, n7,
     d1, d2, d3, d4, d5, d6, d7,
     e1, e2, e3, e4, e5, e6, j1, j2, j3, j4, j5,
