@@ -138,7 +138,11 @@ object ScaleProbe {
     // 16 members each); t16's counts all scale ×8 so every lift value
     // is INVARIANT (c(xy)·N / c(x)·c(y) — the ×8s cancel) and cost must
     // stay linear; g5's ×8 raw events collapse at the first distinct
-    "l21_cluster_survivor", "t16_collocations", "g5_link_predict")
+    "l21_cluster_survivor", "t16_collocations", "g5_link_predict",
+    // l22: the ×8 salted corpus pushes content-shingle df from 2 to 16 —
+    // just UNDER the cap of 20, so candidate pairs inflate ~C(16,2)/1 =
+    // ×120 per shingle group (the adversarial just-below-the-guard case)
+    "l22_containment_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
