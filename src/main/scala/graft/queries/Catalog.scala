@@ -7309,7 +7309,9 @@ object Catalog {
           .select(split(T.normKey(col("text")), " ").as("ws"))
         val uni = toks.select(explode(col("ws")).as("w"))
           .groupBy("w").agg(count(lit(1)).as("c1"))
-        val nTok = toks.agg(sum(size(col("ws"))).cast("long")).head.getLong(0)
+        // N rides the plan as a broadcast one-row aggregate — a driver
+        // .head here would scan the corpus a second time at 100 TB
+        val tot = toks.agg(sum(size(col("ws"))).cast("long").as("n_tok"))
         val bi = toks
           .select(explode(zip_with(
             slice(col("ws"), lit(1), size(col("ws")) - 1),
@@ -7321,8 +7323,9 @@ object Catalog {
         bi
           .join(uni.select(col("w").as("w1"), col("c1").as("cx")), "w1")
           .join(uni.select(col("w").as("w2"), col("c1").as("cy")), "w2")
+          .crossJoin(broadcast(tot))
           .withColumn("lift", round(
-            (col("n_xy").cast("double") * lit(nTok.toDouble)) /
+            (col("n_xy").cast("double") * col("n_tok").cast("double")) /
               (col("cx").cast("double") * col("cy").cast("double")), 6))
           .orderBy(col("lift").desc, col("w1"), col("w2"))
           .limit(topN)
