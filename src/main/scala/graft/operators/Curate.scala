@@ -479,6 +479,25 @@ object Curate {
       .agg(countDistinct(col("gh")).as("n_shared_grams"))
   }
 
+  /** Unigram counts (w, c1) from a token-array column — one narrow
+    * explode + one count shuffle; shared by the batch collocation
+    * scorer (t16) and the streaming dictionary fold (s17) so the two
+    * counts cannot drift. */
+  def unigramCounts(toks: DataFrame, wsCol: String): DataFrame =
+    toks.select(explode(col(wsCol)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+
+  /** Adjacent-bigram counts (w1, w2, n_xy) from a token-array column —
+    * the two shifted slices zip into pairs, narrow until the count
+    * shuffle (bounded by vocabulary², never corpus-sized). */
+  def bigramCounts(toks: DataFrame, wsCol: String): DataFrame =
+    toks.select(explode(zip_with(
+        slice(col(wsCol), lit(1), size(col(wsCol)) - 1),
+        slice(col(wsCol), lit(2), size(col(wsCol)) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
+
   /**
    * SEMANTIC decontamination — [[flagContaminated]]'s embedding-space
    * twin: flag corpus items whose embedding is near-identical (cosine >=

@@ -7299,57 +7299,87 @@ object Catalog {
   // products exceed 2^53 — with min-support 5 and a fully tie-broken
   // global top 100 (TakeOrderedAndProject; the candidate set after
   // min-support is vocabulary²-bounded, not corpus-bounded).
-  private val t16 = {
-    val minCount = 5L
-    val topN = 100
-    Q(
-      "t16_collocations",
-      (s, d) => {
-        val toks = Tables.documents(s, d)
-          .select(split(T.normKey(col("text")), " ").as("ws"))
-        val uni = toks.select(explode(col("ws")).as("w"))
-          .groupBy("w").agg(count(lit(1)).as("c1"))
-        // N rides the plan as a broadcast one-row aggregate — a driver
-        // .head here would scan the corpus a second time at 100 TB
-        val tot = toks.agg(sum(size(col("ws"))).cast("long").as("n_tok"))
-        val bi = toks
-          .select(explode(zip_with(
-            slice(col("ws"), lit(1), size(col("ws")) - 1),
-            slice(col("ws"), lit(2), size(col("ws")) - 1),
-            (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-          .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-          .groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
-          .filter(col("n_xy") >= minCount)
-        bi
-          .join(uni.select(col("w").as("w1"), col("c1").as("cx")), "w1")
-          .join(uni.select(col("w").as("w2"), col("c1").as("cy")), "w2")
-          .crossJoin(broadcast(tot))
-          .withColumn("lift", round(
-            (col("n_xy").cast("double") * col("n_tok").cast("double")) /
-              (col("cx").cast("double") * col("cy").cast("double")), 6))
-          .orderBy(col("lift").desc, col("w1"), col("w2"))
-          .limit(topN)
-          .select("w1", "w2", "n_xy", "lift")
-      },
-      Some(s"""
-        WITH toks AS (
-          SELECT string_split(${normSql("text")}, ' ') AS ws FROM documents),
-        uni AS (
-          SELECT w, COUNT(*) AS c1
-          FROM (SELECT unnest(ws) AS w FROM toks) z GROUP BY 1),
-        n AS (SELECT SUM(len(ws)) AS n_tok FROM toks),
-        bi AS (
-          SELECT ws[i] AS w1, ws[i + 1] AS w2, COUNT(*) AS n_xy
-          FROM toks, unnest(range(1, len(ws))) t(i)
-          GROUP BY 1, 2
-          HAVING COUNT(*) >= $minCount)
-        SELECT w1, w2, n_xy,
-          round((CAST(n_xy AS DOUBLE) * CAST(n.n_tok AS DOUBLE)) /
-            (CAST(u1.c1 AS DOUBLE) * CAST(u2.c1 AS DOUBLE)), 6) AS lift
-        FROM bi JOIN uni u1 ON u1.w = bi.w1 JOIN uni u2 ON u2.w = bi.w2
-          CROSS JOIN n
-        ORDER BY lift DESC, w1, w2 LIMIT $topN"""))
+  /** the lift scorer over (uni, bi) count tables — SERVES both t16's
+    * one-shot dictionary and s17's incrementally-folded one (the
+    * bm25OracleSql sharing rule, scorer edition). N rides the plan as a
+    * broadcast one-row aggregate of the unigram counts — no second
+    * corpus scan, and the folded dictionary needs no separate total
+    * state. */
+  private def collocScore(uni: DataFrame, bi: DataFrame): DataFrame = {
+    val tot = uni.agg(sum(col("c1")).cast("long").as("n_tok"))
+    bi.filter(col("n_xy") >= 5L)
+      .join(uni.select(col("w").as("w1"), col("c1").as("cx")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c1").as("cy")), "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("lift", round(
+        (col("n_xy").cast("double") * col("n_tok").cast("double")) /
+          (col("cx").cast("double") * col("cy").cast("double")), 6))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(100)
+      .select("w1", "w2", "n_xy", "lift")
   }
+
+  private def collocToks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(T.normKey(col("text")), " ").as("ws"))
+
+  /** ONE ground truth for the collocation ranking: the one-shot
+    * dictionary (t16) and the incrementally-folded one (s17) must land
+    * on the identical top table. */
+  private val collocOracleSql: String = s"""
+      WITH toks AS (
+        SELECT string_split(${normSql("text")}, ' ') AS ws FROM documents),
+      uni AS (
+        SELECT w, COUNT(*) AS c1
+        FROM (SELECT unnest(ws) AS w FROM toks) z GROUP BY 1),
+      n AS (SELECT SUM(len(ws)) AS n_tok FROM toks),
+      bi AS (
+        SELECT ws[i] AS w1, ws[i + 1] AS w2, COUNT(*) AS n_xy
+        FROM toks, unnest(range(1, len(ws))) t(i)
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 5)
+      SELECT w1, w2, n_xy,
+        round((CAST(n_xy AS DOUBLE) * CAST(n.n_tok AS DOUBLE)) /
+          (CAST(u1.c1 AS DOUBLE) * CAST(u2.c1 AS DOUBLE)), 6) AS lift
+      FROM bi JOIN uni u1 ON u1.w = bi.w1 JOIN uni u2 ON u2.w = bi.w2
+        CROSS JOIN n
+      ORDER BY lift DESC, w1, w2 LIMIT 100"""
+
+  private val t16 = Q(
+    "t16_collocations",
+    (s, d) => {
+      val toks = collocToks(s, d).select("ws")
+      collocScore(graft.operators.Curate.unigramCounts(toks, "ws"),
+        graft.operators.Curate.bigramCounts(toks, "ws"))
+    },
+    Some(collocOracleSql))
+
+  // ---------------------------------------------------------------- s17
+  // STREAMING COLLOCATION DICTIONARY (EventStream.collocFoldBatch) —
+  // t16 as a stream maintains it: each trigger's unigram/bigram counts
+  // fold into versioned parquet state (associative — any slicing
+  // converges), lift is served from the FOLDED dictionary with N
+  // derived as Σ unigram counts (no separate total state), and the
+  // served ranking must land on t16's OWN oracle bit-for-bit. Three
+  // deterministic doc_id-sliced batches here; per-trigger parity in
+  // StreamingSpec.
+  private val s17 = Q(
+    "s17_stream_colloc",
+    (s, d) => {
+      val statePath = s"$scratchRoot/${dsScratch(d)}/colloc_state"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(statePath), true)
+      val toks = collocToks(s, d)
+      val body = graft.streaming.EventStream.collocFoldBatch(statePath) _
+      (0 until 3).foreach(i =>
+        body(toks.filter(col("doc_id") % 3 === i).select("ws"), i.toLong))
+      collocScore(
+        s.read.schema("w STRING, c1 BIGINT").parquet(s"$statePath/uni_v3"),
+        s.read.schema("w1 STRING, w2 STRING, n_xy BIGINT")
+          .parquet(s"$statePath/bi_v3"))
+    },
+    Some(collocOracleSql))
 
   // ================================================================ g1-g3
   // GRAPH ANALYTICS — the operator class a curation pipeline needs once
@@ -7635,7 +7665,7 @@ object Catalog {
     l17, l18, l19, l20, l21, l22,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16,
     c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11,
-    m1, m2, m3, m4, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16,
+    m1, m2, m3, m4, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17,
     p1, p2, p3, p4, p5,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
     w17, w18, w19, w20, w21, w22,

@@ -503,6 +503,35 @@ object EventStream {
         "days_since_obs")
   }
 
+  /**
+   * STREAMING COLLOCATION-DICTIONARY maintenance (catalog s17 — t16 as
+   * a stream builds it): each trigger's unigram and adjacent-bigram
+   * counts fold into overwrite-versioned parquet state (the s7
+   * histogram-fold discipline). Counts are associative, so ANY trigger
+   * slicing converges on the batch dictionary; fold cost tracks
+   * dictionary + batch, never the corpus; the token total N needs no
+   * separate state (N = Σ unigram counts at serve time). Builders are
+   * the SHARED Curate.unigramCounts/bigramCounts — the same code path
+   * the batch scorer runs, so the twins cannot drift.
+   */
+  def collocFoldBatch(statePath: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val uni = graft.operators.Curate.unigramCounts(batch, "ws")
+    val bi = graft.operators.Curate.bigramCounts(batch, "ws")
+    def fold(df: DataFrame, tag: String, schema: String, keys: Seq[String],
+        cnt: String): Unit = {
+      val merged =
+        if (batchId == 0) df
+        else spark.read.schema(schema).parquet(s"$statePath/${tag}_v$batchId")
+          .unionAll(df)
+          .groupBy(keys.map(col): _*)
+          .agg(sum(col(cnt)).as(cnt))
+      merged.write.mode("overwrite").parquet(s"$statePath/${tag}_v${batchId + 1}")
+    }
+    fold(uni, "uni", "w STRING, c1 BIGINT", Seq("w"), "c1")
+    fold(bi, "bi", "w1 STRING, w2 STRING, n_xy BIGINT", Seq("w1", "w2"), "n_xy")
+  }
+
   def histogramFoldBatch(groupCol: String, valueCol: String, binWidth: Double,
       stateSchema: String, statePath: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession

@@ -809,6 +809,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("collocation fold: per-trigger dictionary equals the batch counts so far") {
+    import graft.operators.Curate
+    implicit val ctx = spark.sqlContext
+    val scratch = java.nio.file.Files.createTempDirectory("s17spec").toString
+    val input = MemoryStream[String]
+    val lastId = new java.util.concurrent.atomic.AtomicLong(-1L)
+    def toToks(df: org.apache.spark.sql.DataFrame) =
+      df.select(split(col("value"), " ").as("ws"))
+    val query = input.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        EventStream.collocFoldBatch(scratch)(toToks(batch), id)
+        lastId.set(id)
+      }.start()
+    val trig1 = Seq("spark shuffle join", "spark shuffle")
+    val trig2 = Seq("shuffle join spark shuffle", "join spark")
+    try {
+      var seen = Seq.empty[String]
+      for (t <- Seq(trig1, trig2)) {
+        input.addData(t: _*)
+        query.processAllAvailable()
+        seen = seen ++ t
+        val toksSoFar = toToks(seen.toDF("value"))
+        val uniWant = Curate.unigramCounts(toksSoFar, "ws")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val biWant = Curate.bigramCounts(toksSoFar, "ws")
+          .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        val uniGot = spark.read.schema("w STRING, c1 BIGINT")
+          .parquet(s"$scratch/uni_v${lastId.get() + 1}")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val biGot = spark.read.schema("w1 STRING, w2 STRING, n_xy BIGINT")
+          .parquet(s"$scratch/bi_v${lastId.get() + 1}")
+          .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        assert(uniGot == uniWant && biGot == biWant,
+          "folded dictionary != batch counts over data-so-far")
+      }
+      // spot the fold arithmetic: "spark shuffle" bigram appears 3x total
+      val bi = spark.read.schema("w1 STRING, w2 STRING, n_xy BIGINT")
+        .parquet(s"$scratch/bi_v2")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(bi(("spark", "shuffle")) == 3L)
+    } finally query.stop()
+  }
+
   test("cooccurMembership: late event evicts a larger id; final state equals the batch fold") {
     implicit val ctx = spark.sqlContext
     val cap = 3
