@@ -47,11 +47,12 @@ object ExplainAudit {
     // self-join — the flagged nested-loop is the assignment fold only.
     // t15 intentionally broadcast-cross-joins the (small by nature)
     // benchmark set against the corpus scan — l5's shape with a
-    // threshold instead of top-k. t16 folds a ONE-ROW broadcast total
-    // (corpus token count) into the scored bigrams — the centroid-array
-    // fold shape.
+    // threshold instead of top-k. t16/s17 fold a ONE-ROW broadcast total
+    // (corpus token count, = Σ unigram counts) into the scored bigrams —
+    // the centroid-array fold shape (s17 serves the same scorer off the
+    // folded dictionary).
     val crossJoinOk = Set("l5_ann_bruteforce", "l8_ann_ivf", "l9_ann_ivf_trained",
-      "t15_semantic_decontam", "t16_collocations",
+      "t15_semantic_decontam", "t16_collocations", "s17_stream_colloc",
       "w4_ann_partitioned", "l12_semantic_dedup", "w6_ann_append", "w7_compaction",
       "l13_ann_ivfpq", "s6_stream_ann_ingest", "w8_ann_pq_store",
       "l14_ann_ivfpq_refined", "w9_ann_refined_store", "w15_ann_delete",

@@ -142,7 +142,11 @@ object ScaleProbe {
     // l22: the ×8 salted corpus pushes content-shingle df from 2 to 16 —
     // just UNDER the cap of 20, so candidate pairs inflate ~C(16,2)/1 =
     // ×120 per shingle group (the adversarial just-below-the-guard case)
-    "l22_containment_dedup")
+    "l22_containment_dedup",
+    // s17: ×8 docs fold through three dictionary versions — counts are
+    // ×8 but the dictionary (vocab²) is UNCHANGED, so fold cost must
+    // stay dictionary-sized and the serve step constant
+    "s17_stream_colloc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
