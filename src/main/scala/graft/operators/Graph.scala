@@ -81,18 +81,31 @@ object Graph {
    * rank becomes proximity-weighted trust: content far from every seed
    * earns almost none (the link-spam demotion signal a web-scale
    * curation pipeline runs beside uniform PageRank).
+   *
+   * `weightCol` makes the walk WEIGHTED (integer edge weights — link
+   * multiplicity, purchase counts): a neighbor's share of u's mass is
+   * w(u,v)/W(u) instead of 1/outdeg, i.e. c(u->v) =
+   * floor(85·r(u)·w / (100·W(u))). The per-edge product 85·r·w must
+   * not wrap Long — guarded against the ACTUAL max weight with
+   * multiplyExact (r is bounded by the conserved mass ≤ scale), so an
+   * over-weighted graph fails loudly, never silently.
    */
   def pageRank(edges: DataFrame, iterations: Int,
       scale: Long = 1000000000000L,
-      teleportSeeds: Option[DataFrame] = None): DataFrame = {
+      teleportSeeds: Option[DataFrame] = None,
+      weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 1, "at least one power-iteration round")
     val spark = edges.sparkSession
     val sc = spark.sparkContext
     val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val st = new RoundState(sc)
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"))
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val e = edges.select(Seq(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")) ++
+      weightCol.map(w => col(w).cast("long").as("w")): _*)
+    val outdeg = weightCol match {
+      case None => e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      case Some(_) => e.groupBy("src").agg(sum(col("w")).as("outdeg"))
+    }
     // explicit width: exempt from AQE coalescing (the e4 lesson) — this
     // partitioning is what every round's rank join aligns to
     val edgesDeg = e.join(outdeg, "src").repartition(width, col("src")).persist()
@@ -113,16 +126,26 @@ object Graph {
       val nBase = nodes.filter(col("is_seed")).count()
       require(nBase > 0,
         "empty graph (or no teleport seed appears as a graph node)")
+      weightCol.foreach { _ =>
+        // 85·r·w with r bounded by the conserved mass (≤ scale): the
+        // per-edge numerator must stay in Long for every weight
+        val maxW = edgesDeg.agg(max(col("w"))).head.getLong(0)
+        Seq(85L, scale, maxW).reduce((a, b) => Math.multiplyExact(a, b))
+      }
       val init = math.floor(scale.toDouble / nBase).toLong
       val teleport = math.floor(15.0 * scale / (100.0 * nBase)).toLong
       def seedLit(v: Long) = when(col("is_seed"), lit(v)).otherwise(lit(0L))
       var ranks = { val s = st.save(nodes.select(col("id"), seedLit(init).as("r")))
         labelIds = s._2; s._1 }
+      val numer = weightCol match {
+        case None => lit(85) * col("r")
+        case Some(_) => lit(85) * col("r") * col("w")
+      }
       (1 to iterations).foreach { _ =>
         val contrib = edgesDeg
           .join(ranks, edgesDeg("src") === ranks("id"))
           .select(col("dst"),
-            floor((lit(85) * col("r")).cast("double") /
+            floor(numer.cast("double") /
               (lit(100) * col("outdeg")).cast("double")).cast("long").as("c"))
           .groupBy(col("dst").as("id")).agg(sum("c").as("in_sum"))
         val (next, ids) = st.save(nodes

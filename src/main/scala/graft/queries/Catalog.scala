@@ -7415,6 +7415,24 @@ object Catalog {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
       edges AS (
         SELECT src, dst FROM ep UNION ALL SELECT dst AS src, src AS dst FROM ep)"""
+    /** weighted form: edge weight = purchase-line count per (cust, supp)
+      * pair — link multiplicity as walk bias (g6). */
+    def bipartiteWeighted(s: SparkSession, d: String): DataFrame = {
+      val pairs = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("cust"),
+          (col("l_suppkey") * 2 + 1).as("supp"))
+        .agg(count(lit(1)).as("w"))
+      pairs.select(col("cust").as("src"), col("supp").as("dst"), col("w"))
+        .unionAll(pairs.select(col("supp").as("src"), col("cust").as("dst"), col("w")))
+    }
+    val bipartiteWeightedSql: String = """ep AS (
+        SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst, COUNT(*) AS w
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+      edges AS (
+        SELECT src, dst, w FROM ep
+        UNION ALL SELECT dst AS src, src AS dst, w FROM ep)"""
     val nodeTypeSql =
       "CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type"
     def nodeType: Column =
@@ -7479,7 +7497,8 @@ object Catalog {
     * `seedsSql` the jump mass lands only on the seed set (TrustRank):
     * is_seed gates both the init and the per-round teleport floor, and
     * nn counts SEED nodes, mirroring Graph.pageRank(teleportSeeds). */
-  private def pagerankOracleSql(seedsSql: Option[String]): String = {
+  private def pagerankOracleSql(seedsSql: Option[String],
+      weighted: Boolean = false): String = {
     val s0 = GFixture.scale
     val snode = seedsSql match {
       case None => "snode AS (SELECT id, 1 AS is_seed FROM nodes)"
@@ -7488,12 +7507,17 @@ object Catalog {
         SELECT nodes.id, CASE WHEN s.id IS NOT NULL THEN 1 ELSE 0 END AS is_seed
         FROM nodes LEFT JOIN seeds s ON s.id = nodes.id)"""
     }
+    val edgesSql =
+      if (weighted) GFixture.bipartiteWeightedSql else GFixture.bipartiteSql
+    val degSql =
+      if (weighted) "SELECT src, SUM(w) AS outdeg FROM edges GROUP BY 1"
+      else "SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1"
     val pre = s"""
-      WITH ${GFixture.bipartiteSql},
+      WITH $edgesSql,
       nodes AS (SELECT DISTINCT src AS id FROM edges),
       $snode,
       nn AS (SELECT SUM(is_seed) AS n FROM snode),
-      deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+      deg AS ($degSql),
       r0 AS (SELECT id,
                CASE WHEN is_seed = 1
                  THEN CAST(FLOOR(CAST($s0 AS DOUBLE) / nn.n) AS BIGINT)
@@ -7509,8 +7533,8 @@ object Catalog {
             + COALESCE(s.in_sum, 0) AS r
         FROM snode CROSS JOIN nn LEFT JOIN (
           SELECT e.dst AS id,
-            SUM(CAST(FLOOR(CAST(85 * r.r AS DOUBLE) / (100 * d.outdeg)) AS BIGINT))
-              AS in_sum
+            SUM(CAST(FLOOR(CAST(85 * r.r${if (weighted) " * e.w" else ""} AS DOUBLE)
+              / (100 * d.outdeg)) AS BIGINT)) AS in_sum
           FROM edges e JOIN r${i - 1} r ON r.id = e.src JOIN deg d ON d.src = e.src
           GROUP BY e.dst) s ON s.id = snode.id)"""
     }.mkString
@@ -7593,6 +7617,23 @@ object Catalog {
       .select(col("id").as("user_id"), col("n_triangles")),
     Some(GFixture.cooccurTriangleOracle))
 
+  // ---------------------------------------------------------------- g6
+  // WEIGHTED PAGERANK (Graph.pageRank with weightCol): link
+  // multiplicity as walk bias — a neighbor's share of u's mass is
+  // w(u,v)/W(u), the web-graph norm (repeated links, purchase counts);
+  // here w = lineitem rows per (cust, supp) pair. Same fixed-point
+  // floors with the per-edge numerator 85·r·w guarded against the
+  // ACTUAL max weight via multiplyExact (w = 1 everywhere degenerates
+  // to exactly g1's chain); same unrolled oracle with e.w in the
+  // contribution.
+  private val g6 = Q(
+    "g6_pagerank_weighted",
+    (s, d) => graft.operators.Graph
+      .pageRank(GFixture.bipartiteWeighted(s, d), GFixture.iters,
+        GFixture.scale, weightCol = Some("w"))
+      .select(col("id").as("node_id"), GFixture.nodeType, col("rank_scaled")),
+    Some(pagerankOracleSql(None, weighted = true)))
+
   // ---------------------------------------------------------------- g5
   // COMMON-NEIGHBOR LINK PREDICTION (Graph.commonNeighborCandidates)
   // over g3's capped co-occurrence graph: for every NON-adjacent user
@@ -7669,7 +7710,7 @@ object Catalog {
     p1, p2, p3, p4, p5,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
     w17, w18, w19, w20, w21, w22,
-    g1, g2, g3, g4, g5)
+    g1, g2, g3, g4, g5, g6)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

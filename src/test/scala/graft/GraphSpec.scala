@@ -71,6 +71,39 @@ class GraphSpec extends AnyFunSuite {
     assert(got(1L) == got.values.max && got(4L) == got.values.min)
   }
 
+  test("weighted pageRank replays the biased chain; unit weights degenerate to uniform") {
+    // triangle 1-2-3 with edge (1,2) carrying weight 5, others 1
+    val wpairs = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 1L))
+    val wedges = wpairs ++ wpairs.map(p => (p._2, p._1, p._3))
+    val scale = 1000000000000L
+    val iters = 4
+    val nodes = Seq(1L, 2L, 3L)
+    val wsum = wedges.groupBy(_._1).map { case (k, es) => k -> es.map(_._3).sum }
+    val teleport = math.floor(15.0 * scale / (100.0 * 3)).toLong
+    var r = nodes.map(_ -> math.floor(scale.toDouble / 3).toLong).toMap
+    (1 to iters).foreach { _ =>
+      val in = wedges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _, w) =>
+          math.floor(85.0 * r(u) * w / (100.0 * wsum(u))).toLong
+        }.sum
+      }
+      r = nodes.map(v => v -> (teleport + in.getOrElse(v, 0L))).toMap
+    }
+    val df = wedges.toDF("src", "dst", "w")
+    val got = Graph.pageRank(df, iters, scale, weightCol = Some("w"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == r)
+    // the heavy 1-2 edge pulls mass into 1 and 2 at 3's expense
+    assert(got(3L) == got.values.min)
+    // w = 1 everywhere == the unweighted walk, value for value
+    val ones = wedges.map(p => (p._1, p._2, 1L)).toDF("src", "dst", "w")
+    val uw = Graph.pageRank(ones.select("src", "dst"), iters, scale)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val wOnes = Graph.pageRank(ones, iters, scale, weightCol = Some("w"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(uw == wOnes)
+  }
+
   test("pageRank keeps teleport mass for a node with no in-edges") {
     // directed-only: 1 -> 2 -> 3; node 1 has no in-edges
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
