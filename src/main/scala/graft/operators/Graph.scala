@@ -268,6 +268,73 @@ object Graph {
       .join(e.select(col("a").as("v"), col("b").as("w")), Seq("v", "w"), "left_anti")
   }
 
+  /**
+   * Synchronous label propagation (Raghavan et al. 2007) over a directed
+   * edge list (`src`, `dst`; pass both directions for an undirected
+   * graph), `iterations` fixed rounds — COMMUNITY detection, the signal
+   * [[Dedup.connectedComponents]] cannot give: components answer "is
+   * there any path", labels answer "which dense cluster does this node
+   * sit in" (near-dup families inside one giant connected blob, topic
+   * clusters on a co-occurrence graph). A curation pipeline runs it to
+   * pick per-community representatives the way l21 picks per-component
+   * survivors.
+   *
+   * Fixed-point update (both engines replay it identically — all-integer,
+   * no scores, no floors needed):
+   *   lab0(v)  = v
+   *   lab'(v)  = argmax over labels L of |{u -> v : lab(u) = L}|,
+   *              ties broken by the SMALLEST label; nodes with no
+   *              in-edges keep their label.
+   * Synchronous rounds with a deterministic tie-break make the chain a
+   * pure function of the edge set — no vertex-visit order dependence
+   * (the asynchronous variant's nondeterminism is exactly what a
+   * cross-engine oracle cannot replay).
+   *
+   * Scale shape: the edge list is hash-partitioned on src once and
+   * cached; each round shuffles only the label table (one exchange to
+   * src partitioning, one partial-aggregated (dst, lab) count whose
+   * second per-dst argmax fold moves one row per DISTINCT neighbor
+   * label, not per edge). The argmax is max(struct(count, -lab)) — a
+   * plain aggregate, no sort window. Per-round state is checkpointed
+   * with immediate superseded-block cleanup (the pageRank discipline).
+   */
+  def labelPropagation(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, "at least one propagation round")
+    val spark = edges.sparkSession
+    val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val st = new RoundState(spark.sparkContext)
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+      .repartition(width, col("src")).persist()
+    var labIds = Set.empty[Int]
+    try {
+      val nodes = e.select(col("src").as("id"))
+        .unionAll(e.select(col("dst").as("id"))).distinct()
+      var labels = {
+        val s0 = st.save(nodes.select(col("id"), col("id").as("lab")))
+        labIds = s0._2; s0._1
+      }
+      (1 to iterations).foreach { _ =>
+        val votes = e.join(labels, e("src") === labels("id"))
+          .groupBy(e("dst").as("id"), col("lab"))
+          .agg(count(lit(1)).as("c"))
+        // argmax by (count desc, lab asc): struct compares fields in
+        // order, so max(struct(c, -lab)) is the fully tie-broken pick
+        val pick = votes.groupBy("id")
+          .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+          .select(col("id"), (-col("m.nl")).as("vlab"))
+        val (next, ids) = st.save(labels.join(pick, Seq("id"), "left")
+          .select(col("id"), coalesce(col("vlab"), col("lab")).as("lab")))
+        st.drop(labIds)
+        labels = next
+        labIds = ids
+      }
+      labels
+    } catch {
+      case ex: Throwable => st.drop(labIds); throw ex
+    } finally e.unpersist(blocking = false)
+  }
+
   def triangleCounts(canonicalEdges: DataFrame): DataFrame = {
     // the edge list is consumed FIVE times (degree legs, orientation,
     // both wedge sides, the closing probe): materialize it once with an

@@ -7696,6 +7696,52 @@ object Catalog {
     },
     Some(GFixture.cooccurTriangleOracle))
 
+  // ---------------------------------------------------------------- g7
+  // LABEL-PROPAGATION COMMUNITIES (Graph.labelPropagation) over g3's
+  // capped co-occurrence graph: synchronous frequency-vote rounds with
+  // the smallest-label tie-break — the community signal connected
+  // components can't give (l7 answers "is there a path", g7 answers
+  // "which dense cluster"). All-integer and order-free, so the oracle
+  // unrolls the exact chain: per round, per node, the most frequent
+  // in-neighbor label (ROW_NUMBER over count desc, lab asc), keeping
+  // the old label when no in-edges vote.
+  private val g7 = {
+    val rounds = 4
+    def labelPropOracleSql: String = {
+      val iters = (1 to rounds).map { i =>
+        s""",
+        l$i AS (
+          SELECT p.id, COALESCE(w.lab, p.lab) AS lab
+          FROM l${i - 1} p LEFT JOIN (
+            SELECT id, lab FROM (
+              SELECT v.id, v.lab, ROW_NUMBER() OVER (
+                PARTITION BY v.id ORDER BY v.c DESC, v.lab) AS rn
+              FROM (
+                SELECT e.dst AS id, r.lab, COUNT(*) AS c
+                FROM edges e JOIN l${i - 1} r ON r.id = e.src
+                GROUP BY 1, 2) v) t
+            WHERE rn = 1) w ON w.id = p.id)"""
+      }.mkString
+      s"""
+      WITH ${GFixture.cooccurEdgeCtes},
+      edges AS (SELECT a AS src, b AS dst FROM ed
+                UNION ALL SELECT b AS src, a AS dst FROM ed),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      l0 AS (SELECT id, id AS lab FROM nodes)$iters
+      SELECT id AS user_id, lab AS community FROM l$rounds"""
+    }
+    Q(
+      "g7_labelprop",
+      (s, d) => {
+        val ed = GFixture.cooccurEdges(GFixture.cappedCells(s, d))
+        val edges = ed.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(ed.select(col("b").as("src"), col("a").as("dst")))
+        graft.operators.Graph.labelPropagation(edges, rounds)
+          .select(col("id").as("user_id"), col("lab").as("community"))
+      },
+      Some(labelPropOracleSql))
+  }
+
   val all: Seq[Q] = Seq(
     a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11, a12, a13, a14,
     n1, n2, n3, n4, n5, n6, n7,
@@ -7710,7 +7756,7 @@ object Catalog {
     p1, p2, p3, p4, p5,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
     w17, w18, w19, w20, w21, w22,
-    g1, g2, g3, g4, g5, g6)
+    g1, g2, g3, g4, g5, g6, g7)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

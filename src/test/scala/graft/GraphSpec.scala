@@ -159,6 +159,44 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("labelPropagation matches a plain-Scala synchronous replay") {
+    // deterministic pseudo-random graph over 40 nodes (denser tail so
+    // real frequency votes — not just 1-vote ties — occur)
+    val nodes = (1L to 40L)
+    val pairs = for {
+      i <- nodes; j <- nodes if i < j
+      if md5hex(s"lp|$i|$j").charAt(0) <= '2'
+    } yield (i, j)
+    val both = pairs ++ pairs.map(p => (p._2, p._1))
+    val inNbrs = both.groupBy(_._2).map { case (v, es) => v -> es.map(_._1) }
+    val rounds = 4
+    var lab = nodes.map(v => v -> v).toMap
+    (1 to rounds).foreach { _ =>
+      lab = nodes.map { v =>
+        inNbrs.get(v) match {
+          case None => v -> lab(v)
+          case Some(us) =>
+            val counts = us.map(lab).groupBy(identity)
+              .map { case (l, xs) => (l, xs.size) }
+            v -> counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+        }
+      }.toMap
+    }
+    val got = Graph.labelPropagation(undirected(pairs), rounds)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == lab)
+    // propagation happened: fewer distinct labels than nodes
+    assert(got.values.toSet.size < nodes.size)
+  }
+
+  test("labelPropagation keeps the label of a node with no in-edges") {
+    // directed chain 1 -> 2 -> 3: node 1 has no voters and keeps itself
+    val got = Graph.labelPropagation(
+      Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+  }
+
   test("triangleCounts matches brute force on a hashed random graph") {
     // deterministic pseudo-random graph: edge (i,j) iff md5(i|j) starts 0-3
     val nodes = (1L to 30L)
