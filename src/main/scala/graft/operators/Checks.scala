@@ -254,4 +254,52 @@ object Checks {
         (abs(col("n_events") * col("prev_days") - col("__prev_sum")) * 100 >
           lit(pctThreshold) * col("__prev_sum")).as("is_anomaly"))
   }
+
+  /**
+   * EMBEDDING-SPACE DRIFT — the vector-column leg of the q-family: q3
+   * watches a SCALAR value distribution; this watches the embedding
+   * distribution itself, per dimension, between a reference slice and a
+   * current slice (yesterday's corpus vs today's, pre- vs post-encoder
+   * upgrade). A quietly swapped or fine-tuned encoder shifts the
+   * embedding centroid long before any downstream metric moves — ANN
+   * recall (q6) degrades only after the index is stale; THIS check fires
+   * on the day the vectors change. Emits one row per dimension:
+   * (dim, n_ref, n_cur, ref_mean, cur_mean, shift, is_drift).
+   *
+   * Cross-engine determinism (SURVEY.md §6): per-dimension means fold
+   * through exact DECIMAL(30,20) sums (float→double is exact; decimal
+   * addition is exact), divide by the exact count ONCE, and round to
+   * 6 dp — the [[graft.operators.Ann.refineCentroids]] mean contract —
+   * so the means, their difference, and the threshold verdict are
+   * bit-identical in any engine. A dimension with an EMPTY side is
+   * drift by definition (is_drift = true, means NULL on that side) —
+   * the [[distributionDrift]] tvd = 1.0 convention.
+   *
+   * Scale shape: ONE fused scan — both slices ride the same pass with a
+   * conditional-sum per side (the q3 discipline), posexplode is a
+   * narrow Generate, and map-side partial aggregation contracts the
+   * shuffle to partitions×dim rows before the exchange; the output is
+   * dim rows, coordinator-sized for any real embedding width. No join,
+   * no window, exactly one exchange end to end.
+   */
+  def embeddingDrift(df: DataFrame, isCur: Column, embCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0, "threshold must be positive")
+    val cells = df
+      .select(isCur.as("_c"), posexplode(col(embCol)).as(Seq("dim", "_x")))
+      .withColumn("_xd", col("_x").cast("double").cast("decimal(30,20)"))
+      .groupBy(col("dim"))
+      .agg(sum(when(!col("_c"), col("_xd"))).as("_sr"),
+        count(when(!col("_c"), lit(1))).as("n_ref"),
+        sum(when(col("_c"), col("_xd"))).as("_sc"),
+        count(when(col("_c"), lit(1))).as("n_cur"))
+    cells
+      .select(col("dim"), col("n_ref"), col("n_cur"),
+        round(col("_sr").cast("double") / col("n_ref"), 6).as("ref_mean"),
+        round(col("_sc").cast("double") / col("n_cur"), 6).as("cur_mean"))
+      .withColumn("shift", abs(col("cur_mean") - col("ref_mean")))
+      .withColumn("is_drift",
+        when(col("n_ref") === 0 || col("n_cur") === 0, lit(true))
+          .otherwise(col("shift") > threshold))
+  }
 }

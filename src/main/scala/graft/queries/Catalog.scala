@@ -6518,6 +6518,72 @@ object Catalog {
         FROM q LEFT JOIN hits h ON h.query_id = q.query_id"""))
   }
 
+  // ---------------------------------------------------------------- q7
+  // EMBEDDING-SPACE DRIFT (Checks.embeddingDrift) — the q-family's
+  // VECTOR leg: q3 watches a scalar value distribution, q6 watches index
+  // recall; q7 watches the embedding distribution itself — per-dimension
+  // mean shift between a reference slice and a current slice, the check
+  // that catches a quietly swapped/fine-tuned encoder on the day the
+  // vectors change (recall only degrades later, once the index is
+  // stale). Fixture: the vec_id%3==0 slice is the "current" corpus with
+  // a planted +0.25 shift on dims 0-3 (the encoder-upgrade shape:
+  // correlated, low-dimensional, invisible to per-row checks); the
+  // entry THROWS unless exactly those four dims are flagged at
+  // threshold 0.1 and no unplanted dim fires. Means fold through exact
+  // DECIMAL(30,20) sums and round to 6 dp (the refineCentroids
+  // contract), so the oracle replays plant, means, and verdict bit for
+  // bit. One fused scan, one exchange carrying partitions×64 partial
+  // cells, 64-row output.
+  private val q7 = {
+    val dim = 64
+    val plantDims = 4
+    val thresh = 0.1
+    Q(
+      "q7_embedding_drift",
+      (s, d) => {
+        val isCur = col("vec_id") % 3 === 0
+        val planted = Tables.embeddings(s, d).select(
+          isCur.as("_cur"),
+          when(isCur, transform(col("embedding"), (x, i) =>
+            when(i < lit(plantDims), (x + lit(0.25f)).cast("float"))
+              .otherwise(x)))
+            .otherwise(col("embedding")).as("embedding"))
+        val out = graft.operators.Checks.embeddingDrift(
+          planted, col("_cur"), "embedding", thresh)
+        val flagged = out.filter(col("is_drift"))
+          .agg(count(lit(1)).as("n"), max(col("dim")).as("mx")).head()
+        require(flagged.getLong(0) == plantDims && flagged.getInt(1) == plantDims - 1,
+          s"exactly the $plantDims planted dims must be flagged; " +
+            s"got ${flagged.getLong(0)} (max dim ${flagged.getInt(1)})")
+        out
+      },
+      Some(s"""
+        WITH ds AS (SELECT unnest(range(1, ${dim + 1})) AS d),
+        src AS (
+          SELECT (vec_id % 3 = 0) AS c, ds.d,
+            CASE WHEN vec_id % 3 = 0 AND ds.d <= $plantDims
+                 THEN CAST(embedding[ds.d] + CAST(0.25 AS FLOAT) AS FLOAT)
+                 ELSE embedding[ds.d] END AS x
+          FROM embeddings, ds),
+        cells AS (
+          SELECT d,
+            sum(CASE WHEN NOT c THEN CAST(CAST(x AS DOUBLE) AS DECIMAL(30,20)) END) AS sr,
+            count(CASE WHEN NOT c THEN 1 END) AS n_ref,
+            sum(CASE WHEN c THEN CAST(CAST(x AS DOUBLE) AS DECIMAL(30,20)) END) AS sc,
+            count(CASE WHEN c THEN 1 END) AS n_cur
+          FROM src GROUP BY d),
+        m AS (
+          SELECT CAST(d - 1 AS INT) AS dim, n_ref, n_cur,
+            round(CAST(sr AS DOUBLE) / n_ref, 6) AS ref_mean,
+            round(CAST(sc AS DOUBLE) / n_cur, 6) AS cur_mean
+          FROM cells)
+        SELECT dim, n_ref, n_cur, ref_mean, cur_mean,
+          abs(cur_mean - ref_mean) AS shift,
+          CASE WHEN n_ref = 0 OR n_cur = 0 THEN TRUE
+               ELSE abs(cur_mean - ref_mean) > $thresh END AS is_drift
+        FROM m"""))
+  }
+
   // ---------------------------------------------------------------- c4
   // Per-user ordered event sequences capped at 50 — the autoregressive
   // training-corpus shape (Curate.sequences: the engine's one holistic
@@ -7747,7 +7813,7 @@ object Catalog {
     n1, n2, n3, n4, n5, n6, n7,
     d1, d2, d3, d4, d5, d6, d7,
     e1, e2, e3, e4, e5, e6, j1, j2, j3, j4, j5,
-    r1, r2, r3, r4, r5, r6, r7, r8, q1, q2, q3, q4, q5, q6,
+    r1, r2, r3, r4, r5, r6, r7, r8, q1, q2, q3, q4, q5, q6, q7,
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
     l17, l18, l19, l20, l21, l22,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16,

@@ -1209,6 +1209,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(oneSided.getDouble(3) == 1.0)
   }
 
+  test("embeddingDrift: exact per-dim means, planted shift flagged, empty side drifts") {
+    import graft.operators.Checks
+    // dim 0: both slices mean 1.0 → shift 0; dim 1: cur shifted +0.5 →
+    // flagged at threshold 0.1; dim 2: identical irrational-ish floats →
+    // the decimal-sum path must still cancel exactly.
+    val rows = Seq(
+      (false, Seq(1.0f, 2.0f, 0.1f)), (false, Seq(1.0f, 4.0f, 0.1f)),
+      (true, Seq(0.5f, 3.5f, 0.1f)), (true, Seq(1.5f, 3.5f, 0.1f)))
+    val got = Checks.embeddingDrift(
+      rows.toDF("c", "embedding"), col("c"), "embedding", 0.1)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getBoolean(6))).toMap
+    assert(got(0) == ((2L, 2L, 1.0, 1.0, 0.0, false)))
+    assert(got(1) == ((2L, 2L, 3.0, 3.5, 0.5, true)))
+    val (_, _, rm, cm, sh, fl) = got(2)
+    assert(rm == cm && sh == 0.0 && !fl, s"identical dims must cancel exactly: $sh")
+    // a dimension with an empty side is drift by definition
+    val oneSided = Checks.embeddingDrift(
+      Seq((false, Seq(1.0f))).toDF("c", "embedding"), col("c"), "embedding", 0.1)
+      .collect().head
+    assert(oneSided.getBoolean(6))
+  }
+
   test("diffReport: null-safe change classes and per-column attribution") {
     import graft.operators.Checks
     // k=1 unchanged; k=2 changed (one column); k=3 changed (both, incl.
