@@ -284,7 +284,6 @@ object Checks {
    */
   def embeddingDrift(df: DataFrame, isCur: Column, embCol: String,
       threshold: Double): DataFrame = {
-    require(threshold > 0, "threshold must be positive")
     val cells = df
       .select(isCur.as("_c"), posexplode(col(embCol)).as(Seq("dim", "_x")))
       .withColumn("_xd", col("_x").cast("double").cast("decimal(30,20)"))
@@ -293,6 +292,31 @@ object Checks {
         count(when(!col("_c"), lit(1))).as("n_ref"),
         sum(when(col("_c"), col("_xd"))).as("_sc"),
         count(when(col("_c"), lit(1))).as("n_cur"))
+    embeddingDriftFromCells(cells, threshold)
+  }
+
+  /** One side's per-dimension partial cells: (`dim`, `sumName` = exact
+    * DECIMAL(38,20) value sum, `cntName` = row count) — the contracted
+    * relation the streaming twin freezes (reference side) and folds per
+    * trigger (current side). Decimal sums and counts are associative and
+    * EXACT, so any trigger slicing folds to the one-shot cells bit for
+    * bit — the property that lets [[embeddingDriftFromCells]] score a
+    * batch/stream seam identically to the fused scan. */
+  def embeddingCells(df: DataFrame, embCol: String, sumName: String,
+      cntName: String): DataFrame =
+    df.select(posexplode(col(embCol)).as(Seq("dim", "_x")))
+      .groupBy(col("dim"))
+      .agg(sum(col("_x").cast("double").cast("decimal(30,20)")).as(sumName),
+        count(lit(1)).as(cntName))
+
+  /** Verdict from pre-aggregated cells (`dim`, `_sr`, `n_ref`, `_sc`,
+    * `n_cur`) — [[embeddingDrift]]'s math, factored so any cell
+    * provenance (one fused scan, or a frozen reference joined with a
+    * per-trigger folded state) scores identically: divide the exact sum
+    * by the exact count ONCE, round to 6 dp, difference + threshold on
+    * the rounded doubles. */
+  def embeddingDriftFromCells(cells: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0, "threshold must be positive")
     cells
       .select(col("dim"), col("n_ref"), col("n_cur"),
         round(col("_sr").cast("double") / col("n_ref"), 6).as("ref_mean"),

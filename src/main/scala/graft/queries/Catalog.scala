@@ -5479,6 +5479,47 @@ object Catalog {
     },
     Some(Q3.oracleSql))
 
+  // ---------------------------------------------------------------- s18
+  // STREAMING embedding-drift monitor — q7's live twin, the s7
+  // discipline on VECTOR state: the reference slice's per-dimension
+  // cells (exact decimal sum + count) are computed ONCE and frozen; the
+  // current corpus arrives as three trigger batches, each contracted to
+  // cells and folded into versioned parquet state by the real
+  // foreachBatch body (VectorStream.embeddingCellsFoldBatch —
+  // idempotent per-version overwrite, dim-row state at any trigger
+  // volume). The final verdict full-outer-joins the frozen reference
+  // cells with the folded state and runs the SAME
+  // embeddingDriftFromCells math as q7, under q7's ORACLE: three
+  // incremental folds must equal the one-shot fused scan bit for bit,
+  // which holds because decimal sums and counts are associative and
+  // EXACT — no float ever enters the fold. Per-trigger parity vs a real
+  // MemoryStream run is StreamingSpec's job.
+  private val s18 = Q(
+    "s18_stream_embedding_drift",
+    (s, d) => {
+      val planted = Q7.planted(s, d)
+      val statePath = s"$scratchRoot/${dsScratch(d)}/embdrift_state"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(statePath), true)
+      val body = graft.streaming.VectorStream.embeddingCellsFoldBatch(statePath) _
+      val cur = planted.filter(col("_cur"))
+      (0 until 3).foreach { i => // %3==0 splits as vec_id%9 ∈ {0,3,6}
+        body(cur.filter(col("vec_id") % 9 === 3 * i).select("embedding"), i.toLong)
+      }
+      val curCells = s.read
+        .schema(graft.streaming.VectorStream.cellsStateSchema)
+        .parquet(s"$statePath/v3")
+      val refCells = graft.operators.Checks.embeddingCells(
+        planted.filter(!col("_cur")), "embedding", "_sr", "n_ref")
+      val cells = refCells.join(curCells, Seq("dim"), "full_outer")
+        .select(col("dim"), col("_sr"),
+          coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+          col("_sc"), coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      Q7.requirePlantFlagged(
+        graft.operators.Checks.embeddingDriftFromCells(cells, Q7.thresh))
+    },
+    Some(Q7.oracleSql))
+
   // ---------------------------------------------------------------- s8
   /** The streaming path of d6's CDC apply (EventStream.cdcState): the
     * SAME mapGroupsWithState builder runs on batch here — gated by d6's
@@ -6534,30 +6575,35 @@ object Catalog {
   // contract), so the oracle replays plant, means, and verdict bit for
   // bit. One fused scan, one exchange carrying partitions×64 partial
   // cells, 64-row output.
-  private val q7 = {
-    val dim = 64
+  /** q7/s18 shared fixture: the vec_id%3==0 slice is the "current"
+    * corpus with a planted +0.25 shift on dims 0-${Q7.plantDims - 1}
+    * (the encoder-upgrade shape), `_cur` carries the slice tag; both
+    * the fused batch monitor and its streaming twin consume THIS
+    * DataFrame and must reach the same 64-row verdict. */
+  private object Q7 {
     val plantDims = 4
     val thresh = 0.1
-    Q(
-      "q7_embedding_drift",
-      (s, d) => {
-        val isCur = col("vec_id") % 3 === 0
-        val planted = Tables.embeddings(s, d).select(
-          isCur.as("_cur"),
-          when(isCur, transform(col("embedding"), (x, i) =>
-            when(i < lit(plantDims), (x + lit(0.25f)).cast("float"))
-              .otherwise(x)))
-            .otherwise(col("embedding")).as("embedding"))
-        val out = graft.operators.Checks.embeddingDrift(
-          planted, col("_cur"), "embedding", thresh)
-        val flagged = out.filter(col("is_drift"))
-          .agg(count(lit(1)).as("n"), max(col("dim")).as("mx")).head()
-        require(flagged.getLong(0) == plantDims && flagged.getInt(1) == plantDims - 1,
-          s"exactly the $plantDims planted dims must be flagged; " +
-            s"got ${flagged.getLong(0)} (max dim ${flagged.getInt(1)})")
-        out
-      },
-      Some(s"""
+    def planted(s: SparkSession, d: String): DataFrame = {
+      val isCur = col("vec_id") % 3 === 0
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        isCur.as("_cur"),
+        when(isCur, transform(col("embedding"), (x, i) =>
+          when(i < lit(plantDims), (x + lit(0.25f)).cast("float"))
+            .otherwise(x)))
+          .otherwise(col("embedding")).as("embedding"))
+    }
+    def requirePlantFlagged(out: DataFrame): DataFrame = {
+      val flagged = out.filter(col("is_drift"))
+        .agg(count(lit(1)).as("n"), max(col("dim")).as("mx")).head()
+      require(flagged.getLong(0) == plantDims && flagged.getInt(1) == plantDims - 1,
+        s"exactly the $plantDims planted dims must be flagged; " +
+          s"got ${flagged.getLong(0)} (max dim ${flagged.getInt(1)})")
+      out
+    }
+    val oracleSql: String = {
+      val dim = 64
+      s"""
         WITH ds AS (SELECT unnest(range(1, ${dim + 1})) AS d),
         src AS (
           SELECT (vec_id % 3 = 0) AS c, ds.d,
@@ -6581,8 +6627,18 @@ object Catalog {
           abs(cur_mean - ref_mean) AS shift,
           CASE WHEN n_ref = 0 OR n_cur = 0 THEN TRUE
                ELSE abs(cur_mean - ref_mean) > $thresh END AS is_drift
-        FROM m"""))
+        FROM m"""
+    }
   }
+
+  private val q7 =
+    Q(
+      "q7_embedding_drift",
+      (s, d) => Q7.requirePlantFlagged(
+        graft.operators.Checks.embeddingDrift(
+          Q7.planted(s, d), col("_cur"), "embedding", Q7.thresh)),
+      Some(Q7.oracleSql))
+
 
   // ---------------------------------------------------------------- c4
   // Per-user ordered event sequences capped at 50 — the autoregressive
@@ -7818,7 +7874,7 @@ object Catalog {
     l17, l18, l19, l20, l21, l22,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16,
     c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11,
-    m1, m2, m3, m4, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17,
+    m1, m2, m3, m4, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18,
     p1, p2, p3, p4, p5,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
     w17, w18, w19, w20, w21, w22,

@@ -43,4 +43,38 @@ object VectorStream {
       .foreachBatch(ivfAppendBatch(centroids, path) _)
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /**
+   * foreachBatch body of the STREAMING embedding-drift monitor (catalog
+   * s18 — q7's live twin, the s7 histogram-fold discipline on vector
+   * state): each trigger's embeddings contract to per-dimension cells
+   * (dim, exact DECIMAL value sum, count —
+   * [[graft.operators.Checks.embeddingCells]], the SAME builder the
+   * batch monitor's fused scan reduces to) and fold into an
+   * overwrite-versioned parquet state at `statePath/v{batchId+1}`.
+   * Decimal sums and counts are associative and exact, so any trigger
+   * slicing converges on the one-shot cells bit for bit, and a trigger
+   * RETRY rewrites the identical version (idempotent fold, no
+   * transaction log needed). State is dim rows regardless of trigger
+   * volume — the fold is metadata-sized at any corpus scale.
+   */
+  def embeddingCellsFoldBatch(statePath: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = batch.sparkSession
+    val cells = graft.operators.Checks.embeddingCells(
+      batch, "embedding", "_sc", "n_cur")
+    val folded =
+      if (batchId == 0) cells
+      else spark.read.schema(cellsStateSchema).parquet(s"$statePath/v$batchId")
+        .unionAll(cells)
+        .groupBy(col("dim"))
+        .agg(sum(col("_sc")).as("_sc"), sum(col("n_cur")).as("n_cur"))
+    folded.write.mode("overwrite").parquet(s"$statePath/v${batchId + 1}")
+  }
+
+  /** Schema of the folded drift state — decimal sums stay decimal on
+    * disk (parquet DECIMAL(38,20)); re-inferring as double would forfeit
+    * the exact-fold guarantee. */
+  val cellsStateSchema = "dim INT, _sc DECIMAL(38,20), n_cur BIGINT"
 }

@@ -451,6 +451,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("embedding-drift fold: per-trigger cells equal the fused batch monitor so far") {
+    import graft.operators.Checks
+    implicit val ctx = spark.sqlContext
+    val scratch = java.nio.file.Files.createTempDirectory("s18spec").toString
+    // ref and cur draw the SAME per-dim multiset (deterministic formula
+    // over row index), so unplanted dims cancel exactly; the "current"
+    // slices add a +0.4 shift on dims 0-1 (the encoder-upgrade shape)
+    def vec(i: Int, shift: Float) = Seq.tabulate(4)(j =>
+      ((i * 7 + j * 3) % 10) * 0.1f + (if (j < 2) shift else 0.0f))
+    val ref = (0 until 12).map(vec(_, 0.0f))
+    val refCells = Checks.embeddingCells(
+      ref.toDF("embedding"), "embedding", "_sr", "n_ref")
+    val input = MemoryStream[Seq[Float]]
+    val lastId = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val query = input.toDF().toDF("embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.streaming.VectorStream.embeddingCellsFoldBatch(scratch)(batch, id)
+        lastId.set(id)
+      }.start()
+    def verdictVsState(): Seq[(Int, Long, Long, Double, Double, Double, Boolean)] = {
+      val curCells = spark.read
+        .schema(graft.streaming.VectorStream.cellsStateSchema)
+        .parquet(s"$scratch/v${lastId.get() + 1}")
+      val cells = refCells.join(curCells, Seq("dim"), "full_outer")
+        .select(col("dim"), col("_sr"),
+          coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+          col("_sc"), coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      Checks.embeddingDriftFromCells(cells, 0.2).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5), r.getBoolean(6))).toSeq.sortBy(_._1)
+    }
+    val cur = (0 until 12).map(vec(_, 0.4f))
+    val triggers = Seq(cur.slice(0, 5), cur.slice(5, 8), cur.slice(8, 12))
+    try {
+      var seen = Seq.empty[Seq[Float]]
+      for (t <- triggers) {
+        input.addData(t)
+        query.processAllAvailable()
+        seen = seen ++ t
+        // parity target: q7's one-shot fused monitor over (ref ∪ seen)
+        val fused = Checks.embeddingDrift(
+          ref.map(v => (false, v)).union(seen.map(v => (true, v)))
+            .toDF("c", "embedding"),
+          col("c"), "embedding", 0.2).collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+            r.getDouble(4), r.getDouble(5), r.getBoolean(6))).toSeq.sortBy(_._1)
+        assert(verdictVsState() == fused,
+          "folded streaming drift verdict must equal the fused batch monitor so far")
+      }
+      // the planted dims (0-1) fire, the untouched dims (2-3) do not
+      val flags = verdictVsState().map(t => t._1 -> t._7).toMap
+      assert(flags(0) && flags(1) && !flags(2) && !flags(3))
+    } finally query.stop()
+  }
+
   test("manifest publish: per-trigger chain state equals the batch fold; retry skips a committed version") {
     implicit val ctx = spark.sqlContext
     import graft.sources.ManifestStore
