@@ -335,6 +335,78 @@ object Graph {
     } finally e.unpersist(blocking = false)
   }
 
+  /**
+   * K-CORE of an undirected graph by synchronous peeling: repeatedly
+   * delete every node whose remaining degree is below `k` (and its
+   * edges) until a round deletes nothing; what survives is the maximal
+   * subgraph where everyone keeps >= k neighbors — the graph-density
+   * analog of a quality floor (a node's raw degree is gameable by
+   * attaching spam leaves; its CORE membership is not, because the
+   * leaves peel away first — the classic link-farm demotion signal,
+   * complementing pageRank's authority and triangleCounts' local
+   * clustering). Input is the canonical (`a` < `b`) edge list; output is
+   * (id, core_degree) for surviving nodes, degree measured INSIDE the
+   * core.
+   *
+   * Determinism: peeling is a monotone fixed point — the k-core is
+   * unique and round-synchronous deletion is order-free integer
+   * arithmetic, so a SQL oracle unrolls the rounds verbatim (rounds
+   * past the fixed point are identities, so an oracle unrolled to
+   * `maxRounds` matches an engine that stopped early). A graph still
+   * peeling after `maxRounds` THROWS (the l7 non-convergence
+   * discipline) rather than returning a not-yet-core.
+   *
+   * Scale shape: each round is one degree aggregate (map-side partial
+   * on both endpoint legs) plus two left-semi joins against the
+   * surviving-node set — every shuffle carries the CURRENT edge set,
+   * which only shrinks; per-round state is localCheckpoint-ed with
+   * immediate superseded-block cleanup (the pageRank discipline), and
+   * convergence is a 1-row count — genuine coordinator state. Real
+   * graphs converge in few synchronous rounds (each round peels a whole
+   * degeneracy layer); at 100 TB the edge diet after round 1 is the
+   * dominant saving, since degree-<k leaves are the bulk of a web-scale
+   * graph.
+   */
+  def kCore(canonicalEdges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    require(k >= 1 && maxRounds >= 1, "need k >= 1 and at least one round")
+    val spark = canonicalEdges.sparkSession
+    val st = new RoundState(spark.sparkContext)
+    var eIds = Set.empty[Int]
+    var e = {
+      val s0 = st.save(canonicalEdges.select(
+        col("a").cast("long").as("a"), col("b").cast("long").as("b")))
+      eIds = s0._2; s0._1
+    }
+    try {
+      var nEdges = e.count()
+      var converged = false
+      var round = 0
+      while (round < maxRounds && !converged) {
+        round += 1
+        val deg = e.select(col("a").as("id"))
+          .unionAll(e.select(col("b").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("deg"))
+        val keep = deg.filter(col("deg") >= k).select("id")
+        val pruned = e
+          .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+        val (next, ids) = st.save(pruned)
+        val nNext = next.count() // 1-row coordinator state: converged?
+        st.drop(eIds)
+        e = next; eIds = ids
+        converged = nNext == nEdges
+        nEdges = nNext
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"k-core still peeling after $maxRounds rounds — raise maxRounds")
+      e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("core_degree"))
+    } catch {
+      case ex: Throwable => st.drop(eIds); throw ex
+    }
+  }
+
   def triangleCounts(canonicalEdges: DataFrame): DataFrame = {
     // the edge list is consumed FIVE times (degree legs, orientation,
     // both wedge sides, the closing probe): materialize it once with an

@@ -7864,6 +7864,72 @@ object Catalog {
       Some(labelPropOracleSql))
   }
 
+  // ---------------------------------------------------------------- g8
+  // K-CORE (Graph.kCore): the density floor no single-pass signal
+  // gives — raw degree is gameable by attaching spam leaves, core
+  // membership is not (leaves peel away first). Completes the family:
+  // g1/g6 = authority, g2/g4 = proximity, g3 = local clustering, g7 =
+  // communities, g8 = density floor. Fixture: the SPARSE slice of the
+  // purchase graph (small-quantity lines only — casual relationships),
+  // where the 5-core actually separates: ~⅓ of nodes peel at sf0.01
+  // (the dense co-occurrence graph is near-complete by construction —
+  // everyone survives any small k, no gate). Synchronous peeling is a
+  // unique monotone fixed point in order-free integer arithmetic, so
+  // the oracle unrolls the rounds verbatim — rounds past the fixed
+  // point are identities, and the engine THROWS if the graph is still
+  // peeling at the unroll depth (the l7 non-convergence discipline).
+  // The entry also THROWS unless the fixture peels someone AND keeps
+  // someone, so a trivially-all-in or all-out run can never pass
+  // silently. The multi-round cascade (a chain peeling from the ends
+  // inward) is GraphSpec's job — random fixtures peel in one layer.
+  private val g8 = {
+    val k = 5
+    val rounds = 6
+    def kCoreOracleSql: String = {
+      val iters = (1 to rounds).map { i =>
+        s""",
+        d$i AS (SELECT id, COUNT(*) AS c FROM (
+            SELECT a AS id FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}) z
+          GROUP BY id),
+        k$i AS (SELECT id FROM d$i WHERE c >= $k),
+        e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+          WHERE a IN (SELECT id FROM k$i) AND b IN (SELECT id FROM k$i))"""
+      }.mkString
+      // each round reads its predecessor THREE times (two degree legs +
+      // the prune) — left inline, the CTE chain expands 3^rounds scans
+      // and exhausts file handles; MATERIALIZED keeps it linear
+      s"""
+      WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_quantity <= 5)$iters
+      SELECT id AS user_id, COUNT(*) AS core_degree FROM (
+        SELECT a AS id FROM e$rounds UNION ALL SELECT b FROM e$rounds) z
+      GROUP BY id"""
+    }
+    Q(
+      "g8_kcore",
+      (s, d) => {
+        val ed = Tables.lineitem(s, d)
+          .filter(col("l_quantity") <= 5)
+          .select("l_orderkey", "l_suppkey")
+          .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("a"),
+            (col("l_suppkey") * 2 + 1).as("b"))
+          .distinct()
+        val core = graft.operators.Graph.kCore(ed, k, rounds)
+          .select(col("id").as("user_id"), col("core_degree"))
+        val nNodes = ed.select(col("a").as("id"))
+          .unionAll(ed.select(col("b").as("id"))).distinct().count()
+        val nCore = core.count()
+        require(nCore > 0 && nCore < nNodes,
+          s"fixture must peel some nodes and keep some: core $nCore of $nNodes")
+        core
+      },
+      Some(kCoreOracleSql))
+  }
+
   val all: Seq[Q] = Seq(
     a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11, a12, a13, a14,
     n1, n2, n3, n4, n5, n6, n7,
@@ -7878,7 +7944,7 @@ object Catalog {
     p1, p2, p3, p4, p5,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
     w17, w18, w19, w20, w21, w22,
-    g1, g2, g3, g4, g5, g6, g7)
+    g1, g2, g3, g4, g5, g6, g7, g8)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -214,4 +214,48 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(got == brute)
   }
+
+  test("kCore: chain cascades from the ends inward; triangle+tail keeps only the triangle") {
+    // triangle 1-2-3 with a 4-node tail 3-4-5-6-7: the 2-core peels the
+    // tail ONE LEAF PER ROUND (7, then 6, then 5, then 4 — each becomes
+    // degree-1 only after its outer neighbor went), the multi-round
+    // cascade a one-layer random fixture never exercises
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+    val got = Graph.kCore(pairs.toDF("a", "b"), k = 2, maxRounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // not enough rounds for the cascade → loud failure, never a not-yet-core
+    val ex = intercept[IllegalStateException] {
+      Graph.kCore(pairs.toDF("a", "b"), k = 2, maxRounds = 2)
+    }
+    assert(ex.getMessage.contains("still peeling"))
+    // k above the max degree empties the graph (valid: zero rows)
+    assert(Graph.kCore(pairs.toDF("a", "b"), k = 4, maxRounds = 6).count() == 0L)
+  }
+
+  test("kCore matches brute-force peeling on a hashed random graph") {
+    val nodes = (1L to 24L)
+    val pairs = for {
+      i <- nodes; j <- nodes if i < j
+      if md5hex(s"$i|$j").charAt(0) <= '2'
+    } yield (i, j)
+    // reference: peel to fixed point, any order (the k-core is unique)
+    val k = 3
+    var edges = pairs.toSet
+    var changed = true
+    while (changed) {
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (v, xs) => v -> xs.size }
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = edges.filter(e => keep(e._1) && keep(e._2))
+      changed = next != edges
+      edges = next
+    }
+    val brute = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+    val got = Graph.kCore(pairs.toDF("a", "b"), k, maxRounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == brute)
+  }
 }
