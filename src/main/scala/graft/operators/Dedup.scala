@@ -311,6 +311,60 @@ object Dedup {
   }
 
   /**
+   * MINHASH-LSH RECALL AUDIT — q6's estimate-vs-exact discipline for the
+   * DEDUP side: on a SAMPLED panel, compute the exact ground-truth
+   * near-dup pairs (true shingle-hash-set Jaccard >= `threshold`) and
+   * flag which of them the production banding configuration would have
+   * surfaced as candidates. A dedup pipeline's recall drifts silently —
+   * banding parameters tuned for last year's document-length
+   * distribution quietly miss today's duplicates, and nothing
+   * downstream notices missing PAIRS; only this comparison does. Run it
+   * scheduled on a panel, never the corpus: the exact side is the
+   * expensive leg by design.
+   *
+   * Output: one row per TRUE pair — (id1, id2, jaccard, found). recall
+   * = avg(found) downstream; emitting pairs rather than the quotient
+   * keeps the audit actionable (the missed pairs ARE the tuning
+   * evidence).
+   *
+   * Scale shape: the exact side is an INVERTED-INDEX pair generation,
+   * not a cartesian — explode distinct shingle hashes, equi-self-join
+   * on the hash, count shared hashes per pair (every true pair at any
+   * positive threshold shares a shingle, so no pair is lost), then one
+   * arithmetic Jaccard from the shared count and the two set sizes.
+   * Cost is Σ bucket² over shingle-hash buckets of the PANEL — the
+   * knob is the panel size, which is the audit's documented contract.
+   * The candidate side is the production [[lshCandidates]] machinery
+   * itself (same signatures, same banding, same skew cap), so the audit
+   * measures the REAL config, not a reimplementation.
+   */
+  def minhashRecallAudit(panel: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int, bands: Int, threshold: Double,
+      maxBucket: Int = 1000): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into $bands bands")
+    val hs = shingleTable(
+      panel.select(col(idCol).as("id"), col(textCol).as("t")), "id", "t", shingleN)
+      .select(col("id"), md5(col("s")).as("h")).distinct()
+    val sizes = hs.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = hs.select(col("id").as("id1"), col("h"))
+      .join(hs.select(col("id").as("id2"), col("h")), "h")
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+    val truth = inter
+      .join(sizes.select(col("id").as("id1"), col("n").as("n1")), "id1")
+      .join(sizes.select(col("id").as("id2"), col("n").as("n2")), "id2")
+      .select(col("id1"), col("id2"),
+        (col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val cand = candidatesFromSig(minhashSig(panel, idCol, textCol, shingleN, k),
+      k, bands, maxBucket).withColumn("found", lit(true))
+    truth.join(cand, Seq("id1", "id2"), "left")
+      .select(col("id1"), col("id2"), col("jaccard"),
+        coalesce(col("found"), lit(false)).as("found"))
+  }
+
+  /**
    * Cross-corpus near-dedup — the dataset-MIXING gate: drop from
    * `incoming` every document whose true shingle-set Jaccard with ANY
    * `reference` document reaches `threshold` (dedup a crawl batch against

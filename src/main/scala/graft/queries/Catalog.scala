@@ -6639,6 +6639,50 @@ object Catalog {
           Q7.planted(s, d), col("_cur"), "embedding", Q7.thresh)),
       Some(Q7.oracleSql))
 
+  // ---------------------------------------------------------------- q8
+  // DEDUP RECALL AUDIT (Dedup.minhashRecallAudit) — q6's
+  // estimate-vs-exact discipline applied to the dedup side: exact
+  // ground-truth near-dup pairs on a sampled panel (inverted-index pair
+  // generation — every true pair shares a shingle, so the equi-join on
+  // the shingle hash loses nothing and no cartesian exists) vs the
+  // candidates the PRODUCTION banding machinery generates. Banding
+  // parameters tuned once drift silently as the corpus'
+  // document-length distribution moves; nothing downstream notices
+  // missing PAIRS — only this audit does. The audited config is
+  // deliberately WEAKER than l1's (2 bands of 8 rows: P(candidate |
+  // j=0.9) ≈ 0.67) so the found-flag column carries real information;
+  // the oracle replays both legs (the shared lshCandSql chain IS the
+  // candidate leg), so every per-pair verdict is hash-gated. Panel =
+  // every 5th base doc plus its planted twin.
+  private val q8 = Q(
+    "q8_dedup_recall_audit",
+    (s, d) => {
+      val panel = perturbedCorpus(s, d)
+        .filter((col("id") % 1000000L) % 5 === 0)
+      val out = graft.operators.Dedup.minhashRecallAudit(
+        panel, "id", "t", shingleN = 3, k = 16, bands = 2,
+        threshold = 0.8, maxBucket = 1000)
+      require(out.count() > 0, "the panel must contain true near-dup pairs")
+      out
+    },
+    Some(s"""
+      WITH corpus AS (
+        SELECT id, t FROM ($corpusSql) z WHERE (id % 1000000) % 5 = 0),
+      ${lshCandSql(shingleN = 3, k = 16, bands = 2, maxBucket = 1000)},
+      hsx AS (SELECT id, list_distinct(list_transform(shingles, x -> md5(x))) AS hset
+              FROM shf),
+      ix AS (SELECT id, unnest(hset) AS h FROM hsx),
+      iv AS (SELECT x.id AS id1, y.id AS id2, COUNT(*) AS inter
+             FROM ix x JOIN ix y ON x.h = y.h AND x.id < y.id GROUP BY 1, 2),
+      sz AS (SELECT id, len(hset) AS n FROM hsx),
+      truth AS (
+        SELECT id1, id2,
+          CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) AS jaccard
+        FROM iv JOIN sz s1 ON iv.id1 = s1.id JOIN sz s2 ON iv.id2 = s2.id
+        WHERE CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.8)
+      SELECT t.id1, t.id2, t.jaccard, (c.id1 IS NOT NULL) AS found
+      FROM truth t LEFT JOIN cand c ON t.id1 = c.id1 AND t.id2 = c.id2"""))
+
 
   // ---------------------------------------------------------------- c4
   // Per-user ordered event sequences capped at 50 — the autoregressive
@@ -7935,7 +7979,7 @@ object Catalog {
     n1, n2, n3, n4, n5, n6, n7,
     d1, d2, d3, d4, d5, d6, d7,
     e1, e2, e3, e4, e5, e6, j1, j2, j3, j4, j5,
-    r1, r2, r3, r4, r5, r6, r7, r8, q1, q2, q3, q4, q5, q6, q7,
+    r1, r2, r3, r4, r5, r6, r7, r8, q1, q2, q3, q4, q5, q6, q7, q8,
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
     l17, l18, l19, l20, l21, l22,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16,

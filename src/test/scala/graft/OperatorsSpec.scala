@@ -1209,6 +1209,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(oneSided.getDouble(3) == 1.0)
   }
 
+  test("minhashRecallAudit: truth matches brute force; found flags match the candidate set") {
+    import graft.operators.Dedup
+    // three near-dup families + singletons; word shingles of 3
+    def doc(base: String, tail: String) = s"$base $tail"
+    val base1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val base2 = "one two three four five six seven eight nine ten"
+    val rows = Seq(
+      1L -> doc(base1, "iota"), 2L -> doc(base1, "iota"), // exact dups
+      3L -> doc(base1, "kappa"), // near dup of 1/2
+      4L -> doc(base2, "xx"), 5L -> doc(base2, "yy"), // near pair
+      6L -> "completely different words nothing shared here at all")
+    val df = rows.toDF("id", "t")
+    val got = Dedup.minhashRecallAudit(df, "id", "t",
+      shingleN = 3, k = 16, bands = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    // brute-force truth: distinct word-3-shingle sets, pairwise jaccard
+    def shingles(t: String) =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val brute = (for {
+      (i, ti) <- rows; (j, tj) <- rows if i < j
+      si = shingles(ti); sj = shingles(tj)
+      jac = (si & sj).size.toDouble / (si | sj).size.toDouble
+      if jac >= 0.5
+    } yield (i, j) -> jac).toMap
+    assert(got.keySet == brute.keySet, "truth pairs must match brute force")
+    brute.foreach { case (k, v) => assert(got(k)._1 == v, s"jaccard drift on $k") }
+    // every found flag must agree with the production candidate generator
+    val cands = Dedup.lshCandidates(df, "id", "t", shingleN = 3, k = 16, bands = 2, maxBucket = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.foreach { case (k, (_, found)) => assert(found == cands(k), s"flag drift on $k") }
+    // the exact-dup pair collides in every band by construction
+    assert(got((1L, 2L))._2)
+  }
+
   test("embeddingDrift: exact per-dim means, planted shift flagged, empty side drifts") {
     import graft.operators.Checks
     // dim 0: both slices mean 1.0 → shift 0; dim 1: cur shifted +0.5 →
