@@ -295,6 +295,40 @@ object Checks {
     embeddingDriftFromCells(cells, threshold)
   }
 
+  /**
+   * K-ANONYMITY + L-DIVERSITY AUDIT — the privacy gate a published
+   * dataset needs beside PII redaction (t5 removes direct identifiers;
+   * THIS catches re-identification by quasi-identifier combination —
+   * Sweeney's k-anonymity, and Machanavajjhala's l-diversity for the
+   * homogeneity attack k-anonymity alone misses: a group of 7 rows is
+   * k=5-safe yet leaks everything if all 7 share the sensitive value).
+   * One row per quasi-identifier equivalence class: its size, the
+   * number of DISTINCT sensitive values inside it, and the two risk
+   * flags (size < k → re-identifiable; diversity < l → attribute
+   * disclosure). Publication gates consume `anyRisk`; the per-class
+   * rows are the suppression work-list.
+   *
+   * All-integer verdicts (counts and comparisons only — no float
+   * enters), so any engine replays them bit for bit.
+   *
+   * Scale shape: ONE aggregation over the quasi columns; the exact
+   * distinct-count plans as Spark's two-phase Expand aggregate — both
+   * phases map-side partial, one exchange on the quasi key, output
+   * sized to equivalence classes (the contracted relation), never rows.
+   */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+      k: Int, l: Int): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 2 && l >= 1,
+      "need quasi-identifier columns, k >= 2, l >= 1")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .select(quasiCols.map(col) ++ Seq(
+        col("n_rows"), col("n_sensitive"),
+        (col("n_rows") < k).as("k_risk"),
+        (col("n_sensitive") < l).as("l_risk")): _*)
+  }
+
   /** One side's per-dimension partial cells: (`dim`, `sumName` = exact
     * DECIMAL(38,20) value sum, `cntName` = row count) — the contracted
     * relation the streaming twin freezes (reference side) and folds per

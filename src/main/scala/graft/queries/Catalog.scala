@@ -6639,6 +6639,48 @@ object Catalog {
           Q7.planted(s, d), col("_cur"), "embedding", Q7.thresh)),
       Some(Q7.oracleSql))
 
+  // ---------------------------------------------------------------- q9
+  // K-ANONYMITY + L-DIVERSITY AUDIT (Checks.kAnonymity) — the privacy
+  // leg of the q-family, and t5's missing other half: redaction removes
+  // DIRECT identifiers, but a published table still re-identifies
+  // through quasi-identifier combinations (Sweeney: 87% of the US by
+  // zip+birthdate+sex), and a k-safe class still leaks its sensitive
+  // attribute when every member shares it (the homogeneity attack
+  // l-diversity exists for). Fixture: the event stream published by
+  // (event_type, day, value band) with user_id as the sensitive
+  // attribute — rare (type, day, band) classes ARE re-identifiable and
+  // the entry THROWS unless the audit finds both risky and safe classes
+  // (an all-safe or all-risky fixture gates nothing). All-integer
+  // verdicts; one Expand aggregate, one exchange on the quasi key,
+  // class-sized output.
+  private val q9 = Q(
+    "q9_k_anonymity",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        floor(col("value") / 50).as("band"),
+        col("user_id"))
+      val out = graft.operators.Checks.kAnonymity(
+        ev, Seq("event_type", "day", "band"), "user_id", k = 5, l = 3)
+      val mix = out.agg(
+        sum(when(col("k_risk") || col("l_risk"), 1L).otherwise(0L)).as("risky"),
+        sum(when(!col("k_risk") && !col("l_risk"), 1L).otherwise(0L)).as("safe"))
+        .head()
+      require(mix.getLong(0) > 0 && mix.getLong(1) > 0,
+        s"fixture must mix risky and safe classes: ${mix.getLong(0)}/${mix.getLong(1)}")
+      out
+    },
+    Some("""
+      SELECT event_type, day, band, n_rows, n_sensitive,
+        n_rows < 5 AS k_risk, n_sensitive < 3 AS l_risk
+      FROM (
+        SELECT event_type,
+          strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+          CAST(floor(value / 50) AS BIGINT) AS band,
+          COUNT(*) AS n_rows, COUNT(DISTINCT user_id) AS n_sensitive
+        FROM events GROUP BY 1, 2, 3) z"""))
+
   // ---------------------------------------------------------------- q8
   // DEDUP RECALL AUDIT (Dedup.minhashRecallAudit) — q6's
   // estimate-vs-exact discipline applied to the dedup side: exact
@@ -7979,7 +8021,7 @@ object Catalog {
     n1, n2, n3, n4, n5, n6, n7,
     d1, d2, d3, d4, d5, d6, d7,
     e1, e2, e3, e4, e5, e6, j1, j2, j3, j4, j5,
-    r1, r2, r3, r4, r5, r6, r7, r8, q1, q2, q3, q4, q5, q6, q7, q8,
+    r1, r2, r3, r4, r5, r6, r7, r8, q1, q2, q3, q4, q5, q6, q7, q8, q9,
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
     l17, l18, l19, l20, l21, l22,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16,

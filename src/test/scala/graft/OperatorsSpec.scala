@@ -1209,6 +1209,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(oneSided.getDouble(3) == 1.0)
   }
 
+  test("kAnonymity: class sizes, diversity, and the homogeneity case k alone misses") {
+    import graft.operators.Checks
+    // class A: 6 rows, 4 sensitive values -> safe on both
+    // class B: 3 rows -> k-risky (and l-risky: 2 < 3)
+    // class C: 7 rows, ONE sensitive value -> k-safe but l-risky (homogeneity)
+    val rows =
+      Seq.tabulate(6)(i => ("A", "d1", i.toLong % 4)) ++
+      Seq.tabulate(3)(i => ("B", "d1", i.toLong % 2)) ++
+      Seq.tabulate(7)(_ => ("C", "d2", 9L))
+    val got = Checks.kAnonymity(rows.toDF("g", "day", "uid"),
+      Seq("g", "day"), "uid", k = 5, l = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5))).toMap
+    assert(got(("A", "d1")) == ((6L, 4L, false, false)))
+    assert(got(("B", "d1")) == ((3L, 2L, true, true)))
+    assert(got(("C", "d2")) == ((7L, 1L, false, true)))
+  }
+
   test("minhashRecallAudit: truth matches brute force; found flags match the candidate set") {
     import graft.operators.Dedup
     // three near-dup families + singletons; word shingles of 3
