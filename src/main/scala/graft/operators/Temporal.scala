@@ -420,4 +420,73 @@ object Temporal {
         floor(unix_micros(greatest(col(leftStart), col(rightStart))) / binUs))
       .drop("_bin")
   }
+
+  /**
+   * MULTI-TOUCH ATTRIBUTION — the journey-credit operator every
+   * conversion-funnel mart ends with (first-touch / last-touch / linear,
+   * the three models every attribution tool ships): each touch event is
+   * assigned to the NEXT conversion of the same user within `lookback`,
+   * and every (conversion, touch) pair carries its rank in the journey,
+   * the journey size, both positional flags, and a scaled-long linear
+   * credit floor(`creditScale` / n_touches) — position-weighted models
+   * (U-shaped, time-decay) are one expression over (touch_rank,
+   * n_touches) downstream.
+   *
+   * The touch→conversion assignment is the FORWARD as-of join, by the
+   * same union-merge discipline as [[asofJoin]] (an inequality join
+   * would pair every touch with every later conversion before an argmin
+   * prunes — quadratic per user): one window over (user) ordered by
+   * (ts, event_id) DESCENDING carries the nearest following conversion
+   * back onto every touch. The (ts, event_id) lexicographic order makes
+   * simultaneous-timestamp ties deterministic in both engines; a touch
+   * dated exactly at a conversion attributes to it only when its
+   * event_id is smaller. Touches with no conversion inside `lookback`
+   * and conversions with no touches produce no rows (no credit to
+   * assign).
+   *
+   * Arithmetic is engine-exact: ranks/counts are integers, the interval
+   * test compares native timestamps, and the linear credit is one floor
+   * over exact-in-double operands (creditScale <= 2^53).
+   *
+   * Scale shape: two exchanges end to end — hash(user) for the
+   * assignment window, hash(user, conversion) for the per-journey
+   * rank/count pair (both windows on the second key share one
+   * exchange). Everything is windows over the filtered event set; no
+   * join at all.
+   */
+  def multiTouchAttribution(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, touchTypes: Seq[String],
+      convType: String, lookback: String,
+      creditScale: Long = 1000000L): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(convType),
+      "touch types must be nonempty and exclude the conversion type")
+    require(creditScale > 0 && creditScale <= (1L << 53),
+      "creditScale must stay exact in double")
+    val ev = events
+      .select(col(userCol).as("user_id"), col(tsCol).as("ts"),
+        col(idCol).as("event_id"), col(typeCol).as("touch_type"))
+      .filter(col("touch_type").isin((touchTypes :+ convType).map(x => x: Any): _*))
+      .withColumn("_conv", col("touch_type") === convType)
+    val wDesc = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val assigned = ev
+      .withColumn("conv_id", last(when(col("_conv"), col("event_id")),
+        ignoreNulls = true).over(wDesc))
+      .withColumn("conv_ts", last(when(col("_conv"), col("ts")),
+        ignoreNulls = true).over(wDesc))
+      .filter(!col("_conv") && col("conv_id").isNotNull &&
+        col("conv_ts") <= col("ts") + expr(s"INTERVAL $lookback"))
+    val wConv = Window.partitionBy("user_id", "conv_id")
+    assigned
+      .withColumn("touch_rank",
+        row_number().over(wConv.orderBy(col("ts"), col("event_id"))))
+      .withColumn("n_touches", count(lit(1)).over(wConv))
+      .select(col("user_id"), col("conv_id"),
+        col("event_id").as("touch_id"), col("touch_type"),
+        col("touch_rank"), col("n_touches"),
+        (col("touch_rank") === 1).as("first_touch"),
+        (col("touch_rank") === col("n_touches")).as("last_touch"),
+        floor(lit(creditScale.toDouble) / col("n_touches")).as("linear_credit"))
+  }
 }

@@ -374,6 +374,52 @@ object Catalog {
       SELECT path, COUNT(*) AS n_journeys FROM paths
       GROUP BY 1 ORDER BY n_journeys DESC, path LIMIT 20"""))
 
+  // ---------------------------------------------------------------- a15
+  // MULTI-TOUCH ATTRIBUTION (Temporal.multiTouchAttribution) — the
+  // journey-credit table every conversion mart ends with: each
+  // view/click is assigned to the user's NEXT purchase within 7 days by
+  // a FORWARD as-of (j1's union-merge discipline run descending — no
+  // inequality join ever forms), then one per-journey window pair emits
+  // rank, size, first/last flags, and the floor-scaled linear credit.
+  // Integer ranks, native-timestamp interval test, one floor over
+  // exact-in-double operands — engine-exact end to end; the (ts,
+  // event_id) lexicographic order pins simultaneous-timestamp ties.
+  // Two exchanges total: hash(user) then hash(user, conversion).
+  private val a15 = Q(
+    "a15_attribution",
+    (s, d) => graft.operators.Temporal.multiTouchAttribution(
+      Tables.events(s, d), "user_id", "ts", "event_id", "event_type",
+      Seq("view", "click"), "purchase", "7 DAYS"),
+    Some("""
+      WITH ev AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+          event_type AS touch_type, (event_type = 'purchase') AS is_conv
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      asg AS (
+        SELECT *,
+          last_value(CASE WHEN is_conv THEN event_id END IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conv_id,
+          last_value(CASE WHEN is_conv THEN ts END IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conv_ts
+        FROM ev),
+      t AS (
+        SELECT * FROM asg
+        WHERE NOT is_conv AND conv_id IS NOT NULL
+          AND conv_ts <= ts + INTERVAL 7 DAY),
+      r AS (
+        SELECT user_id, conv_id, event_id AS touch_id, touch_type,
+          CAST(ROW_NUMBER() OVER (
+            PARTITION BY user_id, conv_id ORDER BY ts, event_id) AS INT) AS touch_rank,
+          COUNT(*) OVER (PARTITION BY user_id, conv_id) AS n_touches
+        FROM t)
+      SELECT user_id, conv_id, touch_id, touch_type, touch_rank, n_touches,
+        touch_rank = 1 AS first_touch,
+        touch_rank = n_touches AS last_touch,
+        CAST(floor(1000000.0 / n_touches) AS BIGINT) AS linear_credit
+      FROM r"""))
+
   private val a13 = Q(
     "a13_gapfill",
     (s, d) => {
@@ -8017,7 +8063,7 @@ object Catalog {
   }
 
   val all: Seq[Q] = Seq(
-    a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11, a12, a13, a14,
+    a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11, a12, a13, a14, a15,
     n1, n2, n3, n4, n5, n6, n7,
     d1, d2, d3, d4, d5, d6, d7,
     e1, e2, e3, e4, e5, e6, j1, j2, j3, j4, j5,

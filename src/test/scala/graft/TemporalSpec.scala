@@ -171,6 +171,38 @@ class TemporalSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------- columnProfile
+  test("multiTouchAttribution: journeys split at conversions; lookback, ties, credits") {
+    // user 1: touches e1,e2 -> conv C1(e3); touch e4 -> conv C2(e5);
+    //         touch e6 with NO following conversion -> dropped
+    // user 2: touch e10 is 8 days before its conversion -> outside 7d lookback
+    // user 3: touch e20 at the SAME ts as conv e21 (touch id smaller ->
+    //         attributes); touch e22 same ts as conv e21 but LARGER id ->
+    //         lexicographically after, no conversion follows -> dropped
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 11:00:00"), 2L, "click"),
+      (1L, ts("2024-01-02 09:00:00"), 3L, "purchase"),
+      (1L, ts("2024-01-03 09:00:00"), 4L, "view"),
+      (1L, ts("2024-01-04 09:00:00"), 5L, "purchase"),
+      (1L, ts("2024-01-05 09:00:00"), 6L, "view"),
+      (2L, ts("2024-01-01 00:00:00"), 10L, "click"),
+      (2L, ts("2024-01-09 00:00:01"), 11L, "purchase"),
+      (3L, ts("2024-01-01 12:00:00"), 20L, "view"),
+      (3L, ts("2024-01-01 12:00:00"), 21L, "purchase"),
+      (3L, ts("2024-01-01 12:00:00"), 22L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Temporal.multiTouchAttribution(rows, "user_id", "ts", "event_id",
+      "event_type", Seq("view", "click"), "purchase", "7 DAYS")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (r.getString(3), r.getInt(4), r.getLong(5), r.getBoolean(6),
+          r.getBoolean(7), r.getLong(8))).toMap
+    assert(got.keySet == Set((1L, 3L, 1L), (1L, 3L, 2L), (1L, 5L, 4L), (3L, 21L, 20L)))
+    assert(got((1L, 3L, 1L)) == (("view", 1, 2L, true, false, 500000L)))
+    assert(got((1L, 3L, 2L)) == (("click", 2, 2L, false, true, 500000L)))
+    assert(got((1L, 5L, 4L)) == (("view", 1, 1L, true, true, 1000000L)))
+    assert(got((3L, 21L, 20L)) == (("view", 1, 1L, true, true, 1000000L)))
+  }
+
   test("columnProfile: counts, exact distinct, numeric-only min/max") {
     val df = Seq(
       (Some(1L), Some("a"), Some(2.5)),
