@@ -422,6 +422,48 @@ object Curate {
    * when (orderCols, payload) is unique per key → deterministic output
    * at any parallelism).
    */
+  /**
+   * CURRICULUM PACKING — [[packSequences]]' shard/budget discipline
+   * with a DIFFICULTY-PHASE axis (curriculum learning, Bengio et al.
+   * 2009: present easy examples first): every pack is single-phase, so
+   * a training loader consumes packs in (phase, shard, pack_id) order
+   * and difficulty is monotone across the run, while WITHIN a phase the
+   * salted-hash shard assignment keeps examples well mixed (phase
+   * boundaries order the curriculum; the hash de-correlates everything
+   * else — ordering by raw difficulty inside a phase would feed the
+   * model near-sorted data, the failure mode curricula are tuned to
+   * avoid). `phase` = how many ascending `thresholds` the document's
+   * difficulty has passed — an all-integer verdict any engine replays.
+   *
+   * Scale shape: identical to [[packSequences]] — one narrow pass
+   * computes (phase, shard), ONE exchange on (phase, shard) feeds the
+   * running-token window, cut at `budget`, and the per-pack rollup
+   * reuses the window's partitioning. A document larger than `budget`
+   * still lands in exactly one pack (its own), same as c5.
+   */
+  def curriculumPack(docs: DataFrame, idCol: String, tokenCountCol: Column,
+      difficultyCol: Column, thresholds: Seq[Long], nShards: Int,
+      budget: Long): DataFrame = {
+    require(thresholds.nonEmpty && thresholds == thresholds.sorted,
+      "thresholds must be nonempty and ascending")
+    require(nShards >= 1 && budget >= 1, "nShards and budget must be positive")
+    val phase = thresholds.map(t => when(difficultyCol >= t, 1).otherwise(0))
+      .reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("phase", "shard").orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs
+      .select(col(idCol), tokenCountCol.cast("bigint").as("n_tokens"),
+        phase.as("phase"),
+        floor(hashFraction(concat(col(idCol).cast("string"), lit("|cur")))
+          * nShards).cast("bigint").as("shard"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id", expr(s"(cum - n_tokens) div ${budget}L"))
+      .groupBy("phase", "shard", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+  }
+
   def sequences(df: DataFrame, keyCol: String, orderCols: Seq[String],
       payloadCol: String, maxLen: Int): DataFrame = {
     require(maxLen >= 1, "maxLen must be at least 1")

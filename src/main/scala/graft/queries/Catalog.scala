@@ -4249,6 +4249,60 @@ object Catalog {
         COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
       FROM c GROUP BY 1, 2"""))
 
+  // ---------------------------------------------------------------- c12
+  // CURRICULUM PACKING (Curate.curriculumPack) — c5's shard/budget
+  // discipline with a difficulty-phase axis (Bengio et al. 2009): every
+  // pack is single-phase so a loader consuming packs in (phase, shard,
+  // pack_id) order trains easy→hard, while the salted-hash shard keeps
+  // examples mixed WITHIN a phase (ordering by raw difficulty inside a
+  // phase would feed near-sorted data — the failure mode curricula
+  // avoid). Difficulty here = long-word rate in parts-per-million, an
+  // exact integer (n_long·1e6 DIV n_words); phase = thresholds passed.
+  // The entry THROWS unless all three phases are populated — an
+  // all-easy fixture would gate nothing. One narrow scoring pass, ONE
+  // exchange on (phase, shard), pack rollup on the window's own
+  // partitioning.
+  private val c12 = Q(
+    "c12_curriculum",
+    (s, d) => {
+      val prepped = Tables.documents(s, d)
+        .select(col("doc_id"), split(T.normKey(col("text")), " ").as("ws"))
+        .select(col("doc_id"), size(col("ws")).cast("bigint").as("n_words"),
+          size(filter(col("ws"), w => length(w) > 6)).cast("bigint").as("n_long"))
+        .filter(col("n_words") >= 1)
+        .withColumn("dif", expr("(n_long * 1000000) DIV n_words"))
+      val out = graft.operators.Curate.curriculumPack(
+        prepped, "doc_id", col("n_words"), col("dif"),
+        thresholds = Seq(30000L, 70000L), nShards = 8, budget = 2048L)
+      require(out.select(countDistinct(col("phase"))).head().getLong(0) == 3L,
+        "fixture must populate all three curriculum phases")
+      out
+    },
+    Some(s"""
+      WITH f AS (
+        SELECT doc_id, len(ws) AS n_words,
+          len(list_filter(ws, w -> len(w) > 6)) AS n_long
+        FROM (SELECT doc_id, string_split(${normSql("text")}, ' ') AS ws
+              FROM documents) z),
+      g AS (
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_tokens,
+          (n_long * 1000000) // n_words AS dif
+        FROM f WHERE n_words >= 1),
+      p AS (
+        SELECT doc_id, n_tokens,
+          CAST((CASE WHEN dif >= 30000 THEN 1 ELSE 0 END) +
+               (CASE WHEN dif >= 70000 THEN 1 ELSE 0 END) AS INT) AS phase,
+          CAST(floor(${hashFracSql("CAST(doc_id AS VARCHAR) || '|cur'")} * 8)
+            AS BIGINT) AS shard
+        FROM g),
+      c AS (
+        SELECT *, SUM(n_tokens) OVER (PARTITION BY phase, shard ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+        FROM p)
+      SELECT phase, shard, CAST(cum - n_tokens AS BIGINT) // 2048 AS pack_id,
+        COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      FROM c GROUP BY 1, 2, 3"""))
+
   // ---------------------------------------------------------------- m3
   // Frame sampling (every 4th 64-char frame of each payload): the
   // "don't decode the whole video" step ahead of m2's batch extractor —
@@ -8071,7 +8125,7 @@ object Catalog {
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
     l17, l18, l19, l20, l21, l22,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16,
-    c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11,
+    c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12,
     m1, m2, m3, m4, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18,
     p1, p2, p3, p4, p5,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,

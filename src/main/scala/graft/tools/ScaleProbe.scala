@@ -146,7 +146,25 @@ object ScaleProbe {
     // s17: ×8 docs fold through three dictionary versions — counts are
     // ×8 but the dictionary (vocab²) is UNCHANGED, so fold cost must
     // stay dictionary-sized and the serve step constant
-    "s17_stream_colloc")
+    "s17_stream_colloc",
+    // round-10 continuation: q7/s18 fold ×8 vectors into the SAME 64
+    // dimension cells (state dim-sized regardless of corpus; the salt
+    // rotates vec_id%3 slice membership per copy, but both slices keep
+    // identical vector distributions, so the planted-dims gate holds);
+    // q8 is the adversarial Σ bucket² axis ON PURPOSE — the salt
+    // preserves panel membership (1e8 ≡ 0 mod 5 and mod 1e6), so 8
+    // identical copies of every panel doc inflate true pairs ~×64
+    // through the inverted index (the audit's documented panel-size
+    // knob, l12's hazard class); q9 rides ×8 events into the same
+    // class set (n_rows ×8, n_sensitive unchanged — the l-risk leg
+    // keeps the fixture gate alive); a15 rides ×8 copies of every
+    // touch AND conversion through both windows (journeys widen, user
+    // count unchanged — the window-partition axis); g8 peels 8
+    // disjoint purchase-graph replicas (×8 edges, same rounds — the
+    // per-round degree aggregate + semi-joins must grow linearly)
+    "q7_embedding_drift", "s18_stream_embedding_drift",
+    "q8_dedup_recall_audit", "q9_k_anonymity", "a15_attribution",
+    "g8_kcore")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1209,6 +1209,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(oneSided.getDouble(3) == 1.0)
   }
 
+  test("curriculumPack: phases from thresholds, single-phase packs, budget cuts") {
+    import graft.operators.Curate
+    // one shard so the pack math is hand-checkable
+    val docs = Seq(
+      (1L, 10L, 5L),   // dif 5  -> phase 0
+      (2L, 10L, 5L),   // phase 0; cum 20 -> same pack as doc 1 (budget 25)
+      (3L, 10L, 5L),   // phase 0; cum 30 -> (30-10) div 25 = 0 -> still pack 0
+      (4L, 10L, 5L),   // phase 0; cum 40 -> (40-10) div 25 = 1 -> pack 1
+      (5L, 99L, 15L),  // dif 15 -> phase 1; oversize (99 > 25) -> its own pack
+      (6L, 10L, 30L))  // dif 30 -> phase 2
+      .toDF("id", "n_tokens", "dif")
+    val got = Curate.curriculumPack(docs, "id", col("n_tokens"), col("dif"),
+      thresholds = Seq(10L, 20L), nShards = 1, budget = 25L)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(got((0, 0L, 0L)) == ((3L, 30L)))
+    assert(got((0, 0L, 1L)) == ((1L, 10L)))
+    assert(got((1, 0L, 0L)) == ((1L, 99L)))
+    assert(got((2, 0L, 0L)) == ((1L, 10L)))
+    assert(got.size == 4)
+    // thresholds must be ascending
+    intercept[IllegalArgumentException] {
+      Curate.curriculumPack(docs, "id", col("n_tokens"), col("dif"),
+        thresholds = Seq(20L, 10L), nShards = 1, budget = 25L)
+    }
+  }
+
   test("kAnonymity: class sizes, diversity, and the homogeneity case k alone misses") {
     import graft.operators.Checks
     // class A: 6 rows, 4 sensitive values -> safe on both
