@@ -71,7 +71,16 @@ object SkewProbe {
     // the hot user joins 30% of cells — the membership cap bounds each
     // cell's pairs and orientation keeps the hub off wedge apexes)
     "g1_pagerank", "g2_seed_distance", "g3_triangle_count",
-    "s16_stream_graph")
+    "s16_stream_graph",
+    // round-10 continuation: attribution partitions BOTH windows by the
+    // user — the hot user funnels 30% of touches+conversions into one
+    // assignment window and its per-journey pairs (journeys stay
+    // activity-bounded in production; this measures the worst case);
+    // q9's hot user multiplies n_rows of the classes it lands in but
+    // distinct-count partials stay class-sized; g8 peels under the
+    // hot-hub purchase graph (one supplier in 30% of lines — degree
+    // aggregates are partial-combinable, the semi-joins equi)
+    "a15_attribution", "q9_k_anonymity", "g8_kcore")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
