@@ -385,12 +385,10 @@ object Catalog {
   // exact-in-double operands — engine-exact end to end; the (ts,
   // event_id) lexicographic order pins simultaneous-timestamp ties.
   // Two exchanges total: hash(user) then hash(user, conversion).
-  private val a15 = Q(
-    "a15_attribution",
-    (s, d) => graft.operators.Temporal.multiTouchAttribution(
-      Tables.events(s, d), "user_id", "ts", "event_id", "event_type",
-      Seq("view", "click"), "purchase", "7 DAYS"),
-    Some("""
+  /** One ground truth for the batch attribution (a15) and its stateful
+    * streaming twin (s19): any drift between the window form and the
+    * per-key fold breaks the shared hash. */
+  private val attributionOracleSql: String = """
       WITH ev AS (
         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
           event_type AS touch_type, (event_type = 'purchase') AS is_conv
@@ -418,7 +416,33 @@ object Catalog {
         touch_rank = 1 AS first_touch,
         touch_rank = n_touches AS last_touch,
         CAST(floor(1000000.0 / n_touches) AS BIGINT) AS linear_credit
-      FROM r"""))
+      FROM r"""
+
+  private val a15 = Q(
+    "a15_attribution",
+    (s, d) => graft.operators.Temporal.multiTouchAttribution(
+      Tables.events(s, d), "user_id", "ts", "event_id", "event_type",
+      Seq("view", "click"), "purchase", "7 DAYS"),
+    Some(attributionOracleSql))
+
+  // ---------------------------------------------------------------- s19
+  // STREAMING ATTRIBUTION (EventStream.attributionState) — a15's live
+  // twin: per-user pending touches in state, each conversion consumes
+  // them Append-final (journey rows written exactly once, at the
+  // conversion), identical rank/flag/credit arithmetic to the batch
+  // window form. On batch input the SAME flatMapGroupsWithState fold
+  // runs once per key from empty state, so this entry rides a15's
+  // oracle with zero twin drift; per-trigger parity (day-sliced
+  // MemoryStream) and the late-data fence (a row at-or-before a
+  // consumed conversion THROWS instead of silently mis-attributing —
+  // attribution rows are revenue-bearing) are StreamingSpec's job.
+  // State = pending touches + one fence tuple, activity-bounded.
+  private val s19 = Q(
+    "s19_stream_attribution",
+    (s, d) => graft.streaming.EventStream.attributionState(
+      Tables.events(s, d), Seq("view", "click"), "purchase",
+      lookbackUs = 7L * 86400L * 1000000L),
+    Some(attributionOracleSql))
 
   private val a13 = Q(
     "a13_gapfill",
@@ -8126,7 +8150,7 @@ object Catalog {
     l17, l18, l19, l20, l21, l22,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16,
     c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12,
-    m1, m2, m3, m4, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18,
+    m1, m2, m3, m4, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19,
     p1, p2, p3, p4, p5,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
     w17, w18, w19, w20, w21, w22,

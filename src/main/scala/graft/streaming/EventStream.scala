@@ -31,6 +31,15 @@ case class CdcOpState(
     latest_ts: Timestamp, latest_event_id: Long,
     op: String, value: Double)
 
+/** [[EventStream.attributionState]]'s per-user state: the touches not
+  * yet consumed by a conversion, as (epoch-micros, event_id, type), plus
+  * the last consumed conversion's (micros, id) — the late-data fence.
+  * Pending size is bounded by a user's touch activity between
+  * conversions (activity-bounded in production, never corpus-sized). */
+case class AttrState(
+    pending: Seq[(Long, Long, String)],
+    lastConvUs: Long, lastConvId: Long)
+
 /**
  * Structured Streaming twin of the reference's incremental daily batch
  * (reference: airflow/dags/jobs_etl_daily.py orchestrates extract →
@@ -501,6 +510,83 @@ object EventStream {
       }
       .toDF("user_id", "day", "day_value", "n_events", "observed",
         "days_since_obs")
+  }
+
+  /**
+   * STREAMING MULTI-TOUCH ATTRIBUTION (catalog s19 — a15's live twin):
+   * per user, touches accumulate in state until a conversion arrives;
+   * the conversion CONSUMES every pending touch (each touch attributes
+   * to its NEXT conversion only, a15's semantics), emits the journey
+   * rows for the in-lookback ones — rank, size, positional flags,
+   * floor-scaled linear credit, identical arithmetic to
+   * [[graft.operators.Temporal.multiTouchAttribution]] — and clears the
+   * pending set. Emission is Append-final: a journey is written exactly
+   * once, at its conversion.
+   *
+   * Ordering contract: rows are sorted (ts, event_id) within a trigger;
+   * ACROSS triggers any row at-or-before the last consumed conversion
+   * THROWS rather than silently mis-attributing to a later conversion
+   * (the gapFillDaily fence, loud instead of lossy — attribution rows
+   * are revenue-bearing, so a dropped late touch must be a visible
+   * incident, not a quiet one). Same-timestamp ties follow a15's
+   * (ts, event_id) lexicographic rule, so a touch dated exactly at a
+   * conversion attributes to it only when its event_id is smaller.
+   *
+   * On a BATCH input Spark runs the same function once per key with
+   * empty initial state — the catalog twin rides a15's oracle with zero
+   * twin drift; per-trigger parity is StreamingSpec's job. State is the
+   * pending-touch list + one fence tuple: bounded by a user's activity
+   * between conversions, never corpus-sized.
+   */
+  def attributionState(events: DataFrame, touchTypes: Seq[String],
+      convType: String, lookbackUs: Long,
+      creditScale: Long = 1000000L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(touchTypes.nonEmpty && !touchTypes.contains(convType),
+      "touch types must be nonempty and exclude the conversion type")
+    def us(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    events
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_id").cast("long"), col("event_type"))
+      .filter(col("event_type").isin((touchTypes :+ convType).map(x => x: Any): _*))
+      .as[(Long, Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AttrState,
+        (Long, Long, Long, String, Int, Long, Boolean, Boolean, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) { case (key, rows, state) =>
+        val s0 = state.getOption.getOrElse(AttrState(Nil, Long.MinValue, Long.MinValue))
+        val sorted = rows.toArray.map(r => (us(r._2), r._3, r._4))
+          .sortBy(r => (r._1, r._2))
+        sorted.headOption.foreach { case (tus, tid, _) =>
+          if (tus < s0.lastConvUs || (tus == s0.lastConvUs && tid <= s0.lastConvId))
+            throw new IllegalStateException(
+              s"attributionState: row ($tus, $tid) for user $key arrives at-or-before " +
+                s"the consumed conversion (${s0.lastConvUs}, ${s0.lastConvId}) — " +
+                "late cross-trigger data would mis-attribute; fix the trigger slicing")
+        }
+        var pending = s0.pending
+        var (fenceUs, fenceId) = (s0.lastConvUs, s0.lastConvId)
+        val out = Seq.newBuilder[(Long, Long, Long, String, Int, Long, Boolean, Boolean, Long)]
+        sorted.foreach { case (tus, tid, tpe) =>
+          if (tpe == convType) {
+            val eligible = pending.filter(p => tus - p._1 <= lookbackUs)
+              .sortBy(p => (p._1, p._2))
+            val n = eligible.size.toLong
+            eligible.zipWithIndex.foreach { case ((_, id, tt), i) =>
+              out += ((key, tid, id, tt, i + 1, n, i == 0, i == n - 1,
+                creditScale / n))
+            }
+            pending = Nil
+            fenceUs = tus; fenceId = tid
+          } else pending = pending :+ ((tus, tid, tpe))
+        }
+        state.update(AttrState(pending, fenceUs, fenceId))
+        out.result().iterator
+      }
+      .toDF("user_id", "conv_id", "touch_id", "touch_type", "touch_rank",
+        "n_touches", "first_touch", "last_touch", "linear_credit")
   }
 
   /**

@@ -451,6 +451,64 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming attribution: journeys emit at conversions and equal the batch twin so far; late rows throw") {
+    import graft.operators.Temporal
+    implicit val ctx = spark.sqlContext
+    // day-sliced journeys: user 1 converts on day 2 (touches e1,e2) and
+    // day 4 (its touch arrives in a LATER trigger than the first journey);
+    // user 2's touch never converts (stays pending, never emitted)
+    val all = Seq(
+      UpEv(ts("2024-01-01 10:00:00"), 1, 1, "view", 0.0),
+      UpEv(ts("2024-01-01 11:00:00"), 1, 2, "click", 0.0),
+      UpEv(ts("2024-01-02 09:00:00"), 1, 3, "purchase", 0.0),
+      UpEv(ts("2024-01-03 09:00:00"), 1, 4, "view", 0.0),
+      UpEv(ts("2024-01-04 09:00:00"), 1, 5, "purchase", 0.0),
+      UpEv(ts("2024-01-01 12:00:00"), 2, 6, "view", 0.0))
+    def attr(df: org.apache.spark.sql.DataFrame) =
+      graft.streaming.EventStream.attributionState(
+        df, Seq("view", "click"), "purchase", 7L * 86400L * 1000000L)
+    val input = MemoryStream[UpEv]
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getInt(4), r.getLong(5), r.getBoolean(6), r.getBoolean(7), r.getLong(8))
+    val query = attr(input.toDF()).writeStream
+      .format("memory").queryName("attr_state_out").outputMode("append").start()
+    try {
+      def seen() = spark.table("attr_state_out").collect().map(key).toSet
+      var fed = Seq.empty[UpEv]
+      for (days <- Seq(Seq(1, 2), Seq(3), Seq(4))) {
+        val t = all.filter(e => days.exists(d => e.ts.toString.startsWith(f"2024-01-0$d")))
+        input.addData(t)
+        query.processAllAvailable()
+        fed = fed ++ t
+        // accumulated emissions == the batch operator over data-so-far
+        val batchNow = Temporal.multiTouchAttribution(fed.toDF(),
+          "user_id", "ts", "event_id", "event_type",
+          Seq("view", "click"), "purchase", "7 DAYS")
+          .collect().map(key).toSet
+        assert(seen() == batchNow,
+          s"days $days: streamed journeys must equal the batch twin so far")
+      }
+      assert(seen().size == 3) // e1,e2 -> conv day 2; day-3 view -> conv day 4
+    } finally query.stop()
+    // late-data fence: a touch at-or-before a consumed conversion THROWS
+    val input2 = MemoryStream[UpEv]
+    val q2 = attr(input2.toDF()).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.count() // a no-op body would skip the batch plan entirely
+        ()
+      }.start()
+    try {
+      input2.addData(Seq(UpEv(ts("2024-01-02 09:00:00"), 1, 3, "purchase", 0.0)))
+      q2.processAllAvailable()
+      input2.addData(Seq(UpEv(ts("2024-01-01 10:00:00"), 1, 1, "view", 0.0)))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(ex.getCause != null)
+    } finally q2.stop()
+  }
+
   test("embedding-drift fold: per-trigger cells equal the fused batch monitor so far") {
     import graft.operators.Checks
     implicit val ctx = spark.sqlContext
