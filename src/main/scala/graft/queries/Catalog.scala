@@ -5064,6 +5064,76 @@ object Catalog {
       SELECT ${MStore.projectSql}
       FROM (${MStore.stateSql(withSlice2 = true, withSlice3 = true)}) t"""))
 
+  // ---------------------------------------------------------------- w23
+  // OPTIMISTIC CONCURRENCY (two committers, one table) — the last
+  // ungated table-format behavior: writers A and B each COMPUTE a delta
+  // against the same base (the expensive concurrent part); A stages and
+  // promotes first; B's blind stage against the old base MUST fail the
+  // CAS (publishDelta checks the version head at stage time — stricter
+  // than Iceberg's commit-time check: the conflict is detected before
+  // any data write, and a silent success here IS the lost update, A's
+  // commit dropped from history). B recovers by REBASING: re-staging
+  // the already-computed delta on A's head — the retry-on-conflict loop
+  // every table format runs, one iteration, every step explicit. The
+  // ref tier gets its own guard: promoting the rebased commit with the
+  // STALE expectation must also throw (fastForward's CAS), then the
+  // correct expectation lands it. Gates, checkable not narrated:
+  // (1) both blind steps THROW; (2) the rebased commit carries ALL of
+  // A's new files by reference (a rebase re-applies its own delta; it
+  // never rewrites the winner's buckets — disjoint-bucket deltas make
+  // the rebase conflict-free, the common fast path); (3) the final head
+  // read equals the from-source oracle of BOTH deltas applied —
+  // serializability of the retried schedule.
+  private val w23 = Q(
+    "w23_concurrent_commit",
+    (s, d) => {
+      import graft.sources.ManifestStore
+      val root = s"$scratchRoot/${dsScratch(d)}/mstore_w23"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val ev = Tables.events(s, d)
+      def state(df: DataFrame) = Upsert
+        .latestState(df, "user_id", "ts", "event_id", MStore.payload)
+        .withColumn("bucket", MStore.bucketCol)
+      val base = state(ev.filter(col("ts") < lit(S5Cuts(0))))
+      // both writers prepare against v0, concurrently
+      val dA = state(ev.filter(
+        col("ts") >= lit(S5Cuts(0)) && col("ts") < lit(S5Cuts(1)) &&
+          MStore.bucketCol < 8))
+      val dB = state(ev.filter(col("ts") >= lit(S5Cuts(1)) &&
+        MStore.bucketCol >= 8 && MStore.bucketCol < 16))
+      ManifestStore.publishInitial(s, base, root, "v0", "bucket")
+      ManifestStore.setBranch(s, root, "main", "v0")
+      ManifestStore.publishDelta( // A wins the race
+        s, dA, root, "v0", "vA", "bucket", "user_id", MStore.payload, MStore.schema)
+      ManifestStore.fastForward(s, root, "main", "v0", "vA")
+      val blindStage = try { // B's stage against the old base must fail
+        ManifestStore.publishDelta(s, dB, root, "v0", "vB",
+          "bucket", "user_id", MStore.payload, MStore.schema); false
+      } catch { case _: IllegalArgumentException => true }
+      require(blindStage,
+        "a stale stage must fail the CAS, never silently drop A's commit")
+      // B rebases: re-stage the already-computed delta on A's head
+      ManifestStore.publishDelta(
+        s, dB, root, "vA", "vB", "bucket", "user_id", MStore.payload, MStore.schema)
+      val blindPromote = try { // the ref tier has its own CAS
+        ManifestStore.fastForward(s, root, "main", "v0", "vB"); false
+      } catch { case _: IllegalArgumentException => true }
+      require(blindPromote, "a stale promote must fail the ref CAS")
+      ManifestStore.fastForward(s, root, "main", "vA", "vB")
+      val m0 = ManifestStore.readManifest(s, root, "v0").toSet
+      val mA = ManifestStore.readManifest(s, root, "vA").toSet
+      val mB = ManifestStore.readManifest(s, root, "vB").toSet
+      require((mA -- m0).nonEmpty && (mA -- m0).subsetOf(mB),
+        "the rebased commit must carry every file of A's commit by reference")
+      require(ManifestStore.branchHead(s, root, "main").contains("vB"),
+        "main must land on the rebased commit")
+      MStore.project(ManifestStore.readVersion(s, root, "vB", MStore.schema))
+    },
+    Some(s"""
+      SELECT ${MStore.projectSql}
+      FROM (${MStore.stateSql(withSlice2 = true, withSlice3 = true)}) t"""))
+
   // ---------------------------------------------------------------- w18
   // INCREMENTAL SNAPSHOT CONSUMPTION — the read-side dividend of the
   // manifest chain (Delta/Iceberg's changed-file CDC read): "what
@@ -8153,7 +8223,7 @@ object Catalog {
     m1, m2, m3, m4, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19,
     p1, p2, p3, p4, p5,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
-    w17, w18, w19, w20, w21, w22,
+    w17, w18, w19, w20, w21, w22, w23,
     g1, g2, g3, g4, g5, g6, g7, g8)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
