@@ -203,6 +203,31 @@ class TemporalSpec extends AnyFunSuite {
     assert(got((3L, 21L, 20L)) == (("view", 1, 1L, true, true, 1000000L)))
   }
 
+  test("multiTouchAttribution == attributionState on random event sets (cross-form invariant)") {
+    // the window form and the stateful fold implement one semantics two
+    // ways; random inputs hunt the seams (ties, empty journeys, pending
+    // tails) that crafted fixtures miss
+    val rnd = new scala.util.Random(97)
+    val types = Array("view", "click", "purchase", "error")
+    val rows = (1 to 400).map { i =>
+      (rnd.nextInt(12).toLong + 1L,
+        ts(f"2024-01-${1 + rnd.nextInt(20)}%02d ${rnd.nextInt(24)}%02d:00:00"),
+        i.toLong,
+        types(rnd.nextInt(types.length)))
+    }.toDF("user_id", "ts", "event_id", "event_type")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getInt(4), r.getLong(5), r.getBoolean(6), r.getBoolean(7), r.getLong(8))
+    val batch = Temporal.multiTouchAttribution(rows, "user_id", "ts",
+      "event_id", "event_type", Seq("view", "click"), "purchase", "3 DAYS")
+      .collect().map(key).toSet
+    val fold = graft.streaming.EventStream.attributionState(rows,
+      Seq("view", "click"), "purchase", 3L * 86400L * 1000000L)
+      .collect().map(key).toSet
+    assert(batch == fold, "window form and stateful fold must agree")
+    assert(batch.nonEmpty, "fixture must produce journeys")
+  }
+
   test("columnProfile: counts, exact distinct, numeric-only min/max") {
     val df = Seq(
       (Some(1L), Some("a"), Some(2.5)),
