@@ -1476,29 +1476,58 @@ object Catalog {
             AND user_fk NOT IN (SELECT c_custkey FROM customer))"""
   }
 
-  private val q1 = {
-    val accepted = EnumDomains.validEventTypes
-    Q(
-      "q1_quality_checks",
-      (s, d) => {
-        val ev = Tables.events(s, d).select(
-          col("event_id"), col("user_id"),
-          when(col("event_id") % 97 === 0, lit(null).cast("string"))
-            .otherwise(col("event_type")).as("event_type"),
-          when(col("event_id") % 101 === 0, lit(null).cast("double"))
-            .otherwise(col("value")).as("value"),
-          // planted FK orphans: every 103rd event points outside the
-          // customer key space (dbt relationships-test analog)
-          when(col("event_id") % 103 === 0, col("user_id") + 100000000L)
-            .otherwise(col("user_id")).as("user_fk"))
-        graft.operators.Checks.violations(ev,
-          unique = Seq("event_id", "user_id"),
-          notNull = Seq("event_type", "value"),
-          acceptedValues = Seq("event_type" -> accepted),
-          relationships = Seq(("user_fk", Tables.customer(s, d), "c_custkey")))
-      },
-      Some(q1OracleSql))
-  }
+  /** q1/s20 shared fixture: the planted-violation event frame (nulls on
+    * the 97/101 residues, FK orphans on the 103 residue; `ts` kept so
+    * the streaming twin can time-slice its triggers). */
+  private def q1Planted(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("ts"), col("event_id"), col("user_id"),
+      when(col("event_id") % 97 === 0, lit(null).cast("string"))
+        .otherwise(col("event_type")).as("event_type"),
+      when(col("event_id") % 101 === 0, lit(null).cast("double"))
+        .otherwise(col("value")).as("value"),
+      // planted FK orphans: every 103rd event points outside the
+      // customer key space (dbt relationships-test analog)
+      when(col("event_id") % 103 === 0, col("user_id") + 100000000L)
+        .otherwise(col("user_id")).as("user_fk"))
+
+  private val q1 = Q(
+    "q1_quality_checks",
+    (s, d) => graft.operators.Checks.violations(q1Planted(s, d),
+      unique = Seq("event_id", "user_id"),
+      notNull = Seq("event_type", "value"),
+      acceptedValues = Seq("event_type" -> EnumDomains.validEventTypes),
+      relationships = Seq(("user_fk", Tables.customer(s, d), "c_custkey"))),
+    Some(q1OracleSql))
+
+  // ---------------------------------------------------------------- s20
+  // STREAMING data-quality monitor — q1's live twin under the s7 fold
+  // discipline, split by check ALGEBRA: per-row verdicts (not_null /
+  // accepted_values / relationships) fold as associative count sums
+  // (the trigger leg IS Checks.violations — one builder, no twin
+  // drift); `unique` is NOT associative (two triggers each seeing a key
+  // once jointly violate), so its state is per-key count cells folded
+  // by sum — the honest cost of streaming uniqueness, made explicit as
+  // key-sized state rather than hidden. Three time-sliced triggers must
+  // reassemble q1's one-shot summary bit for bit, under q1's ORACLE.
+  private val s20 = Q(
+    "s20_stream_quality",
+    (s, d) => {
+      val uniqueCols = Seq("event_id", "user_id")
+      val ev = q1Planted(s, d)
+      val statePath = s"$scratchRoot/${dsScratch(d)}/quality_state"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(statePath), true)
+      val body = graft.streaming.EventStream.qualityFoldBatch(
+        uniqueCols, Seq("event_type", "value"),
+        Seq("event_type" -> EnumDomains.validEventTypes),
+        Seq(("user_fk", Tables.customer(s, d), "c_custkey")), statePath) _
+      (0 until 3).foreach { i =>
+        body(ev.filter(dayofmonth(col("ts")) % 3 === i), i.toLong)
+      }
+      graft.streaming.EventStream.qualityServe(s, statePath, 3L, uniqueCols)
+    },
+    Some(q1OracleSql))
 
   // ---------------------------------------------------------------- e1
   private val e1 = {
@@ -8220,7 +8249,7 @@ object Catalog {
     l17, l18, l19, l20, l21, l22,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16,
     c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12,
-    m1, m2, m3, m4, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19,
+    m1, m2, m3, m4, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20,
     p1, p2, p3, p4, p5,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
     w17, w18, w19, w20, w21, w22, w23,

@@ -618,6 +618,79 @@ object EventStream {
     fold(bi, "bi", "w1 STRING, w2 STRING, n_xy BIGINT", Seq("w1", "w2"), "n_xy")
   }
 
+  /**
+   * foreachBatch body of the STREAMING data-quality monitor (catalog
+   * s20 — q1's live twin): per trigger, the dbt-shaped checks fold into
+   * overwrite-versioned state, split by their algebra —
+   *  - not_null / accepted_values / relationships are PER-ROW verdicts,
+   *    so their violation counts are associative: the trigger's counts
+   *    (one fused scan + one anti-join per FK — the SAME
+   *    [[graft.operators.Checks.violations]] builder the batch gate
+   *    runs) sum into a check-sized scalar state;
+   *  - `unique` is NOT associative (two triggers each seeing a key once
+   *    jointly violate), so its state is per-key counts
+   *    (column, key, cnt) cells folded by sum — the honest cost of a
+   *    streaming uniqueness check: state tracks the KEY SPACE, which is
+   *    why production monitors scope it to keys with a bounded domain
+   *    or accept sketched approximations; here it is exact.
+   * [[qualityServe]] assembles the q1-shaped summary from the two
+   * states. The FK parent is read per trigger (a dim — broadcast-sized
+   * by assumption, same as the batch check). Idempotent per-version
+   * overwrite: a trigger retry rewrites identical state.
+   */
+  def qualityFoldBatch(unique: Seq[String], notNull: Seq[String],
+      acceptedValues: Seq[(String, Seq[String])],
+      relationships: Seq[(String, DataFrame, String)],
+      statePath: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val scalarNew = graft.operators.Checks.violations(
+      batch, unique = Nil, notNull = notNull,
+      acceptedValues = acceptedValues, relationships = relationships)
+    val scalar =
+      if (batchId == 0) scalarNew
+      else spark.read.schema(qualityScalarSchema)
+        .parquet(s"$statePath/scalar_v$batchId")
+        .unionAll(scalarNew)
+        .groupBy("check_name", "column_name")
+        .agg(sum(col("n_violations")).as("n_violations"))
+    scalar.write.mode("overwrite").parquet(s"$statePath/scalar_v${batchId + 1}")
+    val keysNew = unique.map(c =>
+      batch.filter(col(c).isNotNull)
+        .groupBy(col(c).cast("string").as("key"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(lit(c).as("column_name"), col("key"), col("cnt")))
+      .reduce(_.unionAll(_))
+    val keys =
+      if (batchId == 0) keysNew
+      else spark.read.schema(qualityKeysSchema)
+        .parquet(s"$statePath/keys_v$batchId")
+        .unionAll(keysNew)
+        .groupBy("column_name", "key")
+        .agg(sum(col("cnt")).as("cnt"))
+    keys.write.mode("overwrite").parquet(s"$statePath/keys_v${batchId + 1}")
+  }
+
+  /** Assemble the q1-shaped (check_name, column_name, n_violations)
+    * summary from [[qualityFoldBatch]]'s state at `version`. */
+  def qualityServe(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, version: Long, unique: Seq[String]): DataFrame = {
+    val scalar = spark.read.schema(qualityScalarSchema)
+      .parquet(s"$statePath/scalar_v$version")
+    val keys = spark.read.schema(qualityKeysSchema)
+      .parquet(s"$statePath/keys_v$version")
+    val uniques = unique.map(c =>
+      keys.filter(col("column_name") === c && col("cnt") > 1)
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("unique").as("check_name"), lit(c).as("column_name"),
+          col("n_violations")))
+      .reduce(_.unionAll(_))
+    scalar.unionAll(uniques)
+  }
+
+  val qualityScalarSchema =
+    "check_name STRING, column_name STRING, n_violations BIGINT"
+  val qualityKeysSchema = "column_name STRING, key STRING, cnt BIGINT"
+
   def histogramFoldBatch(groupCol: String, valueCol: String, binWidth: Double,
       stateSchema: String, statePath: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession

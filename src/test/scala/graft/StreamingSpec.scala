@@ -564,6 +564,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("quality fold: cross-trigger duplicate caught; folded summary equals the batch gate") {
+    import graft.operators.Checks
+    implicit val ctx = spark.sqlContext
+    val scratch = java.nio.file.Files.createTempDirectory("s20spec").toString
+    // trigger 1: event 10 null-types; user 5 appears once (clean so far)
+    // trigger 2: user 5 appears AGAIN -> the uniqueness violation only a
+    // keyed fold can see (each trigger alone is duplicate-free)
+    val t1 = Seq(
+      UpEv(ts("2024-01-01 10:00:00"), 5, 10, null, 1.0),
+      UpEv(ts("2024-01-01 11:00:00"), 6, 11, "click", 2.0))
+    val t2 = Seq(
+      UpEv(ts("2024-01-02 10:00:00"), 5, 12, "view", 3.0),
+      UpEv(ts("2024-01-02 11:00:00"), 7, 13, "bogus", 4.0)) // outside domain
+    val input = MemoryStream[UpEv]
+    val lastId = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val query = input.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        EventStream.qualityFoldBatch(
+          Seq("event_id", "user_id"), Seq("event_type"),
+          Seq("event_type" -> Seq("click", "view")), Nil, scratch)(batch, id)
+        lastId.set(id)
+      }.start()
+    def served() = EventStream.qualityServe(
+      spark, scratch, lastId.get() + 1, Seq("event_id", "user_id"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    try {
+      input.addData(t1)
+      query.processAllAvailable()
+      assert(served()(("unique", "user_id")) == 0L)
+      input.addData(t2)
+      query.processAllAvailable()
+      val got = served()
+      assert(got(("unique", "user_id")) == 1L, "cross-trigger dup must surface")
+      assert(got(("unique", "event_id")) == 0L)
+      assert(got(("not_null", "event_type")) == 1L)
+      assert(got(("accepted_values", "event_type")) == 1L)
+      // folded summary == the batch gate over everything
+      val batch = Checks.violations((t1 ++ t2).toDF(),
+        unique = Seq("event_id", "user_id"), notNull = Seq("event_type"),
+        acceptedValues = Seq("event_type" -> Seq("click", "view")))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == batch)
+    } finally query.stop()
+  }
+
   test("manifest publish: per-trigger chain state equals the batch fold; retry skips a committed version") {
     implicit val ctx = spark.sqlContext
     import graft.sources.ManifestStore
