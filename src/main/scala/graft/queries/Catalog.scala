@@ -3971,6 +3971,74 @@ object Catalog {
         WHERE cum_tokens - n_tokens < CASE source $budgetSql ELSE $defaultBudget END"""))
   }
 
+  // ---------------------------------------------------------------- c13
+  // MODALITY-AWARE MIXTURE (c7's token-budget cut under modality-
+  // normalized accounting) — the multimodal-training bookkeeping row
+  // counts get WRONG: an image's training cost is its PATCH count
+  // (ViT-14: ceil(w/14)·ceil(h/14) — a 448×224 image is 512 tokens, not
+  // one row), audio costs frames, video costs sampled-frame bytes; a
+  // row-based mixture starves text the moment images enter. Each
+  // modality gets its own token budget and the SAME deterministic
+  // hash-order cumsum cut as c7 (distributed prefix-sum path, p=8),
+  // all-integer costs (integer DIV ceilings, no float). The entry
+  // THROWS unless the cut is strictly partial in EVERY modality — a
+  // budget that keeps or drops a whole modality gates nothing. The
+  // oracle replays cost model and cut bit for bit.
+  private val c13 = {
+    val budgets = Seq("image" -> 20000L, "audio" -> 150L, "video" -> 300L)
+    val budgetSql = budgets.map { case (k, b) => s"WHEN '$k' THEN $b" }.mkString(" ")
+    Q(
+      "c13_modality_mix",
+      (s, d) => {
+        val media = graft.operators.Multimodal
+          .asMediaTable(Tables.documents(s, d))
+          .select(col("doc_id"), col("kind"),
+            octet_length(col("payload")).cast("bigint").as("bl"),
+            col("meta_width").cast("bigint").as("w"),
+            col("meta_height").cast("bigint").as("h"))
+        val cost =
+          when(col("kind") === "image",
+            greatest(lit(1L), expr("((w + 13) DIV 14) * ((h + 13) DIV 14)")))
+            .when(col("kind") === "audio", lit(1L) + expr("bl DIV 320"))
+            .otherwise(lit(1L) + expr("bl DIV 128"))
+        val out = graft.operators.Curate.tokenBudgetSample(
+          media, "doc_id", "kind", cost, "mmix",
+          budgets, defaultBudget = 0L, prefixPartitions = Some(8))
+          .select("doc_id", "kind", "n_tokens", "cum_tokens")
+        val kept = out.groupBy("kind").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val totals = media.groupBy("kind").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        require(budgets.forall { case (k, _) =>
+          kept.getOrElse(k, 0L) > 0 && kept(k) < totals(k) },
+          s"every modality must cut partially: kept $kept of $totals")
+        out
+      },
+      Some(s"""
+        WITH m AS (
+          SELECT doc_id,
+            CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+            octet_length(encode(text)) AS bl,
+            CAST(n_chars % 512 AS INT) AS w, CAST(n_chars % 256 AS INT) AS h
+          FROM documents),
+        t AS (
+          SELECT doc_id, kind,
+            CAST(CASE kind
+              WHEN 'image' THEN greatest(1, ((w + 13) // 14) * ((h + 13) // 14))
+              WHEN 'audio' THEN 1 + bl // 320
+              ELSE 1 + bl // 128 END AS BIGINT) AS n_tokens,
+            ${hashFracSql("CAST(doc_id AS VARCHAR) || '|mmix'")} AS f
+          FROM m),
+        c AS (
+          SELECT doc_id, kind, n_tokens,
+            CAST(SUM(n_tokens) OVER (PARTITION BY kind ORDER BY f, doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+          FROM t)
+        SELECT doc_id, kind, n_tokens, cum_tokens FROM c
+        WHERE cum_tokens - n_tokens < CASE kind $budgetSql ELSE 0 END"""))
+  }
+
   // ---------------------------------------------------------------- c8
   // TEMPERATURE-SCALED MIXTURE (Curate.temperatureBudgets feeding c7's
   // tokenBudgetSample) — the mT5/XLM-R α-sampling rule: c2 mixes by
@@ -8248,7 +8316,7 @@ object Catalog {
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
     l17, l18, l19, l20, l21, l22,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16,
-    c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12,
+    c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13,
     m1, m2, m3, m4, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20,
     p1, p2, p3, p4, p5,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
