@@ -164,7 +164,16 @@ object ScaleProbe {
     // per-round degree aggregate + semi-joins must grow linearly)
     "q7_embedding_drift", "s18_stream_embedding_drift",
     "q8_dedup_recall_audit", "q9_k_anonymity", "a15_attribution",
-    "g8_kcore")
+    "g8_kcore",
+    // round-10 continuation 2: s19 folds ×8 touches AND conversions per
+    // user through the stateful pass (journeys widen ×8, state stays
+    // pending-sized); s20 folds ×8 rows into check-sized scalar state
+    // plus ×8 event_id key cells (the documented key-sized leg — cost
+    // must track keys, not rows²); w23 stages/rebases ×8 rows per
+    // bucket through the three-commit dance; c13's per-modality cumsum
+    // rides ×8 docs through the prefix-sum buckets (c7's shape)
+    "s19_stream_attribution", "s20_stream_quality",
+    "w23_concurrent_commit", "c13_modality_mix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
