@@ -6531,6 +6531,101 @@ object Catalog {
         WHERE v_start < p_end AND p_start < v_end"""))
   }
 
+  // ---------------------------------------------------------------- j6
+  // POINT-IN-TIME FEATURE JOIN (two chained asofJoins) — the
+  // feature-store operator every training-set build stands on
+  // (Feast/Tecton's core primitive): each LABEL event (purchase) joins
+  // the feature state AS OF its own timestamp — views-so-far and the
+  // latest click value — never state from after the label, because a
+  // training row that can see its own future trains a model that
+  // cannot serve (training-serving skew: offline metrics soar, the
+  // production model never sees those features). Two gates make
+  // point-in-time correctness CHECKED, not assumed: (1) every joined
+  // feature timestamp must be <= its label's timestamp (0 violations,
+  // counted); (2) the NEGATIVE CONTROL — the naive "latest feature per
+  // user" join must DIFFER on some labels (the fixture genuinely
+  // contains post-label activity, so an implementation that quietly
+  // used the naive join cannot pass). Per asofJoin: ONE union-merge
+  // shuffle (j1's discipline — no inequality join ever forms); the
+  // oracle replays both as-ofs with the tie rule (state at the label's
+  // exact ts is visible; same-ts states resolve by the state struct's
+  // lexicographic max).
+  private val j6 = {
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    Q(
+      "j6_pit_features",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val labels = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("label_id"),
+            col("ts").as("label_ts"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts").as("fts_a"),
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy("user_id").orderBy(col("ts"), col("event_id")))
+              .as("n_views"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("fts_b"), col("value"))
+        val joined = Temporal.asofJoin(
+          Temporal.asofJoin(labels, views, Seq("user_id"),
+            "label_ts", "fts_a", Seq("n_views", "fts_a")),
+          clicks, Seq("user_id"), "label_ts", "fts_b", Seq("value", "fts_b"))
+        // gate 1: nothing joined from the label's future
+        val leaks = joined.filter(
+          col("asof_fts_a") > col("label_ts") ||
+            col("asof_fts_b") > col("label_ts")).count()
+        require(leaks == 0L, s"point-in-time violation: $leaks rows see the future")
+        // gate 2 (negative control): the naive latest-per-user join must
+        // differ — the fixture has post-label activity, so a silent
+        // fallback to "latest feature" cannot hash-match
+        val naive = views.groupBy("user_id").agg(max(col("n_views")).as("nv"))
+        val differs = joined.join(naive, Seq("user_id"), "left")
+          .filter(!(col("asof_n_views") <=> col("nv"))).count()
+        require(differs > 0L,
+          "fixture must contain post-label views or the PIT gate proves nothing")
+        joined.select(col("label_id"), col("user_id"),
+          date_format(col("label_ts"), fmt).as("label_ts"),
+          col("asof_n_views").as("n_views"),
+          date_format(col("asof_fts_a"), fmt).as("view_ts"),
+          col("asof_value").as("last_click_value"),
+          date_format(col("asof_fts_b"), fmt).as("click_ts"))
+      },
+      Some("""
+        WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                      event_type, value FROM events),
+        lbl AS (SELECT user_id, event_id AS label_id, ts AS lts FROM ev
+                WHERE event_type = 'purchase'),
+        v AS (SELECT user_id, ts AS fts, event_id,
+                ROW_NUMBER() OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS n_views
+              FROM ev WHERE event_type = 'view'),
+        c AS (SELECT user_id, ts AS fts, value FROM ev
+              WHERE event_type = 'click'),
+        av AS (
+          SELECT label_id, n_views, fts FROM (
+            SELECT l.label_id, v.n_views, v.fts,
+              ROW_NUMBER() OVER (PARTITION BY l.label_id
+                ORDER BY v.fts DESC, v.n_views DESC) AS rn
+            FROM lbl l JOIN v ON v.user_id = l.user_id AND v.fts <= l.lts) z
+          WHERE rn = 1),
+        ac AS (
+          SELECT label_id, value, fts FROM (
+            SELECT l.label_id, c.value, c.fts,
+              ROW_NUMBER() OVER (PARTITION BY l.label_id
+                ORDER BY c.fts DESC, c.value DESC) AS rn
+            FROM lbl l JOIN c ON c.user_id = l.user_id AND c.fts <= l.lts) z
+          WHERE rn = 1)
+        SELECT l.label_id, l.user_id,
+          strftime(l.lts, '%Y-%m-%d %H:%M:%S.%f') AS label_ts,
+          av.n_views AS n_views,
+          strftime(av.fts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+          ac.value AS last_click_value,
+          strftime(ac.fts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+        FROM lbl l
+        LEFT JOIN av ON av.label_id = l.label_id
+        LEFT JOIN ac ON ac.label_id = l.label_id"""))
+  }
+
   // ---------------------------------------------------------------- a6
   // Gap-based sessionization via the built-in session_window (one shuffle;
   // the same expression runs under Structured Streaming — twin asserted in
@@ -8311,7 +8406,7 @@ object Catalog {
     a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11, a12, a13, a14, a15,
     n1, n2, n3, n4, n5, n6, n7,
     d1, d2, d3, d4, d5, d6, d7,
-    e1, e2, e3, e4, e5, e6, j1, j2, j3, j4, j5,
+    e1, e2, e3, e4, e5, e6, j1, j2, j3, j4, j5, j6,
     r1, r2, r3, r4, r5, r6, r7, r8, q1, q2, q3, q4, q5, q6, q7, q8, q9,
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
     l17, l18, l19, l20, l21, l22,

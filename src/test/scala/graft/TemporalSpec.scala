@@ -203,6 +203,29 @@ class TemporalSpec extends AnyFunSuite {
     assert(got((3L, 21L, 20L)) == (("view", 1, 1L, true, true, 1000000L)))
   }
 
+  test("chained asofJoin builds point-in-time features: no future state, exact-ts visible") {
+    // labels at 10:00 and 12:00; views at 09:00, 10:00 (exact-ts ->
+    // visible to label 1), 11:00 (future for label 1, past for label 2)
+    val labels = Seq((1L, 100L, ts("2024-01-01 10:00:00")),
+      (1L, 101L, ts("2024-01-01 12:00:00")),
+      (2L, 102L, ts("2024-01-01 08:00:00"))) // before any view -> null
+      .toDF("user_id", "label_id", "label_ts")
+    val views = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 1L),
+      (1L, ts("2024-01-01 10:00:00"), 2L),
+      (1L, ts("2024-01-01 11:00:00"), 3L),
+      (2L, ts("2024-01-01 09:30:00"), 1L))
+      .toDF("user_id", "fts", "n_views")
+    val got = Temporal.asofJoin(labels, views, Seq("user_id"),
+      "label_ts", "fts", Seq("n_views", "fts"))
+      .collect().map(r => r.getLong(1) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.getTimestamp(4)))).toMap
+    assert(got(100L) == ((Some(2L), Some(ts("2024-01-01 10:00:00"))))) // exact ts visible
+    assert(got(101L) == ((Some(3L), Some(ts("2024-01-01 11:00:00"))))) // latest past
+    assert(got(102L) == ((None, None))) // nothing precedes -> null, never future
+  }
+
   test("multiTouchAttribution == attributionState on random event sets (cross-form invariant)") {
     // the window form and the stateful fold implement one semantics two
     // ways; random inputs hunt the seams (ties, empty journeys, pending
