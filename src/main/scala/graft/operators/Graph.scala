@@ -407,6 +407,78 @@ object Graph {
     }
   }
 
+  /**
+   * NEIGHBORHOOD MEAN AGGREGATION — the GNN data-prep layer
+   * (GraphSAGE-mean, Hamilton et al. 2017): layer k's representation of
+   * node v is the mean of its in-neighbors' layer k-1 values, `layers`
+   * times — the feature-engineering shape every graph-ML pipeline runs
+   * over a corpus graph before training (2-hop aggregation puts "what
+   * do my neighbors' neighbors look like" into a flat feature column).
+   * Unlike [[pageRank]] there is no fixed point — the layer count IS
+   * the semantics (receptive-field radius).
+   *
+   * Cross-engine exactness: values live in INTEGER MICRO-UNITS
+   * (value·10^6 as longs — the caller scales its features once) and
+   * each layer's mean is the exact half-up integral division
+   * (2·Σ + n) div (2·n), with Σ folded through an exact DECIMAL(38,0)
+   * sum so no graph size can overflow the accumulator — all-integer end
+   * to end, so a SQL oracle replays every layer bit for bit with NO
+   * float rounding seam (a round(double, 6) mean here measurably
+   * diverges between engines on exact .5·10^-7 midpoints, which 6-dp
+   * layer inputs make common). Each layer's mean is over the
+   * in-neighbors that CARRY a value; a node whose neighbors are all
+   * valueless (or that has no in-neighbors) carries NULL, and the null
+   * propagates outward one hop per layer (mean of nothing is not 0 — a
+   * silent zero would poison downstream normalization).
+   *
+   * Scale shape: the pageRank discipline without the iteration-to-
+   * convergence — edges hash-partitioned on src ONCE and cached, each
+   * layer shuffles only the (node, value) table (one exchange to src
+   * partitioning via the join, one partial-aggregated mean per dst);
+   * K layers = K small shuffles, never K edge materializations.
+   */
+  def neighborMeanAgg(edges: DataFrame, features: DataFrame,
+      layers: Int): DataFrame = {
+    require(layers >= 1, "at least one aggregation layer")
+    val spark = edges.sparkSession
+    val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+      .repartition(width, col("src")).persist()
+    val st = new RoundState(spark.sparkContext)
+    var hIds = Set.empty[Int]
+    try {
+      // node set + per-layer state are checkpointed (the pageRank
+      // lineage-truncation discipline) — without it layer k re-embeds
+      // every prior layer's joins into one deep plan
+      val nodes = st.save(e.select(col("src").as("id"))
+        .unionAll(e.select(col("dst").as("id"))).distinct())._1
+      var h = {
+        val s0 = st.save(features.select(col("id").cast("long").as("id"),
+          col("x").cast("long").as("h")))
+        hIds = s0._2; s0._1
+      }
+      (1 to layers).foreach { _ =>
+        val agg = e.join(h, e("src") === h("id"))
+          .groupBy(e("dst").as("nid"))
+          .agg(
+            sum(col("h").cast("decimal(38,0)")).as("sd"),
+            count(col("h")).as("n"))
+          .select(col("nid"),
+            when(col("n") > 0,
+              expr("CAST((2 * sd + n) DIV (2 * n) AS BIGINT)")).as("hn"))
+        val (next, ids) = st.save(nodes.join(agg, nodes("id") === agg("nid"), "left")
+          .select(nodes("id"), col("hn").as("h")))
+        st.drop(hIds)
+        h = next
+        hIds = ids
+      }
+      h
+    } catch {
+      case ex: Throwable => st.drop(hIds); throw ex
+    } finally e.unpersist(blocking = false)
+  }
+
   def triangleCounts(canonicalEdges: DataFrame): DataFrame = {
     // the edge list is consumed FIVE times (degree legs, orientation,
     // both wedge sides, the closing probe): materialize it once with an

@@ -8402,6 +8402,56 @@ object Catalog {
       Some(kCoreOracleSql))
   }
 
+  // ---------------------------------------------------------------- g9
+  // NEIGHBORHOOD MEAN AGGREGATION (Graph.neighborMeanAgg) — the GNN
+  // data-prep layer (GraphSAGE-mean): two hops of "mean of my
+  // neighbors' values" over the bipartite purchase graph, seeded with
+  // node degree — the feature-engineering pass every graph-ML pipeline
+  // runs before training, and the one graph op whose OUTPUT is a dense
+  // feature column rather than a score/label. No fixed point: the layer
+  // count IS the receptive-field radius. Means fold through exact
+  // DECIMAL(30,20) sums rounded to 6 dp (the refineCentroids contract),
+  // so the oracle replays both layers bit for bit; per layer the
+  // engine shuffles only the (node, value) table against the
+  // once-partitioned cached edges (the pageRank discipline minus the
+  // convergence loop).
+  private val g9 = {
+    val layers = 2
+    def layerSql(i: Int): String = s"""
+        h$i AS (
+          SELECT n.id,
+            CASE WHEN COUNT(p.h) > 0
+              THEN CAST((2 * CAST(sum(CAST(p.h AS HUGEINT)) AS HUGEINT)
+                + COUNT(p.h)) // (2 * COUNT(p.h)) AS BIGINT) END AS h
+          FROM nodes n
+          LEFT JOIN edges e ON e.dst = n.id
+          LEFT JOIN h${i - 1} p ON p.id = e.src
+          GROUP BY n.id)"""
+    Q(
+      "g9_neighbor_agg",
+      (s, d) => {
+        val edges = GFixture.bipartite(s, d)
+        val deg = edges.groupBy(col("src").as("id"))
+          .agg(count(lit(1)).as("x"))
+        val h = graft.operators.Graph.neighborMeanAgg(
+          edges, deg.select(col("id"), (col("x") * 1000000L).as("x")), layers)
+        deg.join(h, Seq("id"))
+          .select(col("id"), GFixture.nodeType, col("x").as("degree"),
+            col("h").as("h2_micro"))
+      },
+      Some(s"""
+        WITH ${GFixture.bipartiteSql},
+        nodes AS (SELECT DISTINCT src AS id FROM edges
+                  UNION SELECT DISTINCT dst FROM edges),
+        degf AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS x
+                 FROM edges GROUP BY src),
+        h0 AS (SELECT id, CAST(x * 1000000 AS BIGINT) AS h FROM degf),
+        ${(1 to layers).map(layerSql).mkString(",")}
+        SELECT id, ${GFixture.nodeTypeSql}, degree, h2_micro FROM (
+          SELECT d.id AS id, d.x AS degree, hh.h AS h2_micro
+          FROM degf d JOIN h$layers hh ON hh.id = d.id) z"""))
+  }
+
   val all: Seq[Q] = Seq(
     a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11, a12, a13, a14, a15,
     n1, n2, n3, n4, n5, n6, n7,
@@ -8416,7 +8466,7 @@ object Catalog {
     p1, p2, p3, p4, p5,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
     w17, w18, w19, w20, w21, w22, w23,
-    g1, g2, g3, g4, g5, g6, g7, g8)
+    g1, g2, g3, g4, g5, g6, g7, g8, g9)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

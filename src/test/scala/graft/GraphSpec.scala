@@ -234,6 +234,27 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.kCore(pairs.toDF("a", "b"), k = 4, maxRounds = 6).count() == 0L)
   }
 
+  test("neighborMeanAgg: exact half-up micro-unit means; nulls propagate hop by hop") {
+    // directed: 1->3, 2->3, 3->4, 1->6, 2->6; features in micro-units
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L), (1L, 6L), (2L, 6L))
+      .toDF("src", "dst")
+    val feats = Seq((1L, 1L), (2L, 2L), (3L, 3000000L), (4L, 0L), (6L, 0L))
+      .toDF("id", "x")
+    def run(k: Int) = Graph.neighborMeanAgg(edges, feats, k)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val h1 = run(1)
+    // mean(1, 2) = 1.5 micro -> half-up 2 (the tie a double round splits
+    // differently across engines — here it is integer arithmetic)
+    assert(h1 == Map(1L -> None, 2L -> None, 3L -> Some(2L),
+      4L -> Some(3000000L), 6L -> Some(2L)))
+    val h2 = run(2)
+    // sources have no layer-1 value -> their dependents go null at layer 2;
+    // 4 sees 3's layer-1 mean
+    assert(h2 == Map(1L -> None, 2L -> None, 3L -> None,
+      4L -> Some(2L), 6L -> None))
+  }
+
   test("kCore matches brute-force peeling on a hashed random graph") {
     val nodes = (1L to 24L)
     val pairs = for {
