@@ -173,7 +173,12 @@ object ScaleProbe {
     // bucket through the three-commit dance; c13's per-modality cumsum
     // rides ×8 docs through the prefix-sum buckets (c7's shape)
     "s19_stream_attribution", "s20_stream_quality",
-    "w23_concurrent_commit", "c13_modality_mix")
+    "w23_concurrent_commit", "c13_modality_mix",
+    // j6 rides ×8 labels AND ×8 feature states per user through both
+    // union-merge windows (the j1 shape, twice) plus the rank window;
+    // g9 aggregates 8 disjoint graph replicas (×8 edges and nodes, same
+    // layer count — per-layer join + mean must grow linearly)
+    "j6_pit_features", "g9_neighbor_agg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
