@@ -128,9 +128,18 @@ object Graph {
         "empty graph (or no teleport seed appears as a graph node)")
       weightCol.foreach { _ =>
         // 85·r·w with r bounded by the conserved mass (≤ scale): the
-        // per-edge numerator must stay in Long for every weight
+        // per-edge numerator must not only stay in Long but stay UNDER
+        // 2^53 — the contrib floor() runs through double, and the class
+        // contract promises exact-in-double operands (the BM25 headroom
+        // discipline); multiplyExact alone admits maxW where the
+        // numerator silently loses low bits in the double cast
         val maxW = edgesDeg.agg(max(col("w"))).head.getLong(0)
-        Seq(85L, scale, maxW).reduce((a, b) => Math.multiplyExact(a, b))
+        val numerBound = Seq(85L, scale, maxW)
+          .reduce((a, b) => Math.multiplyExact(a, b))
+        require(numerBound < (1L << 53),
+          s"weighted pageRank numerator bound 85*scale*maxW = $numerBound " +
+            s"exceeds 2^53: the floor(double) contrib would round — " +
+            s"lower `scale` or pre-scale weights (maxW = $maxW)")
       }
       val init = math.floor(scale.toDouble / nBase).toLong
       val teleport = math.floor(15.0 * scale / (100.0 * nBase)).toLong
@@ -425,7 +434,12 @@ object Graph {
    * to end, so a SQL oracle replays every layer bit for bit with NO
    * float rounding seam (a round(double, 6) mean here measurably
    * diverges between engines on exact .5·10^-7 midpoints, which 6-dp
-   * layer inputs make common). Each layer's mean is over the
+   * layer inputs make common). CONTRACT: feature values must be
+   * NON-NEGATIVE (enforced below) — DIV truncates toward zero in both
+   * engines, so the half-up identity (2·Σ + n) div (2·n) only holds for
+   * Σ ≥ 0 (sum = -7, n = 3 would truncate to -1 where half-up is -2);
+   * non-negative inputs keep every layer's means non-negative, so the
+   * single input check covers all layers. Each layer's mean is over the
    * in-neighbors that CARRY a value; a node whose neighbors are all
    * valueless (or that has no in-neighbors) carries NULL, and the null
    * propagates outward one hop per layer (mean of nothing is not 0 — a
@@ -458,6 +472,14 @@ object Graph {
           col("x").cast("long").as("h")))
         hIds = s0._2; s0._1
       }
+      // DIV-truncation contract (see Scaladoc): half-up only holds for
+      // non-negative sums; one min() over the (already checkpointed,
+      // node-count-sized) feature table guards every layer
+      val minH = h.agg(min(col("h"))).head
+      require(minH.isNullAt(0) || minH.getLong(0) >= 0L,
+        s"neighborMeanAgg requires non-negative feature values " +
+          s"(half-up DIV identity breaks on negative sums); min = " +
+          s"${minH.getLong(0)}")
       (1 to layers).foreach { _ =>
         val agg = e.join(h, e("src") === h("id"))
           .groupBy(e("dst").as("nid"))

@@ -11,10 +11,11 @@ import org.apache.spark.sql.types._
  * query" primitive a curation pipeline runs for targeted corpus audits
  * (and the batch form of any search-backed data-selection loop).
  *
- * Reference anchor: the reference's keyword search is a LIKE scan inside
- * its search endpoint (services/api/search.py:61 ILIKE filter); this is
- * the index-backed re-expression that survives a corpus you cannot scan
- * per query.
+ * No reference counterpart (the reference exposes no search surface);
+ * this is the lexical-retrieval leg the LLM-pipeline mandate requires —
+ * decontamination lookup, targeted corpus audit, and the BM25 half of
+ * hybrid (lexical + dense) search — built index-backed so it survives a
+ * corpus you cannot scan per query.
  *
  * Scale shape (the 100-TB story):
  *  - the posting build is ONE shuffle keyed on (term, doc) with map-side

@@ -2899,7 +2899,8 @@ object Catalog {
           ROW_NUMBER() OVER (PARTITION BY query_id
             ORDER BY score DESC, doc_id) AS rank, score
         FROM fused)
-      SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, score
+      SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank,
+        CAST(score AS BIGINT) AS score
       FROM rr WHERE rank <= 5"""))
 
   // --------------------------------------------------------------- l20
@@ -3645,8 +3646,9 @@ object Catalog {
 
   // ---------------------------------------------------------------- t13
   // BM25 RETRIEVAL (Retrieval.bm25TopK) — index-backed ranked search,
-  // the re-expression of the reference's ILIKE keyword scan
-  // (services/api/search.py:61) that survives a corpus you can't scan
+  // the lexical-retrieval leg of the LLM-pipeline mandate (decontam
+  // lookup, corpus audit, the BM25 half of l19's hybrid fusion); no
+  // reference counterpart — built to survive a corpus you can't scan
   // per query. Queries are data-derived (every doc_id % 97 == 0
   // contributes its first 4 normalized tokens), so recall is
   // non-vacuous: each query's own source doc must surface. No log():
@@ -3705,7 +3707,8 @@ object Catalog {
           ROW_NUMBER() OVER (PARTITION BY query_id
             ORDER BY score DESC, doc_id) AS rank, score
         FROM sc)
-      SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, score
+      SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank,
+        CAST(score AS BIGINT) AS score
       FROM r WHERE rank <= 10"""
 
   private val t13 = Q(
@@ -8133,7 +8136,8 @@ object Catalog {
           GROUP BY e.dst) s ON s.id = snode.id)"""
     }.mkString
     pre + iters + s"""
-      SELECT id AS node_id, ${GFixture.nodeTypeSql}, r AS rank_scaled
+      SELECT id AS node_id, ${GFixture.nodeTypeSql},
+        CAST(r AS BIGINT) AS rank_scaled
       FROM r${GFixture.iters}"""
   }
 

@@ -486,10 +486,24 @@ object EventStream {
         sorted.foreach { case (_, dayS, v, n) =>
           // Append-mode contract: every (user, day) is emitted exactly
           // once, final. A day at-or-before state.lastDay arriving in a
-          // LATER trigger (out-of-order across triggers — normal in a
-          // stream) must not regress state, or already-emitted grid days
-          // would re-emit with conflicting values. Late days are dropped;
-          // in-trigger order is already handled by the sort above.
+          // LATER trigger (out-of-order across triggers) must not
+          // regress state, or already-emitted grid days would re-emit
+          // with conflicting values. s19's fence discipline — LOUD, not
+          // lossy: a silent drop here loses the late day's n_events /
+          // day_value with no trace, so the violation throws and the
+          // caller fixes the trigger slicing (in-trigger order is
+          // already handled by the sort above; a batch run is one
+          // trigger, so batch inputs can only hit this via duplicate
+          // (user, day) rows — also a contract violation for
+          // pre-aggregated daily data).
+          st.filter(_.lastDay >= dayS).foreach { s0 =>
+            throw new IllegalStateException(
+              s"gapFillDaily: day $dayS for user $key arrives at-or-before " +
+                s"the emitted frontier ${s0.lastDay} — the grid through " +
+                "that day is already final, so the late day's values " +
+                "would be silently lost; fix the trigger slicing " +
+                "(or dedup the daily input)")
+          }
           if (st.forall(_.lastDay < dayS)) {
             val day = java.time.LocalDate.parse(dayS)
             st.foreach { s0 =>

@@ -80,7 +80,14 @@ object SkewProbe {
     // distinct-count partials stay class-sized; g8 peels under the
     // hot-hub purchase graph (one supplier in 30% of lines — degree
     // aggregates are partial-combinable, the semi-joins equi)
-    "a15_attribution", "q9_k_anonymity", "g8_kcore")
+    "a15_attribution", "q9_k_anonymity", "g8_kcore",
+    // round-11: the CAS/rebase path under the hot event user — 30% of
+    // events collapse into user 7's latestState window group AND its
+    // bucket's rewrite (stage, rebase, re-stage all funnel through the
+    // one hot bucket); the dedup-family entries (l21/l22/q8) are NOT
+    // here by design — their skew axis is duplicate CONTENT, which is
+    // ScaleProbe's ×8 salted fixture, not an event/customer key remap
+    "w23_concurrent_commit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

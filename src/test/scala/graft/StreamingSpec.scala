@@ -895,18 +895,26 @@ class StreamingSpec extends AnyFunSuite {
       assert(got((1L, "2024-02-07", 9.0, 0L, false, 2L)))
       // single-observation user never fills
       assert(got.count(_._1 == 2L) == 1)
-      // LATE-DAY GUARD: a day at-or-before the stored lastDay arriving in
-      // a LATER trigger must be dropped — state must not regress and no
-      // already-emitted (user, day) may re-emit with a conflicting value
+      // LATE-DAY FENCE (s19's loud-not-lossy discipline): a day
+      // at-or-before the stored lastDay arriving in a LATER trigger
+      // would silently lose its n_events/day_value if dropped — the
+      // contract is to FAIL the query so the caller fixes the trigger
+      // slicing. The grid emitted so far must be final (no re-emission
+      // with conflicting values before the failure surfaces).
       val before = snap()
-      input.addData((1L, "2024-02-03", 99.0, 5L), (1L, "2024-02-08", 77.0, 1L))
-      query.processAllAvailable()
+      input.addData((1L, "2024-02-03", 99.0, 5L))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        query.processAllAvailable()
+      }
+      def rootOf(t: Throwable): Throwable =
+        if (t.getCause == null || t.getCause == t) t else rootOf(t.getCause)
+      val root = rootOf(ex)
+      assert(root.isInstanceOf[IllegalStateException] &&
+        root.getMessage.contains("gapFillDaily") &&
+        root.getMessage.contains("2024-02-03"),
+        s"expected the late-day fence, got: $root")
       assert(snap() == before,
-        "late/duplicate days regressed state or re-emitted grid rows")
-      // and the stream still advances from the UNregressed state
-      input.addData((1L, "2024-02-09", 1.0, 1L))
-      query.processAllAvailable()
-      assert(snap() == before + ((1L, "2024-02-09", 1.0, 1L, true, 0L)))
+        "late day re-emitted or mutated already-final grid rows")
     } finally query.stop()
   }
 
