@@ -534,4 +534,71 @@ object Graph {
       .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /**
+   * DETERMINISTIC RANDOM WALKS (DeepWalk/node2vec corpus generation,
+   * Perozzi et al. 2014) — the graph-ML data-prep pass that turns a
+   * graph into a training corpus: one fixed-length walk per node, each
+   * step choosing a neighbor "at random". Randomness is DERIVED, not
+   * drawn: step k of the walk seeded at s standing on node u picks
+   * neighbor rank (md5int(s|k|u|salt) mod outdeg(u)) + 1 in the
+   * dst-ordered adjacency — exactly the hashFraction discipline (md5 is
+   * the only hash both engines share), so the whole corpus replays
+   * bit-for-bit in any engine and is immune to partitioning/retry
+   * nondeterminism (a real RNG here would make every retry a different
+   * corpus — the c1/c2 salted-hash rule applied to walk steps).
+   *
+   * Scale shape: the ranked adjacency (row_number + count over the
+   * src partition — ONE exchange, two window passes) is computed once,
+   * hash-partitioned on src and cached; each of the `length` steps
+   * shuffles only the walk FRONTIER (|nodes| rows) against it. Walk
+   * count grows with nodes, per-step cost is one equi-join — linear in
+   * nodes·length, never edge-quadratic. Multi-edges (same src,dst pair
+   * appearing twice) act as walk bias: duplicate ranks point at the
+   * same dst, so the chosen NODE stays well-defined under the
+   * nondeterministic row_number among equal dst values.
+   *
+   * Output: (walk_id = seed node, step 0..length, node_id, the walk
+   * corpus in long form — the skip-gram window builder consumes this
+   * directly).
+   */
+  def randomWalks(edges: DataFrame, length: Int, salt: String): DataFrame = {
+    require(length >= 1, "need at least one step")
+    import org.apache.spark.sql.expressions.Window
+    val spark = edges.sparkSession
+    val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val bySrc = Window.partitionBy("src")
+    val adj = e
+      .withColumn("rn", row_number().over(bySrc.orderBy("dst")))
+      .withColumn("outdeg", count(lit(1)).over(bySrc))
+      // explicit width: exempt from AQE coalescing — every step's
+      // frontier join aligns to this partitioning (the pageRank rule)
+      .repartition(width, col("src")).persist()
+    def stepHash(step: Int) = conv(substring(md5(concat_ws("|",
+      col("walk_id").cast("string"), lit(step.toString),
+      col("cur").cast("string"), lit(salt))), 1, 8), 16, 10).cast("long")
+    try {
+      var frontier = e.select(col("src").as("walk_id")).distinct()
+        .select(col("walk_id"), col("walk_id").as("cur"))
+      val out = Seq.newBuilder[DataFrame]
+      out += frontier.select(col("walk_id"), lit(0L).as("step"),
+        col("cur").as("node_id"))
+      (1 to length).foreach { k =>
+        frontier = frontier
+          .join(adj, frontier("cur") === adj("src") &&
+            adj("rn") === pmod(stepHash(k), adj("outdeg")) + 1)
+          .select(col("walk_id"), col("dst").as("cur"))
+        out += frontier.select(col("walk_id"), lit(k.toLong).as("step"),
+          col("cur").as("node_id"))
+      }
+      // eager materialization BEFORE the finally drops the adjacency
+      // cache — the lazy union references adj `length` times and would
+      // otherwise recompute the ranked adjacency once per step (the
+      // triangleCounts localCheckpoint precedent; the between-query
+      // reaper reclaims the blocks)
+      out.result().reduce(_ unionAll _).localCheckpoint()
+    } finally adj.unpersist(blocking = false)
+  }
 }

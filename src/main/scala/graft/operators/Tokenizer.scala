@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * BPE-STYLE TOKENIZER TRAINING (byte-pair-encoding merge induction,
+ * Sennrich et al. 2016) — the tokenizer-training pass every LLM data
+ * pipeline runs before token counting, packing, or budget accounting
+ * means anything: learn the `rounds` highest-frequency adjacent-symbol
+ * merges over the corpus vocabulary. No reference counterpart; mandated
+ * by the LLM-pipeline text-analysis family (t3 counts tokens under a
+ * FIXED segmentation — this trains the segmentation).
+ *
+ * Scale shape (the 100-TB story): classic BPE never iterates over the
+ * corpus — it iterates over the WORD-FREQUENCY DICTIONARY. The corpus
+ * is touched by exactly ONE shuffle (word → count); the dictionary is
+ * then capped to the top `vocabCap` words by (count desc, word) via a
+ * distributed top-k (TakeOrderedAndProject — never a global sort), and
+ * every merge round runs over that vocab-bounded table: one explode of
+ * adjacent pairs weighted by word count, one pair-keyed aggregation,
+ * one single-row argmax. Per-round driver state is ONE (left, right,
+ * count) row — the Lloyd-centroid coordinator discipline.
+ *
+ * Cross-engine exactness: counts are exact longs; the argmax is fully
+ * tie-broken (count desc, left asc, right asc); and the merge APPLY is
+ * pure string surgery with no rounding seam. Segmentations live as
+ * pipe-delimited strings — word "aba" → "|a||b||a|" (each symbol
+ * wrapped in single pipes, so adjacent symbols abut as "||") — and
+ * applying merge (l, r) is replace(seg, "|l||r|", "|lr|"). Both Spark's
+ * and DuckDB's replace() scan left-to-right non-overlapping, which IS
+ * greedy leftmost BPE application: "|a||a||a|" under (a,a) →
+ * "|aa||a|" (the consumed middle pipe prevents re-matching), and
+ * "|a||b||a||b|" → "|ab||ab|" (the replacement's trailing pipe serves
+ * the next match's leading pipe). The word universe is restricted to
+ * ^[a-z]+$ BY CONTRACT (enforced by the filter below): no symbol can
+ * ever contain the '|' delimiter, and merged symbols (concatenations)
+ * inherit the alphabet closure.
+ *
+ * Output: rounds 1..`rounds` — the learned merge table, one row per
+ * round (the trained-tokenizer artifact) — plus round `rounds`+1: the
+ * top `topPairs` UNmerged pairs remaining in the final segmentation
+ * (ranked count desc, left, right), which hash-gates the final
+ * segmentation state broadly, not just the argmax path.
+ */
+object Tokenizer {
+
+  /** One learned merge. */
+  private case class Merge(round: Long, lhs: String, rhs: String, count: Long)
+
+  /**
+   * @param docs     corpus with a token-array column (pre-normalized)
+   * @param tokCol   the array<string> column of word tokens
+   * @param vocabCap train on the top-`vocabCap` alphabetic words by
+   *                 (count desc, word) — the serving-budget knob that
+   *                 keeps training dictionary-sized at any corpus scale
+   *                 (t11's maxEntries discipline)
+   * @param rounds   number of merges to learn
+   * @param topPairs size of the final-state pair audit (round rounds+1)
+   */
+  def trainBpe(docs: DataFrame, tokCol: String, vocabCap: Int,
+      rounds: Int, topPairs: Int): DataFrame = {
+    require(rounds >= 1 && vocabCap >= 2 && topPairs >= 1,
+      "need at least one round, two vocab words and one audit pair")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // the ONE corpus-sized pass: word counts, alphabetic words only
+    // (the '|' delimiter-safety contract), then the distributed top-k
+    val vocab = docs
+      .select(explode(col(tokCol)).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("word"))
+      .limit(vocabCap)
+
+    // initial segmentation: one symbol per character. split(word, "")
+    // can yield empty-string edge elements depending on the regex
+    // engine's split contract — filter them out rather than rely on it.
+    val seg0 = vocab.select(col("word"), col("cnt"),
+      concat(lit("|"),
+        array_join(filter(split(col("word"), ""), x => x =!= ""), "||"),
+        lit("|")).as("seg"))
+      // vocab-bounded table iterated `rounds` times: truncate the
+      // corpus-shuffle lineage once so no round replays the corpus scan
+      .localCheckpoint()
+
+    def pairTable(df: DataFrame): DataFrame = {
+      val arr = split(expr("substring(seg, 2, length(seg) - 2)"), "\\|\\|")
+      df.select(col("cnt"),
+          explode(zip_with(
+            slice(arr, lit(1), size(arr) - 1),
+            slice(arr, lit(2), size(arr) - 1),
+            (l, r) => struct(l.as("l"), r.as("r")))).as("p"))
+        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+        .agg(sum("cnt").as("pair_count"))
+    }
+
+    var seg = seg0
+    val merges = Seq.newBuilder[Merge]
+    (1 to rounds).foreach { round =>
+      val top = pairTable(seg)
+        .orderBy(desc("pair_count"), asc("lhs"), asc("rhs"))
+        .limit(1).collect()
+      require(top.nonEmpty,
+        s"BPE round $round found no adjacent pairs — vocab degenerated " +
+          "to single-symbol words; lower `rounds` or raise `vocabCap`")
+      val (l, r, c) = (top(0).getString(0), top(0).getString(1),
+        top(0).getLong(2))
+      merges += Merge(round.toLong, l, r, c)
+      seg = seg.withColumn("seg", org.apache.spark.sql.functions.replace(
+        col("seg"), lit("|" + l + "||" + r + "|"), lit("|" + l + r + "|")))
+    }
+
+    val mergeRows = merges.result()
+      .map(m => (m.round, m.lhs, m.rhs, m.lhs + m.rhs, m.count))
+      .toDF("round", "lhs", "rhs", "merged", "weighted_count")
+    val finalPairs = pairTable(seg)
+      .orderBy(desc("pair_count"), asc("lhs"), asc("rhs"))
+      .limit(topPairs)
+      .select(lit((rounds + 1).toLong).as("round"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"),
+        col("pair_count").as("weighted_count"))
+    mergeRows.unionAll(finalPairs)
+  }
+}

@@ -3403,6 +3403,19 @@ object Catalog {
     s"(CAST($terms AS DOUBLE) / 4294967296.0)"
   }
 
+  /** Integer form of [[hashFracSql]] — the same first-8-hex md5 int as a
+    * BIGINT (mirrors the engine's conv(substring(md5, 1, 8), 16, 10);
+    * strpos products are BIGINT in DuckDB, no int32 overflow). Used
+    * where the hash drives a MODULUS (g10's walk-step neighbor pick)
+    * rather than a fraction threshold. */
+  private def hashIntSql(keyExpr: String): String = {
+    val terms = (1 to 8).map { p =>
+      val w = math.pow(16, 8 - p).toLong
+      s"(strpos('0123456789abcdef', substring(md5($keyExpr), $p, 1)) - 1) * $w"
+    }.mkString(" + ")
+    s"CAST($terms AS BIGINT)"
+  }
+
   // ---------------------------------------------------------------- t8
   // Overlapping token-window chunking (32-token windows every 24 tokens,
   // 25% overlap) — the retrieval-prep step between curation and
@@ -8456,6 +8469,125 @@ object Catalog {
           FROM degf d JOIN h$layers hh ON hh.id = d.id) z"""))
   }
 
+  // ---------------------------------------------------------------- g10
+  // DETERMINISTIC RANDOM WALKS (Graph.randomWalks) — DeepWalk/node2vec
+  // corpus generation over the bipartite purchase graph: one 4-step walk
+  // per node, each step picking neighbor rank (md5int(walk|step|node|
+  // salt) mod outdeg) + 1 in the dst-ordered adjacency. Derived (hashed)
+  // randomness instead of an RNG is what makes the walk corpus
+  // REPLAYABLE: retries, re-partitioning, and the SQL oracle all land on
+  // the identical corpus (c1's salted-hash split rule applied per step).
+  // The ranked adjacency is built once (one exchange, two window passes)
+  // and cached pre-partitioned on src; each step shuffles only the
+  // node-sized frontier against it.
+  private val g10 = {
+    val steps = 4
+    def stepCte(k: Int): String = {
+      val key = s"CAST(w.walk_id AS VARCHAR) || '|$k|' || " +
+        "CAST(w.cur AS VARCHAR) || '|walk0'"
+      s""",
+      w$k AS (
+        SELECT w.walk_id, a.dst AS cur
+        FROM w${k - 1} w JOIN adj a ON a.src = w.cur
+          AND a.rn = (${hashIntSql(key)} % a.outdeg) + 1)"""
+    }
+    def levelSelect(k: Int): String = s"""
+      SELECT walk_id, CAST($k AS BIGINT) AS step, cur AS node_id,
+        CASE WHEN cur % 2 = 0 THEN 'customer' ELSE 'supplier' END
+          AS node_type
+      FROM w$k"""
+    Q(
+      "g10_random_walks",
+      (s, d) => graft.operators.Graph
+        .randomWalks(GFixture.bipartite(s, d), steps, "walk0")
+        .select(col("walk_id"), col("step"), col("node_id"),
+          when(col("node_id") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("node_type")),
+      Some(s"""
+      WITH ${GFixture.bipartiteSql},
+      adj AS (
+        SELECT src, dst,
+          ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn,
+          COUNT(*) OVER (PARTITION BY src) AS outdeg
+        FROM edges),
+      w0 AS (SELECT DISTINCT src AS walk_id, src AS cur FROM edges)
+      ${(1 to steps).map(stepCte).mkString}
+      ${(0 to steps).map(levelSelect).mkString(" UNION ALL ")}"""))
+  }
+
+  // ---------------------------------------------------------------- t17
+  // BPE TOKENIZER TRAINING (Tokenizer.trainBpe) — learn the 6 highest-
+  // frequency adjacent-symbol merges over the corpus's top-256
+  // alphabetic words (count-weighted, fully tie-broken), plus a final
+  // top-20 remaining-pair audit that hash-gates the end-state
+  // segmentation. The corpus is touched by ONE shuffle (word counts);
+  // every merge round runs over the vocab-bounded dictionary, and the
+  // per-round driver state is a single argmax row (Lloyd discipline).
+  // Merge application is exact string surgery on pipe-delimited
+  // segmentations — replace() is greedy leftmost non-overlapping in
+  // both engines, which IS the BPE application rule — so the oracle
+  // replays train end-to-end bit for bit.
+  private val t17 = {
+    val vocabCap = 256
+    val rounds = 6
+    val topPairs = 20
+    // pair table over segmentation CTE seg<k>: adjacent (lhs, rhs)
+    // weighted by word count; list_zip pads the tail with NULL → filter
+    def pairsCte(k: Int): String = s"""
+      p$k AS (
+        SELECT u[1] AS lhs, u[2] AS rhs, SUM(cnt) AS pc
+        FROM (
+          SELECT cnt, UNNEST(list_zip(arr, arr[2:])) AS u
+          FROM (
+            SELECT cnt, string_split(
+              substring(seg, 2, length(seg) - 2), '||') AS arr
+            FROM seg$k) a) b
+        WHERE u[2] IS NOT NULL
+        GROUP BY 1, 2)"""
+    def roundCtes(k: Int): String = s""",
+      ${pairsCte(k - 1)},
+      m$k AS (SELECT lhs, rhs, pc FROM p${k - 1}
+              ORDER BY pc DESC, lhs, rhs LIMIT 1),
+      seg$k AS (
+        SELECT word, cnt,
+          replace(seg, '|' || m.lhs || '||' || m.rhs || '|',
+            '|' || m.lhs || m.rhs || '|') AS seg
+        FROM seg${k - 1} CROSS JOIN m$k m)"""
+    def mergeSelect(k: Int): String = s"""
+      SELECT CAST($k AS BIGINT) AS round, lhs, rhs, lhs || rhs AS merged,
+        CAST(pc AS BIGINT) AS weighted_count
+      FROM m$k"""
+    Q(
+      "t17_bpe_train",
+      (s, d) => graft.operators.Tokenizer.trainBpe(
+        bm25Docs(s, d), "w", vocabCap, rounds, topPairs),
+      Some(s"""
+      WITH docs AS (
+        SELECT doc_id, string_split(${normSql("text")}, ' ') AS w
+        FROM documents),
+      words AS (
+        SELECT tok AS word, COUNT(*) AS cnt
+        FROM (SELECT unnest(w) AS tok FROM docs) z
+        WHERE regexp_matches(tok, '^[a-z]+${"$"}')
+        GROUP BY 1),
+      vocab AS (SELECT word, cnt FROM words
+                ORDER BY cnt DESC, word LIMIT $vocabCap),
+      seg0 AS (
+        SELECT word, cnt,
+          '|' || array_to_string(regexp_split_to_array(word, ''), '||')
+            || '|' AS seg
+        FROM vocab)
+      ${(1 to rounds).map(roundCtes).mkString},
+      ${pairsCte(rounds)},
+      fin AS (SELECT lhs, rhs, pc FROM p$rounds
+              ORDER BY pc DESC, lhs, rhs LIMIT $topPairs)
+      ${(1 to rounds).map(mergeSelect).mkString(" UNION ALL ")}
+      UNION ALL
+      SELECT CAST(${rounds + 1} AS BIGINT) AS round, lhs, rhs,
+        lhs || rhs AS merged, CAST(pc AS BIGINT) AS weighted_count
+      FROM fin"""))
+  }
+
   val all: Seq[Q] = Seq(
     a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11, a12, a13, a14, a15,
     n1, n2, n3, n4, n5, n6, n7,
@@ -8465,12 +8597,13 @@ object Catalog {
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
     l17, l18, l19, l20, l21, l22,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16,
+    t17,
     c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13,
     m1, m2, m3, m4, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20,
     p1, p2, p3, p4, p5,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
     w17, w18, w19, w20, w21, w22, w23,
-    g1, g2, g3, g4, g5, g6, g7, g8, g9)
+    g1, g2, g3, g4, g5, g6, g7, g8, g9, g10)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

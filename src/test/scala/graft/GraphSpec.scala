@@ -279,4 +279,41 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == brute)
   }
+
+  test("randomWalks replays the salted md5 step rule exactly") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val salt = "specwalk"
+    val length = 3
+    // plain-Scala reference: dst-ordered adjacency, step k from u on the
+    // walk seeded at s picks rank (md5int(s|k|u|salt) mod outdeg) + 1
+    val es = pairs ++ pairs.map(p => (p._2, p._1))
+    val adj = es.groupBy(_._1).map { case (s, e) =>
+      s -> e.map(_._2).sorted
+    }
+    def md5int(key: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    val want = adj.keys.toSeq.flatMap { s =>
+      var cur = s
+      (s, 0L, s) +: (1 to length).map { k =>
+        val nb = adj(cur)
+        cur = nb((md5int(s"$s|$k|$cur|$salt") % nb.size).toInt)
+        (s, k.toLong, cur)
+      }
+    }.toSet
+    val got = Graph.randomWalks(undirected(pairs), length, salt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    // one walk per node, every walk full-length
+    assert(got.size == adj.size * (length + 1))
+    // every step traverses a real edge
+    val edgeSet = es.toSet
+    val byWalk = got.groupBy(_._1)
+    byWalk.values.foreach { rows =>
+      val path = rows.toSeq.sortBy(_._2).map(_._3)
+      path.zip(path.drop(1)).foreach(e => assert(edgeSet.contains(e)))
+    }
+  }
 }
