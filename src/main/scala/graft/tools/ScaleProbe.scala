@@ -178,7 +178,12 @@ object ScaleProbe {
     // union-merge windows (the j1 shape, twice) plus the rank window;
     // g9 aggregates 8 disjoint graph replicas (×8 edges and nodes, same
     // layer count — per-layer join + mean must grow linearly)
-    "j6_pit_features", "g9_neighbor_agg")
+    "j6_pit_features", "g9_neighbor_agg",
+    // round-11: t17's ×8 corpus folds into the SAME capped dictionary
+    // (word counts ×8, top-256 set unchanged up to count scaling — the
+    // merge rounds must stay dictionary-sized); g10 walks 8 disjoint
+    // graph replicas → 8× walks, linear per-step frontier joins
+    "t17_bpe_train", "g10_random_walks")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
