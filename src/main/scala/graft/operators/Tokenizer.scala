@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -46,7 +46,7 @@ import org.apache.spark.sql.functions._
 object Tokenizer {
 
   /** One learned merge. */
-  private case class Merge(round: Long, lhs: String, rhs: String, count: Long)
+  final case class Merge(round: Long, lhs: String, rhs: String, count: Long)
 
   /**
    * @param docs     corpus with a token-array column (pre-normalized)
@@ -58,10 +58,26 @@ object Tokenizer {
    * @param rounds   number of merges to learn
    * @param topPairs size of the final-state pair audit (round rounds+1)
    */
-  def trainBpe(docs: DataFrame, tokCol: String, vocabCap: Int,
-      rounds: Int, topPairs: Int): DataFrame = {
-    require(rounds >= 1 && vocabCap >= 2 && topPairs >= 1,
-      "need at least one round, two vocab words and one audit pair")
+  /** count-weighted adjacent-symbol pairs of a (word, cnt, seg) table. */
+  private def pairTable(df: DataFrame): DataFrame = {
+    val arr = split(expr("substring(seg, 2, length(seg) - 2)"), "\\|\\|")
+    df.select(col("cnt"),
+        explode(zip_with(
+          slice(arr, lit(1), size(arr) - 1),
+          slice(arr, lit(2), size(arr) - 1),
+          (l, r) => struct(l.as("l"), r.as("r")))).as("p"))
+      .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+      .agg(sum("cnt").as("pair_count"))
+  }
+
+  /** Learn the merge list alone (no final-pair audit) — the shareable
+    * artifact [[tokenizeCorpus]] applies corpus-wide. Returns the merges
+    * and the final segmentation table (vocab-bounded) for callers that
+    * also audit the end state ([[trainBpe]]). */
+  def learnMerges(docs: DataFrame, tokCol: String, vocabCap: Int,
+      rounds: Int): (Seq[Merge], DataFrame) = {
+    require(rounds >= 1 && vocabCap >= 2,
+      "need at least one round and two vocab words")
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -85,17 +101,6 @@ object Tokenizer {
       // corpus-shuffle lineage once so no round replays the corpus scan
       .localCheckpoint()
 
-    def pairTable(df: DataFrame): DataFrame = {
-      val arr = split(expr("substring(seg, 2, length(seg) - 2)"), "\\|\\|")
-      df.select(col("cnt"),
-          explode(zip_with(
-            slice(arr, lit(1), size(arr) - 1),
-            slice(arr, lit(2), size(arr) - 1),
-            (l, r) => struct(l.as("l"), r.as("r")))).as("p"))
-        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
-        .agg(sum("cnt").as("pair_count"))
-    }
-
     var seg = seg0
     val merges = Seq.newBuilder[Merge]
     (1 to rounds).foreach { round =>
@@ -111,16 +116,69 @@ object Tokenizer {
       seg = seg.withColumn("seg", org.apache.spark.sql.functions.replace(
         col("seg"), lit("|" + l + "||" + r + "|"), lit("|" + l + r + "|")))
     }
+    (merges.result(), seg)
+  }
 
-    val mergeRows = merges.result()
+  def trainBpe(docs: DataFrame, tokCol: String, vocabCap: Int,
+      rounds: Int, topPairs: Int): DataFrame = {
+    require(topPairs >= 1, "need at least one audit pair")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (merges, seg) = learnMerges(docs, tokCol, vocabCap, rounds)
+    val mergeRows = merges
       .map(m => (m.round, m.lhs, m.rhs, m.lhs + m.rhs, m.count))
       .toDF("round", "lhs", "rhs", "merged", "weighted_count")
     val finalPairs = pairTable(seg)
       .orderBy(desc("pair_count"), asc("lhs"), asc("rhs"))
       .limit(topPairs)
-      .select(lit((rounds + 1).toLong).as("round"), col("lhs"), col("rhs"),
-        concat(col("lhs"), col("rhs")).as("merged"),
+      .select(lit((merges.size + 1).toLong).as("round"), col("lhs"),
+        col("rhs"), concat(col("lhs"), col("rhs")).as("merged"),
         col("pair_count").as("weighted_count"))
     mergeRows.unionAll(finalPairs)
+  }
+
+  /**
+   * TOKENIZE THE CORPUS under a learned merge list — the inference half
+   * of BPE and THE whole-corpus pass of an LLM pipeline (every token
+   * budget, packing ratio, and cost estimate downstream consumes these
+   * counts). Applying `merges` in learned order to each alphabetic
+   * word's character segmentation is a chain of |merges| replace()
+   * calls over the delimited-string form — pure per-row expressions,
+   * so the corpus pass is MAP-ONLY (zero shuffle beyond the input
+   * scan; at 100 TB this is the difference between a pass and a job).
+   * Non-alphabetic tokens are outside the tokenizer's word universe
+   * and are excluded from the counts by the same ^[a-z]+$ contract
+   * training used.
+   *
+   * Output per document: n_words (alphabetic), n_chars (their total
+   * length), n_bpe_tokens (symbols after all merges) — exact longs;
+   * a symbol count is derived from the delimiter structure
+   * (k symbols ⇔ k−1 "||" separators) without re-splitting.
+   */
+  def tokenizeCorpus(docs: DataFrame, idCol: String, tokCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    require(merges.nonEmpty, "need a learned merge list")
+    val alpha = filter(col(tokCol), w => w.rlike("^[a-z]+$"))
+    def segOf(word: Column): Column = merges.foldLeft(
+      concat(lit("|"),
+        array_join(filter(split(word, ""), x => x =!= ""), "||"),
+        lit("|"))) { (seg, m) =>
+      org.apache.spark.sql.functions.replace(seg,
+        lit("|" + m.lhs + "||" + m.rhs + "|"),
+        lit("|" + m.lhs + m.rhs + "|"))
+    }
+    // k symbols ⇔ k-1 '||' separators: collapsing '||'→'|' shrinks the
+    // string by exactly (k-1) chars
+    def nSymbols(word: Column): Column = {
+      val seg = segOf(word)
+      length(seg) - length(org.apache.spark.sql.functions.replace(
+        seg, lit("||"), lit("|"))) + lit(1L)
+    }
+    docs.select(col(idCol),
+      size(alpha).cast("long").as("n_words"),
+      coalesce(aggregate(alpha, lit(0L), (acc, w) => acc + length(w)),
+        lit(0L)).as("n_chars"),
+      coalesce(aggregate(alpha, lit(0L), (acc, w) => acc + nSymbols(w)),
+        lit(0L)).as("n_bpe_tokens"))
   }
 }

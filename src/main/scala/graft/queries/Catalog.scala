@@ -8527,7 +8527,11 @@ object Catalog {
   // segmentations — replace() is greedy leftmost non-overlapping in
   // both engines, which IS the BPE application rule — so the oracle
   // replays train end-to-end bit for bit.
-  private val t17 = {
+  /** BPE constants + the shared training CTE chain: t17 (the learned
+    * merge table) and t18 (corpus tokenization under those merges) fold
+    * the SAME text so the two entries cannot drift (the bm25OracleSql
+    * sharing rule). */
+  private object BpeFix {
     val vocabCap = 256
     val rounds = 6
     val topPairs = 20
@@ -8553,16 +8557,9 @@ object Catalog {
           replace(seg, '|' || m.lhs || '||' || m.rhs || '|',
             '|' || m.lhs || m.rhs || '|') AS seg
         FROM seg${k - 1} CROSS JOIN m$k m)"""
-    def mergeSelect(k: Int): String = s"""
-      SELECT CAST($k AS BIGINT) AS round, lhs, rhs, lhs || rhs AS merged,
-        CAST(pc AS BIGINT) AS weighted_count
-      FROM m$k"""
-    Q(
-      "t17_bpe_train",
-      (s, d) => graft.operators.Tokenizer.trainBpe(
-        bm25Docs(s, d), "w", vocabCap, rounds, topPairs),
-      Some(s"""
-      WITH docs AS (
+    /** docs → alphabetic word counts → capped vocab → seg0 → rounds of
+      * (pairs, argmax m<k>, apply seg<k>). Ends after seg<rounds>. */
+    def trainCtes: String = s"""docs AS (
         SELECT doc_id, string_split(${normSql("text")}, ' ') AS w
         FROM documents),
       words AS (
@@ -8577,7 +8574,21 @@ object Catalog {
           '|' || array_to_string(regexp_split_to_array(word, ''), '||')
             || '|' AS seg
         FROM vocab)
-      ${(1 to rounds).map(roundCtes).mkString},
+      ${(1 to rounds).map(roundCtes).mkString}"""
+  }
+
+  private val t17 = {
+    import BpeFix._
+    def mergeSelect(k: Int): String = s"""
+      SELECT CAST($k AS BIGINT) AS round, lhs, rhs, lhs || rhs AS merged,
+        CAST(pc AS BIGINT) AS weighted_count
+      FROM m$k"""
+    Q(
+      "t17_bpe_train",
+      (s, d) => graft.operators.Tokenizer.trainBpe(
+        bm25Docs(s, d), "w", vocabCap, rounds, topPairs),
+      Some(s"""
+      WITH $trainCtes,
       ${pairsCte(rounds)},
       fin AS (SELECT lhs, rhs, pc FROM p$rounds
               ORDER BY pc DESC, lhs, rhs LIMIT $topPairs)
@@ -8586,6 +8597,55 @@ object Catalog {
       SELECT CAST(${rounds + 1} AS BIGINT) AS round, lhs, rhs,
         lhs || rhs AS merged, CAST(pc AS BIGINT) AS weighted_count
       FROM fin"""))
+  }
+
+  // ---------------------------------------------------------------- t18
+  // CORPUS TOKENIZATION under the t17-learned merges (Tokenizer
+  // .tokenizeCorpus) — BPE inference, THE whole-corpus pass of an LLM
+  // pipeline: every budget (c7), packing ratio (c5) and cost estimate
+  // downstream consumes these counts. Training state (6 merge rows)
+  // rides into the plan as literal replace() chains, so the corpus pass
+  // is MAP-ONLY — zero shuffle beyond the scan; the oracle replays
+  // train AND apply (merges come from the shared CTE chain, never
+  // inlined), with per-word symbol counts derived from the delimiter
+  // structure (k symbols ⇔ k−1 '||' separators).
+  private val t18 = {
+    import BpeFix._
+    val appliedSeg = (1 to rounds).foldLeft("seg") { (e, k) =>
+      s"replace($e, '|' || m$k.lhs || '||' || m$k.rhs || '|', " +
+        s"'|' || m$k.lhs || m$k.rhs || '|')"
+    }
+    Q(
+      "t18_bpe_tokenize",
+      (s, d) => {
+        val docs = bm25Docs(s, d)
+        val (merges, _) = graft.operators.Tokenizer.learnMerges(
+          docs, "w", vocabCap, rounds)
+        graft.operators.Tokenizer.tokenizeCorpus(docs, "doc_id", "w", merges)
+      },
+      Some(s"""
+      WITH $trainCtes,
+      aw AS (
+        SELECT doc_id, tok AS word
+        FROM (SELECT doc_id, unnest(w) AS tok FROM docs) z
+        WHERE regexp_matches(tok, '^[a-z]+${"$"}')),
+      ws AS (
+        SELECT doc_id, word,
+          '|' || array_to_string(regexp_split_to_array(word, ''), '||')
+            || '|' AS seg
+        FROM aw),
+      applied AS (
+        SELECT doc_id, word, $appliedSeg AS segf
+        FROM ws ${(1 to rounds).map(k => s"CROSS JOIN m$k").mkString(" ")}),
+      perdoc AS (
+        SELECT doc_id, COUNT(*) AS n_words, SUM(length(word)) AS n_chars,
+          SUM(length(segf) - length(replace(segf, '||', '|')) + 1) AS n_bpe
+        FROM applied GROUP BY 1)
+      SELECT d.doc_id,
+        CAST(COALESCE(p.n_words, 0) AS BIGINT) AS n_words,
+        CAST(COALESCE(p.n_chars, 0) AS BIGINT) AS n_chars,
+        CAST(COALESCE(p.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
+      FROM docs d LEFT JOIN perdoc p ON p.doc_id = d.doc_id"""))
   }
 
   val all: Seq[Q] = Seq(
@@ -8597,7 +8657,7 @@ object Catalog {
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
     l17, l18, l19, l20, l21, l22,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16,
-    t17,
+    t17, t18,
     c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13,
     m1, m2, m3, m4, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20,
     p1, p2, p3, p4, p5,

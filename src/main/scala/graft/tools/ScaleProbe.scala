@@ -183,7 +183,10 @@ object ScaleProbe {
     // (word counts ×8, top-256 set unchanged up to count scaling — the
     // merge rounds must stay dictionary-sized); g10 walks 8 disjoint
     // graph replicas → 8× walks, linear per-step frontier joins
-    "t17_bpe_train", "g10_random_walks")
+    "t17_bpe_train", "g10_random_walks",
+    // t18: train is dictionary-bounded (t17's row) and apply is
+    // map-only — the ×8 corpus must cost ~linear scan time
+    "t18_bpe_tokenize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

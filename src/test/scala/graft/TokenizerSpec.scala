@@ -85,6 +85,34 @@ class TokenizerSpec extends AnyFunSuite {
     assert(got.filter(_._1 == 1L) == Seq((1L, "a", "b", "ab", 1L)))
   }
 
+  test("tokenizeCorpus applies the learned merges greedily, exact counts") {
+    val docs = Seq(
+      (1L, Seq("abab", "aaa", "x1")),
+      (2L, Seq("zz", "ab")),
+      (3L, Seq("9", "--")))
+    val df = docs.toDF("doc_id", "w")
+    val (merges, _) = Tokenizer.learnMerges(df, "w", 10, 2)
+    val got = Tokenizer.tokenizeCorpus(df, "doc_id", "w", merges)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // plain-Scala expected: greedy merge application in learned order
+    val want = docs.map { case (id, ws) =>
+      val alpha = ws.filter(_.matches("^[a-z]+$"))
+      val nTok = alpha.map { w0 =>
+        merges.foldLeft(w0.map(_.toString).toList)(
+          (s, m) => applyMerge(s, m.lhs, m.rhs)).size.toLong
+      }.sum
+      (id, alpha.size.toLong, alpha.map(_.length).sum.toLong, nTok)
+    }.toSet
+    assert(got == want)
+    // a doc with no alphabetic words carries explicit zeros, not nulls
+    assert(got.contains((3L, 0L, 0L, 0L)))
+    // merges actually compress: doc 1 has 7 chars but fewer BPE tokens
+    val d1 = got.find(_._1 == 1L).get
+    assert(d1._4 < d1._3)
+  }
+
   test("vocabCap keeps training dictionary-bounded and deterministic") {
     // cap 2 keeps the two most frequent words; the count-1 word "xq"
     // falls off the dictionary and can contribute no pair anywhere
