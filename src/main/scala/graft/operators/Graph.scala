@@ -606,4 +606,33 @@ object Graph {
       out.result().reduce(_ unionAll _)
     } finally adj.unpersist(blocking = false)
   }
+
+  /**
+   * SKIP-GRAM TRAINING PAIRS from a walk corpus ([[randomWalks]]'s
+   * consumer — together they are the DeepWalk pipeline): every ordered
+   * (center, context) node pair co-occurring within `window` steps on
+   * the same walk, aggregated to co-occurrence counts — the exact
+   * input table of a word2vec/node-embedding trainer (and, with the
+   * counts, of a PMI/lift factorization, t16's discipline on walks).
+   *
+   * Scale shape: the self-join keys on walk_id, so each join partition
+   * holds whole walks of length+1 rows — per-walk pair work is the
+   * CONSTANT (length+1)·2·window, never corpus-quadratic — and the
+   * count aggregation is one shuffle on (center, context) with
+   * map-side partials, bounded by nodes·length·2·window rows. Counts
+   * are exact longs; both directions are emitted (standard skip-gram
+   * symmetry), self-pairs excluded by step inequality.
+   */
+  def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, "window must be positive")
+    val a = walks.select(col("walk_id"), col("step").as("i"),
+      col("node_id").as("center_id"))
+    val b = walks.select(col("walk_id"), col("step").as("j"),
+      col("node_id").as("context_id"))
+    a.join(b, Seq("walk_id"))
+      .filter(col("i") =!= col("j") &&
+        abs(col("i") - col("j")) <= window)
+      .groupBy("center_id", "context_id")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 }

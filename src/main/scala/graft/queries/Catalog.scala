@@ -8480,40 +8480,74 @@ object Catalog {
   // The ranked adjacency is built once (one exchange, two window passes)
   // and cached pre-partitioned on src; each step shuffles only the
   // node-sized frontier against it.
-  private val g10 = {
+  /** Walk constants + the shared walk-corpus CTE chain: g10 (the walk
+    * corpus itself) and g11 (its skip-gram pair table) replay the SAME
+    * hash-stepped walks so the two entries cannot drift (the
+    * bm25OracleSql sharing rule). */
+  private object WalkFix {
     val steps = 4
-    def stepCte(k: Int): String = {
+    val window = 2
+    val salt = "walk0"
+    private def stepCte(k: Int): String = {
       val key = s"CAST(w.walk_id AS VARCHAR) || '|$k|' || " +
-        "CAST(w.cur AS VARCHAR) || '|walk0'"
+        s"CAST(w.cur AS VARCHAR) || '|$salt'"
       s""",
       w$k AS (
         SELECT w.walk_id, a.dst AS cur
         FROM w${k - 1} w JOIN adj a ON a.src = w.cur
           AND a.rn = (${hashIntSql(key)} % a.outdeg) + 1)"""
     }
-    def levelSelect(k: Int): String = s"""
-      SELECT walk_id, CAST($k AS BIGINT) AS step, cur AS node_id,
-        CASE WHEN cur % 2 = 0 THEN 'customer' ELSE 'supplier' END
-          AS node_type
-      FROM w$k"""
-    Q(
-      "g10_random_walks",
-      (s, d) => graft.operators.Graph
-        .randomWalks(GFixture.bipartite(s, d), steps, "walk0")
-        .select(col("walk_id"), col("step"), col("node_id"),
-          when(col("node_id") % 2 === 0, lit("customer"))
-            .otherwise(lit("supplier")).as("node_type")),
-      Some(s"""
-      WITH ${GFixture.bipartiteSql},
+    /** edges → ranked adjacency → w0..w<steps> → `walks` union CTE. */
+    def walkCtes: String = s"""${GFixture.bipartiteSql},
       adj AS (
         SELECT src, dst,
           ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn,
           COUNT(*) OVER (PARTITION BY src) AS outdeg
         FROM edges),
       w0 AS (SELECT DISTINCT src AS walk_id, src AS cur FROM edges)
-      ${(1 to steps).map(stepCte).mkString}
-      ${(0 to steps).map(levelSelect).mkString(" UNION ALL ")}"""))
+      ${(1 to steps).map(stepCte).mkString},
+      walks AS (${(0 to steps).map(k =>
+        s"SELECT walk_id, CAST($k AS BIGINT) AS step, cur FROM w$k")
+        .mkString(" UNION ALL ")})"""
   }
+
+  private val g10 = Q(
+    "g10_random_walks",
+    (s, d) => graft.operators.Graph
+      .randomWalks(GFixture.bipartite(s, d), WalkFix.steps, WalkFix.salt)
+      .select(col("walk_id"), col("step"), col("node_id"),
+        when(col("node_id") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("node_type")),
+    Some(s"""
+      WITH ${WalkFix.walkCtes}
+      SELECT walk_id, step, cur AS node_id,
+        CASE WHEN cur % 2 = 0 THEN 'customer' ELSE 'supplier' END
+          AS node_type
+      FROM walks"""))
+
+  // ---------------------------------------------------------------- g11
+  // SKIP-GRAM TRAINING PAIRS (Graph.skipGramPairs over g10's walks) —
+  // the word2vec co-occurrence table that node-embedding training
+  // actually consumes (DeepWalk = walks + skip-gram; g10 emits the
+  // corpus, g11 the pairs): every (center, context) within 2 steps on
+  // the same walk, both directions, counted exactly. The self-join keys
+  // on walk_id (whole walks per partition, constant pair work per
+  // walk); the count aggregation is one map-side-partial shuffle
+  // bounded by nodes·steps·2·window.
+  private val g11 = Q(
+    "g11_skipgram_pairs",
+    (s, d) => graft.operators.Graph.skipGramPairs(
+      graft.operators.Graph.randomWalks(
+        GFixture.bipartite(s, d), WalkFix.steps, WalkFix.salt),
+      WalkFix.window),
+    Some(s"""
+      WITH ${WalkFix.walkCtes}
+      SELECT a.cur AS center_id, b.cur AS context_id,
+        COUNT(*) AS n_pairs
+      FROM walks a JOIN walks b
+        ON a.walk_id = b.walk_id AND a.step <> b.step
+        AND abs(a.step - b.step) <= ${WalkFix.window}
+      GROUP BY 1, 2"""))
 
   // ---------------------------------------------------------------- t17
   // BPE TOKENIZER TRAINING (Tokenizer.trainBpe) — learn the 6 highest-
@@ -8663,7 +8697,7 @@ object Catalog {
     p1, p2, p3, p4, p5,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
     w17, w18, w19, w20, w21, w22, w23,
-    g1, g2, g3, g4, g5, g6, g7, g8, g9, g10)
+    g1, g2, g3, g4, g5, g6, g7, g8, g9, g10, g11)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

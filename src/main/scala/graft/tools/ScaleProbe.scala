@@ -186,7 +186,10 @@ object ScaleProbe {
     "t17_bpe_train", "g10_random_walks",
     // t18: train is dictionary-bounded (t17's row) and apply is
     // map-only — the ×8 corpus must cost ~linear scan time
-    "t18_bpe_tokenize")
+    "t18_bpe_tokenize",
+    // g11: ×8 disjoint replicas → ×8 walks → ×8 pairs; the walk_id
+    // self-join must stay per-walk-bounded (linear, like g10's row)
+    "g11_skipgram_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -316,4 +316,30 @@ class GraphSpec extends AnyFunSuite {
       path.zip(path.drop(1)).foreach(e => assert(edgeSet.contains(e)))
     }
   }
+
+  test("skipGramPairs counts windowed co-occurrence on hand-built walks") {
+    // two walks: [1,2,3,4] and [7,8] — window 2, both directions
+    val walks = Seq(
+      (1L, 0L, 1L), (1L, 1L, 2L), (1L, 2L, 3L), (1L, 3L, 4L),
+      (7L, 0L, 7L), (7L, 1L, 8L)).toDF("walk_id", "step", "node_id")
+    val got = Graph.skipGramPairs(walks, window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rows = Seq((1L, Seq(1L, 2L, 3L, 4L)), (7L, Seq(7L, 8L)))
+    val want = rows.flatMap { case (_, p) =>
+      for {
+        i <- p.indices; j <- p.indices
+        if i != j && math.abs(i - j) <= 2
+      } yield (p(i), p(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == want)
+    // spot values: (2,3) adjacent once each direction; (1,4) outside
+    assert(got((2L, 3L)) == 1L && got((3L, 2L)) == 1L)
+    assert(!got.contains((1L, 4L)))
+    // a node revisited by a walk accumulates counts, not duplicates
+    val loop = Seq((9L, 0L, 5L), (9L, 1L, 6L), (9L, 2L, 5L))
+      .toDF("walk_id", "step", "node_id")
+    val g2 = Graph.skipGramPairs(loop, window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(g2((5L, 6L)) == 2L && g2((6L, 5L)) == 2L && g2((5L, 5L)) == 2L)
+  }
 }
