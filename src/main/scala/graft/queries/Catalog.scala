@@ -7183,6 +7183,60 @@ object Catalog {
         max(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f')) AS max_ts
       FROM events GROUP BY 1"""))
 
+  // ---------------------------------------------------------------- w24
+  // CSV ROUNDTRIP under the FULL quoting gauntlet (the second
+  // format-adapter entry next to w2's JSONL): the interchange format
+  // every external producer/consumer still speaks, exercised where it
+  // actually breaks — a derived column embedding a comma, a double
+  // quote, AND a newline is written through Spark's RFC-4180 quoting
+  // (escape = doubled quote) and read back with an explicit schema +
+  // multiLine (quoted newlines must not split records). The read-back
+  // rows ARE the entry output, so the driver hash gates byte-exact
+  // string reconstruction against the oracle's recomputation from
+  // parquet; a row-count require makes a record-splitting failure loud
+  // rather than a silent diff. The testdata's text is CSV-benign (no
+  // commas/quotes/newlines — checked), which is exactly why the
+  // gauntlet column is SYNTHESIZED from existing fields: the roundtrip
+  // is non-vacuous at any corpus.
+  private val w24 = Q(
+    "w24_csv_roundtrip",
+    (s, d) => {
+      val hostile = concat(col("source"), lit(",\""), col("lang"),
+        lit("\"\n"), substring(col("text"), 1, 20))
+      val src = Tables.documents(s, d)
+        .select(col("doc_id"), hostile.as("hostile"), col("source"),
+          col("n_chars"))
+      val path = s"$scratchRoot/${dsScratch(d)}/docs_csv"
+      // whitespace fidelity: Spark's CSV WRITER trims leading/trailing
+      // whitespace by default (ignore*WhiteSpace = true on write) —
+      // a roundtrip that silently eats a trailing space fails the gate,
+      // so both directions pin the options off
+      src.write.mode("overwrite")
+        .option("header", "true").option("quote", "\"")
+        .option("escape", "\"")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(path)
+      val back = s.read
+        .schema("doc_id BIGINT, hostile STRING, source STRING, n_chars BIGINT")
+        .option("header", "true").option("quote", "\"")
+        .option("escape", "\"").option("multiLine", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(path)
+      val (nIn, nOut) = (src.count(), back.count())
+      require(nIn == nOut,
+        s"CSV roundtrip split records: wrote $nIn rows, read $nOut — " +
+          "quoted newlines are being broken on read")
+      back
+    },
+    Some("""
+      SELECT doc_id,
+        source || ',"' || lang || '"' || chr(10) || substring(text, 1, 20)
+          AS hostile,
+        source, n_chars
+      FROM documents"""))
+
   // ---------------------------------------------------------------- w3
   // SURVEY §5's biggest recurring-cost claim, enforced AT THE GATE rather
   // than only in SinkSpec: state tables bucketed on the merge key
@@ -8696,7 +8750,7 @@ object Catalog {
     m1, m2, m3, m4, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20,
     p1, p2, p3, p4, p5,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
-    w17, w18, w19, w20, w21, w22, w23,
+    w17, w18, w19, w20, w21, w22, w23, w24,
     g1, g2, g3, g4, g5, g6, g7, g8, g9, g10, g11)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
