@@ -8623,46 +8623,50 @@ object Catalog {
     val vocabCap = 256
     val rounds = 6
     val topPairs = 20
-    // pair table over segmentation CTE seg<k>: adjacent (lhs, rhs)
-    // weighted by word count; list_zip pads the tail with NULL → filter
-    def pairsCte(k: Int): String = s"""
-      p$k AS (
+    // pair table over segmentation CTE <x>seg<k>: adjacent (lhs, rhs)
+    // weighted by word count; list_zip pads the tail with NULL → filter.
+    // The `x` prefix namespaces a whole chain so two independent
+    // trainings (q10's slice drift) can coexist in one oracle.
+    def pairsCte(k: Int, x: String = ""): String = s"""
+      ${x}p$k AS (
         SELECT u[1] AS lhs, u[2] AS rhs, SUM(cnt) AS pc
         FROM (
           SELECT cnt, UNNEST(list_zip(arr, arr[2:])) AS u
           FROM (
             SELECT cnt, string_split(
               substring(seg, 2, length(seg) - 2), '||') AS arr
-            FROM seg$k) a) b
+            FROM ${x}seg$k) a) b
         WHERE u[2] IS NOT NULL
         GROUP BY 1, 2)"""
-    def roundCtes(k: Int): String = s""",
-      ${pairsCte(k - 1)},
-      m$k AS (SELECT lhs, rhs, pc FROM p${k - 1}
+    def roundCtes(k: Int, x: String = ""): String = s""",
+      ${pairsCte(k - 1, x)},
+      ${x}m$k AS (SELECT lhs, rhs, pc FROM ${x}p${k - 1}
               ORDER BY pc DESC, lhs, rhs LIMIT 1),
-      seg$k AS (
+      ${x}seg$k AS (
         SELECT word, cnt,
           replace(seg, '|' || m.lhs || '||' || m.rhs || '|',
             '|' || m.lhs || m.rhs || '|') AS seg
-        FROM seg${k - 1} CROSS JOIN m$k m)"""
+        FROM ${x}seg${k - 1} CROSS JOIN ${x}m$k m)"""
     /** docs → alphabetic word counts → capped vocab → seg0 → rounds of
-      * (pairs, argmax m<k>, apply seg<k>). Ends after seg<rounds>. */
-    def trainCtes: String = s"""docs AS (
+      * (pairs, argmax m<k>, apply seg<k>). Ends after <x>seg<rounds>.
+      * `slice` restricts the corpus (q10 trains per corpus slice). */
+    def trainCtes(x: String = "", slice: String = "TRUE"): String =
+      s"""${x}docs AS (
         SELECT doc_id, string_split(${normSql("text")}, ' ') AS w
-        FROM documents),
-      words AS (
+        FROM documents WHERE $slice),
+      ${x}words AS (
         SELECT tok AS word, COUNT(*) AS cnt
-        FROM (SELECT unnest(w) AS tok FROM docs) z
+        FROM (SELECT unnest(w) AS tok FROM ${x}docs) z
         WHERE regexp_matches(tok, '^[a-z]+${"$"}')
         GROUP BY 1),
-      vocab AS (SELECT word, cnt FROM words
+      ${x}vocab AS (SELECT word, cnt FROM ${x}words
                 ORDER BY cnt DESC, word LIMIT $vocabCap),
-      seg0 AS (
+      ${x}seg0 AS (
         SELECT word, cnt,
           '|' || array_to_string(regexp_split_to_array(word, ''), '||')
             || '|' AS seg
-        FROM vocab)
-      ${(1 to rounds).map(roundCtes).mkString}"""
+        FROM ${x}vocab)
+      ${(1 to rounds).map(roundCtes(_, x)).mkString}"""
   }
 
   private val t17 = {
@@ -8676,7 +8680,7 @@ object Catalog {
       (s, d) => graft.operators.Tokenizer.trainBpe(
         bm25Docs(s, d), "w", vocabCap, rounds, topPairs),
       Some(s"""
-      WITH $trainCtes,
+      WITH ${trainCtes()},
       ${pairsCte(rounds)},
       fin AS (SELECT lhs, rhs, pc FROM p$rounds
               ORDER BY pc DESC, lhs, rhs LIMIT $topPairs)
@@ -8712,7 +8716,7 @@ object Catalog {
         graft.operators.Tokenizer.tokenizeCorpus(docs, "doc_id", "w", merges)
       },
       Some(s"""
-      WITH $trainCtes,
+      WITH ${trainCtes()},
       aw AS (
         SELECT doc_id, tok AS word
         FROM (SELECT doc_id, unnest(w) AS tok FROM docs) z
@@ -8736,12 +8740,54 @@ object Catalog {
       FROM docs d LEFT JOIN perdoc p ON p.doc_id = d.doc_id"""))
   }
 
+  // ---------------------------------------------------------------- q10
+  // TOKENIZER DRIFT AUDIT — retrain t17's BPE on two corpus slices
+  // (doc_id parity: the old/new-snapshot split q3/q7 use) and compare
+  // the learned merge tables round by round. A tokenizer retrained on a
+  // shifted corpus changes merges, which silently changes EVERY
+  // downstream token count (t18), budget (c7) and packing ratio (c5) —
+  // this is the monitor that catches it before a retrain ships. Two
+  // dictionary-bounded trainings, 6-row output; the oracle runs the
+  // SAME shared CTE chain twice under namespaced prefixes (nothing
+  // inlined — the bm25OracleSql sharing rule, twice).
+  private val q10 = {
+    import BpeFix._
+    def slice(p: Int) = s"doc_id % 2 = $p"
+    Q(
+      "q10_tokenizer_drift",
+      (s, d) => {
+        import s.implicits._
+        val docs = bm25Docs(s, d)
+        val (ma, _) = graft.operators.Tokenizer.learnMerges(
+          docs.filter(col("doc_id") % 2 === 0), "w", vocabCap, rounds)
+        val (mb, _) = graft.operators.Tokenizer.learnMerges(
+          docs.filter(col("doc_id") % 2 === 1), "w", vocabCap, rounds)
+        (1 to rounds).map { k =>
+          val (a, b) = (ma(k - 1), mb(k - 1))
+          (k.toLong, a.lhs, a.rhs, a.count, b.lhs, b.rhs, b.count,
+            a.lhs == b.lhs && a.rhs == b.rhs)
+        }.toDF("round", "lhs_a", "rhs_a", "count_a",
+          "lhs_b", "rhs_b", "count_b", "same_merge")
+      },
+      Some(s"""
+      WITH ${trainCtes("a_", slice(0))},
+      ${trainCtes("b_", slice(1))}
+      ${(1 to rounds).map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS round,
+          a.lhs AS lhs_a, a.rhs AS rhs_a, CAST(a.pc AS BIGINT) AS count_a,
+          b.lhs AS lhs_b, b.rhs AS rhs_b, CAST(b.pc AS BIGINT) AS count_b,
+          (a.lhs = b.lhs AND a.rhs = b.rhs) AS same_merge
+        FROM a_m$k a CROSS JOIN b_m$k b"""
+      }.mkString(" UNION ALL ")}"""))
+  }
+
   val all: Seq[Q] = Seq(
     a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11, a12, a13, a14, a15,
     n1, n2, n3, n4, n5, n6, n7,
     d1, d2, d3, d4, d5, d6, d7,
     e1, e2, e3, e4, e5, e6, j1, j2, j3, j4, j5, j6,
     r1, r2, r3, r4, r5, r6, r7, r8, q1, q2, q3, q4, q5, q6, q7, q8, q9,
+    q10,
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
     l17, l18, l19, l20, l21, l22,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16,
