@@ -189,7 +189,10 @@ object ScaleProbe {
     "t18_bpe_tokenize",
     // g11: ×8 disjoint replicas → ×8 walks → ×8 pairs; the walk_id
     // self-join must stay per-walk-bounded (linear, like g10's row)
-    "g11_skipgram_pairs")
+    "g11_skipgram_pairs",
+    // w24 is scan-bound write+read; q10 is two dictionary-bounded
+    // trainings (t17's scale-invariance band)
+    "w24_csv_roundtrip", "q10_tokenizer_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
