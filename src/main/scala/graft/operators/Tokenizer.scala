@@ -70,23 +70,32 @@ object Tokenizer {
       .agg(sum("cnt").as("pair_count"))
   }
 
+  /** The ONE corpus-sized pass: (word, cnt) for alphabetic words only
+    * (the '|' delimiter-safety contract). Exposed separately because the
+    * counts are the MERGEABLE training state — a streaming dictionary
+    * fold (s21) sums them per trigger and trains from the folded table,
+    * landing on the batch-identical merges (training is a pure function
+    * of the dictionary). */
+  def wordCounts(docs: DataFrame, tokCol: String): DataFrame = docs
+    .select(explode(col(tokCol)).as("word"))
+    .filter(col("word").rlike("^[a-z]+$"))
+    .groupBy("word").agg(count(lit(1)).as("cnt"))
+
   /** Learn the merge list alone (no final-pair audit) — the shareable
     * artifact [[tokenizeCorpus]] applies corpus-wide. Returns the merges
     * and the final segmentation table (vocab-bounded) for callers that
     * also audit the end state ([[trainBpe]]). */
   def learnMerges(docs: DataFrame, tokCol: String, vocabCap: Int,
+      rounds: Int): (Seq[Merge], DataFrame) =
+    learnMergesFromCounts(wordCounts(docs, tokCol), vocabCap, rounds)
+
+  /** [[learnMerges]] from a pre-built (word, cnt) dictionary — the
+    * entry point a folded streaming dictionary trains through. */
+  def learnMergesFromCounts(counts: DataFrame, vocabCap: Int,
       rounds: Int): (Seq[Merge], DataFrame) = {
     require(rounds >= 1 && vocabCap >= 2,
       "need at least one round and two vocab words")
-    val spark = docs.sparkSession
-    import spark.implicits._
-
-    // the ONE corpus-sized pass: word counts, alphabetic words only
-    // (the '|' delimiter-safety contract), then the distributed top-k
-    val vocab = docs
-      .select(explode(col(tokCol)).as("word"))
-      .filter(col("word").rlike("^[a-z]+$"))
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val vocab = counts
       .orderBy(desc("cnt"), asc("word"))
       .limit(vocabCap)
 
@@ -120,11 +129,17 @@ object Tokenizer {
   }
 
   def trainBpe(docs: DataFrame, tokCol: String, vocabCap: Int,
+      rounds: Int, topPairs: Int): DataFrame =
+    trainBpeFromCounts(wordCounts(docs, tokCol), vocabCap, rounds, topPairs)
+
+  /** [[trainBpe]] from a pre-built (word, cnt) dictionary (s21's folded
+    * streaming state) — same output contract as trainBpe. */
+  def trainBpeFromCounts(counts: DataFrame, vocabCap: Int,
       rounds: Int, topPairs: Int): DataFrame = {
     require(topPairs >= 1, "need at least one audit pair")
-    val spark = docs.sparkSession
+    val spark = counts.sparkSession
     import spark.implicits._
-    val (merges, seg) = learnMerges(docs, tokCol, vocabCap, rounds)
+    val (merges, seg) = learnMergesFromCounts(counts, vocabCap, rounds)
     val mergeRows = merges
       .map(m => (m.round, m.lhs, m.rhs, m.lhs + m.rhs, m.count))
       .toDF("round", "lhs", "rhs", "merged", "weighted_count")

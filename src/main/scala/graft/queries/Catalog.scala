@@ -8669,17 +8669,16 @@ object Catalog {
       ${(1 to rounds).map(roundCtes(_, x)).mkString}"""
   }
 
-  private val t17 = {
+  /** One ground truth for the batch trainer (t17) and the streaming
+    * dictionary fold (s21): same corpus, same capped vocab, same merge
+    * chain — the bm25OracleSql / collocOracleSql sharing rule. */
+  private def bpeTrainOracleSql: String = {
     import BpeFix._
     def mergeSelect(k: Int): String = s"""
       SELECT CAST($k AS BIGINT) AS round, lhs, rhs, lhs || rhs AS merged,
         CAST(pc AS BIGINT) AS weighted_count
       FROM m$k"""
-    Q(
-      "t17_bpe_train",
-      (s, d) => graft.operators.Tokenizer.trainBpe(
-        bm25Docs(s, d), "w", vocabCap, rounds, topPairs),
-      Some(s"""
+    s"""
       WITH ${trainCtes()},
       ${pairsCte(rounds)},
       fin AS (SELECT lhs, rhs, pc FROM p$rounds
@@ -8688,8 +8687,42 @@ object Catalog {
       UNION ALL
       SELECT CAST(${rounds + 1} AS BIGINT) AS round, lhs, rhs,
         lhs || rhs AS merged, CAST(pc AS BIGINT) AS weighted_count
-      FROM fin"""))
+      FROM fin"""
   }
+
+  private val t17 = Q(
+    "t17_bpe_train",
+    (s, d) => graft.operators.Tokenizer.trainBpe(
+      bm25Docs(s, d), "w", BpeFix.vocabCap, BpeFix.rounds, BpeFix.topPairs),
+    Some(bpeTrainOracleSql))
+
+  // ---------------------------------------------------------------- s21
+  // STREAMING BPE DICTIONARY (EventStream.bpeDictFoldBatch — t17's live
+  // twin): the tokenizer-retrain loop without the corpus re-scan. Per
+  // trigger, alphabetic word counts (the SAME Tokenizer.wordCounts the
+  // batch trainer runs) fold into overwrite-versioned (word, cnt) state
+  // by sum; counts are associative so any trigger slicing lands on the
+  // batch dictionary, and training is a pure function of the dictionary
+  // so the merges re-derived from the folded state are BATCH-IDENTICAL —
+  // t17's oracle gates this entry unchanged. State is vocabulary-sized
+  // at any corpus volume.
+  private val s21 = Q(
+    "s21_stream_bpe",
+    (s, d) => {
+      val statePath = s"$scratchRoot/${dsScratch(d)}/bpe_state"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(statePath), true)
+      val docs = bm25Docs(s, d)
+      val body = graft.streaming.EventStream.bpeDictFoldBatch(statePath) _
+      (0 until 3).foreach(i =>
+        body(docs.filter(col("doc_id") % 3 === i).select("w"), i.toLong))
+      graft.operators.Tokenizer.trainBpeFromCounts(
+        s.read.schema("word STRING, cnt BIGINT")
+          .parquet(s"$statePath/dict_v3"),
+        BpeFix.vocabCap, BpeFix.rounds, BpeFix.topPairs)
+    },
+    Some(bpeTrainOracleSql))
 
   // ---------------------------------------------------------------- t18
   // CORPUS TOKENIZATION under the t17-learned merges (Tokenizer
@@ -8793,7 +8826,7 @@ object Catalog {
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16,
     t17, t18,
     c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13,
-    m1, m2, m3, m4, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20,
+    m1, m2, m3, m4, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21,
     p1, p2, p3, p4, p5,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
     w17, w18, w19, w20, w21, w22, w23, w24,

@@ -614,6 +614,32 @@ object EventStream {
    * the SHARED Curate.unigramCounts/bigramCounts — the same code path
    * the batch scorer runs, so the twins cannot drift.
    */
+  /**
+   * foreachBatch body of the STREAMING BPE DICTIONARY (catalog s21 —
+   * t17's live twin): per trigger, the batch's alphabetic word counts
+   * (the SAME [[graft.operators.Tokenizer.wordCounts]] the batch
+   * trainer runs) fold into overwrite-versioned (word, cnt) state by
+   * sum — counts are associative, so ANY trigger slicing lands on the
+   * batch dictionary, and BPE training is a pure function of the
+   * dictionary, so merges re-derived from the folded state equal the
+   * batch-trained merges bit for bit (t17's oracle gates s21
+   * unchanged). The state is vocabulary-sized at any corpus volume;
+   * idempotent per-version overwrite (a trigger retry rewrites
+   * identical state — the collocFoldBatch discipline).
+   */
+  def bpeDictFoldBatch(statePath: String)(batch: DataFrame,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val cnt = graft.operators.Tokenizer.wordCounts(batch, "w")
+    val merged =
+      if (batchId == 0) cnt
+      else spark.read.schema("word STRING, cnt BIGINT")
+        .parquet(s"$statePath/dict_v$batchId")
+        .unionAll(cnt)
+        .groupBy("word").agg(sum(col("cnt")).as("cnt"))
+    merged.write.mode("overwrite").parquet(s"$statePath/dict_v${batchId + 1}")
+  }
+
   def collocFoldBatch(statePath: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val uni = graft.operators.Curate.unigramCounts(batch, "ws")

@@ -918,6 +918,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming BPE dictionary: per-trigger fold == batch counts; merges batch-identical") {
+    import graft.operators.Tokenizer
+    implicit val ctx = spark.sqlContext
+    val docsAll = Seq(
+      Seq("low", "low", "lower", "x9"),
+      Seq("lowest", "newest"),
+      Seq("newest", "wider", "newest"),
+      Seq("new", "lowest"))
+    val root = java.nio.file.Files.createTempDirectory("s21spec").toString + "/bpe"
+    val input = MemoryStream[Seq[String]]
+    var version = -1
+    val query = input.toDF().toDF("w")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        version += 1
+        EventStream.bpeDictFoldBatch(root)(batch, version)
+        ()
+      }
+      .start()
+    try {
+      var seen = Seq.empty[Seq[String]]
+      for (trigger <- docsAll.grouped(2)) {
+        input.addData(trigger: _*)
+        query.processAllAvailable()
+        seen = seen ++ trigger
+        // folded dictionary == from-scratch word counts over data so far
+        val got = spark.read.schema("word STRING, cnt BIGINT")
+          .parquet(s"$root/dict_v${version + 1}")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val want = Tokenizer.wordCounts(seen.toDF("w"), "w")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(got == want, s"dictionary fold drifted at v${version + 1}")
+      }
+      // training from the folded state == the one-shot batch trainer
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSet
+      val fromState = rows(Tokenizer.trainBpeFromCounts(
+        spark.read.schema("word STRING, cnt BIGINT")
+          .parquet(s"$root/dict_v${version + 1}"), 100, 3, 5))
+      val fromBatch = rows(Tokenizer.trainBpe(
+        docsAll.toDF("w"), "w", 100, 3, 5))
+      assert(fromState == fromBatch, "folded-state merges diverged from batch")
+    } finally query.stop()
+  }
+
   test("mid-stream compaction: search parity holds across the compaction boundary") {
     import graft.operators.Retrieval
     implicit val ctx = spark.sqlContext
