@@ -192,7 +192,10 @@ object ScaleProbe {
     "g11_skipgram_pairs",
     // w24 is scan-bound write+read; q10 is two dictionary-bounded
     // trainings (t17's scale-invariance band)
-    "w24_csv_roundtrip", "q10_tokenizer_drift")
+    "w24_csv_roundtrip", "q10_tokenizer_drift",
+    // s21: three dictionary folds + one training — state stays
+    // vocabulary-sized under any corpus multiple (the s17 band)
+    "s21_stream_bpe")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
