@@ -145,11 +145,41 @@ object Bench {
       }
     }
     val errJson = errors.map { case (k, v) => s"${quote(k)}:${quote(v)}" }.mkString("{", ",", "}")
-    val loadAfter = load1m
     val contended = loadBefore > loadLimit
     if (contended)
       System.err.println(f"[bench] WARNING: ambient load $loadBefore%.2f > $loadLimit%.1f " +
         "before the run — another job is on this host; timings are unreliable, re-run quiet")
+    // SELF-DEFENSE for contended runs (rounds 10 AND 11 each paid an
+    // investigation round re-attributing ambient-load elevations by
+    // hand): if the machine was busy at start, re-measure the 5 slowest
+    // primary queries on a fresh session AFTER the suite — by then the
+    // competing job has usually drained (r11: load 4.69 at start, idle at
+    // end) — and ship both numbers in the artifact, so an elevation that
+    // vanishes in the rerun is attributed in the SAME artifact that
+    // reported it, not a round later. Skippable via SPARK_GRAFT_RERUN=0;
+    // a rerun failure must never cost the primary line.
+    val rerunJson = if (!contended || sys.env.get("SPARK_GRAFT_RERUN").contains("0")) "null"
+    else {
+      try {
+        val slowNames = primary.filter(_._2 >= 0).sortBy(-_._2).take(5).map(_._1).toSet
+        val slowQs = selected.filter(q => slowNames(q.name))
+        val spark = buildSession(cpus)
+        val medians = try {
+          slowQs.foreach(q => runOnce(spark, "rerun:" + q.name, q.name, q.run))
+          slowQs.map { q =>
+            val ts = (1 to reps).map(_ => runOnce(spark, "rerun:" + q.name, q.name, q.run))
+            q.name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2))
+          }
+        } finally spark.stop()
+        val loadAtRerun = load1m
+        s"""{"load_at_rerun":$loadAtRerun,"queries":${medians
+          .map { case (k, v) => s"${quote(k)}:$v" }.mkString("{", ",", "}")}}"""
+      } catch {
+        case e: Throwable =>
+          s"""{"error":${quote(Option(e.getMessage).getOrElse(e.getClass.getName).take(300))}}"""
+      }
+    }
+    val loadAfter = load1m
     // TWO outputs, one contract. The driver captures only the TAIL of the
     // run's output (~2000 chars) and parses the JSON line out of it — the
     // full per-query map (142 queries × two series) is ~5 KB, so the full
@@ -158,7 +188,7 @@ object Bench {
     // (committed, full precision, both series), and stdout gets a COMPACT
     // line — totals, counts, and the slowest-25 query map — sized to fit
     // the tail window with room for sbt's trailing [success] line.
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":$cpus,"alt":$altJson,"errors":$errJson,"load_before":$loadBefore,"load_after":$loadAfter,"contended":$contended}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":$cpus,"alt":$altJson,"errors":$errJson,"load_before":$loadBefore,"load_after":$loadAfter,"contended":$contended,"contended_rerun":$rerunJson}"""
     val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
     try java.nio.file.Files.write(fullPath, fullLine.getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
@@ -166,6 +196,6 @@ object Bench {
       if (v < 0) "-1" else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val slowest = primary.sortBy(-_._2).take(25)
       .map { case (k, v) => s"${quote(k)}:${r2(v)}" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"cpus":$cpus,"n_queries":${primary.size},"n_errors":${errors.size},"queries":$slowest,"alt_total":${altTotalOpt.map(r2).getOrElse("null")},"alt_cpus":$altCpusJson,"load_before":$loadBefore,"load_after":$loadAfter,"contended":$contended,"full":"BENCH_FULL.json"}""")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"cpus":$cpus,"n_queries":${primary.size},"n_errors":${errors.size},"queries":$slowest,"alt_total":${altTotalOpt.map(r2).getOrElse("null")},"alt_cpus":$altCpusJson,"load_before":$loadBefore,"load_after":$loadAfter,"contended":$contended,"contended_rerun":$rerunJson,"full":"BENCH_FULL.json"}""")
   }
 }

@@ -199,4 +199,60 @@ object text {
         regexp_replace(c, PiiPatterns.email, "<EMAIL>"),
         PiiPatterns.longDigits, "<ID>"),
       PiiPatterns.phone, "<PHONE>")
+
+  /** Unicode case/diacritic fold (native expression — see
+    * [[graft.plans.UnicodeOps.fold]]): lower + NFD + strip \p{Mn} + NFC.
+    * The tier that runs AHEAD of the `\A[a-z]+\z` word universe so
+    * accented text folds into it instead of being silently dropped. */
+  def unicodeFold(c: Column): Column = {
+    // registration is session-idempotent; callers may hold any session
+    call_function("graft_unicode_fold", c)
+  }
+
+  // ------------------------------------------------------------- URLs
+  // URL canonicalization — pure built-ins (regexp extract/replace +
+  // array_sort), so the whole pass is one codegen'd projection over the
+  // corpus scan and the oracle can replay every step verbatim in SQL.
+  // Canonical form (each step a deliberate contract, t20 gates them):
+  //   1. fragment dropped ('#...' never reaches the server);
+  //   2. scheme lowercased;
+  //   3. host lowercased, leading 'www.' stripped (rollup identity:
+  //      www.x.com and x.com serve one corpus), DEFAULT port stripped
+  //      (:443 on https, :80 on http) — explicit non-default ports kept;
+  //   4. trailing slashes stripped from the path ('/a/' == '/a'; the
+  //      root path collapses to none);
+  //   5. query parameters sorted lexicographically ('?b=2&a=1' ==
+  //      '?a=1&b=2'); empty query dropped.
+
+  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  private val AuthRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)"
+  private val PathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)"
+
+  /** Canonical URL string per the five-step contract above. */
+  def canonicalizeUrl(c: Column): Column = {
+    val noFrag = regexp_replace(c, "#.*", "")
+    val scheme = lower(regexp_extract(noFrag, SchemeRe, 1))
+    val auth = regexp_extract(noFrag, AuthRe, 1)
+    val host = regexp_replace(
+      lower(regexp_replace(auth, ":[0-9]+$", "")), "^www\\.", "")
+    val port = regexp_extract(auth, ":([0-9]+)$", 1)
+    val portKept = when(port === "" ||
+        (scheme === "https" && port === "443") ||
+        (scheme === "http" && port === "80"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val path = regexp_replace(
+      regexp_extract(noFrag, PathRe, 1), "/+$", "")
+    val q = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val qKept = when(q === "", lit("")).otherwise(
+      concat(lit("?"), array_join(array_sort(split(q, "&")), "&")))
+    concat(scheme, lit("://"), host, portKept, path, qKept)
+  }
+
+  /** Registered domain (last two dot-labels) of a CANONICAL url — the
+    * per-site rollup key. Public-suffix lists (co.uk) are a lookup-table
+    * refinement on the same expression shape. */
+  def registeredDomain(c: Column): Column =
+    regexp_extract(
+      regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?:]*)", 1),
+      "([^.]+[.][^.]+)$", 1)
 }

@@ -133,13 +133,27 @@ object Graph {
         // contract promises exact-in-double operands (the BM25 headroom
         // discipline); multiplyExact alone admits maxW where the
         // numerator silently loses low bits in the double cast
-        val maxW = edgesDeg.agg(max(col("w"))).head.getLong(0)
-        val numerBound = Seq(85L, scale, maxW)
+        val deg = edgesDeg.agg(max(col("w")), max(col("outdeg"))).head
+        val (maxW, maxOutdeg) = (deg.getLong(0), deg.getLong(1))
+        // Long overflow in the bound computation itself IS the bound
+        // failing — fold it into the same descriptive message instead of
+        // leaking a bare ArithmeticException from multiplyExact.
+        val numerBound = try Seq(85L, scale, maxW)
           .reduce((a, b) => Math.multiplyExact(a, b))
+        catch { case _: ArithmeticException => Long.MaxValue }
         require(numerBound < (1L << 53),
-          s"weighted pageRank numerator bound 85*scale*maxW = $numerBound " +
-            s"exceeds 2^53: the floor(double) contrib would round — " +
-            s"lower `scale` or pre-scale weights (maxW = $maxW)")
+          s"weighted pageRank numerator bound 85*scale*maxW " +
+            s"(scale=$scale, maxW=$maxW) exceeds 2^53: the floor(double) " +
+            "contrib would round — lower `scale` or pre-scale weights")
+        // the DENOMINATOR runs through double too: outdeg is a per-node
+        // weight SUM, so it can blow past 2^53/100 even when every
+        // individual weight passes the numerator check
+        val denomBound = try Math.multiplyExact(100L, maxOutdeg)
+        catch { case _: ArithmeticException => Long.MaxValue }
+        require(denomBound < (1L << 53),
+          s"weighted pageRank denominator bound 100*max(outdeg) " +
+            s"(max weight sum per src = $maxOutdeg) exceeds 2^53: the " +
+            "double-cast denominator would round — pre-scale weights")
       }
       val init = math.floor(scale.toDouble / nBase).toLong
       val teleport = math.floor(15.0 * scale / (100.0 * nBase)).toLong
@@ -538,8 +552,14 @@ object Graph {
   /**
    * DETERMINISTIC RANDOM WALKS (DeepWalk/node2vec corpus generation,
    * Perozzi et al. 2014) — the graph-ML data-prep pass that turns a
-   * graph into a training corpus: one fixed-length walk per node, each
-   * step choosing a neighbor "at random". Randomness is DERIVED, not
+   * graph into a training corpus: one walk per node, up to `length`
+   * steps, each step choosing a neighbor "at random". CONTRACT: a walk
+   * that reaches a SINK (a node with no out-edges) TRUNCATES there —
+   * the frontier join is inner, so the walk simply stops emitting
+   * (DeepWalk's standard directed-graph behavior; random-restart is a
+   * caller policy, not imposed here). On an undirected edge list (both
+   * directions present, the g10 fixture) no sink exists and every walk
+   * is full-length. Randomness is DERIVED, not
    * drawn: step k of the walk seeded at s standing on node u picks
    * neighbor rank (md5int(s|k|u|salt) mod outdeg(u)) + 1 in the
    * dst-ordered adjacency — exactly the hashFraction discipline (md5 is

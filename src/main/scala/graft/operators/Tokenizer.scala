@@ -78,7 +78,11 @@ object Tokenizer {
     * of the dictionary). */
   def wordCounts(docs: DataFrame, tokCol: String): DataFrame = docs
     .select(explode(col(tokCol)).as("word"))
-    .filter(col("word").rlike("^[a-z]+$"))
+    // \A..\z, not ^..$: Java's '$' also matches before a trailing line
+    // terminator, so "abc\n" would pass here yet fail the oracle's RE2
+    // '$' (end-of-text only) — and a newline inside a "word" would ride
+    // into the '|'-delimited segment strings. Absolute anchors close it.
+    .filter(col("word").rlike("""\A[a-z]+\z"""))
     .groupBy("word").agg(count(lit(1)).as("cnt"))
 
   /** Learn the merge list alone (no final-pair audit) — the shareable

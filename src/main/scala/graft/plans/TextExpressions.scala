@@ -357,3 +357,65 @@ case class BlockMeanBits(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
+
+/**
+ * Unicode case/diacritic fold — the normalization tier a multilingual
+ * corpus needs AHEAD of the `\A[a-z]+\z` word universe (t3/t7/t17/t18
+ * would otherwise silently DROP every accented word): lowercase (root
+ * locale), NFD-decompose, drop combining marks (\p{Mn}), NFC-recompose.
+ * Latin accented letters fold to their base (á→a, Ü→u, Ç→c); CJK and
+ * other non-decomposable scripts pass through UNCHANGED — the fold
+ * never mangles what it cannot fold. Cross-engine contract: equals
+ * DuckDB's nfc_normalize(strip_accents(lower(x))) on the folded accent
+ * range (both walk the same Unicode decomposition data; t19's oracle
+ * replays it).
+ *
+ * Why native: java.text.Normalizer is not reachable from built-in
+ * Column functions, and a Scala UDF would break whole-stage codegen in
+ * the corpus-sized scan this runs under. The static-helper call keeps
+ * the projection inside codegen (the Md5Prefix64 pattern).
+ */
+object UnicodeOps {
+  def fold(s: UTF8String): UTF8String = {
+    import java.text.Normalizer
+    val lowered = s.toString.toLowerCase(java.util.Locale.ROOT)
+    val nfd = Normalizer.normalize(lowered, Normalizer.Form.NFD)
+    var i = 0
+    var hasMark = false
+    while (i < nfd.length && !hasMark) {
+      hasMark = Character.getType(nfd.charAt(i)) == Character.NON_SPACING_MARK
+      i += 1
+    }
+    // fast path: nothing to strip — recompose and return (for pure-ASCII
+    // input NFC of NFD is the identity and this is one array scan)
+    val stripped = if (!hasMark) nfd else {
+      val sb = new java.lang.StringBuilder(nfd.length)
+      var j = 0
+      while (j < nfd.length) {
+        val c = nfd.charAt(j)
+        if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+        j += 1
+      }
+      sb.toString
+    }
+    UTF8String.fromString(Normalizer.normalize(stripped, Normalizer.Form.NFC))
+  }
+}
+
+/** `graft_unicode_fold(text)` — see [[UnicodeOps.fold]]. */
+case class UnicodeFold(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "graft_unicode_fold"
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+  override protected def nullSafeEval(s: Any): Any =
+    UnicodeOps.fold(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.plans.UnicodeOps.fold($s);")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

@@ -110,7 +110,8 @@ object VectorExpressions {
     "graft_minhash_slices" -> (args => MinhashSlices(args(0), args(1))),
     "graft_md5_prefix64" -> (args => Md5Prefix64(args(0))),
     "graft_in_set" -> (args => InStringSet(args(0), args(1))),
-    "graft_blockmean_bits" -> (args => BlockMeanBits(args(0))))
+    "graft_blockmean_bits" -> (args => BlockMeanBits(args(0))),
+    "graft_unicode_fold" -> (args => UnicodeFold(args(0))))
 
   private def info(name: String) =
     new ExpressionInfo(classOf[FloatVecDot].getName, null, name,

@@ -468,7 +468,26 @@ object EventStream {
       .toDF("event_type", "hr", "members")
   }
 
-  def gapFillDaily(daily: DataFrame): DataFrame = {
+  /** Late-day handling for [[gapFillDaily]]. The grid contract (every
+    * (user, day) emitted exactly once, final) means a day arriving
+    * at-or-before the emitted frontier can never amend the grid — the
+    * policies differ only in where the late row GOES.
+    *  - [[FailOnLate]] (default): throw. Loud, but in a restarting
+    *    stream the late row is a poison pill — the source replays it
+    *    every restart — so production callers that cannot fix the
+    *    upstream slicing need one of the recovery policies.
+    *  - [[EmitLateMarked]]: dead-letter IN-BAND — the late row is
+    *    emitted with its full values and `days_since_obs =
+    *    -(days_behind_frontier + 1)` (always <= -1; grid rows are
+    *    always >= 0), state untouched. Nothing is lost, the stream
+    *    keeps running, and `days_since_obs < 0` is the side channel a
+    *    monitor alerts on. */
+  sealed trait LateDayPolicy
+  case object FailOnLate extends LateDayPolicy
+  case object EmitLateMarked extends LateDayPolicy
+
+  def gapFillDaily(daily: DataFrame,
+      onLate: LateDayPolicy = FailOnLate): DataFrame = {
     val spark = daily.sparkSession
     import spark.implicits._
     daily
@@ -490,19 +509,29 @@ object EventStream {
           // regress state, or already-emitted grid days would re-emit
           // with conflicting values. s19's fence discipline — LOUD, not
           // lossy: a silent drop here loses the late day's n_events /
-          // day_value with no trace, so the violation throws and the
-          // caller fixes the trigger slicing (in-trigger order is
-          // already handled by the sort above; a batch run is one
-          // trigger, so batch inputs can only hit this via duplicate
-          // (user, day) rows — also a contract violation for
-          // pre-aggregated daily data).
+          // day_value with no trace. What happens instead is the
+          // caller's LateDayPolicy: throw (default — the caller fixes
+          // the trigger slicing; in-trigger order is already handled by
+          // the sort above, and a batch run is one trigger, so batch
+          // inputs only hit this via duplicate (user, day) rows), or
+          // dead-letter the row in-band with a negative days_since_obs
+          // so a restarting stream is never wedged on a poison row.
           st.filter(_.lastDay >= dayS).foreach { s0 =>
-            throw new IllegalStateException(
-              s"gapFillDaily: day $dayS for user $key arrives at-or-before " +
-                s"the emitted frontier ${s0.lastDay} — the grid through " +
-                "that day is already final, so the late day's values " +
-                "would be silently lost; fix the trigger slicing " +
-                "(or dedup the daily input)")
+            onLate match {
+              case FailOnLate =>
+                throw new IllegalStateException(
+                  s"gapFillDaily: day $dayS for user $key arrives at-or-before " +
+                    s"the emitted frontier ${s0.lastDay} — the grid through " +
+                    "that day is already final, so the late day's values " +
+                    "would be silently lost; fix the trigger slicing " +
+                    "(or dedup the daily input), or opt into " +
+                    "EmitLateMarked to dead-letter late days in-band")
+              case EmitLateMarked =>
+                val behind = java.time.temporal.ChronoUnit.DAYS.between(
+                  java.time.LocalDate.parse(dayS),
+                  java.time.LocalDate.parse(s0.lastDay))
+                out += ((key, dayS, v, n, true, -(behind + 1L)))
+            }
           }
           if (st.forall(_.lastDay < dayS)) {
             val day = java.time.LocalDate.parse(dayS)

@@ -918,6 +918,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming gap-fill EmitLateMarked: late day dead-letters in-band, stream survives") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Double, Long)]
+    val query = EventStream.gapFillDaily(
+        input.toDF().toDF("user_id", "day", "day_value", "n_events"),
+        EventStream.EmitLateMarked)
+      .writeStream.format("memory").queryName("gf_late").outputMode("append").start()
+    try {
+      def snap() = spark.table("gf_late").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3),
+          r.getBoolean(4), r.getLong(5))).toSet
+      input.addData((1L, "2024-02-01", 5.0, 2L), (1L, "2024-02-04", 7.0, 1L))
+      query.processAllAvailable()
+      val grid = snap()
+      assert(grid((1L, "2024-02-02", 5.0, 0L, false, 1L)) &&
+        grid((1L, "2024-02-04", 7.0, 1L, true, 0L)))
+      // a day 3 behind the frontier (and a frontier duplicate) arrive
+      // late: the stream does NOT wedge, the grid stays final, and both
+      // rows surface with full values and days_since_obs <= -1 — the
+      // in-band dead-letter channel (grid rows are always >= 0)
+      input.addData((1L, "2024-02-01", 99.0, 5L), (1L, "2024-02-04", 88.0, 6L))
+      query.processAllAvailable()
+      val got = snap()
+      assert(got -- grid == Set(
+        (1L, "2024-02-01", 99.0, 5L, true, -4L),
+        (1L, "2024-02-04", 88.0, 6L, true, -1L)),
+        s"late rows must dead-letter marked, got ${got -- grid}")
+      // state untouched by the late rows: the grid resumes off the
+      // ORIGINAL frontier value, not the late arrival's
+      input.addData((1L, "2024-02-06", 3.0, 1L))
+      query.processAllAvailable()
+      assert(snap()((1L, "2024-02-05", 7.0, 0L, false, 1L)),
+        "fill after a late arrival must carry the frontier's value")
+    } finally query.stop()
+  }
+
   test("streaming BPE dictionary: per-trigger fold == batch counts; merges batch-identical") {
     import graft.operators.Tokenizer
     implicit val ctx = spark.sqlContext
