@@ -8814,6 +8814,273 @@ object Catalog {
       }.mkString(" UNION ALL ")}"""))
   }
 
+  // ---------------------------------------------------------------- t19
+  // UNICODE CASE/DIACRITIC FOLD (graft_unicode_fold — lower + NFD +
+  // strip \p{Mn} + NFC) — the normalization tier a MULTILINGUAL corpus
+  // needs ahead of the `\A[a-z]+\z` word universe every t-family count
+  // runs on: without it, accented words are silently DROPPED from
+  // dictionaries, budgets and BPE training. The testdata corpus is
+  // ASCII, so the entry INJECTS non-ASCII deterministically inside the
+  // query (both engines apply the identical injection — the no-drift
+  // rule): slice doc_id%3==0 accents five vowels/consonants
+  // (translate aeouc→áéöüç), slice 1 uppercases, slice 2 passes
+  // through. The fold must then RECOVER the pre-injection word counts
+  // EXACTLY — gated in-engine (roundtrip require) and cross-engine
+  // (the oracle folds with nfc_normalize∘strip_accents∘lower, DuckDB's
+  // replay of the same Unicode decomposition walk). Scale shape: one
+  // map-only folded projection per corpus scan + the word-count
+  // shuffle t17 already pays — the fold adds zero exchanges.
+  private val t19 = Q(
+    "t19_unicode_fold",
+    (s, d) => {
+      graft.plans.VectorExpressions.ensureRegistered(s)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val injected = docs.select(
+        when(col("doc_id") % 3 === 0,
+            translate(col("text"), "aeouc", "áéöüç"))
+          .when(col("doc_id") % 3 === 1, upper(col("text")))
+          .otherwise(col("text")).as("ti"))
+      def counts(src: DataFrame, textCol: String, cntName: String) = src
+        .select(explode(split(T.normKey(col(textCol)), " ")).as("word"))
+        .filter(col("word").rlike("""\A[a-z]+\z"""))
+        .groupBy("word").agg(count(lit(1)).as(cntName))
+      val fw = counts(injected.select(T.unicodeFold(col("ti")).as("tf")),
+        "tf", "cnt_folded")
+      val bw = counts(docs, "text", "cnt_base")
+      val joined = fw.join(bw, Seq("word"), "full")
+        .select(col("word"),
+          coalesce(col("cnt_folded"), lit(0L)).as("cnt_folded"),
+          coalesce(col("cnt_base"), lit(0L)).as("cnt_base"))
+        .withColumn("roundtrip", col("cnt_folded") === col("cnt_base"))
+      require(joined.filter(not(col("roundtrip"))).limit(1).count() == 0,
+        "unicode fold must recover the pre-injection word counts — a " +
+          "mismatch means accented/cased text was dropped or mangled")
+      joined
+    },
+    Some(s"""
+      WITH src AS (SELECT doc_id, text FROM documents),
+      inj AS (SELECT CASE
+          WHEN doc_id % 3 = 0 THEN translate(text, 'aeouc', 'áéöüç')
+          WHEN doc_id % 3 = 1 THEN upper(text) ELSE text END AS ti
+        FROM src),
+      fold AS (SELECT nfc_normalize(strip_accents(lower(ti))) AS tf FROM inj),
+      fw AS (SELECT tok AS word, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split(${normSql("tf")}, ' ')) AS tok FROM fold) z
+        WHERE regexp_matches(tok, '^[a-z]+${"$"}') GROUP BY 1),
+      bw AS (SELECT tok AS word, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split(${normSql("text")}, ' ')) AS tok FROM src) z
+        WHERE regexp_matches(tok, '^[a-z]+${"$"}') GROUP BY 1)
+      SELECT COALESCE(f.word, b.word) AS word,
+        CAST(COALESCE(f.cnt, 0) AS BIGINT) AS cnt_folded,
+        CAST(COALESCE(b.cnt, 0) AS BIGINT) AS cnt_base,
+        COALESCE(f.cnt, 0) = COALESCE(b.cnt, 0) AS roundtrip
+      FROM fw f FULL OUTER JOIN bw b ON f.word = b.word"""))
+
+  // ---------------------------------------------------------------- t20
+  // URL CANONICALIZATION + REGISTERED-DOMAIN ROLLUP (text
+  // .canonicalizeUrl / registeredDomain — pure built-ins, one codegen'd
+  // projection) — the curation signal the graph family's rationale
+  // presupposes: crawl URLs arrive in many spellings of one resource
+  // (scheme/host case, default :443, trailing slash, shuffled query
+  // params, fragments), and every per-site quota, dedup key and rank
+  // join needs the CANONICAL form. No URL column exists in the
+  // testdata, so each doc derives one deterministically (source → host,
+  // lang/doc_id → path) in FOUR messy spellings by doc_id%4 — all four
+  // canonicalize to the same string, which the rollup pins numerically:
+  // per registered domain, n_canonical_urls collapses ~4× under
+  // n_raw_urls and n_rewritten counts every variant that needed
+  // rewriting. The oracle replays each canonicalization step verbatim.
+  private val t20 = Q(
+    "t20_url_canonicalize",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val k = (col("doc_id") % 20).cast("string")
+      val url = when(col("doc_id") % 4 === 0,
+          concat(lit("https://www."), col("source"), lit(".com/"),
+            col("lang"), lit("/page"), k, lit("?b=2&a=1")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("HTTPS://WWW."), upper(col("source")), lit(".COM:443/"),
+            col("lang"), lit("/page"), k, lit("/?a=1&b=2")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("https://www."), col("source"), lit(".com/"),
+            col("lang"), lit("/page"), k, lit("?a=1&b=2#frag")))
+        .otherwise(
+          concat(lit("https://"), col("source"), lit(".com/"),
+            col("lang"), lit("/page"), k, lit("?b=2&a=1")))
+      docs.select(col("text"), url.as("url"))
+        .withColumn("curl", T.canonicalizeUrl(col("url")))
+        .groupBy(T.registeredDomain(col("curl")).as("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("url")).as("n_raw_urls"),
+          countDistinct(col("curl")).as("n_canonical_urls"),
+          count(when(col("url") =!= col("curl"), 1)).as("n_rewritten"),
+          sum(size(split(T.normKey(col("text")), " ")).cast("long"))
+            .as("n_tokens"))
+    },
+    Some(s"""
+      WITH raw AS (SELECT text,
+        CASE CAST(doc_id % 4 AS INTEGER)
+          WHEN 0 THEN 'https://www.' || source || '.com/' || lang ||
+            '/page' || CAST(doc_id % 20 AS VARCHAR) || '?b=2&a=1'
+          WHEN 1 THEN 'HTTPS://WWW.' || upper(source) || '.COM:443/' || lang ||
+            '/page' || CAST(doc_id % 20 AS VARCHAR) || '/?a=1&b=2'
+          WHEN 2 THEN 'https://www.' || source || '.com/' || lang ||
+            '/page' || CAST(doc_id % 20 AS VARCHAR) || '?a=1&b=2#frag'
+          ELSE 'https://' || source || '.com/' || lang ||
+            '/page' || CAST(doc_id % 20 AS VARCHAR) || '?b=2&a=1' END AS url
+        FROM documents),
+      comp AS (SELECT text, url,
+          lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+          regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1) AS auth,
+          regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1) AS p,
+          regexp_extract(nofrag, '\\?(.*)${"$"}', 1) AS q
+        FROM (SELECT text, url, regexp_replace(url, '#.*', '') AS nofrag FROM raw) z),
+      canon AS (SELECT text, url,
+          scheme || '://' ||
+          regexp_replace(lower(regexp_replace(auth, ':[0-9]+${"$"}', '')), '^www\\.', '') ||
+          CASE WHEN regexp_extract(auth, ':([0-9]+)${"$"}', 1) = ''
+            OR (scheme = 'https' AND regexp_extract(auth, ':([0-9]+)${"$"}', 1) = '443')
+            OR (scheme = 'http' AND regexp_extract(auth, ':([0-9]+)${"$"}', 1) = '80')
+            THEN '' ELSE ':' || regexp_extract(auth, ':([0-9]+)${"$"}', 1) END ||
+          regexp_replace(p, '/+${"$"}', '') ||
+          CASE WHEN q = '' THEN ''
+            ELSE '?' || array_to_string(list_sort(string_split(q, '&')), '&') END
+          AS curl
+        FROM comp)
+      SELECT regexp_extract(regexp_extract(curl,
+          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?:]*)', 1), '([^.]+[.][^.]+)${"$"}', 1) AS domain,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_urls,
+        CAST(COUNT(DISTINCT curl) AS BIGINT) AS n_canonical_urls,
+        CAST(COUNT(CASE WHEN url <> curl THEN 1 END) AS BIGINT) AS n_rewritten,
+        CAST(SUM(len(string_split(${normSql("text")}, ' '))) AS BIGINT) AS n_tokens
+      FROM canon GROUP BY 1"""))
+
+  // ---------------------------------------------------------------- w25
+  // SNAPSHOT ROLLBACK on the manifest chain (the table-format
+  // rollback_to_snapshot shape) — the recovery step completing
+  // w13/w17/w21/w23: a bad publish (v2) is UNDONE by ONE CAS ref move
+  // back to v1 — metadata only, no data file written, moved or copied,
+  // because every retained version stays a queryable manifest over
+  // shared immutable files. The subsequent vacuum then honors the
+  // ROLLBACK TARGET, not publish order: retaining the head collects
+  // exactly the files only expired versions (v0's superseded buckets,
+  // v2's rolled-back buckets) referenced. Gates: head resolves to v1;
+  // the post-rollback head read is BIT-IDENTICAL to the pre-rollback
+  // v1 read (count + order-free bit_xor row digest); the orphan set is
+  // exactly (m0 ∪ m2) − m1; disk holds precisely m1 afterward; and the
+  // head re-reads identically AFTER the sweep. The oracle recomputes
+  // v1's state from source (slices 1 + 2, w17's chain-state oracle).
+  private val w25 = Q(
+    "w25_rollback",
+    (s, d) => {
+      import graft.sources.ManifestStore
+      val root = s"$scratchRoot/${dsScratch(d)}/mstore_w25"
+      MStore.buildChain(s, d, root)
+      ManifestStore.setBranch(s, root, "main", "v2")
+      def digest(v: String): (Long, Long) = {
+        val df = ManifestStore.readVersion(s, root, v, MStore.schema)
+        val r = df.agg(count(lit(1)),
+          bit_xor(xxhash64(df.columns.map(col): _*))).head
+        (r.getLong(0), r.getLong(1))
+      }
+      val pinned = digest("v1")
+      val m0 = ManifestStore.readManifest(s, root, "v0").toSet
+      val m1 = ManifestStore.readManifest(s, root, "v1").toSet
+      val m2 = ManifestStore.readManifest(s, root, "v2").toSet
+      // THE rollback: one CAS head move, nothing else
+      ManifestStore.fastForward(s, root, "main", "v2", "v1")
+      val head = ManifestStore.branchHead(s, root, "main")
+      require(head.contains("v1"), s"rollback must land the head on v1, got $head")
+      require(digest(head.get) == pinned,
+        "the post-rollback head must read bit-identical to the target version")
+      val orphans = ManifestStore.vacuum(s, root, retain = Seq("v1")).toSet
+      require(orphans == (m0 ++ m2) -- m1,
+        "vacuum after rollback must collect exactly the files only " +
+          "expired versions reference — nothing the head still needs")
+      require(ManifestStore.listVersions(s, root) == Seq("v1"),
+        "only the rollback target's manifest survives")
+      require(ManifestStore.listDataFiles(s, root) == m1,
+        "after the sweep the store must hold exactly the head's file set")
+      require(digest("v1") == pinned,
+        "the rollback target must survive the sweep unchanged")
+      MStore.project(ManifestStore.readVersion(s, root, "v1", MStore.schema))
+    },
+    Some(s"""
+      SELECT ${MStore.projectSql}
+      FROM (${MStore.stateSql(withSlice2 = true, withSlice3 = false)}) t"""))
+
+  // ---------------------------------------------------------------- w26
+  // TYPE-WIDENING ERA READ (int→bigint under ONE explicit schema) — the
+  // second-most-common store migration after add-column (w5): a store
+  // born with 32-bit keys outgrows them, new files land as BIGINT, and
+  // 100 TB of int-era history is never rewritten. Spark 4's parquet
+  // reader upcasts INT32→LongType at scan time, so ONE explicit-schema
+  // read serves both eras — no mergeSchema re-inference pass, no
+  // per-era plan split (gated: exactly one FileSourceScan). The v=2 era
+  // carries keys ABOVE Int.MaxValue (orderkey + 3e9), so the widened
+  // read is proven on values only the wide type can hold (max_key per
+  // group, oracle-pinned), and n_widened pins that every int-era row
+  // really traveled the upcast path. Physical-type gates: the eras'
+  // inferred schemas must read INT and BIGINT respectively — otherwise
+  // the entry would be testing nothing.
+  private val w26 = Q(
+    "w26_type_widening",
+    (s, d) => {
+      val path = s"$scratchRoot/${dsScratch(d)}/orders_widen"
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      base.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").cast("int").as("order_key"),
+          col("o_custkey").cast("int").as("cust_key"),
+          col("o_totalprice"), col("o_orderstatus"))
+        .write.mode("overwrite").parquet(s"$path/v=1")
+      base.filter(col("o_orderkey") % 2 === 1)
+        .select((col("o_orderkey") + lit(3000000000L)).as("order_key"),
+          col("o_custkey").cast("long").as("cust_key"),
+          col("o_totalprice"), col("o_orderstatus"))
+        .write.mode("overwrite").parquet(s"$path/v=2")
+      def keyType(p: String) = s.read.parquet(p).schema("order_key").dataType
+      require(keyType(s"$path/v=1") == org.apache.spark.sql.types.IntegerType,
+        "the pre-migration era must physically hold 32-bit keys")
+      require(keyType(s"$path/v=2") == org.apache.spark.sql.types.LongType,
+        "the post-migration era must physically hold 64-bit keys")
+      val mixed = s.read
+        .schema("order_key BIGINT, cust_key BIGINT, o_totalprice DOUBLE, " +
+          "o_orderstatus STRING, v INT")
+        .parquet(path)
+      val result = mixed.groupBy(col("v"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("v") === 1, 1)).as("n_widened"),
+          min(col("order_key")).as("min_key"),
+          max(col("order_key")).as("max_key"),
+          sum(col("o_totalprice").cast(DecM)).cast("double").as("total_price"))
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val plan = result.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+      val scans = plan.collect { case f: FileSourceScanExec => f }
+      require(scans.size == 1,
+        s"one widened scan must serve both eras, got ${scans.size}")
+      result
+    },
+    Some(s"""
+      WITH src AS (SELECT
+          CASE WHEN o_orderkey % 2 = 0 THEN CAST(o_orderkey AS BIGINT)
+               ELSE o_orderkey + 3000000000 END AS order_key,
+          CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS v,
+          o_totalprice, o_orderstatus
+        FROM orders)
+      SELECT v, o_orderstatus,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(COUNT(CASE WHEN v = 1 THEN 1 END) AS BIGINT) AS n_widened,
+        CAST(MIN(order_key) AS BIGINT) AS min_key,
+        CAST(MAX(order_key) AS BIGINT) AS max_key,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS total_price
+      FROM src GROUP BY 1, 2"""))
+
   val all: Seq[Q] = Seq(
     a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11, a12, a13, a14, a15,
     n1, n2, n3, n4, n5, n6, n7,
@@ -8824,12 +9091,12 @@ object Catalog {
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
     l17, l18, l19, l20, l21, l22,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16,
-    t17, t18,
+    t17, t18, t19, t20,
     c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13,
     m1, m2, m3, m4, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21,
     p1, p2, p3, p4, p5,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
-    w17, w18, w19, w20, w21, w22, w23, w24,
+    w17, w18, w19, w20, w21, w22, w23, w24, w25, w26,
     g1, g2, g3, g4, g5, g6, g7, g8, g9, g10, g11)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

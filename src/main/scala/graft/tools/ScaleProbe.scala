@@ -195,7 +195,19 @@ object ScaleProbe {
     "w24_csv_roundtrip", "q10_tokenizer_drift",
     // s21: three dictionary folds + one training — state stays
     // vocabulary-sized under any corpus multiple (the s17 band)
-    "s21_stream_bpe")
+    "s21_stream_bpe",
+    // round-12: t19 folds the ×8 corpus through a map-only projection
+    // + the t17 word-count shuffle twice (folded and base legs) into
+    // the SAME vocabulary — cost must stay linear-scan, the join
+    // dictionary-sized; t20 is one codegen'd projection + a ~20-group
+    // rollup (domain set unchanged under the salt) — pure scan growth
+    "t19_unicode_fold", "t20_url_canonicalize",
+    // w25 folds ×8 events per bucket through the three-publish chain,
+    // then rolls back + vacuums — manifest/ref ops are metadata-sized
+    // regardless of corpus (the w23 band); w26 writes/reads ×8 rows
+    // through the two-era store (salted keys stay under Int.MaxValue
+    // so the int era still fits its physical type) — scan-bound
+    "w25_rollback", "w26_type_widening")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

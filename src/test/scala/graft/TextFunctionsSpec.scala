@@ -257,4 +257,58 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(twins >= 25, s"only $twins of 30 planted twins within hamming 7")
   }
 
+  test("unicodeFold: accents fold to base, case folds, CJK passes through intact") {
+    val fixtures = Seq(
+      // Latin accents — precomposed NFC forms
+      ("Café RÉSUMÉ naïve señor Zürich garçon", "cafe resume naive senor zurich garcon"),
+      // DECOMPOSED input (a + U+0301 combining acute): same fold result
+      ("árbol élan", "arbol elan"),
+      // case-only fold, ASCII untouched
+      ("MIXED Case text 123", "mixed case text 123"),
+      // CJK is non-decomposable: the fold must pass it through UNCHANGED,
+      // never mangle or drop it (the "cannot fold -> leave intact" contract)
+      ("中文文本 stays 中文文本", "中文文本 stays 中文文本"),
+      ("日本語のテキスト Ελληνικά кириллица", "日本語のテキスト ελληνικα кириллица"),
+      ("", ""))
+    val got = fixtures.map(_._1).toDF("s")
+      .select(T.unicodeFold(col("s"))).collect().map(_.getString(0))
+    got.zip(fixtures).foreach { case (g, (in, want)) =>
+      assert(g == want, s"unicodeFold($in)")
+    }
+    // the downstream claim: folded accented words ENTER the [a-z]+ word
+    // universe instead of being silently dropped
+    val words = Seq("Café", "naïve", "ZÜRICH").toDF("w")
+      .select(T.unicodeFold(col("w")).as("f"))
+      .filter(col("f").rlike("""\A[a-z]+\z""")).count()
+    assert(words == 3L, "folded accented words must pass the word filter")
+  }
+
+  test("canonicalizeUrl: five-step contract; registeredDomain rollup key") {
+    val cases = Seq(
+      // scheme+host case, default https port, trailing slash, unsorted query
+      ("HTTPS://WWW.Example.COM:443/En/page3/?b=2&a=1",
+        "https://example.com/En/page3?a=1&b=2"),
+      // fragment dropped; www stripped
+      ("https://www.example.com/en/page3?a=1&b=2#frag",
+        "https://example.com/en/page3?a=1&b=2"),
+      // already canonical stays fixed-point
+      ("https://example.com/en/page3?a=1&b=2",
+        "https://example.com/en/page3?a=1&b=2"),
+      // http default port 80 stripped, NON-default port kept
+      ("http://host.org:80/x", "http://host.org/x"),
+      ("http://host.org:8080/x", "http://host.org:8080/x"),
+      // root path collapses; empty query dropped
+      ("https://a.b.example.com/", "https://a.b.example.com"))
+    val got = cases.map(_._1).toDF("u")
+      .select(T.canonicalizeUrl(col("u"))).collect().map(_.getString(0))
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"canonicalizeUrl($in)")
+    }
+    val doms = Seq("https://a.b.example.com/x", "https://example.com",
+        "http://host.org:8080/x").toDF("u")
+      .select(T.registeredDomain(col("u"))).collect().map(_.getString(0))
+    assert(doms.toSeq == Seq("example.com", "example.com", "host.org"),
+      "registered domain is the last two labels, port excluded")
+  }
+
 }
