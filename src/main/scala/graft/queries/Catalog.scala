@@ -8890,35 +8890,35 @@ object Catalog {
   // per registered domain, n_canonical_urls collapses ~4× under
   // n_raw_urls and n_rewritten counts every variant that needed
   // rewriting. The oracle replays each canonicalization step verbatim.
-  private val t20 = Q(
-    "t20_url_canonicalize",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val k = (col("doc_id") % 20).cast("string")
-      val url = when(col("doc_id") % 4 === 0,
-          concat(lit("https://www."), col("source"), lit(".com/"),
-            col("lang"), lit("/page"), k, lit("?b=2&a=1")))
-        .when(col("doc_id") % 4 === 1,
-          concat(lit("HTTPS://WWW."), upper(col("source")), lit(".COM:443/"),
-            col("lang"), lit("/page"), k, lit("/?a=1&b=2")))
-        .when(col("doc_id") % 4 === 2,
-          concat(lit("https://www."), col("source"), lit(".com/"),
-            col("lang"), lit("/page"), k, lit("?a=1&b=2#frag")))
-        .otherwise(
-          concat(lit("https://"), col("source"), lit(".com/"),
-            col("lang"), lit("/page"), k, lit("?b=2&a=1")))
-      docs.select(col("text"), url.as("url"))
-        .withColumn("curl", T.canonicalizeUrl(col("url")))
-        .groupBy(T.registeredDomain(col("curl")).as("domain"))
-        .agg(count(lit(1)).as("n_docs"),
-          countDistinct(col("url")).as("n_raw_urls"),
-          countDistinct(col("curl")).as("n_canonical_urls"),
-          count(when(col("url") =!= col("curl"), 1)).as("n_rewritten"),
-          sum(size(split(T.normKey(col("text")), " ")).cast("long"))
-            .as("n_tokens"))
-    },
-    Some(s"""
-      WITH raw AS (SELECT text,
+  /** t20/s22's shared corpus-url view: each doc's deterministic messy
+    * URL (four spellings by doc_id%4), its canonical form and the
+    * registered domain — one codegen'd projection over the doc scan. */
+  private def canonUrls(s: SparkSession, d: String): DataFrame = {
+    val k = (col("doc_id") % 20).cast("string")
+    val url = when(col("doc_id") % 4 === 0,
+        concat(lit("https://www."), col("source"), lit(".com/"),
+          col("lang"), lit("/page"), k, lit("?b=2&a=1")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("HTTPS://WWW."), upper(col("source")), lit(".COM:443/"),
+          col("lang"), lit("/page"), k, lit("/?a=1&b=2")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://www."), col("source"), lit(".com/"),
+          col("lang"), lit("/page"), k, lit("?a=1&b=2#frag")))
+      .otherwise(
+        concat(lit("https://"), col("source"), lit(".com/"),
+          col("lang"), lit("/page"), k, lit("?b=2&a=1")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), url.as("url"))
+      .withColumn("curl", T.canonicalizeUrl(col("url")))
+      .withColumn("domain", T.registeredDomain(col("curl")))
+  }
+
+  /** The oracle-side replay of [[canonUrls]] — raw/comp/canon CTEs both
+    * t20 and s22 compose (the bm25OracleSql sharing rule: one chain,
+    * never inlined twice). `canon` exposes doc_id, text, url, curl,
+    * domain. */
+  private val urlCanonCtes: String = s"""
+      raw AS (SELECT doc_id, text,
         CASE CAST(doc_id % 4 AS INTEGER)
           WHEN 0 THEN 'https://www.' || source || '.com/' || lang ||
             '/page' || CAST(doc_id % 20 AS VARCHAR) || '?b=2&a=1'
@@ -8929,13 +8929,13 @@ object Catalog {
           ELSE 'https://' || source || '.com/' || lang ||
             '/page' || CAST(doc_id % 20 AS VARCHAR) || '?b=2&a=1' END AS url
         FROM documents),
-      comp AS (SELECT text, url,
+      comp AS (SELECT doc_id, text, url,
           lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
           regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1) AS auth,
           regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1) AS p,
           regexp_extract(nofrag, '\\?(.*)${"$"}', 1) AS q
-        FROM (SELECT text, url, regexp_replace(url, '#.*', '') AS nofrag FROM raw) z),
-      canon AS (SELECT text, url,
+        FROM (SELECT doc_id, text, url, regexp_replace(url, '#.*', '') AS nofrag FROM raw) z),
+      canon AS (SELECT doc_id, text, url,
           scheme || '://' ||
           regexp_replace(lower(regexp_replace(auth, ':[0-9]+${"$"}', '')), '^www\\.', '') ||
           CASE WHEN regexp_extract(auth, ':([0-9]+)${"$"}', 1) = ''
@@ -8946,15 +8946,68 @@ object Catalog {
           CASE WHEN q = '' THEN ''
             ELSE '?' || array_to_string(list_sort(string_split(q, '&')), '&') END
           AS curl
-        FROM comp)
-      SELECT regexp_extract(regexp_extract(curl,
-          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?:]*)', 1), '([^.]+[.][^.]+)${"$"}', 1) AS domain,
+        FROM comp)"""
+
+  /** DuckDB registered-domain of canon.curl (mirrors T.registeredDomain). */
+  private val urlDomainSql: String = s"""regexp_extract(regexp_extract(curl,
+      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?:]*)', 1), '([^.]+[.][^.]+)${"$"}', 1)"""
+
+  private val t20 = Q(
+    "t20_url_canonicalize",
+    (s, d) => canonUrls(s, d)
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url")).as("n_raw_urls"),
+        countDistinct(col("curl")).as("n_canonical_urls"),
+        count(when(col("url") =!= col("curl"), 1)).as("n_rewritten"),
+        sum(size(split(T.normKey(col("text")), " ")).cast("long"))
+          .as("n_tokens")),
+    Some(s"""
+      WITH $urlCanonCtes
+      SELECT $urlDomainSql AS domain,
         CAST(COUNT(*) AS BIGINT) AS n_docs,
         CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_urls,
         CAST(COUNT(DISTINCT curl) AS BIGINT) AS n_canonical_urls,
         CAST(COUNT(CASE WHEN url <> curl THEN 1 END) AS BIGINT) AS n_rewritten,
         CAST(SUM(len(string_split(${normSql("text")}, ' '))) AS BIGINT) AS n_tokens
       FROM canon GROUP BY 1"""))
+
+  // ---------------------------------------------------------------- s22
+  // STREAMING CRAWL FRONTIER (EventStream.urlFrontierFoldBatch — t20's
+  // live twin): the seen-set a crawler consults before fetching. Per
+  // trigger, the slice's CANONICAL urls (the same canonUrls projection
+  // t20 runs — twins share builders, the s21 rule) fold into
+  // overwrite-versioned (curl, domain, first_trigger, n_total) state:
+  // min-fold on first_trigger, sum-fold on occurrences — both
+  // associative, so any trigger slicing lands on the batch answer,
+  // which the oracle recomputes from the corpus in one aggregate
+  // (first_trigger = the url's earliest doc_id%3 slice). State is
+  // frontier-sized — one row per unique canonical url, KEYED state
+  // hash-partitioned at scale — and the canonicalization is exactly
+  // why it stays that small: four messy spellings per resource would
+  // otherwise quadruple it.
+  private val s22 = Q(
+    "s22_stream_frontier",
+    (s, d) => {
+      val statePath = s"$scratchRoot/${dsScratch(d)}/frontier_state"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(statePath), true)
+      val urls = canonUrls(s, d)
+      val body = graft.streaming.EventStream.urlFrontierFoldBatch(statePath) _
+      (0 until 3).foreach(i =>
+        body(urls.filter(col("doc_id") % 3 === i), i.toLong))
+      s.read
+        .schema("curl STRING, domain STRING, n_total BIGINT, first_trigger BIGINT")
+        .parquet(s"$statePath/seen_v3")
+        .select(col("domain"), col("curl"), col("first_trigger"), col("n_total"))
+    },
+    Some(s"""
+      WITH $urlCanonCtes
+      SELECT $urlDomainSql AS domain, curl,
+        CAST(MIN(doc_id % 3) AS BIGINT) AS first_trigger,
+        CAST(COUNT(*) AS BIGINT) AS n_total
+      FROM canon GROUP BY 1, 2"""))
 
   // ---------------------------------------------------------------- w25
   // SNAPSHOT ROLLBACK on the manifest chain (the table-format
@@ -9093,7 +9146,7 @@ object Catalog {
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16,
     t17, t18, t19, t20,
     c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13,
-    m1, m2, m3, m4, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21,
+    m1, m2, m3, m4, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22,
     p1, p2, p3, p4, p5,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
     w17, w18, w19, w20, w21, w22, w23, w24, w25, w26,

@@ -669,6 +669,41 @@ object EventStream {
     merged.write.mode("overwrite").parquet(s"$statePath/dict_v${batchId + 1}")
   }
 
+  /**
+   * foreachBatch body of the STREAMING CRAWL FRONTIER (catalog s22 —
+   * t20's live twin): per trigger, the batch's CANONICAL urls fold
+   * into overwrite-versioned (curl, domain, first_trigger, n_total)
+   * state — a url seen for the first time enters with this trigger's
+   * id, an already-seen one keeps its first_trigger (min fold) and
+   * accumulates occurrences (sum fold). Min and sum are associative,
+   * so ANY trigger slicing lands on the batch answer: first_trigger =
+   * the earliest slice carrying the url, n_total = the corpus count —
+   * which is what lets the frontier answer "is this url new?" without
+   * ever re-scanning the crawl. State is frontier-sized (one row per
+   * unique canonical url): KEYED state, the honest cost of an exact
+   * seen set — at scale it hash-partitions by curl across executors,
+   * and versions older than the head vacuum away (the s21 discipline;
+   * a probabilistic bloom tier in front is a refinement that changes
+   * the false-positive contract, not this fold).
+   */
+  def urlFrontierFoldBatch(statePath: String)(batch: DataFrame,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val part = batch.groupBy("curl", "domain")
+      .agg(count(lit(1)).as("n_total"))
+      .withColumn("first_trigger", lit(batchId))
+    val merged =
+      if (batchId == 0) part
+      else spark.read
+        .schema("curl STRING, domain STRING, n_total BIGINT, first_trigger BIGINT")
+        .parquet(s"$statePath/seen_v$batchId")
+        .unionAll(part)
+        .groupBy("curl", "domain")
+        .agg(sum(col("n_total")).as("n_total"),
+          min(col("first_trigger")).as("first_trigger"))
+    merged.write.mode("overwrite").parquet(s"$statePath/seen_v${batchId + 1}")
+  }
+
   def collocFoldBatch(statePath: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val uni = graft.operators.Curate.unigramCounts(batch, "ws")

@@ -207,7 +207,12 @@ object ScaleProbe {
     // regardless of corpus (the w23 band); w26 writes/reads ×8 rows
     // through the two-era store (salted keys stay under Int.MaxValue
     // so the int era still fits its physical type) — scan-bound
-    "w25_rollback", "w26_type_widening")
+    "w25_rollback", "w26_type_widening",
+    // s22: ×8 docs fold through three frontier versions; the salt
+    // multiplies OCCURRENCES of the same canonical urls (doc_id%20
+    // paths recur), so state stays near the base frontier size while
+    // counts grow — the fold must track frontier, not corpus
+    "s22_stream_frontier")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

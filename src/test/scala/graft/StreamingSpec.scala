@@ -1000,6 +1000,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming url frontier: min/sum fold == batch aggregate; first_trigger sticks") {
+    implicit val ctx = spark.sqlContext
+    // (curl, domain) rows: u1 appears in triggers 0+1+2, u2 in 1+2,
+    // u3 only in 2 — first_trigger must be the FIRST sighting, counts
+    // the corpus total, regardless of slicing
+    val triggers = Seq(
+      Seq(("https://a.com/x", "a.com"), ("https://a.com/x", "a.com")),
+      Seq(("https://a.com/x", "a.com"), ("https://b.com/y", "b.com")),
+      Seq(("https://a.com/x", "a.com"), ("https://b.com/y", "b.com"),
+        ("https://c.com/z", "c.com")))
+    val root = java.nio.file.Files.createTempDirectory("s22spec").toString + "/fr"
+    val input = MemoryStream[(String, String)]
+    var version = -1
+    val query = input.toDF().toDF("curl", "domain")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        version += 1
+        EventStream.urlFrontierFoldBatch(root)(batch, version)
+        ()
+      }
+      .start()
+    try {
+      def state(v: Int) = spark.read
+        .schema("curl STRING, domain STRING, n_total BIGINT, first_trigger BIGINT")
+        .parquet(s"$root/seen_v$v")
+        .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSet
+      triggers.foreach { t => input.addData(t: _*); query.processAllAvailable() }
+      assert(state(1) == Set(("https://a.com/x", 2L, 0L)))
+      assert(state(3) == Set(
+        ("https://a.com/x", 4L, 0L),   // seen every trigger; first stays 0
+        ("https://b.com/y", 2L, 1L),
+        ("https://c.com/z", 1L, 2L)),
+        "frontier fold must keep first sighting and total occurrences")
+    } finally query.stop()
+  }
+
   test("mid-stream compaction: search parity holds across the compaction boundary") {
     import graft.operators.Retrieval
     implicit val ctx = spark.sqlContext
