@@ -468,26 +468,28 @@ object EventStream {
       .toDF("event_type", "hr", "members")
   }
 
-  /** Late-day handling for [[gapFillDaily]]. The grid contract (every
-    * (user, day) emitted exactly once, final) means a day arriving
-    * at-or-before the emitted frontier can never amend the grid — the
-    * policies differ only in where the late row GOES.
+  /** Late-row handling for the Append-final stateful operators
+    * ([[gapFillDaily]], [[attributionState]]). Their emission contracts
+    * (every grid day / journey emitted exactly once, final) mean a row
+    * arriving at-or-before the emitted fence can never amend history —
+    * the policies differ only in where the late row GOES.
     *  - [[FailOnLate]] (default): throw. Loud, but in a restarting
     *    stream the late row is a poison pill — the source replays it
     *    every restart — so production callers that cannot fix the
-    *    upstream slicing need one of the recovery policies.
+    *    upstream slicing need the recovery policy.
     *  - [[EmitLateMarked]]: dead-letter IN-BAND — the late row is
-    *    emitted with its full values and `days_since_obs =
-    *    -(days_behind_frontier + 1)` (always <= -1; grid rows are
-    *    always >= 0), state untouched. Nothing is lost, the stream
-    *    keeps running, and `days_since_obs < 0` is the side channel a
-    *    monitor alerts on. */
-  sealed trait LateDayPolicy
-  case object FailOnLate extends LateDayPolicy
-  case object EmitLateMarked extends LateDayPolicy
+    *    emitted with its payload and an impossible-for-on-time marker
+    *    (gapFillDaily: `days_since_obs = -(days_behind_frontier + 1)`,
+    *    always <= -1 where grid rows are >= 0; attributionState:
+    *    `conv_id = -1, touch_rank = -1, credit = 0`), state untouched.
+    *    Nothing is lost, the stream keeps running, and the marker is
+    *    the side channel a monitor alerts on. */
+  sealed trait LatePolicy
+  case object FailOnLate extends LatePolicy
+  case object EmitLateMarked extends LatePolicy
 
   def gapFillDaily(daily: DataFrame,
-      onLate: LateDayPolicy = FailOnLate): DataFrame = {
+      onLate: LatePolicy = FailOnLate): DataFrame = {
     val spark = daily.sparkSession
     import spark.implicits._
     daily
@@ -583,7 +585,8 @@ object EventStream {
    */
   def attributionState(events: DataFrame, touchTypes: Seq[String],
       convType: String, lookbackUs: Long,
-      creditScale: Long = 1000000L): DataFrame = {
+      creditScale: Long = 1000000L,
+      onLate: LatePolicy = FailOnLate): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     require(touchTypes.nonEmpty && !touchTypes.contains(convType),
@@ -600,18 +603,33 @@ object EventStream {
         org.apache.spark.sql.streaming.OutputMode.Append,
         GroupStateTimeout.NoTimeout) { case (key, rows, state) =>
         val s0 = state.getOption.getOrElse(AttrState(Nil, Long.MinValue, Long.MinValue))
-        val sorted = rows.toArray.map(r => (us(r._2), r._3, r._4))
+        val all = rows.toArray.map(r => (us(r._2), r._3, r._4))
           .sortBy(r => (r._1, r._2))
-        sorted.headOption.foreach { case (tus, tid, _) =>
-          if (tus < s0.lastConvUs || (tus == s0.lastConvUs && tid <= s0.lastConvId))
-            throw new IllegalStateException(
-              s"attributionState: row ($tus, $tid) for user $key arrives at-or-before " +
-                s"the consumed conversion (${s0.lastConvUs}, ${s0.lastConvId}) — " +
-                "late cross-trigger data would mis-attribute; fix the trigger slicing")
+        // cross-trigger late rows (at-or-before the last CONSUMED
+        // conversion — their journey is already emitted, final) take the
+        // caller's LatePolicy: throw, or dead-letter in-band with the
+        // impossible-for-on-time marker (conv_id/touch_rank = -1,
+        // credit 0), state untouched, the rest of the trigger processed
+        val (lateRows, sorted) = all.partition { case (tus, tid, _) =>
+          tus < s0.lastConvUs || (tus == s0.lastConvUs && tid <= s0.lastConvId)
+        }
+        val out = Seq.newBuilder[(Long, Long, Long, String, Int, Long, Boolean, Boolean, Long)]
+        lateRows.headOption.foreach { case (tus, tid, _) =>
+          onLate match {
+            case FailOnLate =>
+              throw new IllegalStateException(
+                s"attributionState: row ($tus, $tid) for user $key arrives at-or-before " +
+                  s"the consumed conversion (${s0.lastConvUs}, ${s0.lastConvId}) — " +
+                  "late cross-trigger data would mis-attribute; fix the trigger " +
+                  "slicing, or opt into EmitLateMarked to dead-letter late rows")
+            case EmitLateMarked =>
+              lateRows.foreach { case (_, id, tpe) =>
+                out += ((key, -1L, id, tpe, -1, 0L, false, false, 0L))
+              }
+          }
         }
         var pending = s0.pending
         var (fenceUs, fenceId) = (s0.lastConvUs, s0.lastConvId)
-        val out = Seq.newBuilder[(Long, Long, Long, String, Int, Long, Boolean, Boolean, Long)]
         sorted.foreach { case (tus, tid, tpe) =>
           if (tpe == convType) {
             val eligible = pending.filter(p => tus - p._1 <= lookbackUs)

@@ -509,6 +509,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming attribution EmitLateMarked: late touch dead-letters, journeys unaffected") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[UpEv]
+    val query = graft.streaming.EventStream.attributionState(
+        input.toDF(), Seq("view", "click"), "purchase",
+        7L * 86400L * 1000000L, onLate = graft.streaming.EventStream.EmitLateMarked)
+      .writeStream.format("memory").queryName("attr_late_out")
+      .outputMode("append").start()
+    try {
+      def snap() = spark.table("attr_late_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+          r.getInt(4), r.getLong(8))).toSet
+      input.addData(Seq(
+        UpEv(ts("2024-01-01 10:00:00"), 1, 1, "view", 0.0),
+        UpEv(ts("2024-01-02 09:00:00"), 1, 2, "purchase", 0.0)))
+      query.processAllAvailable()
+      val journey = snap()
+      assert(journey == Set((1L, 2L, 1L, "view", 1, 1000000L)))
+      // a touch BEHIND the consumed conversion arrives late: the stream
+      // survives, the row surfaces with the dead-letter marker
+      // (conv_id/touch_rank -1, zero credit), and history is untouched
+      input.addData(Seq(UpEv(ts("2024-01-01 11:00:00"), 1, 9, "click", 0.0)))
+      query.processAllAvailable()
+      assert(snap() -- journey == Set((1L, -1L, 9L, "click", -1, 0L)),
+        "late touch must dead-letter marked")
+      // the NEXT real journey is unaffected by the dead-lettered touch
+      input.addData(Seq(
+        UpEv(ts("2024-01-03 09:00:00"), 1, 4, "view", 0.0),
+        UpEv(ts("2024-01-04 09:00:00"), 1, 5, "purchase", 0.0)))
+      query.processAllAvailable()
+      assert(snap().contains((1L, 5L, 4L, "view", 1, 1000000L)),
+        "post-late journey must attribute exactly its own touches")
+    } finally query.stop()
+  }
+
   test("embedding-drift fold: per-trigger cells equal the fused batch monitor so far") {
     import graft.operators.Checks
     implicit val ctx = spark.sqlContext
