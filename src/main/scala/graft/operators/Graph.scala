@@ -655,4 +655,91 @@ object Graph {
       .groupBy("center_id", "context_id")
       .agg(count(lit(1)).as("n_pairs"))
   }
+
+  /**
+   * HITS hubs-and-authorities (Kleinberg 1999) over a DIRECTED edge
+   * list — the asymmetric companion to [[pageRank]]: on a purchase
+   * graph pointing customer→supplier, hub score ranks customers by how
+   * much authoritative supply they touch and authority score ranks
+   * suppliers by how much hub demand touches them. The mutual
+   * reinforcement is the point — neither score is a degree count.
+   *
+   * Fixed-point iteration with L∞ (max) normalization — the
+   * integer-friendly power-iteration normalizer (any positive rescale
+   * preserves the eigenvector direction; max keeps every operand an
+   * exact long both engines floor identically):
+   *   h0(u)     = scale                        for every src node
+   *   aRaw_k(v) = Σ_{u→v} h_{k-1}(u)           exact long sum
+   *   a_k(v)    = floor(scale·aRaw_k(v) / max aRaw_k)
+   *   hRaw_k(u) = Σ_{u→v} a_k(v)
+   *   h_k(u)    = floor(scale·hRaw_k(u) / max hRaw_k)
+   * Each round's two max scalars are the ONLY driver state (the Lloyd
+   * coordinator discipline), and scale·maxRaw is guarded under 2^53
+   * per half-step (multiplyExact; the weighted-pageRank rule), so the
+   * double-division floors are cross-engine deterministic.
+   *
+   * Scale shape: the edge list is cached TWICE, hash-partitioned on
+   * src and on dst, because each round joins it from both sides — the
+   * per-round shuffles then touch only the node-sized score tables
+   * (pageRank's shape, mirrored). Scores are localCheckpoint-ed per
+   * round with immediate cleanup of the superseded round. Output: one
+   * row per node, hub_scaled for src-side nodes, auth_scaled for
+   * dst-side, zero where a node plays no such role.
+   */
+  def hits(edges: DataFrame, iterations: Int, scale: Long): DataFrame = {
+    require(iterations >= 1 && scale >= 1, "need iterations and a positive scale")
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+    val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val st = new RoundState(sc)
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val eSrc = e.repartition(width, col("src")).persist()
+    val eDst = e.repartition(width, col("dst")).persist()
+    var labelIds = Set.empty[Int]
+    var authIds = Set.empty[Int]
+    try {
+      require(eSrc.limit(1).count() > 0, "empty graph")
+      def normalize(raw: DataFrame, side: String): DataFrame = {
+        val maxRaw = raw.agg(max(col("raw"))).head.getLong(0)
+        val bound = try Math.multiplyExact(scale, maxRaw)
+        catch { case _: ArithmeticException => Long.MaxValue }
+        require(bound < (1L << 53),
+          s"HITS $side bound scale*maxRaw = $scale*$maxRaw exceeds 2^53: " +
+            "the floor(double) normalizer would round — lower `scale`")
+        raw.select(col("id"),
+          floor((col("raw") * scale).cast("double") / maxRaw.toDouble)
+            .cast("long").as("r"))
+      }
+      var hubs = {
+        val s0 = st.save(e.select(col("src").as("id")).distinct()
+          .select(col("id"), lit(scale).as("r")))
+        labelIds = s0._2; s0._1
+      }
+      var auths: DataFrame = null
+      (1 to iterations).foreach { _ =>
+        val aRaw = eSrc.join(hubs, eSrc("src") === hubs("id"))
+          .groupBy(eSrc("dst").as("id")).agg(sum(col("r")).as("raw"))
+        val (aNext, aIds) = st.save(normalize(aRaw, "authority"))
+        st.drop(authIds)
+        auths = aNext; authIds = aIds
+        val hRaw = eDst.join(auths, eDst("dst") === auths("id"))
+          .groupBy(eDst("src").as("id")).agg(sum(col("r")).as("raw"))
+        val (hNext, hIds) = st.save(normalize(hRaw, "hub"))
+        st.drop(labelIds)
+        hubs = hNext; labelIds = hIds
+      }
+      hubs.select(col("id"), col("r").as("hub_scaled"))
+        .join(auths.select(col("id"), col("r").as("auth_scaled")),
+          Seq("id"), "full")
+        .select(col("id"),
+          coalesce(col("hub_scaled"), lit(0L)).as("hub_scaled"),
+          coalesce(col("auth_scaled"), lit(0L)).as("auth_scaled"))
+    } catch {
+      case err: Throwable => st.drop(labelIds ++ authIds); throw err
+    } finally {
+      eSrc.unpersist(blocking = false)
+      eDst.unpersist(blocking = false)
+    }
+  }
 }

@@ -489,4 +489,49 @@ object Temporal {
         (col("touch_rank") === col("n_touches")).as("last_touch"),
         floor(lit(creditScale.toDouble) / col("n_touches")).as("linear_credit"))
   }
+
+  /**
+   * GROWTH ACCOUNTING (the new/retained/resurrected/churned user ledger
+   * — the standard DAU decomposition every product-analytics stack
+   * serves): per active day, users split by their PREVIOUS active day —
+   * `new` (none), `retained` (yesterday), `resurrected` (older) — and
+   * `churned(d)` counts users active on d−1 but not d, derived WITHOUT
+   * a self-join as active(d−1) − retained(d) (retained(d) is exactly
+   * the d∩d−1 overlap). Identity gates the ledger internally:
+   * n_active = n_new + n_retained + n_resurrected on every row, and
+   * net_growth = n_new + n_resurrected − n_churned is the day-over-day
+   * active delta wherever days are adjacent. Churn on a day with NO
+   * activity at all is not reported (no row to hang it on — a13's
+   * gap-fill grid is the completion for that).
+   *
+   * Scale shape: one distinct over (user, day), one per-user lag window
+   * (partitioned — corpus-parallel), one day-level aggregate; the final
+   * unpartitioned lag runs over DAY-cardinality rows (the r7 histogram
+   * discipline: global windows only over sketch-sized data).
+   */
+  def growthAccounting(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val acts = events
+      .select(col(userCol).as("user_id"), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val perUser = Window.partitionBy("user_id").orderBy("day")
+    val lagged = acts.withColumn("pday", lag(col("day"), 1).over(perUser))
+    val daily = lagged.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        count(when(col("pday").isNull, 1)).as("n_new"),
+        count(when(datediff(col("day"), col("pday")) === 1, 1)).as("n_retained"),
+        count(when(datediff(col("day"), col("pday")) > 1, 1)).as("n_resurrected"))
+    val byDay = Window.orderBy("day")
+    daily
+      .withColumn("n_churned",
+        when(datediff(col("day"), lag(col("day"), 1).over(byDay)) === 1,
+          lag(col("n_active"), 1).over(byDay) - col("n_retained"))
+          .otherwise(lit(0L)))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_active"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), col("n_churned"),
+        (col("n_new") + col("n_resurrected") - col("n_churned"))
+          .as("net_growth"))
+  }
 }

@@ -8097,6 +8097,23 @@ object Catalog {
       edges AS (
         SELECT src, dst, w FROM ep
         UNION ALL SELECT dst AS src, src AS dst, w FROM ep)"""
+    /** the DIRECTED half of [[bipartite]] (customer→supplier purchase
+      * edges) — the asymmetric-score fixture (g12's HITS wants real
+      * direction; the both-ways union would make hubs == authorities). */
+    def directed(s: SparkSession, d: String): DataFrame =
+      Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+    val directedSql: String = """edges AS (
+        SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)"""
+    val hitsIters = 4
+    /** HITS scale: bounded so scale·maxRaw < 2^53 with maxRaw <=
+      * indeg_max·scale (the in-operator guard re-checks dynamically). */
+    val hitsScale = 100000L
     val nodeTypeSql =
       "CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type"
     def nodeType: Column =
@@ -9134,8 +9151,181 @@ object Catalog {
         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS total_price
       FROM src GROUP BY 1, 2"""))
 
+  // ---------------------------------------------------------------- g12
+  // HITS HUBS & AUTHORITIES (Graph.hits, Kleinberg 1999) — the
+  // asymmetric companion to g1's PageRank, on the DIRECTED purchase
+  // graph (customer→supplier): hub score ranks customers by how much
+  // authoritative supply they touch, authority score ranks suppliers
+  // by how much hub demand touches them — mutual reinforcement, not a
+  // degree count (the undirected both-ways fixture would collapse the
+  // two scores into one). L∞-normalized power iteration keeps every
+  // operand an exact long both engines floor identically (one max
+  // scalar per half-step, the Lloyd coordinator discipline; 2^53
+  // guards per half-step). The oracle unrolls all four rounds —
+  // aRaw/max/floor then hRaw/max/floor per round, the pagerankOracleSql
+  // precedent — and full-outer-joins the final tables exactly as the
+  // operator does.
+  private val hitsOracleSql: String = {
+    import GFixture.{hitsIters, hitsScale}
+    // every CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    // reference, and this chain references each raw table twice per
+    // round (the sum and its max) — un-materialized, the edge join
+    // re-evaluates ~2^rounds times and spilled the sf0.1 oracle to
+    // disk exhaustion; materialized it is one linear pass per table
+    val rounds = (1 to hitsIters).map { k =>
+      s""",
+      a${k}raw AS MATERIALIZED (SELECT e.dst AS id, SUM(h.r) AS raw
+        FROM edges e JOIN h${k - 1} h ON h.id = e.src GROUP BY 1),
+      a${k}m AS MATERIALIZED (SELECT MAX(raw) AS m FROM a${k}raw),
+      a$k AS MATERIALIZED (SELECT id,
+        CAST(FLOOR(CAST(raw * $hitsScale AS DOUBLE) / m) AS BIGINT) AS r
+        FROM a${k}raw CROSS JOIN a${k}m),
+      h${k}raw AS MATERIALIZED (SELECT e.src AS id, SUM(a.r) AS raw
+        FROM edges e JOIN a$k a ON a.id = e.dst GROUP BY 1),
+      h${k}m AS MATERIALIZED (SELECT MAX(raw) AS m FROM h${k}raw),
+      h$k AS MATERIALIZED (SELECT id,
+        CAST(FLOOR(CAST(raw * $hitsScale AS DOUBLE) / m) AS BIGINT) AS r
+        FROM h${k}raw CROSS JOIN h${k}m)"""
+    }.mkString
+    s"""
+      WITH ${GFixture.directedSql.replace("edges AS (", "edges AS MATERIALIZED (")},
+      h0 AS MATERIALIZED (SELECT DISTINCT src AS id, CAST($hitsScale AS BIGINT) AS r
+             FROM edges)$rounds
+      SELECT COALESCE(h.id, a.id) AS node_id,
+        CASE WHEN COALESCE(h.id, a.id) % 2 = 0
+          THEN 'customer' ELSE 'supplier' END AS node_type,
+        CAST(COALESCE(h.r, 0) AS BIGINT) AS hub_scaled,
+        CAST(COALESCE(a.r, 0) AS BIGINT) AS auth_scaled
+      FROM h$hitsIters h FULL OUTER JOIN a$hitsIters a ON a.id = h.id"""
+  }
+
+  private val g12 = Q(
+    "g12_hits",
+    (s, d) => graft.operators.Graph
+      .hits(GFixture.directed(s, d), GFixture.hitsIters, GFixture.hitsScale)
+      .select(col("id").as("node_id"), GFixture.nodeType,
+        col("hub_scaled"), col("auth_scaled")),
+    Some(hitsOracleSql))
+
+  // ---------------------------------------------------------------- a16
+  // GROWTH ACCOUNTING (Temporal.growthAccounting) — the new/retained/
+  // resurrected/churned DAU ledger, the product-analytics decomposition
+  // a10's retention triangle and a13's gap-fill grid both feed:
+  // per active day users split by their PREVIOUS active day, and
+  // churned(d) = active(d−1) − retained(d) derives WITHOUT a self-join
+  // (retained(d) is exactly the d∩d−1 overlap). The ledger's internal
+  // identities (n_active = new+retained+resurrected; net_growth =
+  // day-over-day active delta on adjacent days) make the row
+  // self-auditing; the oracle replays the per-user lag and the
+  // day-level lag bit-for-bit. One distinct, one partitioned window,
+  // one aggregate; the unpartitioned day-lag runs over day-cardinality
+  // rows only (the r7 global-window discipline).
+  private val a16 = Q(
+    "a16_growth_accounting",
+    (s, d) => graft.operators.Temporal
+      .growthAccounting(Tables.events(s, d), "user_id", "ts"),
+    Some("""
+      WITH acts AS (
+        SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        FROM events),
+      lagd AS (
+        SELECT user_id, day,
+          LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS pday
+        FROM acts),
+      daily AS (
+        SELECT day, COUNT(*) AS n_active,
+          COUNT(CASE WHEN pday IS NULL THEN 1 END) AS n_new,
+          COUNT(CASE WHEN day - pday = 1 THEN 1 END) AS n_retained,
+          COUNT(CASE WHEN day - pday > 1 THEN 1 END) AS n_resurrected
+        FROM lagd GROUP BY 1),
+      ledger AS (
+        SELECT day, n_active, n_new, n_retained, n_resurrected,
+          CASE WHEN day - LAG(day) OVER (ORDER BY day) = 1
+            THEN LAG(n_active) OVER (ORDER BY day) - n_retained
+            ELSE 0 END AS n_churned
+        FROM daily)
+      SELECT strftime(day, '%Y-%m-%d') AS day,
+        CAST(n_active AS BIGINT) AS n_active,
+        CAST(n_new AS BIGINT) AS n_new,
+        CAST(n_retained AS BIGINT) AS n_retained,
+        CAST(n_resurrected AS BIGINT) AS n_resurrected,
+        CAST(n_churned AS BIGINT) AS n_churned,
+        CAST(n_new + n_resurrected - n_churned AS BIGINT) AS net_growth
+      FROM ledger"""))
+
+  // ---------------------------------------------------------------- w27
+  // COLUMN-RENAME ERA READ — the third schema migration next to w5's
+  // add-column and w26's type widening: a column is RENAMED
+  // (acctbal → account_balance), new files carry the new name, old
+  // files are never rewritten. Plain parquet has no field IDs (the
+  // Iceberg trick), so the reader carries the era→name mapping: each
+  // era reads under ITS explicit schema, the old era aliases to the
+  // new name, unionByName serves ONE logical view. The part that must
+  // not silently break is PUSHDOWN THROUGH THE RENAME: the
+  // account_balance >= 0 predicate must reach the v1 scan as a filter
+  // on the PHYSICAL name acctbal — gated per era (both scans must
+  // carry a pushed data filter on their own physical column, w14's
+  // both-scans discipline). n_renamed pins that every old-era row was
+  // served through the mapping; totals prove no row lost or doubled.
+  private val w27 = Q(
+    "w27_column_rename",
+    (s, d) => {
+      val path = s"$scratchRoot/${dsScratch(d)}/cust_rename"
+      val base = Tables.customer(s, d).select(
+        col("c_custkey").as("cust_id"),
+        col("c_mktsegment").as("mktsegment"),
+        col("c_acctbal").as("acctbal"))
+      base.filter(col("cust_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$path/v1")
+      base.filter(col("cust_id") % 2 === 1)
+        .withColumnRenamed("acctbal", "account_balance")
+        .write.mode("overwrite").parquet(s"$path/v2")
+      val e1 = s.read
+        .schema("cust_id BIGINT, mktsegment STRING, acctbal DOUBLE")
+        .parquet(s"$path/v1")
+        .select(col("cust_id"), col("mktsegment"),
+          col("acctbal").as("account_balance"))
+        .withColumn("v", lit(1))
+      val e2 = s.read
+        .schema("cust_id BIGINT, mktsegment STRING, account_balance DOUBLE")
+        .parquet(s"$path/v2")
+        .withColumn("v", lit(2))
+      val result = e1.unionByName(e2)
+        .filter(col("account_balance") >= 0)
+        .groupBy(col("v"), col("mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("v") === 1, 1)).as("n_renamed"),
+          sum(col("account_balance").cast(DecM)).cast("double")
+            .as("total_balance"))
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val plan = result.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+      val scans = plan.collect { case f: FileSourceScanExec => f }
+      require(scans.size == 2, s"expected both era scans, got ${scans.size}")
+      def pushes(f: FileSourceScanExec, c: String) =
+        f.dataFilters.exists(_.references.exists(_.name == c))
+      require(scans.exists(pushes(_, "acctbal")),
+        "the balance predicate must push through the rename mapping to " +
+          "the old era's PHYSICAL column name")
+      require(scans.exists(pushes(_, "account_balance")),
+        "the new era's scan must push the predicate on the new name")
+      result
+    },
+    Some("""
+      SELECT CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 2 END AS v,
+        c_mktsegment AS mktsegment,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(COUNT(CASE WHEN c_custkey % 2 = 0 THEN 1 END) AS BIGINT) AS n_renamed,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS total_balance
+      FROM customer
+      WHERE c_acctbal >= 0
+      GROUP BY 1, 2"""))
+
   val all: Seq[Q] = Seq(
-    a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11, a12, a13, a14, a15,
+    a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11, a12, a13, a14, a15, a16,
     n1, n2, n3, n4, n5, n6, n7,
     d1, d2, d3, d4, d5, d6, d7,
     e1, e2, e3, e4, e5, e6, j1, j2, j3, j4, j5, j6,
@@ -9149,8 +9339,8 @@ object Catalog {
     m1, m2, m3, m4, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22,
     p1, p2, p3, p4, p5,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
-    w17, w18, w19, w20, w21, w22, w23, w24, w25, w26,
-    g1, g2, g3, g4, g5, g6, g7, g8, g9, g10, g11)
+    w17, w18, w19, w20, w21, w22, w23, w24, w25, w26, w27,
+    g1, g2, g3, g4, g5, g6, g7, g8, g9, g10, g11, g12)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

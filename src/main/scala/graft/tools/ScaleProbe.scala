@@ -212,7 +212,13 @@ object ScaleProbe {
     // multiplies OCCURRENCES of the same canonical urls (doc_id%20
     // paths recur), so state stays near the base frontier size while
     // counts grow — the fold must track frontier, not corpus
-    "s22_stream_frontier")
+    "s22_stream_frontier",
+    // a16: ×8 salted users ride the distinct + per-user lag window —
+    // day-set per user unchanged, so the ledger grows only in counts;
+    // g12 aggregates 8 disjoint purchase-graph replicas (×8 edges and
+    // nodes, same rounds — per-round join + max + floor must grow
+    // linearly, the g1 band); w27 is a scan-bound two-era write+read
+    "a16_growth_accounting", "g12_hits", "w27_column_rename")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

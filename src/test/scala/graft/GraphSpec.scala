@@ -342,4 +342,41 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(g2((5L, 6L)) == 2L && g2((6L, 5L)) == 2L && g2((5L, 5L)) == 2L)
   }
+
+  test("hits matches a plain-Scala L-inf power-iteration replay") {
+    // directed bipartite: hubs {1,2,3} -> authorities {10,20}; hub 1
+    // touches both authorities, authority 10 is touched by all hubs
+    val edges = Seq((1L, 10L), (1L, 20L), (2L, 10L), (3L, 10L))
+    val scale = 100000L
+    val iters = 4
+    // plain-Scala replay of the exact floor chain
+    var h = edges.map(_._1).distinct.map(_ -> scale).toMap
+    var a = Map.empty[Long, Long]
+    def norm(raw: Map[Long, Long]): Map[Long, Long] = {
+      val m = raw.values.max
+      raw.map { case (k, v) =>
+        k -> math.floor((v * scale).toDouble / m.toDouble).toLong }
+    }
+    (1 to iters).foreach { _ =>
+      a = norm(edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => h(e._1)).sum })
+      h = norm(edges.groupBy(_._1).map { case (u, es) =>
+        u -> es.map(e => a(e._2)).sum })
+    }
+    val got = Graph.hits(edges.toDF("src", "dst"), iters, scale)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val nodes = (h.keySet ++ a.keySet).toSeq
+    assert(got.keySet == nodes.toSet)
+    nodes.foreach { id =>
+      assert(got(id) == (h.getOrElse(id, 0L), a.getOrElse(id, 0L)),
+        s"node $id")
+    }
+    // the asymmetry the directed graph exists for: hub 1 (touches both
+    // authorities) outranks hubs 2/3; authority 10 (all hubs) hits the
+    // normalizer ceiling and outranks 20
+    assert(got(1L)._1 == scale && got(2L)._1 < scale)
+    assert(got(10L)._2 == scale && got(20L)._2 < scale)
+    // sides are disjoint: hubs carry zero authority and vice versa
+    assert(got(1L)._2 == 0L && got(10L)._1 == 0L)
+  }
 }

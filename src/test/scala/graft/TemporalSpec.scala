@@ -579,4 +579,34 @@ class TemporalSpec extends AnyFunSuite {
     }
     assert(e.getMessage != null && e.getMessage.contains("overlapJoin"))
   }
+
+  test("growthAccounting: new/retained/resurrected/churned ledger with gap days") {
+    import graft.operators.Temporal
+    // u1: d1, d2, d4  (new, retained, resurrected)
+    // u2: d1 only     (new; churns on d2)
+    // u3: d2, d4      (new on d2, resurrected on d4)
+    // d3 has NO activity: no row, and d4's churn is 0 by the adjacency
+    // guard (active(d3) = 0)
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-0$day 10:00:00")
+    val events = Seq(
+      (1L, ts(1)), (1L, ts(2)), (1L, ts(4)),
+      (2L, ts(1)),
+      (3L, ts(2)), (3L, ts(4)),
+      (1L, ts(2))) // same-day duplicate must not double-count
+      .toDF("user_id", "ts")
+    val got = Temporal.growthAccounting(events, "user_id", "ts")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    //                        active new retained resurrected churned net
+    assert(got("2024-03-01") == ((2L, 2L, 0L, 0L, 0L, 2L)))
+    assert(got("2024-03-02") == ((2L, 1L, 1L, 0L, 1L, 0L)), "u2 churns on d2")
+    assert(got("2024-03-04") == ((2L, 0L, 0L, 2L, 0L, 2L)),
+      "gap day breaks adjacency: both d4 users resurrect, churn unreported")
+    assert(got.size == 3, "no row for the silent day")
+    // ledger identity on every row
+    got.values.foreach { case (act, nw, ret, res, _, _) =>
+      assert(act == nw + ret + res)
+    }
+  }
 }
