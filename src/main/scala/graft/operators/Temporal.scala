@@ -522,6 +522,16 @@ object Temporal {
         count(when(col("pday").isNull, 1)).as("n_new"),
         count(when(datediff(col("day"), col("pday")) === 1, 1)).as("n_retained"),
         count(when(datediff(col("day"), col("pday")) > 1, 1)).as("n_resurrected"))
+    growthLedgerFinish(daily)
+  }
+
+  /** The churn/net finish over a per-day transition table (day DATE,
+    * n_active, n_new, n_retained, n_resurrected) — shared by the batch
+    * ledger and the streaming fold's serve step (the twins-share-
+    * builders rule). The unpartitioned day-lag is legal ONLY because
+    * the input is day-cardinality. */
+  def growthLedgerFinish(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDay = Window.orderBy("day")
     daily
       .withColumn("n_churned",

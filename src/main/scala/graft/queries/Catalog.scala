@@ -9220,11 +9220,10 @@ object Catalog {
   // day-level lag bit-for-bit. One distinct, one partitioned window,
   // one aggregate; the unpartitioned day-lag runs over day-cardinality
   // rows only (the r7 global-window discipline).
-  private val a16 = Q(
-    "a16_growth_accounting",
-    (s, d) => graft.operators.Temporal
-      .growthAccounting(Tables.events(s, d), "user_id", "ts"),
-    Some("""
+  /** ONE ground truth for the growth ledger: the batch operator (a16)
+    * and the day-sliced streaming fold (s23) must land on the identical
+    * table (the bm25OracleSql sharing rule). */
+  private val growthOracleSql: String = """
       WITH acts AS (
         SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
         FROM events),
@@ -9251,7 +9250,47 @@ object Catalog {
         CAST(n_resurrected AS BIGINT) AS n_resurrected,
         CAST(n_churned AS BIGINT) AS n_churned,
         CAST(n_new + n_resurrected - n_churned AS BIGINT) AS net_growth
-      FROM ledger"""))
+      FROM ledger"""
+
+  private val a16 = Q(
+    "a16_growth_accounting",
+    (s, d) => graft.operators.Temporal
+      .growthAccounting(Tables.events(s, d), "user_id", "ts"),
+    Some(growthOracleSql))
+
+  // ---------------------------------------------------------------- s23
+  // STREAMING GROWTH ACCOUNTING (EventStream.growthFoldBatch — a16's
+  // live twin): the DAU ledger maintained trigger by trigger instead of
+  // recomputed from the corpus. Triggers are the s5 day-aligned slices;
+  // each classifies its user-days seeded by the carried per-user
+  // last-active-day frontier (state stands in for the corpus lag),
+  // appends finished per-day transition rows to the versioned ledger
+  // (days never straddle triggers, so the append needs no
+  // re-aggregation), and the churn/net finish runs at serve time via
+  // the SAME Temporal.growthLedgerFinish the batch operator calls —
+  // a16's oracle gates the fold unchanged. State is user-sized, the
+  // ledger day-sized, fold cost tracks the trigger.
+  private val s23 = Q(
+    "s23_stream_growth",
+    (s, d) => {
+      val statePath = s"$scratchRoot/${dsScratch(d)}/growth_state"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(statePath), true)
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+      val body = graft.streaming.EventStream.growthFoldBatch(statePath) _
+      Seq(
+        ev.filter(col("ts") < lit(S5Cuts(0))),
+        ev.filter(col("ts") >= lit(S5Cuts(0)) && col("ts") < lit(S5Cuts(1))),
+        ev.filter(col("ts") >= lit(S5Cuts(1)))).zipWithIndex.foreach {
+        case (b, i) => body(b, i.toLong)
+      }
+      graft.operators.Temporal.growthLedgerFinish(
+        s.read.schema("day DATE, n_active BIGINT, n_new BIGINT, " +
+            "n_retained BIGINT, n_resurrected BIGINT")
+          .parquet(s"$statePath/ledger_v3"))
+    },
+    Some(growthOracleSql))
 
   // ---------------------------------------------------------------- w27
   // COLUMN-RENAME ERA READ — the third schema migration next to w5's
@@ -9336,7 +9375,7 @@ object Catalog {
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16,
     t17, t18, t19, t20,
     c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13,
-    m1, m2, m3, m4, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22,
+    m1, m2, m3, m4, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23,
     p1, p2, p3, p4, p5,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
     w17, w18, w19, w20, w21, w22, w23, w24, w25, w26, w27,

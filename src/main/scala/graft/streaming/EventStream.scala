@@ -722,6 +722,59 @@ object EventStream {
     merged.write.mode("overwrite").parquet(s"$statePath/seen_v${batchId + 1}")
   }
 
+  /**
+   * foreachBatch body of STREAMING GROWTH ACCOUNTING (catalog s23 —
+   * a16's live twin): triggers are DAY-ALIGNED slices (the s5 cut
+   * discipline: every calendar day lands wholly inside one trigger),
+   * so each trigger classifies its user-days seeded by the carried
+   * per-user frontier — the state's last active day stands in for the
+   * lag the batch ledger reads from the corpus — and appends the
+   * trigger's finished per-day transition rows to an overwrite-
+   * versioned ledger (days never repeat across triggers, so the append
+   * needs no re-aggregation). State is user-sized (one last-day per
+   * user); the ledger is day-sized; the churn/net finish runs at SERVE
+   * time over the folded ledger via the SAME
+   * [[graft.operators.Temporal.growthLedgerFinish]] the batch operator
+   * runs — a16's oracle gates the fold unchanged.
+   */
+  def growthFoldBatch(statePath: String)(batch: DataFrame,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val acts = batch
+      .select(col("user_id").cast("long").as("user_id"),
+        to_date(col("ts")).as("day"))
+      .distinct()
+    val prev =
+      if (batchId == 0)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "user_id BIGINT, last_day DATE"))
+      else spark.read.schema("user_id BIGINT, last_day DATE")
+        .parquet(s"$statePath/state_v$batchId")
+    val inSlice = Window.partitionBy("user_id").orderBy("day")
+    val lagged = acts
+      .withColumn("sday", lag(col("day"), 1).over(inSlice))
+      .join(prev, Seq("user_id"), "left")
+      .withColumn("pday", coalesce(col("sday"), col("last_day")))
+    val daily = lagged.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        count(when(col("pday").isNull, 1)).as("n_new"),
+        count(when(datediff(col("day"), col("pday")) === 1, 1)).as("n_retained"),
+        count(when(datediff(col("day"), col("pday")) > 1, 1)).as("n_resurrected"))
+    val ledgerSchema = "day DATE, n_active BIGINT, n_new BIGINT, " +
+      "n_retained BIGINT, n_resurrected BIGINT"
+    val ledger =
+      if (batchId == 0) daily
+      else spark.read.schema(ledgerSchema)
+        .parquet(s"$statePath/ledger_v$batchId").unionAll(daily)
+    ledger.write.mode("overwrite").parquet(s"$statePath/ledger_v${batchId + 1}")
+    val state = prev.select(col("user_id"), col("last_day").as("day"))
+      .unionAll(acts)
+      .groupBy("user_id").agg(max(col("day")).as("last_day"))
+    state.write.mode("overwrite").parquet(s"$statePath/state_v${batchId + 1}")
+  }
+
   def collocFoldBatch(statePath: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val uni = graft.operators.Curate.unigramCounts(batch, "ws")

@@ -218,7 +218,10 @@ object ScaleProbe {
     // g12 aggregates 8 disjoint purchase-graph replicas (×8 edges and
     // nodes, same rounds — per-round join + max + floor must grow
     // linearly, the g1 band); w27 is a scan-bound two-era write+read
-    "a16_growth_accounting", "g12_hits", "w27_column_rename")
+    "a16_growth_accounting", "g12_hits", "w27_column_rename",
+    // s23: ×8 users fold through three day-sliced triggers — state is
+    // user-sized, the ledger day-sized; cost must track trigger rows
+    "s23_stream_growth")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1071,6 +1071,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming growth accounting: day-sliced fold == batch ledger; frontier crosses triggers") {
+    import graft.operators.Temporal
+    implicit val ctx = spark.sqlContext
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-0$day 10:00:00")
+    // u1 active d1,d2 (trigger 1) then d4 (trigger 2): the d4 RESURRECTED
+    // classification needs trigger 1's frontier; u2 churns inside t1's
+    // horizon; u3 is born in trigger 2
+    val t1 = Seq((1L, ts(1)), (1L, ts(2)), (2L, ts(1)))
+    val t2 = Seq((1L, ts(4)), (3L, ts(4)), (3L, ts(5)))
+    val root = java.nio.file.Files.createTempDirectory("s23spec").toString + "/gr"
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    var version = -1
+    val query = input.toDF().toDF("user_id", "ts")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        version += 1
+        EventStream.growthFoldBatch(root)(batch, version)
+        ()
+      }
+      .start()
+    try {
+      def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      def served() = Temporal.growthLedgerFinish(
+        spark.read.schema("day DATE, n_active BIGINT, n_new BIGINT, " +
+            "n_retained BIGINT, n_resurrected BIGINT")
+          .parquet(s"$root/ledger_v${version + 1}"))
+        .collect().map(key).toSet
+      var fed = Seq.empty[(Long, java.sql.Timestamp)]
+      for (t <- Seq(t1, t2)) {
+        input.addData(t: _*)
+        query.processAllAvailable()
+        fed = fed ++ t
+        val batchNow = Temporal.growthAccounting(
+            fed.toDF("user_id", "ts"), "user_id", "ts")
+          .collect().map(key).toSet
+        assert(served() == batchNow,
+          s"after trigger ${version + 1} the folded ledger must equal the batch twin")
+      }
+      // the cross-trigger classification: d4 carries u1 as RESURRECTED
+      // (frontier d2 from trigger 1) and u3 as NEW
+      assert(served().contains(("2024-03-04", 2L, 1L, 0L, 1L, 0L, 2L)))
+    } finally query.stop()
+  }
+
   test("mid-stream compaction: search parity holds across the compaction boundary") {
     import graft.operators.Retrieval
     implicit val ctx = spark.sqlContext
