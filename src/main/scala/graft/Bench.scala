@@ -144,7 +144,9 @@ object Bench {
             Option(e.getMessage).getOrElse(e.getClass.getName).take(300))}}"""
       }
     }
-    val errJson = errors.map { case (k, v) => s"${quote(k)}:${quote(v)}" }.mkString("{", ",", "}")
+    // load_after keeps its historical meaning: ambient load at END OF
+    // SUITE (sampled before any self-defense rerun adds its own load)
+    val loadAfter = load1m
     val contended = loadBefore > loadLimit
     if (contended)
       System.err.println(f"[bench] WARNING: ambient load $loadBefore%.2f > $loadLimit%.1f " +
@@ -163,6 +165,10 @@ object Bench {
       try {
         val slowNames = primary.filter(_._2 >= 0).sortBy(-_._2).take(5).map(_._1).toSet
         val slowQs = selected.filter(q => slowNames(q.name))
+        // ambient load AT RERUN START — sampled before the rerun itself
+        // contributes (a post-rerun sample would read ~ncpus from the
+        // rerun's own work and falsely claim "still contended")
+        val loadAtRerun = load1m
         val spark = buildSession(cpus)
         val medians = try {
           slowQs.foreach(q => runOnce(spark, "rerun:" + q.name, q.name, q.run))
@@ -171,7 +177,6 @@ object Bench {
             q.name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2))
           }
         } finally spark.stop()
-        val loadAtRerun = load1m
         s"""{"load_at_rerun":$loadAtRerun,"queries":${medians
           .map { case (k, v) => s"${quote(k)}:$v" }.mkString("{", ",", "}")}}"""
       } catch {
@@ -179,7 +184,9 @@ object Bench {
           s"""{"error":${quote(Option(e.getMessage).getOrElse(e.getClass.getName).take(300))}}"""
       }
     }
-    val loadAfter = load1m
+    // serialized AFTER the rerun block so "rerun:<query>" failure
+    // messages land in the artifact (the whole point of the errKey)
+    val errJson = errors.map { case (k, v) => s"${quote(k)}:${quote(v)}" }.mkString("{", ",", "}")
     // TWO outputs, one contract. The driver captures only the TAIL of the
     // run's output (~2000 chars) and parses the JSON line out of it — the
     // full per-query map (142 queries × two series) is ~5 KB, so the full

@@ -203,11 +203,14 @@ object text {
   /** Unicode case/diacritic fold (native expression — see
     * [[graft.plans.UnicodeOps.fold]]): lower + NFD + strip \p{Mn} + NFC.
     * The tier that runs AHEAD of the `\A[a-z]+\z` word universe so
-    * accented text folds into it instead of being silently dropped. */
-  def unicodeFold(c: Column): Column = {
-    // registration is session-idempotent; callers may hold any session
+    * accented text folds into it instead of being silently dropped.
+    *
+    * CALLER CONTRACT (the house call_function rule): run
+    * `graft.plans.VectorExpressions.ensureRegistered(df.sparkSession)`
+    * before resolving a plan that uses this — a Column carries no
+    * session, so registration cannot happen here. */
+  def unicodeFold(c: Column): Column =
     call_function("graft_unicode_fold", c)
-  }
 
   // ------------------------------------------------------------- URLs
   // URL canonicalization — pure built-ins (regexp extract/replace +

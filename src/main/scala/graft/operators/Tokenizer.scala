@@ -177,7 +177,10 @@ object Tokenizer {
   def tokenizeCorpus(docs: DataFrame, idCol: String, tokCol: String,
       merges: Seq[Merge]): DataFrame = {
     require(merges.nonEmpty, "need a learned merge list")
-    val alpha = filter(col(tokCol), w => w.rlike("^[a-z]+$"))
+    // \A..\z, same anchors as wordCounts: training and inference must
+    // agree on the word universe, or a line-terminator-suffixed token
+    // would be counted here but absent from the trained dictionary
+    val alpha = filter(col(tokCol), w => w.rlike("""\A[a-z]+\z"""))
     def segOf(word: Column): Column = merges.foldLeft(
       concat(lit("|"),
         array_join(filter(split(word, ""), x => x =!= ""), "||"),

@@ -380,11 +380,16 @@ object UnicodeOps {
     import java.text.Normalizer
     val lowered = s.toString.toLowerCase(java.util.Locale.ROOT)
     val nfd = Normalizer.normalize(lowered, Normalizer.Form.NFD)
+    // iterate CODE POINTS, not UTF-16 units: a supplementary-plane Mn
+    // mark (e.g. U+1E008) is two surrogate chars whose per-char type is
+    // SURROGATE, never NON_SPACING_MARK — charAt-based scanning would
+    // keep it and silently diverge from utf8proc-based strip_accents
     var i = 0
     var hasMark = false
     while (i < nfd.length && !hasMark) {
-      hasMark = Character.getType(nfd.charAt(i)) == Character.NON_SPACING_MARK
-      i += 1
+      val cp = nfd.codePointAt(i)
+      hasMark = Character.getType(cp) == Character.NON_SPACING_MARK
+      i += Character.charCount(cp)
     }
     // fast path: nothing to strip — recompose and return (for pure-ASCII
     // input NFC of NFD is the identity and this is one array scan)
@@ -392,9 +397,9 @@ object UnicodeOps {
       val sb = new java.lang.StringBuilder(nfd.length)
       var j = 0
       while (j < nfd.length) {
-        val c = nfd.charAt(j)
-        if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
-        j += 1
+        val cp = nfd.codePointAt(j)
+        if (Character.getType(cp) != Character.NON_SPACING_MARK) sb.appendCodePoint(cp)
+        j += Character.charCount(cp)
       }
       sb.toString
     }

@@ -258,7 +258,11 @@ class TextFunctionsSpec extends AnyFunSuite {
   }
 
   test("unicodeFold: accents fold to base, case folds, CJK passes through intact") {
+    graft.plans.VectorExpressions.ensureRegistered(spark)
     val fixtures = Seq(
+      // SUPPLEMENTARY-PLANE Mn mark (U+1E008 combining glagolitic) must
+      // strip like a BMP accent — the code-point-iteration contract
+      ("x" + new String(Character.toChars(0x1E008)) + "y", "xy"),
       // Latin accents — precomposed NFC forms
       ("Café RÉSUMÉ naïve señor Zürich garçon", "cafe resume naive senor zurich garcon"),
       // DECOMPOSED input (a + U+0301 combining acute): same fold result
