@@ -9085,7 +9085,9 @@ object Catalog {
   // second-most-common store migration after add-column (w5): a store
   // born with 32-bit keys outgrows them, new files land as BIGINT, and
   // 100 TB of int-era history is never rewritten. Spark 4's parquet
-  // reader upcasts INT32→LongType at scan time, so ONE explicit-schema
+  // reader upcasts INT32→LongType at scan time — on the VECTORIZED
+  // path (verified: the widened scan plans Batched:true +
+  // ColumnarToRow, no row-based fallback) — so ONE explicit-schema
   // read serves both eras — no mergeSchema re-inference pass, no
   // per-era plan split (gated: exactly one FileSourceScan). The v=2 era
   // carries keys ABOVE Int.MaxValue (orderkey + 3e9), so the widened
