@@ -315,4 +315,79 @@ class TextFunctionsSpec extends AnyFunSuite {
       "registered domain is the last two labels, port excluded")
   }
 
+  test("canonicalizeUrl property: idempotent and invariant-clean on random messy URLs") {
+    val r = new scala.util.Random(7)
+    def pick[A](xs: Seq[A]) = xs(r.nextInt(xs.size))
+    val urls = Seq.fill(200) {
+      val scheme = pick(Seq("http", "https", "HTTP", "HTTPS", "hTtPs"))
+      val www = pick(Seq("", "www.", "WWW."))
+      val host = pick(Seq("Example.COM", "a.b.org", "x-1.net", "HOST.io"))
+      val port = pick(Seq("", ":80", ":443", ":8080", ":9"))
+      val path = (0 until r.nextInt(4))
+        .map(_ => "/" + pick(Seq("A", "b2", "c-c", "D.e"))).mkString +
+        pick(Seq("", "/", "//"))
+      val query = pick(Seq("", "?b=2&a=1", "?c=&a=1&b=2", "?z=9"))
+      val frag = pick(Seq("", "#f", "#a/b?c=1"))
+      s"$scheme://$www$host$port$path$query$frag"
+    }
+    val out = urls.toDF("u")
+      .select(col("u"), T.canonicalizeUrl(col("u")).as("c1"),
+        T.canonicalizeUrl(T.canonicalizeUrl(col("u"))).as("c2"))
+      .collect()
+    out.foreach { row =>
+      val (u, c1, c2) = (row.getString(0), row.getString(1), row.getString(2))
+      assert(c1 == c2, s"not idempotent: $u -> $c1 -> $c2")
+      // canonical invariants, each a contract step
+      assert(!c1.contains("#"), s"fragment survived: $u -> $c1")
+      val scheme = c1.takeWhile(_ != ':')
+      assert(scheme == scheme.toLowerCase, s"scheme case: $c1")
+      val host = c1.drop(scheme.length + 3).takeWhile(c => c != '/' && c != '?' && c != ':')
+      assert(host == host.toLowerCase && !host.startsWith("www."), s"host: $c1")
+      // default-port stripping is SCHEME-relative: :80 on https (and
+      // :443 on http) are non-default and must survive
+      val portKept = c1.drop(scheme.length + 3)
+        .takeWhile(c => c != '/' && c != '?').dropWhile(_ != ':')
+      assert(!(scheme == "https" && portKept == ":443") &&
+        !(scheme == "http" && portKept == ":80"),
+        s"default port survived: $u -> $c1")
+      val path = c1.drop(scheme.length + 3).dropWhile(c => c != '/' && c != '?')
+        .takeWhile(_ != '?')
+      assert(!path.endsWith("/"), s"trailing slash survived: $u -> $c1")
+      val q = c1.dropWhile(_ != '?').drop(1)
+      if (q.nonEmpty) {
+        val parts = q.split("&").toSeq
+        assert(parts == parts.sorted, s"query unsorted: $u -> $c1")
+      }
+    }
+  }
+
+  test("unicodeFold property: idempotent over mixed-script random strings") {
+    graft.plans.VectorExpressions.ensureRegistered(spark)
+    val r = new scala.util.Random(11)
+    // draw whole CODE POINTS (string atoms), never raw chars — char
+    // indexing would split the emoji's surrogate pair into lone halves
+    val atoms = "abZ 9.áÉöÜçñ中文日ελкир".map(_.toString) ++ Seq(
+      "é", // combining acute riding a base letter
+      new String(Character.toChars(0x1F600))) // non-BMP, non-mark: must survive
+    val strings = Seq.fill(200)(
+      (0 until r.nextInt(24)).map(_ => atoms(r.nextInt(atoms.size))).mkString)
+    val out = strings.toDF("s")
+      .select(T.unicodeFold(col("s")).as("f1"),
+        T.unicodeFold(T.unicodeFold(col("s"))).as("f2"))
+      .collect()
+    out.zip(strings).foreach { case (row, s) =>
+      assert(row.getString(0) == row.getString(1), s"not idempotent on: $s")
+      // folded text carries no combining marks and no uppercase
+      val f = row.getString(0)
+      var i = 0
+      while (i < f.length) {
+        val cp = f.codePointAt(i)
+        assert(Character.getType(cp) != Character.NON_SPACING_MARK,
+          s"mark survived in: $s -> $f")
+        assert(!Character.isUpperCase(cp), s"uppercase survived in: $s -> $f")
+        i += Character.charCount(cp)
+      }
+    }
+  }
+
 }
