@@ -9365,6 +9365,120 @@ object Catalog {
       WHERE c_acctbal >= 0
       GROUP BY 1, 2"""))
 
+  // ---------------------------------------------------------------- p6
+  // CRAWL-TO-CORPUS FRONT END as one declarative plan (what p4 is for
+  // the curation chain, p6 is for the crawl INTAKE that feeds it):
+  // canonical-url collapse (t20) → first-fetch-wins dedup (s22's
+  // frontier semantics in batch form) → unicode fold (t19) → language
+  // gate over the FOLDED text → per-DOMAIN token budget (c7's cut
+  // keyed on the canonicalizer's rollup key). Stage order is the
+  // economics: the url collapse runs on a string key before any text
+  // is touched, the fold is one map-only projection, and the budget
+  // windows see only gated docs. The fold's position is what the gate
+  // proves: the injected accent slice (doc_id%3==0, the t19 fixture)
+  // passes the language gate ONLY because folding precedes it —
+  // unfolded 'thé' matches no marker. Output: the per-domain intake
+  // funnel (fetched → unique → in-language → budgeted + tokens), the
+  // decision-grade table a crawl operator actually reads; oracle
+  // replays all five stages in one SQL chain over the shared
+  // urlCanonCtes.
+  private val p6 = {
+    val budgets = Seq("src0.com" -> 15000L, "src1.com" -> 9000L)
+    val defaultBudget = 6000L
+    val budgetSql = budgets.map { case (k, b) => s"WHEN '$k' THEN $b" }.mkString(" ")
+    Q(
+      "p6_crawl_corpus",
+      (s, d) => {
+        graft.plans.VectorExpressions.ensureRegistered(s)
+        val langs = Dictionaries.langMarkers
+        val urls = canonUrls(s, d) // doc_id, text, url, curl, domain
+        val first = urls.groupBy(col("curl"))
+          .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+        val fetched = urls.join(first, Seq("doc_id"), "left_semi")
+        val injected = when(col("doc_id") % 3 === 0,
+            translate(col("text"), "aeouc", "áéöüç"))
+          .when(col("doc_id") % 3 === 1, upper(col("text")))
+          .otherwise(col("text"))
+        val ws = split(T.normKey(T.unicodeFold(injected)), " ")
+        val hitCols = langs.map { case (l, ms) =>
+          size(filter(col("ws"), w => w.isin(ms.map(lit): _*))).as(s"s_$l")
+        }
+        val scored = fetched
+          .select(col("doc_id"), col("domain"), ws.as("ws"))
+          .select((Seq(col("doc_id"), col("domain"), col("ws")) ++ hitCols): _*)
+        val gated = scored.filter(col("s_en") > 0 &&
+            col("s_en") === greatest(langs.map { case (l, _) => col(s"s_$l") }: _*))
+          .select(col("doc_id"), col("domain"), col("ws"))
+        val budgeted = Curate.tokenBudgetSample(
+          gated, "doc_id", "domain", size(col("ws")).cast("long"),
+          "crawlbudget0", budgets, defaultBudget)
+        def cnt(df: DataFrame, name: String) =
+          df.groupBy(col("domain")).agg(count(lit(1)).as(name))
+        cnt(urls, "n_fetched")
+          .join(cnt(fetched, "n_unique"), Seq("domain"), "left")
+          .join(cnt(gated, "n_en"), Seq("domain"), "left")
+          .join(budgeted.groupBy(col("domain"))
+            .agg(count(lit(1)).as("n_budgeted"),
+              sum(col("n_tokens")).as("n_tokens_budgeted")),
+            Seq("domain"), "left")
+          .select(col("domain"),
+            col("n_fetched"),
+            coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+            coalesce(col("n_en"), lit(0L)).as("n_en"),
+            coalesce(col("n_budgeted"), lit(0L)).as("n_budgeted"),
+            coalesce(col("n_tokens_budgeted"), lit(0L)).as("n_tokens_budgeted"))
+      },
+      Some {
+        val langs = Dictionaries.langMarkers
+        val scoreDefs = langs.map { case (lang, ms) =>
+          val lst = ms.map(m => s"'$m'").mkString(", ")
+          s"len(list_filter(ws, w -> list_contains([$lst], w))) AS s_$lang"
+        }.mkString(",\n            ")
+        val mxExpr = langs.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+        s"""
+        WITH $urlCanonCtes,
+        cd AS (SELECT doc_id, text, curl, $urlDomainSql AS domain FROM canon),
+        firstf AS (SELECT MIN(doc_id) AS doc_id FROM cd GROUP BY curl),
+        fetched AS (SELECT cd.* FROM cd JOIN firstf f ON cd.doc_id = f.doc_id),
+        inj AS (SELECT doc_id, domain,
+            CASE CAST(doc_id % 3 AS INTEGER)
+              WHEN 0 THEN translate(text, 'aeouc', 'áéöüç')
+              WHEN 1 THEN upper(text) ELSE text END AS ti
+          FROM fetched),
+        fw AS (SELECT doc_id, domain,
+            string_split(${normSql("nfc_normalize(strip_accents(lower(ti)))")}, ' ') AS ws
+          FROM inj),
+        sc AS (SELECT doc_id, domain, ws, $scoreDefs FROM fw),
+        gated AS (
+          SELECT doc_id, domain, CAST(len(ws) AS BIGINT) AS n_tokens
+          FROM sc WHERE s_en > 0 AND s_en = $mxExpr),
+        cum AS (
+          SELECT doc_id, domain, n_tokens,
+            SUM(n_tokens) OVER (PARTITION BY domain
+              ORDER BY ${hashFracSql("CAST(doc_id AS VARCHAR) || '|crawlbudget0'")}, doc_id
+              ROWS UNBOUNDED PRECEDING) AS cum_tokens
+          FROM gated),
+        kept AS (
+          SELECT * FROM cum
+          WHERE cum_tokens - n_tokens < CASE domain $budgetSql ELSE $defaultBudget END),
+        a1 AS (SELECT domain, COUNT(*) AS n_fetched FROM cd GROUP BY 1),
+        a2 AS (SELECT domain, COUNT(*) AS n_unique FROM fetched GROUP BY 1),
+        a3 AS (SELECT domain, COUNT(*) AS n_en FROM gated GROUP BY 1),
+        a4 AS (SELECT domain, COUNT(*) AS n_budgeted,
+                 SUM(n_tokens) AS n_tokens_budgeted FROM kept GROUP BY 1)
+        SELECT a1.domain,
+          CAST(a1.n_fetched AS BIGINT) AS n_fetched,
+          CAST(COALESCE(a2.n_unique, 0) AS BIGINT) AS n_unique,
+          CAST(COALESCE(a3.n_en, 0) AS BIGINT) AS n_en,
+          CAST(COALESCE(a4.n_budgeted, 0) AS BIGINT) AS n_budgeted,
+          CAST(COALESCE(a4.n_tokens_budgeted, 0) AS BIGINT) AS n_tokens_budgeted
+        FROM a1
+        LEFT JOIN a2 ON a2.domain = a1.domain
+        LEFT JOIN a3 ON a3.domain = a1.domain
+        LEFT JOIN a4 ON a4.domain = a1.domain"""
+      })
+  }
+
   val all: Seq[Q] = Seq(
     a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11, a12, a13, a14, a15, a16,
     n1, n2, n3, n4, n5, n6, n7,
@@ -9378,7 +9492,7 @@ object Catalog {
     t17, t18, t19, t20,
     c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13,
     m1, m2, m3, m4, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23,
-    p1, p2, p3, p4, p5,
+    p1, p2, p3, p4, p5, p6,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
     w17, w18, w19, w20, w21, w22, w23, w24, w25, w26, w27,
     g1, g2, g3, g4, g5, g6, g7, g8, g9, g10, g11, g12)

@@ -221,7 +221,11 @@ object ScaleProbe {
     "a16_growth_accounting", "g12_hits", "w27_column_rename",
     // s23: ×8 users fold through three day-sliced triggers — state is
     // user-sized, the ledger day-sized; cost must track trigger rows
-    "s23_stream_growth")
+    "s23_stream_growth",
+    // p6: every stage rides the ×8 corpus — the url collapse must
+    // absorb the ×8 occurrences of each canonical url (the s22 axis)
+    // before the fold/gate/budget stages touch text
+    "p6_crawl_corpus")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
