@@ -231,7 +231,15 @@ object text {
   private val AuthRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)"
   private val PathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)"
 
-  /** Canonical URL string per the five-step contract above. */
+  /** Canonical URL string per the five-step contract above.
+    *
+    * PRECONDITION GUARD: input must carry `scheme://` — an input that
+    * does not match [[SchemeRe]] (relative path, bare host, junk) has
+    * no well-defined authority to canonicalize, and silently emitting
+    * a `'://host…'`-shaped string would hand downstream rollup/dedup
+    * keys indistinguishable junk. Such inputs canonicalize to NULL, so
+    * malformed URLs are explicitly filterable (`curl IS NULL`), never
+    * silent garbage keys. Null propagates idempotently. */
   def canonicalizeUrl(c: Column): Column = {
     val noFrag = regexp_replace(c, "#.*", "")
     val scheme = lower(regexp_extract(noFrag, SchemeRe, 1))
@@ -248,7 +256,8 @@ object text {
     val q = regexp_extract(noFrag, "\\?(.*)$", 1)
     val qKept = when(q === "", lit("")).otherwise(
       concat(lit("?"), array_join(array_sort(split(q, "&")), "&")))
-    concat(scheme, lit("://"), host, portKept, path, qKept)
+    when(scheme === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, portKept, path, qKept))
   }
 
   /** Registered domain (last two dot-labels) of a CANONICAL url — the

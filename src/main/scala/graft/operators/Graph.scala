@@ -681,8 +681,11 @@ object Graph {
    * Scale shape: the edge list is cached TWICE, hash-partitioned on
    * src and on dst, because each round joins it from both sides — the
    * per-round shuffles then touch only the node-sized score tables
-   * (pageRank's shape, mirrored). Scores are localCheckpoint-ed per
-   * round with immediate cleanup of the superseded round. Output: one
+   * (pageRank's shape, mirrored). Each half-step's RAW sums are
+   * localCheckpoint-ed before the max scalar is read, so the edge
+   * join+aggregate materializes once per half-step and the normalized
+   * projection is a narrow map over the checkpoint; superseded rounds
+   * are dropped immediately. Output: one
    * row per node, hub_scaled for src-side nodes, auth_scaled for
    * dst-side, zero where a node plays no such role.
    */
@@ -700,14 +703,19 @@ object Graph {
     var authIds = Set.empty[Int]
     try {
       require(eSrc.limit(1).count() > 0, "empty graph")
-      def normalize(raw: DataFrame, side: String): DataFrame = {
-        val maxRaw = raw.agg(max(col("raw"))).head.getLong(0)
+      // The RAW half-step (edge join + sum) is checkpointed FIRST;
+      // both consumers — the max scalar and the normalized projection
+      // the next half-step joins against — then read the materialized
+      // frame, so each half-step's join+aggregate runs exactly once
+      // per round (not once for the max and again at the next save).
+      def normalize(rawCp: DataFrame, side: String): DataFrame = {
+        val maxRaw = rawCp.agg(max(col("raw"))).head.getLong(0)
         val bound = try Math.multiplyExact(scale, maxRaw)
         catch { case _: ArithmeticException => Long.MaxValue }
         require(bound < (1L << 53),
           s"HITS $side bound scale*maxRaw = $scale*$maxRaw exceeds 2^53: " +
             "the floor(double) normalizer would round — lower `scale`")
-        raw.select(col("id"),
+        rawCp.select(col("id"),
           floor((col("raw") * scale).cast("double") / maxRaw.toDouble)
             .cast("long").as("r"))
       }
@@ -720,14 +728,14 @@ object Graph {
       (1 to iterations).foreach { _ =>
         val aRaw = eSrc.join(hubs, eSrc("src") === hubs("id"))
           .groupBy(eSrc("dst").as("id")).agg(sum(col("r")).as("raw"))
-        val (aNext, aIds) = st.save(normalize(aRaw, "authority"))
+        val (aRawCp, aIds) = st.save(aRaw)
         st.drop(authIds)
-        auths = aNext; authIds = aIds
+        auths = normalize(aRawCp, "authority"); authIds = aIds
         val hRaw = eDst.join(auths, eDst("dst") === auths("id"))
           .groupBy(eDst("src").as("id")).agg(sum(col("r")).as("raw"))
-        val (hNext, hIds) = st.save(normalize(hRaw, "hub"))
+        val (hRawCp, hIds) = st.save(hRaw)
         st.drop(labelIds)
-        hubs = hNext; labelIds = hIds
+        hubs = normalize(hRawCp, "hub"); labelIds = hIds
       }
       hubs.select(col("id"), col("r").as("hub_scaled"))
         .join(auths.select(col("id"), col("r").as("auth_scaled")),

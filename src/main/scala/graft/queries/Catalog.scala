@@ -7776,9 +7776,13 @@ object Catalog {
         val (result, optKept, optTotal) = skipRate(s"$base/optimized")
         // the gate pair: strictly better than the decayed layout, and
         // back to the clean RATE within one file's granularity (envelope
-        // pruning quantizes at file boundaries — range-partition sample
-        // boundaries shift with parallelism, so exact equality with the
-        // clean layout is a coin-flip, measured 6/32-vs-5/16 at local[4])
+        // pruning quantizes at file boundaries, and clean/optimized use
+        // different file counts). writeZordered cuts files at EXACT
+        // z-histogram boundaries — the layout, and therefore this gate,
+        // is a deterministic function of (data, nFiles), independent of
+        // parallelism or sampling (verified at sf0.001/0.01/0.1 ×
+        // local[4]/local[32]); the old repartitionByRange sampler made
+        // this comparison a per-run coin-flip.
         if (optKept.toDouble / optTotal >= apKept.toDouble / apTotal)
           throw new IllegalStateException(
             s"re-clustering must improve on the appended layout: appended $apKept/$apTotal, optimized $optKept/$optTotal")
@@ -8953,6 +8957,7 @@ object Catalog {
           regexp_extract(nofrag, '\\?(.*)${"$"}', 1) AS q
         FROM (SELECT doc_id, text, url, regexp_replace(url, '#.*', '') AS nofrag FROM raw) z),
       canon AS (SELECT doc_id, text, url,
+          CASE WHEN scheme = '' THEN NULL ELSE
           scheme || '://' ||
           regexp_replace(lower(regexp_replace(auth, ':[0-9]+${"$"}', '')), '^www\\.', '') ||
           CASE WHEN regexp_extract(auth, ':([0-9]+)${"$"}', 1) = ''
@@ -8962,7 +8967,7 @@ object Catalog {
           regexp_replace(p, '/+${"$"}', '') ||
           CASE WHEN q = '' THEN ''
             ELSE '?' || array_to_string(list_sort(string_split(q, '&')), '&') END
-          AS curl
+          END AS curl
         FROM comp)"""
 
   /** DuckDB registered-domain of canon.curl (mirrors T.registeredDomain). */

@@ -273,11 +273,22 @@ object Sink {
    *
    * [[writeZordered]] interleaves the bits of both columns' 8-bit
    * quantized ranks (Morton code — a shiftleft/bitwise-OR fold, pure
-   * codegen'd scalar ops) and RANGE-partitions the rows on that code
-   * into `nFiles` files: each file covers a compact z-curve segment,
-   * i.e. a bounded rectangle-ish region of the (c1, c2) plane. The
-   * quantization bounds come from one tiny min/max aggregate of the
-   * input (the stats pass every clustered write does).
+   * codegen'd scalar ops) and partitions the rows on that code into at
+   * most `nFiles` files of contiguous z-ranges: each file covers a
+   * compact z-curve segment, i.e. a bounded rectangle-ish region of the
+   * (c1, c2) plane. The quantization bounds come from one tiny min/max
+   * aggregate of the input (the stats pass every clustered write does),
+   * and the file CUT POINTS come from an EXACT histogram of the 16-bit
+   * z-code (one groupBy over ≤ 65,536 distinct codes, collected —
+   * O(codes) coordinator state independent of row count, the same class
+   * as centroids). Exact cuts replace `repartitionByRange`'s SAMPLED
+   * boundaries: the layout — and therefore every downstream skip-rate
+   * measurement — is a deterministic function of the data, not of the
+   * sampler's seed or the cluster's parallelism. Rows are routed to
+   * their cut bucket through a collision-free slot remap (each bucket id
+   * is replaced by a probed representative whose Murmur3 hash lands on a
+   * distinct partition slot), so `repartition(n, slot)` places exactly
+   * one contiguous z-range per output file with no sampling pass at all.
    *
    * [[skippingManifest]] then reads the layout back ONCE and derives the
    * per-file (min, max) envelope of both columns — the file-level stats
@@ -305,10 +316,43 @@ object Sink {
       acc.bitwiseOR(shiftleft(shiftright(q1, i).bitwiseAND(1), 2 * i + 1))
         .bitwiseOR(shiftleft(shiftright(q2, i).bitwiseAND(1), 2 * i))
     }
-    df.withColumn("_z", z)
-      .repartitionByRange(nFiles, col("_z"))
+    val zed = df.withColumn("_z", z)
+    // Exact cut points from the full z histogram (≤ 2^16 rows however
+    // large df is): greedy walk over the sorted codes, closing a bucket
+    // once it holds ≥ total/nFiles rows. Deterministic — no sampling.
+    val hist = zed.groupBy(col("_z")).count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = hist.map(_._2).sum
+    val perFile = math.max(1L, (total + nFiles - 1) / nFiles)
+    val cuts = scala.collection.mutable.ArrayBuffer.empty[Int] // bucket k = codes in [cuts(k-1), cuts(k))
+    var acc = 0L
+    hist.foreach { case (code, n) =>
+      acc += n
+      if (acc >= perFile && cuts.length < nFiles - 1) { cuts += code + 1; acc = 0L }
+    }
+    val nBuckets = cuts.length + 1
+    val bucket = cuts.foldLeft(lit(0)) { (b, cut) =>
+      b + org.apache.spark.sql.functions.when(col("_z") >= cut, 1).otherwise(0)
+    }
+    // Collision-free slot remap: repartition(n, key) places a row by
+    // pmod(murmur3(key), n); probe a representative int per bucket whose
+    // hash occupies a distinct slot so no two z-ranges share a file.
+    val taken = scala.collection.mutable.Set.empty[Int]
+    val reps = (0 until nBuckets).map { _ =>
+      var m = 0
+      def slot(v: Int) = {
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(v, 42)
+        ((h % nBuckets) + nBuckets) % nBuckets
+      }
+      while (taken.contains(slot(m))) m += 1
+      taken += slot(m); m
+    }
+    val slotKey = org.apache.spark.sql.functions.element_at(
+      org.apache.spark.sql.functions.array(reps.map(lit): _*), bucket + 1)
+    zed.withColumn("_slot", slotKey)
+      .repartition(nBuckets, col("_slot"))
       .sortWithinPartitions("_z")
-      .drop("_z")
+      .drop("_z", "_slot")
       .write.mode("overwrite").parquet(path)
   }
 

@@ -479,8 +479,12 @@ object EventStream {
     *    upstream slicing need the recovery policy.
     *  - [[EmitLateMarked]]: dead-letter IN-BAND — the late row is
     *    emitted with its payload and an impossible-for-on-time marker
-    *    (gapFillDaily: `days_since_obs = -(days_behind_frontier + 1)`,
-    *    always <= -1 where grid rows are >= 0; attributionState:
+    *    (gapFillDaily: `observed = false` AND
+    *    `days_since_obs = -(days_behind_frontier + 1)`, always <= -1
+    *    where grid rows are >= 0 — observed stays the clean "this row
+    *    entered the grid as an on-time observation" contract, so a
+    *    consumer filtering on the flag alone never ingests a late
+    *    row's stale day_value; attributionState:
     *    `conv_id = -1, touch_rank = -1, credit = 0`), state untouched.
     *    Nothing is lost, the stream keeps running, and the marker is
     *    the side channel a monitor alerts on. */
@@ -532,7 +536,7 @@ object EventStream {
                 val behind = java.time.temporal.ChronoUnit.DAYS.between(
                   java.time.LocalDate.parse(dayS),
                   java.time.LocalDate.parse(s0.lastDay))
-                out += ((key, dayS, v, n, true, -(behind + 1L)))
+                out += ((key, dayS, v, n, false, -(behind + 1L)))
             }
           }
           if (st.forall(_.lastDay < dayS)) {
@@ -731,7 +735,11 @@ object EventStream {
    * lag the batch ledger reads from the corpus — and appends the
    * trigger's finished per-day transition rows to an overwrite-
    * versioned ledger (days never repeat across triggers, so the append
-   * needs no re-aggregation). State is user-sized (one last-day per
+   * needs no re-aggregation — and the fold ENFORCES that contract: a
+   * trigger whose earliest day is not strictly past the ledger's last
+   * written day throws before appending, the same loud cross-trigger
+   * fence gapFillDaily and attributionState carry, instead of silently
+   * double-counting a straddled day). State is user-sized (one last-day per
    * user); the ledger is day-sized; the churn/net finish runs at SERVE
    * time over the folded ledger via the SAME
    * [[graft.operators.Temporal.growthLedgerFinish]] the batch operator
@@ -766,8 +774,24 @@ object EventStream {
       "n_retained BIGINT, n_resurrected BIGINT"
     val ledger =
       if (batchId == 0) daily
-      else spark.read.schema(ledgerSchema)
-        .parquet(s"$statePath/ledger_v$batchId").unionAll(daily)
+      else {
+        val old = spark.read.schema(ledgerSchema)
+          .parquet(s"$statePath/ledger_v$batchId")
+        // day-aligned-trigger fence: the append-without-reaggregation
+        // contract holds only if no calendar day straddles two triggers.
+        // Both scalars are tiny (ledger is day-sized, acts user-day-
+        // sized); a violated fence throws LOUDLY instead of writing a
+        // duplicate day row that double-counts n_active downstream.
+        val ledgerMax = old.agg(max(col("day"))).first().getDate(0)
+        val batchMin = acts.agg(min(col("day"))).first().getDate(0)
+        if (ledgerMax != null && batchMin != null &&
+            !batchMin.after(ledgerMax))
+          throw new IllegalStateException(
+            s"growth fold requires day-aligned triggers: batch $batchId " +
+              s"starts at $batchMin but the ledger already holds $ledgerMax — " +
+              "a straddled day would double-count n_active")
+        old.unionAll(daily)
+      }
     ledger.write.mode("overwrite").parquet(s"$statePath/ledger_v${batchId + 1}")
     val state = prev.select(col("user_id"), col("last_day").as("day"))
       .unionAll(acts)

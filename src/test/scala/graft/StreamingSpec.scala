@@ -971,14 +971,16 @@ class StreamingSpec extends AnyFunSuite {
         grid((1L, "2024-02-04", 7.0, 1L, true, 0L)))
       // a day 3 behind the frontier (and a frontier duplicate) arrive
       // late: the stream does NOT wedge, the grid stays final, and both
-      // rows surface with full values and days_since_obs <= -1 — the
-      // in-band dead-letter channel (grid rows are always >= 0)
+      // rows surface with full values, observed = false (a consumer
+      // filtering the flag alone never ingests a late row's stale
+      // day_value) and days_since_obs <= -1 — the in-band dead-letter
+      // channel (grid rows are always >= 0)
       input.addData((1L, "2024-02-01", 99.0, 5L), (1L, "2024-02-04", 88.0, 6L))
       query.processAllAvailable()
       val got = snap()
       assert(got -- grid == Set(
-        (1L, "2024-02-01", 99.0, 5L, true, -4L),
-        (1L, "2024-02-04", 88.0, 6L, true, -1L)),
+        (1L, "2024-02-01", 99.0, 5L, false, -4L),
+        (1L, "2024-02-04", 88.0, 6L, false, -1L)),
         s"late rows must dead-letter marked, got ${got -- grid}")
       // state untouched by the late rows: the grid resumes off the
       // ORIGINAL frontier value, not the late arrival's

@@ -313,6 +313,18 @@ class TextFunctionsSpec extends AnyFunSuite {
       .select(T.registeredDomain(col("u"))).collect().map(_.getString(0))
     assert(doms.toSeq == Seq("example.com", "example.com", "host.org"),
       "registered domain is the last two labels, port excluded")
+    // precondition guard: scheme-less / malformed input canonicalizes to
+    // NULL (explicitly filterable), never a '://…' junk key; null stays
+    // null so the guard is itself idempotent
+    val bad = Seq("example.com/x", "/relative/path", "not a url", "//proto-relative.com")
+      .toDF("u")
+      .select(T.canonicalizeUrl(col("u")).as("c"),
+        T.canonicalizeUrl(T.canonicalizeUrl(col("u"))).as("cc"))
+      .collect()
+    bad.foreach { r =>
+      assert(r.isNullAt(0) && r.isNullAt(1),
+        s"malformed url must canonicalize to null, got ${r.get(0)}")
+    }
   }
 
   test("canonicalizeUrl property: idempotent and invariant-clean on random messy URLs") {
