@@ -212,6 +212,36 @@ object text {
   def unicodeFold(c: Column): Column =
     call_function("graft_unicode_fold", c)
 
+  // ------------------------------------------------------------- HTML
+  /**
+   * HTML-to-text extraction — the crawl pipeline's step between raw
+   * fetch markup and every downstream text operator (t1 language ID,
+   * t2 quality, t6 boilerplate, the dedup family): eliminate what
+   * never renders (script/style blocks, comments), break every tag to
+   * a space, decode the six entities that dominate real corpora. Pure
+   * regexp built-ins — one codegen'd projection over the corpus scan,
+   * oracle-replayable step for step.
+   *
+   * Two orderings are load-bearing: the BLOCK eliminations run before
+   * the generic tag strip (a literal '<' inside a script body would
+   * otherwise open a bogus tag that swallows visible text), and
+   * `&amp;` decodes LAST so `&amp;lt;` correctly single-decodes to
+   * `&lt;`. Tags become SPACES, not empty strings (the C4 convention:
+   * a stray mid-word tag costs a split word, but adjacent-block words
+   * never fuse); callers run whitespace normalization right after.
+   */
+  def htmlToText(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ").foldLeft(noTags) { (acc, kv) =>
+      regexp_replace(acc, kv._1, kv._2)
+    }
+    regexp_replace(ent, "&amp;", "&")
+  }
+
   // ------------------------------------------------------------- URLs
   // URL canonicalization — pure built-ins (regexp extract/replace +
   // array_sort), so the whole pass is one codegen'd projection over the

@@ -251,4 +251,53 @@ object Enrich {
       .filter(col("edit_dist") <= maxEdits && col("sim_ratio") >= minRatio)
       .select("id1", "id2", "name1", "name2", "edit_dist", "sim_ratio")
   }
+
+  // --------------------------------------------------- compensation text
+  // Free-text compensation parsing (reference: normalize.py:125 repairs
+  // already-NUMERIC salary bounds; real job feeds carry them as text —
+  // '$52,000 - $64,000 per year', '45k - 52k USD / year', '$30 - $45
+  // per hour' — so the extractor ahead of it must parse currency, the
+  // range, and the pay period, then ANNUALIZE to one comparable unit).
+  // All four pieces are pure regexp/arithmetic built-ins sharing one
+  // codegen'd projection, each independently oracle-replayable.
+
+  /** ISO currency from the symbol, falling back to a word code. */
+  def compCurrency(c: Column): Column =
+    when(c.contains("$"), "USD")
+      .when(c.contains("€"), "EUR")
+      .when(c.contains("£"), "GBP")
+      .when(lower(c).rlike("\\busd\\b"), "USD")
+      .otherwise("UNK")
+
+  /** Pay period: hour / month / year (the default). */
+  def compPeriod(c: Column): Column =
+    when(lower(c).rlike("hour|/hr|\\bhr\\b"), "hour")
+      .when(lower(c).rlike("month|/mo\\b"), "month")
+      .otherwise("year")
+
+  /** Rows-per-year multiplier for [[compPeriod]]: 2080 work hours
+    * (40 h × 52 wk), 12 months, or 1. */
+  def compAnnualFactor(c: Column): Column =
+    when(compPeriod(c) === "hour", lit(2080L))
+      .when(compPeriod(c) === "month", lit(12L))
+      .otherwise(lit(1L))
+
+  /** One numeric token → amount: commas stripped, 'k' suffix ×1000. */
+  private def compAmount(tok: Column): Column =
+    when(tok.endsWith("k"),
+        regexp_replace(tok, "[,k]", "").cast("long") * 1000L)
+      .otherwise(regexp_replace(tok, ",", "").cast("long"))
+
+  /** [lo, hi] bounds in the string's own pay period: the first two
+    * number tokens ('52,000', '45k', '30'); a single number means
+    * lo = hi; no number means nulls (malformed, filterable). */
+  def compBounds(c: Column): Column = {
+    val ns = regexp_extract_all(lower(c), lit("[0-9][0-9,]*k?"), lit(0))
+    // CaseWhen evaluates branches lazily, so the 1-based element_at
+    // never sees an empty array
+    when(size(ns) === 0, lit(null).cast("array<bigint>"))
+      .otherwise(array(
+        compAmount(element_at(ns, 1)),
+        compAmount(element_at(ns, least(size(ns), lit(2))))))
+  }
 }

@@ -90,6 +90,51 @@ object Multimodal {
   }
 
   /**
+   * Audio FRAME WINDOWING over the stub media table — the sample-rate-
+   * aware companion of [[sampleFrames]] (video samples whole frames by
+   * index; audio slices OVERLAPPING win/hop windows by time, the
+   * framing every MFCC / VAD / ASR-chunking front end runs before any
+   * decode). The stub PCM expansion is deterministic — 4 samples per
+   * payload byte, sample rate 8/16/24 kHz by doc_id%3 — so window
+   * arithmetic is exact integer math both engines replay: frame f
+   * covers samples [f·hop, f·hop + win) where win = sr·winMs/1000 and
+   * hop = sr·hopMs/1000, and n_frames = (n_samples − win)/hop + 1
+   * (zero when the clip is shorter than one window). Every `everyK`-th
+   * frame is emitted with its time span and the md5 of its byte slice
+   * (samples/4 bytes — the stub payload is the document text, so the
+   * slice is a substring; a real codec hashes the decoded window with
+   * the SAME plan shape). Pure narrow plan: explode(sequence) +
+   * substring, no shuffle, output rows = frames/everyK.
+   */
+  def audioFrames(docs: DataFrame, winMs: Int, hopMs: Int, everyK: Int): DataFrame = {
+    require(winMs >= 1 && hopMs >= 1 && everyK >= 1,
+      "winMs, hopMs and everyK must be positive")
+    // stub rates are multiples of 8 kHz, so win/hop sample counts and
+    // their /4 byte spans stay exact integers for the default 25/10 ms
+    val sr = (col("doc_id") % 3 + 1) * 8000L
+    val winS = sr * winMs / 1000L
+    val hopS = sr * hopMs / 1000L
+    val nSamples = length(col("text")).cast("bigint") * 4L
+    val nFrames = when(nSamples < winS, 0L)
+      .otherwise((nSamples - winS) / hopS + 1L)
+    docs.filter(col("doc_id") % 3 === 1 && length(col("text")) > 0)
+      .select(col("doc_id"), col("text"), sr.as("sr"),
+        winS.as("win_s"), hopS.as("hop_s"), nFrames.cast("int").as("nf"))
+      .filter(col("nf") > 0) // sub-window clips: no frames (sequence needs lo <= hi)
+      .select(col("doc_id"), col("sr"), col("win_s"), col("hop_s"),
+        explode(sequence(lit(0), col("nf") - 1, lit(everyK))).as("frame_idx"),
+        col("text"))
+      .select(
+        col("doc_id"),
+        col("sr").as("sample_rate"),
+        col("frame_idx").cast("bigint").as("frame_idx"),
+        (col("frame_idx") * hopMs).cast("bigint").as("start_ms"),
+        (col("frame_idx") * hopMs + winMs).cast("bigint").as("end_ms"),
+        md5(expr("substring(text, CAST(frame_idx * hop_s / 4 + 1 AS INT), CAST(win_s / 4 AS INT))"))
+          .as("frame_md5"))
+  }
+
+  /**
    * Per-partition batch "decode": the exact shape a real extractor needs —
    * iterate a partition's rows, run the (expensive) codec per batch, emit
    * a typed feature row. No shuffle; parallelism = input partitions.

@@ -9484,22 +9484,352 @@ object Catalog {
       })
   }
 
+  // ---------------------------------------------------------------- a17
+  // COHORT LTV TRIANGLE (a10's value-weighted companion, the other half
+  // of the growth dashboard): users cohort by FIRST active day, and for
+  // every observed (cohort, day-offset) cell the entry reports the
+  // cohort's CUMULATIVE value through that offset and its per-user rate
+  // — the lifetime-value curve a payback model fits. Same window
+  // economy as a10: the cohort day rides the per-user exchange the
+  // events need anyway, the cohort size is recovered from the offset-0
+  // cell (every user is active on their own first day) instead of a
+  // join, and the cumulative sum + size recovery share ONE per-cohort
+  // exchange (two window frames, one partitioning). Value sums are
+  // decimal-exact end to end; the two divisions are last-step doubles —
+  // oracle-replayed cell for cell.
+  private val a17 = Q(
+    "a17_cohort_ltv",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).select(
+        col("user_id"), date_trunc("day", col("ts")).as("day"), col("value"))
+      val withCohort = ev.withColumn("cohort",
+        min(col("day")).over(Window.partitionBy(col("user_id"))))
+      val cells = withCohort
+        .groupBy(col("cohort"),
+          datediff(col("day"), col("cohort")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"),
+          sum(col("value").cast(DecV)).as("rev"))
+      val byCohort = Window.partitionBy(col("cohort"))
+      val cum = byCohort.orderBy(col("day_offset"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells
+        .withColumn("cum_value", sum(col("rev")).over(cum))
+        .withColumn("__n0",
+          max(when(col("day_offset") === 0, col("n_active"))).over(byCohort))
+        .select(
+          date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+          col("day_offset").cast("long").as("day_offset"),
+          col("__n0").as("n_cohort_users"),
+          col("cum_value").cast("double").as("cum_value"),
+          (col("cum_value").cast("double") / col("__n0").cast("double"))
+            .as("ltv_per_user"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+          CAST(value AS DECIMAL(18,6)) AS v
+        FROM events),
+      c AS (SELECT user_id, day, v,
+              MIN(day) OVER (PARTITION BY user_id) AS cohort FROM e),
+      m AS (SELECT cohort, date_diff('day', cohort, day) AS day_offset,
+              COUNT(DISTINCT user_id) AS n_active, SUM(v) AS rev
+            FROM c GROUP BY 1, 2),
+      r AS (SELECT cohort, day_offset,
+              SUM(rev) OVER (PARTITION BY cohort ORDER BY day_offset
+                             ROWS UNBOUNDED PRECEDING) AS cum_value,
+              MAX(CASE WHEN day_offset = 0 THEN n_active END)
+                OVER (PARTITION BY cohort) AS n0
+            FROM m)
+      SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+        CAST(day_offset AS BIGINT) AS day_offset,
+        CAST(n0 AS BIGINT) AS n_cohort_users,
+        CAST(cum_value AS DOUBLE) AS cum_value,
+        CAST(cum_value AS DOUBLE) / CAST(n0 AS DOUBLE) AS ltv_per_user
+      FROM r"""))
+
+  // ---------------------------------------------------------------- m5
+  // AUDIO FRAME WINDOWS (Multimodal.audioFrames) — the time-domain
+  // framing pass of the audio modality, m3's sample-rate-aware
+  // companion: 25 ms windows every 10 ms over the stub PCM expansion
+  // (4 samples/byte, 8/16/24 kHz by doc_id%3 — all integer-exact), one
+  // row per 8th frame with its time span and slice hash. The plan is
+  // the m3 discipline: narrow explode + substring, no shuffle, and the
+  // oracle replays the window arithmetic sample for sample.
+  private val m5 = Q(
+    "m5_audio_frames",
+    (s, d) => graft.operators.Multimodal.audioFrames(
+      Tables.documents(s, d), winMs = 25, hopMs = 10, everyK = 8),
+    Some("""
+      WITH a AS (
+        SELECT doc_id, text,
+          8000 * (CAST(doc_id % 3 AS BIGINT) + 1) AS sr,
+          CAST(len(text) AS BIGINT) * 4 AS n_samples
+        FROM documents WHERE doc_id % 3 = 1 AND len(text) > 0),
+      b AS (
+        SELECT doc_id, text, sr,
+          sr * 25 // 1000 AS win_s, sr * 10 // 1000 AS hop_s,
+          CASE WHEN n_samples < sr * 25 // 1000 THEN 0
+               ELSE (n_samples - sr * 25 // 1000) // (sr * 10 // 1000) + 1
+          END AS nf
+        FROM a),
+      f AS (SELECT doc_id, sr, win_s, hop_s, text,
+              unnest(range(0, nf, 8)) AS frame_idx FROM b)
+      SELECT doc_id, CAST(sr AS BIGINT) AS sample_rate,
+        CAST(frame_idx AS BIGINT) AS frame_idx,
+        CAST(frame_idx * 10 AS BIGINT) AS start_ms,
+        CAST(frame_idx * 10 + 25 AS BIGINT) AS end_ms,
+        md5(substr(text, CAST(frame_idx * hop_s // 4 + 1 AS INT),
+                   CAST(win_s // 4 AS INT))) AS frame_md5
+      FROM f"""))
+
+  // ---------------------------------------------------------------- t21
+  // HTML-TO-TEXT EXTRACTION (text.htmlToText) — the step p6's crawl
+  // intake presupposes but no entry exercised: raw fetched MARKUP →
+  // visible text (script/style/comment elimination, tag-to-space,
+  // entity decode), one codegen'd projection. No html column exists in
+  // the testdata, so each doc is wrapped in one of FOUR deterministic
+  // markup shapes by doc_id%4 (full page with script+style noise —
+  // including a literal '<' inside the script body, the case that
+  // breaks naive tag-stripping; &nbsp;-encoded spaces; list markup
+  // splitting every word; a commented legacy-cased body). Extraction
+  // must ROUND-TRIP: the entry throws unless every doc's extracted
+  // text normalizes back to the original, and the per-source rollup
+  // (docs, round-trips, extracted tokens) is oracle-replayed with the
+  // same wrap + the same ten regexp steps.
+  private val t21 = {
+    val script = "<script type=\"text/javascript\">var x = 1 < 2;</script>"
+    Q(
+      "t21_html_extract",
+      (s, d) => {
+        val html = when(col("doc_id") % 4 === 0,
+            concat(lit("<html><head><title></title>" + script +
+                "<style>.a{color:red}</style></head><body><p>"),
+              col("text"), lit("</p></body></html>")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("<div class=\"main\">"),
+              regexp_replace(col("text"), " ", "&nbsp;"), lit("</div>")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("<ul><li>"),
+              regexp_replace(col("text"), " ", "</li><li>"), lit("</li></ul>")))
+          .otherwise(
+            concat(lit("<!-- header --><BODY onload=\"f()\">"), col("text"),
+              lit("<br/></BODY>")))
+        val ex = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"), html.as("html"))
+          .withColumn("etext", T.normKey(T.htmlToText(col("html"))))
+          .withColumn("ok", (col("etext") === T.normKey(col("text"))).cast("long"))
+        val out = ex.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ok")).as("n_roundtrip"),
+            sum(size(split(col("etext"), " ")).cast("long")).as("n_tokens"))
+        val bad = out.agg(sum(col("n_docs") - col("n_roundtrip"))).head.getLong(0)
+        require(bad == 0,
+          s"html extraction must round-trip every fixture doc; $bad failed")
+        out
+      },
+      Some(s"""
+        WITH h AS (
+          SELECT doc_id, source, text,
+            CASE CAST(doc_id % 4 AS INTEGER)
+              WHEN 0 THEN '<html><head><title></title>${script.replace("\"", "\"")}<style>.a{color:red}</style></head><body><p>' || text || '</p></body></html>'
+              WHEN 1 THEN '<div class="main">' || replace(text, ' ', '&nbsp;') || '</div>'
+              WHEN 2 THEN '<ul><li>' || replace(text, ' ', '</li><li>') || '</li></ul>'
+              ELSE '<!-- header --><BODY onload="f()">' || text || '<br/></BODY>'
+            END AS html
+          FROM documents),
+        x AS (
+          SELECT source, text,
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(regexp_replace(html,
+              '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+              '(?s)<!--.*?-->', ' ', 'g'),
+              '<[^>]*>', ' ', 'g'),
+              '&lt;', '<', 'g'),
+              '&gt;', '>', 'g'),
+              '&quot;', '"', 'g'),
+              '&#39;', '''', 'g'),
+              '&nbsp;', ' ', 'g'),
+              '&amp;', '&', 'g') AS raw
+          FROM h),
+        n AS (SELECT source, ${normSql("raw")} AS etext,
+                ${normSql("text")} AS otext FROM x)
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(COUNT(CASE WHEN etext = otext THEN 1 END) AS BIGINT) AS n_roundtrip,
+          CAST(SUM(len(string_split(etext, ' '))) AS BIGINT) AS n_tokens
+        FROM n GROUP BY source"""))
+  }
+
+  // ---------------------------------------------------------------- e7
+  // COMPENSATION PARSING + ANNUALIZATION (Enrich.compCurrency/Period/
+  // Bounds/AnnualFactor) — the free-text extractor ahead of n5's
+  // numeric range repair (normalize.py:125 assumes numeric bounds; job
+  // feeds deliver '$52,000 - $64,000 per year', '45k - 52k USD / year',
+  // '$30 - $45 per hour'): currency from symbol-or-code, the first two
+  // number tokens (commas stripped, 'k' ×1000), pay period, and exact
+  // BIGINT annualization (hour ×2080, month ×12) to ONE comparable
+  // unit. No salary text exists in the testdata, so each order derives
+  // one in FIVE spellings by o_orderkey%5 — dollar-comma, k-suffix with
+  // word code, euro-k with an en-dash, hourly, and monthly-pounds — and
+  // the oracle replays both the synthesis and every parse step. One
+  // codegen'd projection, zero shuffle.
+  private val e7 = Q(
+    "e7_salary_parse",
+    (s, d) => {
+      val k = col("o_orderkey")
+      val lo = (k % 120 + 30).cast("long")
+      val hi = (lo + 5 + k % 20).cast("long")
+      val st = when(k % 5 === 0,
+          concat(lit("$"), lo.cast("string"), lit(",000 - $"),
+            hi.cast("string"), lit(",000 per year")))
+        .when(k % 5 === 1,
+          concat(lo.cast("string"), lit("k - "), hi.cast("string"),
+            lit("k USD / year")))
+        .when(k % 5 === 2,
+          concat(lit("€"), lo.cast("string"), lit("k – €"),
+            hi.cast("string"), lit("k / year")))
+        .when(k % 5 === 3,
+          concat(lit("$"), lo.cast("string"), lit(" - $"),
+            hi.cast("string"), lit(" per hour")))
+        .otherwise(
+          concat(lit("£"), (lo * 100).cast("string"), lit(" - £"),
+            (hi * 100).cast("string"), lit(" per month")))
+      val b = Enrich.compBounds(col("salary_text"))
+      val f = Enrich.compAnnualFactor(col("salary_text"))
+      Tables.orders(s, d)
+        .select(k.as("o_orderkey"), st.as("salary_text"))
+        .select(col("o_orderkey"), col("salary_text"),
+          Enrich.compCurrency(col("salary_text")).as("currency"),
+          Enrich.compPeriod(col("salary_text")).as("period"),
+          (element_at(b, 1) * f).as("min_annual"),
+          (element_at(b, 2) * f).as("max_annual"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT o_orderkey,
+          CAST(o_orderkey % 120 + 30 AS BIGINT) AS lo,
+          CAST(o_orderkey % 120 + 30 + 5 + o_orderkey % 20 AS BIGINT) AS hi
+        FROM orders),
+      r AS (
+        SELECT o_orderkey,
+          CASE CAST(o_orderkey % 5 AS INTEGER)
+            WHEN 0 THEN '$' || CAST(lo AS VARCHAR) || ',000 - $' ||
+              CAST(hi AS VARCHAR) || ',000 per year'
+            WHEN 1 THEN CAST(lo AS VARCHAR) || 'k - ' ||
+              CAST(hi AS VARCHAR) || 'k USD / year'
+            WHEN 2 THEN '€' || CAST(lo AS VARCHAR) || 'k – €' ||
+              CAST(hi AS VARCHAR) || 'k / year'
+            WHEN 3 THEN '$' || CAST(lo AS VARCHAR) || ' - $' ||
+              CAST(hi AS VARCHAR) || ' per hour'
+            ELSE '£' || CAST(lo * 100 AS VARCHAR) || ' - £' ||
+              CAST(hi * 100 AS VARCHAR) || ' per month'
+          END AS salary_text
+        FROM t),
+      p AS (
+        SELECT o_orderkey, salary_text,
+          CASE WHEN contains(salary_text, '$') THEN 'USD'
+               WHEN contains(salary_text, '€') THEN 'EUR'
+               WHEN contains(salary_text, '£') THEN 'GBP'
+               WHEN regexp_matches(lower(salary_text), '\busd\b') THEN 'USD'
+               ELSE 'UNK' END AS currency,
+          CASE WHEN regexp_matches(lower(salary_text), 'hour|/hr|\bhr\b') THEN 'hour'
+               WHEN regexp_matches(lower(salary_text), 'month|/mo\b') THEN 'month'
+               ELSE 'year' END AS period,
+          regexp_extract_all(lower(salary_text), '[0-9][0-9,]*k?') AS ns
+        FROM r),
+      q AS (
+        SELECT o_orderkey, salary_text, currency, period,
+          ns[1] AS lr, ns[CASE WHEN len(ns) >= 2 THEN 2 ELSE 1 END] AS hr,
+          CAST(CASE period WHEN 'hour' THEN 2080 WHEN 'month' THEN 12
+               ELSE 1 END AS BIGINT) AS f
+        FROM p)
+      SELECT o_orderkey, salary_text, currency, period,
+        CAST(CASE WHEN lr LIKE '%k'
+          THEN CAST(replace(replace(lr, ',', ''), 'k', '') AS BIGINT) * 1000
+          ELSE CAST(replace(lr, ',', '') AS BIGINT) END * f AS BIGINT) AS min_annual,
+        CAST(CASE WHEN hr LIKE '%k'
+          THEN CAST(replace(replace(hr, ',', ''), 'k', '') AS BIGINT) * 1000
+          ELSE CAST(replace(hr, ',', '') AS BIGINT) END * f AS BIGINT) AS max_annual
+      FROM q"""))
+
+  // ---------------------------------------------------------------- w28
+  // ORC ROUNDTRIP WITH SCAN-TIER GATES — the third interchange format
+  // (w2 jsonl, w24 csv cover the text tiers; ORC is the columnar
+  // format Spark ships a native vectorized reader for, and a 100-TB
+  // estate routinely mixes ORC-era and parquet-era history). A
+  // roundtrip alone would prove serialization, not SCALE behavior, so
+  // the entry gates the three properties that make a columnar scan
+  // cheap, on the EXECUTED plan: (1) the equality predicate is pushed
+  // into the ORC reader (search-argument pruning skips stripes before
+  // rows materialize), (2) the scan is vectorized (Batched columnar
+  // read, no row-based fallback), (3) the read schema is pruned to the
+  // three referenced columns — the five-column file never pays a
+  // five-column scan. The aggregate result is oracle-pinned from the
+  // source table (format changes I/O, never answers — w11's rule).
+  private val w28 = Q(
+    "w28_orc_roundtrip",
+    (s, d) => {
+      val path = s"$scratchRoot/${dsScratch(d)}/lineitem_orc"
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+        .write.mode("overwrite").orc(path)
+      val back = s.read
+        .schema("l_orderkey BIGINT, l_partkey BIGINT, l_quantity DOUBLE, " +
+          "l_extendedprice DOUBLE, l_returnflag STRING")
+        .orc(path)
+      val result = back
+        .filter(col("l_returnflag") === "R" && col("l_quantity") > 25)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecM)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecM)).cast("double").as("sum_price"))
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val plan = result.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+      val scans = plan.collect { case f: FileSourceScanExec => f }
+      require(scans.size == 1, s"expected one ORC scan, got ${scans.size}")
+      val scan = scans.head
+      val pushed = scan.metadata.getOrElse("PushedFilters", "")
+      require(pushed.contains("l_returnflag") && pushed.contains("l_quantity"),
+        s"both predicates must push into the ORC reader, got: $pushed")
+      require(scan.supportsColumnar,
+        "the ORC scan must take the vectorized (columnar batch) path")
+      require(scan.requiredSchema.fieldNames.toSet ==
+          Set("l_returnflag", "l_quantity", "l_extendedprice"),
+        s"scan must prune to the referenced columns, read: " +
+          scan.requiredSchema.fieldNames.mkString(","))
+      result
+    },
+    Some("""
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_price
+      FROM lineitem
+      WHERE l_returnflag = 'R' AND l_quantity > 25
+      GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(
-    a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11, a12, a13, a14, a15, a16,
+    a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11, a12, a13, a14, a15, a16, a17,
     n1, n2, n3, n4, n5, n6, n7,
     d1, d2, d3, d4, d5, d6, d7,
-    e1, e2, e3, e4, e5, e6, j1, j2, j3, j4, j5, j6,
+    e1, e2, e3, e4, e5, e6, e7, j1, j2, j3, j4, j5, j6,
     r1, r2, r3, r4, r5, r6, r7, r8, q1, q2, q3, q4, q5, q6, q7, q8, q9,
     q10,
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
     l17, l18, l19, l20, l21, l22,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16,
-    t17, t18, t19, t20,
+    t17, t18, t19, t20, t21,
     c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13,
-    m1, m2, m3, m4, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23,
+    m1, m2, m3, m4, m5, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23,
     p1, p2, p3, p4, p5, p6,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
-    w17, w18, w19, w20, w21, w22, w23, w24, w25, w26, w27,
+    w17, w18, w19, w20, w21, w22, w23, w24, w25, w26, w27, w28,
     g1, g2, g3, g4, g5, g6, g7, g8, g9, g10, g11, g12)
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -1561,4 +1561,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.keySet == Set(3L, 17L))
     assert(got(3L) == 1003L && got(17L) == 1017L)
   }
+
+  test("compensation parsing: currency, period, bounds, annualization") {
+    val cases = Seq(
+      // (text, currency, period, min_annual, max_annual)
+      ("$52,000 - $64,000 per year", "USD", "year", 52000L, 64000L),
+      ("45k - 52k USD / year", "USD", "year", 45000L, 52000L),
+      ("€45k – €52k / year", "EUR", "year", 45000L, 52000L),
+      ("$30 - $45 per hour", "USD", "hour", 62400L, 93600L),
+      ("£3,000 - £3,600 per month", "GBP", "month", 36000L, 43200L),
+      // single number: lo = hi
+      ("60k USD / year", "USD", "year", 60000L, 60000L))
+    val got = cases.map(_._1).toDF("t").select(
+        col("t"),
+        Enrich.compCurrency(col("t")).as("c"),
+        Enrich.compPeriod(col("t")).as("p"),
+        (element_at(Enrich.compBounds(col("t")), 1) *
+          Enrich.compAnnualFactor(col("t"))).as("lo"),
+        (element_at(Enrich.compBounds(col("t")), 2) *
+          Enrich.compAnnualFactor(col("t"))).as("hi"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    got.zip(cases).foreach { case (g, want) =>
+      assert(g == want, s"parse(${want._1})")
+    }
+    // malformed: no number -> null bounds (filterable), currency still reads
+    val bad = Seq("competitive salary").toDF("t")
+      .select(Enrich.compBounds(col("t")).as("b")).collect()
+    assert(bad.head.isNullAt(0), "numberless text must yield null bounds")
+  }
+
+  test("audioFrames: window arithmetic matches a plain-Scala replay; sub-window clips drop") {
+    import graft.operators.Multimodal
+    // doc 1: audio (1%3==1), 8000*2=16kHz; text length 100 -> 400 samples;
+    // win=400, hop=160 -> nf = (400-400)/160+1 = 1 frame
+    // doc 4: audio, 16 kHz; length 10 -> 40 samples < win -> no frames
+    // doc 7: audio, 16 kHz; length 300 -> 1200 samples -> nf = 6; everyK=2 -> 0,2,4
+    // doc 2: video (2%3==2) -> excluded
+    val docs = Seq(
+      (1L, "a" * 100), (4L, "b" * 10), (7L, "c" * 300), (2L, "d" * 100))
+      .toDF("doc_id", "text")
+    val got = Multimodal.audioFrames(docs, winMs = 25, hopMs = 10, everyK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val want = Set(
+      (1L, 16000L, 0L, 0L, 25L),
+      (7L, 16000L, 0L, 0L, 25L),
+      (7L, 16000L, 2L, 20L, 45L),
+      (7L, 16000L, 4L, 40L, 65L))
+    assert(got.map(t => (t._1, t._2, t._3, t._4, t._5)) == want,
+      s"frame set mismatch: $got")
+  }
 }

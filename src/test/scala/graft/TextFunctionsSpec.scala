@@ -327,6 +327,27 @@ class TextFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("htmlToText: block elimination, tag-to-space, entity decode ordering") {
+    val cases = Seq(
+      // script body with a literal '<' must vanish whole, not open a tag
+      ("<p>a</p><script>if (1 < 2) { x(); }</script><p>b</p>", "a b"),
+      ("<style>.x{color:red}</style>body text", "body text"),
+      ("<!-- note -->kept", "kept"),
+      // tags break to spaces: adjacent blocks never fuse
+      ("<li>one</li><li>two</li>", "one two"),
+      // entities; &amp;lt; single-decodes to &lt;
+      ("a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;", "a & b <tag> \"q\" 's'"),
+      ("&amp;lt;", "&lt;"),
+      ("x&nbsp;y", "x y"),
+      // case-insensitive block + attribute-carrying tags
+      ("<SCRIPT type=\"a\">junk</SCRIPT><BODY onload=\"f()\">t</BODY>", "t"))
+    val got = cases.map(_._1).toDF("h")
+      .select(T.normalizeWs(T.htmlToText(col("h")))).collect().map(_.getString(0))
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"htmlToText($in)")
+    }
+  }
+
   test("canonicalizeUrl property: idempotent and invariant-clean on random messy URLs") {
     val r = new scala.util.Random(7)
     def pick[A](xs: Seq[A]) = xs(r.nextInt(xs.size))
