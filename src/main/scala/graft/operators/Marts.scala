@@ -88,4 +88,59 @@ object Marts {
       .select((Seq(col(key), col("valid_from"), col("valid_to"),
         col("is_current")) ++ payload.map(col)): _*)
   }
+
+  // ----------------------------------------------------------- bitemporal
+  // BITEMPORAL dimension maintenance: [[scd2Dim]] answers "what was
+  // true WHEN the fact happened" (valid time); a bitemporal table also
+  // answers "what did the WAREHOUSE believe at load T" (transaction
+  // time) — the axis that makes every historical report reproducible
+  // after late-arriving corrections rewrite validity intervals. Rows
+  // are never deleted: a load that supersedes an interval CLOSES it
+  // (tx_to = the load id) and writes the replacement with tx_from =
+  // the load id, so filtering tx_from <= T < tx_to replays exactly the
+  // SCD2 snapshot load T produced.
+
+  /** First load: every snapshot row opens at `txId`. */
+  def bitemporalInit(snapshot: DataFrame, txId: Long): DataFrame =
+    snapshot
+      .withColumn("tx_from", lit(txId))
+      .withColumn("tx_to", lit(null).cast("long"))
+
+  /**
+   * Incremental load fold: diff the new SCD2 `snapshot` (built from ALL
+   * observations known at load `txId` — late rows included, which is
+   * why intervals can split/move) against the table's OPEN tx slice on
+   * the full row identity `cols`:
+   *  - rows in both carry forward untouched (tx_from keeps its origin);
+   *  - open rows absent from the snapshot are CLOSED (tx_to = txId);
+   *  - snapshot rows absent from the open slice enter (tx_from = txId).
+   * Already-closed history rides along unread. Three equi-joins on the
+   * identity columns (null-safe on payload) — each one shuffle on the
+   * same key set; at 100 TB the diff touches the DIM, never the facts.
+   */
+  def bitemporalApply(prev: DataFrame, snapshot: DataFrame, txId: Long,
+      cols: Seq[String]): DataFrame = {
+    val open = prev.filter(col("tx_to").isNull)
+    val snap = snapshot.select(cols.map(col): _*)
+    def cond(l: DataFrame, r: DataFrame) =
+      cols.map(c => l(c) <=> r(c)).reduce(_ && _)
+    val carried = open.join(snap, cond(open, snap), "left_semi")
+    val closed = open.join(snap, cond(open, snap), "left_anti")
+      .withColumn("tx_to", lit(txId))
+    val fresh = {
+      val o = open.select(cols.map(col): _*)
+      snap.join(o, cond(snap, o), "left_anti")
+        .withColumn("tx_from", lit(txId))
+        .withColumn("tx_to", lit(null).cast("long"))
+    }
+    prev.filter(col("tx_to").isNotNull)
+      .unionByName(carried)
+      .unionByName(closed)
+      .unionByName(fresh)
+  }
+
+  /** The tx-time-travel read: the SCD2 snapshot as load `txId` saw it. */
+  def bitemporalAsOfTx(bt: DataFrame, txId: Long): DataFrame =
+    bt.filter(col("tx_from") <= txId &&
+      (col("tx_to").isNull || col("tx_to") > txId))
 }

@@ -252,4 +252,50 @@ object Profile {
           (col("n_bigrams") * lit(scale)).cast("double")))
       .drop("__sum_ps")
   }
+
+  /**
+   * Pairwise Pearson correlation over numeric columns in ONE pass — the
+   * multivariate companion of [[columnProfile]] (a drift monitor that
+   * watches columns independently misses a broken JOINT relationship;
+   * corr(price, quantity) flipping sign is a pipeline bug no marginal
+   * histogram shows). One global aggregate computes every moment the
+   * k·(k−1)/2 pairs need — n, Σx, Σx², Σxy — with map-side partials
+   * (k + k·(k+1)/2 running sums, ONE exchange of ONE row however large
+   * the table), then each pair's correlation is a scalar projection of
+   * that row: corr = (n·Σxy − Σx·Σy) / (√(n·Σx²−Σx²̄)·√(n·Σy²−Σy²̄)).
+   *
+   * Cross-engine determinism: the moments accumulate as EXACT decimals
+   * (order-free), and each lands in the final doubles through a
+   * decimal→STRING→double bridge — both engines print the exact decimal
+   * and correctly-round the parse, where a direct wide-decimal→double
+   * cast could double-round (the raw Σx² integer exceeds 2^53 at scale,
+   * unlike the simple sums the DecM/DecV casts elsewhere keep under it).
+   * The correlation expression itself is then identical IEEE arithmetic
+   * over identical doubles. Constant columns yield null (zero variance).
+   */
+  def correlationMatrix(df: DataFrame, colNames: Seq[String],
+      dec: String): DataFrame = {
+    require(colNames.size >= 2, "need at least two columns to correlate")
+    val pairs = for {
+      i <- colNames.indices; j <- (i + 1) until colNames.size
+    } yield (colNames(i), colNames(j))
+    def d(c: String) = col(c).cast(dec)
+    val aggs =
+      colNames.flatMap(c => Seq(
+        sum(d(c)).as(s"s_$c"),
+        sum(d(c) * d(c)).as(s"ss_$c"))) ++
+      pairs.map { case (a, b) => sum(d(a) * d(b)).as(s"sp_${a}_$b") }
+    val moments = df.agg(count(lit(1)).as("n"), aggs: _*)
+    def asD(name: String) = col(name).cast("string").cast("double")
+    pairs.map { case (a, b) =>
+      val n = col("n").cast("double")
+      val (sx, sy) = (asD(s"s_$a"), asD(s"s_$b"))
+      val (sxx, syy, sxy) = (asD(s"ss_$a"), asD(s"ss_$b"), asD(s"sp_${a}_$b"))
+      val den = sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)
+      moments.select(
+        lit(a).as("col_x"), lit(b).as("col_y"), col("n"),
+        when(den === 0.0, lit(null).cast("double"))
+          .otherwise((n * sxy - sx * sy) / den).as("corr"))
+    }.reduce(_ unionAll _)
+  }
 }

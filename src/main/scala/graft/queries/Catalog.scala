@@ -9814,12 +9814,137 @@ object Catalog {
       WHERE l_returnflag = 'R' AND l_quantity > 25
       GROUP BY 1"""))
 
+  // ---------------------------------------------------------------- d8
+  // BITEMPORAL DIMENSION (Marts.bitemporalInit/Apply/AsOfTx) — the
+  // two-axis completion of d5: valid time answers "what was true when
+  // the fact happened", TRANSACTION time answers "what did the
+  // warehouse believe at load T" — the axis that keeps every
+  // historical report reproducible after late-arriving corrections
+  // rewrite validity intervals. Load 1 sees two-thirds of the orders
+  // (o_orderkey%3 ≠ 2); load 2 adds the rest — including EARLIER
+  // order dates, so intervals genuinely split and move. Superseded
+  // rows are CLOSED (tx_to = 2), never deleted — three gates pin the
+  // contract in-engine: (1) tx-travel to load 1 reproduces load 1's
+  // SCD2 snapshot EXACTLY (both exceptAll directions empty), (2)
+  // tx-travel to load 2 equals the full-data snapshot, (3) the
+  // correction set is nonempty (otherwise the entry gates nothing).
+  // Output = the BOTH-AXES point-in-time read (value at valid date V
+  // as known at T ∈ {1,2}); because tx-travel reproduces snapshots and
+  // an SCD2 cover is the latest final observation ≤ V, the oracle is
+  // two arg-max branches over the (batch-filtered) source — the
+  // bitemporal machinery must land exactly on them.
+  private val d8 = {
+    val vCut = "1995-06-17"
+    val idCols = Seq("o_custkey", "valid_from", "valid_to",
+      "o_orderstatus", "o_orderpriority")
+    Q(
+      "d8_bitemporal_dim",
+      (s, d) => {
+        val obs = Tables.orders(s, d).select(col("o_custkey"),
+          col("o_orderdate"), col("o_orderkey"),
+          col("o_orderstatus"), col("o_orderpriority"))
+        def snap(df: DataFrame) = Marts.scd2Dim(
+          df, "o_custkey", "o_orderdate", "o_orderkey",
+          Seq("o_orderstatus", "o_orderpriority"), "9999-12-31")
+          .drop("is_current")
+        val snap1 = snap(obs.filter(col("o_orderkey") % 3 =!= 2))
+        val snap2 = snap(obs)
+        val bt = Marts.bitemporalApply(
+          Marts.bitemporalInit(snap1, 1L), snap2, 2L, idCols)
+        def readTx(t: Long) =
+          Marts.bitemporalAsOfTx(bt, t).select(idCols.map(col): _*)
+        require(readTx(1L).exceptAll(snap1).isEmpty &&
+            snap1.exceptAll(readTx(1L)).isEmpty,
+          "tx-travel to load 1 must reproduce load 1's snapshot exactly")
+        require(readTx(2L).exceptAll(snap2).isEmpty &&
+            snap2.exceptAll(readTx(2L)).isEmpty,
+          "the open tx slice must equal the full-data snapshot")
+        require(bt.filter(col("tx_to") === 2L).limit(1).count() > 0,
+          "load 2 must supersede (close) at least one load-1 row")
+        def pit(t: Long) = Marts.bitemporalAsOfTx(bt, t)
+          .filter(col("valid_from") <= lit(vCut) && col("valid_to") > lit(vCut))
+          .select(lit(t).as("tx_asof"), col("o_custkey").as("cust_id"),
+            col("o_orderstatus").as("status"),
+            col("o_orderpriority").as("priority"))
+        pit(1L).unionAll(pit(2L))
+      },
+      Some(s"""
+        WITH pit1 AS (
+          SELECT o_custkey, o_orderstatus, o_orderpriority FROM (
+            SELECT o_custkey, o_orderstatus, o_orderpriority,
+              ROW_NUMBER() OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders
+            WHERE o_orderkey % 3 <> 2 AND o_orderdate <= DATE '$vCut') t
+          WHERE rn = 1),
+        pit2 AS (
+          SELECT o_custkey, o_orderstatus, o_orderpriority FROM (
+            SELECT o_custkey, o_orderstatus, o_orderpriority,
+              ROW_NUMBER() OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders WHERE o_orderdate <= DATE '$vCut') t
+          WHERE rn = 1)
+        SELECT CAST(1 AS BIGINT) AS tx_asof, o_custkey AS cust_id,
+          o_orderstatus AS status, o_orderpriority AS priority FROM pit1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT) AS tx_asof, o_custkey AS cust_id,
+          o_orderstatus AS status, o_orderpriority AS priority FROM pit2"""))
+  }
+
+  // ---------------------------------------------------------------- r9
+  // ONE-PASS CORRELATION MATRIX (Profile.correlationMatrix) — the
+  // multivariate member of the stats family: q2/q3 watch columns
+  // MARGINALLY; a broken joint relationship (price no longer tracking
+  // quantity after a bad join) only shows in the pairwise structure.
+  // Every moment the 6 pairs need accumulates in ONE global aggregate
+  // (map-side partials, one single-row exchange regardless of table
+  // size); each correlation is then a scalar projection. Exact decimal
+  // moments cross into doubles via the decimal→string→double bridge
+  // (Σx² raw integers exceed 2^53, where a direct cast could
+  // double-round — see the operator header); the oracle replays the
+  // same moments, the same bridge, the same IEEE expression.
+  private val r9 = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    Q(
+      "r9_correlation",
+      (s, d) => graft.operators.Profile.correlationMatrix(
+        Tables.lineitem(s, d), cols, DecM),
+      Some {
+        val pairs = for {
+          i <- cols.indices; j <- (i + 1) until cols.size
+        } yield (cols(i), cols(j))
+        def dd(c: String) = s"CAST($c AS DECIMAL(19,4))" // width>18: DuckDB hugeint multiply path
+        val moments =
+          (cols.flatMap(c => Seq(
+            s"SUM(${dd(c)}) AS s_$c",
+            s"SUM(${dd(c)} * ${dd(c)}) AS ss_$c")) ++
+          pairs.map { case (a, b) =>
+            s"SUM(${dd(a)} * ${dd(b)}) AS sp_${a}_$b" }).mkString(",\n          ")
+        val branches = pairs.map { case (a, b) =>
+          val n = "CAST(n AS DOUBLE)"
+          def asD(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+          val (sx, sy) = (asD(s"s_$a"), asD(s"s_$b"))
+          val (sxx, syy, sxy) = (asD(s"ss_$a"), asD(s"ss_$b"), asD(s"sp_${a}_$b"))
+          val den = s"(sqrt($n * $sxx - $sx * $sx) * sqrt($n * $syy - $sy * $sy))"
+          s"""SELECT '$a' AS col_x, '$b' AS col_y, n,
+            CASE WHEN $den = 0.0 THEN NULL
+                 ELSE ($n * $sxy - $sx * $sy) / $den END AS corr
+          FROM m"""
+        }.mkString("\n        UNION ALL\n        ")
+        s"""
+        WITH m AS (SELECT COUNT(*) AS n,
+          $moments
+          FROM lineitem)
+        $branches"""
+      })
+  }
+
   val all: Seq[Q] = Seq(
     a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11, a12, a13, a14, a15, a16, a17,
     n1, n2, n3, n4, n5, n6, n7,
-    d1, d2, d3, d4, d5, d6, d7,
+    d1, d2, d3, d4, d5, d6, d7, d8,
     e1, e2, e3, e4, e5, e6, e7, j1, j2, j3, j4, j5, j6,
-    r1, r2, r3, r4, r5, r6, r7, r8, q1, q2, q3, q4, q5, q6, q7, q8, q9,
+    r1, r2, r3, r4, r5, r6, r7, r8, r9, q1, q2, q3, q4, q5, q6, q7, q8, q9,
     q10,
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
     l17, l18, l19, l20, l21, l22,

@@ -1562,6 +1562,65 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(3L) == 1003L && got(17L) == 1017L)
   }
 
+  test("correlationMatrix matches an exact-sum plain-Scala Pearson bitwise") {
+    val rows = Seq(
+      (1.0, 2.0, 5.0), (2.0, 4.5, 4.0), (3.0, 5.5, 3.5),
+      (4.0, 8.25, 1.0), (5.0, 10.0, 0.25))
+    val df = rows.toDF("x", "y", "z")
+    val got = Profile.correlationMatrix(df, Seq("x", "y", "z"), "decimal(12,4)")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    def corr(f: ((Double, Double, Double)) => Double,
+        g: ((Double, Double, Double)) => Double): Double = {
+      // exact decimal moments (inputs have <= 4dp), bridged to double --
+      // the operator's construction, replayed independently
+      def bd(v: Double) = BigDecimal(v).setScale(4)
+      val n = rows.size.toDouble
+      val (sx, sy) = (rows.map(r => bd(f(r))).sum.toDouble, rows.map(r => bd(g(r))).sum.toDouble)
+      val sxx = rows.map(r => bd(f(r)) * bd(f(r))).sum.toDouble
+      val syy = rows.map(r => bd(g(r)) * bd(g(r))).sum.toDouble
+      val sxy = rows.map(r => bd(f(r)) * bd(g(r))).sum.toDouble
+      (n * sxy - sx * sy) / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    }
+    assert(got(("x", "y")) == corr(_._1, _._2))
+    assert(got(("x", "z")) == corr(_._1, _._3))
+    assert(got(("y", "z")) == corr(_._2, _._3))
+    // constant column: zero variance -> null, not NaN
+    val const = Seq((1.0, 7.0), (2.0, 7.0)).toDF("a", "b")
+    val c = Profile.correlationMatrix(const, Seq("a", "b"), "decimal(12,4)").collect()
+    assert(c.head.isNullAt(3), "zero-variance pair must be null")
+  }
+
+  test("bitemporal dim: tx-travel reproduces each load's snapshot; corrections close, never delete") {
+    import graft.operators.Marts
+    def snap(obs: Seq[(Long, String, Long, String)]) = Marts.scd2Dim(
+      obs.toDF("k", "d", "tb", "v"), "k", "d", "tb", Seq("v"), "9999-12-31")
+      .drop("is_current")
+    // load 1 knows: key 1 = va from 02-01
+    val b1 = Seq((1L, "2024-02-01", 1L, "va"))
+    // load 2 learns a LATE earlier observation (v0 from 01-15, so va's
+    // interval now starts later... actually va keeps its start; v0 precedes)
+    // and a new change (vb from 03-01)
+    val all2 = b1 ++ Seq((1L, "2024-01-15", 2L, "v0"), (1L, "2024-03-01", 3L, "vb"))
+    val s1 = snap(b1)
+    val s2 = snap(all2)
+    val idCols = Seq("k", "valid_from", "valid_to", "v")
+    val bt = Marts.bitemporalApply(Marts.bitemporalInit(s1, 1L), s2, 2L, idCols)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(idCols.map(col): _*).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(rowsOf(Marts.bitemporalAsOfTx(bt, 1L)) == rowsOf(s1),
+      "tx=1 read must equal load 1's snapshot")
+    assert(rowsOf(Marts.bitemporalAsOfTx(bt, 2L)) == rowsOf(s2),
+      "tx=2 read must equal the full-knowledge snapshot")
+    // the superseded load-1 row (va open-ended) is CLOSED, still present
+    val closed = bt.filter(col("tx_to") === 2L)
+    assert(closed.count() == 1 &&
+      closed.head.getAs[String]("valid_to").startsWith("9999"),
+      "the open-ended load-1 row must close at tx=2, not vanish")
+    assert(bt.count() == rowsOf(s2).size + 1,
+      "history = the new snapshot plus the closed row")
+  }
+
   test("compensation parsing: currency, period, bounds, annualization") {
     val cases = Seq(
       // (text, currency, period, min_annual, max_annual)
