@@ -9939,6 +9939,152 @@ object Catalog {
       })
   }
 
+  // ---------------------------------------------------------------- p7
+  // INCREMENTAL CORPUS REFRESH (the composition l16/l10 exist for): a
+  // corpus is LIVE — p6 built it once, p7 is what every subsequent
+  // crawl drop runs. The new slice (doc_id%5 = 4) passes three gates
+  // that each touch ONLY new-sized or key-sized state, never the
+  // old↔old pair space: (A) frontier — first-fetch-wins within the
+  // batch, then anti-join against the EXISTING corpus's canonical-url
+  // set (s22's seen-set, batch form); (B) near-dup — crossDedup bands
+  // new against old with per-side caps (old↔old pairs never exist
+  // past the candidate join; fixture plants near-copies of existing
+  // docs — text of the doc_id−4 neighbor + a word — under their own
+  // fresh urls, so stage A passes them and stage B must catch them);
+  // (C) quality — the t2 scoring chain over the staged text. Output =
+  // the per-domain intake funnel (new → fresh → novel → admitted +
+  // admitted tokens); the oracle replays all three stages, the
+  // planting included, over the shared urlCanonCtes + lshCandSql
+  // chains. Banding misses are BY-SPECIFICATION (the md5 minhash is
+  // deterministic, so both engines miss identically) — counts are
+  // oracle-pinned, not thresholded.
+  private val p7 = {
+    val qThresh = 0.35 // corpus t2 scores span ~0.18-0.5: above-median gate
+    Q(
+      "p7_corpus_refresh",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val cu = canonUrls(s, d) // doc_id, text, url, curl, domain
+        val base = Tables.documents(s, d)
+          .select((col("doc_id") + 4).as("doc_id"), T.normKey(col("text")).as("bt"))
+        val staged = cu.join(base, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("domain"), col("curl"),
+            when(col("doc_id") % 10 === 4 && col("bt").isNotNull,
+              concat(col("bt"), lit(" extraword")))
+              .otherwise(T.normKey(col("text"))).as("t"))
+        val old = staged.filter(col("doc_id") % 5 =!= 4)
+        val nw = staged.filter(col("doc_id") % 5 === 4)
+        val firstInBatch = nw
+          .withColumn("__rk", row_number().over(
+            Window.partitionBy(col("curl")).orderBy(col("doc_id"))))
+          .filter(col("__rk") === 1).drop("__rk")
+        val fresh = firstInBatch.join(
+          old.select(col("curl")).distinct(), Seq("curl"), "left_anti")
+        val novel = graft.operators.Dedup.crossDedup(
+          fresh.select(col("doc_id").as("id"), col("t"), col("domain")),
+          old.select(col("doc_id").as("id"), col("t")),
+          "id", "t", shingleN = 3, k = 16, bands = 4, threshold = 0.8,
+          maxBucket = 1000)
+        val ws = split(col("t"), " ")
+        val lenScore = least(length(col("t")).cast("double") / 500.0, lit(1.0))
+        val punct = (length(col("t")) -
+          length(regexp_replace(col("t"), "[a-z0-9 ]", "")))
+          .cast("double") / length(col("t")).cast("double")
+        val admitted = novel
+          .withColumn("quality",
+            lenScore * 0.35 + T.distinctRatio(ws) * 0.25 +
+              (lit(1.0) - punct) * 0.25 +
+              T.stopwordRatio(ws, QualityFixture.stops) * 0.15)
+          .filter(col("quality") >= qThresh)
+        require(admitted.limit(1).count() > 0,
+          "the refresh must admit at least one document")
+        def cnt(df: DataFrame, n: String) =
+          df.groupBy("domain").agg(count(lit(1)).as(n))
+        cnt(nw, "n_new")
+          .join(cnt(fresh, "n_fresh"), Seq("domain"), "left")
+          .join(cnt(novel, "n_novel"), Seq("domain"), "left")
+          .join(admitted.groupBy("domain")
+            .agg(count(lit(1)).as("n_admitted"),
+              sum(size(split(col("t"), " ")).cast("long")).as("n_tokens")),
+            Seq("domain"), "left")
+          .select(col("domain"), col("n_new"),
+            coalesce(col("n_fresh"), lit(0L)).as("n_fresh"),
+            coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+            coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      },
+      Some(s"""
+        WITH $urlCanonCtes,
+        cd AS (SELECT doc_id, text, curl, $urlDomainSql AS domain FROM canon),
+        basep AS (SELECT doc_id + 4 AS doc_id, ${normSql("text")} AS bt
+                  FROM documents),
+        staged AS (
+          SELECT cd.doc_id, cd.domain, cd.curl,
+            CASE WHEN cd.doc_id % 10 = 4 AND b.bt IS NOT NULL
+                 THEN b.bt || ' extraword'
+                 ELSE ${normSql("cd.text")} END AS t
+          FROM cd LEFT JOIN basep b ON b.doc_id = cd.doc_id),
+        old AS (SELECT * FROM staged WHERE doc_id % 5 <> 4),
+        nw AS (SELECT * FROM staged WHERE doc_id % 5 = 4),
+        fib AS (SELECT doc_id, domain, curl, t FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY curl ORDER BY doc_id) AS rk
+            FROM nw) z WHERE rk = 1),
+        fresh AS (SELECT f.* FROM fib f
+          WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.curl = f.curl)),
+        corpus AS (SELECT doc_id AS id, t FROM fresh
+                   UNION ALL SELECT doc_id AS id, t FROM old),
+        ${lshCandSql(shingleN = 3, k = 16, bands = 4, maxBucket = 1000,
+          sideTagSql = Some("id % 5 = 4"))},
+        crossc AS (
+          SELECT id1, id2 FROM cand WHERE (id1 % 5 = 4) <> (id2 % 5 = 4)),
+        jp AS (
+          SELECT id1, id2,
+            CAST(len(list_filter(list_distinct(s1.shingles),
+                   x -> list_contains(list_distinct(s2.shingles), x))) AS DOUBLE) /
+            CAST(len(list_distinct(s1.shingles)) + len(list_distinct(s2.shingles)) -
+                 len(list_filter(list_distinct(s1.shingles),
+                   x -> list_contains(list_distinct(s2.shingles), x))) AS DOUBLE)
+              AS jaccard
+          FROM crossc JOIN sh s1 ON crossc.id1 = s1.id
+                      JOIN sh s2 ON crossc.id2 = s2.id),
+        dropped AS (
+          SELECT DISTINCT CASE WHEN id1 % 5 = 4 THEN id1 ELSE id2 END AS id
+          FROM jp WHERE jaccard >= 0.8),
+        novel AS (SELECT * FROM fresh
+          WHERE doc_id NOT IN (SELECT id FROM dropped)),
+        scoredn AS (
+          SELECT doc_id, domain, t,
+            least(CAST(len(t) AS DOUBLE) / 500.0, 1.0) * 0.35 +
+            (CASE WHEN len(ws) = 0 THEN 0.0
+                  ELSE CAST(len(list_distinct(ws)) AS DOUBLE) /
+                       CAST(len(ws) AS DOUBLE) END) * 0.25 +
+            (1.0 - CAST(len(t) - len(regexp_replace(t, '[a-z0-9 ]', '', 'g'))
+                     AS DOUBLE) / CAST(len(t) AS DOUBLE)) * 0.25 +
+            (CASE WHEN len(ws) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(ws,
+                         w -> list_contains([${QualityFixture.stopsSql}], w)))
+                         AS DOUBLE) / CAST(len(ws) AS DOUBLE) END) * 0.15
+              AS quality
+          FROM (SELECT doc_id, domain, t, string_split(t, ' ') AS ws
+                FROM novel) z),
+        adm AS (SELECT * FROM scoredn WHERE quality >= $qThresh),
+        a1 AS (SELECT domain, COUNT(*) AS n_new FROM nw GROUP BY 1),
+        a2 AS (SELECT domain, COUNT(*) AS n_fresh FROM fresh GROUP BY 1),
+        a3 AS (SELECT domain, COUNT(*) AS n_novel FROM novel GROUP BY 1),
+        a4 AS (SELECT domain, COUNT(*) AS n_admitted,
+                 SUM(len(string_split(t, ' '))) AS n_tokens
+               FROM adm GROUP BY 1)
+        SELECT a1.domain, CAST(a1.n_new AS BIGINT) AS n_new,
+          CAST(COALESCE(a2.n_fresh, 0) AS BIGINT) AS n_fresh,
+          CAST(COALESCE(a3.n_novel, 0) AS BIGINT) AS n_novel,
+          CAST(COALESCE(a4.n_admitted, 0) AS BIGINT) AS n_admitted,
+          CAST(COALESCE(a4.n_tokens, 0) AS BIGINT) AS n_tokens
+        FROM a1
+        LEFT JOIN a2 ON a2.domain = a1.domain
+        LEFT JOIN a3 ON a3.domain = a1.domain
+        LEFT JOIN a4 ON a4.domain = a1.domain"""))
+  }
+
   val all: Seq[Q] = Seq(
     a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11, a12, a13, a14, a15, a16, a17,
     n1, n2, n3, n4, n5, n6, n7,
@@ -9952,7 +10098,7 @@ object Catalog {
     t17, t18, t19, t20, t21,
     c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13,
     m1, m2, m3, m4, m5, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23,
-    p1, p2, p3, p4, p5, p6,
+    p1, p2, p3, p4, p5, p6, p7,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
     w17, w18, w19, w20, w21, w22, w23, w24, w25, w26, w27, w28,
     g1, g2, g3, g4, g5, g6, g7, g8, g9, g10, g11, g12)
