@@ -274,20 +274,37 @@ object Profile {
    * over identical doubles. Constant columns yield null (zero variance).
    */
   def correlationMatrix(df: DataFrame, colNames: Seq[String],
+      dec: String): DataFrame =
+    correlationFromMoments(correlationMoments(df, colNames, dec), colNames)
+
+  /** The ordered (x, y) pairs the moment/finish halves agree on. */
+  def correlationPairs(colNames: Seq[String]): Seq[(String, String)] = for {
+    i <- colNames.indices; j <- (i + 1) until colNames.size
+  } yield (colNames(i), colNames(j))
+
+  /** The one-pass moment row: n plus every Σx, Σx², Σxy as exact
+    * decimals pinned to DECIMAL(38,8) — a MERGEABLE sketch (all sums, so
+    * any partition/trigger slicing folds to the same row), the state a
+    * streaming correlation monitor carries. */
+  def correlationMoments(df: DataFrame, colNames: Seq[String],
       dec: String): DataFrame = {
     require(colNames.size >= 2, "need at least two columns to correlate")
-    val pairs = for {
-      i <- colNames.indices; j <- (i + 1) until colNames.size
-    } yield (colNames(i), colNames(j))
     def d(c: String) = col(c).cast(dec)
     val aggs =
       colNames.flatMap(c => Seq(
-        sum(d(c)).as(s"s_$c"),
-        sum(d(c) * d(c)).as(s"ss_$c"))) ++
-      pairs.map { case (a, b) => sum(d(a) * d(b)).as(s"sp_${a}_$b") }
-    val moments = df.agg(count(lit(1)).as("n"), aggs: _*)
+        sum(d(c)).cast("decimal(38,8)").as(s"s_$c"),
+        sum(d(c) * d(c)).cast("decimal(38,8)").as(s"ss_$c"))) ++
+      correlationPairs(colNames).map { case (a, b) =>
+        sum(d(a) * d(b)).cast("decimal(38,8)").as(s"sp_${a}_$b") }
+    df.agg(count(lit(1)).as("n"), aggs: _*)
+  }
+
+  /** Finish: each pair's Pearson correlation as a scalar projection of
+    * the moment row (see the bridge note above). */
+  def correlationFromMoments(moments: DataFrame,
+      colNames: Seq[String]): DataFrame = {
     def asD(name: String) = col(name).cast("string").cast("double")
-    pairs.map { case (a, b) =>
+    correlationPairs(colNames).map { case (a, b) =>
       val n = col("n").cast("double")
       val (sx, sy) = (asD(s"s_$a"), asD(s"s_$b"))
       val (sxx, syy, sxy) = (asD(s"ss_$a"), asD(s"ss_$b"), asD(s"sp_${a}_$b"))

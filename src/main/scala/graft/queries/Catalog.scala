@@ -9903,41 +9903,74 @@ object Catalog {
   // (Σx² raw integers exceed 2^53, where a direct cast could
   // double-round — see the operator header); the oracle replays the
   // same moments, the same bridge, the same IEEE expression.
-  private val r9 = {
-    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-    Q(
-      "r9_correlation",
-      (s, d) => graft.operators.Profile.correlationMatrix(
-        Tables.lineitem(s, d), cols, DecM),
-      Some {
-        val pairs = for {
-          i <- cols.indices; j <- (i + 1) until cols.size
-        } yield (cols(i), cols(j))
-        def dd(c: String) = s"CAST($c AS DECIMAL(19,4))" // width>18: DuckDB hugeint multiply path
-        val moments =
-          (cols.flatMap(c => Seq(
-            s"SUM(${dd(c)}) AS s_$c",
-            s"SUM(${dd(c)} * ${dd(c)}) AS ss_$c")) ++
-          pairs.map { case (a, b) =>
-            s"SUM(${dd(a)} * ${dd(b)}) AS sp_${a}_$b" }).mkString(",\n          ")
-        val branches = pairs.map { case (a, b) =>
-          val n = "CAST(n AS DOUBLE)"
-          def asD(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
-          val (sx, sy) = (asD(s"s_$a"), asD(s"s_$b"))
-          val (sxx, syy, sxy) = (asD(s"ss_$a"), asD(s"ss_$b"), asD(s"sp_${a}_$b"))
-          val den = s"(sqrt($n * $sxx - $sx * $sx) * sqrt($n * $syy - $sy * $sy))"
-          s"""SELECT '$a' AS col_x, '$b' AS col_y, n,
-            CASE WHEN $den = 0.0 THEN NULL
-                 ELSE ($n * $sxy - $sx * $sy) / $den END AS corr
-          FROM m"""
-        }.mkString("\n        UNION ALL\n        ")
-        s"""
+  /** r9/s24's shared column set and oracle (the shared-oracle twin
+    * rule): the fold must land exactly on the batch matrix. */
+  private val corrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private val corrOracleSql: String = {
+    val pairs = for {
+      i <- corrCols.indices; j <- (i + 1) until corrCols.size
+    } yield (corrCols(i), corrCols(j))
+    def dd(c: String) = s"CAST($c AS DECIMAL(19,4))" // width>18: DuckDB hugeint multiply path
+    val moments =
+      (corrCols.flatMap(c => Seq(
+        s"SUM(${dd(c)}) AS s_$c",
+        s"SUM(${dd(c)} * ${dd(c)}) AS ss_$c")) ++
+      pairs.map { case (a, b) =>
+        s"SUM(${dd(a)} * ${dd(b)}) AS sp_${a}_$b" }).mkString(",\n          ")
+    val branches = pairs.map { case (a, b) =>
+      val n = "CAST(n AS DOUBLE)"
+      def asD(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+      val (sx, sy) = (asD(s"s_$a"), asD(s"s_$b"))
+      val (sxx, syy, sxy) = (asD(s"ss_$a"), asD(s"ss_$b"), asD(s"sp_${a}_$b"))
+      val den = s"(sqrt($n * $sxx - $sx * $sx) * sqrt($n * $syy - $sy * $sy))"
+      s"""SELECT '$a' AS col_x, '$b' AS col_y, n,
+        CASE WHEN $den = 0.0 THEN NULL
+             ELSE ($n * $sxy - $sx * $sy) / $den END AS corr
+      FROM m"""
+    }.mkString("\n        UNION ALL\n        ")
+    s"""
         WITH m AS (SELECT COUNT(*) AS n,
           $moments
           FROM lineitem)
         $branches"""
-      })
   }
+
+  private val r9 = Q(
+    "r9_correlation",
+    (s, d) => graft.operators.Profile.correlationMatrix(
+      Tables.lineitem(s, d), corrCols, DecM),
+    Some(corrOracleSql))
+
+  // ---------------------------------------------------------------- s24
+  // STREAMING CORRELATION MONITOR (EventStream.correlationFoldBatch —
+  // r9's live twin): the pairwise-structure watch without the table
+  // re-scan. Per trigger, the slice's moment row (n, Σx, Σx², Σxy —
+  // the SAME Profile.correlationMoments the batch matrix runs) folds
+  // into overwrite-versioned single-row state by plain addition —
+  // every moment is a sum, so any trigger slicing lands on the batch
+  // row — and the Pearson finish runs at serve time via the same
+  // Profile.correlationFromMoments. r9's oracle gates the fold
+  // unchanged (the shared-oracle rule); state is one row of
+  // 1 + 2k + k(k−1)/2 decimals however long the stream runs.
+  // MemoryStream per-trigger parity runs in StreamingSpec.
+  private val s24 = Q(
+    "s24_stream_correlation",
+    (s, d) => {
+      val statePath = s"$scratchRoot/${dsScratch(d)}/corr_state"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(statePath), true)
+      val li = Tables.lineitem(s, d)
+      val body = graft.streaming.EventStream.correlationFoldBatch(
+        statePath, corrCols, DecM) _
+      (0 until 3).foreach(i =>
+        body(li.filter(col("l_orderkey") % 3 === i), i.toLong))
+      val momSchema = graft.operators.Profile.correlationMoments(
+        li.limit(0), corrCols, DecM).schema
+      graft.operators.Profile.correlationFromMoments(
+        s.read.schema(momSchema).parquet(s"$statePath/mom_v3"), corrCols)
+    },
+    Some(corrOracleSql))
 
   // ---------------------------------------------------------------- p7
   // INCREMENTAL CORPUS REFRESH (the composition l16/l10 exist for): a
@@ -10097,7 +10130,7 @@ object Catalog {
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16,
     t17, t18, t19, t20, t21,
     c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13,
-    m1, m2, m3, m4, m5, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23,
+    m1, m2, m3, m4, m5, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
     p1, p2, p3, p4, p5, p6, p7,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
     w17, w18, w19, w20, w21, w22, w23, w24, w25, w26, w27, w28,

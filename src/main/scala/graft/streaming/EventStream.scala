@@ -799,6 +799,36 @@ object EventStream {
     state.write.mode("overwrite").parquet(s"$statePath/state_v${batchId + 1}")
   }
 
+  /**
+   * foreachBatch body of the STREAMING CORRELATION MONITOR (catalog s24
+   * — r9's live twin): per trigger, the slice's correlation MOMENTS
+   * (n, Σx, Σx², Σxy — the SAME Profile.correlationMoments the batch
+   * operator runs, exact decimals) fold into overwrite-versioned
+   * SINGLE-ROW state by plain addition. Every moment is a sum, so the
+   * fold is associative — any trigger slicing lands on the batch row
+   * (the s21/s17 fold discipline, applied to second-order statistics) —
+   * and the Pearson finish runs at SERVE time via the same
+   * Profile.correlationFromMoments, so r9's oracle gates the fold
+   * unchanged. State is ONE row of 1 + 2k + k(k−1)/2 decimals however
+   * long the stream runs.
+   */
+  def correlationFoldBatch(statePath: String, colNames: Seq[String],
+      dec: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val cur = graft.operators.Profile.correlationMoments(batch, colNames, dec)
+    val merged =
+      if (batchId == 0) cur
+      else {
+        val prev = spark.read.schema(cur.schema)
+          .parquet(s"$statePath/mom_v$batchId")
+        val sums = cur.schema.fieldNames.filter(_ != "n").map(c =>
+          sum(col(c)).cast("decimal(38,8)").as(c))
+        prev.unionByName(cur).groupBy()
+          .agg(sum(col("n")).as("n"), sums.toIndexedSeq: _*)
+      }
+    merged.write.mode("overwrite").parquet(s"$statePath/mom_v${batchId + 1}")
+  }
+
   def collocFoldBatch(statePath: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val uni = graft.operators.Curate.unigramCounts(batch, "ws")

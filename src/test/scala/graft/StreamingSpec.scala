@@ -1256,4 +1256,44 @@ class StreamingSpec extends AnyFunSuite {
       assert(fin == batchTwin)
     } finally query.stop()
   }
+
+  test("streaming correlation: per-trigger moment fold == batch matrix at every trigger") {
+    import graft.operators.Profile
+    implicit val ctx = spark.sqlContext
+    val cols = Seq("x", "y")
+    val rowsAll = Seq(
+      (1.0, 2.5), (2.0, 4.0), (3.0, 5.25), (4.0, 9.0), (5.0, 10.5), (6.0, 11.0))
+    val root = java.nio.file.Files.createTempDirectory("s24spec").toString + "/corr"
+    val input = MemoryStream[(Double, Double)]
+    var version = -1
+    val query = input.toDF().toDF("x", "y")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        version += 1
+        EventStream.correlationFoldBatch(root, cols, "decimal(12,4)")(batch, version)
+        ()
+      }
+      .start()
+    try {
+      var seen = Seq.empty[(Double, Double)]
+      val momSchema = Profile.correlationMoments(
+        rowsAll.toDF("x", "y").limit(0), cols, "decimal(12,4)").schema
+      for (trigger <- rowsAll.grouped(2)) {
+        input.addData(trigger: _*)
+        query.processAllAvailable()
+        seen = seen ++ trigger
+        // finished correlation from the folded state == the one-shot
+        // batch matrix over the data so far, bitwise
+        val fromState = Profile.correlationFromMoments(
+            spark.read.schema(momSchema).parquet(s"$root/mom_v${version + 1}"), cols)
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            r.getDouble(3))).toSet
+        val fromBatch = Profile.correlationMatrix(
+            seen.toDF("x", "y"), cols, "decimal(12,4)")
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            r.getDouble(3))).toSet
+        assert(fromState == fromBatch, s"moment fold drifted at v${version + 1}")
+      }
+    } finally query.stop()
+  }
 }
