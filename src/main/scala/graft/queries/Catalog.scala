@@ -9840,17 +9840,30 @@ object Catalog {
     Q(
       "d8_bitemporal_dim",
       (s, d) => {
+        // each load's snapshot and the bitemporal table are WRITTEN and
+        // read back — the real lifecycle (the dim is persisted state,
+        // not a view), and what keeps the audit gates from re-deriving
+        // the SCD2 window chains once per exceptAll leg
+        val root = s"$scratchRoot/${dsScratch(d)}/bitemporal"
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
         val obs = Tables.orders(s, d).select(col("o_custkey"),
           col("o_orderdate"), col("o_orderkey"),
           col("o_orderstatus"), col("o_orderpriority"))
-        def snap(df: DataFrame) = Marts.scd2Dim(
-          df, "o_custkey", "o_orderdate", "o_orderkey",
-          Seq("o_orderstatus", "o_orderpriority"), "9999-12-31")
-          .drop("is_current")
-        val snap1 = snap(obs.filter(col("o_orderkey") % 3 =!= 2))
-        val snap2 = snap(obs)
-        val bt = Marts.bitemporalApply(
-          Marts.bitemporalInit(snap1, 1L), snap2, 2L, idCols)
+        def snap(df: DataFrame, tag: String): DataFrame = {
+          Marts.scd2Dim(df, "o_custkey", "o_orderdate", "o_orderkey",
+            Seq("o_orderstatus", "o_orderpriority"), "9999-12-31")
+            .drop("is_current")
+            .write.mode("overwrite").parquet(s"$root/$tag")
+          s.read.parquet(s"$root/$tag")
+        }
+        val snap1 = snap(obs.filter(col("o_orderkey") % 3 =!= 2), "snap1")
+        val snap2 = snap(obs, "snap2")
+        Marts.bitemporalApply(
+            Marts.bitemporalInit(snap1, 1L), snap2, 2L, idCols)
+          .write.mode("overwrite").parquet(s"$root/bt")
+        val bt = s.read.parquet(s"$root/bt")
         def readTx(t: Long) =
           Marts.bitemporalAsOfTx(bt, t).select(idCols.map(col): _*)
         require(readTx(1L).exceptAll(snap1).isEmpty &&
@@ -9997,27 +10010,40 @@ object Catalog {
       "p7_corpus_refresh",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        val root = s"$scratchRoot/${dsScratch(d)}/refresh"
+        val pfs = org.apache.hadoop.fs.FileSystem.get(
+          s.sparkContext.hadoopConfiguration)
+        pfs.delete(new org.apache.hadoop.fs.Path(root), true)
+        // each stage's output is WRITTEN and read back — refresh stages
+        // are persisted intake state in production (the frontier diff
+        // and the dedup verdicts are audit artifacts), and staging keeps
+        // the funnel aggregates from re-deriving the url/window/banding
+        // chains once per consumer
+        def stage(df: DataFrame, tag: String): DataFrame = {
+          df.write.mode("overwrite").parquet(s"$root/$tag")
+          s.read.parquet(s"$root/$tag")
+        }
         val cu = canonUrls(s, d) // doc_id, text, url, curl, domain
         val base = Tables.documents(s, d)
           .select((col("doc_id") + 4).as("doc_id"), T.normKey(col("text")).as("bt"))
-        val staged = cu.join(base, Seq("doc_id"), "left")
+        val staged = stage(cu.join(base, Seq("doc_id"), "left")
           .select(col("doc_id"), col("domain"), col("curl"),
             when(col("doc_id") % 10 === 4 && col("bt").isNotNull,
               concat(col("bt"), lit(" extraword")))
-              .otherwise(T.normKey(col("text"))).as("t"))
+              .otherwise(T.normKey(col("text"))).as("t")), "staged")
         val old = staged.filter(col("doc_id") % 5 =!= 4)
         val nw = staged.filter(col("doc_id") % 5 === 4)
         val firstInBatch = nw
           .withColumn("__rk", row_number().over(
             Window.partitionBy(col("curl")).orderBy(col("doc_id"))))
           .filter(col("__rk") === 1).drop("__rk")
-        val fresh = firstInBatch.join(
-          old.select(col("curl")).distinct(), Seq("curl"), "left_anti")
-        val novel = graft.operators.Dedup.crossDedup(
+        val fresh = stage(firstInBatch.join(
+          old.select(col("curl")).distinct(), Seq("curl"), "left_anti"), "fresh")
+        val novel = stage(graft.operators.Dedup.crossDedup(
           fresh.select(col("doc_id").as("id"), col("t"), col("domain")),
           old.select(col("doc_id").as("id"), col("t")),
           "id", "t", shingleN = 3, k = 16, bands = 4, threshold = 0.8,
-          maxBucket = 1000)
+          maxBucket = 1000), "novel")
         val ws = split(col("t"), " ")
         val lenScore = least(length(col("t")).cast("double") / 500.0, lit(1.0))
         val punct = (length(col("t")) -
