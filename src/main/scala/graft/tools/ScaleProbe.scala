@@ -225,7 +225,21 @@ object ScaleProbe {
     // p6: every stage rides the ×8 corpus — the url collapse must
     // absorb the ×8 occurrences of each canonical url (the s22 axis)
     // before the fold/gate/budget stages touch text
-    "p6_crawl_corpus")
+    "p6_crawl_corpus",
+    // round-13: a17 rides ×8 salted users through the per-user window
+    // and the (cohort, offset) cells (cohorts ×8 in membership, offset
+    // set unchanged — both windows must grow linearly); d8 pushes ×8
+    // orders through BOTH SCD2 chains, the three identity-join diff and
+    // the exceptAll audit legs — everything is dim-keyed, so linear;
+    // t21 is a ten-regexp map-only projection (pure scan growth); p7
+    // rides the ×8 corpus through all three gates — the frontier
+    // absorbs the ×8 url occurrences (s22's axis) BEFORE banding, and
+    // crossDedup's pair space is per-side-capped (l10's axis); s24
+    // folds ×8 lineitem rows into the SAME single moment row (state
+    // flat by construction — cost must track the scan); r9 is the
+    // single-row-exchange ideal and must stay scan-bound
+    "a17_cohort_ltv", "d8_bitemporal_dim", "t21_html_extract",
+    "p7_corpus_refresh", "s24_stream_correlation", "r9_correlation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
