@@ -81,6 +81,52 @@ object Temporal {
   }
 
   /**
+   * NEAREST-event join — the bidirectional completion of [[asofJoin]]:
+   * each `leftType` row pairs with the temporally NEAREST `rightType`
+   * row of the same key, in EITHER direction (as-of only looks back;
+   * sensor alignment, label attachment and gap diagnostics need both
+   * sides). Union-window rewrite, never a pair join: one sort per key
+   * by (ts, tiebreak); the latest right at-or-before each row is a
+   * running MAX of the right rows' epoch-µs over the preceding frame
+   * (the sort makes max = latest), the earliest right after is the MIN
+   * over the following frame, and the nearer of the two wins (gap tie
+   * → the earlier). ONE exchange + one sort feeds both frames — the j1
+   * shape: cost tracks the event stream, the pair space never
+   * materializes. Same-ts rows frame by (ts, tiebreak) ROW order, so
+   * the neighbor set is deterministic in both engines. Gap arithmetic
+   * is exact integer microseconds.
+   */
+  def nearestEventJoin(events: DataFrame, keyCol: String, tsCol: String,
+      tiebreak: String, typeCol: String, leftType: String,
+      rightType: String): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).asc, col(tiebreak).asc)
+    val rightUs = when(col(typeCol) === rightType, col("__us"))
+    val prevGap = col("__us") - col("__prev")
+    val nextGap = col("__next") - col("__us")
+    events
+      .filter(col(typeCol).isin(leftType, rightType))
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__prev",
+        max(rightUs).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__next",
+        min(rightUs).over(w.rowsBetween(1, Window.unboundedFollowing)))
+      .filter(col(typeCol) === leftType)
+      .withColumn("direction",
+        when(col("__prev").isNull && col("__next").isNull, "none")
+          .when(col("__next").isNull ||
+            (col("__prev").isNotNull && prevGap <= nextGap), "prev")
+          .otherwise("next"))
+      .withColumn("nearest_us",
+        when(col("direction") === "prev", col("__prev"))
+          .when(col("direction") === "next", col("__next")))
+      .withColumn("gap_us",
+        when(col("direction") === "prev", prevGap)
+          .when(col("direction") === "next", nextGap))
+      .drop("__us", "__prev", "__next")
+  }
+
+  /**
    * Range (interval-containment) join: pair every left row with every
    * right interval `[start, end)` of the same key containing the left
    * timestamp (`start <= ts < end`).

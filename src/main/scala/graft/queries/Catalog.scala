@@ -10144,11 +10144,60 @@ object Catalog {
         LEFT JOIN a4 ON a4.domain = a1.domain"""))
   }
 
+  // ---------------------------------------------------------------- j7
+  // NEAREST-EVENT JOIN (Temporal.nearestEventJoin) — the bidirectional
+  // completion of j1: as-of only looks BACK, but sensor alignment,
+  // label attachment and gap diagnostics pair each row with the
+  // temporally nearest counterpart in EITHER direction. Every click
+  // pairs with its nearest purchase of the same user (gap tie → the
+  // earlier); union-window rewrite — running MAX of purchase epochs
+  // over the preceding frame / MIN over the following — so ONE
+  // exchange + one sort feeds both frames and the pair space never
+  // materializes (the j1 scale shape). Exact integer-µs gaps; the
+  // oracle replays the same two window frames.
+  private val j7 = Q(
+    "j7_nearest_join",
+    (s, d) => Temporal.nearestEventJoin(
+        Tables.events(s, d), "user_id", "ts", "event_id",
+        "event_type", leftType = "click", rightType = "purchase")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("direction"), col("nearest_us"), col("gap_us")),
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events WHERE event_type IN ('click', 'purchase')),
+      w AS (
+        SELECT *,
+          MAX(CASE WHEN event_type = 'purchase' THEN us END) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_b,
+          MIN(CASE WHEN event_type = 'purchase' THEN us END) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_b
+        FROM e)
+      SELECT event_id, user_id,
+        strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        CASE WHEN prev_b IS NULL AND next_b IS NULL THEN 'none'
+             WHEN next_b IS NULL OR (prev_b IS NOT NULL
+                  AND us - prev_b <= next_b - us) THEN 'prev'
+             ELSE 'next' END AS direction,
+        CAST(CASE WHEN prev_b IS NULL AND next_b IS NULL THEN NULL
+             WHEN next_b IS NULL OR (prev_b IS NOT NULL
+                  AND us - prev_b <= next_b - us) THEN prev_b
+             ELSE next_b END AS BIGINT) AS nearest_us,
+        CAST(CASE WHEN prev_b IS NULL AND next_b IS NULL THEN NULL
+             WHEN next_b IS NULL OR (prev_b IS NOT NULL
+                  AND us - prev_b <= next_b - us) THEN us - prev_b
+             ELSE next_b - us END AS BIGINT) AS gap_us
+      FROM w WHERE event_type = 'click'"""))
+
   val all: Seq[Q] = Seq(
     a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11, a12, a13, a14, a15, a16, a17,
     n1, n2, n3, n4, n5, n6, n7,
     d1, d2, d3, d4, d5, d6, d7, d8,
-    e1, e2, e3, e4, e5, e6, e7, j1, j2, j3, j4, j5, j6,
+    e1, e2, e3, e4, e5, e6, e7, j1, j2, j3, j4, j5, j6, j7,
     r1, r2, r3, r4, r5, r6, r7, r8, r9, q1, q2, q3, q4, q5, q6, q7, q8, q9,
     q10,
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,

@@ -609,4 +609,31 @@ class TemporalSpec extends AnyFunSuite {
       assert(act == nw + ret + res)
     }
   }
+  test("nearestEventJoin: prev/next/none/tie semantics, exact us gaps") {
+    import TestSpark.spark.implicits._
+    def ts(sec: Int) = Timestamp.valueOf(f"2024-03-01 10:00:$sec%02d")
+    val ev = Seq(
+      // user 1: purchase at :10 and :30; clicks at :12 (prev nearer),
+      // :28 (next nearer), :20 (exact tie -> prev, the earlier)
+      (1L, ts(10), 1L, "purchase"), (1L, ts(30), 2L, "purchase"),
+      (1L, ts(12), 3L, "click"), (1L, ts(28), 4L, "click"),
+      (1L, ts(20), 5L, "click"),
+      // user 2: click before any purchase -> next; then none for user 3
+      (2L, ts(5), 6L, "click"), (2L, ts(9), 7L, "purchase"),
+      (3L, ts(1), 8L, "click"),
+      // noise type must be ignored entirely
+      (1L, ts(13), 9L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Temporal.nearestEventJoin(
+        ev, "user_id", "ts", "event_id", "event_type", "click", "purchase")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[String]("direction"),
+          Option(r.getAs[java.lang.Long]("gap_us")).map(_.toLong))).toMap
+    assert(got(3L) == ("prev", Some(2000000L)))   // :12 vs :10/:30
+    assert(got(4L) == ("next", Some(2000000L)))   // :28 vs :10/:30
+    assert(got(5L) == ("prev", Some(10000000L)))  // exact tie -> earlier
+    assert(got(6L) == ("next", Some(4000000L)))   // nothing before
+    assert(got(8L) == ("none", None))             // no purchases at all
+    assert(!got.contains(9L), "non-left types must not emit rows")
+  }
 }

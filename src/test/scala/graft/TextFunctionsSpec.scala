@@ -348,6 +348,31 @@ class TextFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("htmlToText property: round-trips random texts under random nested markup") {
+    val r = new scala.util.Random(13)
+    def words(n: Int) = Seq.fill(n)(
+      Seq.fill(1 + r.nextInt(7))(('a' + r.nextInt(26)).toChar).mkString).mkString(" ")
+    def wrap(t: String): String = r.nextInt(5) match {
+      case 0 => s"<html><head><script>if (1 < 2) { x('$t'.length); }</script></head><body><p>$t</p></body></html>"
+      case 1 => s"""<div class="m">${t.replace(" ", "&nbsp;")}</div>"""
+      case 2 => s"<ul><li>${t.replace(" ", "</li><li>")}</li></ul>"
+      case 3 => s"""<!-- ${words(3)} --><BODY onload="f()">$t<br/></BODY>"""
+      case _ => s"<style>.x{a:b}</style><TABLE><tr><td>$t</td></tr></TABLE>"
+    }
+    val cases = Seq.fill(150) {
+      val t = words(3 + r.nextInt(20))
+      // up to two nested wraps: tags of the outer wrap must not corrupt
+      // the inner wrap's extraction (block elimination runs first)
+      val html = if (r.nextBoolean()) wrap(t) else s"<div>${wrap(t)}</div>"
+      (html, t)
+    }
+    val got = cases.map(_._1).toDF("h")
+      .select(T.normKey(T.htmlToText(col("h")))).collect().map(_.getString(0))
+    got.zip(cases).foreach { case (g, (html, t)) =>
+      assert(g == t, s"htmlToText roundtrip failed for: $html")
+    }
+  }
+
   test("canonicalizeUrl property: idempotent and invariant-clean on random messy URLs") {
     val r = new scala.util.Random(7)
     def pick[A](xs: Seq[A]) = xs(r.nextInt(xs.size))
