@@ -19,6 +19,8 @@ private[tools] object ProbeHarness {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.files.openCostInBytes", "16384")
       .config("spark.sql.files.minPartitionNum", cpus)
+      // eager per-execution shuffle-file cleanup — see Bench.buildSession
+      .config("spark.sql.shuffleDependency.fileCleanup.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
