@@ -32,7 +32,15 @@ import graft.util.Json.quote
  *    local[ALT] session in the same JVM (same protocol) and reports it
  *    under "alt" in the SAME JSON line, so both series continue every
  *    round. SPARK_GRAFT_ALT=0 skips; SPARK_GRAFT_ALT_CPUS overrides the
- *    default (4 when the primary is not 4, else 32).
+ *    default (4 when the primary is not 4, else 32);
+ *  - DEGRADED MODE: if the host is contended at start, the bench drops
+ *    to reps=1 with no alt series and tags the artifact
+ *    "degraded":true — an imprecise artifact beats round 13's
+ *    rc=124/parsed-null nothing. SPARK_GRAFT_DEGRADE=0 disables;
+ *  - INCREMENTAL EMISSION: parseable partial summary lines print every
+ *    25 timed queries and at end-of-primary, so a timeout at any point
+ *    after warm-up still leaves a valid (tagged "partial") JSON line
+ *    in the driver's tail window.
  */
 object Bench {
   private def load1m: Double =
@@ -63,7 +71,16 @@ object Bench {
       // identical plan). Same flag a production long-lived driver sets
       // for iterative workloads. Shuffle reuse only ever spans ONE
       // execution, so eager cleanup cannot change any result.
-      .config("spark.sql.shuffleDependency.fileCleanup.enabled", "true")
+      // The key must be the CLASSIC one: since Spark 4.1 the unprefixed
+      // spelling set here in round 13 is only a deprecated alias of the
+      // CONNECT config, and classic sessions read
+      // spark.sql.classic.shuffleDependency.fileCleanup.enabled
+      // (QueryExecution.determineShuffleCleanupMode reads
+      // CLASSIC_SHUFFLE_DEPENDENCY_FILE_CLEANUP_ENABLED) — so round 13's
+      // flag was inert in this session and the wobble relief it measured
+      // came from the explicit unpersist+gc reaping in runOnce. Setting
+      // the classic key makes the eager cleanup actually take effect.
+      .config("spark.sql.classic.shuffleDependency.fileCleanup.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -73,14 +90,25 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    val altEnabled = sys.env.getOrElse("SPARK_GRAFT_ALT", "1") != "0"
-    val altCpus = sys.env.getOrElse("SPARK_GRAFT_ALT_CPUS",
-      if (cpus == "4") "32" else "4")
     // ambient load BEFORE the bench contributes anything: anything past a
     // couple of cores means another job is on the host.
     val loadBefore = load1m
     val loadLimit = math.max(2.0, cpus.toInt / 8.0)
+    // DEGRADED MODE (the round-13 lesson: the official BENCH_r13.json is
+    // rc=124/parsed-null because the full protocol — warm-up + 3 reps +
+    // a whole second alt-config series — did not fit the driver's budget
+    // on a host already running another job at load 8.47). Timings taken
+    // under contention are unreliable ANYWAY (that is what the load guard
+    // is for), so when the host is busy at start the bench trades the
+    // precision it cannot have for the artifact it must produce: reps=1,
+    // no alt series, tagged "degraded":true. SPARK_GRAFT_DEGRADE=0 forces
+    // the full protocol regardless of load.
+    val degraded = loadBefore > loadLimit &&
+      sys.env.getOrElse("SPARK_GRAFT_DEGRADE", "1") != "0"
+    val reps = if (degraded) 1 else sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val altEnabled = !degraded && sys.env.getOrElse("SPARK_GRAFT_ALT", "1") != "0"
+    val altCpus = sys.env.getOrElse("SPARK_GRAFT_ALT_CPUS",
+      if (cpus == "4") "32" else "4")
     // dev-only: SPARK_GRAFT_ONLY=q1,q2 restricts the run while iterating.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = graft.queries.Catalog.all
@@ -117,15 +145,31 @@ object Bench {
       }
     }
 
-    /** warm-up pass + reps timed passes on a fresh session → per-query medians */
-    def series(nCpus: String, errPrefix: String): Seq[(String, Double)] = {
+    def r2(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+
+    /** warm-up pass + reps timed passes on a fresh session → per-query
+      * medians. `onProgress(nDone, runningTotal)` fires after each
+      * query's median lands (the pass order is query-major, so a median
+      * is final as soon as its reps finish). */
+    def series(nCpus: String, errPrefix: String,
+        onProgress: (Int, Double) => Unit = (_, _) => ()): Seq[(String, Double)] = {
       val spark = buildSession(nCpus)
       try {
-        selected.foreach(q => runOnce(spark, errPrefix + q.name, q.name, q.run)) // warm-up
-        val timed = selected.map(q =>
-          q.name -> (1 to reps).map(_ => runOnce(spark, errPrefix + q.name, q.name, q.run)))
-        timed.map { case (name, ts) =>
-          name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2))
+        selected.zipWithIndex.foreach { case (q, i) => // warm-up, untimed
+          runOnce(spark, errPrefix + q.name, q.name, q.run)
+          // stderr only: a stdout line with no real total could be the
+          // tail-window line a timed-out run gets parsed from
+          if ((i + 1) % 50 == 0)
+            System.err.println(s"[bench] warm-up ${i + 1}/${selected.size}")
+        }
+        var running = 0.0
+        selected.zipWithIndex.map { case (q, i) =>
+          val ts = (1 to reps).map(_ => runOnce(spark, errPrefix + q.name, q.name, q.run))
+          val med = if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2)
+          if (med >= 0) running += med
+          onProgress(i + 1, running)
+          q.name -> med
         }
       } finally spark.stop()
     }
@@ -134,8 +178,34 @@ object Bench {
       (total, medians.map { case (k, v) => s"${quote(k)}:$v" }.mkString("{", ",", "}"))
     }
 
-    val primary = series(cpus, "")
+    // INCREMENTAL EMISSION: every 25 timed queries, print a small but
+    // fully parseable summary line (running total, n_queries done so
+    // far, "partial":true). A driver timeout at ANY point after the
+    // warm-up now leaves a valid JSON line in the captured tail instead
+    // of nothing (round 13's artifact was rc=124/parsed-null); on a
+    // clean finish the final complete line is printed last and wins.
+    val primary = series(cpus, "", (done, running) =>
+      if (done % 25 == 0 && done < selected.size) {
+        println(s"""{"metric":"total","value":${r2(running)},"unit":"sec","sf":"$sfDir","reps":$reps,"cpus":$cpus,"n_queries":$done,"n_total":${selected.size},"n_errors":${errors.size},"partial":true,"degraded":$degraded,"load_before":$loadBefore}""")
+        Console.out.flush()
+      })
     val (total, qs) = toJson(primary)
+    // primary complete: emit a full-precision summary NOW (stdout line +
+    // BENCH_FULL.json), before the alt/rerun phases — a timeout inside
+    // THOSE no longer costs the round its primary result. The clean-
+    // finish path overwrites both with the complete version below.
+    val slowest25 = primary.sortBy(-_._2).take(25)
+      .map { case (k, v) => s"${quote(k)}:${r2(v)}" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"cpus":$cpus,"n_queries":${primary.size},"n_errors":${errors.size},"queries":$slowest25,"alt_total":null,"partial":${altEnabled},"degraded":$degraded,"load_before":$loadBefore,"full":"BENCH_FULL.json"}""")
+    Console.out.flush()
+    locally {
+      val errJsonNow = errors.map { case (k, v) => s"${quote(k)}:${quote(v)}" }
+        .mkString("{", ",", "}")
+      val primaryLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":$cpus,"alt":null,"errors":$errJsonNow,"load_before":$loadBefore,"degraded":$degraded,"partial":$altEnabled}"""
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        primaryLine.getBytes("UTF-8"))
+      catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
+    }
     // the alt series must NEVER cost the primary result its JSON line —
     // a bad SPARK_GRAFT_ALT_CPUS or a session that fails to start is
     // reported inside "alt", not thrown past the println
@@ -206,14 +276,10 @@ object Bench {
     // (committed, full precision, both series), and stdout gets a COMPACT
     // line — totals, counts, and the slowest-25 query map — sized to fit
     // the tail window with room for sbt's trailing [success] line.
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":$cpus,"alt":$altJson,"errors":$errJson,"load_before":$loadBefore,"load_after":$loadAfter,"contended":$contended,"contended_rerun":$rerunJson}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":$cpus,"alt":$altJson,"errors":$errJson,"load_before":$loadBefore,"load_after":$loadAfter,"contended":$contended,"degraded":$degraded,"contended_rerun":$rerunJson}"""
     val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
     try java.nio.file.Files.write(fullPath, fullLine.getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
-    def r2(v: Double): String =
-      if (v < 0) "-1" else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    val slowest = primary.sortBy(-_._2).take(25)
-      .map { case (k, v) => s"${quote(k)}:${r2(v)}" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"cpus":$cpus,"n_queries":${primary.size},"n_errors":${errors.size},"queries":$slowest,"alt_total":${altTotalOpt.map(r2).getOrElse("null")},"alt_cpus":$altCpusJson,"load_before":$loadBefore,"load_after":$loadAfter,"contended":$contended,"contended_rerun":$rerunJson,"full":"BENCH_FULL.json"}""")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"cpus":$cpus,"n_queries":${primary.size},"n_errors":${errors.size},"queries":$slowest25,"alt_total":${altTotalOpt.map(r2).getOrElse("null")},"alt_cpus":$altCpusJson,"load_before":$loadBefore,"load_after":$loadAfter,"contended":$contended,"degraded":$degraded,"contended_rerun":$rerunJson,"full":"BENCH_FULL.json"}""")
   }
 }

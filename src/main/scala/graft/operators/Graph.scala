@@ -729,13 +729,20 @@ object Graph {
         val aRaw = eSrc.join(hubs, eSrc("src") === hubs("id"))
           .groupBy(eSrc("dst").as("id")).agg(sum(col("r")).as("raw"))
         val (aRawCp, aIds) = st.save(aRaw)
-        st.drop(authIds)
-        auths = normalize(aRawCp, "authority"); authIds = aIds
+        // Take ownership of the fresh checkpoint ids BEFORE normalize can
+        // throw (its 2^53 bound require): if they were assigned only
+        // after, the error path's st.drop(labelIds ++ authIds) would
+        // still hold the PREVIOUS (already-dropped) set and the fresh
+        // checkpoint's cached blocks would leak.
+        val prevAuth = authIds; authIds = aIds
+        st.drop(prevAuth)
+        auths = normalize(aRawCp, "authority")
         val hRaw = eDst.join(auths, eDst("dst") === auths("id"))
           .groupBy(eDst("src").as("id")).agg(sum(col("r")).as("raw"))
         val (hRawCp, hIds) = st.save(hRaw)
-        st.drop(labelIds)
-        hubs = normalize(hRawCp, "hub"); labelIds = hIds
+        val prevHub = labelIds; labelIds = hIds
+        st.drop(prevHub)
+        hubs = normalize(hRawCp, "hub")
       }
       hubs.select(col("id"), col("r").as("hub_scaled"))
         .join(auths.select(col("id"), col("r").as("auth_scaled")),

@@ -9521,8 +9521,13 @@ object Catalog {
           date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
           col("day_offset").cast("long").as("day_offset"),
           col("__n0").as("n_cohort_users"),
-          col("cum_value").cast("double").as("cum_value"),
-          (col("cum_value").cast("double") / col("__n0").cast("double"))
+          // decimal→string→double bridge (the r9 discipline): cum_value
+          // is a wide decimal whose unscaled integer can pass 2^53 at
+          // larger SFs, where a direct decimal→double cast can double-
+          // round differently between engines; the string render is the
+          // exact value and string→double is correctly rounded in both.
+          col("cum_value").cast("string").cast("double").as("cum_value"),
+          (col("cum_value").cast("string").cast("double") / col("__n0").cast("double"))
             .as("ltv_per_user"))
     },
     Some("""
@@ -9544,8 +9549,8 @@ object Catalog {
       SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
         CAST(day_offset AS BIGINT) AS day_offset,
         CAST(n0 AS BIGINT) AS n_cohort_users,
-        CAST(cum_value AS DOUBLE) AS cum_value,
-        CAST(cum_value AS DOUBLE) / CAST(n0 AS DOUBLE) AS ltv_per_user
+        CAST(CAST(cum_value AS VARCHAR) AS DOUBLE) AS cum_value,
+        CAST(CAST(cum_value AS VARCHAR) AS DOUBLE) / CAST(n0 AS DOUBLE) AS ltv_per_user
       FROM r"""))
 
   // ---------------------------------------------------------------- m5
@@ -9632,7 +9637,7 @@ object Catalog {
         WITH h AS (
           SELECT doc_id, source, text,
             CASE CAST(doc_id % 4 AS INTEGER)
-              WHEN 0 THEN '<html><head><title></title>${script.replace("\"", "\"")}<style>.a{color:red}</style></head><body><p>' || text || '</p></body></html>'
+              WHEN 0 THEN '<html><head><title></title>${script.replace("'", "''")}<style>.a{color:red}</style></head><body><p>' || text || '</p></body></html>'
               WHEN 1 THEN '<div class="main">' || replace(text, ' ', '&nbsp;') || '</div>'
               WHEN 2 THEN '<ul><li>' || replace(text, ' ', '</li><li>') || '</li></ul>'
               ELSE '<!-- header --><BODY onload="f()">' || text || '<br/></BODY>'

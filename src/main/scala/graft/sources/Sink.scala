@@ -302,10 +302,18 @@ object Sink {
    */
   def writeZordered(df: DataFrame, path: String, c1: String, c2: String,
       nFiles: Int): Unit = {
-    import org.apache.spark.sql.functions.{floor, least, lit, max, min, shiftleft, shiftright}
+    import org.apache.spark.sql.functions.{count, floor, least, lit, max, min, shiftleft, shiftright}
     require(nFiles >= 2, "z-order layout needs at least 2 files to skip any")
     val b = df.agg(min(col(c1)).cast("double").as("lo1"), max(col(c1)).cast("double").as("hi1"),
-      min(col(c2)).cast("double").as("lo2"), max(col(c2)).cast("double").as("hi2")).first()
+      min(col(c2)).cast("double").as("lo2"), max(col(c2)).cast("double").as("hi2"),
+      count(lit(1)).as("n"), count(col(c1)).as("n1"), count(col(c2)).as("n2")).first()
+    // A null in either cluster column would produce a null z-code group
+    // and an opaque NPE in the histogram collect below; a null has no
+    // place on the z-curve at all (its file envelope would be unbounded),
+    // so fail fast with the actual column named.
+    require(b.getLong(4) == b.getLong(5) && b.getLong(4) == b.getLong(6),
+      s"z-order cluster columns must be non-null: $c1 has ${b.getLong(4) - b.getLong(5)}" +
+        s" null(s), $c2 has ${b.getLong(4) - b.getLong(6)} — filter or coalesce before layout")
     def quant(c: String, lo: Double, hi: Double) = {
       val w = if (hi > lo) hi - lo else 1.0
       least(floor((col(c).cast("double") - lo) / w * 256.0), lit(255.0)).cast("int")
@@ -338,13 +346,22 @@ object Sink {
     // pmod(murmur3(key), n); probe a representative int per bucket whose
     // hash occupies a distinct slot so no two z-ranges share a file.
     val taken = scala.collection.mutable.Set.empty[Int]
+    // Bounded probe: murmur3 over consecutive ints behaves uniformly, so
+    // the expected probes per bucket are nBuckets/(free slots) — a coupon-
+    // collector O(n log n) total. The bound is a defensive backstop (it
+    // would take an adversarial hash break to hit), not a live code path.
+    val probeBound = math.max(1000, nBuckets * nBuckets * 64)
     val reps = (0 until nBuckets).map { _ =>
       var m = 0
       def slot(v: Int) = {
         val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(v, 42)
         ((h % nBuckets) + nBuckets) % nBuckets
       }
-      while (taken.contains(slot(m))) m += 1
+      while (taken.contains(slot(m))) {
+        m += 1
+        require(m < probeBound,
+          s"z-order slot probe exhausted $probeBound candidates for $nBuckets buckets")
+      }
       taken += slot(m); m
     }
     val slotKey = org.apache.spark.sql.functions.element_at(

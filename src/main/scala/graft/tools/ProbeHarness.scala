@@ -19,8 +19,11 @@ private[tools] object ProbeHarness {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.files.openCostInBytes", "16384")
       .config("spark.sql.files.minPartitionNum", cpus)
-      // eager per-execution shuffle-file cleanup — see Bench.buildSession
-      .config("spark.sql.shuffleDependency.fileCleanup.enabled", "true")
+      // eager per-execution shuffle-file cleanup — see Bench.buildSession.
+      // CLASSIC key: the unprefixed spelling is (since Spark 4.1) only a
+      // deprecated alias of the Connect config; classic sessions read
+      // spark.sql.classic.* (QueryExecution.determineShuffleCleanupMode).
+      .config("spark.sql.classic.shuffleDependency.fileCleanup.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
