@@ -114,29 +114,33 @@ object Marts {
    *  - rows in both carry forward untouched (tx_from keeps its origin);
    *  - open rows absent from the snapshot are CLOSED (tx_to = txId);
    *  - snapshot rows absent from the open slice enter (tx_from = txId).
-   * Already-closed history rides along unread. Three equi-joins on the
-   * identity columns (null-safe on payload) — each one shuffle on the
-   * same key set; at 100 TB the diff touches the DIM, never the facts.
+   * Already-closed history rides along unread. ONE full-outer null-safe
+   * join on the identity columns classifies every row — both sides
+   * present = carried, open-only = closed, snapshot-only = fresh — so
+   * the diff is structurally one shuffle per side (the earlier
+   * three-equi-join shape computed the same three legs but its
+   * "one shuffle per side" cost depended on ReuseExchange deduplicating
+   * the repeated subtrees); at 100 TB the diff touches the DIM, never
+   * the facts. Identity duplicates are out of contract: `cols` IS the
+   * full row identity, so a dim holding two byte-identical rows is
+   * upstream corruption this diff does not define an order for.
    */
   def bitemporalApply(prev: DataFrame, snapshot: DataFrame, txId: Long,
       cols: Seq[String]): DataFrame = {
-    val open = prev.filter(col("tx_to").isNull)
-    val snap = snapshot.select(cols.map(col): _*)
-    def cond(l: DataFrame, r: DataFrame) =
-      cols.map(c => l(c) <=> r(c)).reduce(_ && _)
-    val carried = open.join(snap, cond(open, snap), "left_semi")
-    val closed = open.join(snap, cond(open, snap), "left_anti")
-      .withColumn("tx_to", lit(txId))
-    val fresh = {
-      val o = open.select(cols.map(col): _*)
-      snap.join(o, cond(snap, o), "left_anti")
-        .withColumn("tx_from", lit(txId))
-        .withColumn("tx_to", lit(null).cast("long"))
-    }
-    prev.filter(col("tx_to").isNotNull)
-      .unionByName(carried)
-      .unionByName(closed)
-      .unionByName(fresh)
+    val open = prev.filter(col("tx_to").isNull).withColumn("__open", lit(1))
+    val snap = snapshot.select(cols.map(col): _*).withColumn("__snap", lit(1))
+    val joined = open.join(snap,
+      cols.map(c => open(c) <=> snap(c)).reduce(_ && _), "full_outer")
+    val diffed = joined.select(
+      cols.map(c => coalesce(open(c), snap(c)).as(c)) ++ Seq(
+        // carried/closed keep their origin tx_from; fresh opens at txId
+        when(col("__open").isNotNull, col("tx_from"))
+          .otherwise(lit(txId)).as("tx_from"),
+        // open rows the snapshot no longer contains close at txId;
+        // carried and fresh stay open (null)
+        when(col("__open").isNotNull && col("__snap").isNull, lit(txId))
+          .cast("long").as("tx_to")): _*)
+    prev.filter(col("tx_to").isNotNull).unionByName(diffed)
   }
 
   /** The tx-time-travel read: the SCD2 snapshot as load `txId` saw it. */

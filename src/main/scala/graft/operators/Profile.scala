@@ -274,8 +274,25 @@ object Profile {
    * over identical doubles. Constant columns yield null (zero variance).
    */
   def correlationMatrix(df: DataFrame, colNames: Seq[String],
-      dec: String): DataFrame =
-    correlationFromMoments(correlationMoments(df, colNames, dec), colNames)
+      dec: String): DataFrame = {
+    // STRUCTURAL single-scan guarantee: the finish unions k·(k−1)/2
+    // projections of the moment row, and if those selected straight from
+    // the un-materialized aggregate the "one scan of the table" claim
+    // would rest on ReuseExchange deduplicating the identical aggregate
+    // subtrees — a reuse miss at scale would re-scan the fact k·(k−1)/2
+    // times. So the moment row is COLLECTED here (ONE row of decimals —
+    // coordinator state, the same sanctioned class as centroid tables
+    // and convergence scalars) and re-lifted as a local one-row frame;
+    // the finish plan then contains no scan of `df` at all. The
+    // streaming twin (s24) already reads its moment row from parquet
+    // state, so only this batch path needed the materialization.
+    val moments = correlationMoments(df, colNames, dec)
+    val spark = df.sparkSession
+    val row = moments.collect()
+    val local = spark.createDataFrame(
+      spark.sparkContext.parallelize(row.toIndexedSeq, 1), moments.schema)
+    correlationFromMoments(local, colNames)
+  }
 
   /** The ordered (x, y) pairs the moment/finish halves agree on. */
   def correlationPairs(colNames: Seq[String]): Seq[(String, String)] = for {

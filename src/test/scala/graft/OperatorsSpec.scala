@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -1590,6 +1592,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(c.head.isNullAt(3), "zero-variance pair must be null")
   }
 
+  test("correlationMatrix finish plan contains NO scan of the input table") {
+    // The single-scan claim is structural: the moment row is collected
+    // (one row of coordinator state) and the k(k-1)/2 pair projections
+    // select from the re-lifted local frame — so the finish's executed
+    // plan must hold zero file scans, not depend on ReuseExchange
+    // deduplicating k(k-1)/2 identical aggregate subtrees.
+    val dir = Files.createTempDirectory("graft-corr-scan").toString
+    Seq((1.0, 2.0), (2.0, 4.5), (3.0, 5.5), (4.0, 8.25))
+      .toDF("x", "y").write.mode("overwrite").parquet(dir)
+    val fromParquet = spark.read.parquet(dir)
+    val out = Profile.correlationMatrix(fromParquet, Seq("x", "y"), "decimal(12,4)")
+    val scans = out.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.isEmpty,
+      s"correlation finish must not re-scan the input; found ${scans.size} file scan(s)")
+    assert(out.collect().length == 1)
+  }
+
   test("bitemporal dim: tx-travel reproduces each load's snapshot; corrections close, never delete") {
     import graft.operators.Marts
     def snap(obs: Seq[(Long, String, Long, String)]) = Marts.scd2Dim(
@@ -1619,6 +1640,31 @@ class OperatorsSpec extends AnyFunSuite {
       "the open-ended load-1 row must close at tx=2, not vanish")
     assert(bt.count() == rowsOf(s2).size + 1,
       "history = the new snapshot plus the closed row")
+  }
+
+  test("bitemporalApply diff plans one shuffle per side (full-outer, no repeated legs)") {
+    import graft.operators.Marts
+    // Parquet-staged inputs (the d8 discipline) so each side is a real
+    // scan: the one-pass full-outer diff must shuffle each side exactly
+    // once — the structural form of the old three-join shape's
+    // "one shuffle per side, IF ReuseExchange dedupes" claim.
+    val dir = Files.createTempDirectory("graft-bt-plan")
+    val idCols = Seq("k", "v")
+    val prev0 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    Marts.bitemporalInit(prev0, 1L).write.parquet(s"$dir/prev")
+    Seq((1L, "a"), (3L, "c")).toDF("k", "v").write.parquet(s"$dir/snap")
+    val bt = Marts.bitemporalApply(
+      spark.read.parquet(s"$dir/prev"), spark.read.parquet(s"$dir/snap"), 2L, idCols)
+    bt.collect() // materialize so AQE settles the final plan
+    // the AQE dump repeats the tree under "== Initial Plan ==" — count
+    // exchanges in the final section only
+    val plan = bt.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val nExchanges = "Exchange (hash|range)partitioning".r.findAllIn(plan).size
+    assert(nExchanges <= 2, s"diff must shuffle each side at most once:\n$plan")
+    // and the diff itself stays oracle-shaped: carried + closed + fresh
+    val got = bt.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(got == Set((1L, "a", 1L, -1L), (2L, "b", 1L, 2L), (3L, "c", 2L, -1L)))
   }
 
   test("compensation parsing: currency, period, bounds, annualization") {
