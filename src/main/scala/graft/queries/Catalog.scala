@@ -7617,9 +7617,19 @@ object Catalog {
         val ev = Tables.events(s, d)
           .select(col("event_id"), col("event_type"), col("value"))
         val path = s"$scratchRoot/${dsScratch(d)}/events_bloom"
-        // arrival-order layout: explicit round-robin width (exempt from
-        // AQE coalescing), no clustering on the key — the hard case
-        ev.repartition(nFiles).write.mode("overwrite").parquet(path)
+        // key-UNCORRELATED layout (the hard case: no file clusters the
+        // key's VALUE range, so envelope pruning is useless and only the
+        // bloom can skip) — placed by a DERIVED hash through the
+        // collision-free slot remap so the row→file assignment is a pure
+        // function of (data, nFiles). The old `repartition(nFiles)`
+        // round-robin had the same skipping-hostile shape but its
+        // placement shifted with input parallelism, making the kept-file
+        // count (probe hits + bloom false positives) run-varying — the
+        // w12 flake class, closed the same way.
+        ev.withColumn("_slot", graft.sources.Sink.collisionFreeSlotKey(
+            pmod(xxhash64(col("event_id"), lit("|place")), lit(nFiles)), nFiles))
+          .repartition(nFiles, col("_slot")).drop("_slot")
+          .write.mode("overwrite").parquet(path)
         val nRows = ev.count()
         val mBits = math.max(4096,
           java.lang.Long.highestOneBit(
@@ -7754,11 +7764,18 @@ object Catalog {
         // days two..four: appends in ARRIVAL order (event_id ranges —
         // each batch spans the whole (user, value) plane, the
         // clustering-decay case); 4 files per batch so decay is
-        // measured in files, not rows
+        // measured in files, not rows. Placement by a derived hash of
+        // the key through the collision-free slot remap — uncorrelated
+        // with (user_id, value) like the old round-robin, but a pure
+        // function of the data instead of input parallelism, so the
+        // decayed skip rate (and this gate) is run-invariant.
         val odd = ev.filter(col("event_id") % 2 === 1)
         (0 until 3).foreach { i =>
           odd.filter(col("event_id") % 6 === (2 * i + 1))
-            .repartition(4).write.mode("append").parquet(s"$base/store")
+            .withColumn("_slot", graft.sources.Sink.collisionFreeSlotKey(
+              pmod(xxhash64(col("event_id"), lit("|append")), lit(4)), 4))
+            .repartition(4, col("_slot")).drop("_slot")
+            .write.mode("append").parquet(s"$base/store")
         }
         val (_, apKept, apTotal) = skipRate(s"$base/store")
         if (apKept.toDouble / apTotal <= cleanKept.toDouble / cleanTotal)

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /**
@@ -342,35 +342,47 @@ object Sink {
     val bucket = cuts.foldLeft(lit(0)) { (b, cut) =>
       b + org.apache.spark.sql.functions.when(col("_z") >= cut, 1).otherwise(0)
     }
-    // Collision-free slot remap: repartition(n, key) places a row by
-    // pmod(murmur3(key), n); probe a representative int per bucket whose
-    // hash occupies a distinct slot so no two z-ranges share a file.
-    val taken = scala.collection.mutable.Set.empty[Int]
-    // Bounded probe: murmur3 over consecutive ints behaves uniformly, so
-    // the expected probes per bucket are nBuckets/(free slots) — a coupon-
-    // collector O(n log n) total. The bound is a defensive backstop (it
-    // would take an adversarial hash break to hit), not a live code path.
-    val probeBound = math.max(1000, nBuckets * nBuckets * 64)
-    val reps = (0 until nBuckets).map { _ =>
-      var m = 0
-      def slot(v: Int) = {
-        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(v, 42)
-        ((h % nBuckets) + nBuckets) % nBuckets
-      }
-      while (taken.contains(slot(m))) {
-        m += 1
-        require(m < probeBound,
-          s"z-order slot probe exhausted $probeBound candidates for $nBuckets buckets")
-      }
-      taken += slot(m); m
-    }
-    val slotKey = org.apache.spark.sql.functions.element_at(
-      org.apache.spark.sql.functions.array(reps.map(lit): _*), bucket + 1)
-    zed.withColumn("_slot", slotKey)
+    zed.withColumn("_slot", collisionFreeSlotKey(bucket, nBuckets))
       .repartition(nBuckets, col("_slot"))
       .sortWithinPartitions("_z")
       .drop("_z", "_slot")
       .write.mode("overwrite").parquet(path)
+  }
+
+  /**
+   * Collision-free slot remap for DETERMINISTIC file placement:
+   * `repartition(n, key)` places a row by pmod(murmur3(key), n), so
+   * distinct bucket values can collide into one task/file; this maps
+   * each `bucket` ∈ [0, n) to a probed representative int whose hash
+   * occupies a distinct slot — exactly one output file per bucket.
+   * Because the bucket column itself is a pure row expression, the
+   * whole layout is a pure function of (data, n) — unlike
+   * `repartition(n)` round-robin, whose row→file assignment shifts
+   * with input parallelism, or `repartitionByRange`, whose cuts shift
+   * with the RangePartitioner sample (the w12 flake class).
+   */
+  def collisionFreeSlotKey(bucket: Column, n: Int): Column = {
+    import org.apache.spark.sql.functions.{array, element_at, lit}
+    val taken = scala.collection.mutable.Set.empty[Int]
+    // Bounded probe: murmur3 over consecutive ints behaves uniformly, so
+    // the expected probes per bucket are n/(free slots) — a coupon-
+    // collector O(n log n) total. The bound is a defensive backstop (it
+    // would take an adversarial hash break to hit), not a live code path.
+    val probeBound = math.max(1000, n * n * 64)
+    val reps = (0 until n).map { _ =>
+      var m = 0
+      def slot(v: Int) = {
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(v, 42)
+        ((h % n) + n) % n
+      }
+      while (taken.contains(slot(m))) {
+        m += 1
+        require(m < probeBound,
+          s"slot probe exhausted $probeBound candidates for $n buckets")
+      }
+      taken += slot(m); m
+    }
+    element_at(array(reps.map(lit): _*), bucket.cast("int") + 1)
   }
 
   /** One pass over the clustered layout → per-file (path, min, max) of

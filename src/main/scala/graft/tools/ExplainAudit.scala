@@ -58,19 +58,47 @@ object ExplainAudit {
       "l14_ann_ivfpq_refined", "w9_ann_refined_store", "w15_ann_delete",
       "l17_diversity_sample", "l18_ann_sq8", "q6_ann_recall_audit",
       "l19_hybrid_rrf", "l20_knn_join")
+    // A Window with NO partitionBy funnels every row through one task —
+    // a single-machine bottleneck at scale unless the input is provably
+    // row-bounded by the time it reaches the window. Whitelist = the
+    // entries whose unpartitioned window runs over coordinator-scale
+    // rows by construction (each rationale names the bound). Audited
+    // over the returned frame's optimized plan; eagerly-executed
+    // sub-plans inside an entry's construction are out of this audit's
+    // scope (the same limitation the exch/bhj counts carry). The r13
+    // audit sweep found exactly two catalog entries with a global
+    // window — both the growth-accounting day ledger; everything else
+    // (r7's sketch walk, a15's attribution pieces, the c7/c8/c10
+    // prefix-sum) either partitions its windows or cumulates inside an
+    // eager coordinator step over config-bounded rows.
+    val globalWindowOk = Map(
+      // the growth ledger finish orders ONE ROW PER DAY (the groupBy
+      // day precedes it) — calendar-bounded however large events gets.
+      "a16_growth_accounting" -> "per-day ledger (calendar-bounded)",
+      "s23_stream_growth" -> "per-day ledger (calendar-bounded)")
     graft.queries.Catalog.all.foreach { q =>
       try {
+        val df = q.run(spark, d)
         // NOTE: with AQE on this is the INITIAL plan — exchange-reuse and
         // codegen stages are not yet collapsed; read exch as an upper bound.
-        val plan = q.run(spark, d).queryExecution.executedPlan.toString
+        val plan = df.queryExecution.executedPlan.toString
         def n(p: String) = p.r.findAllIn(plan).size
+        // unpartitioned windows are detected on the OPTIMIZED LOGICAL plan
+        // (structural partitionSpec check — the physical string is
+        // ambiguous about which windowspecdefinition args are partition
+        // keys vs order keys)
+        val globalWindows = df.queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+        }.size
         val flags = Seq(
           (n("BroadcastNestedLoopJoin") > 0 && !crossJoinOk(q.name)) -> "NESTED-LOOP-JOIN",
           (n("CartesianProduct") > 0) -> "CARTESIAN",
+          (globalWindows > 0 && !globalWindowOk.contains(q.name)) -> "UNPARTITIONED-WINDOW",
         ).collect { case (true, f) => f }
         val stats = f"exch=${n("ShuffleExchange|Exchange hashpartitioning")}%d " +
           f"bhj=${n("BroadcastHashJoin")}%d smj=${n("SortMergeJoin")}%d " +
-          f"pushed=${n("PushedFilters: \\[[^\\]]")}%d"
+          f"pushed=${n("PushedFilters: \\[[^\\]]")}%d gwin=$globalWindows%d"
         val flagStr = if (flags.isEmpty) "" else flags.mkString("  !! ", " ", "")
         println(f"${q.name}%-22s $stats$flagStr")
       } catch { case e: Throwable => println(f"${q.name}%-22s ERROR ${e.getMessage.take(80)}") }
