@@ -145,4 +145,107 @@ object Multimodal {
       rows.map(r => fakeDecode(r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2)))
     }(enc)
   }
+
+  // ------------------------------------------------------------------
+  // REAL codec boundary (javax.imageio — ships in the JVM, no new
+  // dependency): deterministic RGB test-card images are ENCODED to real
+  // PNG payloads and DECODED back through ImageIO inside the same
+  // mapPartitions contract the stub uses, so the m-family's decode seam
+  // has now met an actual codec in both directions. PNG is lossless
+  // 8-bit RGB, so every decoded pixel equals the synthesized function
+  // exactly and the oracle can replay dimensions and channel sums as
+  // closed-form integer arithmetic.
+
+  val imagePayloadSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("payload", BinaryType)))
+
+  val imageStatsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_pixels", LongType),
+    StructField("sum_r", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_b", LongType),
+    StructField("mean_r", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType)))
+
+  /** The test card's dimensions and per-channel pixel functions — pure
+    * integer functions of (doc_id, x, y) so an engine WITHOUT a codec
+    * can replay the decoded statistics:
+    * w = id%24+8, h = id%16+8, r = (x+id)%256, g = (3y+7id)%256,
+    * b = (2x+5id)%256. */
+  def testCardDims(id: Long): (Int, Int) = ((id % 24 + 8).toInt, (id % 16 + 8).toInt)
+
+  /** Encode one deterministic RGB test card per input row as a REAL PNG
+    * (ImageIO encode — the payload is a decodable image any external
+    * tool opens, not a stub byte string). Narrow map-only plan: no
+    * shuffle, parallelism = input splits; readers/writers are created
+    * per call (ImageIO statics are thread-safe that way). */
+  def synthesizeImages(docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(imagePayloadSchema)
+    docs.select("doc_id").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (w, h) = testCardDims(id)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rr = ((x + id) % 256).toInt
+            val gg = ((3L * y + 7L * id) % 256).toInt
+            val bb = ((2L * x + 5L * id) % 256).toInt
+            img.setRGB(x, y, (rr << 16) | (gg << 8) | bb)
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        val ok = javax.imageio.ImageIO.write(img, "png", out)
+        if (!ok) throw new IllegalStateException("JVM has no PNG encoder")
+        Row(id, out.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** DECODE real image payloads (ImageIO.read) and reduce each to its
+    * pixel statistics — dimensions, exact per-channel sums, means. The
+    * per-row contract m2's stub stands in for, now against a real
+    * codec. Narrow map-only plan; a payload that is not a decodable
+    * image FAILS the row loudly (a silent null would let corrupt media
+    * flow downstream as zeros). */
+  def decodeImages(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(imageStatsSchema)
+    media.select("doc_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        if (img == null)
+          throw new IllegalStateException(s"doc $id payload is not a decodable image")
+        val w = img.getWidth
+        val h = img.getHeight
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff
+            sg += (p >> 8) & 0xff
+            sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        Row(id, w, h, n, sr, sg, sb,
+          sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+      }
+    }(enc)
+  }
 }

@@ -8931,8 +8931,13 @@ object Catalog {
   /** t20/s22's shared corpus-url view: each doc's deterministic messy
     * URL (four spellings by doc_id%4), its canonical form and the
     * registered domain — one codegen'd projection over the doc scan. */
-  private def canonUrls(s: SparkSession, d: String): DataFrame = {
-    val k = (col("doc_id") % 20).cast("string")
+  private def canonUrls(s: SparkSession, d: String): DataFrame =
+    canonUrlsWith(s, d, (col("doc_id") % 20).cast("string"))
+
+  /** [[canonUrls]] with a caller-chosen page key (p8 bands the key by
+    * corpus third so every trigger both discovers new urls and
+    * re-fetches old ones — same spellings, same canonicalizer). */
+  private def canonUrlsWith(s: SparkSession, d: String, k: Column): DataFrame = {
     val url = when(col("doc_id") % 4 === 0,
         concat(lit("https://www."), col("source"), lit(".com/"),
           col("lang"), lit("/page"), k, lit("?b=2&a=1")))
@@ -8955,17 +8960,22 @@ object Catalog {
     * t20 and s22 compose (the bm25OracleSql sharing rule: one chain,
     * never inlined twice). `canon` exposes doc_id, text, url, curl,
     * domain. */
-  private val urlCanonCtes: String = s"""
+  private val urlCanonCtes: String =
+    urlCanonCtesFor("CAST(doc_id % 20 AS VARCHAR)")
+
+  /** [[urlCanonCtes]] with a caller-chosen page-key expression (the SQL
+    * twin of [[canonUrlsWith]]). */
+  private def urlCanonCtesFor(pageKeySql: String): String = s"""
       raw AS (SELECT doc_id, text,
         CASE CAST(doc_id % 4 AS INTEGER)
           WHEN 0 THEN 'https://www.' || source || '.com/' || lang ||
-            '/page' || CAST(doc_id % 20 AS VARCHAR) || '?b=2&a=1'
+            '/page' || $pageKeySql || '?b=2&a=1'
           WHEN 1 THEN 'HTTPS://WWW.' || upper(source) || '.COM:443/' || lang ||
-            '/page' || CAST(doc_id % 20 AS VARCHAR) || '/?a=1&b=2'
+            '/page' || $pageKeySql || '/?a=1&b=2'
           WHEN 2 THEN 'https://www.' || source || '.com/' || lang ||
-            '/page' || CAST(doc_id % 20 AS VARCHAR) || '?a=1&b=2#frag'
+            '/page' || $pageKeySql || '?a=1&b=2#frag'
           ELSE 'https://' || source || '.com/' || lang ||
-            '/page' || CAST(doc_id % 20 AS VARCHAR) || '?b=2&a=1' END AS url
+            '/page' || $pageKeySql || '?b=2&a=1' END AS url
         FROM documents),
       comp AS (SELECT doc_id, text, url,
           lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
@@ -9605,6 +9615,53 @@ object Catalog {
                    CAST(win_s // 4 AS INT))) AS frame_md5
       FROM f"""))
 
+  // ---------------------------------------------------------------- m6
+  // REAL CODEC DECODE (Multimodal.synthesizeImages/decodeImages) — the
+  // m-family's decode boundary against an ACTUAL image codec
+  // (javax.imageio, in the JVM — no new dependency), closing the gap
+  // m2's deterministic stub left open: one deterministic RGB test card
+  // per image-kind doc is ENCODED to a real PNG (a payload any external
+  // tool opens) and DECODED back through ImageIO.read inside the same
+  // mapPartitions contract, reduced to dimensions + exact per-channel
+  // pixel sums. PNG is lossless 8-bit RGB, so the decoded statistics
+  // equal the synthesis functions exactly — w=id%24+8, h=id%16+8,
+  // r=(x+id)%256, g=(3y+7id)%256, b=(2x+5id)%256, all single-axis so
+  // the oracle replays every sum in closed-form integer arithmetic
+  // with no codec of its own. Both stages are narrow map-only plans:
+  // zero shuffle, parallelism = input splits — at 100 TB the codec
+  // cost scales with executors, and nothing else moves.
+  private val m6 = Q(
+    "m6_image_decode",
+    (s, d) => graft.operators.Multimodal.decodeImages(
+      graft.operators.Multimodal.synthesizeImages(
+        Tables.documents(s, d).filter(col("doc_id") % 3 === 0))),
+    Some("""
+      WITH dims AS (
+        SELECT doc_id,
+          CAST(doc_id % 24 + 8 AS BIGINT) AS w,
+          CAST(doc_id % 16 + 8 AS BIGINT) AS h
+        FROM documents WHERE doc_id % 3 = 0),
+      sums AS (
+        SELECT doc_id, w, h,
+          h * list_aggregate(list_transform(range(0, w),
+            x -> (x + doc_id) % 256), 'sum') AS sr,
+          w * list_aggregate(list_transform(range(0, h),
+            y -> (3 * y + 7 * doc_id) % 256), 'sum') AS sg,
+          h * list_aggregate(list_transform(range(0, w),
+            x -> (2 * x + 5 * doc_id) % 256), 'sum') AS sb
+        FROM dims)
+      SELECT doc_id,
+        CAST(w AS INT) AS width,
+        CAST(h AS INT) AS height,
+        CAST(w * h AS BIGINT) AS n_pixels,
+        CAST(sr AS BIGINT) AS sum_r,
+        CAST(sg AS BIGINT) AS sum_g,
+        CAST(sb AS BIGINT) AS sum_b,
+        CAST(sr AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_r,
+        CAST(sg AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_g,
+        CAST(sb AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_b
+      FROM sums"""))
+
   // ---------------------------------------------------------------- t21
   // HTML-TO-TEXT EXTRACTION (text.htmlToText) — the step p6's crawl
   // intake presupposes but no entry exercised: raw fetched MARKUP →
@@ -10166,6 +10223,130 @@ object Catalog {
         LEFT JOIN a4 ON a4.domain = a1.domain"""))
   }
 
+  // ---------------------------------------------------------------- p8
+  // STREAMING CRAWL INTAKE (EventStream.crawlIntakeBatch — p6's LIVE
+  // composition, p7's complement: p7 refreshes a corpus in batch, p8 is
+  // the trigger-cadence intake feeding it). ONE foreachBatch body runs
+  // the whole funnel per trigger: s22's frontier fold (extended with
+  // the winning doc id) dedups against every prior trigger, the t19
+  // fold + p6's language gate pass only docs whose ENGLISH is the
+  // strict marker argmax after accent folding, t2's exact quality
+  // formula gates the folded text, and the survivors publish as a new
+  // ManifestStore version (s9's discipline — every prior version stays
+  // readable, retried trigger ids are no-ops). FIXTURE: page keys are
+  // BANDED by corpus third (each trigger crawls a new site section,
+  // so every trigger discovers fresh urls) with a doc_id%7==3 revisit
+  // slice whose keys are unbanded (so later triggers also RE-fetch
+  // seen urls and the cross-trigger dedup is exercised, not vacuous).
+  // Triggers are doc_id-range slices (the body's cut contract), so the
+  // streamed corpus equals the batch build and ONE SQL chain over the
+  // shared urlCanonCtes replays fetch→unique→fold→gate→quality→publish
+  // (the shared-oracle rule). Per-trigger MemoryStream parity runs in
+  // StreamingSpec. State is frontier-sized, publishes are
+  // trigger-sized, nothing re-reads the corpus — the 100 TB shape.
+  private val p8 = {
+    val qThresh = 0.35 // p7's above-median t2 gate
+    val nB = 16
+    Q(
+      "p8_stream_corpus",
+      (s, d) => {
+        val root = s"$scratchRoot/${dsScratch(d)}/p8"
+        val pfs = org.apache.hadoop.fs.FileSystem.get(
+          s.sparkContext.hadoopConfiguration)
+        pfs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val nDocs = Tables.documents(s, d)
+          .agg(max(col("doc_id"))).head.getLong(0) + 1
+        val band = expr(s"doc_id * 3 div $nDocs")
+        val pageKey = when(col("doc_id") % 7 === 3, col("doc_id") % 20)
+          .otherwise(band * 100 + col("doc_id") % 20).cast("string")
+        val urls = canonUrlsWith(s, d, pageKey)
+          .select(col("doc_id"), col("text"), col("curl"), col("domain"),
+            band.as("__band"))
+        val body = graft.streaming.EventStream.crawlIntakeBatch(
+          s"$root/state", s"$root/corpus", nB,
+          Dictionaries.langMarkers, QualityFixture.stops, qThresh) _
+        (0 until 3).foreach(i =>
+          body(urls.filter(col("__band") === i).drop("__band"), i.toLong))
+        val versions = graft.sources.ManifestStore.listVersions(s, s"$root/corpus")
+        require(versions == Seq("v00000", "v00001", "v00002"),
+          s"three triggers must publish three versions, got $versions")
+        val counts = versions.map(v => graft.sources.ManifestStore
+          .readVersion(s, s"$root/corpus", v,
+            graft.streaming.EventStream.crawlCorpusSchema).count())
+        require(counts.head > 0 && counts == counts.sorted &&
+          counts.distinct == counts,
+          s"every trigger must admit docs and every version stay readable: $counts")
+        val corpus = graft.sources.ManifestStore.readVersion(
+          s, s"$root/corpus", versions.last,
+          graft.streaming.EventStream.crawlCorpusSchema)
+        val state = s.read
+          .schema("curl STRING, domain STRING, first_doc_id BIGINT, n_total BIGINT")
+          .parquet(s"$root/state/seen_v3")
+        state.groupBy("domain")
+          .agg(sum(col("n_total")).as("n_fetched"),
+            count(lit(1)).as("n_unique"))
+          .join(corpus.groupBy("domain")
+            .agg(count(lit(1)).as("n_admitted"),
+              sum(col("n_tokens")).as("n_tokens")),
+            Seq("domain"), "left")
+          .select(col("domain"), col("n_fetched"), col("n_unique"),
+            coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      },
+      Some {
+        val langs = Dictionaries.langMarkers
+        val scoreDefs = langs.map { case (lang, ms) =>
+          val lst = ms.map(m => s"'$m'").mkString(", ")
+          s"len(list_filter(ws, w -> list_contains([$lst], w))) AS s_$lang"
+        }.mkString(",\n            ")
+        val mxExpr = langs.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+        val p8Key = """CAST(CASE WHEN doc_id % 7 = 3 THEN doc_id % 20
+          ELSE (doc_id * 3 // (SELECT MAX(doc_id) + 1 FROM documents)) * 100
+            + doc_id % 20 END AS VARCHAR)"""
+        s"""
+        WITH ${urlCanonCtesFor(p8Key)},
+        cd AS (SELECT doc_id, text, curl, $urlDomainSql AS domain FROM canon),
+        winners AS (SELECT curl, MIN(doc_id) AS doc_id FROM cd GROUP BY curl),
+        fetched AS (SELECT cd.* FROM cd JOIN winners w ON cd.doc_id = w.doc_id),
+        inj AS (SELECT doc_id, curl, domain,
+            CASE CAST(doc_id % 3 AS INTEGER)
+              WHEN 0 THEN translate(text, 'aeouc', 'áéöüç')
+              WHEN 1 THEN upper(text) ELSE text END AS ti
+          FROM fetched),
+        fw AS (SELECT doc_id, domain,
+            ${normSql("nfc_normalize(strip_accents(lower(ti)))")} AS tf
+          FROM inj),
+        w2 AS (SELECT doc_id, domain, tf, string_split(tf, ' ') AS ws FROM fw),
+        sc AS (SELECT doc_id, domain, tf, ws, $scoreDefs FROM w2),
+        gated AS (SELECT doc_id, domain, tf, ws FROM sc
+          WHERE s_en > 0 AND s_en = $mxExpr),
+        q AS (SELECT doc_id, domain, CAST(len(ws) AS BIGINT) AS n_tokens,
+            least(CAST(len(tf) AS DOUBLE) / 500.0, 1.0) * 0.35 +
+            (CASE WHEN len(ws) = 0 THEN 0.0
+                  ELSE CAST(len(list_distinct(ws)) AS DOUBLE) /
+                       CAST(len(ws) AS DOUBLE) END) * 0.25 +
+            (1.0 - CAST(len(tf) - len(regexp_replace(tf, '[a-z0-9 ]', '', 'g'))
+                     AS DOUBLE) / CAST(len(tf) AS DOUBLE)) * 0.25 +
+            (CASE WHEN len(ws) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(ws,
+                         w -> list_contains([${QualityFixture.stopsSql}], w)))
+                         AS DOUBLE) / CAST(len(ws) AS DOUBLE) END) * 0.15
+              AS quality
+          FROM gated),
+        kept AS (SELECT domain, n_tokens FROM q WHERE quality >= $qThresh),
+        f1 AS (SELECT domain, COUNT(*) AS n_fetched,
+                 COUNT(DISTINCT curl) AS n_unique FROM cd GROUP BY 1),
+        a2 AS (SELECT domain, COUNT(*) AS n_admitted,
+                 SUM(n_tokens) AS n_tokens FROM kept GROUP BY 1)
+        SELECT f1.domain,
+          CAST(f1.n_fetched AS BIGINT) AS n_fetched,
+          CAST(f1.n_unique AS BIGINT) AS n_unique,
+          CAST(COALESCE(a2.n_admitted, 0) AS BIGINT) AS n_admitted,
+          CAST(COALESCE(a2.n_tokens, 0) AS BIGINT) AS n_tokens
+        FROM f1 LEFT JOIN a2 ON a2.domain = f1.domain"""
+      })
+  }
+
   // ---------------------------------------------------------------- j7
   // NEAREST-EVENT JOIN (Temporal.nearestEventJoin) — the bidirectional
   // completion of j1: as-of only looks BACK, but sensor alignment,
@@ -10227,8 +10408,8 @@ object Catalog {
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16,
     t17, t18, t19, t20, t21,
     c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13,
-    m1, m2, m3, m4, m5, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
-    p1, p2, p3, p4, p5, p6, p7,
+    m1, m2, m3, m4, m5, m6, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
+    p1, p2, p3, p4, p5, p6, p7, p8,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
     w17, w18, w19, w20, w21, w22, w23, w24, w25, w26, w27, w28,
     g1, g2, g3, g4, g5, g6, g7, g8, g9, g10, g11, g12)

@@ -727,6 +727,135 @@ object EventStream {
   }
 
   /**
+   * foreachBatch body of the STREAMING CRAWL INTAKE (catalog p8 — the
+   * LIVE composition of p6's batch corpus build, the intake seam the
+   * round-12/13 verdicts asked for): one trigger carries a fetched
+   * slice of (doc_id, text, curl, domain) through the WHOLE pipeline
+   * in one body —
+   *
+   *   1. FRONTIER FOLD (s22's state, extended with the winning doc):
+   *      the slice's per-curl winner (min doc_id) is diffed against the
+   *      overwrite-versioned seen set; only NEW canonical urls proceed,
+   *      already-seen ones just accumulate n_total. State is
+   *      frontier-sized: (curl, domain, first_doc_id, n_total).
+   *   2. t19 FOLD + LANGUAGE GATE (p6's exact stages): the fixture
+   *      injection by doc_id%3, unicode fold, marker scoring, keep iff
+   *      English is the strict argmax with at least one hit.
+   *   3. QUALITY GATE (t2's exact formula over the FOLDED normalized
+   *      text): 0.35·len + 0.25·distinct + 0.25·(1−punct) +
+   *      0.15·stopword ≥ minQuality.
+   *   4. MANIFEST PUBLISH (s9's discipline): the trigger's kept docs
+   *      land as version v{batchId} of a bucketed ManifestStore —
+   *      every prior version stays readable, a replayed trigger id is
+   *      a committed-retry no-op, and the delta publish touches only
+   *      the buckets the trigger's docs hash into.
+   *
+   * CUT CONTRACT: triggers must be doc_id-RANGE slices in arrival
+   * order (the s23 day-alignment discipline, here on the crawl's
+   * fetch order) so the first trigger carrying a curl also carries its
+   * global-min doc_id — then the streamed corpus equals the batch
+   * build doc for doc and p6-style SQL replays it (the shared-oracle
+   * rule). State and publish costs are per-trigger-sized; nothing ever
+   * re-reads the corpus.
+   */
+  def crawlIntakeBatch(statePath: String, corpusRoot: String, nBuckets: Int,
+      markers: Seq[(String, Seq[String])], stops: Seq[String],
+      minQuality: Double)(batch: DataFrame, batchId: Long): Unit = {
+    import graft.functions.{text => T}
+    import graft.sources.ManifestStore
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    graft.plans.VectorExpressions.ensureRegistered(spark) // unicodeFold
+
+    // 1. frontier fold + new-winner selection
+    val ranked = batch.withColumn("__rn",
+      row_number().over(Window.partitionBy(col("curl")).orderBy(col("doc_id"))))
+    val winners = ranked.filter(col("__rn") === 1).drop("__rn")
+    val part = batch.groupBy("curl", "domain").agg(count(lit(1)).as("n_total"))
+    val stateSchema =
+      "curl STRING, domain STRING, first_doc_id BIGINT, n_total BIGINT"
+    val prev =
+      if (batchId == 0) None
+      else Some(spark.read.schema(stateSchema).parquet(s"$statePath/seen_v$batchId"))
+    val fresh = prev match {
+      case None => winners
+      case Some(seen) =>
+        winners.join(seen.select(col("curl")), Seq("curl"), "left_anti")
+    }
+    // s22's min/sum fold, extended with the winning doc id: the slice
+    // contributes (curl, domain, slice-winner doc_id, slice count); the
+    // min over first_doc_id keeps the original winner for re-fetched
+    // curls (range-cut triggers make later sightings strictly larger),
+    // the sum accumulates total occurrences — both associative.
+    val slicePart = part.join(
+      winners.select(col("curl"), col("doc_id").as("first_doc_id")), Seq("curl"))
+      .select(col("curl"), col("domain"), col("first_doc_id"), col("n_total"))
+    val merged = prev match {
+      case None => slicePart
+      case Some(seen) => seen.unionByName(slicePart)
+        .groupBy("curl", "domain")
+        .agg(min(col("first_doc_id")).as("first_doc_id"),
+          sum(col("n_total")).as("n_total"))
+    }
+    merged.write.mode("overwrite").parquet(s"$statePath/seen_v${batchId + 1}")
+
+    // 2. p6's fixture injection + t19 fold + language gate
+    val injected = when(col("doc_id") % 3 === 0,
+        translate(col("text"), "aeouc", "áéöüç"))
+      .when(col("doc_id") % 3 === 1, upper(col("text")))
+      .otherwise(col("text"))
+    val tf = T.normKey(T.unicodeFold(injected))
+    val scoredBase = fresh.select(col("doc_id"), col("curl"), col("domain"),
+      tf.as("tf"), split(tf, " ").as("ws"))
+    val hitCols = markers.map { case (l, ms) =>
+      size(filter(col("ws"), w => w.isin(ms.map(lit): _*))).as(s"s_$l")
+    }
+    val scored = scoredBase.select(
+      (Seq(col("doc_id"), col("curl"), col("domain"), col("tf"), col("ws")) ++
+        hitCols): _*)
+    val gated = scored.filter(col("s_en") > 0 &&
+      col("s_en") === greatest(markers.map { case (l, _) => col(s"s_$l") }: _*))
+
+    // 3. t2's quality formula over the folded text
+    val lenScore = least(length(col("tf")).cast("double") / 500.0, lit(1.0))
+    val punctRatio = (length(col("tf")) -
+      length(regexp_replace(col("tf"), "[a-z0-9 ]", "")))
+      .cast("double") / length(col("tf")).cast("double")
+    val quality = lenScore * 0.35 + T.distinctRatio(col("ws")) * 0.25 +
+      (lit(1.0) - punctRatio) * 0.25 + T.stopwordRatio(col("ws"), stops) * 0.15
+    val kept = gated
+      .withColumn("quality", quality)
+      .filter(col("quality") >= minQuality)
+      .select(col("doc_id"), col("curl"), col("domain"),
+        size(col("ws")).cast("long").as("n_tokens"), col("quality"))
+
+    // 4. manifest publish (s9's retry-skip + delta discipline); kept doc
+    // ids never repeat across triggers (each curl publishes once), so
+    // the EXCLUDED-wins merge degenerates to a disjoint union per bucket
+    val delta = kept
+      .withColumn("first_seen", lit(batchId))
+      .withColumn("last_seen", lit(batchId))
+      .withColumn("bucket", floor(graft.operators.Curate.hashFraction(
+        concat(col("doc_id").cast("string"), lit("|p8b"))) * nBuckets).cast("long"))
+      .select("doc_id", "first_seen", "last_seen", "curl", "domain",
+        "n_tokens", "quality", "bucket")
+    val version = f"v$batchId%05d"
+    val versions = ManifestStore.listVersions(spark, corpusRoot)
+    if (versions.contains(version)) () // committed by a prior attempt
+    else if (versions.isEmpty)
+      ManifestStore.publishInitial(spark, delta, corpusRoot, version, "bucket")
+    else
+      ManifestStore.publishDelta(spark, delta, corpusRoot, versions.last,
+        version, "bucket", "doc_id",
+        Seq("curl", "domain", "n_tokens", "quality"), crawlCorpusSchema)
+  }
+
+  /** p8's published-corpus schema (the ManifestStore read contract). */
+  val crawlCorpusSchema: String =
+    "doc_id BIGINT, first_seen BIGINT, last_seen BIGINT, curl STRING, " +
+      "domain STRING, n_tokens BIGINT, quality DOUBLE, bucket BIGINT"
+
+  /**
    * foreachBatch body of STREAMING GROWTH ACCOUNTING (catalog s23 —
    * a16's live twin): triggers are DAY-ALIGNED slices (the s5 cut
    * discipline: every calendar day lands wholly inside one trigger),

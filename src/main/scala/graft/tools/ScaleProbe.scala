@@ -239,7 +239,15 @@ object ScaleProbe {
     // flat by construction — cost must track the scan); r9 is the
     // single-row-exchange ideal and must stay scan-bound
     "a17_cohort_ltv", "d8_bitemporal_dim", "t21_html_extract",
-    "p7_corpus_refresh", "s24_stream_correlation", "r9_correlation")
+    "p7_corpus_refresh", "s24_stream_correlation", "r9_correlation",
+    // round-14: m6 encodes+decodes ×8 test cards through the real PNG
+    // codec — pure map-only, so cost must track the doc count and
+    // nothing else (the salt shifts ids, so dims/pixel sums change per
+    // copy but stay closed-form); p8 rides the ×8 corpus through all
+    // four stages per trigger — the frontier absorbs the ×8 url
+    // occurrences (s22's axis) before the fold/gate/publish stages,
+    // and the per-trigger publish is kept-doc-sized
+    "m6_image_decode", "p8_stream_corpus")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

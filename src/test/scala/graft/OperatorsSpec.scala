@@ -1696,6 +1696,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bad.head.isNullAt(0), "numberless text must yield null bounds")
   }
 
+  test("image codec roundtrip: real PNG encode/decode matches the closed-form pixel sums") {
+    import graft.operators.Multimodal
+    val ids = Seq(0L, 3L, 27L, 96L)
+    val docs = ids.toDF("doc_id")
+    val got = Multimodal.decodeImages(Multimodal.synthesizeImages(docs))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    ids.foreach { id =>
+      val (w, h) = Multimodal.testCardDims(id)
+      val sr = (0 until w).map(x => (x + id) % 256).sum * h
+      val sg = (0 until h).map(y => (3L * y + 7L * id) % 256).sum * w
+      val sb = (0 until w).map(x => (2L * x + 5L * id) % 256).sum * h
+      assert(got(id) == ((w, h, w.toLong * h, sr, sg, sb)),
+        s"decoded stats of doc $id must equal the synthesis functions")
+    }
+    // the payload is a REAL PNG any external reader opens
+    val payload = Multimodal.synthesizeImages(Seq(3L).toDF("doc_id"))
+      .collect().head.getAs[Array[Byte]](1)
+    assert(payload.take(8).map(_ & 0xff).toSeq ==
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a), "PNG magic")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    assert(img != null && img.getWidth == 11 && img.getHeight == 11)
+    // a non-image payload must fail LOUDLY, not flow downstream as zeros
+    val junk = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeImages(junk).collect()
+    }
+    assert(err.getMessage.contains("not a decodable image") ||
+      Option(err.getCause).exists(_.getMessage.contains("not a decodable image")))
+  }
+
   test("audioFrames: window arithmetic matches a plain-Scala replay; sub-window clips drop") {
     import graft.operators.Multimodal
     // doc 1: audio (1%3==1), 8000*2=16kHz; text length 100 -> 400 samples;

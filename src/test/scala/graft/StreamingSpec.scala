@@ -1073,6 +1073,72 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming crawl intake: frontier dedup, gates, and versioned publish per trigger") {
+    implicit val ctx = spark.sqlContext
+    val markers = Seq("en" -> Seq("the", "and"), "de" -> Seq("der", "und"))
+    val stops = Seq("the", "and", "on")
+    // the t2 formula's (1-punct) term measures the NON-alnum share, so
+    // clean short texts score ~0.3 (enGood 0.2968, enJunk 0.2436): the
+    // gate threshold sits between them
+    val minQ = 0.27
+    val enGood = "the quick brown fox jumps over the lazy dog and the cat"
+    val enJunk = "zzzz !!!! zzzz !!!!" // quality 0.2436 < 0.27: gate must drop
+    val deText = "der hund und der mann gehen" // en markers 0: gate must drop
+    // (doc_id, text, curl, domain); url A is RE-fetched in trigger 1 —
+    // the frontier must drop the refetch and keep accumulating n_total
+    val triggers = Seq(
+      Seq((1L, enGood, "https://a.com/1", "a.com"),
+        (2L, enJunk, "https://a.com/2", "a.com")),
+      Seq((3L, enGood, "https://a.com/1", "a.com"), // seen curl: dropped
+        (4L, enGood, "https://b.com/4", "b.com")),
+      Seq((5L, deText, "https://b.com/5", "b.com"), // non-en: dropped
+        (6L, enGood, "https://c.com/6", "c.com")))
+    val dir = java.nio.file.Files.createTempDirectory("p8spec").toString
+    val streamRoot = s"$dir/stream"
+    val batchRoot = s"$dir/batch"
+    def bodyFor(root: String) = EventStream.crawlIntakeBatch(
+      s"$root/state", s"$root/corpus", 4, markers, stops, minQ) _
+    val input = MemoryStream[(Long, String, String, String)]
+    var trig = -1
+    val query = input.toDF().toDF("doc_id", "text", "curl", "domain")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        trig += 1
+        bodyFor(streamRoot)(batch, trig.toLong)
+        ()
+      }
+      .start()
+    try {
+      import graft.sources.ManifestStore
+      def corpusAt(root: String, v: String) = ManifestStore
+        .readVersion(spark, s"$root/corpus", v, EventStream.crawlCorpusSchema)
+        .collect().map(r => (r.getLong(0), r.getString(3), r.getLong(5))).toSet
+      triggers.zipWithIndex.foreach { case (t, i) =>
+        input.addData(t: _*)
+        query.processAllAvailable()
+        // PER-TRIGGER parity: the same slices applied as plain batches
+        // must land on byte-identical versions (the shared-body rule)
+        bodyFor(batchRoot)(t.toDF("doc_id", "text", "curl", "domain"), i.toLong)
+        val v = f"v$i%05d"
+        assert(corpusAt(streamRoot, v) == corpusAt(batchRoot, v),
+          s"trigger $i: streamed publish must equal the batch-slice publish")
+      }
+      // only the en-good NEW urls survive: 1 (t0), 4 (t1), 6 (t2);
+      // every earlier version stays readable with its own row count
+      assert(corpusAt(streamRoot, "v00000").map(_._1) == Set(1L))
+      assert(corpusAt(streamRoot, "v00001").map(_._1) == Set(1L, 4L))
+      assert(corpusAt(streamRoot, "v00002").map(_._1) == Set(1L, 4L, 6L))
+      // frontier: A seen twice (docs 1+3), first winner doc 1 sticks
+      val state = spark.read
+        .schema("curl STRING, domain STRING, first_doc_id BIGINT, n_total BIGINT")
+        .parquet(s"$streamRoot/state/seen_v3")
+        .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+      assert(state("https://a.com/1") == ((1L, 2L)),
+        "refetched url must keep its first winner and accumulate n_total")
+      assert(state.keySet.size == 5)
+    } finally query.stop()
+  }
+
   test("streaming growth accounting: day-sliced fold == batch ledger; frontier crosses triggers") {
     import graft.operators.Temporal
     implicit val ctx = spark.sqlContext
