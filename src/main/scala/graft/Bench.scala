@@ -61,26 +61,21 @@ object Bench {
       // are left at their defaults.
       .config("spark.sql.files.openCostInBytes", "16384")
       .config("spark.sql.files.minPartitionNum", cpus)
-      // long-lived-driver hygiene (the cure for the documented late-suite
-      // wobble): clean each SQL execution's shuffle files at execution
-      // end instead of waiting for GC-driven ContextCleaner passes — a
-      // 197-query JVM otherwise accumulates every query's shuffle files
-      // until the reference queue drains, and the deferred deletion I/O
-      // plus dirty-page pressure lands inside LATER queries' timers
-      // (g11 measured 17.3 s in-suite vs 6.6 s in a fresh session on an
-      // identical plan). Same flag a production long-lived driver sets
-      // for iterative workloads. Shuffle reuse only ever spans ONE
-      // execution, so eager cleanup cannot change any result.
-      // The key must be the CLASSIC one: since Spark 4.1 the unprefixed
-      // spelling set here in round 13 is only a deprecated alias of the
-      // CONNECT config, and classic sessions read
-      // spark.sql.classic.shuffleDependency.fileCleanup.enabled
-      // (QueryExecution.determineShuffleCleanupMode reads
-      // CLASSIC_SHUFFLE_DEPENDENCY_FILE_CLEANUP_ENABLED) — so round 13's
-      // flag was inert in this session and the wobble relief it measured
-      // came from the explicit unpersist+gc reaping in runOnce. Setting
-      // the classic key makes the eager cleanup actually take effect.
-      .config("spark.sql.classic.shuffleDependency.fileCleanup.enabled", "true")
+      // NO eager shuffle-file cleanup — measured HARMFUL here (round 14).
+      // History: round 13 set the unprefixed fileCleanup key against the
+      // late-suite wobble, but since Spark 4.1 that spelling is only the
+      // deprecated alias of the CONNECT config; classic sessions read
+      // spark.sql.classic.shuffleDependency.fileCleanup.enabled, so the
+      // flag was INERT and the ±8 s stability measured that round came
+      // from the explicit unpersist+gc reaper in runOnce below. Round 14
+      // set the classic key for real and the iteration-class entries
+      // blew up 3-8x (c9 7->57.7 s, g10 6.5->18.6, g1/g4/l16 all
+      // elevated; BENCH_NOTES has the capture): those operators run many
+      // actions over the SAME DataFrames per query, and Spark reuses the
+      // earlier actions' map outputs via MapOutputTracker — eager
+      // per-execution deletion throws that reuse away and every round
+      // recomputes its predecessors' shuffles. The reaper in runOnce
+      // (outside the timers) remains the wobble cure; the flag stays OFF.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

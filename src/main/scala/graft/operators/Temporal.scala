@@ -81,6 +81,34 @@ object Temporal {
   }
 
   /**
+   * As-of LOOKUP against a SMALL reference dimension (FX rates, tax
+   * tables, fee schedules — timelines keyed by a LOW-cardinality key):
+   * the complement of [[asofJoin]], which interleaves facts and state
+   * in one per-key window and is the right shape when the state table
+   * scales with the facts. Here the whole dimension fits one executor,
+   * so a per-key window over the FACTS would funnel everything through
+   * |keys| tasks — a skew bottleneck no pushdown fixes. Instead the
+   * dimension's per-key timeline folds to validity RANGES via lead()
+   * (a window over the DIM only — coordinator-scale rows), and facts
+   * pick their row through ONE broadcast hash join on the key with a
+   * residual range predicate: map-only on the fact side, zero fact
+   * shuffles at any scale. Facts before the key's first dim row get
+   * nulls (left join), same as asofJoin's no-state-yet contract.
+   */
+  def asofLookup(facts: DataFrame, dim: DataFrame, key: String,
+      factTs: String, dimTs: String, payload: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(dimTs))
+    val ranged = dim.withColumn("_valid_to", lead(col(dimTs), 1).over(w))
+    facts.join(broadcast(ranged),
+      facts(key) === ranged(key) &&
+        facts(factTs) >= ranged(dimTs) &&
+        (ranged("_valid_to").isNull || facts(factTs) < ranged("_valid_to")),
+      "left_outer")
+      .select(facts.columns.toSeq.map(facts(_)) ++
+        payload.map(c => ranged(c).as(s"asof_$c")): _*)
+  }
+
+  /**
    * NEAREST-event join — the bidirectional completion of [[asofJoin]]:
    * each `leftType` row pairs with the temporally NEAREST `rightType`
    * row of the same key, in EITHER direction (as-of only looks back;
@@ -205,17 +233,36 @@ object Temporal {
    */
   def sessionize(events: DataFrame, keyCol: String, tsCol: String,
       gap: String, valueCol: String): DataFrame =
+    sessionizeRaw(events, keyCol, tsCol, gap, valueCol)
+      .select(
+        col(keyCol),
+        col("session_start"),
+        (col("last_ts") + expr(s"INTERVAL '$gap'")).as("session_end"),
+        col("n_events"),
+        col("v").cast("double").as("total_value"))
+
+  /** [[sessionize]]'s MERGEABLE core (shared with the s25 streaming
+    * fold — the twins-share-builders rule): one session_window
+    * aggregate per (key, session), keeping the LAST EVENT TS
+    * (session_end = last_ts + gap is session_window's own rule, so
+    * nothing is lost) and the value sum as the EXACT decimal — the
+    * carryable form a cross-trigger fold needs. The double cast
+    * happens once at serve time, so a boundary-spanning session lands
+    * on the batch answer bitwise. */
+  def sessionizeRaw(events: DataFrame, keyCol: String, tsCol: String,
+      gap: String, valueCol: String): DataFrame =
     events
       .groupBy(col(keyCol), session_window(col(tsCol), gap).as("sw"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col(valueCol).cast("decimal(18,6)")).cast("double").as("total_value"))
+        sum(col(valueCol).cast("decimal(18,6)")).as("v"),
+        max(col(tsCol)).as("last_ts"))
       .select(
         col(keyCol),
         col("sw.start").as("session_start"),
-        col("sw.end").as("session_end"),
+        col("last_ts"),
         col("n_events"),
-        col("total_value"))
+        col("v"))
 
   /**
    * ORDERED-STEP FUNNEL — the product-analytics staple (Amplitude/

@@ -6649,15 +6649,9 @@ object Catalog {
   // flag + running sum), proving session_window's merge rule (merge iff
   // gap <= 30 min — the EXACT-gap event still merges, asserted in
   // TemporalSpec) against an independent formulation.
-  private val a6 = Q(
-    "a6_sessionize",
-    (s, d) => Temporal.sessionize(
-        Tables.events(s, d), "user_id", "ts", "30 minutes", "value")
-      .withColumn("session_start",
-        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
-      .withColumn("session_end",
-        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS")),
-    Some(s"""
+  /** a6/s25's shared oracle (the shared-oracle twin rule): the islands
+    * encoding of 30-minute gap sessionization. */
+  private val sessionOracleSql: String = s"""
       WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
       f AS (
         SELECT *, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
@@ -6673,7 +6667,60 @@ object Catalog {
         strftime(MAX(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S.%f') AS session_end,
         COUNT(*) AS n_events,
         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-      FROM g GROUP BY user_id, sess"""))
+      FROM g GROUP BY user_id, sess"""
+
+  private val a6 = Q(
+    "a6_sessionize",
+    (s, d) => Temporal.sessionize(
+        Tables.events(s, d), "user_id", "ts", "30 minutes", "value")
+      .withColumn("session_start",
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      .withColumn("session_end",
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS")),
+    Some(sessionOracleSql))
+
+  // ---------------------------------------------------------------- s25
+  // STREAMING SESSIONIZATION (EventStream.sessionFoldBatch — a6's live
+  // twin, the last batch-aggregate family without a streaming form: a
+  // session is not a keyed sum, its BOUNDARY moves, so the fold carries
+  // each user's one OPEN session in sessionizeRaw's mergeable shape and
+  // applies session_window's own merge-on-touch rule at each trigger
+  // boundary). Three ts-range trigger slices (the s5 cuts; a watermark
+  // fence THROWS on out-of-order slices); closed sessions land in
+  // per-trigger ledger files, open ones ride forward; serve = ledger ∪
+  // open with ONE double cast, so boundary-spanning sessions land on
+  // the batch answer bitwise — a6's oracle gates the fold unchanged.
+  // State is ≤ one row per user; each trigger costs its slice plus a
+  // state-sized join. Per-trigger MemoryStream parity in StreamingSpec.
+  private val s25 = Q(
+    "s25_stream_session",
+    (s, d) => {
+      val statePath = s"$scratchRoot/${dsScratch(d)}/session_state"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(statePath), true)
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"), col("value"))
+      val body = graft.streaming.EventStream.sessionFoldBatch(statePath, 30) _
+      Seq(
+        ev.filter(col("ts") < lit(S5Cuts(0))),
+        ev.filter(col("ts") >= lit(S5Cuts(0)) && col("ts") < lit(S5Cuts(1))),
+        ev.filter(col("ts") >= lit(S5Cuts(1))))
+        .zipWithIndex.foreach { case (b, i) => body(b, i.toLong) }
+      val sch = graft.streaming.EventStream.sessionStateSchema
+      val ledger = (0 until 3)
+        .map(i => s.read.schema(sch).parquet(s"$statePath/ledger_b$i"))
+        .reduce(_ unionAll _)
+      val open = s.read.schema(sch).parquet(s"$statePath/state_v3")
+      ledger.unionAll(open).select(
+        col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_start"),
+        date_format(col("last_ts") + expr("INTERVAL 30 MINUTES"),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+        col("n_events"),
+        col("v").cast("double").as("total_value"))
+    },
+    Some(sessionOracleSql))
 
   // ---------------------------------------------------------------- t7
   // Corpus vocabulary build (term + document frequency, deterministic
@@ -9662,6 +9709,56 @@ object Catalog {
         CAST(sb AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_b
       FROM sums"""))
 
+  // ---------------------------------------------------------------- m7
+  // KEYFRAME SELECTION (content-change sampling over m3's frame
+  // stream) — the step between m3's blind every-k-th sampling and any
+  // per-frame model cost: a static scene re-encodes the same content
+  // frame after frame, so the pipeline keeps a frame only when its
+  // content CHANGES (hash != previous frame's hash; frame 0 always
+  // kept) — the scene-cut detector every video curation pipeline runs
+  // before captioning/embedding. Video docs get a deterministic
+  // static-scene prefix (the doc's first 64-char frame repeated
+  // id%4+2 times) so the drop path is exercised at every SF (a
+  // require proves frames were actually dropped). Plan: m3's narrow
+  // explode + ONE per-doc lag window (high-cardinality partition key —
+  // doc count, not a global window); the oracle replays frames + lag.
+  private val m7 = Q(
+    "m7_keyframe_select",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val vids = Tables.documents(s, d).filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id"),
+          concat(expr("repeat(substring(text, 1, 64), CAST(doc_id % 4 + 2 AS INT))"),
+            col("text")).as("text"))
+      val frames = graft.operators.Multimodal
+        .sampleFrames(vids, frameChars = 64, everyK = 1)
+      val kept = frames
+        .withColumn("__prev", lag(col("frame_md5"), 1).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))))
+        .filter(col("__prev").isNull || col("frame_md5") =!= col("__prev"))
+        .select(col("doc_id"), col("frame_idx"), col("frame_md5"))
+      val stats = frames.agg(count(lit(1))).head.getLong(0)
+      val nKept = kept.count()
+      require(nKept < stats,
+        s"the static-scene fixture must drop frames: kept $nKept of $stats")
+      kept
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+          repeat(substr(text, 1, 64), CAST(doc_id % 4 + 2 AS INT)) || text AS text
+        FROM documents WHERE doc_id % 3 = 2),
+      d2 AS (SELECT doc_id, text, CAST(ceil(len(text) / 64.0) AS BIGINT) AS nf
+             FROM d WHERE len(text) > 0),
+      f AS (SELECT doc_id, unnest(range(0, nf, 1)) AS frame_idx, text FROM d2),
+      h AS (SELECT doc_id, frame_idx,
+              md5(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_md5
+            FROM f),
+      k AS (SELECT *, lag(frame_md5) OVER (PARTITION BY doc_id
+              ORDER BY frame_idx) AS prev FROM h)
+      SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, frame_md5
+      FROM k WHERE prev IS NULL OR frame_md5 <> prev"""))
+
   // ---------------------------------------------------------------- t21
   // HTML-TO-TEXT EXTRACTION (text.htmlToText) — the step p6's crawl
   // intake presupposes but no entry exercised: raw fetched MARKUP →
@@ -9754,39 +9851,55 @@ object Catalog {
   // word code, euro-k with an en-dash, hourly, and monthly-pounds — and
   // the oracle replays both the synthesis and every parse step. One
   // codegen'd projection, zero shuffle.
+  /** e7/e8's shared synthesis + parse: every order gets a salary text
+    * in one of five spellings, parsed to (currency, period, exact
+    * BIGINT annualized bounds). Extra columns in `keep` ride along. */
+  private def salaryParsed(s: SparkSession, d: String,
+      keep: Seq[String] = Nil): DataFrame = {
+    val k = col("o_orderkey")
+    val lo = (k % 120 + 30).cast("long")
+    val hi = (lo + 5 + k % 20).cast("long")
+    val st = when(k % 5 === 0,
+        concat(lit("$"), lo.cast("string"), lit(",000 - $"),
+          hi.cast("string"), lit(",000 per year")))
+      .when(k % 5 === 1,
+        concat(lo.cast("string"), lit("k - "), hi.cast("string"),
+          lit("k USD / year")))
+      .when(k % 5 === 2,
+        concat(lit("€"), lo.cast("string"), lit("k – €"),
+          hi.cast("string"), lit("k / year")))
+      .when(k % 5 === 3,
+        concat(lit("$"), lo.cast("string"), lit(" - $"),
+          hi.cast("string"), lit(" per hour")))
+      .otherwise(
+        concat(lit("£"), (lo * 100).cast("string"), lit(" - £"),
+          (hi * 100).cast("string"), lit(" per month")))
+    val b = Enrich.compBounds(col("salary_text"))
+    val f = Enrich.compAnnualFactor(col("salary_text"))
+    Tables.orders(s, d)
+      .select((Seq(k.as("o_orderkey"), st.as("salary_text")) ++
+        keep.map(col)): _*)
+      .select((Seq(col("o_orderkey"), col("salary_text"),
+        Enrich.compCurrency(col("salary_text")).as("currency"),
+        Enrich.compPeriod(col("salary_text")).as("period"),
+        (element_at(b, 1) * f).as("min_annual"),
+        (element_at(b, 2) * f).as("max_annual")) ++ keep.map(col)): _*)
+  }
+
   private val e7 = Q(
     "e7_salary_parse",
-    (s, d) => {
-      val k = col("o_orderkey")
-      val lo = (k % 120 + 30).cast("long")
-      val hi = (lo + 5 + k % 20).cast("long")
-      val st = when(k % 5 === 0,
-          concat(lit("$"), lo.cast("string"), lit(",000 - $"),
-            hi.cast("string"), lit(",000 per year")))
-        .when(k % 5 === 1,
-          concat(lo.cast("string"), lit("k - "), hi.cast("string"),
-            lit("k USD / year")))
-        .when(k % 5 === 2,
-          concat(lit("€"), lo.cast("string"), lit("k – €"),
-            hi.cast("string"), lit("k / year")))
-        .when(k % 5 === 3,
-          concat(lit("$"), lo.cast("string"), lit(" - $"),
-            hi.cast("string"), lit(" per hour")))
-        .otherwise(
-          concat(lit("£"), (lo * 100).cast("string"), lit(" - £"),
-            (hi * 100).cast("string"), lit(" per month")))
-      val b = Enrich.compBounds(col("salary_text"))
-      val f = Enrich.compAnnualFactor(col("salary_text"))
-      Tables.orders(s, d)
-        .select(k.as("o_orderkey"), st.as("salary_text"))
-        .select(col("o_orderkey"), col("salary_text"),
-          Enrich.compCurrency(col("salary_text")).as("currency"),
-          Enrich.compPeriod(col("salary_text")).as("period"),
-          (element_at(b, 1) * f).as("min_annual"),
-          (element_at(b, 2) * f).as("max_annual"))
-    },
-    Some("""
-      WITH t AS (
+    (s, d) => salaryParsed(s, d),
+    Some(s"""
+      WITH $salaryParseCtes
+      SELECT o_orderkey, salary_text, currency, period, min_annual, max_annual
+      FROM sal"""))
+
+  /** e7/e8's shared oracle chain: synthesis + every parse step, ending
+    * in `sal` (o_orderkey, salary_text, currency, period, min_annual,
+    * max_annual) — one chain, never inlined twice (the urlCanonCtes
+    * rule). Lazy: defined after its first user in source order. */
+  private lazy val salaryParseCtes: String = """
+      t AS (
         SELECT o_orderkey,
           CAST(o_orderkey % 120 + 30 AS BIGINT) AS lo,
           CAST(o_orderkey % 120 + 30 + 5 + o_orderkey % 20 AS BIGINT) AS hi
@@ -9823,15 +9936,89 @@ object Catalog {
           ns[1] AS lr, ns[CASE WHEN len(ns) >= 2 THEN 2 ELSE 1 END] AS hr,
           CAST(CASE period WHEN 'hour' THEN 2080 WHEN 'month' THEN 12
                ELSE 1 END AS BIGINT) AS f
-        FROM p)
-      SELECT o_orderkey, salary_text, currency, period,
-        CAST(CASE WHEN lr LIKE '%k'
-          THEN CAST(replace(replace(lr, ',', ''), 'k', '') AS BIGINT) * 1000
-          ELSE CAST(replace(lr, ',', '') AS BIGINT) END * f AS BIGINT) AS min_annual,
-        CAST(CASE WHEN hr LIKE '%k'
-          THEN CAST(replace(replace(hr, ',', ''), 'k', '') AS BIGINT) * 1000
-          ELSE CAST(replace(hr, ',', '') AS BIGINT) END * f AS BIGINT) AS max_annual
-      FROM q"""))
+        FROM p),
+      sal AS (
+        SELECT o_orderkey, salary_text, currency, period,
+          CAST(CASE WHEN lr LIKE '%k'
+            THEN CAST(replace(replace(lr, ',', ''), 'k', '') AS BIGINT) * 1000
+            ELSE CAST(replace(lr, ',', '') AS BIGINT) END * f AS BIGINT) AS min_annual,
+          CAST(CASE WHEN hr LIKE '%k'
+            THEN CAST(replace(replace(hr, ',', ''), 'k', '') AS BIGINT) * 1000
+            ELSE CAST(replace(hr, ',', '') AS BIGINT) END * f AS BIGINT) AS max_annual
+        FROM q)"""
+
+  // ---------------------------------------------------------------- e8
+  // AS-OF FX NORMALIZATION (Temporal.asofLookup — e7's downstream
+  // consumer and j1's small-dim complement): parsed salary bounds in
+  // three currencies convert to ONE comparable unit (USD cents) at the
+  // rate in force on the order date. The rate table is the classic
+  // LOW-cardinality slowly-changing dimension — 3 currencies, a row
+  // every 7th day — so the j1 union-window shape would funnel every
+  // fact through 3 window partitions; asofLookup instead folds the
+  // dim's timeline to validity ranges (a window over the DIM only) and
+  // broadcasts it: one BHJ with a residual range predicate, map-only
+  // on the fact side at any scale. Rates are closed-form integer
+  // micro-rates (USD exactly 1e6; EUR/GBP vary by epoch-day residue),
+  // conversion is exact integer arithmetic (cents·micro div 1e6), and
+  // orders before the first rate day keep NULL cents (the no-state-yet
+  // contract). Oracle: the shared salaryParseCtes chain + DuckDB's
+  // native ASOF LEFT JOIN + the same integer conversion.
+  private val e8 = Q(
+    "e8_fx_normalize",
+    (s, d) => {
+      val parsed = salaryParsed(s, d, keep = Seq("o_orderdate"))
+        .withColumn("order_day", to_date(col("o_orderdate")))
+        .drop("o_orderdate", "salary_text", "period")
+      val days = Tables.orders(s, d)
+        .select(to_date(col("o_orderdate")).as("rate_day")).distinct()
+        .withColumn("ep", datediff(col("rate_day"), lit("1970-01-01")))
+        .filter(col("ep") % 7 === 0)
+      val fx = days.select(col("rate_day"), col("ep"),
+          explode(array(lit("USD"), lit("EUR"), lit("GBP"))).as("currency"))
+        .withColumn("rate_micro",
+          when(col("currency") === "USD", lit(1000000L))
+            .when(col("currency") === "EUR",
+              lit(1050000L) + (col("ep") % 97).cast("long") * 1000L)
+            .otherwise(lit(1250000L) + (col("ep") % 83).cast("long") * 1000L))
+        .select("currency", "rate_day", "rate_micro")
+      Temporal.asofLookup(parsed, fx, "currency",
+          "order_day", "rate_day", Seq("rate_micro"))
+        .select(col("o_orderkey"), col("currency"),
+          date_format(col("order_day"), "yyyy-MM-dd").as("order_day"),
+          col("asof_rate_micro").as("rate_micro"),
+          expr("(min_annual * 100 * asof_rate_micro) div 1000000")
+            .as("min_usd_cents"),
+          expr("(max_annual * 100 * asof_rate_micro) div 1000000")
+            .as("max_usd_cents"))
+    },
+    Some(s"""
+      WITH $salaryParseCtes,
+      od AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_day
+             FROM orders),
+      sal2 AS (SELECT sal.o_orderkey, sal.currency, sal.min_annual,
+                 sal.max_annual, od.order_day
+               FROM sal JOIN od ON od.o_orderkey = sal.o_orderkey),
+      dd AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS rate_day,
+               date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS ep
+             FROM orders),
+      rd AS (SELECT rate_day, ep FROM dd WHERE ep % 7 = 0),
+      fx AS (
+        SELECT c.currency, rd.rate_day,
+          CASE c.currency WHEN 'USD' THEN 1000000
+            WHEN 'EUR' THEN 1050000 + (rd.ep % 97) * 1000
+            ELSE 1250000 + (rd.ep % 83) * 1000 END AS rate_micro
+        FROM rd, (SELECT unnest(['USD', 'EUR', 'GBP']) AS currency) c),
+      j AS (
+        SELECT s2.o_orderkey, s2.currency, s2.order_day,
+          s2.min_annual, s2.max_annual, fx.rate_micro
+        FROM sal2 s2 ASOF LEFT JOIN fx
+          ON s2.currency = fx.currency AND s2.order_day >= fx.rate_day)
+      SELECT o_orderkey, currency,
+        strftime(order_day, '%Y-%m-%d') AS order_day,
+        CAST(rate_micro AS BIGINT) AS rate_micro,
+        CAST((min_annual * 100 * rate_micro) // 1000000 AS BIGINT) AS min_usd_cents,
+        CAST((max_annual * 100 * rate_micro) // 1000000 AS BIGINT) AS max_usd_cents
+      FROM j"""))
 
   // ---------------------------------------------------------------- w28
   // ORC ROUNDTRIP WITH SCAN-TIER GATES — the third interchange format
@@ -10400,7 +10587,7 @@ object Catalog {
     a1, a2, a3, a4, a5, a6, a7, a8, a9, a10, a11, a12, a13, a14, a15, a16, a17,
     n1, n2, n3, n4, n5, n6, n7,
     d1, d2, d3, d4, d5, d6, d7, d8,
-    e1, e2, e3, e4, e5, e6, e7, j1, j2, j3, j4, j5, j6, j7,
+    e1, e2, e3, e4, e5, e6, e7, e8, j1, j2, j3, j4, j5, j6, j7,
     r1, r2, r3, r4, r5, r6, r7, r8, r9, q1, q2, q3, q4, q5, q6, q7, q8, q9,
     q10,
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
@@ -10408,7 +10595,7 @@ object Catalog {
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16,
     t17, t18, t19, t20, t21,
     c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13,
-    m1, m2, m3, m4, m5, m6, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
+    m1, m2, m3, m4, m5, m6, m7, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25,
     p1, p2, p3, p4, p5, p6, p7, p8,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
     w17, w18, w19, w20, w21, w22, w23, w24, w25, w26, w27, w28,

@@ -855,6 +855,139 @@ object EventStream {
     "doc_id BIGINT, first_seen BIGINT, last_seen BIGINT, curl STRING, " +
       "domain STRING, n_tokens BIGINT, quality DOUBLE, bucket BIGINT"
 
+  /** s25's state/ledger row shape (one open session per user).
+    * v is DECIMAL(28,6) — Spark's SUM over decimal(18,6) widens to
+    * (28,6), and the boundary-merge add is cast back down (exact at
+    * these magnitudes), so state and in-flight rows share one type. */
+  val sessionStateSchema: String =
+    "user_id BIGINT, session_start TIMESTAMP, last_ts TIMESTAMP, " +
+      "n_events BIGINT, v DECIMAL(28,6)"
+
+  /**
+   * foreachBatch body of STREAMING SESSIONIZATION (catalog s25 — a6's
+   * live twin; the one batch aggregate family that had no streaming
+   * form yet because a session is not a keyed sum: its BOUNDARY moves).
+   * Triggers are ts-RANGE slices (the s23 cut discipline, enforced by
+   * a watermark fence that THROWS on an out-of-order slice). State =
+   * each user's one OPEN session in [[Temporal.sessionizeRaw]]'s
+   * mergeable shape (start, last event ts, count, EXACT decimal sum).
+   * Per trigger: the slice sessionizes alone via the SAME
+   * sessionizeRaw the batch entry uses; then the boundary rule —
+   * a carried open session ABSORBS the user's first slice session when
+   * first.session_start <= carried.last_ts + gap (session_window's own
+   * merge-on-touch rule), else it CLOSES to the trigger's ledger file.
+   * Every slice session except the user's last also closes (a later
+   * in-slice session proves the gap elapsed); the last becomes the new
+   * open state; carried sessions of users absent from the slice ride
+   * forward untouched. Ledger files are per-trigger overwrites (the s7
+   * effectively-once discipline), state is overwrite-versioned, and
+   * the serve-time projection (end = last_ts + gap, ONE double cast)
+   * lands bitwise on the batch operator — a6's oracle gates it
+   * unchanged. State is open-sessions-sized (≤ one row per user);
+   * each trigger costs its own slice plus a state-sized join.
+   */
+  def sessionFoldBatch(statePath: String, gapMin: Int)(batch: DataFrame,
+      batchId: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    val gapExpr = expr(s"INTERVAL $gapMin MINUTES")
+    // watermark fence: ts-range cuts mean every event of this slice is
+    // at-or-after everything already folded; a violation would silently
+    // mis-close sessions, so it throws instead (the s23 fence)
+    val bounds = batch.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    if (bounds.isNullAt(0)) {
+      // empty trigger: nothing closes, but the chain must stay
+      // readable — roll an empty ledger file and carry state/wm forward
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(sessionStateSchema))
+      empty.write.mode("overwrite").parquet(s"$statePath/ledger_b$batchId")
+      val prevState =
+        if (batchId == 0) empty
+        else spark.read.schema(sessionStateSchema)
+          .parquet(s"$statePath/state_v$batchId")
+      prevState.write.mode("overwrite").parquet(s"$statePath/state_v${batchId + 1}")
+      val prevWm =
+        if (batchId == 0) java.sql.Timestamp.valueOf("1970-01-01 00:00:00")
+        else spark.read.schema("wm TIMESTAMP")
+          .parquet(s"$statePath/wm_v$batchId").head().getTimestamp(0)
+      spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(prevWm)),
+        org.apache.spark.sql.types.StructType.fromDDL("wm TIMESTAMP"))
+        .write.mode("overwrite").parquet(s"$statePath/wm_v${batchId + 1}")
+      return
+    }
+    if (batchId > 0) {
+      val wm = spark.read.schema("wm TIMESTAMP")
+        .parquet(s"$statePath/wm_v$batchId").head().getTimestamp(0)
+      require(!bounds.getTimestamp(0).before(wm),
+        s"out-of-order trigger: slice starts ${bounds.getTimestamp(0)} " +
+          s"before the folded watermark $wm — triggers must be ts-range slices")
+    }
+    val sr = graft.operators.Temporal
+      .sessionizeRaw(batch, "user_id", "ts", s"$gapMin minutes", "value")
+    val perUser = Window.partitionBy(col("user_id"))
+    val marked = sr
+      .withColumn("__idx",
+        row_number().over(perUser.orderBy(col("session_start"))))
+      .withColumn("__cnt", count(lit(1)).over(perUser))
+    val cols = Seq("user_id", "session_start", "last_ts", "n_events", "v")
+    def proj(df: DataFrame) = df.select(
+      col("user_id"), col("session_start"), col("last_ts"),
+      col("n_events").cast("long").as("n_events"),
+      col("v").cast("decimal(28,6)").as("v"))
+    val (closed, opened) =
+      if (batchId == 0)
+        (proj(marked.filter(col("__idx") < col("__cnt"))),
+          proj(marked.filter(col("__idx") === col("__cnt"))))
+      else {
+        val st = spark.read.schema(sessionStateSchema)
+          .parquet(s"$statePath/state_v$batchId")
+        val first = marked.filter(col("__idx") === 1)
+          .select(col("user_id"), col("session_start").as("f_start"),
+            col("last_ts").as("f_last"), col("n_events").as("f_n"),
+            col("v").as("f_v"), col("__cnt").as("f_cnt"))
+        val j = st.join(first, Seq("user_id"), "full_outer")
+        val hasSlice = col("f_start").isNotNull
+        val hasState = col("session_start").isNotNull
+        val merges = hasState && hasSlice &&
+          col("f_start") <= col("last_ts") + gapExpr
+        // carried sessions: close when the slice's first session opens
+        // past the gap; ride forward when the user sat this slice out
+        val carriedClosed = proj(j.filter(hasState && hasSlice && !merges))
+        val carriedForward = proj(j.filter(hasState && !hasSlice))
+        // the user's first slice session, absorbed into the carried
+        // session when the gap allows (exact decimal add, null-safe the
+        // way SUM is: a null partial contributes nothing)
+        val firstOut = j.filter(hasSlice).select(
+          col("user_id"),
+          when(merges, col("session_start")).otherwise(col("f_start"))
+            .as("session_start"),
+          col("f_last").as("last_ts"),
+          (when(merges, col("n_events")).otherwise(lit(0L)) + col("f_n"))
+            .as("n_events"),
+          when(merges,
+              when(col("v").isNull, col("f_v"))
+                .when(col("f_v").isNull, col("v"))
+                .otherwise(col("v") + col("f_v")))
+            .otherwise(col("f_v")).as("v"),
+          col("f_cnt").as("__cnt"), lit(1).as("__idx"))
+        val sliceAll = firstOut.unionByName(
+          marked.filter(col("__idx") > 1)
+            .select((cols.map(col) :+ col("__cnt") :+ col("__idx")): _*))
+        (proj(sliceAll.filter(col("__idx") < col("__cnt")))
+          .unionByName(carriedClosed),
+          proj(sliceAll.filter(col("__idx") === col("__cnt")))
+            .unionByName(carriedForward))
+      }
+    closed.write.mode("overwrite").parquet(s"$statePath/ledger_b$batchId")
+    opened.write.mode("overwrite").parquet(s"$statePath/state_v${batchId + 1}")
+    val newWm = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(bounds.getTimestamp(1))),
+      org.apache.spark.sql.types.StructType.fromDDL("wm TIMESTAMP"))
+    newWm.write.mode("overwrite").parquet(s"$statePath/wm_v${batchId + 1}")
+  }
+
   /**
    * foreachBatch body of STREAMING GROWTH ACCOUNTING (catalog s23 —
    * a16's live twin): triggers are DAY-ALIGNED slices (the s5 cut

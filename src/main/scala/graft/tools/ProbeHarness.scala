@@ -19,11 +19,9 @@ private[tools] object ProbeHarness {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.files.openCostInBytes", "16384")
       .config("spark.sql.files.minPartitionNum", cpus)
-      // eager per-execution shuffle-file cleanup — see Bench.buildSession.
-      // CLASSIC key: the unprefixed spelling is (since Spark 4.1) only a
-      // deprecated alias of the Connect config; classic sessions read
-      // spark.sql.classic.* (QueryExecution.determineShuffleCleanupMode).
-      .config("spark.sql.classic.shuffleDependency.fileCleanup.enabled", "true")
+      // NO eager shuffle-file cleanup — measured 3-8x harmful to the
+      // iteration-class entries (cross-action map-output reuse is load-
+      // bearing there); see Bench.buildSession for the full history.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -247,7 +247,14 @@ object ScaleProbe {
     // four stages per trigger — the frontier absorbs the ×8 url
     // occurrences (s22's axis) before the fold/gate/publish stages,
     // and the per-trigger publish is kept-doc-sized
-    "m6_image_decode", "p8_stream_corpus")
+    "m6_image_decode", "p8_stream_corpus",
+    // e8 is a map-only parse + a broadcast range lookup against a
+    // 3-currency dim — pure scan growth, the fact side never shuffles;
+    // s25 folds ×8 users through three ts slices (state stays ≤ one
+    // open session per user — ×8 users means ×8 state, never ×8²);
+    // m7 explodes ×8 docs into frames + a per-doc lag window
+    // (doc-cardinality partitions — linear)
+    "e8_fx_normalize", "s25_stream_session", "m7_keyframe_select")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

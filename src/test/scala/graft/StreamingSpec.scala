@@ -1073,6 +1073,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming sessionization: boundary-spanning sessions fold to the batch answer") {
+    implicit val ctx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1's first session SPANS triggers 0->1 (10:00, 10:20 | 10:40 —
+    // every hop <= 30 min) then opens a new one in trigger 2; u2 closes
+    // inside 0 and re-opens in 1; u3 first appears in 2
+    val triggers = Seq(
+      Seq((1L, t("2024-01-15 10:00:00"), 1.5), (1L, t("2024-01-15 10:20:00"), 2.0),
+        (2L, t("2024-01-15 09:00:00"), 3.0)),
+      Seq((1L, t("2024-01-15 10:40:00"), 0.5), (2L, t("2024-01-15 11:00:00"), 1.0)),
+      Seq((1L, t("2024-01-15 13:00:00"), 4.0), (3L, t("2024-01-15 13:30:00"), 2.5)))
+    val root = java.nio.file.Files.createTempDirectory("s25spec").toString + "/sess"
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    var trig = -1
+    val query = input.toDF().toDF("user_id", "ts", "value")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        trig += 1
+        EventStream.sessionFoldBatch(root, 30)(batch, trig.toLong)
+        ()
+      }
+      .start()
+    try {
+      triggers.foreach { tr => input.addData(tr: _*); query.processAllAvailable() }
+      val sch = EventStream.sessionStateSchema
+      val ledger = (0 until 3)
+        .map(i => spark.read.schema(sch).parquet(s"$root/ledger_b$i"))
+        .reduce(_ unionAll _)
+      val open = spark.read.schema(sch).parquet(s"$root/state_v3")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3), r.getDouble(4))
+      val served = ledger.unionAll(open).select(
+        col("user_id"), col("session_start"),
+        (col("last_ts") + expr("INTERVAL 30 MINUTES")).as("session_end"),
+        col("n_events"), col("v").cast("double").as("total_value"))
+        .collect().map(key).toSet
+      val batchAnswer = graft.operators.Temporal.sessionize(
+        triggers.flatten.toDF("user_id", "ts", "value"),
+        "user_id", "ts", "30 minutes", "value")
+        .collect().map(key).toSet
+      assert(served == batchAnswer,
+        s"fold must land on the batch sessionize:\nstream=$served\nbatch=$batchAnswer")
+      // the spanning session is ONE row with the exact cross-trigger sum
+      assert(served.contains((1L, t("2024-01-15 10:00:00"),
+        t("2024-01-15 11:10:00"), 3L, 4.0)))
+      // and it CLOSED in trigger 2 (when 13:00 arrived past the gap),
+      // not before — per-trigger ledger placement is part of the contract
+      val b2 = spark.read.schema(sch).parquet(s"$root/ledger_b2")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+      assert(b2.contains((1L, t("2024-01-15 10:00:00"))))
+    } finally query.stop()
+  }
+
   test("streaming crawl intake: frontier dedup, gates, and versioned publish per trigger") {
     implicit val ctx = spark.sqlContext
     val markers = Seq("en" -> Seq("the", "and"), "de" -> Seq("der", "und"))

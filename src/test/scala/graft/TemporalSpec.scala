@@ -55,6 +55,26 @@ class TemporalSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("asofLookup == asofJoin on random data, via a broadcast join (no fact window)") {
+    val rnd = new scala.util.Random(11)
+    val dim = (1 to 40).map(_ =>
+      (rnd.nextInt(3).toLong, new Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L), rnd.nextDouble()))
+      .groupBy(t => (t._1, t._2)).map(_._2.head).toSeq // unique per (key, ts)
+    val ev = (1 to 150).map(i =>
+      (i.toLong, rnd.nextInt(4).toLong, new Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L)))
+    val facts = ev.toDF("event_id", "k", "ts")
+    val d = dim.toDF("k", "ts", "v")
+    val got = Temporal.asofLookup(facts, d, "k", "ts", "ts", Seq("v"))
+    val viaWindow = Temporal.asofJoin(facts, d, Seq("k"), "ts", "ts", Seq("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(got.collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+      == viaWindow, "small-dim lookup must equal the window as-of")
+    // and the PLAN is the small-dim shape: a broadcast join, no window
+    // over the facts (the whole reason this variant exists)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected a broadcast join:\n$plan")
+  }
+
   test("asofJoin degrades deterministically on duplicate (key, ts) states") {
     // contract violation (right not unique per key+ts): the window orders
     // on _state last, so the pick is the LARGEST state struct — pinned
