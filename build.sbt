@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked output goes STRAIGHT to stdout/stderr, not through sbt's
+// logger: the driver parses the bench summary JSON out of the run's
+// tail, and the logger's "[info] " prefix is exactly why every
+// BENCH_r*.json through r14 has parsed:null — the line was there but
+// never started with '{'.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -87,8 +87,26 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // ambient load BEFORE the bench contributes anything: anything past a
     // couple of cores means another job is on the host.
-    val loadBefore = load1m
     val loadLimit = math.max(2.0, cpus.toInt / 8.0)
+    // DEFER-AND-RETRY (round-14 verdict item 7): two consecutive rounds
+    // lost their clean OFFICIAL series to a host that was busy at start
+    // but idle soon after (r11: load 4.69 at start, idle at end). So
+    // before trading precision for a degraded artifact, WAIT for the
+    // competing job to drain: poll /proc/loadavg every 15 s for up to
+    // SPARK_GRAFT_WAIT_SECS (default 300 — the 1-minute loadavg decays
+    // with a ~60 s time constant, so five minutes catches any job that
+    // ended around bench start without risking the driver's budget the
+    // way round 13's rc=124 did). The wait is recorded in the artifact;
+    // SPARK_GRAFT_WAIT_SECS=0 disables.
+    val waitBudget = sys.env.getOrElse("SPARK_GRAFT_WAIT_SECS", "300").toInt
+    var waitedSecs = 0
+    while (load1m > loadLimit && waitedSecs < waitBudget) {
+      System.err.println(f"[bench] ambient load ${load1m}%.2f > $loadLimit%.1f — " +
+        s"deferring start (waited ${waitedSecs}s of ${waitBudget}s)")
+      Thread.sleep(15000)
+      waitedSecs += 15
+    }
+    val loadBefore = load1m
     // DEGRADED MODE (the round-13 lesson: the official BENCH_r13.json is
     // rc=124/parsed-null because the full protocol — warm-up + 3 reps +
     // a whole second alt-config series — did not fit the driver's budget
@@ -100,7 +118,14 @@ object Bench {
     // the full protocol regardless of load.
     val degraded = loadBefore > loadLimit &&
       sys.env.getOrElse("SPARK_GRAFT_DEGRADE", "1") != "0"
-    val reps = if (degraded) 1 else sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // an EXPLICIT SPARK_GRAFT_REPS wins even in degraded mode (a caller
+    // who set reps deliberately on a known-busy host asked for exactly
+    // that); degraded only overrides the DEFAULT
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map { r =>
+      if (degraded) System.err.println(
+        s"[bench] degraded mode, but honoring explicit SPARK_GRAFT_REPS=$r")
+      r.toInt
+    }.getOrElse(if (degraded) 1 else 3)
     val altEnabled = !degraded && sys.env.getOrElse("SPARK_GRAFT_ALT", "1") != "0"
     val altCpus = sys.env.getOrElse("SPARK_GRAFT_ALT_CPUS",
       if (cpus == "4") "32" else "4")
@@ -271,10 +296,10 @@ object Bench {
     // (committed, full precision, both series), and stdout gets a COMPACT
     // line — totals, counts, and the slowest-25 query map — sized to fit
     // the tail window with room for sbt's trailing [success] line.
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":$cpus,"alt":$altJson,"errors":$errJson,"load_before":$loadBefore,"load_after":$loadAfter,"contended":$contended,"degraded":$degraded,"contended_rerun":$rerunJson}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":$cpus,"alt":$altJson,"errors":$errJson,"load_before":$loadBefore,"waited_for_load":$waitedSecs,"load_after":$loadAfter,"contended":$contended,"degraded":$degraded,"contended_rerun":$rerunJson}"""
     val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
     try java.nio.file.Files.write(fullPath, fullLine.getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"cpus":$cpus,"n_queries":${primary.size},"n_errors":${errors.size},"queries":$slowest25,"alt_total":${altTotalOpt.map(r2).getOrElse("null")},"alt_cpus":$altCpusJson,"load_before":$loadBefore,"load_after":$loadAfter,"contended":$contended,"degraded":$degraded,"contended_rerun":$rerunJson,"full":"BENCH_FULL.json"}""")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"cpus":$cpus,"n_queries":${primary.size},"n_errors":${errors.size},"queries":$slowest25,"alt_total":${altTotalOpt.map(r2).getOrElse("null")},"alt_cpus":$altCpusJson,"load_before":$loadBefore,"waited_for_load":$waitedSecs,"load_after":$loadAfter,"contended":$contended,"degraded":$degraded,"contended_rerun":$rerunJson,"full":"BENCH_FULL.json"}""")
   }
 }

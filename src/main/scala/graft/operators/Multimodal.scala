@@ -248,4 +248,109 @@ object Multimodal {
       }
     }(enc)
   }
+
+  // ------------------------------------------------------------------
+  // REAL audio codec boundary (javax.sound.sampled — ships in the JVM,
+  // no new dependency; file-format parsing only, no audio device): the
+  // WAV twin of the PNG pair above, closing the m-family's last stub
+  // seam (m5's PCM expansion). Deterministic 16-bit mono PCM test tones
+  // are ENCODED to real RIFF/WAVE payloads and DECODED back through
+  // AudioSystem inside the same mapPartitions contract, reduced to
+  // exact sample statistics. PCM WAV is lossless, so every decoded
+  // sample equals the synthesis function exactly and the oracle can
+  // replay the statistics in closed-form integer arithmetic.
+
+  val audioPayloadSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("payload", BinaryType)))
+
+  val audioStatsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("sum_s", LongType),
+    StructField("sum_abs", LongType),
+    StructField("sum_sq", LongType),
+    StructField("min_s", IntegerType),
+    StructField("max_s", IntegerType),
+    StructField("mean_s", DoubleType)))
+
+  /** The test tone's parameters and per-sample function — pure integer
+    * functions of (doc_id, i) so an engine WITHOUT a codec can replay
+    * the decoded statistics: sr = (id%4+1)·8000 Hz, n = id%480+32,
+    * s_i = (31·id + 17·i + i²%97) % 65536 − 32768. */
+  def testToneParams(id: Long): (Int, Int) =
+    (((id % 4 + 1) * 8000).toInt, (id % 480 + 32).toInt)
+
+  def testToneSample(id: Long, i: Int): Int =
+    ((31L * id + 17L * i + (i.toLong * i) % 97) % 65536L - 32768L).toInt
+
+  /** Encode one deterministic PCM test tone per input row as a REAL WAV
+    * file (AudioSystem.write — the payload is a playable RIFF/WAVE any
+    * external tool opens, not a stub byte string). Narrow map-only
+    * plan: no shuffle, parallelism = input splits. */
+  def synthesizeAudio(docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(audioPayloadSchema)
+    docs.select("doc_id").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (sr, n) = testToneParams(id)
+        val pcm = new Array[Byte](n * 2) // 16-bit little-endian mono
+        var i = 0
+        while (i < n) {
+          val s = testToneSample(id, i)
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          sr.toFloat, 16, 1, /*signed=*/ true, /*bigEndian=*/ false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        Row(id, out.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** DECODE real WAV payloads (AudioSystem.getAudioInputStream) and
+    * reduce each to its exact sample statistics — rate, count, sum,
+    * sum of |s|, sum of s² (all exact in Long at the fixture's ≤511
+    * samples; at 100 TB a real pipeline would carry the same moments
+    * as per-clip partial aggregates), min/max, mean. A payload that is
+    * not a parseable 16-bit mono PCM WAV FAILS the row loudly. */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(audioStatsSchema)
+    media.select("doc_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+            fmt.isBigEndian ||
+            fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          throw new IllegalStateException(
+            s"doc $id payload is not 16-bit mono PCM LE WAV: $fmt")
+        val bytes = ais.readAllBytes()
+        if (bytes.length % 2 != 0)
+          throw new IllegalStateException(s"doc $id has a torn 16-bit frame")
+        val n = bytes.length / 2
+        var (sum, sabs, ssq) = (0L, 0L, 0L)
+        var (mn, mx) = (Int.MaxValue, Int.MinValue)
+        var i = 0
+        while (i < n) {
+          val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+          sum += s; sabs += math.abs(s); ssq += s.toLong * s
+          if (s < mn) mn = s
+          if (s > mx) mx = s
+          i += 1
+        }
+        Row(id, fmt.getSampleRate.toInt, n.toLong, sum, sabs, ssq, mn, mx,
+          sum.toDouble / n)
+      }
+    }(enc)
+  }
 }

@@ -94,11 +94,30 @@ object Temporal {
    * residual range predicate: map-only on the fact side, zero fact
    * shuffles at any scale. Facts before the key's first dim row get
    * nulls (left join), same as asofJoin's no-state-yet contract.
+   *
+   * Uniqueness contract (same as [[asofJoin]]'s): the dim must be
+   * unique per (key, dimTs) — duplicate timestamps make "the" rate at
+   * an instant ill-defined, lead() ordering ambiguous, and the left
+   * join would fan facts out. A contract-violating input degrades to
+   * a DETERMINISTIC pick mirroring asofJoin's pinned behavior: when
+   * the payload struct is orderable, the MAX payload struct per
+   * (key, dimTs) wins (a coordinator-scale pre-aggregate on the
+   * already-small dim); a non-orderable payload (map-typed columns)
+   * keeps the caller's rows and the caller owns uniqueness.
    */
   def asofLookup(facts: DataFrame, dim: DataFrame, key: String,
       factTs: String, dimTs: String, payload: Seq[String]): DataFrame = {
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(c => dim.schema(dim.schema.fieldIndex(c))))
+    val dim1 =
+      if (!org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .isOrderable(payloadType)) dim
+      else dim.groupBy(col(key), col(dimTs))
+        .agg(max(struct(payload.map(col): _*)).as("_p"))
+        .select(Seq(col(key), col(dimTs)) ++
+          payload.map(c => col("_p").getField(c).as(c)): _*)
     val w = Window.partitionBy(col(key)).orderBy(col(dimTs))
-    val ranged = dim.withColumn("_valid_to", lead(col(dimTs), 1).over(w))
+    val ranged = dim1.withColumn("_valid_to", lead(col(dimTs), 1).over(w))
     facts.join(broadcast(ranged),
       facts(key) === ranged(key) &&
         facts(factTs) >= ranged(dimTs) &&

@@ -7885,6 +7885,97 @@ object Catalog {
           < least(1.0, quality * $boost)"""))
   }
 
+  // ---------------------------------------------------------------- c14
+  // TRAINED QUALITY CLASSIFIER (Classifier.qualityFeatures /
+  // trainPerceptron / score) — the DCLM/FineWeb-class MODEL-BASED
+  // curation filter above t11's bigram LM and t2's handcrafted
+  // formula: a linear scorer is TRAINED on a labeled corpus slice
+  // (doc_id%4==1 — the q10 parity pattern; labels = the fixed-point
+  // t2 gate, so the learnable boundary exists and the trained model
+  // must RECOVER the handcrafted weights' decision surface), then
+  // scores the whole corpus map-only. Everything is exact scaled-
+  // integer arithmetic — features are t2's components ·1000 floored,
+  // training is full-batch perceptron (per round: ONE associative
+  // integer aggregate over the slice; driver state: ONE 5-long weight
+  // row — the Lloyd/t17 coordinator discipline) — so the oracle
+  // replays train AND score bit-for-bit as 2·rounds unrolled
+  // MATERIALIZED CTEs. Scale shape: training cost = rounds × one
+  // map-side-partial agg over the labeled slice (shuffle carries 5
+  // longs per partition), scoring = one codegen'd projection, zero
+  // shuffles anywhere.
+  private val c14 = {
+    val rounds = 6
+    Q(
+      "c14_quality_classifier",
+      (s, d) => {
+        val feats = graft.operators.Classifier.qualityFeatures(
+          Tables.documents(s, d), QualityFixture.stops).persist()
+        val cols = graft.operators.Classifier.featCols
+        val qFp = col("x1") * 350 + col("x2") * 250 +
+          col("x3") * 250 + col("x4") * 150
+        val labeled = feats.filter(col("doc_id") % 4 === 1)
+          .withColumn("y", when(qFp > 350000L, 1L).otherwise(0L))
+        val w = graft.operators.Classifier.trainPerceptron(
+          labeled, cols, "y", rounds)
+        require(w.exists(_ != 0L),
+          "training must move the weights off zero (the labeled slice has both classes)")
+        graft.operators.Classifier.score(feats, cols, w.toSeq)
+      },
+      Some(c14OracleSql(rounds)))
+  }
+
+  /** c14's oracle: the unrolled fixed-point perceptron — round r reads
+    * weight row w(r−1), aggregates the integer gradient over the
+    * labeled slice, and emits weight row w(r); MATERIALIZED per the
+    * iterative-oracle rule (DuckDB inlines plain CTEs per reference —
+    * an unrolled chain re-evaluates 2^rounds times otherwise). */
+  private def c14OracleSql(rounds: Int): String = {
+    val idx = 0 until 5
+    def margin(l: String, w: String) =
+      idx.map(j => s"$w.w$j * $l.x$j").mkString(" + ")
+    val roundCtes = (1 to rounds).map { r =>
+      s"""g$r AS MATERIALIZED (
+        SELECT ${idx.map(j =>
+          s"CAST(COALESCE(SUM(e * x$j), 0) AS BIGINT) AS g$j").mkString(", ")}
+        FROM (SELECT l.*, l.y - (CASE WHEN ${margin("l", "w")} > 0
+                THEN 1 ELSE 0 END) AS e
+              FROM lab l, w${r - 1} w) z),
+      w$r AS (SELECT ${idx.map(j => s"w.w$j + g.g$j AS w$j").mkString(", ")}
+              FROM w${r - 1} w, g$r g)"""
+    }.mkString(",\n      ")
+    val scoreExpr = idx.map(j => s"w.w$j * f.x$j").mkString(" + ")
+    s"""
+      WITH f AS MATERIALIZED (
+        SELECT doc_id, CAST(1000 AS BIGINT) AS x0,
+          least(lt, 500) * 2 AS x1,
+          1000 * nd // nw AS x2,
+          1000 - 1000 * np // lt AS x3,
+          1000 * ns // nw AS x4
+        FROM (
+          SELECT doc_id, CAST(len(t) AS BIGINT) AS lt,
+            CAST(len(ws) AS BIGINT) AS nw,
+            CAST(len(list_distinct(ws)) AS BIGINT) AS nd,
+            CAST(len(t) - len(regexp_replace(t, '[a-z0-9 ]', '', 'g'))
+              AS BIGINT) AS np,
+            CAST(len(list_filter(ws,
+              w -> list_contains([${QualityFixture.stopsSql}], w)))
+              AS BIGINT) AS ns
+          FROM (SELECT doc_id, ${normSql("text")} AS t,
+                  string_split(${normSql("text")}, ' ') AS ws
+                FROM documents) z
+          WHERE len(t) > 0) z2),
+      lab AS MATERIALIZED (
+        SELECT *, CASE WHEN 350 * x1 + 250 * x2 + 250 * x3 + 150 * x4
+            > 350000 THEN 1 ELSE 0 END AS y
+        FROM f WHERE doc_id % 4 = 1),
+      w0 AS (SELECT ${idx.map(j =>
+        s"CAST(0 AS BIGINT) AS w$j").mkString(", ")}),
+      $roundCtes
+      SELECT f.doc_id, CAST($scoreExpr AS BIGINT) AS score,
+        CAST(CASE WHEN $scoreExpr > 0 THEN 1 ELSE 0 END AS INTEGER) AS admit
+      FROM f, w$rounds w"""
+  }
+
   // ---------------------------------------------------------------- t15
   // SEMANTIC DECONTAMINATION (Curate.flagSemanticContamination) — t9's
   // embedding-space twin: flag corpus vectors near-identical (cosine >=
@@ -9730,8 +9821,14 @@ object Catalog {
         .select(col("doc_id"),
           concat(expr("repeat(substring(text, 1, 64), CAST(doc_id % 4 + 2 AS INT))"),
             col("text")).as("text"))
+      // stage the frame stream ONCE: the two require-gates and the
+      // returned frame all read it (un-persisted, each was a separate
+      // evaluation of the explode chain — the p8 staging discipline).
+      // Left persisted for the caller's evaluation; the bench reaper
+      // unpersists leftovers between queries (the eager-checkpoint
+      // contract in Bench.runOnce).
       val frames = graft.operators.Multimodal
-        .sampleFrames(vids, frameChars = 64, everyK = 1)
+        .sampleFrames(vids, frameChars = 64, everyK = 1).persist()
       val kept = frames
         .withColumn("__prev", lag(col("frame_md5"), 1).over(
           Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))))
@@ -10270,75 +10367,27 @@ object Catalog {
   // chains. Banding misses are BY-SPECIFICATION (the md5 minhash is
   // deterministic, so both engines miss identically) — counts are
   // oracle-pinned, not thresholded.
-  private val p7 = {
-    val qThresh = 0.35 // corpus t2 scores span ~0.18-0.5: above-median gate
-    Q(
-      "p7_corpus_refresh",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val root = s"$scratchRoot/${dsScratch(d)}/refresh"
-        val pfs = org.apache.hadoop.fs.FileSystem.get(
-          s.sparkContext.hadoopConfiguration)
-        pfs.delete(new org.apache.hadoop.fs.Path(root), true)
-        // each stage's output is WRITTEN and read back — refresh stages
-        // are persisted intake state in production (the frontier diff
-        // and the dedup verdicts are audit artifacts), and staging keeps
-        // the funnel aggregates from re-deriving the url/window/banding
-        // chains once per consumer
-        def stage(df: DataFrame, tag: String): DataFrame = {
-          df.write.mode("overwrite").parquet(s"$root/$tag")
-          s.read.parquet(s"$root/$tag")
-        }
-        val cu = canonUrls(s, d) // doc_id, text, url, curl, domain
-        val base = Tables.documents(s, d)
-          .select((col("doc_id") + 4).as("doc_id"), T.normKey(col("text")).as("bt"))
-        val staged = stage(cu.join(base, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("domain"), col("curl"),
-            when(col("doc_id") % 10 === 4 && col("bt").isNotNull,
-              concat(col("bt"), lit(" extraword")))
-              .otherwise(T.normKey(col("text"))).as("t")), "staged")
-        val old = staged.filter(col("doc_id") % 5 =!= 4)
-        val nw = staged.filter(col("doc_id") % 5 === 4)
-        val firstInBatch = nw
-          .withColumn("__rk", row_number().over(
-            Window.partitionBy(col("curl")).orderBy(col("doc_id"))))
-          .filter(col("__rk") === 1).drop("__rk")
-        val fresh = stage(firstInBatch.join(
-          old.select(col("curl")).distinct(), Seq("curl"), "left_anti"), "fresh")
-        val novel = stage(graft.operators.Dedup.crossDedup(
-          fresh.select(col("doc_id").as("id"), col("t"), col("domain")),
-          old.select(col("doc_id").as("id"), col("t")),
-          "id", "t", shingleN = 3, k = 16, bands = 4, threshold = 0.8,
-          maxBucket = 1000), "novel")
-        val ws = split(col("t"), " ")
-        val lenScore = least(length(col("t")).cast("double") / 500.0, lit(1.0))
-        val punct = (length(col("t")) -
-          length(regexp_replace(col("t"), "[a-z0-9 ]", "")))
-          .cast("double") / length(col("t")).cast("double")
-        val admitted = novel
-          .withColumn("quality",
-            lenScore * 0.35 + T.distinctRatio(ws) * 0.25 +
-              (lit(1.0) - punct) * 0.25 +
-              T.stopwordRatio(ws, QualityFixture.stops) * 0.15)
-          .filter(col("quality") >= qThresh)
-        require(admitted.limit(1).count() > 0,
-          "the refresh must admit at least one document")
-        def cnt(df: DataFrame, n: String) =
-          df.groupBy("domain").agg(count(lit(1)).as(n))
-        cnt(nw, "n_new")
-          .join(cnt(fresh, "n_fresh"), Seq("domain"), "left")
-          .join(cnt(novel, "n_novel"), Seq("domain"), "left")
-          .join(admitted.groupBy("domain")
-            .agg(count(lit(1)).as("n_admitted"),
-              sum(size(split(col("t"), " ")).cast("long")).as("n_tokens")),
-            Seq("domain"), "left")
-          .select(col("domain"), col("n_new"),
-            coalesce(col("n_fresh"), lit(0L)).as("n_fresh"),
-            coalesce(col("n_novel"), lit(0L)).as("n_novel"),
-            coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
-            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
-      },
-      Some(s"""
+  /** The p7/s26 SHARED new-drop fixture: canonical-urled docs where the
+    * doc_id%5==4 slice is "the new crawl drop" and doc_id%10==4 rows are
+    * planted near-copies (the doc_id-4 neighbor's text + a word) the
+    * near-dup gate must catch. Both entries stage this same frame; the
+    * shared oracle below replays it. */
+  private val refreshQThresh = 0.35 // corpus t2 scores span ~0.18-0.5: above-median gate
+  private def refreshStagedFrame(s: SparkSession, d: String): DataFrame = {
+    val cu = canonUrls(s, d) // doc_id, text, url, curl, domain
+    val base = Tables.documents(s, d)
+      .select((col("doc_id") + 4).as("doc_id"), T.normKey(col("text")).as("bt"))
+    cu.join(base, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("domain"), col("curl"),
+        when(col("doc_id") % 10 === 4 && col("bt").isNotNull,
+          concat(col("bt"), lit(" extraword")))
+          .otherwise(T.normKey(col("text"))).as("t"))
+  }
+
+  /** The SHARED p7/s26 oracle (the shared-oracle rule: the streamed
+    * admission funnel must equal the batch refresh doc for doc, so one
+    * SQL chain replays both). */
+  private lazy val refreshOracleSql: String = s"""
         WITH $urlCanonCtes,
         cd AS (SELECT doc_id, text, curl, $urlDomainSql AS domain FROM canon),
         basep AS (SELECT doc_id + 4 AS doc_id, ${normSql("text")} AS bt
@@ -10392,7 +10441,7 @@ object Catalog {
               AS quality
           FROM (SELECT doc_id, domain, t, string_split(t, ' ') AS ws
                 FROM novel) z),
-        adm AS (SELECT * FROM scoredn WHERE quality >= $qThresh),
+        adm AS (SELECT * FROM scoredn WHERE quality >= $refreshQThresh),
         a1 AS (SELECT domain, COUNT(*) AS n_new FROM nw GROUP BY 1),
         a2 AS (SELECT domain, COUNT(*) AS n_fresh FROM fresh GROUP BY 1),
         a3 AS (SELECT domain, COUNT(*) AS n_novel FROM novel GROUP BY 1),
@@ -10407,7 +10456,70 @@ object Catalog {
         FROM a1
         LEFT JOIN a2 ON a2.domain = a1.domain
         LEFT JOIN a3 ON a3.domain = a1.domain
-        LEFT JOIN a4 ON a4.domain = a1.domain"""))
+        LEFT JOIN a4 ON a4.domain = a1.domain"""
+
+  private val p7 = {
+    val qThresh = refreshQThresh
+    Q(
+      "p7_corpus_refresh",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val root = s"$scratchRoot/${dsScratch(d)}/refresh"
+        val pfs = org.apache.hadoop.fs.FileSystem.get(
+          s.sparkContext.hadoopConfiguration)
+        pfs.delete(new org.apache.hadoop.fs.Path(root), true)
+        // each stage's output is WRITTEN and read back — refresh stages
+        // are persisted intake state in production (the frontier diff
+        // and the dedup verdicts are audit artifacts), and staging keeps
+        // the funnel aggregates from re-deriving the url/window/banding
+        // chains once per consumer
+        def stage(df: DataFrame, tag: String): DataFrame = {
+          df.write.mode("overwrite").parquet(s"$root/$tag")
+          s.read.parquet(s"$root/$tag")
+        }
+        val staged = stage(refreshStagedFrame(s, d), "staged")
+        val old = staged.filter(col("doc_id") % 5 =!= 4)
+        val nw = staged.filter(col("doc_id") % 5 === 4)
+        val firstInBatch = nw
+          .withColumn("__rk", row_number().over(
+            Window.partitionBy(col("curl")).orderBy(col("doc_id"))))
+          .filter(col("__rk") === 1).drop("__rk")
+        val fresh = stage(firstInBatch.join(
+          old.select(col("curl")).distinct(), Seq("curl"), "left_anti"), "fresh")
+        val novel = stage(graft.operators.Dedup.crossDedup(
+          fresh.select(col("doc_id").as("id"), col("t"), col("domain")),
+          old.select(col("doc_id").as("id"), col("t")),
+          "id", "t", shingleN = 3, k = 16, bands = 4, threshold = 0.8,
+          maxBucket = 1000), "novel")
+        val ws = split(col("t"), " ")
+        val lenScore = least(length(col("t")).cast("double") / 500.0, lit(1.0))
+        val punct = (length(col("t")) -
+          length(regexp_replace(col("t"), "[a-z0-9 ]", "")))
+          .cast("double") / length(col("t")).cast("double")
+        val admitted = novel
+          .withColumn("quality",
+            lenScore * 0.35 + T.distinctRatio(ws) * 0.25 +
+              (lit(1.0) - punct) * 0.25 +
+              T.stopwordRatio(ws, QualityFixture.stops) * 0.15)
+          .filter(col("quality") >= qThresh)
+        require(admitted.limit(1).count() > 0,
+          "the refresh must admit at least one document")
+        def cnt(df: DataFrame, n: String) =
+          df.groupBy("domain").agg(count(lit(1)).as(n))
+        cnt(nw, "n_new")
+          .join(cnt(fresh, "n_fresh"), Seq("domain"), "left")
+          .join(cnt(novel, "n_novel"), Seq("domain"), "left")
+          .join(admitted.groupBy("domain")
+            .agg(count(lit(1)).as("n_admitted"),
+              sum(size(split(col("t"), " ")).cast("long")).as("n_tokens")),
+            Seq("domain"), "left")
+          .select(col("domain"), col("n_new"),
+            coalesce(col("n_fresh"), lit(0L)).as("n_fresh"),
+            coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+            coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      },
+      Some(refreshOracleSql))
   }
 
   // ---------------------------------------------------------------- p8
@@ -10534,6 +10646,103 @@ object Catalog {
       })
   }
 
+  // ---------------------------------------------------------------- s26
+  // STREAMING CORPUS ADMISSION (EventStream.corpusAdmissionBatch — p7's
+  // trigger-cadence twin, closing the near-dup admission seam the
+  // round-14 verdict named: p8's live intake has frontier + language +
+  // quality gates but its near-dup check against the curated store
+  // existed only in batch). The p7 fixture's new drop (doc_id%5==4,
+  // planted near-copies included) arrives as THREE doc_id-range
+  // trigger slices; each trigger runs frontier (slice winner → unseen
+  // vs prior triggers → not-in-store), near-dup (crossDedup slice vs
+  // STORE — per-trigger cost = slice banding against the store's band
+  // space with per-side caps, store↔store pairs never form) and
+  // t2-quality gates, then writes its per-domain funnel ledger.
+  // Serving = one groupBy-sum over the trigger ledgers; the range-cut
+  // contract makes the streamed funnel equal p7's batch funnel doc for
+  // doc, so p7's oracle replays it VERBATIM (the shared-oracle rule).
+  // MemoryStream per-trigger parity runs in StreamingSpec. State is
+  // frontier-sized, ledgers domain-sized, per-trigger dedup cost
+  // slice-sized — the 100 TB shape.
+  private val s26 = Q(
+    "s26_stream_admission",
+    (s, d) => {
+      val root = s"$scratchRoot/${dsScratch(d)}/s26"
+      val pfs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      pfs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val staged = refreshStagedFrame(s, d).persist()
+      staged.filter(col("doc_id") % 5 =!= 4)
+        .write.mode("overwrite").parquet(s"$root/store")
+      val nw = staged.filter(col("doc_id") % 5 === 4)
+      val nDocs = Tables.documents(s, d)
+        .agg(max(col("doc_id"))).head.getLong(0) + 1
+      val band = expr(s"doc_id * 3 div $nDocs")
+      val body = graft.streaming.EventStream.corpusAdmissionBatch(
+        s"$root/state", s"$root/store",
+        shingleN = 3, k = 16, bands = 4, threshold = 0.8, maxBucket = 1000,
+        QualityFixture.stops, refreshQThresh) _
+      (0 until 3).foreach(i => body(nw.filter(band === i), i.toLong))
+      staged.unpersist(blocking = false)
+      val ledgers = s.read
+        .schema(graft.streaming.EventStream.admissionLedgerSchema +
+          ", trig INT")
+        .parquet(s"$root/state/ledger")
+      require(ledgers.select("trig").distinct().count() == 3,
+        "three triggers must each write a non-empty funnel ledger")
+      ledgers.groupBy("domain")
+        .agg(sum(col("n_new")).as("n_new"),
+          sum(col("n_fresh")).as("n_fresh"),
+          sum(col("n_novel")).as("n_novel"),
+          sum(col("n_admitted")).as("n_admitted"),
+          sum(col("n_tokens")).as("n_tokens"))
+    },
+    Some(refreshOracleSql))
+
+  // ---------------------------------------------------------------- m8
+  // REAL AUDIO CODEC DECODE (Multimodal.synthesizeAudio/decodeAudio) —
+  // m6's WAV twin, closing the m-family's last stub seam (m5's PCM
+  // expansion was the audio analogue of the m2 stub the round-14
+  // verdict asked to close): one deterministic 16-bit mono PCM test
+  // tone per audio-kind doc is ENCODED to a real RIFF/WAVE payload
+  // (javax.sound.sampled — ships in the JVM, no new dependency,
+  // file-format parsing only, no audio device) and DECODED back
+  // through AudioSystem inside the same mapPartitions contract,
+  // reduced to exact sample statistics. PCM WAV is lossless, so the
+  // decoded moments equal the synthesis functions exactly —
+  // sr=(id%4+1)·8000, n=id%480+32, s_i=(31id+17i+i²%97)%65536−32768,
+  // all pure integer functions of (doc_id, i) — and the oracle replays
+  // every sum in closed-form integer arithmetic with no codec of its
+  // own. Non-WAV payloads fail the row loudly. Both stages are narrow
+  // map-only plans: zero shuffle, parallelism = input splits — at
+  // 100 TB the codec cost scales with executors and nothing else moves.
+  private val m8 = Q(
+    "m8_audio_decode",
+    (s, d) => graft.operators.Multimodal.decodeAudio(
+      graft.operators.Multimodal.synthesizeAudio(
+        Tables.documents(s, d).filter(col("doc_id") % 3 === 1))),
+    Some("""
+      WITH a AS (
+        SELECT doc_id,
+          CAST((doc_id % 4 + 1) * 8000 AS INTEGER) AS sample_rate,
+          doc_id % 480 + 32 AS n
+        FROM documents WHERE doc_id % 3 = 1),
+      sm AS (
+        SELECT doc_id, sample_rate, n,
+          list_transform(range(0, n),
+            i -> (31 * doc_id + 17 * i + (i * i) % 97) % 65536 - 32768) AS xs
+        FROM a)
+      SELECT doc_id, sample_rate, CAST(n AS BIGINT) AS n_samples,
+        CAST(list_aggregate(xs, 'sum') AS BIGINT) AS sum_s,
+        CAST(list_aggregate(list_transform(xs, x -> abs(x)), 'sum') AS BIGINT)
+          AS sum_abs,
+        CAST(list_aggregate(list_transform(xs, x -> x * x), 'sum') AS BIGINT)
+          AS sum_sq,
+        CAST(list_aggregate(xs, 'min') AS INTEGER) AS min_s,
+        CAST(list_aggregate(xs, 'max') AS INTEGER) AS max_s,
+        CAST(list_aggregate(xs, 'sum') AS DOUBLE) / CAST(n AS DOUBLE) AS mean_s
+      FROM sm"""))
+
   // ---------------------------------------------------------------- j7
   // NEAREST-EVENT JOIN (Temporal.nearestEventJoin) — the bidirectional
   // completion of j1: as-of only looks BACK, but sensor alignment,
@@ -10594,8 +10803,8 @@ object Catalog {
     l17, l18, l19, l20, l21, l22,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16,
     t17, t18, t19, t20, t21,
-    c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13,
-    m1, m2, m3, m4, m5, m6, m7, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25,
+    c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14,
+    m1, m2, m3, m4, m5, m6, m7, m8, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26,
     p1, p2, p3, p4, p5, p6, p7, p8,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
     w17, w18, w19, w20, w21, w22, w23, w24, w25, w26, w27, w28,

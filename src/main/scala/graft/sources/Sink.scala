@@ -368,7 +368,9 @@ object Sink {
     // the expected probes per bucket are n/(free slots) — a coupon-
     // collector O(n log n) total. The bound is a defensive backstop (it
     // would take an adversarial hash break to hit), not a live code path.
-    val probeBound = math.max(1000, n * n * 64)
+    // Long arithmetic: n*n*64 as Int overflows past n ≈ 8200, collapsing
+    // the bound below the ~n·ln(n) probes coupon-collector needs.
+    val probeBound = math.max(1000L, 64L * n * n)
     val reps = (0 until n).map { _ =>
       var m = 0
       def slot(v: Int) = {

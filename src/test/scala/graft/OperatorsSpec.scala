@@ -1728,6 +1728,80 @@ class OperatorsSpec extends AnyFunSuite {
       Option(err.getCause).exists(_.getMessage.contains("not a decodable image")))
   }
 
+  test("audio codec roundtrip: real WAV encode/decode matches the closed-form sample stats") {
+    import graft.operators.Multimodal
+    val ids = Seq(1L, 4L, 7L, 130L)
+    val got = Multimodal.decodeAudio(Multimodal.synthesizeAudio(ids.toDF("doc_id")))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getInt(6), r.getInt(7))))
+      .toMap
+    ids.foreach { id =>
+      val (sr, n) = Multimodal.testToneParams(id)
+      val xs = (0 until n).map(i => Multimodal.testToneSample(id, i))
+      assert(got(id) == ((sr, n.toLong, xs.map(_.toLong).sum,
+        xs.map(x => math.abs(x).toLong).sum, xs.map(x => x.toLong * x).sum,
+        xs.min, xs.max)),
+        s"decoded stats of doc $id must equal the synthesis functions")
+    }
+    // the payload is a REAL RIFF/WAVE any external reader opens
+    val payload = Multimodal.synthesizeAudio(Seq(9L).toDF("doc_id"))
+      .collect().head.getAs[Array[Byte]](1)
+    assert(new String(payload.take(4), "US-ASCII") == "RIFF" &&
+      new String(payload.slice(8, 12), "US-ASCII") == "WAVE", "WAV magic")
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    assert(ais.getFormat.getSampleRate == 16000f, "id 9 -> (9%4+1)*8000")
+    // a non-WAV payload must fail LOUDLY, not flow downstream as zeros
+    val junk = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeAudio(junk).collect()
+    }
+  }
+
+  test("perceptron trains exactly as a plain-Scala replay and scores every doc") {
+    import graft.operators.Classifier
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and more filler words here"),
+      (2L, "zz !!!! ??"),
+      (5L, "the and on a plain sentence with some repeated repeated words the end"),
+      (9L, "short"),
+      (13L, "another reasonably long document with the usual and expected structure on display"),
+      (17L, "!!!")).toDF("doc_id", "text")
+    val stops = Seq("the", "and", "on")
+    val feats = Classifier.qualityFeatures(docs, stops)
+    val rows = feats.collect().map(r => r.getLong(0) ->
+      Array(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // plain-Scala replay of the same fixed-point full-batch perceptron
+    val labeled = rows.filter(_._1 % 4 == 1).toSeq.sortBy(_._1).map { case (_, x) =>
+      (x, if (350 * x(1) + 250 * x(2) + 250 * x(3) + 150 * x(4) > 350000L) 1L else 0L)
+    }
+    assert(labeled.map(_._2).distinct.size == 2, "fixture must carry both classes")
+    val w = Array.fill(5)(0L)
+    for (_ <- 0 until 6) {
+      val g = Array.fill(5)(0L)
+      labeled.foreach { case (x, y) =>
+        val m = (0 until 5).map(j => w(j) * x(j)).sum
+        val e = y - (if (m > 0) 1L else 0L)
+        (0 until 5).foreach(j => g(j) += e * x(j))
+      }
+      (0 until 5).foreach(j => w(j) += g(j))
+    }
+    val labeledDf = feats.filter(col("doc_id") % 4 === 1)
+      .withColumn("y", when(col("x1") * 350 + col("x2") * 250 +
+        col("x3") * 250 + col("x4") * 150 > 350000L, 1L).otherwise(0L))
+    val wGot = Classifier.trainPerceptron(labeledDf, Classifier.featCols, "y", 6)
+    assert(wGot.toSeq == w.toSeq,
+      "distributed training must equal the sequential replay (exact integers)")
+    // scoring: score and admit equal the closed form for EVERY doc
+    Classifier.score(feats, Classifier.featCols, wGot.toSeq).collect()
+      .foreach { r =>
+        val x = rows(r.getLong(0))
+        val m = (0 until 5).map(j => w(j) * x(j)).sum
+        assert(r.getLong(1) == m && r.getInt(2) == (if (m > 0) 1 else 0))
+      }
+  }
+
   test("audioFrames: window arithmetic matches a plain-Scala replay; sub-window clips drop") {
     import graft.operators.Multimodal
     // doc 1: audio (1%3==1), 8000*2=16kHz; text length 100 -> 400 samples;

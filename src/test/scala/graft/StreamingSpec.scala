@@ -1192,6 +1192,76 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming corpus admission: per-trigger near-dup vs store equals the batch slices") {
+    implicit val ctx = spark.sqlContext
+    val stops = Seq("the", "and", "on")
+    val minQ = 0.27 // between enGood 0.2968 and enJunk 0.2436 (the p8 fixture)
+    val good = "the quick brown fox jumps over the lazy dog and the cat"
+    val stored = good + " original corpus document kept"
+    val junk = "zzzz !!!! zzzz !!!!"
+    val dir = java.nio.file.Files.createTempDirectory("s26spec").toString
+    Seq((100L, "a.com", "https://a.com/s1", stored),
+      (101L, "b.com", "https://b.com/s2",
+        "some other stored document with the usual words and structure"))
+      .toDF("doc_id", "domain", "curl", "t")
+      .write.parquet(s"$dir/store")
+    // trigger fixture: every admission gate exercised —
+    //   doc 2: store-seen curl (frontier drops), doc 3: trigger-seen
+    //   curl (cross-trigger frontier drops), doc 4: EXACT content of
+    //   stored doc 100 under a fresh url (near-dup gate drops — J=1,
+    //   so every band matches and the candidate pair is guaranteed),
+    //   doc 5: novel but junk (quality gate drops), docs 1/6: admitted
+    val triggers = Seq(
+      Seq((1L, "a.com", "https://a.com/1", good),
+        (2L, "a.com", "https://a.com/s1", good)),
+      Seq((3L, "a.com", "https://a.com/1", good),
+        (4L, "b.com", "https://b.com/4", stored)),
+      Seq((5L, "b.com", "https://b.com/5", junk),
+        (6L, "c.com", "https://c.com/6", good)))
+    def bodyFor(root: String) = EventStream.corpusAdmissionBatch(
+      root, s"$dir/store", 3, 16, 4, 0.8, 1000, stops, minQ) _
+    val input = MemoryStream[(Long, String, String, String)]
+    var trig = -1
+    val query = input.toDF().toDF("doc_id", "domain", "curl", "t")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        trig += 1
+        bodyFor(s"$dir/stream")(batch, trig.toLong)
+        ()
+      }
+      .start()
+    try {
+      val ledgerSchema = EventStream.admissionLedgerSchema
+      def ledgerAt(root: String, i: Int) = spark.read.schema(ledgerSchema)
+        .parquet(s"$root/ledger/trig=$i")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      triggers.zipWithIndex.foreach { case (t, i) =>
+        input.addData(t: _*)
+        query.processAllAvailable()
+        // PER-TRIGGER parity: the same slices applied as plain batches
+        // must land on identical ledgers (the shared-body rule)
+        bodyFor(s"$dir/batch")(t.toDF("doc_id", "domain", "curl", "t"), i.toLong)
+        assert(ledgerAt(s"$dir/stream", i) == ledgerAt(s"$dir/batch", i),
+          s"trigger $i: streamed ledger must equal the batch-slice ledger")
+      }
+      // the cross-trigger funnel: hand-computed per-domain sums
+      val served = spark.read.schema(ledgerSchema + ", trig INT")
+        .parquet(s"$dir/stream/ledger")
+        .groupBy("domain")
+        .agg(sum("n_new").as("nn"), sum("n_fresh").as("nf"),
+          sum("n_novel").as("nv"), sum("n_admitted").as("na"),
+          sum("n_tokens").as("nt"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      assert(served == Map(
+        "a.com" -> ((3L, 1L, 1L, 1L, 12L)),
+        "b.com" -> ((2L, 2L, 1L, 0L, 0L)),
+        "c.com" -> ((1L, 1L, 1L, 1L, 12L))),
+        s"funnel must show each gate dropping exactly its target: $served")
+    } finally query.stop()
+  }
+
   test("streaming growth accounting: day-sliced fold == batch ledger; frontier crosses triggers") {
     import graft.operators.Temporal
     implicit val ctx = spark.sqlContext

@@ -90,6 +90,25 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("asofLookup degrades deterministically on duplicate (key, dimTs) rows") {
+    // contract violation (dim not unique per key+dimTs): without the
+    // pre-aggregate the lead() ranges would be ambiguous and the left
+    // join would fan the fact out to BOTH dup rows; the pinned behavior
+    // mirrors asofJoin's — the MAX payload struct wins, one row out
+    val facts = Seq((100L, 1L, ts("2024-01-15 10:00:00")))
+      .toDF("event_id", "k", "ts")
+    val dim = Seq(
+      (1L, ts("2024-01-15 09:00:00"), "a"),
+      (1L, ts("2024-01-15 09:00:00"), "b")).toDF("k", "dts", "v")
+    (1 to 3).foreach { _ =>
+      val got = Temporal.asofLookup(facts, dim, "k", "ts", "dts", Seq("v"))
+        .collect()
+      assert(got.length == 1, "duplicate dim timestamps must not fan facts out")
+      assert(got.head.getString(3) == "b",
+        "the MAX payload struct wins (asofJoin's pinned degradation)")
+    }
+  }
+
   test("asofJoin accepts non-orderable (map-typed) state columns") {
     // the deterministic tie-break orders on _state only when the struct
     // is orderable; a map-typed state must not break the analyzer
