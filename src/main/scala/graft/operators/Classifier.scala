@@ -69,22 +69,36 @@ object Classifier {
     cols.zip(w).map { case (c, wj) => col(c) * lit(wj) }.reduce(_ + _)
 
   /**
-   * Full-batch perceptron training, exact integers: `rounds` passes,
-   * each ONE aggregate over the labeled frame (sum of err·x per
-   * feature); the driver folds the 5-long gradient row into the
-   * weights. Deterministic under any partitioning (integer sums are
-   * associative/commutative — no float order sensitivity), so a
-   * replaying engine lands on the same weights bit for bit.
+   * Full-batch perceptron training with a DECAYING integer step, exact
+   * arithmetic throughout: `rounds` passes, each ONE aggregate over the
+   * labeled frame (sum of err·x per feature); the driver folds the
+   * 5-long gradient row into the weights as `w += grad >> round`.
+   *
+   * Why the shift: a unit-step full-batch perceptron on separable data
+   * OSCILLATES in a 2-cycle (round 1 overshoots positive — every doc
+   * predicted 1 — round 2's gradient slams it negative, and so on;
+   * measured on the corpus features: accuracy stuck at the majority
+   * class, admit rate 0). Halving the step each round damps the cycle
+   * exactly like a 1/2^r learning rate, and the arithmetic SHIFT keeps
+   * it replayable: `>>` is floor division by 2^r in two's complement —
+   * Scala Long `>>` and DuckDB BIGINT `>>` agree on negatives (both
+   * floor; DuckDB's `//` does NOT — it truncates — which is why the
+   * oracle uses the shift too). Measured held-out accuracy 0.85-0.94
+   * across SFs vs 0.54 for the unit step.
+   *
+   * Deterministic under any partitioning (integer sums are associative
+   * and commutative — no float order sensitivity), so a replaying
+   * engine lands on the same weights bit for bit.
    */
   def trainPerceptron(labeled: DataFrame, cols: Seq[String],
       labelCol: String, rounds: Int): Array[Long] = {
     val w = Array.fill(cols.size)(0L)
-    for (_ <- 0 until rounds) {
+    for (r <- 0 until rounds) {
       val err = col(labelCol) -
         when(linearScore(cols, w.toSeq) > 0, 1L).otherwise(0L)
       val gradAggs = cols.map(c => sum(err * col(c)).as(s"g_$c"))
       val g = labeled.agg(gradAggs.head, gradAggs.tail: _*).head()
-      cols.indices.foreach(j => if (!g.isNullAt(j)) w(j) += g.getLong(j))
+      cols.indices.foreach(j => if (!g.isNullAt(j)) w(j) += (g.getLong(j) >> r))
     }
     w
   }

@@ -287,6 +287,14 @@ object Dedup {
       textCol: String)(features: DataFrame => DataFrame): DataFrame =
     pairSides(cand, corpus, idCol, textCol)(features)
 
+  /** The per-doc distinct shingle-hash-set feature [[minhashPairs]]
+    * verifies with, exposed for threshold-sweep composition (catalog
+    * l23): expects the (id, t) frame [[verifyPairSides]] hands its
+    * callback, returns (id, hset). */
+  def shingleHashSetFeature(cc: DataFrame, shingleN: Int): DataFrame =
+    shingleTable(cc, "id", "t", shingleN)
+      .groupBy("id").agg(collect_set(md5(col("s"))).as("hset"))
+
   /**
    * MinHash + LSH near-duplicate pairs: candidates as in [[lshCandidates]],
    * then verify each pair with the true shingle-set Jaccard, computed over

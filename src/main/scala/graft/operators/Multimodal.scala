@@ -9,11 +9,16 @@ import org.apache.spark.sql.types._
  * metadata struct, with a per-partition "decode / feature-extract" stage.
  *
  * The Spark-side shape is real and tested — schema, batch iteration via
- * mapPartitions, partition-preserving feature extraction. The codec itself
- * is a STUB (this container has no image/audio libraries): `fakeDecode`
- * derives deterministic pseudo-features (byte length, md5 prefix, a fake
- * width/height) from the payload bytes. Swapping in a real decoder means
- * replacing ONLY `fakeDecode` — the distributed plumbing is unchanged.
+ * mapPartitions, partition-preserving feature extraction. The generic
+ * feature extractor's codec is a STUB (this container has no external
+ * image/audio libraries): `fakeDecode` derives deterministic
+ * pseudo-features from the payload bytes, and swapping in a real decoder
+ * means replacing ONLY `fakeDecode`. That contract has now met REAL
+ * codecs in both directions twice, with the JVM's own: PNG via
+ * javax.imageio (synthesizeImages/decodeImages, catalog m6) and PCM WAV
+ * via javax.sound.sampled (synthesizeAudio/decodeAudio, catalog m8) —
+ * same mapPartitions shape, loud failure on undecodable payloads,
+ * statistics the DuckDB oracle replays in closed form.
  */
 object Multimodal {
 

@@ -7895,16 +7895,18 @@ object Catalog {
   // must RECOVER the handcrafted weights' decision surface), then
   // scores the whole corpus map-only. Everything is exact scaled-
   // integer arithmetic — features are t2's components ·1000 floored,
-  // training is full-batch perceptron (per round: ONE associative
-  // integer aggregate over the slice; driver state: ONE 5-long weight
-  // row — the Lloyd/t17 coordinator discipline) — so the oracle
+  // training is full-batch perceptron with a DECAYING shift step
+  // (w += grad >> round — the unit step 2-cycles on this data, see
+  // Classifier.trainPerceptron; per round: ONE associative integer
+  // aggregate over the slice; driver state: ONE 5-long weight row —
+  // the Lloyd/t17 coordinator discipline) — so the oracle
   // replays train AND score bit-for-bit as 2·rounds unrolled
   // MATERIALIZED CTEs. Scale shape: training cost = rounds × one
   // map-side-partial agg over the labeled slice (shuffle carries 5
   // longs per partition), scoring = one codegen'd projection, zero
   // shuffles anywhere.
   private val c14 = {
-    val rounds = 6
+    val rounds = 12
     Q(
       "c14_quality_classifier",
       (s, d) => {
@@ -7919,33 +7921,52 @@ object Catalog {
           labeled, cols, "y", rounds)
         require(w.exists(_ != 0L),
           "training must move the weights off zero (the labeled slice has both classes)")
-        graft.operators.Classifier.score(feats, cols, w.toSeq)
+        val scored = graft.operators.Classifier.score(feats, cols, w.toSeq)
+        // structural gate that also forces a REAL evaluation of the
+        // scoring projection (the r9 lesson: a pure projection under
+        // count() is column-pruned and the bench would time nothing):
+        // a usable curation gate must separate — admit some, reject some
+        val parts = scored.agg(sum(col("admit")).cast("long"),
+          count(lit(1))).head()
+        require(parts.getLong(0) > 0 && parts.getLong(0) < parts.getLong(1),
+          s"the trained gate must separate the corpus: admitted ${parts.getLong(0)} of ${parts.getLong(1)}")
+        scored
       },
       Some(c14OracleSql(rounds)))
   }
 
-  /** c14's oracle: the unrolled fixed-point perceptron — round r reads
-    * weight row w(r−1), aggregates the integer gradient over the
-    * labeled slice, and emits weight row w(r); MATERIALIZED per the
-    * iterative-oracle rule (DuckDB inlines plain CTEs per reference —
-    * an unrolled chain re-evaluates 2^rounds times otherwise). */
+  /** c14/q11's shared oracle chain: the unrolled fixed-point perceptron
+    * — round r reads weight row w(r−1), aggregates the integer gradient
+    * over the labeled slice, and emits weight row w(r); MATERIALIZED
+    * per the iterative-oracle rule (DuckDB inlines plain CTEs per
+    * reference — an unrolled chain re-evaluates 2^rounds times
+    * otherwise). Ends with the trained weight row `w<rounds>`. */
+  private def c14Margin(l: String, w: String): String =
+    (0 until 5).map(j => s"$w.w$j * $l.x$j").mkString(" + ")
+
   private def c14OracleSql(rounds: Int): String = {
+    val scoreExpr = c14Margin("f", "w")
+    s"""
+      WITH ${c14OracleCtes(rounds)}
+      SELECT f.doc_id, CAST($scoreExpr AS BIGINT) AS score,
+        CAST(CASE WHEN $scoreExpr > 0 THEN 1 ELSE 0 END AS INTEGER) AS admit
+      FROM f, w$rounds w"""
+  }
+
+  private def c14OracleCtes(rounds: Int): String = {
     val idx = 0 until 5
-    def margin(l: String, w: String) =
-      idx.map(j => s"$w.w$j * $l.x$j").mkString(" + ")
     val roundCtes = (1 to rounds).map { r =>
       s"""g$r AS MATERIALIZED (
         SELECT ${idx.map(j =>
           s"CAST(COALESCE(SUM(e * x$j), 0) AS BIGINT) AS g$j").mkString(", ")}
-        FROM (SELECT l.*, l.y - (CASE WHEN ${margin("l", "w")} > 0
+        FROM (SELECT l.*, l.y - (CASE WHEN ${c14Margin("l", "w")} > 0
                 THEN 1 ELSE 0 END) AS e
               FROM lab l, w${r - 1} w) z),
-      w$r AS (SELECT ${idx.map(j => s"w.w$j + g.g$j AS w$j").mkString(", ")}
+      w$r AS (SELECT ${idx.map(j =>
+                s"w.w$j + (g.g$j >> ${r - 1}) AS w$j").mkString(", ")}
               FROM w${r - 1} w, g$r g)"""
     }.mkString(",\n      ")
-    val scoreExpr = idx.map(j => s"w.w$j * f.x$j").mkString(" + ")
-    s"""
-      WITH f AS MATERIALIZED (
+    s"""f AS MATERIALIZED (
         SELECT doc_id, CAST(1000 AS BIGINT) AS x0,
           least(lt, 500) * 2 AS x1,
           1000 * nd // nw AS x2,
@@ -7970,10 +7991,71 @@ object Catalog {
         FROM f WHERE doc_id % 4 = 1),
       w0 AS (SELECT ${idx.map(j =>
         s"CAST(0 AS BIGINT) AS w$j").mkString(", ")}),
-      $roundCtes
-      SELECT f.doc_id, CAST($scoreExpr AS BIGINT) AS score,
-        CAST(CASE WHEN $scoreExpr > 0 THEN 1 ELSE 0 END AS INTEGER) AS admit
-      FROM f, w$rounds w"""
+      $roundCtes"""
+  }
+
+  // ---------------------------------------------------------------- q11
+  // MODEL EVALUATION AUDIT (q6's estimate-vs-exact discipline for the
+  // TRAINED tier): c14's classifier is retrained identically and then
+  // judged on the HELD-OUT slice (doc_id%4 != 1 — docs training never
+  // saw) against the fixed-point t2 gate: exact confusion counts
+  // (tp/fp/fn/tn as integer sums) plus accuracy. The audit every
+  // model-based curation pipeline schedules — a filter whose held-out
+  // agreement drifts is silently rewriting the corpus distribution.
+  // The require pins generalization structurally (strictly better than
+  // the constant majority-class gate, at every SF). Oracle = c14's
+  // unrolled training chain + one aggregate; cost = training + one
+  // pass over the held-out features, all map-side-partial sums.
+  private val q11 = {
+    val rounds = 12
+    Q(
+      "q11_model_eval",
+      (s, d) => {
+        val feats = graft.operators.Classifier.qualityFeatures(
+          Tables.documents(s, d), QualityFixture.stops).persist()
+        val cols = graft.operators.Classifier.featCols
+        val qFp = col("x1") * 350 + col("x2") * 250 +
+          col("x3") * 250 + col("x4") * 150
+        val labeled = feats.filter(col("doc_id") % 4 === 1)
+          .withColumn("y", when(qFp > 350000L, 1L).otherwise(0L))
+        val w = graft.operators.Classifier.trainPerceptron(
+          labeled, cols, "y", rounds)
+        val sc = graft.operators.Classifier.linearScore(cols, w.toSeq)
+        val conf = feats.filter(col("doc_id") % 4 =!= 1)
+          .select(when(qFp > 350000L, 1L).otherwise(0L).as("y"),
+            when(sc > 0, 1L).otherwise(0L).as("pred"))
+          .agg(count(lit(1)).as("n_holdout"),
+            sum(when(col("y") === 1 && col("pred") === 1, 1L).otherwise(0L)).as("n_tp"),
+            sum(when(col("y") === 0 && col("pred") === 1, 1L).otherwise(0L)).as("n_fp"),
+            sum(when(col("y") === 1 && col("pred") === 0, 1L).otherwise(0L)).as("n_fn"),
+            sum(when(col("y") === 0 && col("pred") === 0, 1L).otherwise(0L)).as("n_tn"))
+          .select(col("n_holdout"), col("n_tp"), col("n_fp"), col("n_fn"),
+            col("n_tn"),
+            ((col("n_tp") + col("n_tn")).cast("double") /
+              col("n_holdout").cast("double")).as("accuracy"))
+        val row = conf.head()
+        val (nH, tp, fp, fn, tn) = (row.getLong(0), row.getLong(1),
+          row.getLong(2), row.getLong(3), row.getLong(4))
+        val majority = math.max(tp + fn, fp + tn) // constant-gate baseline
+        require(tp + tn > majority,
+          s"held-out accuracy must beat the majority-class gate: ${tp + tn}/$nH vs $majority/$nH")
+        conf
+      },
+      Some(s"""
+        WITH ${c14OracleCtes(rounds)},
+        hold AS (
+          SELECT CASE WHEN 350 * x1 + 250 * x2 + 250 * x3 + 150 * x4
+                   > 350000 THEN 1 ELSE 0 END AS y,
+            CASE WHEN ${c14Margin("f", "w")} > 0 THEN 1 ELSE 0 END AS pred
+          FROM f, w$rounds w WHERE f.doc_id % 4 <> 1)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_holdout,
+          CAST(SUM(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+          CAST(SUM(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_fp,
+          CAST(SUM(CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_fn,
+          CAST(SUM(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tn,
+          CAST(SUM(CASE WHEN y = pred THEN 1 ELSE 0 END) AS DOUBLE) /
+            CAST(COUNT(*) AS DOUBLE) AS accuracy
+        FROM hold"""))
   }
 
   // ---------------------------------------------------------------- t15
@@ -8109,6 +8191,68 @@ object Catalog {
               CAST(n_shared AS DOUBLE) / CAST(s2.n_sh AS DOUBLE)), 9) AS containment
           FROM p JOIN sizes s1 ON s1.id = p.id1 JOIN sizes s2 ON s2.id = p.id2) f
         WHERE containment >= 0.9"""))
+  }
+
+  // ---------------------------------------------------------------- l23
+  // DEDUP THRESHOLD SWEEP (the operating curve of the production
+  // banding config): every near-dup pipeline has to PICK its Jaccard
+  // threshold, and the evidence is this curve — per candidate-pair
+  // threshold tier, how many verified pairs exist and how many docs a
+  // min-id-survivor drop rule would remove. ONE banding pass + ONE
+  // verification join (the l1 machinery — same signatures, same skew
+  // cap, so the sweep measures the REAL config like q8 does for
+  // recall), then every threshold is a FILTER over the already-
+  // verified pair set: sweeping N thresholds costs the same as
+  // sweeping one — the whole point of separating candidate generation
+  // from verification. Pair-level drop counts (distinct greater id),
+  // not the CC closure — l7 owns closure; the sweep sizes the
+  // per-threshold burden. The require pins monotonicity (a
+  // non-monotone curve means the verification is broken). Banding
+  // misses are by-specification (q8's axis); counts are oracle-pinned.
+  private val l23 = {
+    val taus = Seq(0.6, 0.7, 0.8, 0.9)
+    Q(
+      "l23_threshold_sweep",
+      (s, d) => {
+        val corpus = perturbedCorpus(s, d)
+        val cand = graft.operators.Dedup.lshCandidates(
+          corpus, "id", "t", shingleN = 3, k = 16, bands = 4, maxBucket = 1000)
+        val verified = graft.operators.Dedup.verifyPairSides(
+          cand, corpus, "id", "t")(
+          cc => graft.operators.Dedup.shingleHashSetFeature(cc, 3))
+          .select(col("id1"), col("id2"),
+            T.jaccard(col("f1"), col("f2")).as("jaccard"))
+        val swept = verified
+          .select(col("id1"), col("id2"), col("jaccard"),
+            explode(array(taus.map(lit): _*)).as("tau"))
+          .filter(col("jaccard") >= col("tau"))
+          .groupBy("tau")
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(greatest(col("id1"), col("id2"))).as("n_dropped"))
+        val curve = swept.orderBy("tau").collect()
+          .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+        require(curve.sliding(2).forall(w =>
+          w.length < 2 || (w(0)._2 >= w(1)._2 && w(0)._3 >= w(1)._3)),
+          s"the operating curve must be monotone non-increasing in the threshold: ${curve.mkString(", ")}")
+        swept
+      },
+      Some(s"""
+        WITH corpus AS ($corpusSql),
+        ${lshCandSql(shingleN = 3, k = 16, bands = 4, maxBucket = 1000)},
+        jp AS (
+          SELECT id1, id2,
+            CAST(len(list_filter(list_distinct(s1.shingles),
+                   x -> list_contains(list_distinct(s2.shingles), x))) AS DOUBLE) /
+            CAST(len(list_distinct(s1.shingles)) + len(list_distinct(s2.shingles)) -
+                 len(list_filter(list_distinct(s1.shingles),
+                   x -> list_contains(list_distinct(s2.shingles), x))) AS DOUBLE)
+              AS jaccard
+          FROM cand JOIN sh s1 ON cand.id1 = s1.id JOIN sh s2 ON cand.id2 = s2.id),
+        taus AS (SELECT CAST(unnest([${taus.mkString(", ")}]) AS DOUBLE) AS tau)
+        SELECT t.tau, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          CAST(COUNT(DISTINCT greatest(id1, id2)) AS BIGINT) AS n_dropped
+        FROM taus t JOIN jp ON jp.jaccard >= t.tau
+        GROUP BY t.tau"""))
   }
 
   // ---------------------------------------------------------------- t16
@@ -10798,9 +10942,9 @@ object Catalog {
     d1, d2, d3, d4, d5, d6, d7, d8,
     e1, e2, e3, e4, e5, e6, e7, e8, j1, j2, j3, j4, j5, j6, j7,
     r1, r2, r3, r4, r5, r6, r7, r8, r9, q1, q2, q3, q4, q5, q6, q7, q8, q9,
-    q10,
+    q10, q11,
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
-    l17, l18, l19, l20, l21, l22,
+    l17, l18, l19, l20, l21, l22, l23,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16,
     t17, t18, t19, t20, t21,
     c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14,

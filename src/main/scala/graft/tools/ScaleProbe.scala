@@ -254,7 +254,22 @@ object ScaleProbe {
     // open session per user — ×8 users means ×8 state, never ×8²);
     // m7 explodes ×8 docs into frames + a per-doc lag window
     // (doc-cardinality partitions — linear)
-    "e8_fx_normalize", "s25_stream_session", "m7_keyframe_select")
+    "e8_fx_normalize", "s25_stream_session", "m7_keyframe_select",
+    // round-15: m8 encodes+decodes ×8 test tones through the real WAV
+    // codec — m6's band: pure map-only, cost must track doc count;
+    // s26 rides the ×8 corpus through the trigger-cadence admission
+    // funnel — the frontier absorbs ×8 url occurrences before banding
+    // and crossDedup's pair space is per-side-capped (p7's axis, at
+    // trigger cadence); c14's training aggregates ×8 labeled rows per
+    // round into the same 5-long gradient (state flat) and scoring is
+    // map-only — both must stay linear-scan
+    "m8_audio_decode", "s26_stream_admission", "c14_quality_classifier",
+    // q11 re-runs c14's training then one agg over ×8 held-out rows —
+    // the c14 band; l23 rides the ×8 salted duplicate corpus through
+    // ONE banding + verification pass and sweeps thresholds as filters
+    // over the verified pairs (the l1 hazard class — candidate pairs
+    // inflate with bucket population, the sweep must not multiply it)
+    "q11_model_eval", "l23_threshold_sweep")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1778,19 +1778,19 @@ class OperatorsSpec extends AnyFunSuite {
     }
     assert(labeled.map(_._2).distinct.size == 2, "fixture must carry both classes")
     val w = Array.fill(5)(0L)
-    for (_ <- 0 until 6) {
+    for (r <- 0 until 12) {
       val g = Array.fill(5)(0L)
       labeled.foreach { case (x, y) =>
         val m = (0 until 5).map(j => w(j) * x(j)).sum
         val e = y - (if (m > 0) 1L else 0L)
         (0 until 5).foreach(j => g(j) += e * x(j))
       }
-      (0 until 5).foreach(j => w(j) += g(j))
+      (0 until 5).foreach(j => w(j) += (g(j) >> r)) // decaying shift step
     }
     val labeledDf = feats.filter(col("doc_id") % 4 === 1)
       .withColumn("y", when(col("x1") * 350 + col("x2") * 250 +
         col("x3") * 250 + col("x4") * 150 > 350000L, 1L).otherwise(0L))
-    val wGot = Classifier.trainPerceptron(labeledDf, Classifier.featCols, "y", 6)
+    val wGot = Classifier.trainPerceptron(labeledDf, Classifier.featCols, "y", 12)
     assert(wGot.toSeq == w.toSeq,
       "distributed training must equal the sequential replay (exact integers)")
     // scoring: score and admit equal the closed form for EVERY doc
