@@ -420,13 +420,48 @@ object Dedup {
       require(shared.isEmpty,
         s"crossDedup requires disjoint ids; found in both inputs: ${shared.mkString(", ")}")
     }
-    val union = taggedUnion(incoming, reference, idCol, textCol)
+    crossDedupPresigned(incoming, reference,
+      minhashSignature(reference, idCol, textCol, shingleN, k),
+      idCol, textCol, shingleN, k, bands, threshold, maxBucket)
+  }
+
+  /** The per-doc minhash signature table (id, m0..m{k−1}) — the
+    * PERSISTABLE band index of a corpus. A repeatedly-queried reference
+    * (a curated store an admission gate bands every trigger's slice
+    * against — catalog s26) computes this ONCE, writes it next to the
+    * store, and [[crossDedupPresigned]] reads it back, so per-trigger
+    * dedup cost is the SLICE's signature build plus the bucket join,
+    * never a re-shingle of the store. At scale the index row count is
+    * the store's doc count × (k+1) ints — parquet-tiny next to the
+    * text it indexes — and append-only stores extend it incrementally
+    * (signatures are per-doc, so new docs append their rows). */
+  def minhashSignature(corpus: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int): DataFrame =
+    minhashSig(corpus, idCol, textCol, shingleN, k)
+
+  /** [[crossDedup]] with the REFERENCE side's signatures precomputed
+    * (a [[minhashSignature]] table, typically read back from the
+    * store's persisted band index): only the incoming slice is
+    * shingled/signed; candidates band the two signature sets with the
+    * per-side cap; verification re-reads TEXT only for candidate docs
+    * (pairSides' broadcast-semi-join cut, candidate-sized on both
+    * sides). Results are identical to [[crossDedup]] — signatures are
+    * a pure per-doc function. */
+  def crossDedupPresigned(incoming: DataFrame, reference: DataFrame,
+      refSig: DataFrame, idCol: String, textCol: String, shingleN: Int,
+      k: Int, bands: Int, threshold: Double, maxBucket: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into $bands bands")
+    val incSig = minhashSig(
+      incoming.select(col(idCol), col(textCol)).withColumn("_inc", lit(true)),
+      idCol, textCol, shingleN, k, carry = Seq("_inc"))
+    val sig = incSig.unionByName(refSig.withColumn("_inc", lit(false)))
     // exactly one side of each cross pair is incoming: that id, as a
     // pair-level column, rides through verification (carryPair) so the
     // drop set needs no membership join afterwards
-    val cross = crossCandidates(union, idCol, textCol, shingleN, k, bands, maxBucket)
+    val cross = candidatesFromSig(sig, k, bands, maxBucket, tagCol = Some("_inc"))
       .select(col("id1"), col("id2"),
         when(col("tag1"), col("id1")).otherwise(col("id2")).as("_incid"))
+    val union = taggedUnion(incoming, reference, idCol, textCol)
     val verified = pairSides(cross, union, idCol, textCol, carryPair = Seq("_incid")) { cc =>
       shingleTable(cc, "id", "t", shingleN)
         .groupBy("id").agg(collect_set(md5(col("s"))).as("hset"))

@@ -889,11 +889,15 @@ object EventStream {
    *      doc_id window), then anti-join against the overwrite-
    *      versioned SEEN set (curls fetched by any prior trigger), then
    *      anti-join against the curated store's canonical-url set.
-   *   B. NEAR-DUP — [[graft.operators.Dedup.crossDedup]] bands the
-   *      trigger's fresh docs against the STORE (per-side caps, the
-   *      l10 shape): per-trigger cost = slice-banding against the
-   *      store's band space, and store↔store pairs never exist past
-   *      the candidate join. The slice side of every bucket is a
+   *   B. NEAR-DUP — [[graft.operators.Dedup.crossDedupPresigned]]
+   *      bands the trigger's fresh docs against the store's PERSISTED
+   *      band index (per-side caps, the l10 shape): per-trigger cost =
+   *      the slice's own signature build + the bucket join — the store
+   *      is never re-shingled (its minhashSignature table is written
+   *      once at store-build time and read back per trigger; store
+   *      text is touched only candidate-sized, inside verification),
+   *      and store↔store pairs never exist past the candidate join.
+   *      The slice side of every bucket is a
    *      subset of the batch run's incoming side, so any bucket the
    *      batch cap admits is admitted per-trigger too — at fixture
    *      scale no bucket approaches the cap and the streamed verdicts
@@ -914,7 +918,8 @@ object EventStream {
    * ever re-reads the corpus.
    */
   def corpusAdmissionBatch(statePath: String, storePath: String,
-      shingleN: Int, k: Int, bands: Int, threshold: Double, maxBucket: Int,
+      storeSigPath: String, shingleN: Int, k: Int, bands: Int,
+      threshold: Double, maxBucket: Int,
       stops: Seq[String], minQuality: Double)(batch: DataFrame,
       batchId: Long): Unit = {
     import graft.functions.{text => T}
@@ -943,10 +948,15 @@ object EventStream {
       newSeen.write.mode("overwrite").parquet(s"$statePath/seen_v${batchId + 1}")
       val fresh = unseen.join(store.select("curl").distinct(),
         Seq("curl"), "left_anti").persist()
-      // B. near-dup admission: trigger slice banded against the store
-      val novel = graft.operators.Dedup.crossDedup(
+      // B. near-dup admission: the trigger slice banded against the
+      // store's PERSISTED band index (Dedup.minhashSignature, written
+      // once at store-build time) — per-trigger cost is the slice's
+      // own signature build + the bucket join; the store text is
+      // touched only candidate-sized, inside verification
+      val novel = graft.operators.Dedup.crossDedupPresigned(
         fresh.select(col("doc_id").as("id"), col("t"), col("domain")),
         store.select(col("doc_id").as("id"), col("t")),
+        spark.read.parquet(storeSigPath),
         "id", "t", shingleN, k, bands, threshold, maxBucket).persist()
       // C. t2's quality formula over the staged text
       val ws = split(col("t"), " ")

@@ -1205,6 +1205,11 @@ class StreamingSpec extends AnyFunSuite {
         "some other stored document with the usual words and structure"))
       .toDF("doc_id", "domain", "curl", "t")
       .write.parquet(s"$dir/store")
+    // the store's persisted band index, written once at store build
+    graft.operators.Dedup.minhashSignature(
+      spark.read.parquet(s"$dir/store").select(col("doc_id").as("id"), col("t")),
+      "id", "t", shingleN = 3, k = 16)
+      .write.parquet(s"$dir/store_sig")
     // trigger fixture: every admission gate exercised —
     //   doc 2: store-seen curl (frontier drops), doc 3: trigger-seen
     //   curl (cross-trigger frontier drops), doc 4: EXACT content of
@@ -1219,7 +1224,7 @@ class StreamingSpec extends AnyFunSuite {
       Seq((5L, "b.com", "https://b.com/5", junk),
         (6L, "c.com", "https://c.com/6", good)))
     def bodyFor(root: String) = EventStream.corpusAdmissionBatch(
-      root, s"$dir/store", 3, 16, 4, 0.8, 1000, stops, minQ) _
+      root, s"$dir/store", s"$dir/store_sig", 3, 16, 4, 0.8, 1000, stops, minQ) _
     val input = MemoryStream[(Long, String, String, String)]
     var trig = -1
     val query = input.toDF().toDF("doc_id", "domain", "curl", "t")
