@@ -8211,10 +8211,26 @@ object Catalog {
   // misses are by-specification (q8's axis); counts are oracle-pinned.
   private val l23 = {
     val taus = Seq(0.6, 0.7, 0.8, 0.9)
+    // The shared perturbed corpus plants only NEAR-EXACT copies
+    // (jaccard ~0.95+), which every tier keeps — a flat curve that
+    // exercises nothing. The sweep's own fixture adds a MEDIUM tier:
+    // each doc + the first quarter of its successor's words (id +
+    // 2e6), whose jaccard ~ 1/(1 + |S_next|/4|S_doc|) spreads across
+    // the 0.6-0.9 tier boundaries with document-length ratio — so the
+    // curve has real slope and each threshold keeps a different set.
     Q(
       "l23_threshold_sweep",
       (s, d) => {
-        val corpus = perturbedCorpus(s, d)
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), T.normKey(col("text")).as("t"))
+        val nxt = docs.select((col("doc_id") - 1).as("doc_id"),
+          split(col("t"), " ").as("w2"))
+        val medium = docs.join(nxt, "doc_id")
+          .select((col("doc_id") + 2000000L).as("id"),
+            concat(col("t"), lit(" "),
+              array_join(slice(col("w2"), lit(1),
+                expr("greatest(1, size(w2) div 4)").cast("int")), " ")).as("t"))
+        val corpus = perturbedCorpus(s, d).unionAll(medium)
         val cand = graft.operators.Dedup.lshCandidates(
           corpus, "id", "t", shingleN = 3, k = 16, bands = 4, maxBucket = 1000)
         val verified = graft.operators.Dedup.verifyPairSides(
@@ -8237,7 +8253,16 @@ object Catalog {
         swept
       },
       Some(s"""
-        WITH corpus AS ($corpusSql),
+        WITH nd AS (SELECT doc_id, ${normSql("text")} AS t FROM documents),
+        corpus AS (
+          SELECT doc_id AS id, t FROM nd
+          UNION ALL
+          SELECT doc_id + 1000000 AS id, t || ' extraword' AS t FROM nd
+          UNION ALL
+          SELECT d.doc_id + 2000000 AS id,
+            d.t || ' ' || array_to_string(list_slice(string_split(n.t, ' '),
+              1, greatest(1, len(string_split(n.t, ' ')) // 4)), ' ') AS t
+          FROM nd d JOIN nd n ON n.doc_id = d.doc_id + 1),
         ${lshCandSql(shingleN = 3, k = 16, bands = 4, maxBucket = 1000)},
         jp AS (
           SELECT id1, id2,
