@@ -9890,7 +9890,9 @@ object Catalog {
   // ---------------------------------------------------------------- m5
   // AUDIO FRAME WINDOWS (Multimodal.audioFrames) — the time-domain
   // framing pass of the audio modality, m3's sample-rate-aware
-  // companion: 25 ms windows every 10 ms over the stub PCM expansion
+  // companion (the CODEC seam itself is m8's job, which runs a real
+  // WAV encode/decode; m5 tests the framing arithmetic, so its input
+  // stays the cheap stub): 25 ms windows every 10 ms over the stub PCM expansion
   // (4 samples/byte, 8/16/24 kHz by doc_id%3 — all integer-exact), one
   // row per 8th frame with its time span and slice hash. The plan is
   // the m3 discipline: narrow explode + substring, no shuffle, and the
