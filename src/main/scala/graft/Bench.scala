@@ -40,12 +40,41 @@ import graft.util.Json.quote
  *  - INCREMENTAL EMISSION: parseable partial summary lines print every
  *    25 timed queries and at end-of-primary, so a timeout at any point
  *    after warm-up still leaves a valid (tagged "partial") JSON line
- *    in the driver's tail window.
+ *    in the driver's tail window;
+ *  - MID-SUITE CONTENTION DETECTOR: the start-time load guard cannot
+ *    see a competitor that ARRIVES mid-run (the r14/r15 late-suite
+ *    elevations) and loadavg is useless while the bench itself runs,
+ *    so every 25-query segment records the EXTERNAL cpu (system busy
+ *    time minus this JVM's own) — "ext_load" per segment and
+ *    "ext_load_max" in the artifact; "contended_midsuite" flags any
+ *    segment above max(1, limit/2) external cores. Validated against
+ *    deliberate busy-loop competitors (2 spinners -> 1.95-1.98
+ *    measured).
  */
 object Bench {
   private def load1m: Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
+
+  // MID-SUITE contention detector (rounds 14 AND 15 each spent a day
+  // attributing late-suite elevations the START-TIME load guard cannot
+  // see — a competitor arriving mid-run): loadavg is useless once the
+  // bench itself is running (local[32] IS the load), so measure the
+  // EXTERNAL cpu directly — system busy jiffies minus this JVM's own
+  // process cpu, per segment. ~0.1 core of noise from the sbt parent
+  // pumping output; anything near a whole core is a competitor.
+  private def busySecs: Double =
+    try {
+      val p = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        .trim.split("\\s+").drop(1).map(_.toDouble)
+      (p.sum - p(3) - p(4)) / 100.0 // total - idle - iowait, USER_HZ=100
+    } catch { case _: Throwable => -1.0 }
+
+  private def ownCpuSecs: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
 
   private def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
@@ -169,11 +198,14 @@ object Bench {
       if (v < 0) "-1" else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
 
     /** warm-up pass + reps timed passes on a fresh session → per-query
-      * medians. `onProgress(nDone, runningTotal)` fires after each
-      * query's median lands (the pass order is query-major, so a median
-      * is final as soon as its reps finish). */
+      * medians + the per-25-query EXTERNAL-cpu profile (competing cores
+      * during each timed segment; see busySecs). `onProgress(nDone,
+      * runningTotal)` fires after each query's median lands (the pass
+      * order is query-major, so a median is final as soon as its reps
+      * finish). */
     def series(nCpus: String, errPrefix: String,
-        onProgress: (Int, Double) => Unit = (_, _) => ()): Seq[(String, Double)] = {
+        onProgress: (Int, Double) => Unit = (_, _) => ())
+        : (Seq[(String, Double)], Seq[Double]) = {
       val spark = buildSession(nCpus)
       try {
         selected.zipWithIndex.foreach { case (q, i) => // warm-up, untimed
@@ -184,18 +216,37 @@ object Bench {
             System.err.println(s"[bench] warm-up ${i + 1}/${selected.size}")
         }
         var running = 0.0
-        selected.zipWithIndex.map { case (q, i) =>
+        val segs = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var (w0, b0, o0) = (System.nanoTime(), busySecs, ownCpuSecs)
+        val medians = selected.zipWithIndex.map { case (q, i) =>
           val ts = (1 to reps).map(_ => runOnce(spark, errPrefix + q.name, q.name, q.run))
           val med = if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2)
           if (med >= 0) running += med
+          if ((i + 1) % 25 == 0 || i + 1 == selected.size) {
+            val (w1, b1, o1) = (System.nanoTime(), busySecs, ownCpuSecs)
+            val wall = (w1 - w0) / 1e9
+            segs += (if (wall > 0 && b0 >= 0 && b1 >= 0 && o0 >= 0 && o1 >= 0)
+              math.max(0.0, ((b1 - b0) - (o1 - o0)) / wall) else -1.0)
+            w0 = w1; b0 = b1; o0 = o1
+          }
           onProgress(i + 1, running)
           q.name -> med
         }
+        (medians, segs.toSeq)
       } finally spark.stop()
     }
     def toJson(medians: Seq[(String, Double)]): (Double, String) = {
       val total = medians.collect { case (_, v) if v >= 0 => v }.sum
       (total, medians.map { case (k, v) => s"${quote(k)}:$v" }.mkString("{", ",", "}"))
+    }
+    def extJson(segs: Seq[Double]): (String, String, Boolean) = {
+      val valid = segs.filter(_ >= 0)
+      val mx = if (valid.isEmpty) -1.0 else valid.max
+      // tighter than the start guard: even a couple of EXTERNAL cores
+      // skews the iteration class (the r14/r15 elevations), and the
+      // measurement has ~0.1-core noise, so half the limit, floor 1.0
+      (segs.map(r2).mkString("[", ",", "]"), r2(mx),
+        mx > math.max(1.0, loadLimit / 2))
     }
 
     // INCREMENTAL EMISSION: every 25 timed queries, print a small but
@@ -204,24 +255,25 @@ object Bench {
     // warm-up now leaves a valid JSON line in the captured tail instead
     // of nothing (round 13's artifact was rc=124/parsed-null); on a
     // clean finish the final complete line is printed last and wins.
-    val primary = series(cpus, "", (done, running) =>
+    val (primary, extSegs) = series(cpus, "", (done, running) =>
       if (done % 25 == 0 && done < selected.size) {
         println(s"""{"metric":"total","value":${r2(running)},"unit":"sec","sf":"$sfDir","reps":$reps,"cpus":$cpus,"n_queries":$done,"n_total":${selected.size},"n_errors":${errors.size},"partial":true,"degraded":$degraded,"load_before":$loadBefore}""")
         Console.out.flush()
       })
     val (total, qs) = toJson(primary)
+    val (extArr, extMax, extContended) = extJson(extSegs)
     // primary complete: emit a full-precision summary NOW (stdout line +
     // BENCH_FULL.json), before the alt/rerun phases — a timeout inside
     // THOSE no longer costs the round its primary result. The clean-
     // finish path overwrites both with the complete version below.
     val slowest25 = primary.sortBy(-_._2).take(25)
       .map { case (k, v) => s"${quote(k)}:${r2(v)}" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"cpus":$cpus,"n_queries":${primary.size},"n_errors":${errors.size},"queries":$slowest25,"alt_total":null,"partial":${altEnabled},"degraded":$degraded,"load_before":$loadBefore,"full":"BENCH_FULL.json"}""")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"cpus":$cpus,"n_queries":${primary.size},"n_errors":${errors.size},"queries":$slowest25,"alt_total":null,"partial":${altEnabled},"degraded":$degraded,"load_before":$loadBefore,"ext_load_max":$extMax,"contended_midsuite":$extContended,"full":"BENCH_FULL.json"}""")
     Console.out.flush()
     locally {
       val errJsonNow = errors.map { case (k, v) => s"${quote(k)}:${quote(v)}" }
         .mkString("{", ",", "}")
-      val primaryLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":$cpus,"alt":null,"errors":$errJsonNow,"load_before":$loadBefore,"degraded":$degraded,"partial":$altEnabled}"""
+      val primaryLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":$cpus,"alt":null,"errors":$errJsonNow,"load_before":$loadBefore,"ext_load":$extArr,"ext_load_max":$extMax,"contended_midsuite":$extContended,"degraded":$degraded,"partial":$altEnabled}"""
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         primaryLine.getBytes("UTF-8"))
       catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
@@ -236,9 +288,11 @@ object Bench {
     var altTotalOpt: Option[Double] = None
     val altJson = if (!altEnabled) "null" else {
       try {
-        val (altTotal, altQs) = toJson(series(altCpus, "alt:"))
+        val (altMedians, altSegs) = series(altCpus, "alt:")
+        val (altTotal, altQs) = toJson(altMedians)
+        val (_, altExtMax, _) = extJson(altSegs)
         altTotalOpt = Some(altTotal)
-        s"""{"cpus":$altCpusJson,"total":$altTotal,"queries":$altQs}"""
+        s"""{"cpus":$altCpusJson,"total":$altTotal,"ext_load_max":$altExtMax,"queries":$altQs}"""
       } catch {
         case e: Throwable =>
           s"""{"cpus":$altCpusJson,"error":${quote(
@@ -296,10 +350,10 @@ object Bench {
     // (committed, full precision, both series), and stdout gets a COMPACT
     // line — totals, counts, and the slowest-25 query map — sized to fit
     // the tail window with room for sbt's trailing [success] line.
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":$cpus,"alt":$altJson,"errors":$errJson,"load_before":$loadBefore,"waited_for_load":$waitedSecs,"load_after":$loadAfter,"contended":$contended,"degraded":$degraded,"contended_rerun":$rerunJson}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":$cpus,"alt":$altJson,"errors":$errJson,"load_before":$loadBefore,"waited_for_load":$waitedSecs,"load_after":$loadAfter,"contended":$contended,"ext_load":$extArr,"ext_load_max":$extMax,"contended_midsuite":$extContended,"degraded":$degraded,"contended_rerun":$rerunJson}"""
     val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
     try java.nio.file.Files.write(fullPath, fullLine.getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"cpus":$cpus,"n_queries":${primary.size},"n_errors":${errors.size},"queries":$slowest25,"alt_total":${altTotalOpt.map(r2).getOrElse("null")},"alt_cpus":$altCpusJson,"load_before":$loadBefore,"waited_for_load":$waitedSecs,"load_after":$loadAfter,"contended":$contended,"degraded":$degraded,"contended_rerun":$rerunJson,"full":"BENCH_FULL.json"}""")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"cpus":$cpus,"n_queries":${primary.size},"n_errors":${errors.size},"queries":$slowest25,"alt_total":${altTotalOpt.map(r2).getOrElse("null")},"alt_cpus":$altCpusJson,"load_before":$loadBefore,"waited_for_load":$waitedSecs,"load_after":$loadAfter,"contended":$contended,"ext_load_max":$extMax,"contended_midsuite":$extContended,"degraded":$degraded,"contended_rerun":$rerunJson,"full":"BENCH_FULL.json"}""")
   }
 }
