@@ -49,7 +49,25 @@ import graft.util.Json.quote
  *    "ext_load_max" in the artifact; "contended_midsuite" flags any
  *    segment above max(1, limit/2) external cores. Validated against
  *    deliberate busy-loop competitors (2 spinners -> 1.95-1.98
- *    measured).
+ *    measured);
+ *  - TIME BUDGET (round 16 — the r13/r14/r15 official artifacts were
+ *    all lost to the protocol outgrowing the driver's timeout: the
+ *    full warm-up + 3 reps + alt series costs ~8 suite-passes and the
+ *    suite is now ~350-470 s/pass, while the r15 kill timestamps put
+ *    the driver budget at ~2700-2800 s). SPARK_GRAFT_TIME_BUDGET_SECS
+ *    (default 2400, conservative vs the observed kill; 0 disables)
+ *    bounds the WHOLE run: after the warm-up pass its wall time is a
+ *    per-pass estimate, and the timed reps are capped so warm-up +
+ *    reps fits 0.8x budget ("reps" in the artifact is the EFFECTIVE
+ *    count, "reps_requested" the configured one); the alt series runs
+ *    only if its projection (per-pass x (reps+1) x 1.2) fits 0.9x
+ *    budget, else "alt":"skipped_budget". The FINAL summary line
+ *    prints immediately after the primary series either way, and is
+ *    RE-EMITTED every 25 alt queries so a kill at any point leaves a
+ *    parseable line in the driver's ~2000-char tail window. With
+ *    reps capped at 2, the reported statistic is min-of-2 (timing
+ *    noise is strictly additive, so min is the better central
+ *    estimate); at 3+ it is the true median as before.
  */
 object Bench {
   private def load1m: Double =
@@ -67,7 +85,11 @@ object Bench {
     try {
       val p = scala.io.Source.fromFile("/proc/stat").getLines().next()
         .trim.split("\\s+").drop(1).map(_.toDouble)
-      (p.sum - p(3) - p(4)) / 100.0 // total - idle - iowait, USER_HZ=100
+      // user+nice+system+irq+softirq+steal ONLY (fields 0,1,2,5,6,7):
+      // guest/guest_nice (8,9) are already counted inside user/nice, so
+      // `sum - idle - iowait` double-counts VM guest time and inflates
+      // ext_load on virtualized hosts (round-15 advice)
+      Seq(0, 1, 2, 5, 6, 7).map(i => if (p.length > i) p(i) else 0.0).sum / 100.0
     } catch { case _: Throwable => -1.0 }
 
   private def ownCpuSecs: Double =
@@ -108,10 +130,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The runOnce reaper's unpersist of locally-checkpointed RDDs makes
+    // org.apache.spark.rdd emit one "lineage has been truncated" WARN
+    // per RDD — thousands per suite. That spam is exactly what filled
+    // the driver's ~2000-char tail window in the r15 artifact (rc=124,
+    // tail 100% MapPartitionsRDD WARNs, summary line pushed out). The
+    // unpersist is deliberate (cleanup outside the timers), so the
+    // warning carries no information here: silence the package.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     spark
   }
 
   def main(args: Array[String]): Unit = {
+    val benchStart = System.nanoTime()
+    def elapsedSecs: Double = (System.nanoTime() - benchStart) / 1e9
+    // whole-run wall budget (see scaladoc): the r15 kill timestamps put
+    // the driver's timeout at ~2700-2800 s; 2400 leaves real margin.
+    val timeBudget = sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET_SECS", "2400").toInt
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // ambient load BEFORE the bench contributes anything: anything past a
@@ -150,11 +186,15 @@ object Bench {
     // an EXPLICIT SPARK_GRAFT_REPS wins even in degraded mode (a caller
     // who set reps deliberately on a known-busy host asked for exactly
     // that); degraded only overrides the DEFAULT
-    val reps = sys.env.get("SPARK_GRAFT_REPS").map { r =>
+    val repsRequested = sys.env.get("SPARK_GRAFT_REPS").map { r =>
       if (degraded) System.err.println(
         s"[bench] degraded mode, but honoring explicit SPARK_GRAFT_REPS=$r")
       r.toInt
     }.getOrElse(if (degraded) 1 else 3)
+    // explicit SPARK_GRAFT_REPS also opts out of the budget cap on reps
+    // (a caller who pinned reps wants exactly that count) — the budget
+    // then only gates the alt series
+    val repsPinned = sys.env.contains("SPARK_GRAFT_REPS")
     val altEnabled = !degraded && sys.env.getOrElse("SPARK_GRAFT_ALT", "1") != "0"
     val altCpus = sys.env.getOrElse("SPARK_GRAFT_ALT_CPUS",
       if (cpus == "4") "32" else "4")
@@ -197,17 +237,22 @@ object Bench {
     def r2(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
 
-    /** warm-up pass + reps timed passes on a fresh session → per-query
+    /** warm-up pass + timed passes on a fresh session → per-query
       * medians + the per-25-query EXTERNAL-cpu profile (competing cores
-      * during each timed segment; see busySecs). `onProgress(nDone,
-      * runningTotal)` fires after each query's median lands (the pass
-      * order is query-major, so a median is final as soon as its reps
-      * finish). */
-    def series(nCpus: String, errPrefix: String,
+      * during each timed segment; see busySecs). `repsFor(warmSecs)` is
+      * called once, after the warm-up pass, with that pass's wall time —
+      * the per-pass cost estimate the budget cap is computed from.
+      * `onProgress(nDone, runningTotal)` fires after each query's median
+      * lands (the pass order is query-major, so a median is final as
+      * soon as its reps finish). Returns (medians, extSegs, repsUsed,
+      * warmSecs). With repsUsed=2 the statistic is min-of-2 (index
+      * (size-1)/2 — identical to the median at any odd count). */
+    def series(nCpus: String, errPrefix: String, repsFor: Double => Int,
         onProgress: (Int, Double) => Unit = (_, _) => ())
-        : (Seq[(String, Double)], Seq[Double]) = {
+        : (Seq[(String, Double)], Seq[Double], Int, Double) = {
       val spark = buildSession(nCpus)
       try {
+        val warmT0 = System.nanoTime()
         selected.zipWithIndex.foreach { case (q, i) => // warm-up, untimed
           runOnce(spark, errPrefix + q.name, q.name, q.run)
           // stderr only: a stdout line with no real total could be the
@@ -215,12 +260,14 @@ object Bench {
           if ((i + 1) % 50 == 0)
             System.err.println(s"[bench] warm-up ${i + 1}/${selected.size}")
         }
+        val warmSecs = (System.nanoTime() - warmT0) / 1e9
+        val nReps = math.max(1, repsFor(warmSecs))
         var running = 0.0
         val segs = scala.collection.mutable.ArrayBuffer.empty[Double]
         var (w0, b0, o0) = (System.nanoTime(), busySecs, ownCpuSecs)
         val medians = selected.zipWithIndex.map { case (q, i) =>
-          val ts = (1 to reps).map(_ => runOnce(spark, errPrefix + q.name, q.name, q.run))
-          val med = if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2)
+          val ts = (1 to nReps).map(_ => runOnce(spark, errPrefix + q.name, q.name, q.run))
+          val med = if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply((ts.size - 1) / 2)
           if (med >= 0) running += med
           if ((i + 1) % 25 == 0 || i + 1 == selected.size) {
             val (w1, b1, o1) = (System.nanoTime(), busySecs, ownCpuSecs)
@@ -232,7 +279,7 @@ object Bench {
           onProgress(i + 1, running)
           q.name -> med
         }
-        (medians, segs.toSeq)
+        (medians, segs.toSeq, nReps, warmSecs)
       } finally spark.stop()
     }
     def toJson(medians: Seq[(String, Double)]): (Double, String) = {
@@ -255,25 +302,52 @@ object Bench {
     // warm-up now leaves a valid JSON line in the captured tail instead
     // of nothing (round 13's artifact was rc=124/parsed-null); on a
     // clean finish the final complete line is printed last and wins.
-    val (primary, extSegs) = series(cpus, "", (done, running) =>
+    var effReps = repsRequested
+    val (primary, extSegs, _, warmPrimary) = series(cpus, "", { warmSecs =>
+      // BUDGET CAP on reps: the warm-up pass wall time is the per-pass
+      // estimate (slightly conservative — warm-up pays JIT); cap the
+      // timed passes so warm-up + reps fits 0.8x the budget.
+      effReps = if (repsPinned || timeBudget <= 0) repsRequested
+      else {
+        val fit = ((timeBudget * 0.8 - elapsedSecs) / math.max(1.0, warmSecs)).toInt
+        val r = math.max(1, math.min(repsRequested, fit))
+        if (r < repsRequested) System.err.println(
+          f"[bench] budget cap: warm-up $warmSecs%.0f s, elapsed $elapsedSecs%.0f of ${timeBudget}s — reps $repsRequested -> $r")
+        r
+      }
+      effReps
+    }, (done, running) =>
       if (done % 25 == 0 && done < selected.size) {
-        println(s"""{"metric":"total","value":${r2(running)},"unit":"sec","sf":"$sfDir","reps":$reps,"cpus":$cpus,"n_queries":$done,"n_total":${selected.size},"n_errors":${errors.size},"partial":true,"degraded":$degraded,"load_before":$loadBefore}""")
+        println(s"""{"metric":"total","value":${r2(running)},"unit":"sec","sf":"$sfDir","reps":$effReps,"cpus":$cpus,"n_queries":$done,"n_total":${selected.size},"n_errors":${errors.size},"partial":true,"degraded":$degraded,"load_before":$loadBefore}""")
         Console.out.flush()
       })
     val (total, qs) = toJson(primary)
     val (extArr, extMax, extContended) = extJson(extSegs)
+    // ALT GATING: run the alt series only if its projected cost (per-
+    // pass estimate x (reps+1) passes x 1.2 config margin) fits inside
+    // 0.9x the remaining budget — the r15 official run died exactly
+    // here, mid-alt. When dropped, "alt":"skipped_budget".
+    val altProjected = warmPrimary * (effReps + 1) * 1.2
+    val altFits = timeBudget <= 0 || elapsedSecs + altProjected <= timeBudget * 0.9
+    if (altEnabled && !altFits) System.err.println(
+      f"[bench] alt series skipped: elapsed $elapsedSecs%.0f s + projected $altProjected%.0f s " +
+        f"exceeds 0.9 x ${timeBudget}s budget")
+    val altRun = altEnabled && altFits
     // primary complete: emit a full-precision summary NOW (stdout line +
     // BENCH_FULL.json), before the alt/rerun phases — a timeout inside
     // THOSE no longer costs the round its primary result. The clean-
-    // finish path overwrites both with the complete version below.
+    // finish path overwrites both with the complete version below, and
+    // the alt phase RE-EMITS this line every 25 queries so it is always
+    // inside the driver's tail window even if the run is killed mid-alt.
     val slowest25 = primary.sortBy(-_._2).take(25)
       .map { case (k, v) => s"${quote(k)}:${r2(v)}" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"cpus":$cpus,"n_queries":${primary.size},"n_errors":${errors.size},"queries":$slowest25,"alt_total":null,"partial":${altEnabled},"degraded":$degraded,"load_before":$loadBefore,"ext_load_max":$extMax,"contended_midsuite":$extContended,"full":"BENCH_FULL.json"}""")
+    val postPrimaryLine = s"""{"metric":"total","value":${r2(total)},"unit":"sec","sf":"$sfDir","reps":$effReps,"reps_requested":$repsRequested,"cpus":$cpus,"n_queries":${primary.size},"n_errors":${errors.size},"queries":$slowest25,"alt_total":null,"partial":$altRun,"degraded":$degraded,"load_before":$loadBefore,"ext_load_max":$extMax,"contended_midsuite":$extContended,"time_budget_secs":$timeBudget,"full":"BENCH_FULL.json"}"""
+    println(postPrimaryLine)
     Console.out.flush()
     locally {
       val errJsonNow = errors.map { case (k, v) => s"${quote(k)}:${quote(v)}" }
         .mkString("{", ",", "}")
-      val primaryLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":$cpus,"alt":null,"errors":$errJsonNow,"load_before":$loadBefore,"ext_load":$extArr,"ext_load_max":$extMax,"contended_midsuite":$extContended,"degraded":$degraded,"partial":$altEnabled}"""
+      val primaryLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$effReps,"reps_requested":$repsRequested,"cpus":$cpus,"alt":null,"errors":$errJsonNow,"load_before":$loadBefore,"ext_load":$extArr,"ext_load_max":$extMax,"contended_midsuite":$extContended,"degraded":$degraded,"time_budget_secs":$timeBudget,"partial":$altRun}"""
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         primaryLine.getBytes("UTF-8"))
       catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
@@ -286,9 +360,17 @@ object Bench {
     val altCpusJson = if (altCpus.nonEmpty && altCpus.forall(_.isDigit)) altCpus
       else quote(altCpus)
     var altTotalOpt: Option[Double] = None
-    val altJson = if (!altEnabled) "null" else {
+    val altJson = if (!altEnabled) "null"
+    else if (!altFits) "\"skipped_budget\""
+    else {
       try {
-        val (altMedians, altSegs) = series(altCpus, "alt:")
+        val (altMedians, altSegs, _, _) = series(altCpus, "alt:", _ => effReps,
+          (done, _) => if (done % 25 == 0 && done < selected.size) {
+            // keep a parseable (and the LATEST) summary inside the tail
+            // window throughout the alt phase
+            println(postPrimaryLine)
+            Console.out.flush()
+          })
         val (altTotal, altQs) = toJson(altMedians)
         val (_, altExtMax, _) = extJson(altSegs)
         altTotalOpt = Some(altTotal)
@@ -316,6 +398,7 @@ object Bench {
     // reported it, not a round later. Skippable via SPARK_GRAFT_RERUN=0;
     // a rerun failure must never cost the primary line.
     val rerunJson = if (!contended || sys.env.get("SPARK_GRAFT_RERUN").contains("0")) "null"
+    else if (timeBudget > 0 && elapsedSecs > timeBudget * 0.85) "\"skipped_budget\""
     else {
       try {
         val slowNames = primary.filter(_._2 >= 0).sortBy(-_._2).take(5).map(_._1).toSet
@@ -328,8 +411,8 @@ object Bench {
         val medians = try {
           slowQs.foreach(q => runOnce(spark, "rerun:" + q.name, q.name, q.run))
           slowQs.map { q =>
-            val ts = (1 to reps).map(_ => runOnce(spark, "rerun:" + q.name, q.name, q.run))
-            q.name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2))
+            val ts = (1 to effReps).map(_ => runOnce(spark, "rerun:" + q.name, q.name, q.run))
+            q.name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply((ts.size - 1) / 2))
           }
         } finally spark.stop()
         s"""{"load_at_rerun":$loadAtRerun,"queries":${medians
@@ -350,10 +433,10 @@ object Bench {
     // (committed, full precision, both series), and stdout gets a COMPACT
     // line — totals, counts, and the slowest-25 query map — sized to fit
     // the tail window with room for sbt's trailing [success] line.
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":$cpus,"alt":$altJson,"errors":$errJson,"load_before":$loadBefore,"waited_for_load":$waitedSecs,"load_after":$loadAfter,"contended":$contended,"ext_load":$extArr,"ext_load_max":$extMax,"contended_midsuite":$extContended,"degraded":$degraded,"contended_rerun":$rerunJson}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$effReps,"reps_requested":$repsRequested,"cpus":$cpus,"alt":$altJson,"errors":$errJson,"load_before":$loadBefore,"waited_for_load":$waitedSecs,"load_after":$loadAfter,"contended":$contended,"ext_load":$extArr,"ext_load_max":$extMax,"contended_midsuite":$extContended,"degraded":$degraded,"time_budget_secs":$timeBudget,"elapsed_secs":${r2(elapsedSecs)},"contended_rerun":$rerunJson}"""
     val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
     try java.nio.file.Files.write(fullPath, fullLine.getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"cpus":$cpus,"n_queries":${primary.size},"n_errors":${errors.size},"queries":$slowest25,"alt_total":${altTotalOpt.map(r2).getOrElse("null")},"alt_cpus":$altCpusJson,"load_before":$loadBefore,"waited_for_load":$waitedSecs,"load_after":$loadAfter,"contended":$contended,"ext_load_max":$extMax,"contended_midsuite":$extContended,"degraded":$degraded,"contended_rerun":$rerunJson,"full":"BENCH_FULL.json"}""")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","sf":"$sfDir","reps":$effReps,"reps_requested":$repsRequested,"cpus":$cpus,"n_queries":${primary.size},"n_errors":${errors.size},"queries":$slowest25,"alt_total":${altTotalOpt.map(r2).getOrElse(if (altEnabled && !altFits) "\"skipped_budget\"" else "null")},"alt_cpus":$altCpusJson,"load_before":$loadBefore,"waited_for_load":$waitedSecs,"load_after":$loadAfter,"contended":$contended,"ext_load_max":$extMax,"contended_midsuite":$extContended,"degraded":$degraded,"time_budget_secs":$timeBudget,"elapsed_secs":${r2(elapsedSecs)},"contended_rerun":$rerunJson,"full":"BENCH_FULL.json"}""")
   }
 }
