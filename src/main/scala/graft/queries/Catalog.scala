@@ -8037,8 +8037,18 @@ object Catalog {
         val (nH, tp, fp, fn, tn) = (row.getLong(0), row.getLong(1),
           row.getLong(2), row.getLong(3), row.getLong(4))
         val majority = math.max(tp + fn, fp + tn) // constant-gate baseline
-        require(tp + tn > majority,
-          s"held-out accuracy must beat the majority-class gate: ${tp + tn}/$nH vs $majority/$nH")
+        // both-classes gate first: on a single-class held-out slice the
+        // majority baseline IS n and "beating" it is impossible — that
+        // is a fixture property, not a model failure, and must say so
+        require(tp + fn > 0 && fp + tn > 0,
+          s"held-out slice must contain both classes: pos=${tp + fn}, neg=${fp + tn}")
+        // >= not >: a model that TIES the constant gate on some SF is
+        // reported (the confusion counts are the deliverable), not
+        // aborted mid-bench (round-15 advice — the strict form made a
+        // data-dependent property a hard crash). The measured margins
+        // are strict at all three SFs (0.85/0.94/0.93 vs majority).
+        require(tp + tn >= majority,
+          s"held-out accuracy fell below the majority-class gate: ${tp + tn}/$nH vs $majority/$nH")
         conf
       },
       Some(s"""
@@ -8247,9 +8257,19 @@ object Catalog {
             countDistinct(greatest(col("id1"), col("id2"))).as("n_dropped"))
         val curve = swept.orderBy("tau").collect()
           .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
-        require(curve.sliding(2).forall(w =>
-          w.length < 2 || (w(0)._2 >= w(1)._2 && w(0)._3 >= w(1)._3)),
-          s"the operating curve must be monotone non-increasing in the threshold: ${curve.mkString(", ")}")
+        // NOT a monotonicity require: each higher threshold's surviving
+        // set is a subset of the lower's by construction (same verified
+        // frame, stricter filter), so monotone non-increasing is true
+        // no matter how broken the verification is — vacuous (round-15
+        // advice). The falsifiable property is SLOPE: the fixture
+        // plants a medium-similarity tier (quarter-suffix extensions)
+        // that the sweep must separate — if verification collapsed to
+        // all-1.0 or all-0 jaccards, the curve flattens and this fails
+        // (r15 fixture counts: 13945 pairs at the loosest tau vs 7452
+        // at the strictest).
+        require(curve.nonEmpty && curve.head._2 > curve.last._2 &&
+          curve.head._3 > curve.last._3,
+          s"the operating curve must have real slope (loosest tau strictly above strictest): ${curve.mkString(", ")}")
         swept
       },
       Some(s"""

@@ -371,18 +371,25 @@ object Sink {
     // Long arithmetic: n*n*64 as Int overflows past n ≈ 8200, collapsing
     // the bound below the ~n·ln(n) probes coupon-collector needs.
     val probeBound = math.max(1000L, 64L * n * n)
+    // the probe COUNTER must be as wide as the bound: an Int m wraps
+    // negative once 64L*n*n exceeds Int.MaxValue (n ≈ 8200+) and the
+    // require becomes unreachable — the backstop would probe negative
+    // ints forever instead of failing cleanly (round-15 advice). The
+    // REPRESENTATIVE stays an Int (m.toInt): downstream hashing of the
+    // slot-key column is hashInt, and wrap-around just continues the
+    // probe sequence through distinct int values.
     val reps = (0 until n).map { _ =>
-      var m = 0
+      var m = 0L
       def slot(v: Int) = {
         val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(v, 42)
         ((h % n) + n) % n
       }
-      while (taken.contains(slot(m))) {
+      while (taken.contains(slot(m.toInt))) {
         m += 1
         require(m < probeBound,
           s"slot probe exhausted $probeBound candidates for $n buckets")
       }
-      taken += slot(m); m
+      taken += slot(m.toInt); m.toInt
     }
     element_at(array(reps.map(lit): _*), bucket.cast("int") + 1)
   }
