@@ -9353,15 +9353,19 @@ object Catalog {
   // live twin): the seen-set a crawler consults before fetching. Per
   // trigger, the slice's CANONICAL urls (the same canonUrls projection
   // t20 runs — twins share builders, the s21 rule) fold into
-  // overwrite-versioned (curl, domain, first_trigger, n_total) state:
-  // min-fold on first_trigger, sum-fold on occurrences — both
-  // associative, so any trigger slicing lands on the batch answer,
-  // which the oracle recomputes from the corpus in one aggregate
-  // (first_trigger = the url's earliest doc_id%3 slice). State is
-  // frontier-sized — one row per unique canonical url, KEYED state
-  // hash-partitioned at scale — and the canonicalization is exactly
-  // why it stays that small: four messy spellings per resource would
-  // otherwise quadruple it.
+  // (curl, domain, first_trigger, n_total) state: min-fold on
+  // first_trigger, sum-fold on occurrences — both associative, so any
+  // trigger slicing lands on the batch answer, which the oracle
+  // recomputes from the corpus in one aggregate (first_trigger = the
+  // url's earliest doc_id%3 slice). State is frontier-sized — one row
+  // per unique canonical url — and BUCKET-DELTA on a manifest chain
+  // (FrontierState, the round-15 verdict's prescription): a trigger
+  // reads and rewrites ONLY the hash(curl) buckets its own urls touch,
+  // under ManifestStore's throwing only-affected-buckets gate, so
+  // per-trigger cost tracks the trigger's bucket spread, never the
+  // frontier size. The canonicalization is exactly why the state stays
+  // small: four messy spellings per resource would otherwise quadruple
+  // it.
   private val s22 = Q(
     "s22_stream_frontier",
     (s, d) => {
@@ -9373,9 +9377,8 @@ object Catalog {
       val body = graft.streaming.EventStream.urlFrontierFoldBatch(statePath) _
       (0 until 3).foreach(i =>
         body(urls.filter(col("doc_id") % 3 === i), i.toLong))
-      s.read
-        .schema("curl STRING, domain STRING, n_total BIGINT, first_trigger BIGINT")
-        .parquet(s"$statePath/seen_v3")
+      graft.streaming.FrontierState.read(s, statePath, afterTrigger = 2,
+          graft.streaming.EventStream.frontierStateSchema)
         .select(col("domain"), col("curl"), col("first_trigger"), col("n_total"))
     },
     Some(s"""
@@ -10732,8 +10735,10 @@ object Catalog {
   // streamed corpus equals the batch build and ONE SQL chain over the
   // shared urlCanonCtes replays fetch→unique→fold→gate→quality→publish
   // (the shared-oracle rule). Per-trigger MemoryStream parity runs in
-  // StreamingSpec. State is frontier-sized, publishes are
-  // trigger-sized, nothing re-reads the corpus — the 100 TB shape.
+  // StreamingSpec. The frontier is BUCKET-DELTA keyed state
+  // (FrontierState — reads and rewrites only the slice's hash(curl)
+  // buckets, gated), publishes are trigger-sized, nothing re-reads the
+  // corpus or the frontier — the 100 TB shape.
   private val p8 = {
     val qThresh = 0.35 // p7's above-median t2 gate
     val nB = 16
@@ -10769,9 +10774,9 @@ object Catalog {
         val corpus = graft.sources.ManifestStore.readVersion(
           s, s"$root/corpus", versions.last,
           graft.streaming.EventStream.crawlCorpusSchema)
-        val state = s.read
-          .schema("curl STRING, domain STRING, first_doc_id BIGINT, n_total BIGINT")
-          .parquet(s"$root/state/seen_v3")
+        val state = graft.streaming.FrontierState.read(
+          s, s"$root/state/seen", afterTrigger = 2,
+          graft.streaming.EventStream.crawlFrontierSchema)
         state.groupBy("domain")
           .agg(sum(col("n_total")).as("n_fetched"),
             count(lit(1)).as("n_unique"))
@@ -10854,9 +10859,12 @@ object Catalog {
   // Serving = one groupBy-sum over the trigger ledgers; the range-cut
   // contract makes the streamed funnel equal p7's batch funnel doc for
   // doc, so p7's oracle replays it VERBATIM (the shared-oracle rule).
-  // MemoryStream per-trigger parity runs in StreamingSpec. State is
-  // frontier-sized, ledgers domain-sized, per-trigger dedup cost
-  // slice-sized — the 100 TB shape.
+  // MemoryStream per-trigger parity runs in StreamingSpec. The seen
+  // set is BUCKET-DELTA keyed state (FrontierState — the anti-join
+  // reads only the slice's hash(curl) buckets, and a trigger rewrites
+  // ONLY buckets that gained a genuinely new curl), ledgers
+  // domain-sized, per-trigger dedup cost slice-sized — the 100 TB
+  // shape.
   private val s26 = Q(
     "s26_stream_admission",
     (s, d) => {

@@ -117,6 +117,34 @@ object ManifestStore {
   def publishDelta(spark: SparkSession, delta: DataFrame, root: String,
       prevVersion: String, version: String, bucketCol: String, keyCol: String,
       payload: Seq[String], schema: String): Unit = {
+    val prevFiles = readManifest(spark, root, prevVersion)
+    val affected = delta.select(col(bucketCol)).distinct()
+      .collect().map(_.get(0)).toSet
+    require(affected.nonEmpty, "empty delta: nothing to publish")
+    val prefixes = affected.map(b => s"$bucketCol=$b/")
+    val baseFiles = prevFiles.filter(f => prefixes.exists(f.startsWith))
+    val merged = if (baseFiles.isEmpty) delta else {
+      val base = spark.read.schema(schema)
+        .option("basePath", dataPath(root))
+        .parquet(baseFiles.map(f => s"${dataPath(root)}/$f"): _*)
+      graft.operators.Upsert.merge(base, delta, keyCol, payload :+ bucketCol)
+    }
+    publishDeltaMerged(spark, merged, root, prevVersion, version, bucketCol)
+  }
+
+  /**
+   * Delta publish where `merged` is ALREADY the complete new content of
+   * every bucket it mentions (the caller ran its own fold — e.g. the
+   * frontier state's sum/min fold, which [[graft.operators.Upsert.merge]]'s
+   * EXCLUDED-wins semantics cannot express). Writes ONLY those buckets'
+   * new files, carries every other file forward by reference, and
+   * THROWS if the write strays outside the affected buckets — the gate
+   * that pins per-trigger write cost to the trigger's bucket spread,
+   * never the state size (the w3/s9 gate discipline on frontier state).
+   */
+  def publishDeltaMerged(spark: SparkSession, merged: DataFrame, root: String,
+      prevVersion: String, version: String, bucketCol: String,
+      affectedKnown: Option[Set[Any]] = None): Unit = {
     // optimistic concurrency: a publish prepared against a version that
     // is no longer the head must FAIL, not silently drop the interleaved
     // publish's changes (the compare-and-swap check a real table format
@@ -126,24 +154,33 @@ object ManifestStore {
     require(head.contains(prevVersion),
       s"stale publish: prepared against $prevVersion but head is $head")
     val prevFiles = readManifest(spark, root, prevVersion)
-    val affected = delta.select(col(bucketCol)).distinct()
-      .collect().map(_.get(0)).toSet
+    // affectedKnown skips the distinct-collect job when the caller
+    // already knows the bucket set — it must then be EXACTLY merged's
+    // bucket set: a superset would drop untouched buckets' prior files
+    // from the carry list without replacing them
+    val affected = affectedKnown.getOrElse(
+      merged.select(col(bucketCol)).distinct().collect().map(_.get(0)).toSet)
     require(affected.nonEmpty, "empty delta: nothing to publish")
     val prefixes = affected.map(b => s"$bucketCol=$b/")
-    val (baseFiles, carried) =
-      prevFiles.partition(f => prefixes.exists(f.startsWith))
-    val merged = if (baseFiles.isEmpty) delta else {
-      val base = spark.read.schema(schema)
-        .option("basePath", dataPath(root))
-        .parquet(baseFiles.map(f => s"${dataPath(root)}/$f"): _*)
-      graft.operators.Upsert.merge(base, delta, keyCol, payload :+ bucketCol)
-    }
+    val carried = prevFiles.filterNot(f => prefixes.exists(f.startsWith))
     val before = listDataFiles(spark, root)
     merged.write.mode("append").partitionBy(bucketCol).parquet(dataPath(root))
     val newFiles = (listDataFiles(spark, root) -- before).toSeq
     require(newFiles.forall(f => prefixes.exists(f.startsWith)),
       "a delta publish must only write under its affected buckets")
     writeManifest(spark, root, version, carried ++ newFiles)
+  }
+
+  /** Metadata-only version: `version` references exactly `prevVersion`'s
+    * files (a trigger that changed nothing still advances the chain so
+    * version names stay aligned with trigger ids). CAS-checked like any
+    * publish; no data file is written, moved or copied. */
+  def publishCarry(spark: SparkSession, root: String, prevVersion: String,
+      version: String): Unit = {
+    val head = listVersions(spark, root).lastOption
+    require(head.contains(prevVersion),
+      s"stale publish: prepared against $prevVersion but head is $head")
+    writeManifest(spark, root, version, readManifest(spark, root, prevVersion))
   }
 
   /** Read one version: exactly its manifest's files, nothing else — an
@@ -153,6 +190,25 @@ object ManifestStore {
       schema: String): DataFrame = {
     val files = readManifest(spark, root, version)
     spark.read.schema(schema)
+      .option("basePath", dataPath(root))
+      .parquet(files.map(f => s"${dataPath(root)}/$f"): _*)
+  }
+
+  /** Read ONLY `buckets`' rows of a version — manifest-pruned to the
+    * named partitions before any file is opened (the point-lookup read
+    * the bucketed frontier state serves its anti-joins from: a trigger
+    * reads the buckets its keys hash into, never the whole state).
+    * Buckets with no files yet contribute nothing; if none of the
+    * named buckets has files, returns an empty frame of `schema`. */
+  def readVersionBuckets(spark: SparkSession, root: String, version: String,
+      schema: String, bucketCol: String, buckets: Set[Long]): DataFrame = {
+    val prefixes = buckets.map(b => s"$bucketCol=$b/")
+    val files = readManifest(spark, root, version)
+      .filter(f => prefixes.exists(f.startsWith))
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(schema))
+    else spark.read.schema(schema)
       .option("basePath", dataPath(root))
       .parquet(files.map(f => s"${dataPath(root)}/$f"): _*)
   }

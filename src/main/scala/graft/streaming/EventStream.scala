@@ -691,39 +691,46 @@ object EventStream {
     merged.write.mode("overwrite").parquet(s"$statePath/dict_v${batchId + 1}")
   }
 
+  /** s22/p8's frontier state schemas (bucket = hash(curl) partition). */
+  val frontierStateSchema: String =
+    "curl STRING, domain STRING, n_total BIGINT, first_trigger BIGINT, bucket BIGINT"
+  val crawlFrontierSchema: String =
+    "curl STRING, domain STRING, first_doc_id BIGINT, n_total BIGINT, bucket BIGINT"
+
   /**
    * foreachBatch body of the STREAMING CRAWL FRONTIER (catalog s22 —
    * t20's live twin): per trigger, the batch's CANONICAL urls fold
-   * into overwrite-versioned (curl, domain, first_trigger, n_total)
-   * state — a url seen for the first time enters with this trigger's
-   * id, an already-seen one keeps its first_trigger (min fold) and
-   * accumulates occurrences (sum fold). Min and sum are associative,
-   * so ANY trigger slicing lands on the batch answer: first_trigger =
-   * the earliest slice carrying the url, n_total = the corpus count —
-   * which is what lets the frontier answer "is this url new?" without
-   * ever re-scanning the crawl. State is frontier-sized (one row per
-   * unique canonical url): KEYED state, the honest cost of an exact
-   * seen set — at scale it hash-partitions by curl across executors,
-   * and versions older than the head vacuum away (the s21 discipline;
-   * a probabilistic bloom tier in front is a refinement that changes
+   * into (curl, domain, first_trigger, n_total) state — a url seen
+   * for the first time enters with this trigger's id, an already-seen
+   * one keeps its first_trigger (min fold) and accumulates occurrences
+   * (sum fold). Min and sum are associative, so ANY trigger slicing
+   * lands on the batch answer: first_trigger = the earliest slice
+   * carrying the url, n_total = the corpus count — which is what lets
+   * the frontier answer "is this url new?" without ever re-scanning
+   * the crawl. State is BUCKET-DELTA keyed state on a manifest chain
+   * ([[FrontierState]], the round-15 verdict's prescription): the
+   * trigger's per-curl contribution carries its derived hash bucket,
+   * ONLY those buckets' prior rows are read back, folded and
+   * rewritten, and every untouched bucket carries into the new
+   * version by reference — with [[graft.sources.ManifestStore
+   * .publishDeltaMerged]]'s throwing gate pinning per-trigger write
+   * cost to the trigger's bucket spread, never the frontier size (a
+   * probabilistic bloom tier in front is a refinement that changes
    * the false-positive contract, not this fold).
    */
-  def urlFrontierFoldBatch(statePath: String)(batch: DataFrame,
-      batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    val part = batch.groupBy("curl", "domain")
+  def urlFrontierFoldBatch(statePath: String, nBuckets: Int = 16)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val contrib = batch.groupBy("curl", "domain")
       .agg(count(lit(1)).as("n_total"))
       .withColumn("first_trigger", lit(batchId))
-    val merged =
-      if (batchId == 0) part
-      else spark.read
-        .schema("curl STRING, domain STRING, n_total BIGINT, first_trigger BIGINT")
-        .parquet(s"$statePath/seen_v$batchId")
-        .unionAll(part)
-        .groupBy("curl", "domain")
+      .withColumn("bucket", FrontierState.bucketOf(col("curl"), nBuckets))
+    FrontierState.foldPublish(statePath, batchId, contrib,
+      frontierStateSchema) { (base, delta) =>
+      base.unionByName(delta)
+        .groupBy("curl", "domain", "bucket")
         .agg(sum(col("n_total")).as("n_total"),
           min(col("first_trigger")).as("first_trigger"))
-    merged.write.mode("overwrite").parquet(s"$statePath/seen_v${batchId + 1}")
+    }
   }
 
   /**
@@ -735,9 +742,11 @@ object EventStream {
    *
    *   1. FRONTIER FOLD (s22's state, extended with the winning doc):
    *      the slice's per-curl winner (min doc_id) is diffed against the
-   *      overwrite-versioned seen set; only NEW canonical urls proceed,
-   *      already-seen ones just accumulate n_total. State is
-   *      frontier-sized: (curl, domain, first_doc_id, n_total).
+   *      BUCKET-DELTA seen set ([[FrontierState]] — the anti-join reads
+   *      and the fold rewrites only the buckets the slice's curls hash
+   *      into); only NEW canonical urls proceed, already-seen ones just
+   *      accumulate n_total. State rows: (curl, domain, first_doc_id,
+   *      n_total, bucket).
    *   2. t19 FOLD + LANGUAGE GATE (p6's exact stages): the fixture
    *      injection by doc_id%3, unicode fold, marker scoring, keep iff
    *      English is the strict argmax with at least one hit.
@@ -786,21 +795,17 @@ object EventStream {
     import org.apache.spark.sql.expressions.Window
     val spark = batch.sparkSession
 
-    // 1. frontier fold + new-winner selection
+    // 1. frontier fold + new-winner selection — BUCKET-DELTA state
+    // ([[FrontierState]]): the slice's distinct curls name the affected
+    // buckets, the anti-join reads ONLY those buckets of the prior
+    // version (a curl can only match inside its own bucket), and the
+    // fold rewrites only them; per-trigger read AND write cost track
+    // the slice's bucket spread, never the frontier size.
     val ranked = batch.withColumn("__rn",
       row_number().over(Window.partitionBy(col("curl")).orderBy(col("doc_id"))))
     val winners = ranked.filter(col("__rn") === 1).drop("__rn")
     val part = batch.groupBy("curl", "domain").agg(count(lit(1)).as("n_total"))
-    val stateSchema =
-      "curl STRING, domain STRING, first_doc_id BIGINT, n_total BIGINT"
-    val prev =
-      if (batchId == 0) None
-      else Some(spark.read.schema(stateSchema).parquet(s"$statePath/seen_v$batchId"))
-    val fresh = prev match {
-      case None => winners
-      case Some(seen) =>
-        winners.join(seen.select(col("curl")), Seq("curl"), "left_anti")
-    }
+    val frontierRoot = s"$statePath/seen"
     // s22's min/sum fold, extended with the winning doc id: the slice
     // contributes (curl, domain, slice-winner doc_id, slice count); the
     // min over first_doc_id keeps the original winner for re-fetched
@@ -809,14 +814,27 @@ object EventStream {
     val slicePart = part.join(
       winners.select(col("curl"), col("doc_id").as("first_doc_id")), Seq("curl"))
       .select(col("curl"), col("domain"), col("first_doc_id"), col("n_total"))
-    val merged = prev match {
-      case None => slicePart
-      case Some(seen) => seen.unionByName(slicePart)
-        .groupBy("curl", "domain")
+      .withColumn("bucket", FrontierState.bucketOf(col("curl"), nBuckets))
+    val affected = FrontierState.affectedBuckets(slicePart)
+    val base =
+      if (batchId == 0) None
+      else Some(FrontierState.readBuckets(spark, frontierRoot,
+        FrontierState.version(batchId - 1), crawlFrontierSchema, affected))
+    val fresh = base match {
+      case None => winners
+      case Some(seen) =>
+        winners.join(seen.select(col("curl")), Seq("curl"), "left_anti")
+    }
+    // slicePart's buckets == the anti-join's buckets (every distinct
+    // slice curl contributes a row), so ONE bucket collect and ONE
+    // bucket-pruned read serve both the anti-join and the fold
+    FrontierState.foldPublish(frontierRoot, batchId, slicePart,
+      crawlFrontierSchema, base, Some(affected)) { (b, d) =>
+      b.unionByName(d)
+        .groupBy("curl", "domain", "bucket")
         .agg(min(col("first_doc_id")).as("first_doc_id"),
           sum(col("n_total")).as("n_total"))
     }
-    merged.write.mode("overwrite").parquet(s"$statePath/seen_v${batchId + 1}")
 
     // 2. p6's fixture injection + t19 fold + language gate
     val injected = when(col("doc_id") % 3 === 0,
@@ -876,6 +894,7 @@ object EventStream {
   val admissionLedgerSchema: String =
     "domain STRING, n_new BIGINT, n_fresh BIGINT, n_novel BIGINT, " +
       "n_admitted BIGINT, n_tokens BIGINT"
+  val admissionSeenSchema: String = "curl STRING, bucket BIGINT"
 
   /**
    * foreachBatch body of the STREAMING CORPUS ADMISSION gate (catalog
@@ -913,15 +932,20 @@ object EventStream {
    * also carries its global-min doc_id — then the streamed funnel
    * equals p7's batch funnel and p7's oracle replays it (the
    * shared-oracle rule). A replayed trigger id re-reads the same prior
-   * state and overwrites byte-identical outputs — a committed-retry
-   * no-op. State is frontier-sized; ledgers are domain-sized; nothing
-   * ever re-reads the corpus.
+   * state and skips already-committed writes — a committed-retry
+   * no-op. The seen set is BUCKET-DELTA keyed state ([[FrontierState]],
+   * the round-15 verdict's prescription): the anti-join reads only the
+   * buckets the slice's curls hash into, and a trigger rewrites ONLY
+   * the buckets that gained a genuinely NEW curl (a set union is
+   * idempotent, so re-seen curls change nothing and carry by
+   * reference); ledgers are domain-sized; per-trigger dedup cost is
+   * slice-sized; nothing ever re-reads the corpus or the frontier.
    */
   def corpusAdmissionBatch(statePath: String, storePath: String,
       storeSigPath: String, shingleN: Int, k: Int, bands: Int,
       threshold: Double, maxBucket: Int,
-      stops: Seq[String], minQuality: Double)(batch: DataFrame,
-      batchId: Long): Unit = {
+      stops: Seq[String], minQuality: Double, nBuckets: Int = 16)(
+      batch: DataFrame, batchId: Long): Unit = {
     import graft.functions.{text => T}
     import org.apache.spark.sql.expressions.Window
     val spark = batch.sparkSession
@@ -929,23 +953,30 @@ object EventStream {
     val slice = batch.persist()
     try {
       val store = spark.read.schema(admissionStoreSchema).parquet(storePath)
+      val seenRoot = s"$statePath/seen"
       // A. frontier: slice winner -> unseen vs prior triggers -> not in store
       val winners = slice.withColumn("__rn", row_number().over(
           Window.partitionBy(col("curl")).orderBy(col("doc_id"))))
         .filter(col("__rn") === 1).drop("__rn")
+        .withColumn("bucket", FrontierState.bucketOf(col("curl"), nBuckets))
       val prev =
         if (batchId == 0) None
-        else Some(spark.read.schema("curl STRING")
-          .parquet(s"$statePath/seen_v$batchId"))
-      val unseen = prev match {
+        else Some(FrontierState.readBuckets(spark, seenRoot,
+          FrontierState.version(batchId - 1), admissionSeenSchema,
+          FrontierState.affectedBuckets(winners)))
+      val unseenB = prev match {
         case None => winners
-        case Some(seen) => winners.join(seen, Seq("curl"), "left_anti")
+        case Some(seen) =>
+          winners.join(seen.select(col("curl")), Seq("curl"), "left_anti")
       }
-      val newSeen = prev match {
-        case None => slice.select("curl").distinct()
-        case Some(seen) => seen.unionByName(slice.select("curl")).distinct()
-      }
-      newSeen.write.mode("overwrite").parquet(s"$statePath/seen_v${batchId + 1}")
+      // the seen-set union only grows by the genuinely NEW curls, so the
+      // contribution (and the bucket rewrite) is restricted to exactly
+      // the buckets that gained one; base is re-read inside foldPublish
+      // pruned to THOSE buckets (a subset of the anti-join's read)
+      FrontierState.foldPublish(seenRoot, batchId,
+        unseenB.select(col("curl"), col("bucket")),
+        admissionSeenSchema)((base, delta) => base.unionByName(delta))
+      val unseen = unseenB.drop("bucket")
       val fresh = unseen.join(store.select("curl").distinct(),
         Seq("curl"), "left_anti").persist()
       // B. near-dup admission: the trigger slice banded against the

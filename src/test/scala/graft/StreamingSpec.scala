@@ -1059,17 +1059,31 @@ class StreamingSpec extends AnyFunSuite {
       }
       .start()
     try {
-      def state(v: Int) = spark.read
-        .schema("curl STRING, domain STRING, n_total BIGINT, first_trigger BIGINT")
-        .parquet(s"$root/seen_v$v")
+      import graft.streaming.FrontierState
+      import graft.sources.ManifestStore
+      def state(after: Int) = FrontierState.read(spark, root, after.toLong,
+          EventStream.frontierStateSchema)
         .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSet
       triggers.foreach { t => input.addData(t: _*); query.processAllAvailable() }
-      assert(state(1) == Set(("https://a.com/x", 2L, 0L)))
-      assert(state(3) == Set(
+      assert(state(0) == Set(("https://a.com/x", 2L, 0L)))
+      assert(state(2) == Set(
         ("https://a.com/x", 4L, 0L),   // seen every trigger; first stays 0
         ("https://b.com/y", 2L, 1L),
         ("https://c.com/z", 1L, 2L)),
         "frontier fold must keep first sighting and total occurrences")
+      // BUCKET-DELTA property: a trigger rewrites only the buckets its
+      // own urls hash into — every v0 file whose bucket trigger 1 did
+      // not touch must be referenced UNCHANGED by v1's manifest
+      val t1Buckets = Set("https://a.com/x", "https://b.com/y").map(u =>
+        s"bucket=${spark.range(1).select(FrontierState.bucketOf(lit(u), 16))
+          .head.getLong(0)}/")
+      val m0 = ManifestStore.readManifest(spark, root, "v00000").toSet
+      val m1 = ManifestStore.readManifest(spark, root, "v00001").toSet
+      val untouched = m0.filterNot(f => t1Buckets.exists(f.startsWith))
+      assert(untouched.subsetOf(m1),
+        "files of buckets a trigger does not touch must carry by reference")
+      assert((m1 -- m0).forall(f => t1Buckets.exists(f.startsWith)),
+        "a trigger's new files must all lie under its own urls' buckets")
     } finally query.stop()
   }
 
@@ -1182,9 +1196,8 @@ class StreamingSpec extends AnyFunSuite {
       assert(corpusAt(streamRoot, "v00001").map(_._1) == Set(1L, 4L))
       assert(corpusAt(streamRoot, "v00002").map(_._1) == Set(1L, 4L, 6L))
       // frontier: A seen twice (docs 1+3), first winner doc 1 sticks
-      val state = spark.read
-        .schema("curl STRING, domain STRING, first_doc_id BIGINT, n_total BIGINT")
-        .parquet(s"$streamRoot/state/seen_v3")
+      val state = graft.streaming.FrontierState.read(
+          spark, s"$streamRoot/state/seen", 2L, EventStream.crawlFrontierSchema)
         .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
       assert(state("https://a.com/1") == ((1L, 2L)),
         "refetched url must keep its first winner and accumulate n_total")
