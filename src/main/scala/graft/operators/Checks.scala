@@ -236,13 +236,28 @@ object Checks {
    * (w17), so the production form reads NO data at all.
    */
   def volumeAnomaly(df: DataFrame, groupCol: String, tsCol: String,
+      lookback: Int, pctThreshold: Int): DataFrame =
+    volumeAnomalyFromDaily(dailyCounts(df, groupCol, tsCol), groupCol,
+      lookback, pctThreshold)
+
+  /** The per-(group, day) count table [[volumeAnomaly]] judges — split
+    * out so s27's streaming fold can maintain THE SAME table
+    * incrementally (counts are associative: any trigger slicing sums
+    * to the batch counts) and serve through the same verdict below
+    * (the s7/s21 shared-builder twin rule). */
+  def dailyCounts(df: DataFrame, groupCol: String, tsCol: String): DataFrame =
+    df.groupBy(col(groupCol), date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** The trailing-window all-integer verdict over a daily-count table —
+    * [[volumeAnomaly]]'s finish, shared verbatim by the batch monitor
+    * (q5) and the streaming fold's serve (s27). Metadata-sized: the
+    * window rides days × groups rows, never the events. */
+  def volumeAnomalyFromDaily(daily: DataFrame, groupCol: String,
       lookback: Int, pctThreshold: Int): DataFrame = {
     require(lookback >= 3 && pctThreshold > 0,
       "need >= 3 trailing days and a positive threshold")
     import org.apache.spark.sql.expressions.Window
-    val daily = df
-      .groupBy(col(groupCol), date_trunc("day", col(tsCol)).as("day"))
-      .agg(count(lit(1)).as("n_events"))
     val w = Window.partitionBy(col(groupCol)).orderBy(col("day"))
       .rowsBetween(-lookback, -1)
     daily

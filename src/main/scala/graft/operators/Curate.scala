@@ -633,20 +633,30 @@ object Curate {
     val benchArr = typedLit(benchGramHashes.toSeq.sorted)
     val ws = graft.functions.text.words(col(textCol))
     val empty = lit(Array.empty[Int])
-    corpus.select(col(idCol), ws.as("__ws"))
-      .withColumn("__nt", size(col("__ws")))
-      .withColumn("__starts", when(col("__nt") >= n,
-        filter(sequence(lit(0), col("__nt") - n), i =>
-          call_function("graft_in_set",
-            md5(concat_ws(" ", slice(col("__ws"), i + 1, lit(n)))), benchArr)))
-        .otherwise(empty))
+    exciseCovered(
+      corpus.select(col(idCol), ws.as("__ws"))
+        .withColumn("__nt", size(col("__ws")))
+        .withColumn("__starts", when(col("__nt") >= n,
+          filter(sequence(lit(0), col("__nt") - n), i =>
+            call_function("graft_in_set",
+              md5(concat_ws(" ", slice(col("__ws"), i + 1, lit(n)))), benchArr)))
+          .otherwise(empty)),
+      idCol, n)
+  }
+
+  /** The shared covered-position excision algebra (t12/l24): staged
+    * rows carry (idCol, __ws token array, __nt, __starts = 0-based hot
+    * gram starts) → (idCol, n_tokens, n_removed, n_spans, text_clean).
+    * Covered positions as ONE sorted distinct array: |starts|·n
+    * elements flattened, then hash-based array_except — linear, where
+    * a per-position `exists over starts` probe is O(tokens·starts),
+    * quadratic exactly on the fully-covered documents the operator
+    * exists to excise. */
+  private def exciseCovered(staged: DataFrame, idCol: String, n: Int): DataFrame = {
+    val empty = lit(Array.empty[Int])
+    staged
       .withColumn("__idx", when(col("__nt") > 0,
         sequence(lit(0), col("__nt") - 1)).otherwise(empty))
-      // covered positions as ONE sorted distinct array: |starts|·n
-      // elements flattened, then hash-based array_except — linear, where
-      // a per-position `exists over starts` probe is O(tokens·starts),
-      // quadratic exactly on the fully-covered documents the operator
-      // exists to excise
       .withColumn("__cov", sort_array(array_distinct(flatten(
         transform(col("__starts"), i => sequence(i, i + lit(n - 1)))))))
       .withColumn("__kept", array_except(col("__idx"), col("__cov")))
@@ -663,5 +673,55 @@ object Curate {
           .cast("long").as("n_spans"),
         array_join(transform(col("__kept"),
           j => element_at(col("__ws"), j + 1)), " ").as("text_clean"))
+  }
+
+  /**
+   * GLOBAL repeated-substring EXCISION (the Lee et al. 2022
+   * "Deduplicating Training Data Makes Language Models Better"
+   * ExactSubstr pass — the one dedup modality between the unit tiers:
+   * t6 drops repeated LINES by unit frequency, [[graft.operators.Dedup
+   * .sharedSpans]] FINDS long spans shared by a PAIR, this removes
+   * every span repeated corpus-WIDE in place): every token covered by
+   * a word `n`-gram whose TOTAL occurrence count across the corpus
+   * reaches `minCount` is excised; everything else survives. A span
+   * longer than `n` repeated anywhere is covered end-to-end by its own
+   * repeated `n`-grams, so one gram size handles all span lengths ≥ n.
+   *
+   * Scale shape — NO pair join anywhere, which is exactly why this
+   * modality scales where a pair-span report cannot: positional grams
+   * build NARROW (the l11 discipline: projected split + transform +
+   * posexplode, zero shuffle); ONE gram-hash shuffle counts total
+   * occurrences (map-side partial combine; the hot set is Zipf-tiny
+   * relative to the corpus); hot occurrences group per doc into a
+   * sorted start array (doc-bounded rows, one doc-keyed shuffle); the
+   * excision itself is [[exciseContaminatedSpans]]'s linear
+   * covered-array algebra, map-only. Total: two shuffles + one
+   * doc-keyed join, every term linear in corpus grams or hot
+   * occurrences — never corpus² and never k² on a self-repeating doc.
+   * No df-cap is needed: caps exist to stop Σ bucket² PAIR blowup, and
+   * nothing here pairs — a gram repeated a million times contributes
+   * exactly its million (id, pos) rows.
+   */
+  def exciseRepeatedSpans(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int, minCount: Long): DataFrame = {
+    require(n >= 1, "n-gram size must be positive")
+    require(minCount >= 2, "minCount < 2 would excise every token")
+    val empty = lit(Array.empty[Int])
+    val ws = corpus
+      .select(col(idCol), graft.functions.text.words(col(textCol)).as("__ws"))
+      .withColumn("__nt", size(col("__ws")))
+    // positional gram table (id, 0-based start, md5(gram)) — narrow
+    val g = ws.filter(col("__nt") >= n).select(col(idCol),
+      posexplode(transform(sequence(lit(1), col("__nt") - (n - 1)),
+        i => md5(concat_ws(" ", slice(col("__ws"), i, lit(n))))))
+        .as(Seq("pos", "gh")))
+    val hot = g.groupBy("gh").agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= minCount).select("gh")
+    val starts = g.join(hot, Seq("gh"))
+      .groupBy(idCol).agg(sort_array(collect_set(col("pos"))).as("__starts"))
+    exciseCovered(
+      ws.join(starts, Seq(idCol), "left")
+        .withColumn("__starts", coalesce(col("__starts"), empty)),
+      idCol, n)
   }
 }

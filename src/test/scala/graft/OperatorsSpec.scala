@@ -1432,6 +1432,53 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), "excision must be map-only")
   }
 
+  test("exciseRepeatedSpans: corpus-wide hot grams excised, sub-threshold repeats survive") {
+    import graft.operators.Curate
+    // the 4-word phrase "p q r s" occurs 3 times corpus-wide (docs
+    // 1, 2, 3) -> hot at minCount=3; "u v w x" occurs only twice
+    // (docs 4, 5) -> survives; doc 6 is clean
+    val docs = Seq(
+      (1L, "a b p q r s c d"),
+      (2L, "p q r s e f g h"),
+      (3L, "i j k p q r s"),
+      (4L, "u v w x m n o t"),
+      (5L, "y z u v w x a2 b2"),
+      (6L, "nothing here repeats at all"))
+      .toDF("doc_id", "text")
+    val got = Curate.exciseRepeatedSpans(docs, "doc_id", "text", 4, 3L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(1L) == ((8L, 4L, 1L, "a b c d")))
+    assert(got(2L) == ((8L, 4L, 1L, "e f g h")))
+    assert(got(3L) == ((7L, 4L, 1L, "i j k")))
+    assert(got(4L) == ((8L, 0L, 0L, "u v w x m n o t")),
+      "a 2-occurrence phrase must survive at minCount=3")
+    assert(got(5L) == ((8L, 0L, 0L, "y z u v w x a2 b2")))
+    assert(got(6L) == ((5L, 0L, 0L, "nothing here repeats at all")))
+    // a span LONGER than n repeated >= minCount is covered end-to-end
+    // by its own repeated n-grams — one gram size handles all lengths
+    val long = Seq(
+      (1L, "h1 p q r s t u h2"),
+      (2L, "h3 h4 p q r s t u"),
+      (3L, "p q r s t u h5 h6"))
+      .toDF("doc_id", "text")
+    val g2 = Curate.exciseRepeatedSpans(long, "doc_id", "text", 4, 3L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(4)))).toMap
+    assert(g2(1L) == ((6L, "h1 h2")) && g2(2L) == ((6L, "h3 h4")) &&
+      g2(3L) == ((6L, "h5 h6")),
+      "a repeated 6-word span must be fully excised via its 4-gram cover")
+    // intra-doc repetition counts toward the global total (Lee et al.
+    // counts occurrences, not documents)
+    val intra = Seq(
+      (1L, "c1 m m2 m3 m4 m m2 m3 m4 c2"),
+      (2L, "c3 m m2 m3 m4 c4"))
+      .toDF("doc_id", "text")
+    val g3 = Curate.exciseRepeatedSpans(intra, "doc_id", "text", 4, 3L)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(g3 == Map(1L -> "c1 c2", 2L -> "c3 c4"),
+      "three total occurrences across two docs must go hot")
+  }
+
   test("funnel: steps must occur strictly after the previous match, in event order") {
     import graft.operators.Temporal
     import java.sql.Timestamp

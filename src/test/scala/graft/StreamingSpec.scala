@@ -1325,6 +1325,100 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming volume monitor: non-day-aligned fold == batch verdict; outage flagged") {
+    import graft.operators.Checks
+    implicit val ctx = spark.sqlContext
+    def ts(day: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-03-$day%02d $h%02d:30:00")
+    // 9 events/day for days 1-7, day 8 collapses to 2 (a 78% drop the
+    // 50% rule must flag); ids interleave so the %3 trigger slicing
+    // gives every trigger a thinned copy of EVERY day — no single
+    // trigger can see the outage, only the cross-trigger fold
+    var id = -1L
+    val events = (1 to 8).flatMap { day =>
+      val n = if (day == 8) 2 else 9
+      (0 until n).map { k => id += 1; ("click", ts(day, 1 + k), id) }
+    }
+    val root = java.nio.file.Files.createTempDirectory("s27spec").toString + "/vol"
+    val input = MemoryStream[(String, java.sql.Timestamp, Long)]
+    var trig = -1
+    val query = input.toDF().toDF("event_type", "ts", "event_id")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        trig += 1
+        EventStream.volumeFoldBatch(root)(batch, trig.toLong)
+        ()
+      }
+      .start()
+    try {
+      (0 until 3).foreach { i =>
+        input.addData(events.filter(_._3 % 3 == i): _*)
+        query.processAllAvailable()
+      }
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4))
+      val served = Checks.volumeAnomalyFromDaily(
+        spark.read.schema(EventStream.volumeStateSchema)
+          .parquet(s"$root/daily_v3"), "event_type", 7, 50)
+        .collect().map(key).toSet
+      val batchAnswer = Checks.volumeAnomaly(
+        events.toDF("event_type", "ts", "event_id"), "event_type", "ts", 7, 50)
+        .collect().map(key).toSet
+      assert(served == batchAnswer,
+        s"folded daily counts must serve the batch verdict:\n$served\n$batchAnswer")
+      assert(served.contains(("click", "2024-03-08", 2L, 7L, true)),
+        "the cross-trigger outage day must be flagged from the fold")
+      assert(served.filter(_._5).map(_._2) == Set("2024-03-08"),
+        "no normal day may be flagged")
+    } finally query.stop()
+  }
+
+  test("streaming classifier maintenance: retrain from folded deltas == batch; new labels flip a weight") {
+    import graft.operators.Classifier
+    implicit val ctx = spark.sqlContext
+    // 5-col feature rows, x1 the only informative feature (x0 bias off
+    // so the flip is clean): triggers 0+1 carry only positive labels
+    // (w1 trains positive); trigger 2 floods three strong negative
+    // rows — the union-trained model must flip w1's sign, which only a
+    // fold that actually absorbs the new labeled rows can see
+    val t0 = Seq((1L, 0L, 10L, 0L, 0L, 0L, 1L), (2L, 0L, 8L, 0L, 0L, 0L, 1L))
+    val t1 = Seq((3L, 0L, 5L, 0L, 0L, 0L, 1L))
+    val t2 = Seq((4L, 0L, 50L, 0L, 0L, 0L, 0L), (5L, 0L, 60L, 0L, 0L, 0L, 0L),
+      (6L, 0L, 55L, 0L, 0L, 0L, 0L))
+    val cols = Classifier.featCols
+    val names = Seq("doc_id") ++ cols ++ Seq("y")
+    val root = java.nio.file.Files.createTempDirectory("s28spec").toString + "/cls"
+    val input = MemoryStream[(Long, Long, Long, Long, Long, Long, Long)]
+    var trig = -1
+    val query = input.toDF().toDF(names: _*)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        trig += 1
+        EventStream.classifierFoldBatch(root)(batch, trig.toLong)
+        ()
+      }
+      .start()
+    try {
+      def trainState() = Classifier.trainPerceptron(
+        spark.read.schema(EventStream.classifierLabSchema + ", trig INT")
+          .parquet(s"$root/lab"), cols, "y", 12).toSeq
+      var fed = Seq.empty[(Long, Long, Long, Long, Long, Long, Long)]
+      val after = Seq(t0, t1, t2).map { t =>
+        input.addData(t: _*)
+        query.processAllAvailable()
+        fed = fed ++ t
+        val ws = trainState()
+        // PER-TRIGGER parity: the state-trained model equals the batch
+        // trainer on everything fed so far (the shared-body rule)
+        assert(ws == Classifier.trainPerceptron(
+          fed.toDF(names: _*), cols, "y", 12).toSeq,
+          s"after trigger ${fed.size}: state-trained weights diverged")
+        ws
+      }
+      assert(after(1)(1) > 0L && after(2)(1) < 0L,
+        s"trigger 2's negative labels must flip w1: ${after(1)(1)} -> ${after(2)(1)}")
+    } finally query.stop()
+  }
+
   test("mid-stream compaction: search parity holds across the compaction boundary") {
     import graft.operators.Retrieval
     implicit val ctx = spark.sqlContext
