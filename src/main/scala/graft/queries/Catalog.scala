@@ -8316,7 +8316,17 @@ object Catalog {
           .groupBy("tau")
           .agg(count(lit(1)).as("n_pairs"),
             countDistinct(greatest(col("id1"), col("id2"))).as("n_dropped"))
-        val curve = swept.orderBy("tau").collect()
+        // ONE execution of the sweep (r16 optimization): the slope gate
+        // below already collects the 4-row curve, and the returned frame
+        // used to RECOMPUTE the whole candidate+verification pipeline for
+        // the caller's action — two full passes per invocation (measured
+        // ~2x the solo cost; guide §1.2 "don't compute things you throw
+        // away"). The aggregate is threshold-count-sized at ANY corpus
+        // scale, so the collected rows ARE the result: gate on them and
+        // return them as a local relation. Still recomputed from parquet
+        // on every invocation — nothing persists across runs.
+        val sweptRows = swept.orderBy("tau").collect()
+        val curve = sweptRows
           .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
         // NOT a monotonicity require: each higher threshold's surviving
         // set is a subset of the lower's by construction (same verified
@@ -8331,7 +8341,7 @@ object Catalog {
         require(curve.nonEmpty && curve.head._2 > curve.last._2 &&
           curve.head._3 > curve.last._3,
           s"the operating curve must have real slope (loosest tau strictly above strictest): ${curve.mkString(", ")}")
-        swept
+        s.createDataFrame(java.util.Arrays.asList(sweptRows: _*), swept.schema)
       },
       Some(s"""
         WITH nd AS (SELECT doc_id, ${normSql("text")} AS t FROM documents),
