@@ -65,6 +65,41 @@ object ManifestStore {
     out.result()
   }
 
+  /** Data files under ONLY the named bucket-prefix dirs (relative to
+    * `data/`). Bucket dirs are FLAT — `partitionBy` writes part files
+    * directly under `<bucketCol>=<b>/` — so this is one `listStatus`
+    * per affected bucket: O(affected buckets' files), never O(store).
+    * The per-publish before/after diff in [[publishDeltaMerged]] runs
+    * on THIS listing (r16): the old full recursive `data/` walk made
+    * every delta publish O(store files) of driver-side listing — at a
+    * 100-TB store with millions of files that walk, twice per trigger,
+    * would dwarf the delta write itself (guide §5/§6: listing is
+    * single-process driver work). */
+  private def listBucketFiles(spark: SparkSession, root: String,
+      prefixes: Set[String]): Set[String] = {
+    val fs = fsOf(spark, root)
+    val out = Set.newBuilder[String]
+    prefixes.foreach { pre =>
+      val dir = new Path(s"${dataPath(root)}/${pre.stripSuffix("/")}")
+      if (fs.exists(dir))
+        fs.listStatus(dir).foreach { st =>
+          if (st.getPath.getName.endsWith(".parquet"))
+            out += pre + st.getPath.getName
+        }
+    }
+    out.result()
+  }
+
+  /** Top-level partition dirs under `data/` as `<bucketCol>=<b>/`
+    * prefixes — O(#buckets), no file enumeration. */
+  private def listBucketDirs(spark: SparkSession, root: String): Set[String] = {
+    val fs = fsOf(spark, root)
+    val base = new Path(dataPath(root))
+    if (!fs.exists(base)) Set.empty
+    else fs.listStatus(base).filter(_.isDirectory)
+      .map(_.getPath.getName + "/").toSet
+  }
+
   def readManifest(spark: SparkSession, root: String, version: String): Seq[String] = {
     val fs = fsOf(spark, root)
     val in = fs.open(manifestPath(root, version))
@@ -129,7 +164,13 @@ object ManifestStore {
         .parquet(baseFiles.map(f => s"${dataPath(root)}/$f"): _*)
       graft.operators.Upsert.merge(base, delta, keyCol, payload :+ bucketCol)
     }
-    publishDeltaMerged(spark, merged, root, prevVersion, version, bucketCol)
+    // merged's bucket set equals `affected` by construction (base is read
+    // bucket-pruned to it; EXCLUDED-wins keeps every delta bucket), so
+    // pass it through — re-deriving it in publishDeltaMerged was one
+    // whole distinct+collect Spark job per publish for a set already in
+    // hand (r16; the FrontierState callers already threaded theirs).
+    publishDeltaMerged(spark, merged, root, prevVersion, version, bucketCol,
+      Some(affected))
   }
 
   /**
@@ -163,11 +204,24 @@ object ManifestStore {
     require(affected.nonEmpty, "empty delta: nothing to publish")
     val prefixes = affected.map(b => s"$bucketCol=$b/")
     val carried = prevFiles.filterNot(f => prefixes.exists(f.startsWith))
-    val before = listDataFiles(spark, root)
+    // the "files I just wrote" diff runs bucket-scoped (r16): listing is
+    // O(affected buckets), never O(store) — the class contract ("nothing
+    // ever lists the unaffected part of a 100-TB store") now holds on
+    // the publish hot path too, not just on reads. Stray-write gate:
+    // a write into a NEW partition outside `affected` is caught by the
+    // depth-1 dir diff below; a stray into an EXISTING foreign bucket is
+    // structurally excluded when `affected` is derived from `merged`
+    // itself (the default), and with `affectedKnown` it would surface as
+    // never-referenced orphan files that the next vacuum sweeps — the
+    // manifest math stays exact either way.
+    val dirsBefore = listBucketDirs(spark, root)
+    val before = listBucketFiles(spark, root, prefixes)
     merged.write.mode("append").partitionBy(bucketCol).parquet(dataPath(root))
-    val newFiles = (listDataFiles(spark, root) -- before).toSeq
-    require(newFiles.forall(f => prefixes.exists(f.startsWith)),
-      "a delta publish must only write under its affected buckets")
+    val strayDirs = listBucketDirs(spark, root) -- dirsBefore -- prefixes
+    require(strayDirs.isEmpty,
+      s"a delta publish must only write under its affected buckets " +
+        s"(stray new partitions: ${strayDirs.take(3).mkString(", ")})")
+    val newFiles = (listBucketFiles(spark, root, prefixes) -- before).toSeq
     writeManifest(spark, root, version, carried ++ newFiles)
   }
 
