@@ -99,9 +99,13 @@ object Graph {
     val sc = spark.sparkContext
     val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val st = new RoundState(sc)
+    // the caller's edge construction can be expensive (a join + distinct
+    // at the catalog fixtures) and is consumed FOUR times below (both
+    // sides of the degree join, both legs of the node union) — cache it
+    // once so the construction materializes once, not four times
     val e = edges.select(Seq(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")) ++
-      weightCol.map(w => col(w).cast("long").as("w")): _*)
+      weightCol.map(w => col(w).cast("long").as("w")): _*).persist()
     val outdeg = weightCol match {
       case None => e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       case Some(_) => e.groupBy("src").agg(sum(col("w")).as("outdeg"))
@@ -165,16 +169,21 @@ object Graph {
         case Some(_) => lit(85) * col("r") * col("w")
       }
       (1 to iterations).foreach { _ =>
+        // r'(v) = teleport(v) + Σ_in c(u->v) as ONE union-aggregate: the
+        // cached node table contributes each node's teleport term (so
+        // every node — in-edges or not — lands in the output exactly as
+        // the former left join guaranteed) and the edge contributions
+        // ride the same map-side-partial sum. One exchange per round
+        // where groupBy(dst) + join(nodes) cost two (guide §2.4).
         val contrib = edgesDeg
           .join(ranks, edgesDeg("src") === ranks("id"))
-          .select(col("dst"),
+          .select(col("dst").as("id"),
             floor(numer.cast("double") /
               (lit(100) * col("outdeg")).cast("double")).cast("long").as("c"))
-          .groupBy(col("dst").as("id")).agg(sum("c").as("in_sum"))
         val (next, ids) = st.save(nodes
-          .join(contrib, Seq("id"), "left")
-          .select(col("id"),
-            (seedLit(teleport) + coalesce(col("in_sum"), lit(0L))).as("r")))
+          .select(col("id"), seedLit(teleport).as("c"))
+          .unionAll(contrib)
+          .groupBy("id").agg(sum("c").as("r")))
         st.drop(labelIds)
         ranks = next
         labelIds = ids
@@ -183,6 +192,7 @@ object Graph {
     } catch {
       case e: Throwable => st.drop(labelIds); throw e
     } finally {
+      e.unpersist(blocking = false)
       edgesDeg.unpersist(blocking = false)
       nodes.unpersist(blocking = false)
     }
@@ -338,16 +348,22 @@ object Graph {
         labIds = s0._2; s0._1
       }
       (1 to iterations).foreach { _ =>
+        // the "no in-edges keep their label" rule rides the vote union as
+        // a zero-count self-row instead of a per-round left join: a real
+        // vote (c >= 1) always beats the self-row (c = 0) in the argmax,
+        // and a node with no votes keeps its own label — exactly the old
+        // coalesce semantics, two exchanges per round instead of three
+        // plus a join (guide §2.4)
         val votes = e.join(labels, e("src") === labels("id"))
-          .groupBy(e("dst").as("id"), col("lab"))
-          .agg(count(lit(1)).as("c"))
+          .select(e("dst").as("id"), col("lab"), lit(1L).as("c"))
+          .unionAll(labels.select(col("id"), col("lab"), lit(0L).as("c")))
+          .groupBy("id", "lab")
+          .agg(sum("c").as("c"))
         // argmax by (count desc, lab asc): struct compares fields in
         // order, so max(struct(c, -lab)) is the fully tie-broken pick
-        val pick = votes.groupBy("id")
+        val (next, ids) = st.save(votes.groupBy("id")
           .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
-          .select(col("id"), (-col("m.nl")).as("vlab"))
-        val (next, ids) = st.save(labels.join(pick, Seq("id"), "left")
-          .select(col("id"), coalesce(col("vlab"), col("lab")).as("lab")))
+          .select(col("id"), (-col("m.nl")).as("lab")))
         st.drop(labIds)
         labels = next
         labIds = ids
@@ -495,16 +511,21 @@ object Graph {
           s"(half-up DIV identity breaks on negative sums); min = " +
           s"${minH.getLong(0)}")
       (1 to layers).foreach { _ =>
-        val agg = e.join(h, e("src") === h("id"))
-          .groupBy(e("dst").as("nid"))
+        // every node rides the aggregate as a null-valued base row from
+        // the checkpointed node table: sum/count ignore the null, so a
+        // node with no valued in-neighbors keeps n = 0 and emits NULL —
+        // exactly the old left join's semantics, one exchange per layer
+        // instead of an aggregate plus a node-table join (guide §2.4)
+        val (next, ids) = st.save(e.join(h, e("src") === h("id"))
+          .select(e("dst").as("id"), col("h"))
+          .unionAll(nodes.select(col("id"), lit(null).cast("long").as("h")))
+          .groupBy("id")
           .agg(
             sum(col("h").cast("decimal(38,0)")).as("sd"),
             count(col("h")).as("n"))
-          .select(col("nid"),
+          .select(col("id"),
             when(col("n") > 0,
-              expr("CAST((2 * sd + n) DIV (2 * n) AS BIGINT)")).as("hn"))
-        val (next, ids) = st.save(nodes.join(agg, nodes("id") === agg("nid"), "left")
-          .select(nodes("id"), col("hn").as("h")))
+              expr("CAST((2 * sd + n) DIV (2 * n) AS BIGINT)")).as("h")))
         st.drop(hIds)
         h = next
         hIds = ids
@@ -608,7 +629,11 @@ object Graph {
       // finally below drops it. Every level is emitted, so no frontier
       // block is ever superseded — nothing to drop mid-loop; the
       // between-query reaper reclaims the node-sized blocks.
-      var frontier = e.select(col("src").as("walk_id")).distinct()
+      // seed walks from the CACHED adjacency, not the raw edge frame —
+      // reading `e` here would re-run the caller's whole edge
+      // construction (a join + distinct at the catalog fixture) a second
+      // time; adj's cache already holds every src
+      var frontier = adj.select(col("src").as("walk_id")).distinct()
         .select(col("walk_id"), col("walk_id").as("cur"))
         .localCheckpoint()
       val out = Seq.newBuilder[DataFrame]
@@ -698,7 +723,10 @@ object Graph {
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
     val eSrc = e.repartition(width, col("src")).persist()
-    val eDst = e.repartition(width, col("dst")).persist()
+    // eDst and the hub init both derive from eSrc's CACHE (filled by the
+    // require below), so the caller's edge construction — a join +
+    // distinct at the catalog fixture — materializes once, not three times
+    val eDst = eSrc.repartition(width, col("dst")).persist()
     var labelIds = Set.empty[Int]
     var authIds = Set.empty[Int]
     try {
@@ -720,7 +748,7 @@ object Graph {
             .cast("long").as("r"))
       }
       var hubs = {
-        val s0 = st.save(e.select(col("src").as("id")).distinct()
+        val s0 = st.save(eSrc.select(col("src").as("id")).distinct()
           .select(col("id"), lit(scale).as("r")))
         labelIds = s0._2; s0._1
       }
