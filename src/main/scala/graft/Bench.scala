@@ -112,6 +112,15 @@ object Bench {
       // are left at their defaults.
       .config("spark.sql.files.openCostInBytes", "16384")
       .config("spark.sql.files.minPartitionNum", cpus)
+      // the whole-stage-codegen class cache is JVM-GLOBAL and defaults to
+      // 100 entries; a 210-query suite generates thousands of distinct
+      // codegen'd stages, so late-suite queries evict early ones and every
+      // repetition recompiles (janino) and re-JITs INSIDE the timers —
+      // part of the documented late-suite wobble class (BENCH_NOTES). At
+      // ~50 KB per cached class this is ~200 MB of the 48 GB heap. A
+      // long-lived production session running a diverse query mix wants
+      // the same headroom; it is not a local[32]-only knob.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       // NO eager shuffle-file cleanup — measured HARMFUL here (round 14).
       // History: round 13 set the unprefixed fileCleanup key against the
       // late-suite wobble, but since Spark 4.1 that spelling is only the
