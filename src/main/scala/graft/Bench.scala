@@ -120,7 +120,10 @@ object Bench {
       // ~50 KB per cached class this is ~200 MB of the 48 GB heap. A
       // long-lived production session running a diverse query mix wants
       // the same headroom; it is not a local[32]-only knob.
-      .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // Round 17: parameterised for the A/B the r16 verdict asked for
+      // (the raise landed without a clean measurement).
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       // NO eager shuffle-file cleanup — measured HARMFUL here (round 14).
       // History: round 13 set the unprefixed fileCleanup key against the
       // late-suite wobble, but since Spark 4.1 that spelling is only the
@@ -213,12 +216,46 @@ object Bench {
       .filter(q => only.forall(_(q.name)))
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
+    // dev-only diagnostics (SPARK_GRAFT_QLOG=1): per-query stderr line
+    // with wall secs, GC-time delta and heap-used — for attributing
+    // in-suite elevations (GC? external? compute) without touching the
+    // timed protocol or the stdout contract.
+    val qlog = sys.env.get("SPARK_GRAFT_QLOG").contains("1")
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    // JIT compilation time + code-cache/metaspace occupancy: the
+    // late-suite elevation suspects (the JVM's 240 MB default code cache
+    // holds every JIT-compiled method of every janino class the suite
+    // generates; once it fills, the sweeper flushes cold methods and
+    // re-executions run interpreted until re-JITed).
+    def jitMillis: Long =
+      Option(java.lang.management.ManagementFactory.getCompilationMXBean)
+        .map(_.getTotalCompilationTime).getOrElse(-1L)
+    def poolUsedMb(prefix: String): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith(prefix))
+        .map(_.getUsage.getUsed).sum / (1024 * 1024)
+    }
+
     def runOnce(spark: SparkSession, errKey: String,
         name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val gc0 = if (qlog) gcMillis else 0L
+      val jit0 = if (qlog) jitMillis else 0L
+      val cpu0 = if (qlog) ownCpuSecs else 0.0
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        val secs = (System.nanoTime() - t0) / 1e9
+        if (qlog) {
+          val heapMb = (Runtime.getRuntime.totalMemory() -
+            Runtime.getRuntime.freeMemory()) / (1024 * 1024)
+          System.err.println(f"[qlog] $name%-28s ${secs}%7.2f s  cpu=${ownCpuSecs - cpu0}%7.1f s  gc=${gcMillis - gc0}%5d ms  jit=${jitMillis - jit0}%6d ms  code=${poolUsedMb("CodeHeap")}%4d MB  meta=${poolUsedMb("Metaspace")}%5d MB  heap=${heapMb}%6d MB")
+        }
+        secs
       } catch {
         case e: Throwable =>
           // alt-series failures are keyed "alt:<query>" so an official-run

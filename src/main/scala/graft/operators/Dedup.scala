@@ -798,7 +798,13 @@ object Dedup {
       checkpointDir: Option[String] = None): DataFrame = {
     require(maxRounds >= 1, "at least one propagation round")
     val sc = nodes.sparkSession.sparkContext
-    checkpointDir.foreach(sc.setCheckpointDir)
+    // r17 (verdict item 3): `spark.graft.checkpointDir` on the session
+    // opts every round save into RELIABLE checkpointing — executor-loss-
+    // safe round state at scale; unset keeps localCheckpoint (the local
+    // bench default). The explicit parameter still wins when passed.
+    val effDir = checkpointDir.orElse(
+      nodes.sparkSession.conf.getOption("spark.graft.checkpointDir"))
+    effDir.foreach(sc.setCheckpointDir)
     // Each eager localCheckpoint PERSISTS its blocks for the life of the
     // session; without explicit cleanup every round of every call pins
     // another label table in the block manager (and its delayed GC-driven
@@ -812,7 +818,7 @@ object Dedup {
     def save(df: DataFrame): (DataFrame, Set[Int]) = {
       val before = persistedIds
       try {
-        val out = if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+        val out = if (effDir.isDefined) df.checkpoint() else df.localCheckpoint()
         (out, persistedIds -- before)
       } catch {
         // an eager checkpoint PERSISTS before its job runs — a failing

@@ -33,6 +33,45 @@ import org.apache.spark.sql.functions._
  */
 object Graph {
 
+  /** Round width for the iterative loops, sized to the DATA rather than
+    * the session's cpu count (r17, guide §2.2/§6 partition sizing): the
+    * per-round state these loops shuffle is node/edge-sized, and pinning
+    * its width to `spark.sql.shuffle.partitions` (= cpus on the bench)
+    * makes every round pay cpu-many task launches however tiny the
+    * data — the measured reason the graph family scaled NEGATIVELY from
+    * 8 to 32 cores at sf0.1 (r16 verdict item 2). ~512k edge rows per
+    * partition amortizes per-task cost; the session's configured shuffle
+    * width stays the CEILING, so a production cluster (thousands of
+    * partitions configured, trillions of edges) keeps its parallelism —
+    * only the tiny-data end stops over-splitting. */
+  private def dataWidth(spark: org.apache.spark.sql.SparkSession,
+      nRows: Long): Int = {
+    val conf = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    math.max(1, math.min(conf, math.ceil(nRows / 524288.0).toInt))
+  }
+
+  /** Checkpoint MEDIUM for the iterative loops (r17, verdict item 3):
+    * `localCheckpoint` stores executor-local blocks with TRUNCATED
+    * lineage — cheap, but on a real cluster an executor loss (or
+    * memory-pressure eviction) makes round state unrecoverable
+    * mid-query. With `spark.graft.checkpointDir` set on the session,
+    * every round save becomes a RELIABLE `checkpoint()` into that
+    * directory instead — the standard iterative-graph discipline at
+    * scale (survives executor loss; pair it with
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` so
+    * superseded rounds' files are reclaimed). Local default: unset →
+    * localCheckpoint, keeping the bench protocol byte-identical. */
+  private def roundCheckpoint(df: DataFrame): DataFrame = {
+    val conf = df.sparkSession.conf.getOption("spark.graft.checkpointDir")
+    conf match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+  }
+
   /** block-manager hygiene for iterative loops — the connectedComponents
     * pattern: track which RDD ids each eager checkpoint persists, drop a
     * round's blocks as soon as the next round's checkpoint is live. */
@@ -43,7 +82,7 @@ object Graph {
     def save(df: DataFrame): (DataFrame, Set[Int]) = {
       val before = persistedIds
       try {
-        val out = df.localCheckpoint()
+        val out = roundCheckpoint(df)
         (out, persistedIds -- before)
       } catch {
         case e: Throwable => drop(persistedIds -- before); throw e
@@ -97,7 +136,6 @@ object Graph {
     require(iterations >= 1, "at least one power-iteration round")
     val spark = edges.sparkSession
     val sc = spark.sparkContext
-    val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val st = new RoundState(sc)
     // the caller's edge construction can be expensive (a join + distinct
     // at the catalog fixtures) and is consumed FOUR times below (both
@@ -106,6 +144,9 @@ object Graph {
     val e = edges.select(Seq(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")) ++
       weightCol.map(w => col(w).cast("long").as("w")): _*).persist()
+    // one count fills the cache EAGERLY (so nothing below re-runs the
+    // construction concurrently) and sizes the round width to the data
+    val width = dataWidth(spark, e.count())
     val outdeg = weightCol match {
       case None => e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       case Some(_) => e.groupBy("src").agg(sum(col("w")).as("outdeg"))
@@ -217,11 +258,17 @@ object Graph {
       maxHops: Int): DataFrame = {
     require(maxHops >= 0, "maxHops must be non-negative")
     val spark = edges.sparkSession
-    val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val st = new RoundState(spark.sparkContext)
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"))
-      .repartition(width, col("src")).persist()
+    // cache the raw construction once, size the round width to the data
+    // (dataWidth — the r17 scaling fix), then re-cache partitioned on
+    // src; the second pass reads the first cache, and the raw copy is
+    // dropped as soon as the partitioned one is materialized
+    val e0 = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).persist()
+    val width = dataWidth(spark, e0.count())
+    val e = e0.repartition(width, col("src")).persist()
+    e.count()
+    e0.unpersist(blocking = false)
     var distIds = Set.empty[Int]
     var frontIds = Set.empty[Int]
     try {
@@ -289,8 +336,8 @@ object Graph {
   def commonNeighborCandidates(canonicalEdges: DataFrame,
       apexCap: Int): DataFrame = {
     require(apexCap >= 1, "apexCap must be positive")
-    val e = canonicalEdges.select(col("a").cast("long").as("a"),
-      col("b").cast("long").as("b")).localCheckpoint()
+    val e = roundCheckpoint(canonicalEdges.select(
+      col("a").cast("long").as("a"), col("b").cast("long").as("b")))
     val adj = e.select(col("a").as("u"), col("b").as("v"))
       .unionAll(e.select(col("b").as("u"), col("a").as("v")))
     val deg = adj.groupBy("u").agg(count(lit(1)).as("deg"))
@@ -334,11 +381,15 @@ object Graph {
   def labelPropagation(edges: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1, "at least one propagation round")
     val spark = edges.sparkSession
-    val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val st = new RoundState(spark.sparkContext)
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"))
-      .repartition(width, col("src")).persist()
+    // data-sized round width (see dataWidth) via a cache-count-recache
+    // of the caller's construction — one construction pass total
+    val e0 = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).persist()
+    val width = dataWidth(spark, e0.count())
+    val e = e0.repartition(width, col("src")).persist()
+    e.count()
+    e0.unpersist(blocking = false)
     var labIds = Set.empty[Int]
     try {
       val nodes = e.select(col("src").as("id"))
@@ -485,10 +536,14 @@ object Graph {
       layers: Int): DataFrame = {
     require(layers >= 1, "at least one aggregation layer")
     val spark = edges.sparkSession
-    val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"))
-      .repartition(width, col("src")).persist()
+    // data-sized round width (see dataWidth) via a cache-count-recache
+    // of the caller's construction — one construction pass total
+    val e0 = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).persist()
+    val width = dataWidth(spark, e0.count())
+    val e = e0.repartition(width, col("src")).persist()
+    e.count()
+    e0.unpersist(blocking = false)
     val st = new RoundState(spark.sparkContext)
     var hIds = Set.empty[Int]
     try {
@@ -543,8 +598,8 @@ object Graph {
     // construction into the plan (measured: 67 initial-plan exchanges on
     // the co-occurrence entry vs 8 after — the l7 final-label precedent;
     // the bench's between-query reaper reclaims the blocks)
-    val e = canonicalEdges.select(col("a").cast("long").as("a"),
-      col("b").cast("long").as("b")).localCheckpoint()
+    val e = roundCheckpoint(canonicalEdges.select(
+      col("a").cast("long").as("a"), col("b").cast("long").as("b")))
     val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     // orient: lower (deg, id) endpoint -> higher. Join the two degree
@@ -607,13 +662,34 @@ object Graph {
     require(length >= 1, "need at least one step")
     import org.apache.spark.sql.expressions.Window
     val spark = edges.sparkSession
-    val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // dev-only step profiler (SPARK_GRAFT_WALKLOG=1): stderr wall-clock
+    // per phase, for attributing the in-suite g10 elevation
+    val wlog = sys.env.get("SPARK_GRAFT_WALKLOG").contains("1")
+    var tPrev = System.nanoTime()
+    def mark(phase: String): Unit = if (wlog) {
+      val t = System.nanoTime()
+      System.err.println(f"[walklog] $phase%-18s ${(t - tPrev) / 1e9}%7.2f s")
+      tPrev = t
+    }
+    // the caller's edge construction is consumed twice below (the ranked
+    // window and the degree aggregate) — cache it once, and size the
+    // step width to the data (dataWidth — the r17 scaling fix)
     val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"))
+      col("dst").cast("long").as("dst")).persist()
+    val width = dataWidth(spark, e.count())
     val bySrc = Window.partitionBy("src")
+    // r17: each adjacency row also carries its DESTINATION's out-degree
+    // (left join against the node-sized degree table — absent for sinks),
+    // so the frontier can carry outdeg(cur) forward and compute its
+    // chosen rank BEFORE the step join (below). deg derives from the
+    // same cached edge frame with one aggregate.
+    val deg = e.groupBy(col("src").as("d_id"))
+      .agg(count(lit(1)).as("d_outdeg"))
     val adj = e
       .withColumn("rn", row_number().over(bySrc.orderBy("dst")))
       .withColumn("outdeg", count(lit(1)).over(bySrc))
+      .join(deg.select(col("d_id").as("dst"), col("d_outdeg").as("dst_outdeg")),
+        Seq("dst"), "left")
       // explicit width: exempt from AQE coalescing — every step's
       // frontier join aligns to this partitioning (the pageRank rule)
       .repartition(width, col("src")).persist()
@@ -633,23 +709,55 @@ object Graph {
       // reading `e` here would re-run the caller's whole edge
       // construction (a join + distinct at the catalog fixture) a second
       // time; adj's cache already holds every src
-      var frontier = adj.select(col("src").as("walk_id")).distinct()
-        .select(col("walk_id"), col("walk_id").as("cur"))
-        .localCheckpoint()
+      // the frontier carries outdeg(cur) so each step can compute the
+      // picked rank rn_pick = pmod(md5(walk|k|cur|salt), outdeg) + 1 as a
+      // PROJECTION over the frontier — md5 once per WALK — and the step
+      // join becomes a pure two-column EQUI join on (cur, rn_pick) =
+      // (src, rn). The r16 shape carried the md5 inside the join
+      // condition, evaluated once per CANDIDATE edge (Σ outdeg(cur) per
+      // step, ~500x the walk count on this fixture), and planner state
+      // could amplify it further (the in-suite g10 pathology this
+      // replaces — see OPTIMIZATION_r17.md item 1). Guide §3/§2.3:
+      // decide with small rows, keep expensive expressions off the
+      // join's per-pair path.
+      var frontier = adj.select(col("src").as("walk_id"), col("outdeg"))
+        .distinct()
+        .select(col("walk_id"), col("walk_id").as("cur"),
+          col("outdeg").as("cur_outdeg"))
+        .transform(roundCheckpoint)
+      mark("seed")
       val out = Seq.newBuilder[DataFrame]
       out += frontier.select(col("walk_id"), lit(0L).as("step"),
         col("cur").as("node_id"))
       (1 to length).foreach { k =>
-        frontier = frontier
-          .join(adj, frontier("cur") === adj("src") &&
-            adj("rn") === pmod(stepHash(k), adj("outdeg")) + 1)
-          .select(col("walk_id"), col("dst").as("cur"))
-          .localCheckpoint()
+        // a sink (no out-edges) carries cur_outdeg NULL: rn_pick is NULL
+        // and the inner equi join emits nothing — the walk truncates
+        // exactly as the old inner join on src did
+        val picked = frontier.select(col("walk_id"), col("cur"),
+          (pmod(stepHash(k), col("cur_outdeg")) + 1).as("rn_pick"))
+        val joined = picked
+          .join(adj, picked("cur") === adj("src") &&
+            picked("rn_pick") === adj("rn").cast("long"))
+          .select(col("walk_id"), col("dst").as("cur"),
+            col("dst_outdeg").as("cur_outdeg"))
+        frontier = roundCheckpoint(joined)
+        mark(s"step $k")
+        if (wlog) {
+          val plan = joined.queryExecution.executedPlan.toString
+          val joinNodes = plan.linesIterator
+            .filter(l => l.contains("Join") || l.contains("Exchange"))
+            .map(_.trim.take(160)).mkString(" || ")
+          System.err.println(s"[walklog]   rows=${frontier.count()} join: $joinNodes")
+          tPrev = System.nanoTime()
+        }
         out += frontier.select(col("walk_id"), lit(k.toLong).as("step"),
           col("cur").as("node_id"))
       }
       out.result().reduce(_ unionAll _)
-    } finally adj.unpersist(blocking = false)
+    } finally {
+      adj.unpersist(blocking = false)
+      e.unpersist(blocking = false)
+    }
   }
 
   /**
@@ -718,19 +826,27 @@ object Graph {
     require(iterations >= 1 && scale >= 1, "need iterations and a positive scale")
     val spark = edges.sparkSession
     val sc = spark.sparkContext
-    val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val st = new RoundState(sc)
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"))
-    val eSrc = e.repartition(width, col("src")).persist()
-    // eDst and the hub init both derive from eSrc's CACHE (filled by the
-    // require below), so the caller's edge construction — a join +
-    // distinct at the catalog fixture — materializes once, not three times
+    // cache the raw construction once and size the round width to the
+    // data (dataWidth — the r17 scaling fix); the count doubles as the
+    // empty-graph gate AND the deliberate full cache fill the r16 advice
+    // asked for (limit(1) only materialized the partitions scanned
+    // before the first row)
+    val e0 = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).persist()
+    val nEdges = e0.count()
+    val width = dataWidth(spark, nEdges)
+    val eSrc = e0.repartition(width, col("src")).persist()
+    // eDst and the hub init both derive from eSrc's CACHE, so the
+    // caller's edge construction — a join + distinct at the catalog
+    // fixture — materializes once, not three times
     val eDst = eSrc.repartition(width, col("dst")).persist()
     var labelIds = Set.empty[Int]
     var authIds = Set.empty[Int]
     try {
-      require(eSrc.limit(1).count() > 0, "empty graph")
+      require(nEdges > 0, "empty graph")
+      eSrc.count()
+      e0.unpersist(blocking = false)
       // The RAW half-step (edge join + sum) is checkpointed FIRST;
       // both consumers — the max scalar and the normalized projection
       // the next half-step joins against — then read the materialized
@@ -781,6 +897,7 @@ object Graph {
     } catch {
       case err: Throwable => st.drop(labelIds ++ authIds); throw err
     } finally {
+      e0.unpersist(blocking = false)
       eSrc.unpersist(blocking = false)
       eDst.unpersist(blocking = false)
     }

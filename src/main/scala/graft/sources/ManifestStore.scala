@@ -65,41 +65,6 @@ object ManifestStore {
     out.result()
   }
 
-  /** Data files under ONLY the named bucket-prefix dirs (relative to
-    * `data/`). Bucket dirs are FLAT — `partitionBy` writes part files
-    * directly under `<bucketCol>=<b>/` — so this is one `listStatus`
-    * per affected bucket: O(affected buckets' files), never O(store).
-    * The per-publish before/after diff in [[publishDeltaMerged]] runs
-    * on THIS listing (r16): the old full recursive `data/` walk made
-    * every delta publish O(store files) of driver-side listing — at a
-    * 100-TB store with millions of files that walk, twice per trigger,
-    * would dwarf the delta write itself (guide §5/§6: listing is
-    * single-process driver work). */
-  private def listBucketFiles(spark: SparkSession, root: String,
-      prefixes: Set[String]): Set[String] = {
-    val fs = fsOf(spark, root)
-    val out = Set.newBuilder[String]
-    prefixes.foreach { pre =>
-      val dir = new Path(s"${dataPath(root)}/${pre.stripSuffix("/")}")
-      if (fs.exists(dir))
-        fs.listStatus(dir).foreach { st =>
-          if (st.getPath.getName.endsWith(".parquet"))
-            out += pre + st.getPath.getName
-        }
-    }
-    out.result()
-  }
-
-  /** Top-level partition dirs under `data/` as `<bucketCol>=<b>/`
-    * prefixes — O(#buckets), no file enumeration. */
-  private def listBucketDirs(spark: SparkSession, root: String): Set[String] = {
-    val fs = fsOf(spark, root)
-    val base = new Path(dataPath(root))
-    if (!fs.exists(base)) Set.empty
-    else fs.listStatus(base).filter(_.isDirectory)
-      .map(_.getPath.getName + "/").toSet
-  }
-
   def readManifest(spark: SparkSession, root: String, version: String): Seq[String] = {
     val fs = fsOf(spark, root)
     val in = fs.open(manifestPath(root, version))
@@ -204,24 +169,40 @@ object ManifestStore {
     require(affected.nonEmpty, "empty delta: nothing to publish")
     val prefixes = affected.map(b => s"$bucketCol=$b/")
     val carried = prevFiles.filterNot(f => prefixes.exists(f.startsWith))
-    // the "files I just wrote" diff runs bucket-scoped (r16): listing is
-    // O(affected buckets), never O(store) — the class contract ("nothing
-    // ever lists the unaffected part of a 100-TB store") now holds on
-    // the publish hot path too, not just on reads. Stray-write gate:
-    // a write into a NEW partition outside `affected` is caught by the
-    // depth-1 dir diff below; a stray into an EXISTING foreign bucket is
-    // structurally excluded when `affected` is derived from `merged`
-    // itself (the default), and with `affectedKnown` it would surface as
-    // never-referenced orphan files that the next vacuum sweeps — the
-    // manifest math stays exact either way.
-    val dirsBefore = listBucketDirs(spark, root)
-    val before = listBucketFiles(spark, root, prefixes)
-    merged.write.mode("append").partitionBy(bucketCol).parquet(dataPath(root))
-    val strayDirs = listBucketDirs(spark, root) -- dirsBefore -- prefixes
-    require(strayDirs.isEmpty,
+    // STAGED write (r17): the delta lands in a throwaway staging dir,
+    // whose depth-1 partition listing is the EXACT bucket set the write
+    // produced — O(delta buckets) — so the stray-write gate the r16
+    // bucket-scoping weakened (a stray into an existing foreign bucket
+    // only surfaced as a vacuumable orphan when `affectedKnown` was
+    // passed) is exact again, for every caller. The files then MOVE into
+    // `data/` by rename (metadata-only on an HDFS-like store), named
+    // `<version>-<part>` so no publish can collide with another. Bonus
+    // over the r16 shape: the before/after bucket-file diff is gone
+    // entirely — the new-file set IS the renamed set, zero `data/`
+    // listings on the publish hot path (guide §6: listing cost).
+    val fs = fsOf(spark, root)
+    val staging = new Path(s"$root/.staging-$version")
+    fs.delete(staging, true)
+    merged.write.mode("overwrite").partitionBy(bucketCol)
+      .parquet(staging.toString)
+    val stagedDirs = fs.listStatus(staging).filter(_.isDirectory)
+      .map(_.getPath.getName + "/").toSet
+    require(stagedDirs.subsetOf(prefixes),
       s"a delta publish must only write under its affected buckets " +
-        s"(stray new partitions: ${strayDirs.take(3).mkString(", ")})")
-    val newFiles = (listBucketFiles(spark, root, prefixes) -- before).toSeq
+        s"(stray partitions: ${(stagedDirs -- prefixes).take(3).mkString(", ")})")
+    val newFiles = stagedDirs.toSeq.sorted.flatMap { pre =>
+      val destDir = new Path(s"${dataPath(root)}/${pre.stripSuffix("/")}")
+      fs.mkdirs(destDir)
+      fs.listStatus(new Path(staging, pre.stripSuffix("/")))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map { st =>
+          val name = s"$version-${st.getPath.getName}"
+          require(fs.rename(st.getPath, new Path(destDir, name)),
+            s"staged-file move failed: ${st.getPath}")
+          pre + name
+        }
+    }
+    fs.delete(staging, true)
     writeManifest(spark, root, version, carried ++ newFiles)
   }
 
